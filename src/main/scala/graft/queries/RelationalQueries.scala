@@ -1,0 +1,147 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.util.{Parity, Tables}
+
+/** Relational operators over the TPC-H-ish tables: scans, filters,
+  * aggregations, joins, top-k (SURVEY §2.1 S8, §2.2 F1, §2.3, §2.6 O1).
+  */
+object RelationalQueries {
+
+  private def li(s: SparkSession, dir: String) = Tables.load(s, dir, "lineitem")
+
+  /** Flagship aggregation (TPC-H Q1 shape): exercises map-side partial
+    * aggregation + exact decimal sums. */
+  def q1Agg(s: SparkSession, dir: String): DataFrame =
+    li(s, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        Parity.dsum(col("l_quantity")).as("sum_qty"),
+        Parity.dsum(col("l_extendedprice")).as("sum_base_price"),
+        Parity.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("sum_disc_price"),
+        Parity.davg(col("l_quantity")).as("avg_qty"),
+        Parity.davg(col("l_extendedprice")).as("avg_price"),
+        Parity.davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  val q1AggOracle: String = {
+    import Parity._
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${duckDsum("l_quantity")} AS sum_qty,
+       |  ${duckDsum("l_extendedprice")} AS sum_base_price,
+       |  ${duckDsum("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+       |  ${duckDavg("l_quantity")} AS avg_qty,
+       |  ${duckDavg("l_extendedprice")} AS avg_price,
+       |  ${duckDavg("l_discount")} AS avg_disc,
+       |  count(*) AS count_order
+       |FROM lineitem
+       |GROUP BY l_returnflag, l_linestatus""".stripMargin
+  }
+
+  /** F1: parametrized conjunctive filter + projection (the reference's
+    * fetch WHERE clause, api.py:136-163) — predicates and the 4-column
+    * projection both push to the parquet scan. */
+  def f1Filter(s: SparkSession, dir: String): DataFrame =
+    li(s, dir)
+      .filter(
+        col("l_shipdate") >= lit("2024-01-05").cast("timestamp") &&
+        col("l_shipdate") < lit("2024-01-20").cast("timestamp") &&
+        col("l_returnflag") === "R" &&
+        col("l_quantity") > 25.0)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"),
+        unix_timestamp(col("l_shipdate")).as("ship_epoch"))
+
+  val f1FilterOracle: String =
+    s"""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+       |  ${Parity.duckEpochS("l_shipdate")} AS ship_epoch
+       |FROM lineitem
+       |WHERE l_shipdate >= TIMESTAMP '2024-01-05 00:00:00'
+       |  AND l_shipdate < TIMESTAMP '2024-01-20 00:00:00'
+       |  AND l_returnflag = 'R' AND l_quantity > 25.0""".stripMargin
+
+  /** O1: ORDER BY ... DESC LIMIT n — Catalyst plans TakeOrderedAndProject
+    * (per-partition top-k + merge, no global sort). Unique tiebreakers
+    * make the row set deterministic across engines. */
+  def o1TopK(s: SparkSession, dir: String): DataFrame =
+    li(s, dir)
+      .select(
+        col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+        unix_timestamp(col("l_shipdate")).as("ship_epoch"))
+      .orderBy(desc("ship_epoch"), asc("l_orderkey"), asc("l_linenumber"))
+      .limit(100)
+
+  val o1TopKOracle: String =
+    s"""SELECT l_orderkey, l_linenumber, l_extendedprice,
+       |  ${Parity.duckEpochS("l_shipdate")} AS ship_epoch
+       |FROM lineitem
+       |ORDER BY ship_epoch DESC, l_orderkey, l_linenumber
+       |LIMIT 100""".stripMargin
+
+  /** J2-shape broadcast join: fact x small dimension, aggregated.
+    * `broadcast()` pins the hash join — at 100 TB the part side of a
+    * real TPC-H is still MBs per brand-level dim, so no shuffle of the
+    * fact table. */
+  def j2BroadcastJoin(s: SparkSession, dir: String): DataFrame = {
+    val part = Tables.load(s, dir, "part")
+    li(s, dir)
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        Parity.dsum(col("l_extendedprice")).as("revenue"),
+        Parity.dsum(col("l_quantity")).as("qty"),
+        count(lit(1)).as("n"))
+  }
+
+  val j2BroadcastJoinOracle: String = {
+    import Parity._
+    s"""SELECT p_brand,
+       |  ${duckDsum("l_extendedprice")} AS revenue,
+       |  ${duckDsum("l_quantity")} AS qty,
+       |  count(*) AS n
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |GROUP BY p_brand""".stripMargin
+  }
+
+  /** Multi-way join through the star schema (region->nation->customer->
+    * orders->lineitem), dims broadcast, fact streamed once. */
+  def q5MultiJoin(s: SparkSession, dir: String): DataFrame = {
+    val region = Tables.load(s, dir, "region")
+    val nation = Tables.load(s, dir, "nation")
+    val cust = Tables.load(s, dir, "customer")
+    val orders = Tables.load(s, dir, "orders")
+    li(s, dir)
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        Parity.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"),
+        countDistinct(col("o_orderkey")).as("n_orders"))
+  }
+
+  val q5MultiJoinOracle: String = {
+    import Parity._
+    s"""SELECT r_name, n_name,
+       |  ${duckDsum("l_extendedprice * (1 - l_discount)")} AS revenue,
+       |  count(DISTINCT o_orderkey) AS n_orders
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |GROUP BY r_name, n_name""".stripMargin
+  }
+
+  val defs: Map[String, QueryDef] = Map(
+    "q1_agg" -> QueryDef(q1Agg _, q1AggOracle),
+    "f1_filter_project" -> QueryDef(f1Filter _, f1FilterOracle),
+    "o1_topk" -> QueryDef(o1TopK _, o1TopKOracle),
+    "j2_broadcast_join" -> QueryDef(j2BroadcastJoin _, j2BroadcastJoinOracle),
+    "q5_multi_join" -> QueryDef(q5MultiJoin _, q5MultiJoinOracle))
+}
