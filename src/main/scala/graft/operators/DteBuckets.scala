@@ -13,9 +13,10 @@ import graft.util.Parity
   */
 object DteBuckets {
 
-  /** Reference bucket edges (config.py DTE_BUCKETS): label by lower-upper. */
+  /** Reference bucket edges (features/dte_buckets.py DEFAULT_DTE_BUCKETS,
+    * same set in pcr.py): label by lower-upper. */
   val buckets: Seq[(Int, Int)] =
-    Seq((0, 7), (8, 30), (31, 60), (61, 90), (91, 999))
+    Seq((0, 7), (8, 14), (15, 30), (31, 60), (61, 90), (91, 999))
 
   def dteExpr(ts: Column, expiry: Column): Column =
     datediff(expiry, to_date(ts))
@@ -27,12 +28,15 @@ object DteBuckets {
     }
 
   /** A4: per (bar, dte_bucket): iv mean+std, volume, trade count, price
-    * mean (`dte_buckets.py:27-129`) in long format. */
+    * mean (`dte_buckets.py:27-129`) in long format. NaN handling is
+    * per-metric like the reference (dte_buckets.py:106): volume /
+    * n_trades / price_mean include trades whose iv is null; the iv
+    * stats skip nulls (count(c) counts non-null). */
   def bucketMetrics(trades: DataFrame, interval: String): DataFrame = {
     trades
       .withColumn("dte", dteExpr(col("timestamp"), col("expiry")))
       .withColumn("dte_bucket", bucketExpr(col("dte")))
-      .filter(col("dte_bucket").isNotNull && col("iv").isNotNull)
+      .filter(col("dte_bucket").isNotNull)
       .groupBy(window(col("timestamp"), interval), col("dte_bucket"))
       .agg(
         Parity.davg(col("iv")).as("iv_mean"),

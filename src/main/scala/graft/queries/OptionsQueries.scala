@@ -58,7 +58,7 @@ object OptionsQueries {
        |  ${duckDavg("price")} AS price_mean,
        |  bucket_start
        |FROM (SELECT *, $duckDteBucket AS dte_bucket FROM enriched)
-       |WHERE dte_bucket IS NOT NULL AND iv IS NOT NULL
+       |WHERE dte_bucket IS NOT NULL
        |GROUP BY dte_bucket, bucket_start""".stripMargin
 
   // ---- A5/W5: DTE-bucket volume share per bar ----
@@ -73,7 +73,7 @@ object OptionsQueries {
        |  WHERE dte_bucket IS NOT NULL
        |  GROUP BY dte_bucket, bucket_start
        |)
-       |SELECT dte_bucket, bucket_start, bucket_volume,
+       |SELECT dte_bucket, bucket_volume, bucket_start,
        |  (bucket_volume * 100.0) / nullif(
        |    CAST(sum(CAST(bucket_volume AS DECIMAL(28,6)))
        |         OVER (PARTITION BY bucket_start) AS DOUBLE), 0.0) AS volume_pct

@@ -46,8 +46,8 @@ object RelationalQueries {
   def f1Filter(s: SparkSession, dir: String): DataFrame =
     li(s, dir)
       .filter(
-        col("l_shipdate") >= lit("2024-01-05").cast("timestamp") &&
-        col("l_shipdate") < lit("2024-01-20").cast("timestamp") &&
+        col("l_shipdate") >= lit("1996-01-05").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-03-20").cast("timestamp") &&
         col("l_returnflag") === "R" &&
         col("l_quantity") > 25.0)
       .select(
@@ -59,8 +59,8 @@ object RelationalQueries {
     s"""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
        |  ${Parity.duckEpochS("l_shipdate")} AS ship_epoch
        |FROM lineitem
-       |WHERE l_shipdate >= TIMESTAMP '2024-01-05 00:00:00'
-       |  AND l_shipdate < TIMESTAMP '2024-01-20 00:00:00'
+       |WHERE l_shipdate >= TIMESTAMP '1996-01-05 00:00:00'
+       |  AND l_shipdate < TIMESTAMP '1996-03-20 00:00:00'
        |  AND l_returnflag = 'R' AND l_quantity > 25.0""".stripMargin
 
   /** O1: ORDER BY ... DESC LIMIT n — Catalyst plans TakeOrderedAndProject
@@ -115,7 +115,9 @@ object RelationalQueries {
     val orders = Tables.load(s, dir, "orders")
     li(s, dir)
       .join(orders, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      // customer grows with the fact tables (NOT a bounded dim): no
+      // broadcast hint — AQE picks shuffle vs broadcast by actual size.
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
