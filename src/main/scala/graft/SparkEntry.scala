@@ -7,7 +7,7 @@ import graft.queries._
 object SparkEntry {
 
   private def registry: Map[String, QueryDef] =
-    RelationalQueries.defs ++ OptionsQueries.defs
+    RelationalQueries.defs ++ OptionsQueries.defs ++ FetchQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

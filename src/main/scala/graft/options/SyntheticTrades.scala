@@ -17,9 +17,7 @@ import graft.util.Tables
   */
 object SyntheticTrades {
 
-  private val monthNames =
-    Seq("JAN", "FEB", "MAR", "APR", "MAY", "JUN",
-        "JUL", "AUG", "SEP", "OCT", "NOV", "DEC")
+  private val monthNames = graft.functions.Instruments.months
 
   /** Spark-side derivation. Pure narrow projection over events — no
     * shuffle; at 100 TB this is a map stage fused into whatever consumes
@@ -34,18 +32,8 @@ object SyntheticTrades {
     val optionType = when(e % 3 === 0, "P").otherwise("C")
     val expiry = date_add(to_date(col("ts")), (lit(7) + e % 60).cast("int"))
     val strike = lit(8000.0) + lit(250.0) * (e % 17).cast("double")
-
-    val monthName = monthNames.zipWithIndex.foldLeft(lit("")) {
-      case (acc, (m, i)) => when(month(expiry) === (i + 1), m).otherwise(acc)
-    }
-    val instrument = concat(
-      underlying, lit("-"),
-      dayofmonth(expiry).cast("string"),
-      monthName,
-      lpad((year(expiry) % 100).cast("string"), 2, "0"),
-      lit("-"),
-      strike.cast("long").cast("string"), lit("-"),
-      optionType)
+    val instrument =
+      graft.functions.Instruments.formatCol(underlying, expiry, strike, optionType)
 
     ev.select(
       e.cast("string").as("trade_id"),
