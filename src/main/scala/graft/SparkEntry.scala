@@ -7,7 +7,8 @@ import graft.queries._
 object SparkEntry {
 
   private def registry: Map[String, QueryDef] =
-    RelationalQueries.defs ++ OptionsQueries.defs ++ FetchQueries.defs
+    RelationalQueries.defs ++ OptionsQueries.defs ++ FetchQueries.defs ++
+      FeatureQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

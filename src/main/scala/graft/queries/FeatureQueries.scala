@@ -1,0 +1,247 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators._
+import graft.options.SyntheticTrades
+import graft.util.Parity
+import graft.util.Parity._
+
+/** Correctness entries for the alpha-feature operators: contract
+  * selection (A1/F6/J1), spot enrichment (A17/J2/P5/P6), moneyness
+  * aggregations (A8/A9/P12), PCR (A6), term structure (A7). */
+object FeatureQueries {
+
+  private def trades(s: SparkSession, dir: String): DataFrame =
+    SyntheticTrades.trades(s, dir)
+
+  private def enrichedSpot(s: SparkSession, dir: String): DataFrame =
+    SpotProvider.enrichWithSpot(
+      trades(s, dir),
+      SpotProvider.spotBars(SyntheticTrades.spotTicks(s, dir)))
+
+  // ---- A1: front-month selection ----
+
+  private def frontMonthDf(s: SparkSession, dir: String): DataFrame =
+    ContractSelector.frontMonth(trades(s, dir), col("trade_id"))
+
+  private def contractsOut(df: DataFrame, extra: org.apache.spark.sql.Column*)
+      : DataFrame =
+    df.select(Seq(
+      col("bucket_start"), col("underlying"),
+      Parity.epochS(col("timestamp")).as("ep"),
+      col("instrument_name"), col("strike"),
+      col("expiry").cast("string").as("expiry"),
+      col("option_type"), col("iv"), col("price"), col("amount"),
+      col("direction"), col("index_price")) ++ extra: _*)
+
+  def a1FrontMonth(s: SparkSession, dir: String): DataFrame =
+    contractsOut(frontMonthDf(s, dir))
+
+  /** Front-month CTE: whole-row selection of the min-key row per
+    * (bar, underlying) — the oracle twin of min_by(struct, key).
+    * row_number (not per-column arg_min: DuckDB's arg_min skips NULL
+    * args, which would mix columns from different rows when iv or
+    * index_price is null). Key = dte*1e13 + trade_id is row-unique. */
+  private val selCte: String =
+    s"""${OracleCtes.enriched},
+       |sel AS (
+       |  SELECT * FROM (
+       |    SELECT *, CAST(dte AS BIGINT) * 10000000000000
+       |      + CAST(trade_id AS BIGINT) AS sel_key
+       |    FROM enriched
+       |  )
+       |  QUALIFY row_number() OVER (
+       |    PARTITION BY bucket_start, underlying ORDER BY sel_key) = 1
+       |)""".stripMargin
+
+  private val contractsCols =
+    """bucket_start, underlying, ep, instrument_name, strike,
+      |  CAST(expiry AS VARCHAR) AS expiry, option_type, iv, price,
+      |  amount, direction, index_price""".stripMargin
+
+  val a1Oracle: String =
+    s"""WITH $selCte
+       |SELECT $contractsCols FROM sel""".stripMargin
+
+  // ---- F6: + ATM band ----
+
+  def f6Atm(s: SparkSession, dir: String): DataFrame =
+    contractsOut(ContractSelector.atmFilter(frontMonthDf(s, dir)))
+
+  val f6Oracle: String =
+    s"""WITH $selCte
+       |SELECT $contractsCols FROM sel
+       |WHERE strike / index_price BETWEEN 0.95 AND 1.05""".stripMargin
+
+  // ---- J1: + daily liquidity floor (window form) ----
+
+  def j1Liquid(s: SparkSession, dir: String): DataFrame =
+    contractsOut(
+      ContractSelector.liquidityFilter(
+        ContractSelector.atmFilter(frontMonthDf(s, dir))),
+      col("daily_volume"))
+
+  val j1Oracle: String =
+    s"""WITH $selCte,
+       |atm AS (
+       |  SELECT * FROM sel
+       |  WHERE strike / index_price BETWEEN 0.95 AND 1.05
+       |),
+       |liq AS (
+       |  SELECT *, CAST(sum(CAST(amount AS DECIMAL(28,6))) OVER (
+       |    PARTITION BY instrument_name, bucket_start - bucket_start % 86400
+       |  ) AS DOUBLE) AS daily_volume
+       |  FROM atm
+       |)
+       |SELECT $contractsCols, daily_volume FROM liq
+       |WHERE daily_volume >= 10.0""".stripMargin
+
+  // ---- A17: spot bars ----
+
+  def a17SpotBars(s: SparkSession, dir: String): DataFrame =
+    SpotProvider.spotBars(SyntheticTrades.spotTicks(s, dir))
+
+  val a17Oracle: String =
+    s"""WITH ${OracleCtes.spotBars}
+       |SELECT symbol, ts_bucket, close FROM spot_bars""".stripMargin
+
+  // ---- J2/P5/P6: spot enrichment + moneyness ----
+
+  def j2SpotEnrich(s: SparkSession, dir: String): DataFrame =
+    enrichedSpot(s, dir).select(
+      col("trade_id"),
+      Parity.epochS(col("timestamp")).as("ep"),
+      col("underlying"), col("strike"), col("index_price"),
+      col("binance_spot"), col("spot_price"), col("moneyness"),
+      SpotProvider.moneynessBucket(col("moneyness")).as("moneyness_bucket"))
+
+  val j2Oracle: String =
+    s"""WITH ${OracleCtes.enrichedSpot}
+       |SELECT trade_id, ep, underlying, strike, index_price,
+       |  binance_spot, spot_price, moneyness,
+       |  ${OracleCtes.moneynessBucketCase("moneyness")} AS moneyness_bucket
+       |FROM enriched_spot""".stripMargin
+
+  // ---- A8: moneyness long aggregation ----
+
+  def a8MoneynessLong(s: SparkSession, dir: String): DataFrame =
+    Moneyness.aggregateLong(enrichedSpot(s, dir))
+
+  private val bucketedCte: String =
+    s"""${OracleCtes.enrichedSpot},
+       |bucketed AS (
+       |  SELECT bucket_start AS ts,
+       |    ${OracleCtes.moneynessBucketCase("moneyness")} AS moneyness_bucket,
+       |    iv, amount, option_type
+       |  FROM enriched_spot
+       |  WHERE moneyness > 0 AND iv > 0
+       |)""".stripMargin
+
+  val a8Oracle: String =
+    s"""WITH $bucketedCte
+       |SELECT ts, moneyness_bucket,
+       |  ${duckDavg("iv")} AS iv_mean,
+       |  ${duckStddevPop("iv")} AS iv_std,
+       |  count(*) AS trade_count,
+       |  ${duckDsum("amount")} AS total_volume,
+       |  count(CASE WHEN option_type = 'C' THEN 1 END) AS call_count,
+       |  count(CASE WHEN option_type = 'P' THEN 1 END) AS put_count
+       |FROM bucketed
+       |GROUP BY ts, moneyness_bucket""".stripMargin
+
+  // ---- A9/P12: moneyness wide + smile ----
+
+  def a9MoneynessSmile(s: SparkSession, dir: String): DataFrame =
+    Moneyness.aggregateWide(enrichedSpot(s, dir))
+
+  val a9Oracle: String = {
+    def ivIf(b: String) = s"CASE WHEN moneyness_bucket = '$b' THEN iv END"
+    def amtIf(b: String) = s"CASE WHEN moneyness_bucket = '$b' THEN amount END"
+    def cntIf(b: String) = s"count(CASE WHEN moneyness_bucket = '$b' THEN 1 END)"
+    s"""WITH $bucketedCte,
+       |wide AS (
+       |  SELECT ts,
+       |    ${duckDavg(ivIf("atm"))} AS atm_iv_mean,
+       |    ${duckStddevPop(ivIf("atm"))} AS atm_iv_std,
+       |    ${cntIf("atm")} AS atm_count,
+       |    coalesce(${duckDsum(amtIf("atm"))}, 0.0) AS atm_volume,
+       |    ${duckDavg(ivIf("otm_put"))} AS otm_put_iv_mean,
+       |    ${duckStddevPop(ivIf("otm_put"))} AS otm_put_iv_std,
+       |    ${cntIf("otm_put")} AS otm_put_count,
+       |    coalesce(${duckDsum(amtIf("otm_put"))}, 0.0) AS otm_put_volume,
+       |    ${duckDavg(ivIf("otm_call"))} AS otm_call_iv_mean,
+       |    ${duckStddevPop(ivIf("otm_call"))} AS otm_call_iv_std,
+       |    ${cntIf("otm_call")} AS otm_call_count,
+       |    coalesce(${duckDsum(amtIf("otm_call"))}, 0.0) AS otm_call_volume,
+       |    ${duckDavg(ivIf("deep_otm_put"))} AS deep_otm_put_iv_mean,
+       |    ${cntIf("deep_otm_put")} AS deep_otm_put_count,
+       |    ${duckDavg(ivIf("deep_otm_call"))} AS deep_otm_call_iv_mean,
+       |    ${cntIf("deep_otm_call")} AS deep_otm_call_count
+       |  FROM bucketed
+       |  GROUP BY ts
+       |  HAVING ${cntIf("atm")} > 0
+       |)
+       |SELECT *,
+       |  otm_put_iv_mean - otm_call_iv_mean AS put_call_skew,
+       |  (otm_put_iv_mean + otm_call_iv_mean) / 2.0 - atm_iv_mean
+       |    AS smile_curvature,
+       |  deep_otm_put_iv_mean / nullif(deep_otm_call_iv_mean, 0.0)
+       |    AS wing_ratio,
+       |  (otm_put_iv_mean - atm_iv_mean) / 0.05 AS smile_slope_put,
+       |  (otm_call_iv_mean - atm_iv_mean) / 0.05 AS smile_slope_call,
+       |  (otm_put_iv_mean - atm_iv_mean) / 0.05
+       |    - (otm_call_iv_mean - atm_iv_mean) / 0.05 AS smile_asymmetry
+       |FROM wide""".stripMargin
+  }
+
+  // ---- A6: PCR by tenor ----
+
+  def a6Pcr(s: SparkSession, dir: String): DataFrame =
+    Pcr.pcrByTenor(trades(s, dir))
+
+  val a6Oracle: String =
+    s"""WITH ${OracleCtes.enriched}
+       |SELECT bucket_start, dte_bucket,
+       |  coalesce(${duckDsum("CASE WHEN option_type = 'P' THEN amount END")}, 0.0)
+       |    AS put_volume,
+       |  coalesce(${duckDsum("CASE WHEN option_type = 'C' THEN amount END")}, 0.0)
+       |    AS call_volume,
+       |  coalesce(${duckDsum("CASE WHEN option_type = 'P' THEN amount END")}, 0.0)
+       |    / nullif(coalesce(${duckDsum("CASE WHEN option_type = 'C' THEN amount END")}, 0.0), 0.0)
+       |    AS pcr
+       |FROM (SELECT *, ${OracleCtes.pcrBucketCase} AS dte_bucket FROM enriched)
+       |WHERE dte_bucket IS NOT NULL
+       |GROUP BY bucket_start, dte_bucket""".stripMargin
+
+  // ---- A7: term structure slope + ratio ----
+
+  def a7TermStructure(s: SparkSession, dir: String): DataFrame =
+    TermStructure.termStructure(trades(s, dir))
+
+  val a7Oracle: String =
+    s"""WITH ${OracleCtes.enriched},
+       |agg AS (
+       |  SELECT bucket_start,
+       |    ${duckDavg("CASE WHEN dte <= 30 THEN iv END")} AS near_iv,
+       |    ${duckDavg("CASE WHEN dte >= 60 THEN iv END")} AS far_iv
+       |  FROM enriched
+       |  GROUP BY bucket_start
+       |)
+       |SELECT bucket_start, near_iv, far_iv,
+       |  near_iv - far_iv AS slope,
+       |  near_iv / nullif(far_iv, 0.0) AS ratio
+       |FROM agg
+       |WHERE near_iv IS NOT NULL AND far_iv IS NOT NULL""".stripMargin
+
+  val defs: Map[String, QueryDef] = Map(
+    "a1_front_month" -> QueryDef(a1FrontMonth _, a1Oracle),
+    "f6_atm_contracts" -> QueryDef(f6Atm _, f6Oracle),
+    "j1_liquid_contracts" -> QueryDef(j1Liquid _, j1Oracle),
+    "a17_spot_bars" -> QueryDef(a17SpotBars _, a17Oracle),
+    "j2_spot_enrich" -> QueryDef(j2SpotEnrich _, j2Oracle),
+    "a8_moneyness_long" -> QueryDef(a8MoneynessLong _, a8Oracle),
+    "a9_moneyness_smile" -> QueryDef(a9MoneynessSmile _, a9Oracle),
+    "a6_pcr_by_tenor" -> QueryDef(a6Pcr _, a6Oracle),
+    "a7_term_structure" -> QueryDef(a7TermStructure _, a7Oracle))
+}

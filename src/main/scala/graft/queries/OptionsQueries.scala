@@ -10,19 +10,8 @@ import graft.util.Parity._
   * performing the same derivation + aggregation. */
 object OptionsQueries {
 
-  /** DuckDB: trades + epoch second + 15-min bucket_start + dte columns. */
-  private val enrichedCte: String =
-    s"""${SyntheticTrades.tradesCte},
-       |enriched AS (
-       |  SELECT *, ep - ep % 900 AS bucket_start,
-       |    expiry - CAST("timestamp" AS DATE) AS dte
-       |  FROM (SELECT *, ${duckEpochS("\"timestamp\"")} AS ep FROM trades)
-       |)""".stripMargin
-
-  private val duckDteBucket: String =
-    DteBuckets.buckets
-      .map { case (lo, hi) => s"WHEN dte BETWEEN $lo AND $hi THEN 'dte_${lo}_$hi'" }
-      .mkString("CASE ", " ", " ELSE NULL END")
+  private val enrichedCte: String = OracleCtes.enriched
+  private val duckDteBucket: String = OracleCtes.dteBucketCase
 
   // ---- A2: 15-min IV OHLC resample ----
   def a2Resample(s: SparkSession, dir: String): DataFrame =
