@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Data-quality validation (SURVEY §2.4 A10/A11, §2.5 W1, §2.6 O3) —
+  * the reference's `validation/data_quality.py:30-226`.
+  *
+  * `uniqExact` maps to exact `countDistinct` (the reference insists on
+  * exactness over HLL — SURVEY §2.4 note); time spans are integer
+  * epoch arithmetic end-to-end.
+  *
+  * Scale notes: A10 is a single global aggregate — Catalyst plans
+  * partial aggregation, and exact countDistinct expands to a two-stage
+  * shuffle keyed by trade_id (uniform, no skew). W1's global
+  * `Window.orderBy` is a single-reducer sort at 100 TB: the production
+  * layout partitions by month and runs per-month lead() with a
+  * boundary fix-up union (cheap: one row per month); at test scale the
+  * global window is exact and fine.
+  */
+object DataQuality {
+
+  /** A10: one-row table metrics + derived rates. */
+  def qualityMetrics(trades: DataFrame): DataFrame = {
+    val ep = unix_timestamp(col("timestamp"))
+    val agg = trades.agg(
+      count(lit(1)).as("total_rows"),
+      countDistinct(col("trade_id")).as("unique_trades"),
+      min(ep).as("earliest_ep"),
+      max(ep).as("latest_ep"),
+      datediff(to_date(max(col("timestamp"))), to_date(min(col("timestamp"))))
+        .as("date_span_days"),
+      count(when(col("iv").isNull || col("iv") === 0.0, lit(1)))
+        .as("null_iv_count"),
+      count(when(col("index_price").isNull || col("index_price") === 0.0,
+        lit(1))).as("null_index_count"))
+    val hours = floor((col("latest_ep") - col("earliest_ep")) / 3600L)
+    agg
+      .withColumn("avg_trades_per_hour",
+        when(hours > 0, col("total_rows").cast("double") / hours)
+          .otherwise(col("total_rows").cast("double")))
+      .withColumn("dedup_rate",
+        col("unique_trades").cast("double") / col("total_rows"))
+      .withColumn("null_iv_rate",
+        col("null_iv_count").cast("double") / col("total_rows"))
+      .withColumn("null_index_rate",
+        col("null_index_count").cast("double") / col("total_rows"))
+  }
+
+  /** W1/O3: inter-trade gaps above `thresholdHours`, worst first,
+    * top `limit`. */
+  def gapAnalysis(
+      trades: DataFrame,
+      thresholdHours: Int = 4,
+      limit: Int = 100): DataFrame = {
+    val ep = unix_timestamp(col("timestamp"))
+    val next = lead(col("gap_start"), 1).over(Window.orderBy(col("gap_start")))
+    trades
+      .select(ep.as("gap_start"))
+      .withColumn("gap_end", next)
+      .withColumn("gap_hours",
+        floor((col("gap_end") - col("gap_start")) / 3600L))
+      .filter(col("gap_end").isNotNull && col("gap_hours") > thresholdHours)
+      .orderBy(desc("gap_hours"), asc("gap_start"))
+      .limit(limit)
+  }
+
+  /** A11: per-underlying coverage stats. */
+  def coverageStats(trades: DataFrame): DataFrame = {
+    val ep = unix_timestamp(col("timestamp"))
+    trades
+      .groupBy(col("underlying"))
+      .agg(
+        count(lit(1)).as("trade_count"),
+        countDistinct(col("instrument_name")).as("unique_instruments"),
+        min(ep).as("earliest_ep"),
+        max(ep).as("latest_ep"),
+        (count(when(col("iv").isNull || col("iv") === 0.0, lit(1)))
+          .cast("double") / count(lit(1))).as("null_iv_rate"),
+        (count(when(col("index_price").isNull || col("index_price") === 0.0,
+          lit(1))).cast("double") / count(lit(1))).as("null_index_rate"))
+  }
+}

@@ -1,0 +1,152 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators._
+import graft.options.SyntheticTrades
+import graft.util.Parity._
+
+/** Correctness entries for data quality (A10/A11), gap analysis
+  * (W1/O3), and rolling IV percentile/rank (W2/W3). */
+object QualityQueries {
+
+  private def trades(s: SparkSession, dir: String): DataFrame =
+    SyntheticTrades.trades(s, dir)
+
+  // ---- A10: quality metrics (one row) ----
+
+  def a10Quality(s: SparkSession, dir: String): DataFrame =
+    DataQuality.qualityMetrics(trades(s, dir))
+      .withColumn("date_span_days", col("date_span_days").cast("long"))
+
+  val a10Oracle: String =
+    s"""WITH ${OracleCtes.enriched},
+       |agg AS (
+       |  SELECT count(*) AS total_rows,
+       |    count(DISTINCT trade_id) AS unique_trades,
+       |    min(ep) AS earliest_ep,
+       |    max(ep) AS latest_ep,
+       |    CAST(CAST(max("timestamp") AS DATE)
+       |      - CAST(min("timestamp") AS DATE) AS BIGINT) AS date_span_days,
+       |    count(CASE WHEN iv IS NULL OR iv = 0.0 THEN 1 END)
+       |      AS null_iv_count,
+       |    count(CASE WHEN index_price IS NULL OR index_price = 0.0 THEN 1 END)
+       |      AS null_index_count
+       |  FROM enriched
+       |)
+       |SELECT *,
+       |  CASE WHEN CAST(floor((latest_ep - earliest_ep) / 3600.0) AS BIGINT) > 0
+       |    THEN CAST(total_rows AS DOUBLE)
+       |      / CAST(floor((latest_ep - earliest_ep) / 3600.0) AS BIGINT)
+       |    ELSE CAST(total_rows AS DOUBLE) END AS avg_trades_per_hour,
+       |  CAST(unique_trades AS DOUBLE) / total_rows AS dedup_rate,
+       |  CAST(null_iv_count AS DOUBLE) / total_rows AS null_iv_rate,
+       |  CAST(null_index_count AS DOUBLE) / total_rows AS null_index_rate
+       |FROM agg""".stripMargin
+
+  // ---- A11: coverage stats by underlying ----
+
+  def a11Coverage(s: SparkSession, dir: String): DataFrame =
+    DataQuality.coverageStats(trades(s, dir))
+
+  val a11Oracle: String =
+    s"""WITH ${OracleCtes.enriched}
+       |SELECT underlying,
+       |  count(*) AS trade_count,
+       |  count(DISTINCT instrument_name) AS unique_instruments,
+       |  min(ep) AS earliest_ep,
+       |  max(ep) AS latest_ep,
+       |  CAST(count(CASE WHEN iv IS NULL OR iv = 0.0 THEN 1 END) AS DOUBLE)
+       |    / count(*) AS null_iv_rate,
+       |  CAST(count(CASE WHEN index_price IS NULL OR index_price = 0.0
+       |    THEN 1 END) AS DOUBLE) / count(*) AS null_index_rate
+       |FROM enriched
+       |GROUP BY underlying""".stripMargin
+
+  // ---- W1/O3: gap analysis ----
+  // The dense synthetic stream has no >4h gaps; a deterministic 1-in-97
+  // thinning makes real multi-hour gaps so the operator's filter and
+  // top-k actually bite.
+
+  def w1Gaps(s: SparkSession, dir: String): DataFrame =
+    DataQuality.gapAnalysis(
+      trades(s, dir).filter(col("trade_id").cast("long") % 97 === 0),
+      thresholdHours = 4)
+
+  val w1Oracle: String =
+    s"""WITH ${OracleCtes.enriched},
+       |sampled AS (
+       |  SELECT ep FROM enriched WHERE CAST(trade_id AS BIGINT) % 97 = 0
+       |),
+       |sorted AS (
+       |  SELECT ep AS gap_start, lead(ep) OVER (ORDER BY ep) AS gap_end
+       |  FROM sampled
+       |)
+       |SELECT gap_start, gap_end,
+       |  CAST(floor((gap_end - gap_start) / 3600.0) AS BIGINT) AS gap_hours
+       |FROM sorted
+       |WHERE gap_end IS NOT NULL
+       |  AND CAST(floor((gap_end - gap_start) / 3600.0) AS BIGINT) > 4
+       |ORDER BY gap_hours DESC, gap_start ASC
+       |LIMIT 100""".stripMargin
+
+  // ---- W2/W3: rolling IV percentile / rank over 15-min bars ----
+  // Lookback 2 days (the sf window spans ~25 days), min 10 prior bars.
+
+  private val LookbackSec = 172800L
+  private val MinPeriods = 10
+
+  private def bars(s: SparkSession, dir: String): DataFrame =
+    IvResampler.resample(trades(s, dir), "15 minutes", col("underlying"))
+      .select(col("underlying"), col("bucket_start"), col("iv_close"))
+
+  private val barsCte: String =
+    s"""${OracleCtes.enriched},
+       |bars AS (
+       |  SELECT underlying, bucket_start,
+       |    arg_max(iv, "timestamp") AS iv_close
+       |  FROM enriched
+       |  WHERE iv IS NOT NULL
+       |  GROUP BY underlying, bucket_start
+       |)""".stripMargin
+
+  def w2IvPercentile(s: SparkSession, dir: String): DataFrame =
+    IvPercentile.ivPercentile(
+      bars(s, dir), "iv_close", Seq(col("underlying")),
+      LookbackSec, MinPeriods)
+
+  val w2Oracle: String =
+    s"""WITH $barsCte
+       |SELECT underlying, bucket_start, iv_close,
+       |  CASE WHEN coalesce(len(list(iv_close) OVER wprior), 0) >= $MinPeriods
+       |    THEN CAST(len(list_filter(list(iv_close) OVER wprior,
+       |        x -> x <= iv_close)) AS DOUBLE)
+       |      / len(list(iv_close) OVER wprior) * 100.0
+       |  END AS iv_percentile
+       |FROM bars
+       |WINDOW wprior AS (PARTITION BY underlying ORDER BY bucket_start
+       |  RANGE BETWEEN $LookbackSec PRECEDING AND 1 PRECEDING)""".stripMargin
+
+  def w3IvRank(s: SparkSession, dir: String): DataFrame =
+    IvPercentile.ivRank(
+      bars(s, dir), "iv_close", Seq(col("underlying")),
+      LookbackSec, MinPeriods)
+
+  val w3Oracle: String =
+    s"""WITH $barsCte
+       |SELECT underlying, bucket_start, iv_close,
+       |  CASE WHEN count(iv_close) OVER wfull >= $MinPeriods
+       |    THEN (iv_close - min(iv_close) OVER wfull) * 100.0
+       |      / nullif(max(iv_close) OVER wfull - min(iv_close) OVER wfull, 0.0)
+       |  END AS iv_rank
+       |FROM bars
+       |WINDOW wfull AS (PARTITION BY underlying ORDER BY bucket_start
+       |  RANGE BETWEEN $LookbackSec PRECEDING AND CURRENT ROW)""".stripMargin
+
+  val defs: Map[String, QueryDef] = Map(
+    "a10_quality_metrics" -> QueryDef(a10Quality _, a10Oracle),
+    "a11_coverage_stats" -> QueryDef(a11Coverage _, a11Oracle),
+    "w1_gap_analysis" -> QueryDef(w1Gaps _, w1Oracle),
+    "w2_iv_percentile" -> QueryDef(w2IvPercentile _, w2Oracle),
+    "w3_iv_rank" -> QueryDef(w3IvRank _, w3Oracle))
+}
