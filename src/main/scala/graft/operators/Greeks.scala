@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.GraftColumns
+import graft.util.Parity
+
+/** Black-Scholes Greeks with Deribit inverse-option adjustment
+  * (SURVEY §2.8 M1/M2, §2.2 F8, §2.7 P13, §2.4 A14/A15) — the
+  * reference's `features/greeks.py:43-264`.
+  *
+  * The reference leaves ClickHouse for numpy/numba here ("scipy.norm
+  * not available in ClickHouse", greeks.py:10-13); in Spark the whole
+  * computation stays columnar: Φ needs erf, supplied by the native
+  * [[graft.functions.Erf]] codegen expression. No UDFs, no Python — at
+  * 100 TB the Greeks are a map stage fused by whole-stage codegen with
+  * zero extra passes.
+  *
+  * Conventions (greeks.py:155-165): vega per 1% IV move (raw/100),
+  * theta per day (annual/365.25), r = 0.02 (config.py risk_free_rate),
+  * premium-adjusted delta = bs_delta − price/spot (Alexander et al.
+  * 2023, arXiv:2107.12041 — cited by greeks.py:22-25).
+  */
+object Greeks {
+
+  val DaysPerYear = 365.25
+  val SecondsPerYear: Double = DaysPerYear * 24 * 3600 // 31557600.0
+  val DefaultRiskFreeRate = 0.02
+
+  /** M1+M2: adds T, bs_delta, adjusted_delta, gamma, vega, theta.
+    * F8 validity mask: rows with T<=0, iv<=0, spot<=0 or strike<=0
+    * (or nulls) get null Greeks. Intermediates are real columns so the
+    * DuckDB oracle can mirror the arithmetic stage by stage. */
+  def withGreeks(
+      df: DataFrame,
+      spotCol: String = "spot_price",
+      ivCol: String = "iv",
+      r: Double = DefaultRiskFreeRate): DataFrame = {
+    val spot = col(spotCol)
+    val iv = col(ivCol)
+    val out = df
+      .withColumn("T",
+        (unix_timestamp(col("expiry").cast("timestamp"))
+          - unix_timestamp(col("timestamp"))) / lit(SecondsPerYear))
+      .withColumn("_valid",
+        col("T") > 0 && iv > 0 && spot > 0 && col("strike") > 0)
+      .withColumn("_sqrtT", when(col("_valid"), sqrt(col("T"))))
+      .withColumn("_d1", when(col("_valid"),
+        (log(spot / col("strike")) + (lit(r) + iv * iv / 2.0) * col("T"))
+          / (iv * col("_sqrtT"))))
+      .withColumn("_d2", col("_d1") - iv * col("_sqrtT"))
+      .withColumn("_x1", col("_d1") / math.sqrt(2.0))
+      .withColumn("_x2", col("_d2") / math.sqrt(2.0))
+      .withColumn("_erf1", GraftColumns.erf(col("_x1")))
+      .withColumn("_erf2", GraftColumns.erf(col("_x2")))
+      .withColumn("_cdf1", lit(0.5) * (lit(1.0) + col("_erf1")))
+      .withColumn("_cdf2", lit(0.5) * (lit(1.0) + col("_erf2")))
+      .withColumn("_cdfn2", lit(0.5) * (lit(1.0) - col("_erf2")))
+      .withColumn("_pdf1",
+        exp(-(col("_d1") * col("_d1")) / 2.0)
+          / lit(math.sqrt(2.0 * math.Pi)))
+      .withColumn("bs_delta",
+        when(col("option_type") === "C", col("_cdf1"))
+          .otherwise(col("_cdf1") - 1.0))
+      .withColumn("gamma", col("_pdf1") / (spot * iv * col("_sqrtT")))
+      .withColumn("vega", spot * col("_pdf1") * col("_sqrtT") / 100.0)
+      .withColumn("theta",
+        when(col("option_type") === "C",
+          (-(spot * col("_pdf1") * iv)) / (lit(2.0) * col("_sqrtT"))
+            - lit(r) * col("strike") * exp(-(lit(r) * col("T"))) * col("_cdf2"))
+          .otherwise(
+            (-(spot * col("_pdf1") * iv)) / (lit(2.0) * col("_sqrtT"))
+              + lit(r) * col("strike") * exp(-(lit(r) * col("T"))) * col("_cdfn2"))
+          / lit(DaysPerYear))
+      .withColumn("adjusted_delta", col("bs_delta") - col("price") / spot)
+    out.drop("_valid", "_sqrtT", "_d1", "_d2", "_x1", "_x2",
+      "_erf1", "_erf2", "_cdf1", "_cdf2", "_cdfn2", "_pdf1")
+  }
+
+  /** A14: position-weighted portfolio Greeks over valid rows + dollar
+    * delta/gamma at the median spot (greeks.py:173-238). */
+  def portfolioGreeks(
+      greeks: DataFrame,
+      positionCol: String = "amount",
+      spotCol: String = "spot_price"): DataFrame =
+    greeks
+      .filter(col("adjusted_delta").isNotNull)
+      .agg(
+        Parity.dsum(col("adjusted_delta") * col(positionCol)).as("net_delta"),
+        Parity.dsum(col("gamma") * col(positionCol)).as("net_gamma"),
+        Parity.dsum(col("vega") * col(positionCol)).as("net_vega"),
+        Parity.dsum(col("theta") * col(positionCol)).as("net_theta"),
+        median(col(spotCol)).as("spot_median"))
+      .withColumn("dollar_delta", col("net_delta") * col("spot_median"))
+      .withColumn("dollar_gamma", col("net_gamma") * col("spot_median"))
+
+  /** A15: mean/std/count of each Greek per bucket (greeks.py:241-264,
+    * pandas .agg(["mean","std","count"]) → sample std). */
+  def greeksByBucket(
+      greeks: DataFrame,
+      bucketCol: String = "moneyness_bucket"): DataFrame = {
+    val greekCols =
+      Seq("bs_delta", "adjusted_delta", "gamma", "vega", "theta")
+    val aggs: Seq[Column] = greekCols.flatMap { g =>
+      Seq(
+        Parity.davg(col(g)).as(s"${g}_mean"),
+        Parity.dstddevSamp(col(g)).as(s"${g}_std"),
+        count(col(g)).as(s"${g}_count"))
+    }
+    greeks.groupBy(col(bucketCol)).agg(aggs.head, aggs.tail: _*)
+  }
+}

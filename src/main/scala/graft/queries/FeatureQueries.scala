@@ -15,7 +15,7 @@ object FeatureQueries {
   private def trades(s: SparkSession, dir: String): DataFrame =
     SyntheticTrades.trades(s, dir)
 
-  private def enrichedSpot(s: SparkSession, dir: String): DataFrame =
+  private[queries] def enrichedSpot(s: SparkSession, dir: String): DataFrame =
     SpotProvider.enrichWithSpot(
       trades(s, dir),
       SpotProvider.spotBars(SyntheticTrades.spotTicks(s, dir)))

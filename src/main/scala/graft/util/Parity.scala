@@ -52,6 +52,17 @@ object Parity {
   /** Timestamp -> epoch seconds (floor), BIGINT. */
   def epochS(c: Column): Column = unix_timestamp(c)
 
+  /** Quantize a double to n decimal places via decimal cast — for
+    * verification outputs of transcendental-function results ONLY.
+    * Java Math.exp/log and glibc disagree by <=1 ulp, so raw doubles
+    * from exp/ln chains can never hash-match across JVM and DuckDB;
+    * both engines round to the same grid instead (identical except
+    * when the 1-ulp gap straddles a grid boundary — probability
+    * ~1e-8/value at n=9). Library operators return raw doubles; only
+    * the harness rounds. */
+  def roundTo(c: Column, n: Int): Column =
+    c.cast(DecimalType(28, n)).cast("double")
+
   /** Null-safe ratio: x / nullif(y, 0) — pandas/ClickHouse NaN-on-zero
     * parity (SURVEY §2.7 P8). */
   def ratio(x: Column, y: Column): Column = x / nullif(y, lit(0.0))
@@ -85,4 +96,8 @@ object Parity {
 
   private def duckSqrtNonNeg(d: String): String =
     s"sqrt(CASE WHEN ($d) < 0 THEN 0.0 ELSE ($d) END)"
+
+  /** DuckDB twin of [[roundTo]]. */
+  def duckRoundTo(expr: String, n: Int): String =
+    s"CAST(CAST(($expr) AS DECIMAL(28,$n)) AS DOUBLE)"
 }
