@@ -1,0 +1,331 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{TextAnalysis, TextDedup, VectorOps}
+import graft.util.Tables
+
+/** Correctness entries for the LLM-training-data pipeline operators
+  * over `documents` / `embeddings`: exact + near-dup deduplication
+  * (hash, MinHash+LSH, SimHash, inverted-index n-gram Jaccard),
+  * document fingerprinting, text analysis (language ID, quality
+  * scoring, token counting) and embedding similarity search (exact
+  * brute-force top-k + bucketed IVF/LSH nearest neighbour).
+  *
+  * Every oracle reproduces the computation bit-exactly in DuckDB —
+  * including the seeded sha256 MinHash and the left-fold double cosine
+  * — so hash_match verifies values, not just shapes. */
+object LlmQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  /** docs + shingle arrays (distinct word n-grams), short docs dropped. */
+  private def shingled(s: SparkSession, dir: String, n: Int): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      TextDedup.wordShingles(TextDedup.words(col("text")), n).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+
+  // ---- shared oracle CTE fragments ----
+
+  private val normCte =
+    """norm AS (
+      |  SELECT doc_id, text, lang,
+      |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS nt
+      |  FROM documents
+      |)""".stripMargin
+
+  private val wrdsCte =
+    s"""$normCte,
+       |wrds AS (
+       |  SELECT doc_id, text, lang, nt, string_split(nt, ' ') AS w FROM norm
+       |)""".stripMargin
+
+  /** Distinct word n-gram shingles, docs shorter than n words dropped. */
+  private def shgCte(n: Int) =
+    s"""$wrdsCte,
+       |shg AS (
+       |  SELECT doc_id,
+       |    list_distinct([array_to_string(w[i:i+${n - 1}], ' ')
+       |                   for i in range(1, len(w)-${n - 2})]) AS shingles
+       |  FROM wrds WHERE len(w) >= $n
+       |)""".stripMargin
+
+  private val jaccardSql =
+    """len(list_intersect(x.shingles, y.shingles))::DOUBLE
+      |    / (len(x.shingles) + len(y.shingles)
+      |       - len(list_intersect(x.shingles, y.shingles)))""".stripMargin
+
+  // ---- exact dedup ----
+
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    TextDedup.exactDedup(docs(s, dir))
+
+  val dedupExactOracle: String =
+    s"""WITH $normCte
+       |SELECT sha256(nt) AS text_hash, min(doc_id) AS keep_id,
+       |  count(*) AS n_copies
+       |FROM norm GROUP BY 1""".stripMargin
+
+  // ---- MinHash + LSH near-dups ----
+
+  private val MinhashK = 12
+  private val JaccardThreshold = 0.3
+
+  def minhashNearDups(s: SparkSession, dir: String): DataFrame =
+    TextDedup.minhashNearDups(shingled(s, dir, 2),
+      k = MinhashK, threshold = JaccardThreshold)
+
+  val minhashOracle: String = {
+    val mins = (0 until MinhashK).map(i =>
+      s"""list_aggregate(list_transform(shingles,
+         |      x -> sha256(concat('$i:', x))), 'min') AS m$i""".stripMargin)
+    val bandVals = (0 until MinhashK / 2).map(i =>
+      s"concat('$i', '|', m${2 * i}, '|', m${2 * i + 1})")
+    s"""WITH ${shgCte(2)},
+       |mh AS (
+       |  SELECT doc_id, ${mins.mkString(",\n    ")}
+       |  FROM shg
+       |),
+       |bands AS (
+       |  SELECT doc_id, unnest([${bandVals.mkString(", ")}]) AS band_val
+       |  FROM mh
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b USING (band_val)
+       |  WHERE a.doc_id < b.doc_id
+       |)
+       |SELECT id_a, id_b, $jaccardSql AS jaccard
+       |FROM cand
+       |JOIN shg x ON x.doc_id = id_a
+       |JOIN shg y ON y.doc_id = id_b
+       |WHERE $jaccardSql >= $JaccardThreshold""".stripMargin
+  }
+
+  // ---- inverted-index n-gram Jaccard near-dups ----
+
+  private val NgramN = 3
+  private val MaxDf = 20
+
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame =
+    TextDedup.invertedIndexPairs(shingled(s, dir, NgramN),
+      maxDf = MaxDf, threshold = JaccardThreshold)
+
+  val ngramJaccardOracle: String =
+    s"""WITH ${shgCte(NgramN)},
+       |posting AS (
+       |  SELECT doc_id, unnest(shingles) AS shingle FROM shg
+       |),
+       |rare AS (
+       |  SELECT shingle FROM posting GROUP BY 1 HAVING count(*) <= $MaxDf
+       |),
+       |pruned AS (SELECT doc_id, shingle FROM posting JOIN rare USING (shingle)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM pruned a JOIN pruned b USING (shingle)
+       |  WHERE a.doc_id < b.doc_id
+       |)
+       |SELECT id_a, id_b, $jaccardSql AS jaccard
+       |FROM cand
+       |JOIN shg x ON x.doc_id = id_a
+       |JOIN shg y ON y.doc_id = id_b
+       |WHERE $jaccardSql >= $JaccardThreshold""".stripMargin
+
+  // ---- SimHash ----
+
+  def simhash(s: SparkSession, dir: String): DataFrame = {
+    val exploded = docs(s, dir).select(col("doc_id"),
+      explode(TextDedup.words(col("text"))).as("word"))
+      .select(col("doc_id"), TextDedup.wordHash32(col("word")).as("h"))
+    TextDedup.simhash32(exploded)
+  }
+
+  /** DuckDB twin of wordHash32: first 8 sha256 hex chars as a 32-bit
+    * int, via per-char digit values (DuckDB has no hex→int conv). */
+  private val duckHash32 =
+    """CAST(list_sum([(strpos('0123456789abcdef', sha[i]) - 1)
+      |      * (16.0 ** (8 - i)) for i in range(1, 9)]) AS BIGINT)""".stripMargin
+
+  val simhashOracle: String = {
+    val bitSums = (0 until 32).map(b =>
+      s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS bs$b")
+    val bits = (0 until 32).map(b =>
+      s"CASE WHEN bs$b > 0 THEN ${1L << b} ELSE 0 END")
+    s"""WITH $wrdsCte,
+       |tok AS (
+       |  SELECT doc_id, sha256(unnest(w)) AS sha FROM wrds
+       |),
+       |hashed AS (SELECT doc_id, $duckHash32 AS h FROM tok),
+       |votes AS (
+       |  SELECT doc_id, ${bitSums.mkString(",\n    ")}
+       |  FROM hashed GROUP BY doc_id
+       |)
+       |SELECT doc_id, CAST(${bits.mkString(" + ")} AS BIGINT) AS simhash
+       |FROM votes""".stripMargin
+  }
+
+  // ---- winnowing fingerprint ----
+
+  def fingerprint(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      TextDedup.fingerprint(TextDedup.words(col("text"))).as("fp"))
+
+  val fingerprintOracle: String =
+    s"""WITH $wrdsCte
+       |SELECT doc_id,
+       |  CASE WHEN len(w) >= 5 THEN
+       |    list_aggregate(list_transform(
+       |      list_distinct([array_to_string(w[i:i+4], ' ')
+       |                     for i in range(1, len(w)-3)]),
+       |      x -> sha256(x)), 'min')
+       |  END AS fp
+       |FROM wrds""".stripMargin
+
+  // ---- token counting ----
+
+  def tokenCount(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenCounts(docs(s, dir))
+      .select("doc_id", "n_ws_tokens", "n_bpe_tokens", "n_chars_norm")
+
+  val tokenCountOracle: String =
+    s"""WITH $wrdsCte
+       |SELECT doc_id, len(w) AS n_ws_tokens,
+       |  len(regexp_extract_all(text,
+       |    '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \\t\\n\\r]')) AS n_bpe_tokens,
+       |  length(nt) AS n_chars_norm
+       |FROM wrds""".stripMargin
+
+  // ---- quality scoring ----
+
+  def quality(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityScore(docs(s, dir))
+      .select("doc_id", "n_words", "avg_word_len", "punct_ratio",
+        "digit_ratio", "upper_ratio", "stopword_ratio", "quality_ok")
+
+  val qualityOracle: String = {
+    val en = TextAnalysis.stopwords("en").map(w => s"'$w'").mkString(", ")
+    s"""WITH $wrdsCte
+       |SELECT doc_id, len(w) AS n_words,
+       |  (length(nt) - (len(w) - 1))::DOUBLE / len(w) AS avg_word_len,
+       |  len(regexp_extract_all(text, '[^A-Za-z0-9 \\t\\n\\r]'))::DOUBLE
+       |    / greatest(length(text), 1) AS punct_ratio,
+       |  len(regexp_extract_all(text, '[0-9]'))::DOUBLE
+       |    / greatest(length(text), 1) AS digit_ratio,
+       |  len(regexp_extract_all(text, '[A-Z]'))::DOUBLE
+       |    / greatest(length(text), 1) AS upper_ratio,
+       |  len(list_filter(w, x -> list_contains([$en], x)))::DOUBLE
+       |    / greatest(len(w), 1) AS stopword_ratio,
+       |  len(w) >= 5
+       |    AND len(regexp_extract_all(text, '[^A-Za-z0-9 \\t\\n\\r]'))::DOUBLE
+       |      / greatest(length(text), 1) < 0.3
+       |    AND len(regexp_extract_all(text, '[0-9]'))::DOUBLE
+       |      / greatest(length(text), 1) < 0.3 AS quality_ok
+       |FROM wrds""".stripMargin
+  }
+
+  // ---- language ID ----
+
+  def langId(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.langId(docs(s, dir))
+      .select("doc_id", "lang", "cjk_ratio", "s_en", "s_de", "s_fr",
+        "s_es", "predicted_lang")
+
+  val langIdOracle: String = {
+    def lex(l: String) = TextAnalysis.stopwords(l)
+      .map(w => s"'$w'").mkString(", ")
+    def overlap(l: String) =
+      s"len(list_intersect(list_distinct(w), [${lex(l)}]))"
+    s"""WITH $wrdsCte,
+       |scored AS (
+       |  SELECT doc_id, lang,
+       |    len(regexp_extract_all(text, '[一-龥]'))::DOUBLE
+       |      / greatest(length(text), 1) AS cjk_ratio,
+       |    ${overlap("en")} AS s_en,
+       |    ${overlap("de")} AS s_de,
+       |    ${overlap("fr")} AS s_fr,
+       |    ${overlap("es")} AS s_es
+       |  FROM wrds
+       |)
+       |SELECT *,
+       |  CASE WHEN cjk_ratio > 0.05 THEN 'zh'
+       |       WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+       |       WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+       |       WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+       |       WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+       |       ELSE 'es' END AS predicted_lang
+       |FROM scored""".stripMargin
+  }
+
+  // ---- embedding ANN: brute-force top-k ----
+
+  private val AnnQueries = 8
+  private val AnnK = 5
+
+  /** Engine-identical cosine: strict left fold of double products. */
+  private def duckCosine(a: String, b: String): String = {
+    def d(x: String, y: String) =
+      s"""list_reduce(list_transform(range(1, len($x) + 1),
+         |      i -> $x[i]::DOUBLE * $y[i]::DOUBLE), (acc, v) -> acc + v)""".stripMargin
+    s"${d(a, b)} / (sqrt(${d(a, a)}) * sqrt(${d(b, b)}))"
+  }
+
+  def annTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    VectorOps.annTopK(e, e.filter(col("vec_id") < AnnQueries), AnnK)
+  }
+
+  val annTopKOracle: String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+       |  WHERE vec_id < $AnnQueries
+       |),
+       |scored AS (
+       |  SELECT query_id, e.vec_id AS neighbor_id,
+       |    ${duckCosine("qv", "e.embedding")} AS cos_sim
+       |  FROM embeddings e JOIN q ON e.vec_id <> q.query_id
+       |)
+       |SELECT query_id, neighbor_id, cos_sim, rank FROM (
+       |  SELECT *, CAST(row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+       |  ) AS INT) AS rank
+       |  FROM scored
+       |) WHERE rank <= $AnnK""".stripMargin
+
+  // ---- embedding ANN: bucketed (IVF/LSH) nearest neighbour ----
+
+  def annBucketed(s: SparkSession, dir: String): DataFrame =
+    VectorOps.bucketTop1(emb(s, dir))
+
+  val annBucketedOracle: String =
+    s"""WITH b AS (
+       |  SELECT vec_id, embedding,
+       |    list_indexof(embedding, list_aggregate(embedding, 'max')) AS bucket
+       |  FROM embeddings
+       |),
+       |pairs AS (
+       |  SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+       |    ${duckCosine("a.embedding", "c.embedding")} AS cos_sim
+       |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
+       |)
+       |SELECT id_a AS vec_id, id_b AS nn_id, cos_sim FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY id_a ORDER BY cos_sim DESC, id_b) AS rn
+       |  FROM pairs
+       |) WHERE rn = 1""".stripMargin
+
+  val defs: Map[String, QueryDef] = Map(
+    "llm_dedup_exact" -> QueryDef(dedupExact _, dedupExactOracle),
+    "llm_minhash_neardup" -> QueryDef(minhashNearDups _, minhashOracle),
+    "llm_ngram_jaccard" -> QueryDef(ngramJaccard _, ngramJaccardOracle),
+    "llm_simhash" -> QueryDef(simhash _, simhashOracle),
+    "llm_fingerprint" -> QueryDef(fingerprint _, fingerprintOracle),
+    "llm_token_count" -> QueryDef(tokenCount _, tokenCountOracle),
+    "llm_quality_score" -> QueryDef(quality _, qualityOracle),
+    "llm_lang_id" -> QueryDef(langId _, langIdOracle),
+    "llm_ann_topk" -> QueryDef(annTopK _, annTopKOracle),
+    "llm_ann_bucketed" -> QueryDef(annBucketed _, annBucketedOracle))
+}

@@ -1,0 +1,127 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+/** Unit layer for the LLM-data-pipeline operators: dedup (exact /
+  * MinHash / SimHash / inverted-index Jaccard), text analysis, and
+  * vector similarity. */
+class LlmOperatorsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private lazy val docs: DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, "The quick brown fox jumps over the lazy dog"),
+      (2L, "  the QUICK brown   fox jumps over the lazy dog "), // = 1 normalized
+      (3L, "The quick brown fox jumps over the lazy cat"), // near-dup of 1
+      (4L, "Completely different text about spark query engines here"),
+      (5L, "short doc")).toDF("doc_id", "text")
+  }
+
+  private def shingled(n: Int): DataFrame =
+    docs.select(col("doc_id"),
+      TextDedup.wordShingles(TextDedup.words(col("text")), n).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+
+  test("exact dedup collapses whitespace/case variants") {
+    val out = TextDedup.exactDedup(docs).collect()
+    assert(out.length == 4) // docs 1+2 share a hash
+    val dup = out.find(_.getAs[Long]("n_copies") == 2L).get
+    assert(dup.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("minhash LSH finds the normalized-dup and the near-dup pair") {
+    val pairs = TextDedup.minhashNearDups(shingled(2), k = 12, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L))) // identical shingle sets
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("jaccard is exact on distinct shingle arrays") {
+    val j = docs.filter(col("doc_id").isin(1, 3))
+      .select(TextDedup.wordShingles(TextDedup.words(col("text")), 2)
+        .as("sh"))
+    val Array(a, b) = j.collect().map(_.getSeq[String](0).toSet)
+    val expected = (a & b).size.toDouble / (a | b).size
+    val got = TextDedup.invertedIndexPairs(shingled(2), maxDf = 100,
+      threshold = 0.0)
+      .filter(col("id_a") === 1 && col("id_b") === 3)
+      .head().getAs[Double]("jaccard")
+    assert(math.abs(got - expected) < 1e-12)
+  }
+
+  test("simhash: identical normalized docs hash equal; hamming 0") {
+    val exploded = docs.select(col("doc_id"),
+      explode(TextDedup.words(col("text"))).as("w"))
+      .select(col("doc_id"), TextDedup.wordHash32(col("w")).as("h"))
+    val sims = TextDedup.simhash32(exploded)
+    val byId = sims.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byId(1L) == byId(2L))
+    assert(byId.values.forall(v => v >= 0 && v < (1L << 32)))
+    val pairs = TextDedup.simhashPairs(sims, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("quality + token metrics are bounded and consistent") {
+    val q = TextAnalysis.qualityScore(docs).collect()
+    q.foreach { r =>
+      Seq("punct_ratio", "digit_ratio", "upper_ratio", "stopword_ratio")
+        .foreach { c =>
+          val v = r.getAs[Double](c)
+          assert(v >= 0.0 && v <= 1.0, s"$c=$v")
+        }
+    }
+    val t = TextAnalysis.tokenCounts(docs)
+      .filter(col("doc_id") === 5).head()
+    assert(t.getAs[Int]("n_ws_tokens") == 2)
+    assert(t.getAs[Int]("n_bpe_tokens") == 2)
+  }
+
+  test("langId short-circuits CJK and falls back to stopword argmax") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "the fox is on the hill", "x"),
+      (2L, "der hund ist nicht mit der katze", "x"),
+      (3L, "你好世界 你好世界 你好世界", "x")).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.langId(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("predicted_lang"))
+      .toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "de")
+    assert(out(3L) == "zh")
+  }
+
+  private lazy val vecs: DataFrame = {
+    import spark.implicits._
+    Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)), // close to 0
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.0f, 0.95f, 0.05f)), // close to 2
+      (4L, Array(-1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+  }
+
+  test("brute-force ANN ranks by exact cosine with deterministic ties") {
+    val out = VectorOps.annTopK(vecs, vecs.filter(col("vec_id") === 0), k = 2)
+      .orderBy("rank").collect()
+    assert(out.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(1L, 2L))
+    val top = out.head.getAs[Double]("cos_sim")
+    assert(top > 0.99 && top < 1.0)
+  }
+
+  test("bucketed ANN only pairs within argmax bucket") {
+    val out = VectorOps.bucketTop1(vecs).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("nn_id")).toMap
+    // argmax coord buckets: {0,1} dim1; {2,3,4} dim2 (vec 4's max is
+    // the 0.0 at position 2 — first occurrence of the max)
+    assert(out(0L) == 1L && out(1L) == 0L)
+    assert(out(2L) == 3L && out(3L) == 2L)
+    assert(out(4L) == 2L) // cos ties at 0.0 -> lower neighbor id wins
+  }
+}
