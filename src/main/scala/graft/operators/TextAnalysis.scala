@@ -46,17 +46,22 @@ object TextAnalysis {
 
   /** Per-doc language scores + winner. CJK-ratio short-circuits to zh;
     * otherwise argmax of stopword overlaps with a fixed tie-break order
-    * (en > de > fr > es, matching greatest-first CASE evaluation). */
+    * (en > de > fr > es, matching greatest-first CASE evaluation).
+    * The distinct-words array is materialized once (wordShingles
+    * contract in TextDedup: inline expressions inside HOF lambdas are
+    * re-evaluated per element). */
   def langId(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val w = TextDedup.words(col(textCol))
+    val w = col("_dw")
     val cjk = regexp_count(col(textCol), lit("[一-龥]"))
       .cast("double") / greatest(length(col(textCol)), lit(1))
     val scored = docs
+      .withColumn("_dw", array_distinct(TextDedup.words(col(textCol))))
       .withColumn("cjk_ratio", cjk)
       .withColumn("s_en", lexiconOverlap(w, stopwords("en")))
       .withColumn("s_de", lexiconOverlap(w, stopwords("de")))
       .withColumn("s_fr", lexiconOverlap(w, stopwords("fr")))
       .withColumn("s_es", lexiconOverlap(w, stopwords("es")))
+      .drop("_dw")
     val best = greatest(col("s_en"), col("s_de"), col("s_fr"), col("s_es"))
     scored.withColumn("predicted_lang",
       when(col("cjk_ratio") > 0.05, lit("zh"))
@@ -71,11 +76,13 @@ object TextAnalysis {
     * normalized single-spaced text: (chars - (n-1) spaces) / n. */
   def qualityScore(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
-    val norm = TextDedup.normText(t)
-    val w = TextDedup.words(t)
+    val norm = col("_nt")
+    val w = col("_w")
     val nWords = size(w)
     val len = greatest(length(t), lit(1)).cast("double")
     docs
+      .withColumn("_nt", TextDedup.normText(t))
+      .withColumn("_w", split(col("_nt"), " "))
       .withColumn("n_words", nWords)
       .withColumn("avg_word_len",
         (length(norm) - (nWords - lit(1))).cast("double") / nWords)
@@ -89,13 +96,16 @@ object TextAnalysis {
         lexiconHits(w, stopwords("en")).cast("double") / greatest(nWords, lit(1)))
       .withColumn("quality_ok",
         nWords >= 5 && col("punct_ratio") < 0.3 && col("digit_ratio") < 0.3)
+      .drop("_nt", "_w")
   }
 
   /** Per-doc token counts: whitespace tokens, BPE-style pre-tokens,
     * normalized char length. */
   def tokenCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs
-      .withColumn("n_ws_tokens", size(TextDedup.words(col(textCol))))
+      .withColumn("_nt", TextDedup.normText(col(textCol)))
+      .withColumn("n_ws_tokens", size(split(col("_nt"), " ")))
       .withColumn("n_bpe_tokens", regexp_count(col(textCol), lit(bpePattern)))
-      .withColumn("n_chars_norm", length(TextDedup.normText(col(textCol))))
+      .withColumn("n_chars_norm", length(col("_nt")))
+      .drop("_nt")
 }

