@@ -234,7 +234,42 @@ object FeatureQueries {
        |FROM agg
        |WHERE near_iv IS NOT NULL AND far_iv IS NOT NULL""".stripMargin
 
+  // ---- A16: count wrapper per contract-selection strategy ----
+
+  def a16StrategyCounts(s: SparkSession, dir: String): DataFrame = {
+    val fm = frontMonthDf(s, dir)
+    val atm = ContractSelector.atmFilter(fm)
+    val liq = ContractSelector.liquidityFilter(atm)
+    def one(name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n_contracts"))
+        .select(lit(name).as("strategy"), col("n_contracts"))
+    one("front_month", fm)
+      .unionAll(one("front_month_atm", atm))
+      .unionAll(one("front_month_atm_liquid", liq))
+  }
+
+  val a16Oracle: String =
+    s"""WITH $selCte,
+       |atm AS (
+       |  SELECT * FROM sel
+       |  WHERE strike / index_price BETWEEN 0.95 AND 1.05
+       |),
+       |liq AS (
+       |  SELECT * FROM (
+       |    SELECT *, CAST(sum(CAST(amount AS DECIMAL(28,6))) OVER (
+       |      PARTITION BY instrument_name, bucket_start - bucket_start % 86400
+       |    ) AS DOUBLE) AS daily_volume
+       |    FROM atm
+       |  ) WHERE daily_volume >= 10.0
+       |)
+       |SELECT 'front_month' AS strategy, count(*) AS n_contracts FROM sel
+       |UNION ALL
+       |SELECT 'front_month_atm', count(*) FROM atm
+       |UNION ALL
+       |SELECT 'front_month_atm_liquid', count(*) FROM liq""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "a16_strategy_counts" -> QueryDef(a16StrategyCounts _, a16Oracle),
     "a1_front_month" -> QueryDef(a1FrontMonth _, a1Oracle),
     "f6_atm_contracts" -> QueryDef(f6Atm _, f6Oracle),
     "j1_liquid_contracts" -> QueryDef(j1Liquid _, j1Oracle),
