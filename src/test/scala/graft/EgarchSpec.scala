@@ -1,0 +1,90 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Egarch
+
+/** Statistical-property tests for the EGARCH engine, mirroring the
+  * reference's bounded-range test style (SURVEY §5.1): parameters in
+  * their admissible regions, positive conditional vols, AIC grid
+  * coherence, forecast positivity. Bit-exact parity with the Python
+  * `arch` package is not a goal (SURVEY §7.3). */
+class EgarchSpec extends AnyFunSuite {
+
+  /** Deterministic GARCH-like series: vol clusters via a seeded
+    * recursion (no external RNG state). */
+  private def series(n: Int, seed: Long = 7L): Array[Double] = {
+    val rng = new java.util.Random(seed)
+    val x = new Array[Double](n)
+    var s2 = 0.04
+    for (t <- 0 until n) {
+      val z = rng.nextGaussian()
+      x(t) = 0.5 + math.sqrt(s2) * z
+      s2 = 0.01 + 0.10 * (x(t) - 0.5) * (x(t) - 0.5) + 0.85 * s2
+    }
+    x
+  }
+
+  test("lgamma matches known values") {
+    assert(math.abs(Egarch.lgamma(1.0)) < 1e-10)
+    assert(math.abs(Egarch.lgamma(2.0)) < 1e-10)
+    assert(math.abs(Egarch.lgamma(0.5) - 0.5 * math.log(math.Pi)) < 1e-10)
+    assert(math.abs(Egarch.lgamma(5.0) - math.log(24.0)) < 1e-10)
+  }
+
+  test("absMoment approaches sqrt(2/pi) as nu grows") {
+    val large = Egarch.absMoment(200.0)
+    assert(math.abs(large - math.sqrt(2.0 / math.Pi)) < 0.01)
+    assert(Egarch.absMoment(3.0) > 0 && Egarch.absMoment(3.0) < 1.0)
+  }
+
+  test("fit: admissible params, positive vols, unit-ish residuals") {
+    val f = Egarch.fit(series(500))
+    assert(math.abs(f.persistence) < 1.0)
+    assert(f.nu > 2.05)
+    assert(f.condVol.forall(_ > 0.0))
+    assert(f.nObs == 500)
+    val rm = f.residuals.sum / f.residuals.length
+    val rs = math.sqrt(
+      f.residuals.map(r => (r - rm) * (r - rm)).sum / f.residuals.length)
+    assert(math.abs(rm) < 0.25, s"resid mean $rm")
+    assert(rs > 0.5 && rs < 2.0, s"resid std $rs")
+  }
+
+  test("fit refuses short series") {
+    intercept[IllegalArgumentException](Egarch.fit(series(50)))
+  }
+
+  test("autoSelect picks the min-AIC convergent fit") {
+    val x = series(400)
+    val best = Egarch.autoSelect(x).get
+    val f11 = Egarch.fit(x, 1, 1)
+    assert(best.aic <= f11.aic + 1e-6)
+  }
+
+  test("forecast is positive and finite over the horizon") {
+    val f = Egarch.fit(series(400))
+    val fc = Egarch.forecast(f, 5)
+    assert(fc.length == 5)
+    assert(fc.forall(v => v > 0 && !v.isNaN && !v.isInfinite))
+    // same seed -> reproducible
+    assert(Egarch.forecast(f, 5).toSeq == fc.toSeq)
+  }
+
+  test("per-group fit over Spark bars yields one row per key") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val s1 = series(300, 1).zipWithIndex.map { case (v, i) =>
+      ("BTC", i.toLong * 900, v) }
+    val s2 = series(300, 2).zipWithIndex.map { case (v, i) =>
+      ("ETH", i.toLong * 900, v) }
+    val bars = (s1 ++ s2).toSeq
+      .toDF("underlying", "bucket_start", "iv_close")
+    val out = Egarch.fitPerGroup(bars).collect()
+    assert(out.map(_.underlying).sorted.toSeq == Seq("BTC", "ETH"))
+    out.foreach { r =>
+      assert(r.vol_forecast_1 > 0)
+      assert(math.abs(r.persistence) < 1.0)
+      assert(r.n_obs == 300)
+    }
+  }
+}
