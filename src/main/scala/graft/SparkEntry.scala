@@ -9,7 +9,8 @@ object SparkEntry {
   private def registry: Map[String, QueryDef] =
     RelationalQueries.defs ++ OptionsQueries.defs ++ FetchQueries.defs ++
       FeatureQueries.defs ++ QualityQueries.defs ++ GreeksQueries.defs ++
-      LlmQueries.defs ++ CoverageQueries.defs ++ EgarchQueries.defs
+      LlmQueries.defs ++ CoverageQueries.defs ++ EgarchQueries.defs ++
+      SystemQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

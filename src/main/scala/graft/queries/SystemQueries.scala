@@ -1,0 +1,113 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.options.SyntheticTrades
+import graft.schema.{SchemaIntrospector, TradesSchema}
+import graft.sources.{Backfill, FixturePager, RawTrade, TradesStore}
+import graft.streaming.StreamingIngest
+import graft.util.Parity._
+
+/** System-layer entries: the ingest stack (S1-S7) driven end-to-end
+  * against the DuckDB oracle, the schema system (S9/S10), the
+  * partitioned store layout, and the streaming variant (§2.9).
+  *
+  * s7_backfill_roundtrip is a REAL roundtrip: the synthetic trades are
+  * paged through the descending-cursor collector (fixture pager
+  * standing in for the REST client), batch-inserted idempotently,
+  * read back from parquet, and aggregated — the oracle aggregates the
+  * same trades directly, so any loss/duplication in paging, row
+  * mapping, or batching breaks the hash match. */
+object SystemQueries {
+
+  /** S1-S7: full backfill roundtrip at query time. */
+  def s7Backfill(s: SparkSession, dir: String): DataFrame = {
+    val trades = SyntheticTrades.trades(s, dir)
+    val fixture = trades.select(
+      col("trade_id"), col("instrument_name"),
+      unix_millis(col("timestamp")).as("ts_ms"),
+      col("price"), col("amount"), col("direction"),
+      col("iv"), col("index_price"), col("mark_price"))
+      .collect()
+      .map(r => RawTrade(
+        r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getString(5),
+        if (r.isNullAt(6)) None else Some(r.getDouble(6)),
+        if (r.isNullAt(7)) None else Some(r.getDouble(7)),
+        if (r.isNullAt(8)) None else Some(r.getDouble(8))))
+      .toIndexedSeq
+    val target = Files.createTempDirectory("s7-backfill").toString
+    val ckpt = Files.createTempDirectory("s7-ckpt").toString
+    val startMs = fixture.map(_.timestamp_ms).min - 1
+    val endMs = fixture.map(_.timestamp_ms).max
+    Backfill.collect(s, new FixturePager(fixture), "BTC", startMs, endMs,
+      target, ckpt, pageSize = 1000, batchSize = 5000)
+    s.read.parquet(s"$target/batch_token=*")
+      .groupBy(col("underlying"))
+      .agg(
+        count(lit(1)).as("n_trades"),
+        countDistinct(col("trade_id")).as("unique_trades"),
+        countDistinct(col("instrument_name")).as("unique_instruments"),
+        dsum(col("amount")).as("total_amount"))
+  }
+
+  val s7Oracle: String =
+    s"""WITH ${SyntheticTrades.tradesCte}
+       |SELECT underlying, count(*) AS n_trades,
+       |  count(DISTINCT trade_id) AS unique_trades,
+       |  count(DISTINCT instrument_name) AS unique_instruments,
+       |  ${duckDsum("amount")} AS total_amount
+       |FROM trades GROUP BY 1""".stripMargin
+
+  /** S9/S10 + store layout: DDL render, drift self-check, and a
+    * partitioned sorted write/read roundtrip with month pruning. */
+  def s9Schema(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val spec = TradesSchema.spec
+    val ddl = spec.createTableDdl
+    val selfDiff = SchemaIntrospector.diff(spec, spec.structType)
+    // store roundtrip on a small slice
+    val target = Files.createTempDirectory("s9-store").toString
+    val slice = SyntheticTrades.trades(s, dir).limit(1000)
+    TradesStore.write(slice, target)
+    val back = TradesStore.read(s, target)
+    val months = back.select(countDistinct(col("month"))).head().getLong(0)
+    Seq((
+      ddl.contains("PARTITIONED BY (month STRING)"),
+      ddl.contains("trade_id STRING NOT NULL"),
+      selfDiff.isEmpty,
+      back.count(),
+      months > 0))
+      .toDF("ddl_partitioned", "ddl_not_null", "self_diff_clean",
+        "store_rows", "store_partitioned")
+  }
+
+  /** §2.9: streaming ingest + watermarked dedup, driven to completion
+    * over a temp file source; returns the deduped row count vs input. */
+  def st1Streaming(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val src = Files.createTempDirectory("st1-src").toString
+    val tgt = Files.createTempDirectory("st1-tgt").toString
+    val ckpt = Files.createTempDirectory("st1-ckpt").toString
+    val trades = SyntheticTrades.trades(s, dir).limit(2000)
+      .select("trade_id", "underlying", "timestamp", "iv", "amount")
+    // simulate a page-overlap re-delivery: every 97th trade twice
+    trades.unionAll(trades.filter(col("trade_id").cast("long") % 97 === 0))
+      .write.parquet(s"$src/pages")
+    val q = StreamingIngest.startIngest(s, s"$src/pages", trades.schema,
+      tgt, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    val written = s.read.parquet(s"$tgt/ingest_batch=*")
+    Seq((written.count(),
+      written.select(countDistinct(col("trade_id"))).head().getLong(0)))
+      .toDF("rows_written", "unique_ids")
+  }
+
+  val defs: Map[String, QueryDef] = Map(
+    "s7_backfill_roundtrip" -> QueryDef(s7Backfill _, s7Oracle),
+    "s9_schema_system" -> QueryDef(s9Schema _, None),
+    "st1_streaming_ingest" -> QueryDef(st1Streaming _, None))
+}

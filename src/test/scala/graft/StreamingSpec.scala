@@ -1,0 +1,92 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamingIngest
+
+/** Structured Streaming layer (SURVEY §2.9): watermarked dedup and
+  * 15-min bar aggregation driven through MemoryStream. */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private case class Tick(trade_id: String, underlying: String,
+      timestamp: Timestamp, iv: Option[Double], amount: Double)
+
+  private def ts(min: Int, sec: Int = 0) =
+    Timestamp.valueOf(f"2024-01-10 10:$min%02d:$sec%02d")
+
+  test("streaming ivBars emits closed 15-min windows with OHLC") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(String, String, Timestamp, Option[Double], Double)]
+    val bars = StreamingIngest.ivBars(
+      input.toDF().toDF("trade_id", "underlying", "timestamp", "iv", "amount"),
+      watermark = "1 minutes")
+    val q = bars.writeStream.format("memory").queryName("bars_out")
+      .outputMode("append").start()
+    try {
+      // bar 10:00-10:15 gets three trades; then advance the watermark
+      // far past it so the bar closes
+      input.addData(
+        ("1", "BTC", ts(1), Some(0.5), 2.0),
+        ("2", "BTC", ts(7), Some(0.9), 1.0),
+        ("3", "BTC", ts(14), Some(0.7), 1.0))
+      q.processAllAvailable()
+      input.addData(("4", "BTC", ts(59), Some(0.6), 1.0))
+      q.processAllAvailable()
+      input.addData(("5", "BTC", Timestamp.valueOf("2024-01-10 11:30:00"),
+        Some(0.6), 1.0))
+      q.processAllAvailable()
+      val out = spark.table("bars_out").collect()
+        .map(r => r.getAs[Long]("bucket_start") ->
+          (r.getAs[Double]("iv_open"), r.getAs[Double]("iv_high"),
+            r.getAs[Double]("iv_low"), r.getAs[Double]("iv_close"),
+            r.getAs[Long]("n_trades"))).toMap
+      val k = Timestamp.valueOf("2024-01-10 10:00:00").getTime / 1000
+      assert(out.contains(k), s"closed bars: ${out.keySet}")
+      assert(out(k) == ((0.5, 0.9, 0.5, 0.7, 3L)))
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops duplicate trade_ids within watermark") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(String, String, Timestamp, Option[Double], Double)]
+    val deduped = StreamingIngest.dedupedTrades(
+      input.toDF().toDF("trade_id", "underlying", "timestamp", "iv", "amount"),
+      watermark = "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        ("1", "BTC", ts(1), Some(0.5), 2.0),
+        ("1", "BTC", ts(1, 30), Some(0.5), 2.0), // page-overlap dup
+        ("2", "BTC", ts(2), Some(0.6), 1.0))
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").count() == 2)
+    } finally q.stop()
+  }
+
+  test("streaming ingest writes batchId-keyed partitioned parquet") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("stream-src").toString
+    val tgt = Files.createTempDirectory("stream-tgt").toString
+    val ckpt = Files.createTempDirectory("stream-ckpt").toString
+    val seed = Seq(
+      ("1", "BTC", ts(1), Some(0.5), 2.0),
+      ("2", "ETH", ts(2), Some(0.6), 1.0))
+      .toDF("trade_id", "underlying", "timestamp", "iv", "amount")
+    seed.write.parquet(s"$src/part1")
+    val q = StreamingIngest.startIngest(spark, s"$src/part*", seed.schema,
+      tgt, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    val written = spark.read.parquet(s"$tgt/ingest_batch=*")
+    assert(written.count() == 2)
+    assert(written.columns.contains("month"))
+  }
+}
