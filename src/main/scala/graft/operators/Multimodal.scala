@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns for a training-data pipeline: image/audio/video
+  * as opaque `binary` columns plus typed metadata, with decode /
+  * feature-extract / resize / frame-sample implemented as
+  * iterator-to-iterator `mapPartitions` stages (the JVM analog of
+  * arrow-batched Python UDFs: per-partition setup happens once, rows
+  * stream through without materializing the partition).
+  *
+  * STUB BOUNDARY: this container has no image/audio codecs, so
+  * [[StubCodec]] derives dimensions and frames *deterministically from
+  * the bytes* — a real deployment swaps StubCodec for a JNI/library
+  * codec behind the same interface. Everything around the stub —
+  * binary column handling, batch shape, schemas, explode semantics,
+  * partition-level reuse — is real and tested, and the stub's
+  * determinism lets the decode path be verified against a SQL oracle.
+  */
+object Multimodal {
+
+  final case class MediaRow(doc_id: Long, media_type: String,
+      content: Array[Byte])
+  final case class DecodedMedia(doc_id: Long, media_type: String,
+      byte_len: Int, width: Int, height: Int, n_frames: Int,
+      sample_rate: Int, duration_s: Double)
+  final case class FrameRow(doc_id: Long, frame_idx: Int,
+      frame_bytes: Array[Byte])
+  final case class MediaFeature(doc_id: Long, media_type: String,
+      embedding: Array[Float])
+
+  /** The codec seam. A real implementation opens the payload with an
+    * actual decoder (per-partition init amortized by mapPartitions);
+    * the stub computes metadata from byte length alone so an external
+    * oracle can reproduce it. */
+  object StubCodec {
+    def decode(m: MediaRow): DecodedMedia = {
+      val len = m.content.length
+      m.media_type match {
+        case "image" => DecodedMedia(m.doc_id, m.media_type, len,
+          width = 64 + (len % 7) * 32, height = 64 + (len % 5) * 32,
+          n_frames = 1, sample_rate = 0, duration_s = 0.0)
+        case "audio" => DecodedMedia(m.doc_id, m.media_type, len,
+          width = 0, height = 0, n_frames = 0, sample_rate = 16000,
+          duration_s = len / 256.0)
+        case _ => DecodedMedia(m.doc_id, m.media_type, len,
+          width = 320, height = 240, n_frames = 8 + len % 8,
+          sample_rate = 0, duration_s = (8 + len % 8) / 4.0)
+      }
+    }
+  }
+
+  /** Derive a media table from `documents`: UTF-8 payload bytes as the
+    * opaque binary column, media type assigned round-robin. */
+  def mediaFromDocs(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"),
+      when(col("doc_id") % 3 === 0, "image")
+        .when(col("doc_id") % 3 === 1, "audio")
+        .otherwise("video").as("media_type"),
+      col("text").cast("binary").as("content"))
+      .as[MediaRow]
+  }
+
+  /** Decode stage: one codec per partition, rows streamed through. */
+  def decode(media: Dataset[MediaRow]): Dataset[DecodedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // real impl: val codec = Codec.open() here, once per partition
+      it.map(StubCodec.decode)
+    }
+  }
+
+  /** Frame sampling: video payloads explode into every-nth frame rows
+    * (frame bytes are contiguous slices in the stub). */
+  def sampleFrames(media: Dataset[MediaRow], everyN: Int = 2): Dataset[FrameRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.filter(_.media_type == "video").flatMap { m =>
+        val d = StubCodec.decode(m)
+        val frameSize = math.max(1, m.content.length / math.max(1, d.n_frames))
+        (0 until d.n_frames by everyN).iterator.map { f =>
+          val from = math.min(f * frameSize, m.content.length)
+          val until = math.min(from + frameSize, m.content.length)
+          FrameRow(m.doc_id, f, m.content.slice(from, until))
+        }
+      }
+    }
+  }
+
+  /** Feature extraction: 16-bin byte histogram, L1-normalized — the
+    * stub for "run the vision/audio tower"; shape (fixed-length
+    * float vector per row) is what downstream ANN operators consume. */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeature] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val hist = new Array[Float](16)
+        var i = 0
+        while (i < m.content.length) {
+          hist((m.content(i) & 0xff) >> 4) += 1f
+          i += 1
+        }
+        val total = math.max(1f, m.content.length.toFloat)
+        MediaFeature(m.doc_id, m.media_type, hist.map(_ / total))
+      }
+    }
+  }
+
+  /** Resize stage: metadata-correct stub (payload truncated/padded to
+    * the target pixel budget; a real codec re-encodes). */
+  def resizeImages(media: Dataset[MediaRow], maxBytes: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        if (m.media_type == "image" && m.content.length > maxBytes)
+          m.copy(content = m.content.take(maxBytes))
+        else m
+      }
+    }
+  }
+}

@@ -1,0 +1,95 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Multimodal
+import graft.util.Tables
+
+/** Multimodal pipeline entries. The decode stub derives metadata
+  * deterministically from payload byte length (see Multimodal.StubCodec)
+  * which makes the mapPartitions decode/frame-sample paths fully
+  * oracle-verifiable: DuckDB recomputes the same metadata from
+  * strlen(text) while Spark actually routes bytes through the typed
+  * Dataset codec stages. */
+object MultimodalQueries {
+
+  private def media(s: SparkSession, dir: String) =
+    Multimodal.mediaFromDocs(Tables.load(s, dir, "documents"))
+
+  private val mediaCte =
+    """m AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |         WHEN doc_id % 3 = 1 THEN 'audio'
+      |         ELSE 'video' END AS media_type,
+      |    strlen(text) AS len
+      |  FROM documents
+      |)""".stripMargin
+
+  // ---- decode -> per-type stats ----
+
+  def mm1DecodeStats(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decode(media(s, dir)).toDF()
+      .groupBy(col("media_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("byte_len")).as("total_bytes"),
+        (sum(col("width")).cast("double") / count(lit(1))).as("avg_width"),
+        (sum(col("height")).cast("double") / count(lit(1))).as("avg_height"),
+        sum(col("n_frames")).as("total_frames"))
+
+  val mm1Oracle: String =
+    s"""WITH $mediaCte,
+       |d AS (
+       |  SELECT media_type, len AS byte_len,
+       |    CASE media_type WHEN 'image' THEN 64 + (len % 7) * 32
+       |      WHEN 'audio' THEN 0 ELSE 320 END AS width,
+       |    CASE media_type WHEN 'image' THEN 64 + (len % 5) * 32
+       |      WHEN 'audio' THEN 0 ELSE 240 END AS height,
+       |    CASE media_type WHEN 'image' THEN 1
+       |      WHEN 'audio' THEN 0 ELSE 8 + len % 8 END AS n_frames
+       |  FROM m
+       |)
+       |SELECT media_type, count(*) AS n,
+       |  CAST(sum(byte_len) AS BIGINT) AS total_bytes,
+       |  CAST(sum(width) AS DOUBLE) / count(*) AS avg_width,
+       |  CAST(sum(height) AS DOUBLE) / count(*) AS avg_height,
+       |  CAST(sum(n_frames) AS BIGINT) AS total_frames
+       |FROM d GROUP BY 1""".stripMargin
+
+  // ---- frame sampling ----
+
+  def mm2FrameSample(s: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(media(s, dir), everyN = 2).toDF()
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_sampled"),
+        sum(length(col("frame_bytes"))).as("sampled_bytes"))
+
+  val mm2Oracle: String =
+    s"""WITH $mediaCte,
+       |v AS (
+       |  SELECT doc_id, len, 8 + len % 8 AS n_frames,
+       |    len // (8 + len % 8) AS frame_size
+       |  FROM m WHERE media_type = 'video'
+       |)
+       |SELECT doc_id,
+       |  (n_frames + 1) // 2 AS n_sampled,
+       |  CAST(((n_frames + 1) // 2) * frame_size AS BIGINT) AS sampled_bytes
+       |FROM v""".stripMargin
+
+  // ---- feature extraction (rows-only: float histogram path) ----
+
+  def mm3Features(s: SparkSession, dir: String): DataFrame =
+    Multimodal.extractFeatures(media(s, dir)).toDF()
+      .select(col("doc_id"), col("media_type"),
+        size(col("embedding")).as("dim"),
+        aggregate(col("embedding"), lit(0.0),
+          (acc, x) => acc + x.cast("double")).as("l1_mass"))
+
+  val defs: Map[String, QueryDef] = Map(
+    "mm1_decode_stats" -> QueryDef(mm1DecodeStats _, mm1Oracle),
+    "mm2_frame_sample" -> QueryDef(mm2FrameSample _, mm2Oracle),
+    "mm3_features" -> QueryDef(mm3Features _, None))
+}
