@@ -1,0 +1,99 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.{FileSourceScanExec, TakeOrderedAndProjectExec}
+
+/** Physical-plan audits over EVERY registered query at sf0.001 — the
+  * enforced version of ".explain until it's the plan you'd want":
+  *
+  *  - no CartesianProduct anywhere (all-pairs never survives 100 TB)
+  *  - BroadcastNestedLoopJoin only where it IS the design (the
+  *    brute-force ANN scores a broadcast query set with a non-equi
+  *    self-exclusion — the small side is bounded by construction)
+  *  - predicate pushdown reaches the parquet scan where filters exist
+  *  - top-k queries use TakeOrderedAndProject (per-partition top-k +
+  *    merge), never a global sort
+  *  - dimension joins are broadcast hash joins
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Collect the whole executed-plan tree incl. AQE-hidden subtrees. */
+  private def nodes(p: SparkPlan): Seq[SparkPlan] = {
+    val aqe = p match {
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case _ => Nil
+    }
+    Seq(p) ++ (p.children ++ p.subqueries).flatMap(nodes) ++ aqe
+  }
+
+  private def planOf(name: String): Seq[SparkPlan] = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    nodes(df.queryExecution.executedPlan)
+  }
+
+  /** Queries whose plan is driver-side work over a tiny materialized
+    * result (system roundtrips) — no distributed plan to audit. */
+  private val driverSide = Set(
+    "s7_backfill_roundtrip", "s9_schema_system", "st1_streaming_ingest")
+
+  test("no registered query plans a cartesian product") {
+    for (name <- SparkEntry.queries.keys if !driverSide(name)) {
+      val bad = planOf(name).collect { case c: CartesianProductExec => c }
+      assert(bad.isEmpty, s"$name plans a CartesianProduct")
+    }
+  }
+
+  test("broadcast nested-loop joins appear only by design") {
+    val allowed = Set("llm_ann_topk") // broadcast query set, non-equi
+    for (name <- SparkEntry.queries.keys if !driverSide(name)) {
+      val bnl = planOf(name).collect { case j: BroadcastNestedLoopJoinExec => j }
+      assert(bnl.isEmpty || allowed(name),
+        s"$name plans an unexpected BroadcastNestedLoopJoin")
+    }
+  }
+
+  test("f1 filter reaches the parquet scan as a pushed filter") {
+    val scans = planOf("f1_filter_project")
+      .collect { case s: FileSourceScanExec => s }
+    assert(scans.exists(_.metadata.get("PushedFilters")
+      .exists(_ != "[]")), "no PushedFilters on the f1 scan")
+  }
+
+  test("column pruning: f1 scan reads a subset of lineitem columns") {
+    val scans = planOf("f1_filter_project")
+      .collect { case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty)
+    assert(scans.forall(_.schema.fields.length <= 6),
+      s"f1 scan reads ${scans.map(_.schema.fields.length).max} columns")
+  }
+
+  test("top-k queries use TakeOrderedAndProject, not a global sort") {
+    for (name <- Seq("o1_topk", "s8_fetch_final", "w1_gap_analysis")) {
+      val topk = planOf(name)
+        .collect { case t: TakeOrderedAndProjectExec => t }
+      assert(topk.nonEmpty, s"$name lacks TakeOrderedAndProject")
+    }
+  }
+
+  test("spot enrichment and dimension joins broadcast the small side") {
+    for (name <- Seq("j2_spot_enrich", "j2_broadcast_join")) {
+      val bhj = planOf(name).collect { case b: BroadcastHashJoinExec => b }
+      assert(bhj.nonEmpty, s"$name has no BroadcastHashJoin")
+    }
+  }
+
+  test("rolling windows are partitioned (no global sort in w2/w3)") {
+    for (name <- Seq("w2_iv_percentile", "w3_iv_rank")) {
+      val winds = planOf(name)
+        .collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+      assert(winds.nonEmpty, s"$name has no window")
+      assert(winds.forall(_.partitionSpec.nonEmpty),
+        s"$name runs an unpartitioned window")
+    }
+  }
+}
