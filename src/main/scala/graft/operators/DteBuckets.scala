@@ -48,6 +48,30 @@ object DteBuckets {
       .drop("window")
   }
 
+  /** A4 wide form: one row per bar, `dte_{lo}_{hi}_{metric}` columns —
+    * the reference's output shape (`dte_buckets.py:117-129`). A pivot
+    * over the long form would need a second aggregate; conditional
+    * aggregation produces it in the SAME single hash-aggregate pass. */
+  def bucketMetricsWide(trades: DataFrame, interval: String): DataFrame = {
+    val base = trades
+      .withColumn("dte", dteExpr(col("timestamp"), col("expiry")))
+      .withColumn("dte_bucket", bucketExpr(col("dte")))
+      .filter(col("dte_bucket").isNotNull)
+    val aggs = buckets.flatMap { case (lo, hi) =>
+      val b = s"dte_${lo}_$hi"
+      val in = col("dte_bucket") === b
+      Seq(
+        Parity.davg(when(in, col("iv"))).as(s"${b}_iv_mean"),
+        Parity.dsum(when(in, col("amount"))).as(s"${b}_volume"),
+        count(when(in, lit(1))).as(s"${b}_n_trades"))
+    }
+    base
+      .groupBy(window(col("timestamp"), interval))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("bucket_start", unix_timestamp(col("window.start")))
+      .drop("window")
+  }
+
   /** A5/W5: volume share of each DTE bucket within its bar, in percent —
     * bucket sums + a window total over the bar (no second scan,
     * `dte_buckets.py:132-198`). */

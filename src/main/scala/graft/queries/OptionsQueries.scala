@@ -68,7 +68,28 @@ object OptionsQueries {
        |         OVER (PARTITION BY bucket_start) AS DOUBLE), 0.0) AS volume_pct
        |FROM sums""".stripMargin
 
+  // ---- A4 wide: per-bar dte_{lo}_{hi}_{metric} columns ----
+  def a4Wide(s: SparkSession, dir: String): DataFrame =
+    DteBuckets.bucketMetricsWide(SyntheticTrades.trades(s, dir), "15 minutes")
+
+  val a4WideOracle: String = {
+    val cols = DteBuckets.buckets.flatMap { case (lo, hi) =>
+      val b = s"dte_${lo}_$hi"
+      val in = s"dte_bucket = '$b'"
+      Seq(
+        s"${duckDavg(s"CASE WHEN $in THEN iv END")} AS ${b}_iv_mean",
+        s"${duckDsum(s"CASE WHEN $in THEN amount END")} AS ${b}_volume",
+        s"count(CASE WHEN $in THEN 1 END) AS ${b}_n_trades")
+    }
+    s"""WITH $enrichedCte
+       |SELECT ${cols.mkString(",\n  ")}, bucket_start
+       |FROM (SELECT *, $duckDteBucket AS dte_bucket FROM enriched)
+       |WHERE dte_bucket IS NOT NULL
+       |GROUP BY bucket_start""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "a4_wide_pivot" -> QueryDef(a4Wide _, a4WideOracle),
     "a2_resample_ohlc" -> QueryDef(a2Resample _, a2Oracle),
     "a4_dte_bucket_metrics" -> QueryDef(a4DteMetrics _, a4Oracle),
     "a5_volume_distribution" -> QueryDef(a5VolumeDist _, a5Oracle))

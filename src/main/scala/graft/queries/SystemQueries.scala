@@ -106,8 +106,51 @@ object SystemQueries {
       .toDF("rows_written", "unique_ids")
   }
 
+  /** Day-partitioned sorted store per sf dir, built once per JVM-host
+    * (keyed by the read-only sf path; rebuilt only if absent). */
+  private[queries] def prunedStore(s: SparkSession, dir: String): String = {
+    val path = s"/tmp/graft_store/${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    val done = new java.io.File(s"$path/_SUCCESS")
+    if (!done.exists()) {
+      TradesStore.write(SyntheticTrades.trades(s, dir), path,
+        partKey = ("date", "yyyyMMdd"))
+    }
+    path
+  }
+
+  /** S8-over-the-store: the BASELINE headline ("time-range query
+    * 10-100x via index seek") Spark-style — the fetch's time-range
+    * predicate prunes date partitions at planning time (see
+    * PlanAuditSpec: PartitionFilters non-empty) and the
+    * sortWithinPartitions layout gives tight row-group stats inside
+    * each day. Correctness: identical rows to the oracle running the
+    * same range over the raw derivation. */
+  def s8FetchPruned(s: SparkSession, dir: String): DataFrame = {
+    val stored = TradesStore.read(s, prunedStore(s, dir))
+      .filter(TradesStore.timeRangePartitionFilter(
+        java.time.LocalDate.parse("2024-01-10"),
+        java.time.LocalDate.parse("2024-01-13"),
+        partKey = ("date", "yyyyMMdd")))
+    graft.api.TradesApi.fetch(stored, graft.api.FetchParams(
+      underlying = Some("BTC"),
+      start = Some("2024-01-10"), end = Some("2024-01-12"),
+      useFinal = true))
+      .select(col("trade_id"), unix_timestamp(col("timestamp")).as("ep"),
+        col("underlying"), col("price"), col("amount"), col("strike"))
+  }
+
+  val s8PrunedOracle: String =
+    s"""WITH ${SyntheticTrades.tradesCte}
+       |SELECT trade_id, ${duckEpochS("\"timestamp\"")} AS ep, underlying,
+       |  price, amount, strike
+       |FROM trades
+       |WHERE underlying = 'BTC'
+       |  AND "timestamp" >= TIMESTAMP '2024-01-10 00:00:00'
+       |  AND "timestamp" < TIMESTAMP '2024-01-13 00:00:00'""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
     "s7_backfill_roundtrip" -> QueryDef(s7Backfill _, s7Oracle),
+    "s8_fetch_pruned" -> QueryDef(s8FetchPruned _, s8PrunedOracle),
     "s9_schema_system" -> QueryDef(s9Schema _, None),
     "st1_streaming_ingest" -> QueryDef(st1Streaming _, None))
 }

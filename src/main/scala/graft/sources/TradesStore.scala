@@ -27,17 +27,39 @@ object TradesStore {
   def withMonth(trades: DataFrame): DataFrame =
     trades.withColumn("month", date_format(col("timestamp"), "yyyyMM"))
 
+  /** Default layout: monthly partitions (reference `toYYYYMM`). Pass
+    * `partKey = ("date", "yyyyMMdd")` when the corpus spans less than
+    * a few months — same design, partition granularity matched to the
+    * data so time-range pruning still has directories to skip. */
   def write(trades: DataFrame, path: String,
-      mode: SaveMode = SaveMode.Overwrite): Unit =
-    withMonth(trades)
-      .repartition(col("month"))
+      mode: SaveMode = SaveMode.Overwrite,
+      partKey: (String, String) = ("month", "yyyyMM")): Unit = {
+    val (partCol, fmt) = partKey
+    trades.withColumn(partCol, date_format(col("timestamp"), fmt))
+      .repartition(col(partCol))
       .sortWithinPartitions(SortKey.map(col): _*)
       .write
       .mode(mode)
       .option("compression", "zstd")
-      .partitionBy("month")
+      .partitionBy(partCol)
       .parquet(path)
+  }
 
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Partition predicate for a [start, endExclusive) time range.
+    * ClickHouse infers `toYYYYMM(timestamp)` bounds from a timestamp
+    * range automatically; Spark prunes only on predicates stated
+    * against the partition column, so the derived bounds must be added
+    * alongside the precise timestamp filter. */
+  def timeRangePartitionFilter(
+      start: java.time.LocalDate, endExclusive: java.time.LocalDate,
+      partKey: (String, String) = ("month", "yyyyMM"))
+      : org.apache.spark.sql.Column = {
+    val (partCol, fmt) = partKey
+    val f = java.time.format.DateTimeFormatter.ofPattern(fmt)
+    col(partCol).between(
+      start.format(f), endExclusive.minusDays(1).format(f))
+  }
 }

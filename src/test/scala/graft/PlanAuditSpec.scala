@@ -87,6 +87,15 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("s8_fetch_pruned prunes date partitions at the scan") {
+    val scans = planOf("s8_fetch_pruned")
+      .collect { case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty)
+    assert(scans.exists(_.metadata.get("PartitionFilters")
+      .exists(f => f != "[]" && f.contains("date"))),
+      s"no partition filters: ${scans.map(_.metadata.get("PartitionFilters"))}")
+  }
+
   test("rolling windows are partitioned (no global sort in w2/w3)") {
     for (name <- Seq("w2_iv_percentile", "w3_iv_rank")) {
       val winds = planOf(name)
