@@ -152,27 +152,24 @@ object TextDedup {
   def hamming(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
-  /** MinHash/LSH near-duplicate pairs: corpus must carry (idCol,
-    * shingles). Returns (id_a, id_b, jaccard) with id_a < id_b and
-    * jaccard >= threshold.
+  /** MinHash/LSH near-duplicate pairs: corpus must carry (idCol, hs)
+    * where `hs` is the distinct shingle-hash array (one
+    * NgramHash32 pass — see TextHashExpr). Returns (id_a, id_b,
+    * jaccard) with id_a < id_b and jaccard >= threshold; jaccard is
+    * computed over the hash sets (collision probability ~ |S|²/2³³
+    * per doc — immaterial, and the oracle mirrors the same sets).
     *
-    * The shingled+hashed corpus is persisted: it feeds three plan
-    * branches (band explode + both verify joins), and recomputing the
-    * shingle expressions per branch dominated the profile. At cluster
-    * scale this materialization is the standard "signature table"
-    * checkpoint of every LSH dedup pipeline. */
+    * The corpus is persisted: it feeds three plan branches (band
+    * explode + both verify joins). At cluster scale this
+    * materialization is the standard "signature table" checkpoint of
+    * every LSH dedup pipeline. */
   def minhashNearDups(
       corpus: DataFrame,
       idCol: String = "doc_id",
       k: Int = 12,
       threshold: Double = 0.5): DataFrame = {
-    // precondition: corpus rows have non-empty shingles (shingleDocs
-    // guarantees this); a defensive filter here would be pushed down
-    // through the shingle projections and re-inline them into a
-    // row-level Filter (see materialize docs)
-    val hashed = materialize(corpus
-      .withColumn("_hs", transform(col("shingles"), wordHash32(_))))
-    val sig = minhashSignature(col("_hs"), k)
+    val hashed = materialize(corpus)
+    val sig = minhashSignature(col("hs"), k)
     // explode index-prefixed bands -> (id, band_val); candidate pairs
     // are a self-equi-join on band_val (a shuffle keyed by bucket, the
     // thing that makes this not-all-pairs at scale)
@@ -182,13 +179,13 @@ object TextDedup {
       .join(exploded.select(col(idCol).as("id_b"), col("band_val")), "band_val")
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
-    // verify: fetch shingle sets by id (no arrays through the bucket join)
-    val sh = hashed.select(col(idCol), col("shingles"))
+    // verify: fetch hash sets by id (no arrays through the bucket join)
+    val sh = hashed.select(col(idCol), col("hs"))
     candidates
-      .join(sh.select(col(idCol).as("id_a"), col("shingles").as("_sh_a")), "id_a")
-      .join(sh.select(col(idCol).as("id_b"), col("shingles").as("_sh_b")), "id_b")
+      .join(sh.select(col(idCol).as("id_a"), col("hs").as("_hs_a")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("hs").as("_hs_b")), "id_b")
       .select(col("id_a"), col("id_b"),
-        jaccard(col("_sh_a"), col("_sh_b")).as("jaccard"))
+        jaccard(col("_hs_a"), col("_hs_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -206,10 +203,11 @@ object TextDedup {
       corpus: DataFrame,
       idCol: String = "doc_id",
       maxDf: Int = 20,
-      threshold: Double = 0.3): DataFrame = {
+      threshold: Double = 0.3,
+      tokensCol: String = "shingles"): DataFrame = {
     val cachedCorpus = materialize(corpus)
     val posting = cachedCorpus
-      .select(col(idCol), explode(col("shingles")).as("shingle"))
+      .select(col(idCol), explode(col(tokensCol)).as("shingle"))
     val rare = posting.groupBy(col("shingle"))
       .agg(count(lit(1)).as("_df"))
       .filter(col("_df") <= maxDf)

@@ -23,9 +23,13 @@ object LlmQueries {
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
 
-  /** docs + shingle arrays (distinct word n-grams), short docs dropped. */
-  private def shingled(s: SparkSession, dir: String, n: Int): DataFrame =
-    TextDedup.shingleDocs(docs(s, dir), n)
+  /** docs + distinct n-gram hash32 arrays in ONE codegen'd pass
+    * (NgramHash32 expression), short docs dropped. */
+  private def hashedCorpus(s: SparkSession, dir: String, n: Int): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"),
+        graft.functions.TextHashColumns.ngramHashes(col("text"), n).as("hs"))
+      .filter(size(col("hs")) > 0)
 
   // ---- shared oracle CTE fragments ----
 
@@ -74,8 +78,23 @@ object LlmQueries {
   private val JaccardThreshold = 0.3
 
   def minhashNearDups(s: SparkSession, dir: String): DataFrame =
-    TextDedup.minhashNearDups(shingled(s, dir, 2),
+    TextDedup.minhashNearDups(hashedCorpus(s, dir, 2),
       k = MinhashK, threshold = JaccardThreshold)
+
+  /** Hash-set Jaccard (mirrors the Spark hash corpus exactly). */
+  private val hashJaccardSql =
+    """len(list_intersect(x.hs, y.hs))::DOUBLE
+      |    / (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs)))""".stripMargin
+
+  /** shingle posting -> DISTINCT 32-bit hashes per doc (the NgramHash32
+    * twin: sha256 first 4 bytes, deduped per doc). */
+  private def hashedCte(n: Int) =
+    s"""${shgCte(n)},
+       |posting AS (SELECT doc_id, unnest(shingles) AS shingle FROM shg),
+       |hashed AS (
+       |  SELECT DISTINCT doc_id, $duckHash32 AS h
+       |  FROM (SELECT doc_id, sha256(shingle) AS sha FROM posting)
+       |)""".stripMargin
 
   val minhashOracle: String = {
     import graft.operators.TextDedup.{MinhashA, MinhashB, MinhashP}
@@ -83,12 +102,8 @@ object LlmQueries {
       s"min((${MinhashA(i)} * h + ${MinhashB(i)}) % $MinhashP) AS m$i")
     val bandVals = (0 until MinhashK / 4).map(i =>
       s"concat('$i', '|', m${4 * i}, '|', m${4 * i + 1}, '|', m${4 * i + 2}, '|', m${4 * i + 3})")
-    s"""WITH ${shgCte(2)},
-       |posting AS (SELECT doc_id, unnest(shingles) AS shingle FROM shg),
-       |hashed AS (
-       |  SELECT doc_id, $duckHash32 AS h
-       |  FROM (SELECT doc_id, sha256(shingle) AS sha FROM posting)
-       |),
+    s"""WITH ${hashedCte(2)},
+       |hl AS (SELECT doc_id, list(h) AS hs FROM hashed GROUP BY doc_id),
        |mh AS (
        |  SELECT doc_id, ${mins.mkString(",\n    ")}
        |  FROM hashed GROUP BY doc_id
@@ -102,11 +117,11 @@ object LlmQueries {
        |  FROM bands a JOIN bands b USING (band_val)
        |  WHERE a.doc_id < b.doc_id
        |)
-       |SELECT id_a, id_b, $jaccardSql AS jaccard
+       |SELECT id_a, id_b, $hashJaccardSql AS jaccard
        |FROM cand
-       |JOIN shg x ON x.doc_id = id_a
-       |JOIN shg y ON y.doc_id = id_b
-       |WHERE $jaccardSql >= $JaccardThreshold""".stripMargin
+       |JOIN hl x ON x.doc_id = id_a
+       |JOIN hl y ON y.doc_id = id_b
+       |WHERE $hashJaccardSql >= $JaccardThreshold""".stripMargin
   }
 
   // ---- inverted-index n-gram Jaccard near-dups ----
@@ -115,22 +130,19 @@ object LlmQueries {
   private val MaxDf = 20
 
   def ngramJaccard(s: SparkSession, dir: String): DataFrame =
-    TextDedup.invertedIndexPairs(shingled(s, dir, NgramN),
-      maxDf = MaxDf, threshold = JaccardThreshold)
+    TextDedup.invertedIndexPairs(hashedCorpus(s, dir, NgramN),
+      maxDf = MaxDf, threshold = JaccardThreshold, tokensCol = "hs")
 
   val ngramJaccardOracle: String =
-    s"""WITH ${shgCte(NgramN)},
-       |posting AS (
-       |  SELECT doc_id, unnest(shingles) AS shingle FROM shg
-       |),
+    s"""WITH ${hashedCte(NgramN)},
        |rare AS (
-       |  SELECT shingle FROM posting GROUP BY 1 HAVING count(*) <= $MaxDf
+       |  SELECT h FROM hashed GROUP BY 1 HAVING count(*) <= $MaxDf
        |),
-       |pruned AS (SELECT doc_id, shingle FROM posting JOIN rare USING (shingle)),
+       |pruned AS (SELECT doc_id, h FROM hashed JOIN rare USING (h)),
        |sizes AS (SELECT doc_id, count(*) AS sz FROM pruned GROUP BY 1),
        |common AS (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS cm
-       |  FROM pruned a JOIN pruned b USING (shingle)
+       |  FROM pruned a JOIN pruned b USING (h)
        |  WHERE a.doc_id < b.doc_id
        |  GROUP BY 1, 2
        |)

@@ -129,6 +129,16 @@ class IngestSpec extends AnyFunSuite {
     assert(SchemaIntrospector.diff(spec, spec.structType).isEmpty)
   }
 
+  test("S5 plain append insert accumulates without dedup") {
+    import spark.implicits._
+    val target = tmp("store-append")
+    val rows = fixture(50).flatMap(Backfill.mapRow).toDF()
+    TradesStore.write(rows, target)
+    TradesStore.write(rows, target,
+      mode = org.apache.spark.sql.SaveMode.Append)
+    assert(TradesStore.read(spark, target).count() == 100)
+  }
+
   test("TradesStore writes month partitions that prune on read") {
     import spark.implicits._
     val target = tmp("store")

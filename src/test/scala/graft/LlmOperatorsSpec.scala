@@ -24,6 +24,22 @@ class LlmOperatorsSpec extends AnyFunSuite {
 
   private def shingled(n: Int): DataFrame = TextDedup.shingleDocs(docs, n)
 
+  private def hashed(n: Int): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.TextHashColumns.ngramHashes(col("text"), n).as("hs"))
+      .filter(size(col("hs")) > 0)
+
+  test("NgramHash32 expression matches the staged column pipeline") {
+    val viaExpr = hashed(2).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val viaColumns = shingled(2)
+      .select(col("doc_id"),
+        transform(col("shingles"), TextDedup.wordHash32(_)).as("hs"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(viaExpr == viaColumns)
+  }
+
   test("exact dedup collapses whitespace/case variants") {
     val out = TextDedup.exactDedup(docs).collect()
     assert(out.length == 4) // docs 1+2 share a hash
@@ -32,7 +48,7 @@ class LlmOperatorsSpec extends AnyFunSuite {
   }
 
   test("minhash LSH finds the normalized-dup and the near-dup pair") {
-    val pairs = TextDedup.minhashNearDups(shingled(2), k = 12, threshold = 0.3)
+    val pairs = TextDedup.minhashNearDups(hashed(2), k = 12, threshold = 0.3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((1L, 2L))) // identical shingle sets
     assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)))
@@ -45,8 +61,8 @@ class LlmOperatorsSpec extends AnyFunSuite {
         .as("sh"))
     val Array(a, b) = j.collect().map(_.getSeq[String](0).toSet)
     val expected = (a & b).size.toDouble / (a | b).size
-    val got = TextDedup.invertedIndexPairs(shingled(2), maxDf = 100,
-      threshold = 0.0)
+    val got = TextDedup.invertedIndexPairs(hashed(2), maxDf = 100,
+      threshold = 0.0, tokensCol = "hs")
       .filter(col("id_a") === 1 && col("id_b") === 3)
       .head().getAs[Double]("jaccard")
     assert(math.abs(got - expected) < 1e-12)
