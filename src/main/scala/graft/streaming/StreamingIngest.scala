@@ -1,8 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 
 /** Structured Streaming variant of the pipeline (SURVEY §2.9): the
   * reference is batch-only, but its monotone ingestion + tumbling
@@ -45,6 +47,41 @@ object StreamingIngest {
         unix_timestamp(col("window.start")).as("bucket_start"),
         col("underlying"), col("iv_open"), col("iv_high"), col("iv_low"),
         col("iv_close"), col("volume"), col("n_trades"))
+
+  final case class GapEvent(underlying: String, gap_start_ep: Long,
+      gap_end_ep: Long, gap_seconds: Long)
+
+  /** W1-for-streams: per-underlying inter-trade gap detection with
+    * custom state (`flatMapGroupsWithState`). State = the last trade
+    * epoch seen per key; each batch's trades are processed in event
+    * order and a GapEvent is emitted whenever the inter-trade distance
+    * exceeds `thresholdSec`. The batch reference *reports* gaps after
+    * the fact (data_quality.py:48-66); this flags them as data
+    * arrives. State is one long per key — bounded by key cardinality,
+    * safe at any scale. */
+  def gapEvents(trades: DataFrame, thresholdSec: Long): Dataset[GapEvent] = {
+    val spark = trades.sparkSession
+    import spark.implicits._
+    trades
+      .select(col("underlying").cast("string"), col("timestamp"))
+      .as[(String, Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, GapEvent](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[(String, Timestamp)],
+            state: GroupState[Long]) =>
+          val eps = rows.map(_._2.getTime / 1000).toArray.sorted
+          val out = scala.collection.mutable.ArrayBuffer.empty[GapEvent]
+          var last = state.getOption.getOrElse(-1L)
+          for (ep <- eps) {
+            if (last >= 0 && ep - last > thresholdSec)
+              out += GapEvent(key, last, ep, ep - last)
+            last = math.max(last, ep)
+          }
+          if (last >= 0) state.update(last)
+          out.iterator
+      }
+  }
 
   /** Streaming ingest job: parquet file source -> dedup -> idempotent
     * partitioned append. Batch idempotence piggybacks on the streaming

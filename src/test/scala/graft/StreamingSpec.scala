@@ -72,6 +72,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateful gap detector carries last-seen state across batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(String, String, Timestamp, Option[Double], Double)]
+    val gaps = StreamingIngest.gapEvents(
+      input.toDF().toDF("trade_id", "underlying", "timestamp", "iv", "amount"),
+      thresholdSec = 3600)
+    val q = gaps.writeStream.format("memory").queryName("gaps_out")
+      .outputMode("append").start()
+    try {
+      input.addData(("1", "BTC", ts(0), Some(0.5), 1.0),
+        ("2", "BTC", ts(5), Some(0.5), 1.0))
+      q.processAllAvailable()
+      assert(spark.table("gaps_out").count() == 0)
+      // next batch: 3h after the last trade of the PREVIOUS batch —
+      // detection depends on carried state
+      input.addData(("3", "BTC",
+        Timestamp.valueOf("2024-01-10 13:05:00"), Some(0.5), 1.0))
+      q.processAllAvailable()
+      val out = spark.table("gaps_out")
+        .collect().map(r => (r.getAs[String]("underlying"),
+          r.getAs[Long]("gap_seconds")))
+      assert(out.toSeq == Seq(("BTC", 3 * 3600L)))
+    } finally q.stop()
+  }
+
   test("streaming ingest writes batchId-keyed partitioned parquet") {
     import spark.implicits._
     val src = Files.createTempDirectory("stream-src").toString
