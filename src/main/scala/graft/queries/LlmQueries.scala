@@ -170,12 +170,12 @@ object LlmQueries {
     """CAST(list_sum([(strpos('0123456789abcdef', sha[i]) - 1)
       |      * (16.0 ** (8 - i)) for i in range(1, 9)]) AS BIGINT)""".stripMargin
 
-  val simhashOracle: String = {
+  private def simhashCte: String = {
     val bitSums = (0 until 32).map(b =>
       s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS bs$b")
     val bits = (0 until 32).map(b =>
       s"CASE WHEN bs$b > 0 THEN ${1L << b} ELSE 0 END")
-    s"""WITH $wrdsCte,
+    s"""$wrdsCte,
        |tok AS (
        |  SELECT doc_id, sha256(unnest(w)) AS sha FROM wrds
        |),
@@ -183,10 +183,30 @@ object LlmQueries {
        |votes AS (
        |  SELECT doc_id, ${bitSums.mkString(",\n    ")}
        |  FROM hashed GROUP BY doc_id
-       |)
-       |SELECT doc_id, CAST(${bits.mkString(" + ")} AS BIGINT) AS simhash
-       |FROM votes""".stripMargin
+       |),
+       |sims AS (
+       |  SELECT doc_id, CAST(${bits.mkString(" + ")} AS BIGINT) AS simhash
+       |  FROM votes
+       |)""".stripMargin
   }
+
+  val simhashOracle: String =
+    s"""WITH $simhashCte
+       |SELECT doc_id, simhash FROM sims""".stripMargin
+
+  /** SimHash near-dup pairs. Spark generates candidates by 8-bit-chunk
+    * bucketing (pigeonhole-complete for Hamming <= 3), so the result
+    * set equals all pairs under the threshold — which the oracle can
+    * state directly. */
+  def simhashPairs(s: SparkSession, dir: String): DataFrame =
+    TextDedup.simhashPairs(simhash(s, dir), maxHamming = 3)
+
+  val simhashPairsOracle: String =
+    s"""WITH $simhashCte
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming_dist
+       |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
 
   // ---- winnowing fingerprint ----
 
@@ -344,6 +364,7 @@ object LlmQueries {
     "llm_minhash_neardup" -> QueryDef(minhashNearDups _, minhashOracle),
     "llm_ngram_jaccard" -> QueryDef(ngramJaccard _, ngramJaccardOracle),
     "llm_simhash" -> QueryDef(simhash _, simhashOracle),
+    "llm_simhash_pairs" -> QueryDef(simhashPairs _, simhashPairsOracle),
     "llm_fingerprint" -> QueryDef(fingerprint _, fingerprintOracle),
     "llm_token_count" -> QueryDef(tokenCount _, tokenCountOracle),
     "llm_quality_score" -> QueryDef(quality _, qualityOracle),
