@@ -40,11 +40,26 @@ trait TradePager {
   def fetchPage(endTsMs: Long, count: Int): Seq[RawTrade]
 }
 
-/** In-memory pager over fixture data (tests / offline builds). */
+/** In-memory pager over fixture data (tests / offline builds).
+  *
+  * Pages never split a millisecond group: the driver loop's cursor is
+  * `min(page ts) - 1` (the reference's descending-cursor contract,
+  * `trades_collector.py:319-321`), so a page boundary inside a group
+  * of equal-ms trades would silently skip the rest of the group. The
+  * real REST API has exactly this hazard — it is why the reference
+  * ships the S2 continuity validator and idempotent re-fetches; a
+  * deterministic offline source simply closes the group. */
 final class FixturePager(fixture: IndexedSeq[RawTrade]) extends TradePager {
   private val sorted = fixture.sortBy(-_.timestamp_ms)
-  def fetchPage(endTsMs: Long, count: Int): Seq[RawTrade] =
-    sorted.iterator.filter(_.timestamp_ms <= endTsMs).take(count).toSeq
+  def fetchPage(endTsMs: Long, count: Int): Seq[RawTrade] = {
+    val eligible = sorted.dropWhile(_.timestamp_ms > endTsMs)
+    if (eligible.size <= count) eligible
+    else {
+      val minMs = eligible(count - 1).timestamp_ms
+      eligible.take(count) ++
+        eligible.drop(count).takeWhile(_.timestamp_ms == minMs)
+    }
+  }
 }
 
 object Backfill {

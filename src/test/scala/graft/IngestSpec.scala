@@ -143,7 +143,6 @@ class IngestSpec extends AnyFunSuite {
     import spark.implicits._
     val target = tmp("store")
     val rows = fixture(100).flatMap(Backfill.mapRow)
-    Backfill // derive month via store writer
     TradesStore.write(rows.toDF(), target)
     val dirs = new java.io.File(target).list().filter(_.startsWith("month="))
     assert(dirs.nonEmpty)
