@@ -49,19 +49,39 @@ object DataQuality {
   }
 
   /** W1/O3: inter-trade gaps above `thresholdHours`, worst first,
-    * top `limit`. */
+    * top `limit`.
+    *
+    * The lead() runs per MONTH partition (the table's partition key),
+    * not as one global ordered window — a global Window.orderBy is a
+    * single-reducer sort of every trade, broken at 100 TB. Each
+    * month's last trade gets its successor from a month-level
+    * boundary aggregate instead (one row per month, trivially small),
+    * so the result multiset is identical to the global form — the
+    * same decomposition ClickHouse's partition-local processing
+    * implies. */
   def gapAnalysis(
       trades: DataFrame,
       thresholdHours: Int = 4,
       limit: Int = 100): DataFrame = {
     val ep = unix_timestamp(col("timestamp"))
-    val next = lead(col("gap_start"), 1).over(Window.orderBy(col("gap_start")))
-    trades
-      .select(ep.as("gap_start"))
-      .withColumn("gap_end", next)
+    val withMonth = trades.select(ep.as("gap_start"),
+      date_format(col("timestamp"), "yyyyMM").as("_m"))
+    val intra = withMonth
+      .withColumn("gap_end", lead(col("gap_start"), 1)
+        .over(Window.partitionBy(col("_m")).orderBy(col("gap_start"))))
+      .filter(col("gap_end").isNotNull)
+      .select("gap_start", "gap_end")
+    val monthEdges = withMonth.groupBy(col("_m"))
+      .agg(min(col("gap_start")).as("_first"), max(col("gap_start")).as("_last"))
+    val boundary = monthEdges
+      .withColumn("gap_end",
+        lead(col("_first"), 1).over(Window.orderBy(col("_m"))))
+      .filter(col("gap_end").isNotNull)
+      .select(col("_last").as("gap_start"), col("gap_end"))
+    intra.unionAll(boundary)
       .withColumn("gap_hours",
         floor((col("gap_end") - col("gap_start")) / 3600L))
-      .filter(col("gap_end").isNotNull && col("gap_hours") > thresholdHours)
+      .filter(col("gap_hours") > thresholdHours)
       .orderBy(desc("gap_hours"), asc("gap_start"))
       .limit(limit)
   }
