@@ -230,6 +230,41 @@ object TextDedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Connected components over a near-dup pair graph: every document
+    * that appears in a pair gets its component's minimum doc id as
+    * `cluster_id` (`keep` = it IS that minimum — the survivor).
+    * Iterative min-label propagation to a fixpoint — each round is one
+    * join + aggregate, converging in O(graph diameter) rounds (near-dup
+    * components are tiny chains, 2-3 rounds in practice; the same loop
+    * is the standard large-scale connected-components kernel). Inputs
+    * and intermediates stay distributed; only the `changed` count hits
+    * the driver. */
+  def dedupClusters(pairs: DataFrame): DataFrame = {
+    val edges = materialize(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
+    var labels = materialize(
+      edges.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id")))
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 50) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("label")).as("_nbr"))
+      val updated = materialize(labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("_nbr"), col("label"))).as("label"),
+          (col("_nbr") < col("label")).as("_changed")))
+      converged = updated.filter(col("_changed")).limit(1).count() == 0L
+      labels = updated
+      rounds += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"),
+      (col("id") === col("label")).as("keep"))
+  }
+
   /** SimHash near-dup pairs: candidate pairs share at least one of the
     * four 8-bit chunks of the 32-bit simhash (pigeonhole: any pair at
     * Hamming distance <= 3 must agree on >= 1 chunk), verified by exact

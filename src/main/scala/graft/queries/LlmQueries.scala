@@ -124,6 +124,57 @@ object LlmQueries {
        |WHERE $hashJaccardSql >= $JaccardThreshold""".stripMargin
   }
 
+  // ---- near-dup clusters (connected components over pair graph) ----
+
+  def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    TextDedup.dedupClusters(minhashNearDups(s, dir))
+
+  /** DuckDB twin: transitive closure of the (tiny) pair graph via a
+    * recursive CTE; cluster id = min over the reachable set ∪ self. */
+  val dedupClustersOracle: String = {
+    import graft.operators.TextDedup.{MinhashA, MinhashB, MinhashP}
+    val mins = (0 until MinhashK).map(i =>
+      s"min((${MinhashA(i)} * h + ${MinhashB(i)}) % $MinhashP) AS m$i")
+    val bandVals = (0 until MinhashK / 4).map(i =>
+      s"concat('$i', '|', m${4 * i}, '|', m${4 * i + 1}, '|', m${4 * i + 2}, '|', m${4 * i + 3})")
+    s"""WITH RECURSIVE ${hashedCte(2)},
+       |hl AS (SELECT doc_id, list(h) AS hs FROM hashed GROUP BY doc_id),
+       |mh AS (
+       |  SELECT doc_id, ${mins.mkString(",\n    ")}
+       |  FROM hashed GROUP BY doc_id
+       |),
+       |bands AS (
+       |  SELECT doc_id, unnest([${bandVals.mkString(", ")}]) AS band_val
+       |  FROM mh
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b USING (band_val)
+       |  WHERE a.doc_id < b.doc_id
+       |),
+       |pairs AS (
+       |  SELECT id_a, id_b FROM cand
+       |  JOIN hl x ON x.doc_id = id_a
+       |  JOIN hl y ON y.doc_id = id_b
+       |  WHERE $hashJaccardSql >= $JaccardThreshold
+       |),
+       |edges AS (
+       |  SELECT id_a AS s, id_b AS t FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs
+       |),
+       |reach AS (
+       |  SELECT s, t FROM edges
+       |  UNION
+       |  SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s
+       |)
+       |SELECT n.s AS doc_id,
+       |  least(n.s, min(r.t)) AS cluster_id,
+       |  n.s = least(n.s, min(r.t)) AS keep
+       |FROM (SELECT DISTINCT s FROM edges) n
+       |JOIN reach r ON r.s = n.s
+       |GROUP BY n.s""".stripMargin
+  }
+
   // ---- inverted-index n-gram Jaccard near-dups ----
 
   private val NgramN = 3
@@ -362,6 +413,7 @@ object LlmQueries {
   val defs: Map[String, QueryDef] = Map(
     "llm_dedup_exact" -> QueryDef(dedupExact _, dedupExactOracle),
     "llm_minhash_neardup" -> QueryDef(minhashNearDups _, minhashOracle),
+    "llm_dedup_clusters" -> QueryDef(dedupClusters _, dedupClustersOracle),
     "llm_ngram_jaccard" -> QueryDef(ngramJaccard _, ngramJaccardOracle),
     "llm_simhash" -> QueryDef(simhash _, simhashOracle),
     "llm_simhash_pairs" -> QueryDef(simhashPairs _, simhashPairsOracle),

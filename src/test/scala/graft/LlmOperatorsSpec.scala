@@ -68,6 +68,19 @@ class LlmOperatorsSpec extends AnyFunSuite {
     assert(math.abs(got - expected) < 1e-12)
   }
 
+  test("dedupClusters propagates min label across a chain component") {
+    import spark.implicits._
+    // chain 10-20-30-40 (diameter 3 forces multiple rounds) + pair 5-6
+    val pairs = Seq((10L, 20L), (20L, 30L), (30L, 40L), (5L, 6L))
+      .toDF("id_a", "id_b")
+    val out = TextDedup.dedupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(Seq(10L, 20L, 30L, 40L).forall(out(_)._1 == 10L))
+    assert(out(5L)._1 == 5L && out(6L)._1 == 5L)
+    assert(out.count(_._2._2) == 2) // one survivor per component
+    assert(out(10L)._2 && out(5L)._2)
+  }
+
   test("simhash: identical normalized docs hash equal; hamming 0") {
     val exploded = docs.select(col("doc_id"),
       explode(TextDedup.words(col("text"))).as("w"))
