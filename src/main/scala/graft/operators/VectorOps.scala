@@ -61,6 +61,24 @@ object VectorOps {
       .filter(col("rank") <= k)
   }
 
+  /** Embedding-cosine near-duplicate pairs: same argmax-coordinate
+    * bucketing as [[bucketTop1]], emitting every intra-bucket pair at
+    * or above `threshold` (id_a < id_b). The dedup-flavored variant of
+    * the bucketed search — feeds the same cluster assignment as the
+    * text near-dup pairs. */
+  def cosineNearDups(corpus: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val b = corpus.select(col(idCol), col(vecCol),
+      argmaxBucket(col(vecCol)).as("bucket"))
+    b.select(col(idCol).as("id_a"), col(vecCol).as("_va"), col("bucket"))
+      .join(b.select(col(idCol).as("id_b"), col(vecCol).as("_vb"), col("bucket")),
+        "bucket")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosine(col("_va"), col("_vb")).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
   /** IVF-style bucketed nearest neighbour: per vector, the single most
     * cosine-similar other vector *within its argmax-coordinate bucket*
     * (ties broken by neighbor id). Vectors alone in their bucket drop

@@ -393,6 +393,24 @@ object LlmQueries {
   def annBucketed(s: SparkSession, dir: String): DataFrame =
     VectorOps.bucketTop1(emb(s, dir))
 
+  // ---- embedding-cosine near-dup pairs (bucketed) ----
+
+  private val EmbedDupThreshold = 0.3
+
+  def embedNearDups(s: SparkSession, dir: String): DataFrame =
+    VectorOps.cosineNearDups(emb(s, dir), EmbedDupThreshold)
+
+  val embedNearDupsOracle: String =
+    s"""WITH b AS (
+       |  SELECT vec_id, embedding,
+       |    list_indexof(embedding, list_aggregate(embedding, 'max')) AS bucket
+       |  FROM embeddings
+       |)
+       |SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+       |  ${duckCosine("a.embedding", "c.embedding")} AS cos_sim
+       |FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+       |WHERE ${duckCosine("a.embedding", "c.embedding")} >= $EmbedDupThreshold""".stripMargin
+
   val annBucketedOracle: String =
     s"""WITH b AS (
        |  SELECT vec_id, embedding,
@@ -422,5 +440,6 @@ object LlmQueries {
     "llm_quality_score" -> QueryDef(quality _, qualityOracle),
     "llm_lang_id" -> QueryDef(langId _, langIdOracle),
     "llm_ann_topk" -> QueryDef(annTopK _, annTopKOracle),
-    "llm_ann_bucketed" -> QueryDef(annBucketed _, annBucketedOracle))
+    "llm_ann_bucketed" -> QueryDef(annBucketed _, annBucketedOracle),
+    "llm_embed_neardup" -> QueryDef(embedNearDups _, embedNearDupsOracle))
 }
