@@ -82,7 +82,7 @@ object SchemaIntrospector {
         t ++ nl
       }
     }
-    missing ++ extra ++ mismatches
+    (missing ++ extra ++ mismatches).toSeq
   }
 
   /** S10 against the live catalog (`system.columns` analog). */
