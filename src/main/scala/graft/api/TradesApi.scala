@@ -55,7 +55,12 @@ object TradesApi {
   private def parseTs(s: String, isEnd: Boolean): LocalDateTime = {
     val t = s.trim
     if (isDateOnly(t)) {
-      val d = LocalDate.parse(t)
+      val d =
+        try LocalDate.parse(t)
+        catch {
+          case _: java.time.DateTimeException =>
+            throw new IllegalArgumentException(s"Unparseable timestamp: $s")
+        }
       (if (isEnd) d.plusDays(1) else d).atStartOfDay()
     } else {
       val norm = t.replace("T", " ")

@@ -127,11 +127,20 @@ object Instruments {
       .map { case (m, i) => s"WHEN '$m' THEN ${i + 1}" }
       .mkString(s"CASE $monExpr ", " ", " ELSE NULL END")
 
-  def duckExpiry(col: String): String =
-    s"""make_date(
-       |  2000 + CAST(${duckGrp(col, 4)} AS INTEGER),
-       |  ${duckMonthNum(duckGrp(col, 3))},
-       |  CAST(${duckGrp(col, 2)} AS INTEGER))""".stripMargin
+  /** DuckDB's make_date RAISES on an in-pattern-but-impossible day
+    * (e.g. 31FEB25) where Spark's returns NULL — guard the day against
+    * the month's last day so the oracle mirrors the null instead of
+    * crashing the whole query. (make_date(y, m, 1) is safe: the month
+    * number comes from the validated month-name CASE or is NULL, and
+    * make_date is null-safe.) */
+  def duckExpiry(col: String): String = {
+    val y = s"2000 + CAST(${duckGrp(col, 4)} AS INTEGER)"
+    val m = duckMonthNum(duckGrp(col, 3))
+    val d = s"CAST(${duckGrp(col, 2)} AS INTEGER)"
+    s"""(CASE WHEN $d BETWEEN 1 AND
+       |   extract(day FROM last_day(make_date($y, $m, 1)))
+       | THEN make_date($y, $m, $d) END)""".stripMargin
+  }
 
   def duckStrike(col: String): String =
     s"CAST(${duckGrp(col, 5)} AS DOUBLE)"

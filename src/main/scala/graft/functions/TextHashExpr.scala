@@ -39,21 +39,30 @@ object TextHash {
       ((b(2) & 0xffL) << 8) | (b(3) & 0xffL)
   }
 
+  /** Exactly Java regex `\s` (what the Column pipeline's
+    * regexp_replace uses; RE2's `\s` omits \v — an edge shared by
+    * every normText oracle, unreachable in the ASCII corpus):
+    * space, \t, \n, \v, \f, \r). Character.isWhitespace would also
+    * accept U+001C-001F / U+1680 / U+2028... and silently diverge from
+    * the Column pipeline and the DuckDB oracles. */
+  @inline private def isWsRegexS(c: Char): Boolean =
+    c == ' ' || (c >= '\t' && c <= '\r') // \t \n  \f \r
+
   /** Distinct word n-gram hash32 values of the normalized text; empty
     * array when the text has fewer than n words. Called from generated
     * code (object methods compile to static forwarders). */
   def ngramHashes(text: UTF8String, n: Int): ArrayData = {
     if (text == null) return new GenericArrayData(Array.empty[Long])
-    // normalize: lowercase + split on whitespace runs (equivalent to
+    // normalize: lowercase + split on \s+ runs (equivalent to
     // regexp_replace(\s+,' ') + trim + split(' ') for any input)
     val s = text.toLowerCase.toString
     val words = new java.util.ArrayList[String]()
     var i = 0
     val len = s.length
     while (i < len) {
-      while (i < len && Character.isWhitespace(s.charAt(i))) i += 1
+      while (i < len && isWsRegexS(s.charAt(i))) i += 1
       val start = i
-      while (i < len && !Character.isWhitespace(s.charAt(i))) i += 1
+      while (i < len && !isWsRegexS(s.charAt(i))) i += 1
       if (i > start) words.add(s.substring(start, i))
     }
     val w = words.size()

@@ -80,7 +80,10 @@ object Multimodal {
     media.mapPartitions { it =>
       it.filter(_.media_type == "video").flatMap { m =>
         val d = StubCodec.decode(m)
-        val frameSize = math.max(1, m.content.length / math.max(1, d.n_frames))
+        // plain integer division (no clamp) — the oracle computes
+        // len // n_frames; payloads shorter than n_frames yield empty
+        // frame slices on both sides
+        val frameSize = m.content.length / d.n_frames
         (0 until d.n_frames by everyN).iterator.map { f =>
           val from = math.min(f * frameSize, m.content.length)
           val until = math.min(from + frameSize, m.content.length)

@@ -243,12 +243,16 @@ object TextDedup {
     val edges = materialize(
       pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
         .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
+    // seed with min(self, direct neighbors) — one propagation round
+    // for free
     var labels = materialize(
-      edges.select(col("src").as("id")).distinct()
-        .withColumn("label", col("id")))
+      edges.groupBy(col("src"))
+        .agg(least(min(col("dst")), col("src")).as("label"))
+        .select(col("src").as("id"), col("label")))
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 50) {
+    val maxRounds = 64
+    while (!converged && rounds < maxRounds) {
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id"))
@@ -258,9 +262,15 @@ object TextDedup {
           least(col("label"), coalesce(col("_nbr"), col("label"))).as("label"),
           (col("_nbr") < col("label")).as("_changed")))
       converged = updated.filter(col("_changed")).limit(1).count() == 0L
+      labels.unpersist() // superseded round's cache
       labels = updated
       rounds += 1
     }
+    // silent non-convergence would emit two survivors for one
+    // component — fail loudly instead (a >64-diameter near-dup chain
+    // calls for the path-doubling variant, not a wrong answer)
+    require(converged,
+      s"label propagation did not converge within $maxRounds rounds")
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"),
       (col("id") === col("label")).as("keep"))
   }

@@ -50,14 +50,29 @@ trait TradePager {
   * ships the S2 continuity validator and idempotent re-fetches; a
   * deterministic offline source simply closes the group. */
 final class FixturePager(fixture: IndexedSeq[RawTrade]) extends TradePager {
-  private val sorted = fixture.sortBy(-_.timestamp_ms)
+  private val sorted: Vector[RawTrade] = fixture.sortBy(-_.timestamp_ms).toVector
+
+  /** First index with timestamp_ms <= endTsMs (array is descending) —
+    * binary search, so a full backfill is O(n log n) over all pages
+    * instead of the O(n^2/pageSize) a per-page linear scan costs. */
+  private def lowerBound(endTsMs: Long): Int = {
+    var lo = 0; var hi = sorted.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (sorted(mid).timestamp_ms > endTsMs) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+
   def fetchPage(endTsMs: Long, count: Int): Seq[RawTrade] = {
-    val eligible = sorted.dropWhile(_.timestamp_ms > endTsMs)
-    if (eligible.size <= count) eligible
+    val from = lowerBound(endTsMs)
+    val until = math.min(from + count, sorted.length)
+    if (until == sorted.length) sorted.slice(from, until)
     else {
-      val minMs = eligible(count - 1).timestamp_ms
-      eligible.take(count) ++
-        eligible.drop(count).takeWhile(_.timestamp_ms == minMs)
+      val minMs = sorted(until - 1).timestamp_ms
+      var ext = until
+      while (ext < sorted.length && sorted(ext).timestamp_ms == minMs) ext += 1
+      sorted.slice(from, ext)
     }
   }
 }
@@ -116,7 +131,10 @@ object Backfill {
   def insertBatchIdempotent(spark: SparkSession, rows: Seq[TradeRow],
       token: String, targetDir: String): Boolean = {
     val dir = Paths.get(targetDir, s"batch_token=$token")
-    if (Files.exists(dir)) false
+    // only a COMMITTED batch (_SUCCESS marker) dedupes the token; a
+    // partial directory from a crashed write is overwritten, not
+    // silently skipped
+    if (Files.exists(dir.resolve("_SUCCESS"))) false
     else {
       import spark.implicits._
       rows.toDF().write.mode(SaveMode.Overwrite).parquet(dir.toString)

@@ -101,7 +101,10 @@ object StreamingIngest {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val dir = s"$targetDir/ingest_batch=$batchId"
-        if (!new java.io.File(dir).exists()) {
+        // skip only COMMITTED batches (_SUCCESS marker): a bare
+        // directory check would permanently drop a batch whose write
+        // crashed mid-flight; overwrite of a partial dir is safe.
+        if (!new java.io.File(dir, "_SUCCESS").exists()) {
           batch.withColumn(
             "month", date_format(col("timestamp"), "yyyyMM"))
             .write.mode("overwrite").partitionBy("month").parquet(dir)

@@ -55,6 +55,19 @@ class IngestSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$target/batch_token=*").count() == 10)
   }
 
+  test("S4 retries a partially-written (uncommitted) batch") {
+    val target = tmp("bf-partial")
+    val rows = fixture(10).flatMap(Backfill.mapRow)
+    val token = Backfill.dedupToken("BTC", 0, 2, 0)
+    // simulate a crash: directory exists but no _SUCCESS marker
+    val dir = java.nio.file.Paths.get(target, s"batch_token=$token")
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.write(dir.resolve("part-junk.parquet"),
+      Array[Byte](1, 2, 3))
+    assert(Backfill.insertBatchIdempotent(spark, rows, token, target))
+    assert(spark.read.parquet(s"$target/batch_token=*").count() == 10)
+  }
+
   test("S6 checkpoint round-trips and enables resume mid-range") {
     val ckpt = tmp("bf-ckpt2")
     val cp = Backfill.Checkpoint(123456789L, 7, 7000L, 2)

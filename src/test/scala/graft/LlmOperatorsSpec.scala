@@ -29,6 +29,22 @@ class LlmOperatorsSpec extends AnyFunSuite {
       graft.functions.TextHashColumns.ngramHashes(col("text"), n).as("hs"))
       .filter(size(col("hs")) > 0)
 
+  test("NgramHash32 splits exactly on regex \\s, not Character.isWhitespace") {
+    import spark.implicits._
+    // U+001C is isWhitespace-true but \s-false: must stay inside a word
+    val d = Seq((1L, "aa\u001Cbb cc dd")).toDF("doc_id", "text")
+    val viaExpr = d.select(
+      graft.functions.TextHashColumns.ngramHashes(col("text"), 2).as("hs"))
+      .head().getSeq[Long](0).toSet
+    val viaCols = d
+      .select(TextDedup.words(col("text")).as("_w"))
+      .select(TextDedup.wordShingles(col("_w"), 2).as("_sh"))
+      .select(transform(col("_sh"), TextDedup.wordHash32(_)).as("hs"))
+      .head().getSeq[Long](0).toSet
+    assert(viaExpr == viaCols)
+    assert(viaExpr.size == 2) // ["aa<FS>bb cc", "cc dd"]
+  }
+
   test("NgramHash32 expression matches the staged column pipeline") {
     val viaExpr = hashed(2).collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap

@@ -45,6 +45,17 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.forall(_.frame_bytes.length == frameSize))
   }
 
+  test("sampleFrames emits empty slices for payloads shorter than n_frames") {
+    import spark.implicits._
+    val tiny = Seq((2L, "abcde")).toDF("doc_id", "text") // video class, 5 bytes
+    val m = Multimodal.mediaFromDocs(tiny)
+    val d = StubCodec.decode(m.head())
+    assert(d.n_frames > 5) // frameSize = 5 / n_frames = 0
+    val frames = Multimodal.sampleFrames(m, everyN = 2).collect()
+    assert(frames.length == (d.n_frames + 1) / 2)
+    assert(frames.forall(_.frame_bytes.isEmpty))
+  }
+
   test("extractFeatures yields L1-normalized 16-dim histograms") {
     val f = Multimodal.extractFeatures(Multimodal.mediaFromDocs(media))
       .collect()

@@ -35,6 +35,13 @@ class TradesApiSpec extends AnyFunSuite {
       TradesApi.fetch(trades, FetchParams(underlying = Some("BTC")))
     }
   }
+  test("malformed date-only input raises IllegalArgumentException") {
+    intercept[IllegalArgumentException] {
+      TradesApi.fetch(trades, FetchParams(start = Some("2024-13-01"),
+        limit = Some(10)))
+    }
+  }
+
   test("empty-string params refused") {
     intercept[IllegalArgumentException] {
       TradesApi.fetch(trades, FetchParams(underlying = Some("  "),
