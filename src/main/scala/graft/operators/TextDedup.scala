@@ -233,12 +233,14 @@ object TextDedup {
   /** Connected components over a near-dup pair graph: every document
     * that appears in a pair gets its component's minimum doc id as
     * `cluster_id` (`keep` = it IS that minimum — the survivor).
-    * Iterative min-label propagation to a fixpoint — each round is one
-    * join + aggregate, converging in O(graph diameter) rounds (near-dup
-    * components are tiny chains, 2-3 rounds in practice; the same loop
-    * is the standard large-scale connected-components kernel). Inputs
-    * and intermediates stay distributed; only the `changed` count hits
-    * the driver. */
+    *
+    * Alternating min-label propagation + pointer jumping (label :=
+    * label's label) to a fixpoint — the jump halves the distance to
+    * the component minimum every round, so convergence is
+    * O(log diameter) rounds, each one join+aggregate plus one
+    * self-join over the (small) label table. Inputs and intermediates
+    * stay distributed; only the per-round changed flag hits the
+    * driver. */
   def dedupClusters(pairs: DataFrame): DataFrame = {
     val edges = materialize(
       pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
@@ -251,24 +253,34 @@ object TextDedup {
         .select(col("src").as("id"), col("label")))
     var converged = false
     var rounds = 0
-    val maxRounds = 64
+    val maxRounds = 64 // log2-diameter rounds suffice; 64 is unreachable
     while (!converged && rounds < maxRounds) {
+      // (a) min over self + neighbor labels
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("label")).as("_nbr"))
-      val updated = materialize(labels.join(neighborMin, Seq("id"), "left")
+      val propagated = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("_nbr"), col("label"))).as("label"),
-          (col("_nbr") < col("label")).as("_changed")))
-      converged = updated.filter(col("_changed")).limit(1).count() == 0L
-      labels.unpersist() // superseded round's cache
-      labels = updated
+          least(col("label"), coalesce(col("_nbr"), col("label"))).as("label"))
+      // (b) pointer jump: follow the label's own label (labels are
+      // node ids, so the self-join is total on the left)
+      val parent = propagated
+        .select(col("id").as("label"), col("label").as("_ll"))
+      // localCheckpoint (eager), not persist: persist truncates
+      // re-execution but NOT the logical plan — an iterative loop's
+      // lineage grows exponentially per round (each round references
+      // the previous labels several times) and blows up planning.
+      val jumped = propagated.join(parent, Seq("label"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("_ll"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      converged = jumped
+        .join(labels.withColumnRenamed("label", "_old"), "id")
+        .filter(col("label") < col("_old")).limit(1).count() == 0L
+      labels = jumped
       rounds += 1
     }
-    // silent non-convergence would emit two survivors for one
-    // component — fail loudly instead (a >64-diameter near-dup chain
-    // calls for the path-doubling variant, not a wrong answer)
     require(converged,
       s"label propagation did not converge within $maxRounds rounds")
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"),

@@ -97,6 +97,18 @@ class LlmOperatorsSpec extends AnyFunSuite {
     assert(out(10L)._2 && out(5L)._2)
   }
 
+  test("dedupClusters converges on a 200-node chain (log-diameter jumps)") {
+    import spark.implicits._
+    // pure propagation would need 199 rounds — far past the 64 cap;
+    // pointer jumping must close it in ~log2(199) alternating rounds
+    val chain = (0 until 199).map(i => (i.toLong, i.toLong + 1))
+      .toDF("id_a", "id_b")
+    val out = TextDedup.dedupClusters(chain).collect()
+    assert(out.length == 200)
+    assert(out.forall(_.getLong(1) == 0L))
+    assert(out.count(_.getBoolean(2)) == 1)
+  }
+
   test("simhash: identical normalized docs hash equal; hamming 0") {
     val exploded = docs.select(col("doc_id"),
       explode(TextDedup.words(col("text"))).as("w"))
