@@ -268,7 +268,64 @@ object FeatureQueries {
        |UNION ALL
        |SELECT 'front_month_atm_liquid', count(*) FROM liq""".stripMargin
 
+  // ---- full feature pipeline (reference §3.3 compose-then-execute) ----
+
+  /** The reference's nested-SQL-template lifecycle as ONE Catalyst
+    * plan: front-month selection → ATM band → liquidity floor → spot
+    * enrichment → moneyness aggregation (`contract_selector.py:117-191`
+    * → `spot_provider.py:144-205` → `moneyness.py:136-170`). Each
+    * stage is a DataFrame => DataFrame transform; Catalyst sees the
+    * whole tree, so the reference's "filter in the innermost template"
+    * discipline is recovered by pushdown automatically. */
+  def p0Pipeline(s: SparkSession, dir: String): DataFrame = {
+    val selected = frontMonthDf(s, dir)
+      .transform(ContractSelector.atmFilter(_))
+      .transform(ContractSelector.liquidityFilter(_))
+    val enriched = SpotProvider.enrichWithSpot(
+      selected,
+      SpotProvider.spotBars(SyntheticTrades.spotTicks(s, dir)))
+    Moneyness.aggregateLong(enriched)
+  }
+
+  val p0Oracle: String =
+    s"""WITH $selCte,
+       |atm AS (
+       |  SELECT * FROM sel
+       |  WHERE strike / index_price BETWEEN 0.95 AND 1.05
+       |),
+       |liq AS (
+       |  SELECT * FROM (
+       |    SELECT *, CAST(sum(CAST(amount AS DECIMAL(28,6))) OVER (
+       |      PARTITION BY instrument_name, bucket_start - bucket_start % 86400
+       |    ) AS DOUBLE) AS daily_volume
+       |    FROM atm
+       |  ) WHERE daily_volume >= 10.0
+       |),
+       |${OracleCtes.spotBars},
+       |pipe AS (
+       |  SELECT l.bucket_start AS ts,
+       |    ${OracleCtes.moneynessBucketCase(
+             "l.strike / coalesce(l.index_price, s.close)")}
+       |      AS moneyness_bucket,
+       |    l.iv, l.amount, l.option_type,
+       |    l.strike / coalesce(l.index_price, s.close) AS moneyness
+       |  FROM liq l
+       |  LEFT JOIN spot_bars s
+       |    ON s.symbol = l.underlying AND s.ts_bucket = l.bucket_start
+       |)
+       |SELECT ts, moneyness_bucket,
+       |  ${duckDavg("iv")} AS iv_mean,
+       |  ${duckStddevPop("iv")} AS iv_std,
+       |  count(*) AS trade_count,
+       |  ${duckDsum("amount")} AS total_volume,
+       |  count(CASE WHEN option_type = 'C' THEN 1 END) AS call_count,
+       |  count(CASE WHEN option_type = 'P' THEN 1 END) AS put_count
+       |FROM pipe
+       |WHERE moneyness > 0 AND iv > 0
+       |GROUP BY ts, moneyness_bucket""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "p0_pipeline_e2e" -> QueryDef(p0Pipeline _, p0Oracle),
     "a16_strategy_counts" -> QueryDef(a16StrategyCounts _, a16Oracle),
     "a1_front_month" -> QueryDef(a1FrontMonth _, a1Oracle),
     "f6_atm_contracts" -> QueryDef(f6Atm _, f6Oracle),

@@ -48,6 +48,23 @@ object StreamingIngest {
         col("underlying"), col("iv_open"), col("iv_high"), col("iv_low"),
         col("iv_close"), col("volume"), col("n_trades"))
 
+  /** A6-for-streams: watermarked per-bar put/call volume ratio — the
+    * conditional-aggregation form of PCR emitted as bars close. */
+  def pcrBars(trades: DataFrame, watermark: String = "30 minutes"): DataFrame =
+    trades
+      .withWatermark("timestamp", watermark)
+      .groupBy(window(col("timestamp"), "15 minutes"), col("underlying"))
+      .agg(
+        sum(when(col("option_type") === "P", col("amount"))).as("put_volume"),
+        sum(when(col("option_type") === "C", col("amount"))).as("call_volume"))
+      .select(
+        unix_timestamp(col("window.start")).as("bucket_start"),
+        col("underlying"),
+        coalesce(col("put_volume"), lit(0.0)).as("put_volume"),
+        coalesce(col("call_volume"), lit(0.0)).as("call_volume"),
+        (coalesce(col("put_volume"), lit(0.0)) /
+          nullif(coalesce(col("call_volume"), lit(0.0)), lit(0.0))).as("pcr"))
+
   final case class GapEvent(underlying: String, gap_start_ep: Long,
       gap_end_ep: Long, gap_seconds: Long)
 

@@ -72,6 +72,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming PCR emits put/call ratios for closed bars") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(String, String, Timestamp, String, Double)]
+    val pcr = StreamingIngest.pcrBars(
+      input.toDF().toDF("trade_id", "underlying", "timestamp",
+        "option_type", "amount"),
+      watermark = "1 minutes")
+    val q = pcr.writeStream.format("memory").queryName("pcr_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        ("1", "BTC", ts(1), "P", 6.0),
+        ("2", "BTC", ts(7), "C", 2.0),
+        ("3", "BTC", ts(14), "C", 2.0))
+      q.processAllAvailable()
+      input.addData(("4", "BTC",
+        Timestamp.valueOf("2024-01-10 11:30:00"), "C", 1.0))
+      q.processAllAvailable()
+      val k = Timestamp.valueOf("2024-01-10 10:00:00").getTime / 1000
+      val row = spark.table("pcr_out")
+        .collect().map(r => r.getAs[Long]("bucket_start") ->
+          (r.getAs[Double]("put_volume"), r.getAs[Double]("call_volume"),
+            r.getAs[Double]("pcr"))).toMap
+      assert(row.contains(k))
+      assert(row(k) == ((6.0, 4.0, 1.5)))
+    } finally q.stop()
+  }
+
   test("stateful gap detector carries last-seen state across batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
