@@ -79,6 +79,104 @@ object VectorOps {
       .filter(col("cos_sim") >= threshold)
   }
 
+  // ---- trained IVF: seeded k-means coarse quantizer ----
+
+  /** Deterministic k-means for the IVF coarse quantizer: centroids
+    * seeded from the k lowest-id vectors, fixed iteration count,
+    * assignment by squared L2 with lowest-centroid-index tie-break.
+    * Per-iteration centroid update is an elementwise reduceGroups sum
+    * + count — a streaming pairwise reduction, never a per-group
+    * collect, so it holds at any cluster size. Centroids themselves
+    * are k x dim doubles on the driver (tiny by construction). */
+  def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      : Array[Array[Double]] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val vecs = corpus.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+    var centroids = vecs.orderBy(col(idCol)).limit(k).collect()
+      .map(_._2.map(_.toDouble))
+    for (_ <- 0 until iters) {
+      val bc = spark.sparkContext.broadcast(centroids)
+      val sums = vecs
+        .map { case (_, v) => (nearestCentroid(v, bc.value),
+          (v.map(_.toDouble), 1L)) }
+        .groupByKey(_._1)
+        .mapValues(_._2)
+        .reduceGroups { (a: (Array[Double], Long), b: (Array[Double], Long)) =>
+          val s = new Array[Double](a._1.length)
+          var i = 0
+          while (i < s.length) { s(i) = a._1(i) + b._1(i); i += 1 }
+          (s, a._2 + b._2)
+        }
+        .collect()
+      val next = centroids.clone()
+      sums.foreach { case (c, (sum, n)) => next(c) = sum.map(_ / n) }
+      centroids = next
+    }
+    centroids
+  }
+
+  /** Index of the nearest centroid by squared L2 (first wins ties). */
+  def nearestCentroid(v: Array[Float], centroids: Array[Array[Double]]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      var d = 0.0; var i = 0
+      val ct = centroids(c)
+      while (i < ct.length) {
+        val diff = v(i) - ct(i); d += diff * diff; i += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Trained-IVF top-k: corpus vectors are assigned to their nearest
+    * centroid (one map pass, centroids broadcast); each query probes
+    * its `nprobe` nearest centroid lists and scores only those — the
+    * classic inverted-file search, no all-pairs anywhere. Exact cosine
+    * inside the probed lists, deterministic ties. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nClusters: Int = 16, nprobe: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = kmeansCentroids(corpus, nClusters, iters = 3, idCol, vecCol)
+    val bc = spark.sparkContext.broadcast(centroids)
+    val assigned = corpus
+      .select(col(idCol).cast("long"), col(vecCol)).as[(Long, Array[Float])]
+      .map { case (id, v) => (id, v, nearestCentroid(v, bc.value)) }
+      .toDF(idCol, vecCol, "cluster")
+    val probes = queries
+      .select(col(idCol).cast("long"), col(vecCol)).as[(Long, Array[Float])]
+      .collect()
+      .flatMap { case (qid, qv) =>
+        centroids.indices
+          .sortBy { c =>
+            var d = 0.0; var i = 0
+            while (i < qv.length) {
+              val diff = qv(i) - centroids(c)(i); d += diff * diff; i += 1 }
+            (d, c)
+          }
+          .take(nprobe)
+          .map(c => (qid, qv, c))
+      }
+    val probeDf = broadcast(
+      probes.toSeq.toDF("query_id", "_qv", "cluster"))
+    val scored = assigned.join(probeDf, "cluster")
+      .filter(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        cosine(col("_qv"), col(vecCol)).as("cos_sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** IVF-style bucketed nearest neighbour: per vector, the single most
     * cosine-similar other vector *within its argmax-coordinate bucket*
     * (ties broken by neighbor id). Vectors alone in their bucket drop

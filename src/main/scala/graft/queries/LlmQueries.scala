@@ -428,6 +428,14 @@ object LlmQueries {
        |  FROM pairs
        |) WHERE rn = 1""".stripMargin
 
+  /** Trained-IVF ANN (rows-only: k-means centroid means are FP-order-
+    * dependent, so no cross-engine oracle; recall and structure are
+    * covered by LlmOperatorsSpec). */
+  def annIvfTrained(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    VectorOps.ivfTopK(e, e.filter(col("vec_id") < AnnQueries), AnnK)
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "llm_dedup_exact" -> QueryDef(dedupExact _, dedupExactOracle),
     "llm_minhash_neardup" -> QueryDef(minhashNearDups _, minhashOracle),
@@ -441,5 +449,6 @@ object LlmQueries {
     "llm_lang_id" -> QueryDef(langId _, langIdOracle),
     "llm_ann_topk" -> QueryDef(annTopK _, annTopKOracle),
     "llm_ann_bucketed" -> QueryDef(annBucketed _, annBucketedOracle),
-    "llm_embed_neardup" -> QueryDef(embedNearDups _, embedNearDupsOracle))
+    "llm_embed_neardup" -> QueryDef(embedNearDups _, embedNearDupsOracle),
+    "llm_ann_ivf_trained" -> QueryDef(annIvfTrained _, None))
 }

@@ -169,6 +169,35 @@ class LlmOperatorsSpec extends AnyFunSuite {
     assert(top > 0.99 && top < 1.0)
   }
 
+  test("trained IVF recovers planted clusters and matches brute force") {
+    import spark.implicits._
+    // 3 clean clusters around orthogonal axes, 8 vectors each
+    val planted = (0 until 24).map { i =>
+      val axis = i % 3
+      val base = Array.fill(3)(0.01f * ((i * 7) % 5))
+      base(axis) = 1.0f + 0.01f * (i / 3)
+      (i.toLong, base)
+    }.toDF("vec_id", "embedding")
+    val centroids = VectorOps.kmeansCentroids(planted, k = 3, iters = 5)
+    assert(centroids.length == 3 && centroids.forall(_.length == 3))
+    // every vector's nearest centroid must be shared with its axis-mates
+    val assigns = planted.as[(Long, Array[Float])].collect()
+      .map { case (id, v) => id -> VectorOps.nearestCentroid(v, centroids) }
+      .toMap
+    for (axis <- 0 until 3) {
+      val members = (0 until 24).filter(_ % 3 == axis).map(i => assigns(i.toLong))
+      assert(members.distinct.size == 1, s"axis $axis split: $members")
+    }
+    // IVF top-1 with nprobe=1 agrees with brute force inside clusters
+    val queries = planted.filter(col("vec_id") < 3)
+    val ivf = VectorOps.ivfTopK(planted, queries, k = 1, nClusters = 3,
+      nprobe = 1).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    val brute = VectorOps.annTopK(planted, queries, k = 1).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    assert(ivf == brute)
+  }
+
   test("bucketed ANN only pairs within argmax bucket") {
     val out = VectorOps.bucketTop1(vecs).collect()
       .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("nn_id")).toMap
