@@ -245,9 +245,18 @@ object TextDedup {
     val edges = materialize(
       pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
         .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
+    // checkpoint-or-localCheckpoint: lineage MUST be truncated every
+    // round (it grows exponentially), and a configured checkpoint dir
+    // upgrades the truncation to a fault-tolerant one (localCheckpoint
+    // blocks are unreplicated — an executor loss mid-loop cannot be
+    // recomputed past the truncation).
+    def snapshot(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        df.checkpoint(true)
+      else df.localCheckpoint(true)
     // seed with min(self, direct neighbors) — one propagation round
     // for free
-    var labels = materialize(
+    var labels = snapshot(
       edges.groupBy(col("src"))
         .agg(least(min(col("dst")), col("src")).as("label"))
         .select(col("src").as("id"), col("label")))
@@ -267,14 +276,9 @@ object TextDedup {
       // node ids, so the self-join is total on the left)
       val parent = propagated
         .select(col("id").as("label"), col("label").as("_ll"))
-      // localCheckpoint (eager), not persist: persist truncates
-      // re-execution but NOT the logical plan — an iterative loop's
-      // lineage grows exponentially per round (each round references
-      // the previous labels several times) and blows up planning.
-      val jumped = propagated.join(parent, Seq("label"), "left")
+      val jumped = snapshot(propagated.join(parent, Seq("label"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("_ll"), col("label"))).as("label"))
-        .localCheckpoint(true)
+          least(col("label"), coalesce(col("_ll"), col("label"))).as("label")))
       converged = jumped
         .join(labels.withColumnRenamed("label", "_old"), "id")
         .filter(col("label") < col("_old")).limit(1).count() == 0L
@@ -283,6 +287,9 @@ object TextDedup {
     }
     require(converged,
       s"label propagation did not converge within $maxRounds rounds")
+    // the result plan reads only the final (checkpointed) labels —
+    // the edge cache is dead weight from here on
+    edges.unpersist()
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"),
       (col("id") === col("label")).as("keep"))
   }

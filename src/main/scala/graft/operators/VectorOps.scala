@@ -93,29 +93,35 @@ object VectorOps {
       : Array[Array[Double]] = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // one source scan: the seed collect + every iteration read from
+    // the cache (iters+1 scans of 100 TB otherwise)
     val vecs = corpus.select(col(idCol).cast("long"), col(vecCol))
       .as[(Long, Array[Float])]
-    var centroids = vecs.orderBy(col(idCol)).limit(k).collect()
-      .map(_._2.map(_.toDouble))
-    for (_ <- 0 until iters) {
-      val bc = spark.sparkContext.broadcast(centroids)
-      val sums = vecs
-        .map { case (_, v) => (nearestCentroid(v, bc.value),
-          (v.map(_.toDouble), 1L)) }
-        .groupByKey(_._1)
-        .mapValues(_._2)
-        .reduceGroups { (a: (Array[Double], Long), b: (Array[Double], Long)) =>
-          val s = new Array[Double](a._1.length)
-          var i = 0
-          while (i < s.length) { s(i) = a._1(i) + b._1(i); i += 1 }
-          (s, a._2 + b._2)
-        }
-        .collect()
-      val next = centroids.clone()
-      sums.foreach { case (c, (sum, n)) => next(c) = sum.map(_ / n) }
-      centroids = next
-    }
-    centroids
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var centroids = vecs.orderBy(col(idCol)).limit(k).collect()
+        .map(_._2.map(_.toDouble))
+      for (_ <- 0 until iters) {
+        val bc = spark.sparkContext.broadcast(centroids)
+        val sums = vecs
+          .map { case (_, v) => (nearestCentroid(v, bc.value),
+            (v.map(_.toDouble), 1L)) }
+          .groupByKey(_._1)
+          .mapValues(_._2)
+          .reduceGroups { (a: (Array[Double], Long), b: (Array[Double], Long)) =>
+            val s = new Array[Double](a._1.length)
+            var i = 0
+            while (i < s.length) { s(i) = a._1(i) + b._1(i); i += 1 }
+            (s, a._2 + b._2)
+          }
+          .collect()
+        bc.destroy()
+        val next = centroids.clone()
+        sums.foreach { case (c, (sum, n)) => next(c) = sum.map(_ / n) }
+        centroids = next
+      }
+      centroids
+    } finally vecs.unpersist()
   }
 
   /** Index of the nearest centroid by squared L2 (first wins ties). */
@@ -150,22 +156,24 @@ object VectorOps {
       .select(col(idCol).cast("long"), col(vecCol)).as[(Long, Array[Float])]
       .map { case (id, v) => (id, v, nearestCentroid(v, bc.value)) }
       .toDF(idCol, vecCol, "cluster")
-    val probes = queries
+    // probe selection runs distributed over the query set (only the
+    // broadcast centroids are driver-sized) — the query DataFrame
+    // never collects to the driver
+    val probeDf = broadcast(queries
       .select(col(idCol).cast("long"), col(vecCol)).as[(Long, Array[Float])]
-      .collect()
       .flatMap { case (qid, qv) =>
-        centroids.indices
+        val cs = bc.value
+        cs.indices
           .sortBy { c =>
             var d = 0.0; var i = 0
             while (i < qv.length) {
-              val diff = qv(i) - centroids(c)(i); d += diff * diff; i += 1 }
+              val diff = qv(i) - cs(c)(i); d += diff * diff; i += 1 }
             (d, c)
           }
           .take(nprobe)
           .map(c => (qid, qv, c))
       }
-    val probeDf = broadcast(
-      probes.toSeq.toDF("query_id", "_qv", "cluster"))
+      .toDF("query_id", "_qv", "cluster"))
     val scored = assigned.join(probeDf, "cluster")
       .filter(col(idCol) =!= col("query_id"))
       .select(col("query_id"), col(idCol).as("neighbor_id"),
