@@ -43,8 +43,12 @@ object SystemQueries {
     val ckpt = Files.createTempDirectory("s7-ckpt").toString
     val startMs = fixture.map(_.timestamp_ms).min - 1
     val endMs = fixture.map(_.timestamp_ms).max
+    // large batch size: each flush is a full Spark write job (~300 ms
+    // of commit overhead) and batching is invisible in the verified
+    // aggregate — the loop/batch/checkpoint mechanics are covered at
+    // small sizes by IngestSpec
     Backfill.collect(s, new FixturePager(fixture), "BTC", startMs, endMs,
-      target, ckpt, pageSize = 1000, batchSize = 5000)
+      target, ckpt, pageSize = 1000, batchSize = 50000)
     s.read.parquet(s"$target/batch_token=*")
       .groupBy(col("underlying"))
       .agg(
