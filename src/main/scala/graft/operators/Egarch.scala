@@ -298,6 +298,38 @@ object Egarch {
       n_obs: Int, converged: Boolean, vol_forecast_1: Double,
       resid_mean: Double, resid_std: Double, iv_egarch_spread_last: Double)
 
+  final case class ForecastRow(
+      underlying: String, horizon: Int, vol_forecast: Double,
+      persistence: Double, n_obs: Int, converged: Boolean)
+
+  /** M5 as a first-class per-group operator: fit + multi-step
+    * volatility forecast (step 1 analytic, steps 2+ seeded
+    * simulation), one row per (group, horizon). Same distribution
+    * story as [[fitPerGroup]] — thousands of series fit in parallel,
+    * one executor task each. */
+  def forecastPerGroup(bars: DataFrame, horizon: Int,
+      keyCol: String = "underlying", valueCol: String = "iv_close",
+      orderCol: String = "bucket_start"): Dataset[ForecastRow] = {
+    val spark = bars.sparkSession
+    import spark.implicits._
+    bars.select(col(keyCol).cast("string"), col(orderCol).cast("long"),
+      col(valueCol).cast("double"))
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (key, it) =>
+        val series = it.toArray.sortBy(_._2)
+        val x = series.map(_._3).filter(v => !v.isNaN)
+        if (x.length < MinObservations) Iterator.empty
+        else (try Some(fit(x)) catch { case _: Throwable => None })
+          .iterator.flatMap { f =>
+            forecast(f, horizon).iterator.zipWithIndex.map {
+              case (v, h) =>
+                ForecastRow(key, h + 1, v, f.persistence, f.nObs, f.converged)
+            }
+          }
+      }
+  }
+
   /** Fit one EGARCH per `keyCol` group over the `valueCol` bar series
     * ordered by `orderCol`. bars is SMALL (one row per 15-min bar);
     * each group's series is collected inside its executor task. */

@@ -23,7 +23,13 @@ object EgarchQueries {
   def m4Auto(s: SparkSession, dir: String): DataFrame =
     Egarch.fitPerGroup(bars(s, dir), auto = true).toDF()
 
+  /** M5: 5-step volatility forecast per underlying (analytic 1-step +
+    * seeded simulation for 2..5). */
+  def m5Forecast(s: SparkSession, dir: String): DataFrame =
+    Egarch.forecastPerGroup(bars(s, dir), horizon = 5).toDF()
+
   val defs: Map[String, QueryDef] = Map(
     "m3_egarch_fit" -> QueryDef(m3Fit _, None),
-    "m4_egarch_auto" -> QueryDef(m4Auto _, None))
+    "m4_egarch_auto" -> QueryDef(m4Auto _, None),
+    "m5_egarch_forecast" -> QueryDef(m5Forecast _, None))
 }

@@ -101,18 +101,78 @@ object SystemQueries {
     // simulate a page-overlap re-delivery: every 97th trade twice
     trades.unionAll(trades.filter(col("trade_id").cast("long") % 97 === 0))
       .write.parquet(s"$src/pages")
-    val q = StreamingIngest.startIngest(s, s"$src/pages", trades.schema,
-      tgt, ckpt)
-    try q.processAllAvailable() finally q.stop()
+    // State-store count is fixed per checkpoint at stream start; a
+    // 2k-row harness stream wants a handful of state partitions, not
+    // the session's scan parallelism (32 HDFS-backed stores add ~7 s
+    // of per-microbatch commit overhead here). A production deployment
+    // sizes this to key cardinality / executor count instead.
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = StreamingIngest.startIngest(s, s"$src/pages", trades.schema,
+        tgt, ckpt)
+      try q.processAllAvailable() finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     val written = s.read.parquet(s"$tgt/ingest_batch=*")
     Seq((written.count(),
       written.select(countDistinct(col("trade_id"))).head().getLong(0)))
       .toDF("rows_written", "unique_ids")
   }
 
+  /** §2.9 + A2: the watermarked streaming 15-min IV OHLC bars, driven
+    * to completion over a file source and verified against a DuckDB
+    * oracle that applies the SAME event-time watermark cutoff: append
+    * mode emits exactly the windows whose end is at or below
+    * max(event time) - 30 min (the final watermark), so the emitted
+    * set is a pure function of the data and fully SQL-expressible. */
+  def st2StreamingBars(s: SparkSession, dir: String): DataFrame = {
+    val src = Files.createTempDirectory("st2-src").toString
+    val ckpt = Files.createTempDirectory("st2-ckpt").toString
+    val trades = SyntheticTrades.trades(s, dir)
+      .select("trade_id", "underlying", "timestamp", "iv", "amount")
+    trades.write.mode("overwrite").parquet(s"$src/pages")
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val raw = s.readStream.schema(trades.schema).parquet(s"$src/pages")
+      val q = StreamingIngest.ivBars(raw, watermark = "30 minutes")
+        .writeStream.format("memory").queryName("st2_bars")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    s.table("st2_bars")
+  }
+
+  /** Watermark cutoff in ms exactly as the engine computes it: event
+    * time stats truncate micros to ms, watermark = max - delay, and a
+    * window emits when its end <= watermark (boundary semantics pinned
+    * by StreamingSpec's exact-boundary test). */
+  val st2Oracle: String =
+    s"""WITH ${graft.queries.OracleCtes.enriched},
+       |bars AS (
+       |  SELECT bucket_start, underlying,
+       |    arg_min(iv, "timestamp") AS iv_open,
+       |    max(iv) AS iv_high,
+       |    min(iv) AS iv_low,
+       |    arg_max(iv, "timestamp") AS iv_close,
+       |    ${duckDsum("amount")} AS volume,
+       |    count(*) AS n_trades
+       |  FROM enriched
+       |  WHERE iv IS NOT NULL
+       |  GROUP BY bucket_start, underlying
+       |),
+       |wm AS (
+       |  SELECT max(epoch_ms("timestamp")) - 1800000 AS wm_ms FROM trades
+       |)
+       |SELECT bucket_start, underlying, iv_open, iv_high, iv_low,
+       |  iv_close, volume, n_trades
+       |FROM bars, wm
+       |WHERE (bucket_start + 900) * 1000 <= wm_ms""".stripMargin
+
   /** Day-partitioned sorted store per sf dir, built once per JVM-host
     * (keyed by the read-only sf path; rebuilt only if absent). */
-  private[queries] def prunedStore(s: SparkSession, dir: String): String = {
+  private[graft] def prunedStore(s: SparkSession, dir: String): String = {
     val path = s"/tmp/graft_store/${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
     val done = new java.io.File(s"$path/_SUCCESS")
     if (!done.exists()) {
@@ -156,5 +216,6 @@ object SystemQueries {
     "s7_backfill_roundtrip" -> QueryDef(s7Backfill _, s7Oracle),
     "s8_fetch_pruned" -> QueryDef(s8FetchPruned _, s8PrunedOracle),
     "s9_schema_system" -> QueryDef(s9Schema _, None),
-    "st1_streaming_ingest" -> QueryDef(st1Streaming _, None))
+    "st1_streaming_ingest" -> QueryDef(st1Streaming _, None),
+    "st2_streaming_bars" -> QueryDef(st2StreamingBars _, st2Oracle))
 }

@@ -41,7 +41,7 @@ object StreamingIngest {
         max(col("iv")).as("iv_high"),
         min(col("iv")).as("iv_low"),
         max_by(col("iv"), col("timestamp")).as("iv_close"),
-        sum(col("amount")).as("volume"),
+        graft.util.Parity.dsum(col("amount")).as("volume"),
         count(lit(1)).as("n_trades"))
       .select(
         unix_timestamp(col("window.start")).as("bucket_start"),

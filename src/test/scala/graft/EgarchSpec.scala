@@ -87,4 +87,18 @@ class EgarchSpec extends AnyFunSuite {
       assert(r.n_obs == 300)
     }
   }
+
+  test("per-group multi-horizon forecast emits one row per (key, h)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val bars = series(300, 3).zipWithIndex.map { case (v, i) =>
+      ("BTC", i.toLong * 900, v) }.toSeq
+      .toDF("underlying", "bucket_start", "iv_close")
+    val out = Egarch.forecastPerGroup(bars, horizon = 4).collect()
+    assert(out.map(_.horizon).sorted.toSeq == Seq(1, 2, 3, 4))
+    assert(out.forall(r => r.vol_forecast > 0 && !r.vol_forecast.isNaN))
+    // horizon-1 row agrees with the single-step fit path
+    val one = Egarch.fitPerGroup(bars).collect().head.vol_forecast_1
+    assert(math.abs(out.minBy(_.horizon).vol_forecast - one) < 1e-12)
+  }
 }

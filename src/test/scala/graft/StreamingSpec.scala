@@ -53,6 +53,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("window closes when its end EQUALS the watermark (<= semantics)") {
+    // Pins the boundary rule the st2_streaming_bars oracle encodes:
+    // watermark = max event time - delay; a window emits when
+    // window.end <= watermark, including exact equality.
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(String, String, Timestamp, Option[Double], Double)]
+    val bars = StreamingIngest.ivBars(
+      input.toDF().toDF("trade_id", "underlying", "timestamp", "iv", "amount"),
+      watermark = "1 minutes")
+    val q = bars.writeStream.format("memory").queryName("bars_edge_out")
+      .outputMode("append").start()
+    try {
+      input.addData(("1", "BTC", ts(1), Some(0.5), 2.0))
+      q.processAllAvailable()
+      // watermark advances to exactly 10:15:00 — the 10:00 window end
+      input.addData(("2", "BTC", Timestamp.valueOf("2024-01-10 10:16:00"),
+        Some(0.6), 1.0))
+      q.processAllAvailable()
+      val k = Timestamp.valueOf("2024-01-10 10:00:00").getTime / 1000
+      val emitted = spark.table("bars_edge_out").collect()
+        .map(_.getAs[Long]("bucket_start")).toSet
+      assert(emitted.contains(k),
+        s"window ending at the exact watermark must emit; got $emitted")
+    } finally q.stop()
+  }
+
   test("streaming dedup drops duplicate trade_ids within watermark") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
