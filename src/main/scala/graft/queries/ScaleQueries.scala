@@ -1,0 +1,69 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.ScaleTechniques
+import graft.options.SyntheticTrades
+import graft.util.Parity._
+
+/** Scale-technique entries: the skew-safe and co-location rewrites
+  * from SURVEY §4's physical-execution notes, each verified against
+  * the NAIVE formulation as its DuckDB oracle — the rewrite must be
+  * invisible in the values and only visible in the plan (pinned by
+  * PlanAuditSpec). */
+object ScaleQueries {
+
+  /** x1: A12's daily-volume aggregate through the two-stage salted
+    * path. A real deployment flips to this form when one instrument
+    * dominates a day's flow (e.g. the front-month ATM strike on
+    * expiry day); the oracle proves the salting never changes a
+    * value. */
+  def x1SaltedDailyVolume(s: SparkSession, dir: String): DataFrame =
+    ScaleTechniques.saltedSumCount(
+      SyntheticTrades.trades(s, dir)
+        .withColumn("trade_date",
+          to_date(col("timestamp")).cast("string")),
+      keys = Seq("instrument_name", "trade_date"),
+      valueCol = "amount", saltFrom = "trade_id")
+
+  val x1Oracle: String =
+    s"""WITH ${SyntheticTrades.tradesCte}
+       |SELECT instrument_name,
+       |  CAST(CAST("timestamp" AS DATE) AS VARCHAR) AS trade_date,
+       |  ${duckDsum("amount")} AS amount_sum,
+       |  count(*) AS n_rows
+       |FROM trades
+       |GROUP BY 1, 2""".stripMargin
+
+  /** x2: instrument-level liquidity lookup as a bucketed co-located
+    * join — fact and dimension both bucketed+sorted on
+    * instrument_name, so neither the dimension-building groupBy nor
+    * the join shuffles the fact table (see PlanAuditSpec: no Exchange
+    * in the join subtree). The 100 TB story for every per-instrument
+    * enrichment in the reference. */
+  def x2BucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val fact = SyntheticTrades.trades(s, dir)
+      .select("instrument_name", "trade_id", "amount")
+    val (factT, dimT) = ScaleTechniques.ensureBucketedPair(
+      s, dir, fact, "instrument_name",
+      _.groupBy(col("instrument_name"))
+        .agg(dsum(col("amount")).as("total_volume")))
+    ScaleTechniques.colocatedJoin(s, factT, dimT, "instrument_name",
+      factCols = Seq(col("trade_id"), col("amount")),
+      dimCols = Seq(col("total_volume")))
+  }
+
+  val x2Oracle: String =
+    s"""WITH ${SyntheticTrades.tradesCte},
+       |tot AS (
+       |  SELECT instrument_name, ${duckDsum("amount")} AS total_volume
+       |  FROM trades GROUP BY 1
+       |)
+       |SELECT instrument_name, trade_id, amount, total_volume
+       |FROM trades JOIN tot USING (instrument_name)""".stripMargin
+
+  val defs: Map[String, QueryDef] = Map(
+    "x1_salted_agg" -> QueryDef(x1SaltedDailyVolume _, x1Oracle),
+    "x2_bucketed_join" -> QueryDef(x2BucketedJoin _, x2Oracle))
+}

@@ -39,7 +39,8 @@ class PlanAuditSpec extends AnyFunSuite {
   /** Queries whose plan is driver-side work over a tiny materialized
     * result (system roundtrips) — no distributed plan to audit. */
   private val driverSide = Set(
-    "s7_backfill_roundtrip", "s9_schema_system", "st1_streaming_ingest")
+    "s7_backfill_roundtrip", "s9_schema_system", "st1_streaming_ingest",
+    "st2_streaming_bars")
 
   test("no registered query plans a cartesian product") {
     for (name <- SparkEntry.queries.keys if !driverSide(name)) {
@@ -94,6 +95,23 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(scans.exists(_.metadata.get("PartitionFilters")
       .exists(f => f != "[]" && f.contains("date"))),
       s"no partition filters: ${scans.map(_.metadata.get("PartitionFilters"))}")
+  }
+
+  test("x2 bucketed join runs with no shuffle exchange at all") {
+    val ex = planOf("x2_bucketed_join").collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(ex.isEmpty,
+      s"bucketed co-located join still shuffles: ${ex.map(_.nodeName)}")
+  }
+
+  test("x1 salted agg is a genuine two-stage aggregate") {
+    val aggs = planOf("x1_salted_agg").collect {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+    }
+    // partial+final per stage = at least 4 aggregate operators
+    assert(aggs.length >= 4,
+      s"expected two aggregation stages, saw ${aggs.length} HashAggregates")
   }
 
   test("rolling windows are partitioned (no global sort in w2/w3)") {
