@@ -25,22 +25,10 @@ import org.apache.spark.sql.types.DecimalType
   */
 object TextDedup {
 
-  /** Persist + eagerly materialize a DataFrame that feeds multiple
-    * plan branches or a Generate (explode).
-    *
-    * Why both: (1) branches of one job race to populate a lazy cache
-    * and each recomputes the subtree; (2) explode's implicit
-    * `size(col) > 0` predicate is pushed down *through* staged
-    * projections, re-inlining the whole shingle expression into a
-    * row-level Filter where HOF lambdas re-evaluate their captured
-    * expressions per element (measured ~50x). The cache is a hard
-    * barrier against both. At cluster scale this is the standard
-    * "signature table" materialization of every dedup pipeline. */
-  def materialize(df: DataFrame): DataFrame = {
-    val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    cached.count()
-    cached
-  }
+  /** See [[graft.util.Caches.materialize]] — kept as an alias because
+    * every dedup pipeline stage below depends on it. */
+  def materialize(df: DataFrame): DataFrame =
+    graft.util.Caches.materialize(df)
 
   /** Canonical normalization: lowercase, trim, collapse whitespace. */
   def normText(c: Column): Column =
@@ -242,9 +230,15 @@ object TextDedup {
     * stay distributed; only the per-round changed flag hits the
     * driver. */
   def dedupClusters(pairs: DataFrame): DataFrame = {
+    // Materialize the pair pipeline ONCE before mirroring it: the
+    // unionAll below reads its input twice, and without the cache
+    // each read re-runs the whole upstream candidate+verify plan
+    // (measured ~1.5 s of the cluster query at sf0.1).
+    val p = materialize(pairs.select(col("id_a"), col("id_b")))
     val edges = materialize(
-      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-        .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
+      p.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionAll(p.select(col("id_b").as("src"), col("id_a").as("dst"))))
+    p.unpersist()
     // checkpoint-or-localCheckpoint: lineage MUST be truncated every
     // round (it grows exponentially), and a configured checkpoint dir
     // upgrades the truncation to a fault-tolerant one (localCheckpoint
@@ -304,7 +298,10 @@ object TextDedup {
       concat_ws(":", lit(c.toString),
         shiftright(col("simhash"), c * 8).bitwiseAND(lit(255L)))
     }
-    val exploded = sims.select(col(idCol), col("simhash"),
+    // both sides of the chunk self-join read the signatures — cache
+    // them or the full token-explode simhash aggregation runs twice
+    val cached = materialize(sims)
+    val exploded = cached.select(col(idCol), col("simhash"),
       explode(array(chunks: _*)).as("chunk"))
     exploded.select(col(idCol).as("id_a"), col("simhash").as("_h_a"), col("chunk"))
       .join(exploded.select(col(idCol).as("id_b"),

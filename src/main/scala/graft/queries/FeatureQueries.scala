@@ -237,6 +237,10 @@ object FeatureQueries {
   // ---- A16: count wrapper per contract-selection strategy ----
 
   def a16StrategyCounts(s: SparkSession, dir: String): DataFrame = {
+    // fm/atm feed two branches each, but the branches are count-only:
+    // recomputing the (fast, codegen'd) aggregate is cheaper than
+    // writing its wide rows to a cache — measured, so deliberately NOT
+    // materialized
     val fm = frontMonthDf(s, dir)
     val atm = ContractSelector.atmFilter(fm)
     val liq = ContractSelector.liquidityFilter(atm)
