@@ -302,6 +302,34 @@ object Egarch {
       underlying: String, horizon: Int, vol_forecast: Double,
       persistence: Double, n_obs: Int, converged: Boolean)
 
+  /** Shared per-group scaffolding for [[fitPerGroup]] and
+    * [[forecastPerGroup]]: (key, order, value) triples keyed by the
+    * group column, ready for flatMapGroups. */
+  private def groupedBars(bars: DataFrame, keyCol: String,
+      valueCol: String, orderCol: String)
+      : org.apache.spark.sql.KeyValueGroupedDataset[String, (String, Long, Double)] = {
+    val spark = bars.sparkSession
+    import spark.implicits._
+    bars.select(col(keyCol).cast("string"), col(orderCol).cast("long"),
+      col(valueCol).cast("double"))
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+  }
+
+  /** Order the group's rows, drop NaNs, fit if long enough. One
+    * definition of "prepare + fit" so M3/M4 and M5 cannot drift. */
+  private def prepareAndFit(it: Iterator[(String, Long, Double)],
+      auto: Boolean): Option[(Array[Double], Fit)] = {
+    val x = it.toArray.sortBy(_._2).map(_._3).filter(v => !v.isNaN)
+    if (x.length < MinObservations) None
+    else {
+      val fitOpt =
+        if (auto) autoSelect(x)
+        else (try Some(fit(x)) catch { case _: Throwable => None })
+      fitOpt.map(f => (x, f))
+    }
+  }
+
   /** M5 as a first-class per-group operator: fit + multi-step
     * volatility forecast (step 1 analytic, steps 2+ seeded
     * simulation), one row per (group, horizon). Same distribution
@@ -312,21 +340,14 @@ object Egarch {
       orderCol: String = "bucket_start"): Dataset[ForecastRow] = {
     val spark = bars.sparkSession
     import spark.implicits._
-    bars.select(col(keyCol).cast("string"), col(orderCol).cast("long"),
-      col(valueCol).cast("double"))
-      .as[(String, Long, Double)]
-      .groupByKey(_._1)
+    groupedBars(bars, keyCol, valueCol, orderCol)
       .flatMapGroups { (key, it) =>
-        val series = it.toArray.sortBy(_._2)
-        val x = series.map(_._3).filter(v => !v.isNaN)
-        if (x.length < MinObservations) Iterator.empty
-        else (try Some(fit(x)) catch { case _: Throwable => None })
-          .iterator.flatMap { f =>
-            forecast(f, horizon).iterator.zipWithIndex.map {
-              case (v, h) =>
-                ForecastRow(key, h + 1, v, f.persistence, f.nObs, f.converged)
-            }
+        prepareAndFit(it, auto = false).iterator.flatMap { case (_, f) =>
+          forecast(f, horizon).iterator.zipWithIndex.map {
+            case (v, h) =>
+              ForecastRow(key, h + 1, v, f.persistence, f.nObs, f.converged)
           }
+        }
       }
   }
 
@@ -338,28 +359,17 @@ object Egarch {
       auto: Boolean = false): Dataset[EgarchRow] = {
     val spark = bars.sparkSession
     import spark.implicits._
-    bars.select(col(keyCol).cast("string"), col(orderCol).cast("long"),
-      col(valueCol).cast("double"))
-      .as[(String, Long, Double)]
-      .groupByKey(_._1)
+    groupedBars(bars, keyCol, valueCol, orderCol)
       .flatMapGroups { (key, it) =>
-        val series = it.toArray.sortBy(_._2)
-        val x = series.map(_._3).filter(v => !v.isNaN)
-        if (x.length < MinObservations) Iterator.empty
-        else {
-          val fitOpt =
-            if (auto) autoSelect(x)
-            else (try Some(fit(x)) catch { case _: Throwable => None })
-          fitOpt.iterator.map { f =>
-            val fc = forecast(f, 1)
-            val rm = f.residuals.sum / f.residuals.length
-            val rs = math.sqrt(f.residuals.map(r => (r - rm) * (r - rm)).sum /
-              f.residuals.length)
-            EgarchRow(key, f.p, f.q, f.mu, f.omega, f.alpha.head, f.gamma,
-              f.beta.head, f.nu, f.logLik, f.aic, f.bic, f.persistence,
-              f.nObs, f.converged, fc(0), rm, rs,
-              x.last - f.condVol.last)
-          }
+        prepareAndFit(it, auto).iterator.map { case (x, f) =>
+          val fc = forecast(f, 1)
+          val rm = f.residuals.sum / f.residuals.length
+          val rs = math.sqrt(f.residuals.map(r => (r - rm) * (r - rm)).sum /
+            f.residuals.length)
+          EgarchRow(key, f.p, f.q, f.mu, f.omega, f.alpha.head, f.gamma,
+            f.beta.head, f.nu, f.logLik, f.aic, f.bic, f.persistence,
+            f.nObs, f.converged, fc(0), rm, rs,
+            x.last - f.condVol.last)
         }
       }
   }

@@ -55,7 +55,11 @@ object ScaleTechniques {
   def ensureBucketedPair(s: SparkSession, dir: String, fact: DataFrame,
       bucketCol: String, aggFn: DataFrame => DataFrame,
       nBuckets: Int = 8): (String, String) = {
-    val suffix = san(dir).takeRight(24).dropWhile(_ == '_')
+    // full-path hash + readable tail: two dirs can share a sanitized
+    // tail (same sf name under different roots), and a suffix
+    // collision would silently reuse the FIRST dir's bucketed data
+    val suffix = f"${dir.hashCode & 0xffffff}%06x_" +
+      san(dir).takeRight(20).dropWhile(_ == '_')
     val factTable = s"graft_fact_b_$suffix"
     val dimTable = s"graft_dim_b_$suffix"
     if (!s.catalog.tableExists(factTable)) {

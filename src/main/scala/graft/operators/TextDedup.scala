@@ -299,7 +299,12 @@ object TextDedup {
         shiftright(col("simhash"), c * 8).bitwiseAND(lit(255L)))
     }
     // both sides of the chunk self-join read the signatures — cache
-    // them or the full token-explode simhash aggregation runs twice
+    // them or the full token-explode simhash aggregation runs twice.
+    // Like the signature tables in minhashNearDups/invertedIndexPairs,
+    // the cache lives until the session drops it: the returned plan is
+    // lazy, so unpersisting here would un-cache before the caller's
+    // action runs. Signatures are one row per doc — small relative to
+    // the corpus by construction.
     val cached = materialize(sims)
     val exploded = cached.select(col(idCol), col("simhash"),
       explode(array(chunks: _*)).as("chunk"))

@@ -147,7 +147,13 @@ object SystemQueries {
   /** Watermark cutoff in ms exactly as the engine computes it: event
     * time stats truncate micros to ms, watermark = max - delay, and a
     * window emits when its end <= watermark (boundary semantics pinned
-    * by StreamingSpec's exact-boundary test). */
+    * by StreamingSpec's exact-boundary test).
+    *
+    * The max is over iv-NON-NULL rows only: Catalyst pushes ivBars'
+    * `iv IS NOT NULL` filter below the EventTimeWatermark operator
+    * (the predicate does not reference the event-time column), so
+    * null-iv trades never reach the event-time stats — pinned by
+    * StreamingSpec's null-iv watermark test. */
   val st2Oracle: String =
     s"""WITH ${graft.queries.OracleCtes.enriched},
        |bars AS (
@@ -164,6 +170,7 @@ object SystemQueries {
        |),
        |wm AS (
        |  SELECT max(epoch_ms("timestamp")) - 1800000 AS wm_ms FROM trades
+       |  WHERE iv IS NOT NULL
        |)
        |SELECT bucket_start, underlying, iv_open, iv_high, iv_low,
        |  iv_close, volume, n_trades

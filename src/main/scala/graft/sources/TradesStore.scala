@@ -43,9 +43,15 @@ object TradesStore {
       mode: SaveMode = SaveMode.Overwrite,
       partKey: (String, String) = ("month", "yyyyMM")): Unit = {
     val (partCol, fmt) = partKey
+    // The sort leads with the partition column: the dynamic-partition
+    // writer requires its input ordered by [partCol], and a sort that
+    // satisfies that requirement by prefix means Spark plans exactly
+    // ONE sort — otherwise it inserts its own partCol-only sort around
+    // the write and the within-file sort-key order is no longer
+    // guaranteed.
     trades.withColumn(partCol, date_format(col("timestamp"), fmt))
       .repartitionByRange((partCol +: SortKey).map(col): _*)
-      .sortWithinPartitions(SortKey.map(col): _*)
+      .sortWithinPartitions((partCol +: SortKey).map(col): _*)
       .write
       .mode(mode)
       .option("compression", "zstd")

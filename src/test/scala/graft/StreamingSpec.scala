@@ -80,6 +80,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("null-iv trades do NOT advance the ivBars watermark") {
+    // Catalyst pushes the `iv IS NOT NULL` filter below the
+    // EventTimeWatermark operator (it does not reference the event
+    // time column), so event-time stats see only iv-non-null rows —
+    // the rule the st2_streaming_bars oracle's wm CTE encodes.
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(String, String, Timestamp, Option[Double], Double)]
+    val bars = StreamingIngest.ivBars(
+      input.toDF().toDF("trade_id", "underlying", "timestamp", "iv", "amount"),
+      watermark = "1 minutes")
+    val q = bars.writeStream.format("memory").queryName("bars_nulliv_out")
+      .outputMode("append").start()
+    try {
+      input.addData(("1", "BTC", ts(1), Some(0.5), 2.0))
+      q.processAllAvailable()
+      // far-future NULL-iv trades: would close the 10:00 window if
+      // they reached the watermark stats
+      input.addData(("2", "BTC", Timestamp.valueOf("2024-01-10 11:30:00"),
+        None, 1.0))
+      q.processAllAvailable()
+      input.addData(("3", "BTC", Timestamp.valueOf("2024-01-10 11:31:00"),
+        None, 1.0))
+      q.processAllAvailable()
+      assert(spark.table("bars_nulliv_out").isEmpty,
+        "null-iv trades advanced the watermark")
+      // a non-null-iv trade at the same horizon does close it
+      input.addData(("4", "BTC", Timestamp.valueOf("2024-01-10 11:32:00"),
+        Some(0.6), 1.0))
+      q.processAllAvailable()
+      input.addData(("5", "BTC", Timestamp.valueOf("2024-01-10 11:33:00"),
+        Some(0.6), 1.0))
+      q.processAllAvailable()
+      assert(!spark.table("bars_nulliv_out").isEmpty)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops duplicate trade_ids within watermark") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
