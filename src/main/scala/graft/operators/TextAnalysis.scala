@@ -108,4 +108,92 @@ object TextAnalysis {
       .withColumn("n_bpe_tokens", regexp_count(col(textCol), lit(bpePattern)))
       .withColumn("n_chars_norm", length(col("_nt")))
       .drop("_nt")
+
+  /** Word n-grams WITHOUT dedup (repetition metrics need occurrence
+    * counts; contrast TextDedup.wordShingles which dedups for set
+    * similarity). Same HOF contract: `wordsCol` must be a materialized
+    * attribute. */
+  def rawShingles(wordsCol: Column, n: Int): Column =
+    when(size(wordsCol) >= n,
+      transform(
+        sequence(lit(1), size(wordsCol) - (n - 1)),
+        i => concat_ws(" ",
+          (0 until n).map(j => element_at(wordsCol, i + lit(j))): _*)))
+      .otherwise(array().cast("array<string>"))
+
+  /** Repetition filters in the Gopher/MassiveText family, the standard
+    * pre-training quality gate this engine's documents table feeds:
+    *
+    *  - `dup_line_frac`: repeated-occurrence fraction of non-blank
+    *    lines, 1 - distinct/total (array ops, no shuffle);
+    *  - `dup_10gram_frac`: same over word 10-grams — catches long
+    *    templated spans exact-line dedup misses;
+    *  - `top_bigram_frac`: occurrence share of the most frequent word
+    *    bigram, via explode -> count -> max, both shuffles keyed by
+    *    doc_id (scales with corpus size, never all-pairs);
+    *  - `repetition_ok`: the conjunction gate (thresholds are the
+    *    operator's parameters, defaults in the Gopher ballpark).
+    *
+    * All ratios are integer/integer divisions — bit-exact in any
+    * engine. Divergence from the paper (documented): fractions count
+    * repeated ITEMS, not characters inside repeated items. */
+  def repetitionMetrics(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", maxDupLineFrac: Double = 0.3,
+      maxTopBigramFrac: Double = 0.2, maxDup10gramFrac: Double = 0.5)
+      : DataFrame = {
+    val lines = col("_lines")
+    val tengrams = col("_tg")
+    val base = docs
+      .withColumn("_lines",
+        filter(split(col(textCol), "\n"), l => length(trim(l)) > 0))
+      .withColumn("_w", TextDedup.words(col(textCol)))
+      .withColumn("_tg", rawShingles(col("_w"), 10))
+      .withColumn("_bg", rawShingles(col("_w"), 2))
+      .withColumn("n_lines", size(lines))
+      .withColumn("dup_line_frac",
+        when(size(lines) > 0,
+          (size(lines) - size(array_distinct(lines))).cast("double")
+            / size(lines)))
+      .withColumn("dup_10gram_frac",
+        when(size(tengrams) > 0,
+          (size(tengrams) - size(array_distinct(tengrams))).cast("double")
+            / size(tengrams)))
+      .withColumn("n_bigrams", size(col("_bg")))
+    // top-bigram share: explode -> per-(doc, bigram) counts -> per-doc
+    // max; join back on doc_id
+    val topBg = base.select(col(idCol), explode(col("_bg")).as("_b"))
+      .groupBy(col(idCol), col("_b")).agg(count(lit(1)).as("_c"))
+      .groupBy(col(idCol)).agg(max(col("_c")).as("_top"))
+    base.join(topBg, Seq(idCol), "left")
+      .withColumn("top_bigram_frac",
+        when(col("n_bigrams") > 0,
+          col("_top").cast("double") / col("n_bigrams")))
+      .withColumn("repetition_ok",
+        coalesce(col("dup_line_frac") <= maxDupLineFrac, lit(true)) &&
+          coalesce(col("top_bigram_frac") <= maxTopBigramFrac, lit(true)) &&
+          coalesce(col("dup_10gram_frac") <= maxDup10gramFrac, lit(true)))
+      .drop("_lines", "_w", "_tg", "_bg", "_top")
+  }
+
+  /** Per-source corpus statistics — the "which crawl/feed is rotten"
+    * roll-up every corpus triage starts with: document count, exact-
+    * duplicate rate (docs whose normalized-text hash occurs >= 2 times
+    * ANYWHERE in the corpus, charged to each source holding a copy),
+    * and mean document length. One hash aggregate + a broadcast-sized
+    * join of duplicated hashes. */
+  def sourceStats(docs: DataFrame, textCol: String = "text",
+      sourceCol: String = "source"): DataFrame = {
+    val hashed = docs.withColumn("_h", sha2(TextDedup.normText(col(textCol)), 256))
+    val dupHashes = hashed.groupBy(col("_h"))
+      .agg(count(lit(1)).as("_n")).filter(col("_n") >= 2)
+      .select(col("_h"), lit(true).as("_dup"))
+    hashed.join(dupHashes, Seq("_h"), "left")
+      .groupBy(col(sourceCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when(col("_dup"), lit(1))).as("n_dup_docs"),
+        (count(when(col("_dup"), lit(1))).cast("double") / count(lit(1)))
+          .as("dup_rate"),
+        graft.util.Parity.davg(length(col(textCol))).as("mean_chars"))
+  }
 }

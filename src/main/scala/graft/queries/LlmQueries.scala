@@ -353,6 +353,69 @@ object LlmQueries {
        |FROM scored""".stripMargin
   }
 
+  // ---- repetition filters (Gopher/MassiveText family) ----
+
+  def repetition(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionMetrics(docs(s, dir))
+      .select("doc_id", "n_lines", "dup_line_frac", "dup_10gram_frac",
+        "n_bigrams", "top_bigram_frac", "repetition_ok")
+
+  val repetitionOracle: String =
+    s"""WITH $wrdsCte,
+       |rep AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split(text, chr(10)),
+       |                l -> length(trim(l)) > 0) AS lines,
+       |    CASE WHEN len(w) >= 10 THEN
+       |      [array_to_string(w[i:i+9], ' ') for i in range(1, len(w)-8)]
+       |    ELSE [] END AS tg,
+       |    CASE WHEN len(w) >= 2 THEN
+       |      [array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]
+       |    ELSE [] END AS bg
+       |  FROM wrds
+       |),
+       |topbg AS (
+       |  SELECT doc_id, max(c) AS topc FROM (
+       |    SELECT doc_id, b, count(*) AS c
+       |    FROM (SELECT doc_id, unnest(bg) AS b FROM rep)
+       |    GROUP BY 1, 2
+       |  ) GROUP BY 1
+       |)
+       |SELECT r.doc_id, len(lines) AS n_lines,
+       |  CASE WHEN len(lines) > 0 THEN
+       |    (len(lines) - len(list_distinct(lines)))::DOUBLE / len(lines)
+       |  END AS dup_line_frac,
+       |  CASE WHEN len(tg) > 0 THEN
+       |    (len(tg) - len(list_distinct(tg)))::DOUBLE / len(tg)
+       |  END AS dup_10gram_frac,
+       |  len(bg) AS n_bigrams,
+       |  CASE WHEN len(bg) > 0 THEN topc::DOUBLE / len(bg)
+       |  END AS top_bigram_frac,
+       |  coalesce(dup_line_frac <= 0.3, true)
+       |    AND coalesce(top_bigram_frac <= 0.2, true)
+       |    AND coalesce(dup_10gram_frac <= 0.5, true) AS repetition_ok
+       |FROM rep r LEFT JOIN topbg USING (doc_id)""".stripMargin
+
+  // ---- per-source corpus statistics ----
+
+  def sourceStats(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.sourceStats(docs(s, dir))
+      .select("source", "n_docs", "n_dup_docs", "dup_rate", "mean_chars")
+
+  val sourceStatsOracle: String =
+    s"""WITH h AS (
+       |  SELECT source, text,
+       |    sha256(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS hh
+       |  FROM documents
+       |),
+       |duph AS (SELECT hh AS dhh FROM h GROUP BY 1 HAVING count(*) >= 2)
+       |SELECT source, count(*) AS n_docs,
+       |  count(dhh) AS n_dup_docs,
+       |  count(dhh)::DOUBLE / count(*) AS dup_rate,
+       |  ${graft.util.Parity.duckDavg("length(text)")} AS mean_chars
+       |FROM h LEFT JOIN duph ON h.hh = duph.dhh
+       |GROUP BY 1""".stripMargin
+
   // ---- embedding ANN: brute-force top-k ----
 
   private val AnnQueries = 8
@@ -446,6 +509,8 @@ object LlmQueries {
     "llm_fingerprint" -> QueryDef(fingerprint _, fingerprintOracle),
     "llm_token_count" -> QueryDef(tokenCount _, tokenCountOracle),
     "llm_quality_score" -> QueryDef(quality _, qualityOracle),
+    "llm_repetition" -> QueryDef(repetition _, repetitionOracle),
+    "llm_source_stats" -> QueryDef(sourceStats _, sourceStatsOracle),
     "llm_lang_id" -> QueryDef(langId _, langIdOracle),
     "llm_ann_topk" -> QueryDef(annTopK _, annTopKOracle),
     "llm_ann_bucketed" -> QueryDef(annBucketed _, annBucketedOracle),

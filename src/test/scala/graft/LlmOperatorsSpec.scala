@@ -137,6 +137,41 @@ class LlmOperatorsSpec extends AnyFunSuite {
     assert(t.getAs[Int]("n_bpe_tokens") == 2)
   }
 
+  test("repetition metrics flag duplicated lines and dominant bigrams") {
+    import spark.implicits._
+    val rep = Seq(
+      (1L, "spam line\nspam line\nspam line\nreal content"),
+      (2L, "buy now buy now buy now buy now"),
+      (3L, "a perfectly normal sentence with varied words inside"),
+      (4L, "tiny")).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionMetrics(rep).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("dup_line_frac"),
+          Option(r.getAs[java.lang.Double]("top_bigram_frac")),
+          r.getAs[Boolean]("repetition_ok"))).toMap
+    // doc 1: 4 lines, 2 repeats of "spam line" -> 2/4
+    assert(out(1L)._1 == 0.5 && !out(1L)._3)
+    // doc 2: "buy now" dominates the bigrams -> gate trips
+    assert(out(2L)._2.exists(_ > 0.2) && !out(2L)._3)
+    assert(out(3L)._3)
+    // doc 4: one line, no bigrams -> vacuously ok, frac null
+    assert(out(4L)._2.isEmpty && out(4L)._3)
+  }
+
+  test("source stats charge exact duplicates to every holding source") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "same text", "crawlA"),
+      (2L, "Same   TEXT", "crawlB"), // normalized dup of 1
+      (3L, "unique one", "crawlA"),
+      (4L, "unique two", "crawlB")).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.sourceStats(d).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_dup_docs"))).toMap
+    assert(out("crawlA") == ((2L, 1L)))
+    assert(out("crawlB") == ((2L, 1L)))
+  }
+
   test("langId short-circuits CJK and falls back to stopword argmax") {
     import spark.implicits._
     val d = Seq(
