@@ -234,6 +234,40 @@ object FeatureQueries {
        |FROM agg
        |WHERE near_iv IS NOT NULL AND far_iv IS NOT NULL""".stripMargin
 
+  // ---- J5: exact as-of spot lookup (beyond the reference's 15-min
+  // bucket quantization; oracle = DuckDB's native ASOF LEFT JOIN) ----
+
+  def j5AsofSpot(s: SparkSession, dir: String): DataFrame = {
+    val spot = SyntheticTrades.spotTicks(s, dir)
+      .select(col("symbol").as("underlying"), col("timestamp"),
+        col("close"))
+    AsOfJoin.asOf(
+      trades(s, dir).select("trade_id", "underlying", "timestamp"),
+      spot,
+      key = "underlying", leftTime = "timestamp", rightTime = "timestamp",
+      rightVal = "close", asofCol = "asof_spot")
+      .select(col("trade_id"), Parity.epochS(col("timestamp")).as("ep"),
+        col("underlying"), col("asof_spot"))
+  }
+
+  val j5Oracle: String =
+    s"""WITH ${SyntheticTrades.tradesCte},
+       |${SyntheticTrades.spotCte},
+       |sd AS (
+       |  SELECT symbol, date_trunc('microseconds', "timestamp") AS ts,
+       |    max(close) AS close
+       |  FROM spot_ticks GROUP BY 1, 2
+       |),
+       |tl AS (
+       |  SELECT trade_id, underlying,
+       |    date_trunc('microseconds', "timestamp") AS ts,
+       |    ${duckEpochS("\"timestamp\"")} AS ep
+       |  FROM trades
+       |)
+       |SELECT trade_id, ep, underlying, sd.close AS asof_spot
+       |FROM tl ASOF LEFT JOIN sd
+       |  ON tl.underlying = sd.symbol AND sd.ts <= tl.ts""".stripMargin
+
   // ---- A16: count wrapper per contract-selection strategy ----
 
   def a16StrategyCounts(s: SparkSession, dir: String): DataFrame = {
@@ -336,6 +370,7 @@ object FeatureQueries {
     "j1_liquid_contracts" -> QueryDef(j1Liquid _, j1Oracle),
     "a17_spot_bars" -> QueryDef(a17SpotBars _, a17Oracle),
     "j2_spot_enrich" -> QueryDef(j2SpotEnrich _, j2Oracle),
+    "j5_asof_spot" -> QueryDef(j5AsofSpot _, j5Oracle),
     "a8_moneyness_long" -> QueryDef(a8MoneynessLong _, a8Oracle),
     "a9_moneyness_smile" -> QueryDef(a9MoneynessSmile _, a9Oracle),
     "a6_pcr_by_tenor" -> QueryDef(a6Pcr _, a6Oracle),
