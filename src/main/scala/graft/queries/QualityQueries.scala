@@ -143,8 +143,27 @@ object QualityQueries {
        |WINDOW wfull AS (PARTITION BY underlying ORDER BY bucket_start
        |  RANGE BETWEEN $LookbackSec PRECEDING AND CURRENT ROW)""".stripMargin
 
+  /** A10's sketch-based scale path: at 100 TB, `count(DISTINCT
+    * trade_id)` is a full shuffle of every distinct id while
+    * `approx_count_distinct` (HLL++) and `percentile_approx`
+    * (KLL-style quantile sketch) are single-pass, fixed-memory,
+    * mergeable partial aggregates. Rows-only gate — sketch values are
+    * implementation-specific — with error bounds asserted against the
+    * exact counts in QualityWindowsSpec. The reference insists on
+    * uniqExact (SURVEY §2.4); this entry is the documented divergence
+    * a 1000-executor deployment takes instead. */
+  def a18QualitySketch(s: SparkSession, dir: String): DataFrame =
+    trades(s, dir).agg(
+      count(lit(1)).as("total_rows"),
+      approx_count_distinct(col("trade_id")).as("approx_unique_trades"),
+      approx_count_distinct(col("instrument_name"))
+        .as("approx_unique_instruments"),
+      percentile_approx(col("price"), array(lit(0.5), lit(0.95), lit(0.99)),
+        lit(10000)).as("price_quantiles"))
+
   val defs: Map[String, QueryDef] = Map(
     "a10_quality_metrics" -> QueryDef(a10Quality _, a10Oracle),
+    "a18_quality_sketch" -> QueryDef(a18QualitySketch _, None),
     "a11_coverage_stats" -> QueryDef(a11Coverage _, a11Oracle),
     "w1_gap_analysis" -> QueryDef(w1Gaps _, w1Oracle),
     "w2_iv_percentile" -> QueryDef(w2IvPercentile _, w2Oracle),

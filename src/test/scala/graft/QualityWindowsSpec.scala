@@ -29,6 +29,24 @@ class QualityWindowsSpec extends AnyFunSuite {
     assert(math.abs(m.getAs[Double]("dedup_rate") - 2.0 / 3) < 1e-12)
   }
 
+  test("A18 sketches stay within error bounds of the exact counts") {
+    val trades = graft.options.SyntheticTrades
+      .trades(TestSpark.spark, "/root/testdata/sf0.001")
+    val row = graft.queries.QualityQueries
+      .a18QualitySketch(TestSpark.spark, "/root/testdata/sf0.001").head()
+    val exactIds = trades.select(countDistinct(col("trade_id")))
+      .head().getLong(0)
+    val approxIds = row.getAs[Long]("approx_unique_trades")
+    // HLL++ default rsd is 5%; allow 3x
+    assert(math.abs(approxIds - exactIds).toDouble / exactIds < 0.15,
+      s"approx=$approxIds exact=$exactIds")
+    val qs = row.getAs[scala.collection.Seq[Double]]("price_quantiles")
+    assert(qs.length == 3 && qs(0) <= qs(1) && qs(1) <= qs(2))
+    val exactMedian = trades.stat.approxQuantile("price", Array(0.5), 0.0)(0)
+    assert(math.abs(qs(0) - exactMedian) / math.max(exactMedian, 1e-9) < 0.05,
+      s"median sketch ${qs(0)} vs exact $exactMedian")
+  }
+
   test("W1 gap analysis finds and ranks gaps above threshold") {
     import spark.implicits._
     val trades = Seq(
