@@ -33,8 +33,14 @@ object Bench {
     // over an already-built layout.
     try graft.queries.SystemQueries.prunedStore(spark, sfDir)
     catch { case _: Throwable => () }
+    try graft.queries.ScaleQueries.ensureX2Tables(spark, sfDir)
+    catch { case _: Throwable => () }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // GC between measurements (outside the timed window) so one
+      // query's garbage is not attributed to the next — standard
+      // isolation; the timed window still includes planning + caches.
+      System.gc()
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }
