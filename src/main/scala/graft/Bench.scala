@@ -48,7 +48,11 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           false
         }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      val sec = (System.nanoTime() - t0) / 1e9
+      // drop caches a query materialized (signature tables etc.) so
+      // they cannot crowd later queries' memory — outside the window
+      try spark.catalog.clearCache() catch { case _: Throwable => () }
+      (name, sec, ok)
     }
     val qs = results.map { case (k, v, ok) =>
       s""""$k":{"sec":$v,"ok":$ok}"""
