@@ -14,19 +14,29 @@ import org.apache.spark.sql.functions._
   *   2. union left+right tagged rows, window per (key, DAY bucket)
   *      ordered by (time, right-before-left) with a running
   *      last-non-null — an O(1)-state frame, never a sort across keys;
-  *   3. carry the last right value of each (key, day) forward via a
+  *   3. carry the last right row of each (key, day) forward via a
   *      window over the per-day summary (rows = keys x days, tiny),
   *      so a left row with no same-day predecessor still sees the
   *      previous days' value.
+  *
+  * ASOF-equality parity (matches DuckDB/pandas):
+  *  - NULL keys never match (right NULL-key rows are dropped; left
+  *    NULL-key rows get a NULL result) — equality-join semantics, not
+  *    Window's NULLs-group-together;
+  *  - a matched right row whose VALUE is null yields null (not an
+  *    older non-null value): the windows carry a (time, value) struct
+  *    — never null for a right row — and the value is extracted after
+  *    the match, so "matched but null" and "no match" stay distinct.
   *
   * Partitioning by (key, day) instead of key alone is the scale
   * design: with 2 underlyings and years of ticks, a key-only window
   * funnels half the corpus through one task; day buckets keep every
   * window task bounded while the boundary fix-up stays
   * metadata-sized. Same decomposition as DataQuality.gapAnalysis.
-  *
-  * Inclusive (<=) semantics match DuckDB/pandas ASOF so the oracle is
-  * the native ASOF LEFT JOIN.
+  * The deduped right side feeds two branches (tagged union + per-day
+  * summary) and is materialized once; the left side is scanned twice
+  * (tagged union + day list) — two scans of the source beat caching a
+  * 100 TB fact.
   */
 object AsOfJoin {
 
@@ -41,46 +51,51 @@ object AsOfJoin {
     val day = col("_day")
 
     // 1. well-defined right side; microsecond epoch (Spark timestamp
-    //    resolution — the oracle truncates to the same grid)
-    val rights = rightDf
+    //    resolution — the oracle truncates to the same grid). `_rs`
+    //    is the match-carrying struct: non-null for every right row
+    //    even when the value itself is null.
+    val rights = graft.util.Caches.materialize(rightDf
+      .filter(col(key).isNotNull)
       .groupBy(col(key), unix_micros(col(rightTime)).as("_ep"))
       .agg(max(col(rightVal)).as("_rv"))
-      .select(col(key).as("_k"), col("_ep"),
-        lit(1).as("_isRight"), col("_rv"))
+      .select(col(key).as("_k"), col("_ep"), lit(1).as("_isRight"),
+        struct(col("_ep").as("_rts"), col("_rv").as("_rv")).as("_rs")))
+    val rsType = rights.schema("_rs").dataType
 
     val lefts = leftDf
       .withColumn("_k", col(key))
       .withColumn("_ep", unix_micros(col(leftTime)))
       .withColumn("_isRight", lit(0))
-      .withColumn("_rv", lit(null).cast(rights.schema("_rv").dataType))
+      .withColumn("_rs", lit(null).cast(rsType))
 
     // 2. same-day running last (right rows sort before left on ties
     //    so <= is inclusive)
     val tagged = lefts.select(
-      (Seq(col("_k"), ep, col("_isRight"), col("_rv")) ++
+      (Seq(col("_k"), ep, col("_isRight"), col("_rs")) ++
         leftDf.columns.map(c => col(c).as(s"_l_$c"))): _*)
-      .unionByName(rights.select(col("_k"), ep, col("_isRight"), col("_rv")),
+      .unionByName(rights.select(col("_k"), ep, col("_isRight"), col("_rs")),
         allowMissingColumns = true)
       .withColumn("_day", floor(ep / 86400000000L))
     val sameDay = Window.partitionBy(col("_k"), day)
       .orderBy(ep.asc, col("_isRight").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val winned = tagged.withColumn("_sameday",
-      last(col("_rv"), ignoreNulls = true).over(sameDay))
+      last(col("_rs"), ignoreNulls = true).over(sameDay))
 
-    // 3. carry-in: last right value of each (key, day), carried to
+    // 3. carry-in: last right row of each (key, day), carried to
     //    later days (window over the tiny per-day summary). Left days
-    //    with NO right rows union in as value-less day rows — they
-    //    must still RECEIVE a carry from earlier days.
+    //    (from the cheap left projection, not the union) join in as
+    //    row-less days — they must still RECEIVE a carry.
     val perDay = rights.withColumn("_day", floor(ep / 86400000000L))
       .groupBy(col("_k"), day)
       // (key, ep) is unique after step 1, so max_by on ep is total
-      .agg(max_by(col("_rv"), ep).as("_dayLast"))
-    val leftDays = tagged.filter(col("_isRight") === 0)
-      .select(col("_k"), day).distinct()
-      .withColumn("_dayLast", lit(null).cast(rights.schema("_rv").dataType))
+      .agg(max_by(col("_rs"), ep).as("_dayLast"))
+    val leftDays = lefts
+      .select(col("_k"), floor(ep / 86400000000L).as("_day")).distinct()
+      .withColumn("_dayLast", lit(null).cast(rsType))
     val allDays = perDay.unionByName(leftDays)
       .groupBy(col("_k"), day)
+      // max ignores the null placeholder when the day also has rights
       .agg(max(col("_dayLast")).as("_dayLast"))
     val carry = Window.partitionBy(col("_k")).orderBy(day.asc)
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -90,7 +105,8 @@ object AsOfJoin {
 
     winned.filter(col("_isRight") === 0)
       .join(carryIn, Seq("_k", "_day"), "left")
-      .withColumn(asofCol, coalesce(col("_sameday"), col("_carry")))
+      .withColumn(asofCol,
+        coalesce(col("_sameday"), col("_carry")).getField("_rv"))
       .select(leftDf.columns.map(c => col(s"_l_$c").as(c))
         :+ col(asofCol): _*)
   }

@@ -109,17 +109,10 @@ object TextAnalysis {
       .withColumn("n_chars_norm", length(col("_nt")))
       .drop("_nt")
 
-  /** Word n-grams WITHOUT dedup (repetition metrics need occurrence
-    * counts; contrast TextDedup.wordShingles which dedups for set
-    * similarity). Same HOF contract: `wordsCol` must be a materialized
-    * attribute. */
+  /** Word n-grams WITHOUT dedup — alias of the shared builder in
+    * TextDedup so the two shingle forms cannot drift. */
   def rawShingles(wordsCol: Column, n: Int): Column =
-    when(size(wordsCol) >= n,
-      transform(
-        sequence(lit(1), size(wordsCol) - (n - 1)),
-        i => concat_ws(" ",
-          (0 until n).map(j => element_at(wordsCol, i + lit(j))): _*)))
-      .otherwise(array().cast("array<string>"))
+    TextDedup.rawWordShingles(wordsCol, n)
 
   /** Repetition filters in the Gopher/MassiveText family, the standard
     * pre-training quality gate this engine's documents table feeds:
@@ -143,12 +136,16 @@ object TextAnalysis {
       : DataFrame = {
     val lines = col("_lines")
     val tengrams = col("_tg")
-    val base = docs
+    // materialized: feeds BOTH the topBg explode branch and the final
+    // join, and explode's implicit size>0 filter would otherwise
+    // re-inline the shingle HOFs into a per-element Filter (the
+    // Caches.materialize contract)
+    val base = graft.util.Caches.materialize(docs
       .withColumn("_lines",
         filter(split(col(textCol), "\n"), l => length(trim(l)) > 0))
       .withColumn("_w", TextDedup.words(col(textCol)))
       .withColumn("_tg", rawShingles(col("_w"), 10))
-      .withColumn("_bg", rawShingles(col("_w"), 2))
+      .withColumn("_bg", rawShingles(col("_w"), 2)))
       .withColumn("n_lines", size(lines))
       .withColumn("dup_line_frac",
         when(size(lines) > 0,
@@ -183,7 +180,10 @@ object TextAnalysis {
     * join of duplicated hashes. */
   def sourceStats(docs: DataFrame, textCol: String = "text",
       sourceCol: String = "source"): DataFrame = {
-    val hashed = docs.withColumn("_h", sha2(TextDedup.normText(col(textCol)), 256))
+    // hashed feeds the dup-hash aggregate AND the probe side of the
+    // join — materialize or the corpus is normalized+sha256'd twice
+    val hashed = graft.util.Caches.materialize(
+      docs.withColumn("_h", sha2(TextDedup.normText(col(textCol)), 256)))
     val dupHashes = hashed.groupBy(col("_h"))
       .agg(count(lit(1)).as("_n")).filter(col("_n") >= 2)
       .select(col("_h"), lit(true).as("_dup"))

@@ -36,8 +36,9 @@ object TextDedup {
 
   def words(c: Column): Column = split(normText(c), " ")
 
-  /** Distinct word n-grams; empty array when the doc is shorter than
-    * n words.
+  /** Word n-grams WITH repeats (occurrence counts preserved — what
+    * repetition metrics need); empty array when the doc is shorter
+    * than n words.
     *
     * PERFORMANCE CONTRACT: `wordsCol` must be a *materialized column
     * attribute*, not an inline expression. Expressions referenced
@@ -45,13 +46,18 @@ object TextDedup {
     * element — an inline `split(regexp_replace(...))` here re-runs the
     * whole normalization once per shingle position (measured 40x
     * slowdown). Use `shingleDocs` which stages the projections. */
-  def wordShingles(wordsCol: Column, n: Int): Column =
+  def rawWordShingles(wordsCol: Column, n: Int): Column =
     when(size(wordsCol) >= n,
-      array_distinct(transform(
+      transform(
         sequence(lit(1), size(wordsCol) - (n - 1)),
         i => concat_ws(" ",
-          (0 until n).map(j => element_at(wordsCol, i + lit(j))): _*))))
+          (0 until n).map(j => element_at(wordsCol, i + lit(j))): _*)))
       .otherwise(array().cast("array<string>"))
+
+  /** Distinct word n-grams (set-similarity form); same HOF contract
+    * as [[rawWordShingles]], which it wraps. */
+  def wordShingles(wordsCol: Column, n: Int): Column =
+    array_distinct(rawWordShingles(wordsCol, n))
 
   /** (idCol, shingles) for docs with >= n words, with the words array
     * materialized in its own projection (see wordShingles contract)

@@ -40,6 +40,27 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out(5L).isEmpty)
   }
 
+  test("NULL keys never match; matched-but-null right values stay null") {
+    import spark.implicits._
+    val left = Seq(
+      (Option.empty[String], ts("2024-01-01 10:00:00"), 1L), // null key
+      (Option("k"), ts("2024-01-01 11:00:00"), 2L), // latest right val null
+      (Option("k"), ts("2024-01-01 09:30:00"), 3L)  // before the null val
+    ).toDF("k", "t", "id")
+    val right = Seq(
+      (Option.empty[String], ts("2024-01-01 09:00:00"), Option(5.0)),
+      (Option("k"), ts("2024-01-01 09:00:00"), Option(3.0)),
+      (Option("k"), ts("2024-01-01 10:00:00"), Option.empty[Double])
+    ).toDF("k", "t", "v")
+    val out = AsOfJoin.asOf(left, right, "k", "t", "t", "v", "asof_v")
+      .collect().map(r => r.getAs[Long]("id") ->
+        Option(r.getAs[java.lang.Double]("asof_v"))).toMap
+    assert(out(1L).isEmpty, "null key must not match null-key rights")
+    assert(out(2L).isEmpty,
+      "the matched 10:00 right row has a null value — result must be null, not the stale 3.0")
+    assert(out(3L).contains(3.0))
+  }
+
   test("as-of matches a per-row reference computation on a dense mix") {
     import spark.implicits._
     // deterministic interleaved series across 3 days and 2 keys
