@@ -114,6 +114,14 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected two aggregation stages, saw ${aggs.length} HashAggregates")
   }
 
+  test("as-of join windows are all partitioned (no global sort)") {
+    val winds = planOf("j5_asof_spot")
+      .collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(winds.nonEmpty)
+    assert(winds.forall(_.partitionSpec.nonEmpty),
+      "j5 runs an unpartitioned window")
+  }
+
   test("rolling windows are partitioned (no global sort in w2/w3)") {
     for (name <- Seq("w2_iv_percentile", "w3_iv_rank")) {
       val winds = planOf(name)
