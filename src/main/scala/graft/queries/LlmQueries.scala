@@ -209,8 +209,8 @@ object LlmQueries {
   def simhash(s: SparkSession, dir: String): DataFrame = {
     val exploded = docs(s, dir).select(col("doc_id"),
       explode(TextDedup.words(col("text"))).as("word"))
-      .select(col("doc_id"), TextDedup.wordHash32(col("word")).as("h"))
-    TextDedup.simhash32(exploded)
+      .select(col("doc_id"), TextDedup.wordHash60(col("word")).as("h"))
+    TextDedup.simhashAgg(exploded)
   }
 
   /** DuckDB twin of wordHash32: first 8 sha256 hex chars as a 32-bit
@@ -221,16 +221,25 @@ object LlmQueries {
     """CAST(list_sum([(strpos('0123456789abcdef', sha[i]) - 1)
       |      * (16.0 ** (8 - i)) for i in range(1, 9)]) AS BIGINT)""".stripMargin
 
+  /** DuckDB twin of wordHash60: first 15 sha256 hex chars as a 60-bit
+    * int. Integer shifts, not `16.0 **` doubles — 16^14 exceeds 2^53,
+    * so the double form would silently round; `digit << 4k` stays
+    * exact BIGINT arithmetic all the way up. */
+  private def duckHash60 =
+    """CAST(list_sum([(strpos('0123456789abcdef', sha[i]) - 1)::BIGINT
+      |      << (4 * (15 - i)) for i in range(1, 16)]) AS BIGINT)""".stripMargin
+
   private def simhashCte: String = {
-    val bitSums = (0 until 32).map(b =>
+    val nb = TextDedup.SimhashBits
+    val bitSums = (0 until nb).map(b =>
       s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS bs$b")
-    val bits = (0 until 32).map(b =>
+    val bits = (0 until nb).map(b =>
       s"CASE WHEN bs$b > 0 THEN ${1L << b} ELSE 0 END")
     s"""$wrdsCte,
        |tok AS (
        |  SELECT doc_id, sha256(unnest(w)) AS sha FROM wrds
        |),
-       |hashed AS (SELECT doc_id, $duckHash32 AS h FROM tok),
+       |hashed AS (SELECT doc_id, $duckHash60 AS h FROM tok),
        |votes AS (
        |  SELECT doc_id, ${bitSums.mkString(",\n    ")}
        |  FROM hashed GROUP BY doc_id
@@ -245,10 +254,10 @@ object LlmQueries {
     s"""WITH $simhashCte
        |SELECT doc_id, simhash FROM sims""".stripMargin
 
-  /** SimHash near-dup pairs. Spark generates candidates by 8-bit-chunk
-    * bucketing (pigeonhole-complete for Hamming <= 3), so the result
-    * set equals all pairs under the threshold — which the oracle can
-    * state directly. */
+  /** SimHash near-dup pairs. Spark generates candidates by
+    * 15-bit-chunk bucketing (pigeonhole-complete for Hamming <= 3), so
+    * the result set equals all pairs under the threshold — which the
+    * oracle can state directly. */
   def simhashPairs(s: SparkSession, dir: String): DataFrame =
     TextDedup.simhashPairs(simhash(s, dir), maxHamming = 3)
 

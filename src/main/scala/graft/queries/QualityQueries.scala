@@ -160,6 +160,14 @@ object QualityQueries {
         .as("approx_unique_instruments"),
       percentile_approx(col("price"), array(lit(0.5), lit(0.95), lit(0.99)),
         lit(10000)).as("price_quantiles"))
+      // scalars, not an array<double>: the driver's rows-only gate
+      // pandas-sorts every output column, and numpy arrays are
+      // unhashable there (round-3 a18 err)
+      .select(col("total_rows"), col("approx_unique_trades"),
+        col("approx_unique_instruments"),
+        element_at(col("price_quantiles"), 1).as("price_p50"),
+        element_at(col("price_quantiles"), 2).as("price_p95"),
+        element_at(col("price_quantiles"), 3).as("price_p99"))
 
   val defs: Map[String, QueryDef] = Map(
     "a10_quality_metrics" -> QueryDef(a10Quality _, a10Oracle),

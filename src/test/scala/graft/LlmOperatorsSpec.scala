@@ -112,11 +112,12 @@ class LlmOperatorsSpec extends AnyFunSuite {
   test("simhash: identical normalized docs hash equal; hamming 0") {
     val exploded = docs.select(col("doc_id"),
       explode(TextDedup.words(col("text"))).as("w"))
-      .select(col("doc_id"), TextDedup.wordHash32(col("w")).as("h"))
-    val sims = TextDedup.simhash32(exploded)
+      .select(col("doc_id"), TextDedup.wordHash60(col("w")).as("h"))
+    val sims = TextDedup.simhashAgg(exploded)
     val byId = sims.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(byId(1L) == byId(2L))
-    assert(byId.values.forall(v => v >= 0 && v < (1L << 32)))
+    assert(byId.values.forall(v =>
+      v >= 0 && v < (1L << TextDedup.SimhashBits)))
     val pairs = TextDedup.simhashPairs(sims, maxHamming = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((1L, 2L)))

@@ -40,8 +40,9 @@ class QualityWindowsSpec extends AnyFunSuite {
     // HLL++ default rsd is 5%; allow 3x
     assert(math.abs(approxIds - exactIds).toDouble / exactIds < 0.15,
       s"approx=$approxIds exact=$exactIds")
-    val qs = row.getAs[scala.collection.Seq[Double]]("price_quantiles")
-    assert(qs.length == 3 && qs(0) <= qs(1) && qs(1) <= qs(2))
+    val qs = Seq(row.getAs[Double]("price_p50"),
+      row.getAs[Double]("price_p95"), row.getAs[Double]("price_p99"))
+    assert(qs(0) <= qs(1) && qs(1) <= qs(2))
     val exactMedian = trades.stat.approxQuantile("price", Array(0.5), 0.0)(0)
     assert(math.abs(qs(0) - exactMedian) / math.max(exactMedian, 1e-9) < 0.05,
       s"median sketch ${qs(0)} vs exact $exactMedian")
