@@ -302,6 +302,10 @@ object Egarch {
       underlying: String, horizon: Int, vol_forecast: Double,
       persistence: Double, n_obs: Int, converged: Boolean)
 
+  final case class SpreadRow(
+      underlying: String, bucket_start: Long, iv_close: Double,
+      cond_vol: Double, residual: Double, iv_egarch_spread: Double)
+
   /** Shared per-group scaffolding for [[fitPerGroup]] and
     * [[forecastPerGroup]]: (key, order, value) triples keyed by the
     * group column, ready for flatMapGroups. */
@@ -346,6 +350,36 @@ object Egarch {
           forecast(f, horizon).iterator.zipWithIndex.map {
             case (v, h) =>
               ForecastRow(key, h + 1, v, f.persistence, f.nObs, f.converged)
+          }
+        }
+      }
+  }
+
+  /** M6 as a full per-bar series: fit, then emit one row per
+    * observation with the fitted conditional volatility, standardized
+    * residual, and the IV-vs-EGARCH spread (`egarch.py:247-310` —
+    * the reference returns these as aligned pandas Series; here each
+    * group's series is produced inside its executor task and the
+    * result stays a distributed frame keyed by (group, bar)). */
+  def spreadSeriesPerGroup(bars: DataFrame, keyCol: String = "underlying",
+      valueCol: String = "iv_close", orderCol: String = "bucket_start")
+      : Dataset[SpreadRow] = {
+    val spark = bars.sparkSession
+    import spark.implicits._
+    groupedBars(bars, keyCol, valueCol, orderCol)
+      .flatMapGroups { (key, it) =>
+        val obs = it.toArray.sortBy(_._2).collect {
+          case (_, ord, v) if !v.isNaN => (ord, v)
+        }
+        if (obs.length < MinObservations) Iterator.empty
+        else {
+          val fitted = try Some(fit(obs.map(_._2)))
+            catch { case _: Throwable => None }
+          fitted.iterator.flatMap { f =>
+            obs.iterator.zipWithIndex.map { case ((ord, v), t) =>
+              SpreadRow(key, ord, v, f.condVol(t), f.residuals(t),
+                v - f.condVol(t))
+            }
           }
         }
       }

@@ -185,6 +185,107 @@ object VectorOps {
       .filter(col("rank") <= k)
   }
 
+  // ---- product quantization (PQ) ANN ----
+
+  /** Train PQ codebooks: the embedding dimension is split into `m`
+    * contiguous subspaces and each gets its own `ksub`-entry codebook
+    * from the same deterministic seeded k-means as the IVF coarse
+    * quantizer. Codebooks are m x ksub x (dim/m) doubles on the driver
+    * — bytes, by construction. One cached corpus pass per subspace
+    * (m is 2..8; at 100 TB you train on a bounded sample instead —
+    * swap `corpus` for `corpus.limit(n)`; the search path is
+    * unchanged). */
+  def pqTrain(corpus: DataFrame, m: Int, ksub: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      : Array[Array[Array[Double]]] = {
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    Array.tabulate(m) { s =>
+      val sub = corpus.select(col(idCol),
+        slice(col(vecCol), s * dsub + 1, dsub).as(vecCol))
+      kmeansCentroids(sub, ksub, iters = 3, idCol, vecCol)
+    }
+  }
+
+  /** Nearest code per subspace for one full vector. */
+  def pqEncode(v: Array[Float], books: Array[Array[Array[Double]]]): Array[Int] = {
+    val m = books.length
+    val dsub = v.length / m
+    Array.tabulate(m) { s =>
+      val sub = java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub)
+      nearestCentroid(sub, books(s))
+    }
+  }
+
+  /** PQ ANN top-k with exact re-rank: corpus vectors are encoded to m
+    * small codes (one map pass, codebooks broadcast); each query
+    * builds an asymmetric-distance (ADC) table — its squared L2 to
+    * every codebook entry per subspace — so the approximate distance
+    * per corpus vector is m table lookups over the codes, never a
+    * touch of the full vector. The ADC top-`shortlist` per query is
+    * then re-ranked by exact cosine against the real vectors (a join
+    * back by id — shuffle sized by shortlist x queries, not corpus).
+    * This is the memory shape that matters at 100 TB: the scored side
+    * carries m ints per vector instead of the embedding. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      m: Int = 4, ksub: Int = 16, shortlist: Int = 32,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val books = pqTrain(corpus, m, ksub, idCol, vecCol)
+    val bc = spark.sparkContext.broadcast(books)
+    val codes = corpus
+      .select(col(idCol).cast("long"), col(vecCol)).as[(Long, Array[Float])]
+      .map { case (id, v) => (id, pqEncode(v, bc.value)) }
+      .toDF("neighbor_id", "_codes")
+    // per-query ADC tables, built distributed and broadcast with the
+    // query set: table(s)(c) = ||q_s - book_s(c)||^2
+    val qTables = broadcast(queries
+      .select(col(idCol).cast("long"), col(vecCol)).as[(Long, Array[Float])]
+      .map { case (qid, qv) =>
+        val bks = bc.value
+        val dsub = qv.length / bks.length
+        val table = Array.tabulate(bks.length) { s =>
+          Array.tabulate(bks(s).length) { c =>
+            var d = 0.0; var i = 0
+            val ct = bks(s)(c)
+            while (i < dsub) {
+              val diff = qv(s * dsub + i) - ct(i); d += diff * diff; i += 1
+            }
+            d
+          }
+        }
+        (qid, table)
+      }
+      .toDF("query_id", "_table"))
+    val adc = codes.join(qTables, col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        aggregate(
+          zip_with(col("_codes"), col("_table"),
+            (c, t) => element_at(t, c + lit(1))),
+          lit(0.0), (acc, x) => acc + x).as("_adc"))
+    val wAdc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("_adc"), col("neighbor_id"))
+    val short = adc.withColumn("_rn", row_number().over(wAdc))
+      .filter(col("_rn") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    // exact re-rank over the shortlist only
+    val scored = short
+      .join(corpus.select(col(idCol).cast("long").as("neighbor_id"),
+        col(vecCol).as("_cv")), "neighbor_id")
+      .join(broadcast(queries.select(col(idCol).cast("long").as("query_id"),
+        col(vecCol).as("_qv"))), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("_qv"), col("_cv")).as("cos_sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** IVF-style bucketed nearest neighbour: per vector, the single most
     * cosine-similar other vector *within its argmax-coordinate bucket*
     * (ties broken by neighbor id). Vectors alone in their bucket drop

@@ -28,8 +28,15 @@ object EgarchQueries {
   def m5Forecast(s: SparkSession, dir: String): DataFrame =
     Egarch.forecastPerGroup(bars(s, dir), horizon = 5).toDF()
 
+  /** M6: full per-bar residual / conditional-vol / IV-spread series
+    * (one row per 15-min bar per underlying, not just the last value
+    * m3 reports). */
+  def m6Spread(s: SparkSession, dir: String): DataFrame =
+    Egarch.spreadSeriesPerGroup(bars(s, dir)).toDF()
+
   val defs: Map[String, QueryDef] = Map(
     "m3_egarch_fit" -> QueryDef(m3Fit _, None),
     "m4_egarch_auto" -> QueryDef(m4Auto _, None),
-    "m5_egarch_forecast" -> QueryDef(m5Forecast _, None))
+    "m5_egarch_forecast" -> QueryDef(m5Forecast _, None),
+    "m6_egarch_spread" -> QueryDef(m6Spread _, None))
 }

@@ -508,6 +508,15 @@ object LlmQueries {
     VectorOps.ivfTopK(e, e.filter(col("vec_id") < AnnQueries), AnnK)
   }
 
+  /** PQ (product-quantization) ANN with exact re-rank (rows-only for
+    * the same reason as IVF: the trained codebooks are k-means
+    * artifacts; recall against brute force is asserted in
+    * LlmOperatorsSpec). */
+  def annPq(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    VectorOps.pqTopK(e, e.filter(col("vec_id") < AnnQueries), AnnK)
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "llm_dedup_exact" -> QueryDef(dedupExact _, dedupExactOracle),
     "llm_minhash_neardup" -> QueryDef(minhashNearDups _, minhashOracle),
@@ -524,5 +533,6 @@ object LlmQueries {
     "llm_ann_topk" -> QueryDef(annTopK _, annTopKOracle),
     "llm_ann_bucketed" -> QueryDef(annBucketed _, annBucketedOracle),
     "llm_embed_neardup" -> QueryDef(embedNearDups _, embedNearDupsOracle),
-    "llm_ann_ivf_trained" -> QueryDef(annIvfTrained _, None))
+    "llm_ann_ivf_trained" -> QueryDef(annIvfTrained _, None),
+    "llm_ann_pq" -> QueryDef(annPq _, None))
 }

@@ -177,6 +177,53 @@ object SystemQueries {
        |FROM bars, wm
        |WHERE (bucket_start + 900) * 1000 <= wm_ms""".stripMargin
 
+  /** §2.9 + J2: stream-stream inner join of a trades stream to a spot
+    * tick stream in the same 15-min bucket, driven to completion over
+    * file sources. All files arrive in the first micro-batch (the
+    * initial watermark is the epoch), so nothing is late-dropped and
+    * the emitted set equals the static bucket join the oracle states.
+    * The trades side is thinned 1-in-199 to keep the match set
+    * output-sized; the tick side streams in full. */
+  def st3StreamJoin(s: SparkSession, dir: String): DataFrame = {
+    val src = Files.createTempDirectory("st3-src").toString
+    val ckpt = Files.createTempDirectory("st3-ckpt").toString
+    val trades = SyntheticTrades.trades(s, dir)
+      .filter(col("trade_id").cast("long") % 199 === 0)
+      .select("trade_id", "underlying", "timestamp")
+    val ticks = SyntheticTrades.spotTicks(s, dir)
+    trades.write.mode("overwrite").parquet(s"$src/trades")
+    ticks.write.mode("overwrite").parquet(s"$src/ticks")
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val tStream = s.readStream.schema(trades.schema).parquet(s"$src/trades")
+      val kStream = s.readStream.schema(ticks.schema).parquet(s"$src/ticks")
+      val q = StreamingIngest.spotTickJoin(tStream, kStream)
+        .writeStream.format("memory").queryName("st3_join")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    s.table("st3_join")
+  }
+
+  val st3Oracle: String =
+    s"""WITH ${SyntheticTrades.tradesCte},
+       |${SyntheticTrades.spotCte},
+       |t AS (
+       |  SELECT trade_id, underlying,
+       |    ${duckEpochS("\"timestamp\"")} AS trade_ep
+       |  FROM trades WHERE CAST(trade_id AS BIGINT) % 199 = 0
+       |),
+       |k AS (
+       |  SELECT symbol, ${duckEpochS("\"timestamp\"")} AS tick_ep, close
+       |  FROM spot_ticks
+       |)
+       |SELECT t.trade_id, t.trade_ep, k.symbol, k.tick_ep, k.close
+       |FROM t JOIN k
+       |  ON k.symbol = t.underlying
+       | AND k.tick_ep - k.tick_ep % 900 = t.trade_ep - t.trade_ep % 900""".stripMargin
+
   /** Day-partitioned sorted store per sf dir, built once per JVM-host
     * (keyed by the read-only sf path; rebuilt only if absent). */
   private[graft] def prunedStore(s: SparkSession, dir: String): String = {
@@ -224,5 +271,6 @@ object SystemQueries {
     "s8_fetch_pruned" -> QueryDef(s8FetchPruned _, s8PrunedOracle),
     "s9_schema_system" -> QueryDef(s9Schema _, None),
     "st1_streaming_ingest" -> QueryDef(st1Streaming _, None),
-    "st2_streaming_bars" -> QueryDef(st2StreamingBars _, st2Oracle))
+    "st2_streaming_bars" -> QueryDef(st2StreamingBars _, st2Oracle),
+    "st3_stream_join" -> QueryDef(st3StreamJoin _, st3Oracle))
 }

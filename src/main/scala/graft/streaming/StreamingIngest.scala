@@ -65,6 +65,35 @@ object StreamingIngest {
         (coalesce(col("put_volume"), lit(0.0)) /
           nullif(coalesce(col("call_volume"), lit(0.0)), lit(0.0))).as("pcr"))
 
+  /** J2-for-streams: stream-stream inner join of trades to spot ticks
+    * in the same 15-minute bucket. Both sides are watermarked and the
+    * join key includes the event-time window, so the state store
+    * evicts a bucket's rows once both watermarks pass it — bounded
+    * state at any stream length, the property a raw (non-windowed)
+    * stream-stream join lacks. Inner-join semantics: every
+    * (trade, tick) match in a bucket emits exactly once, so over a
+    * fully-processed bounded source the result equals the static
+    * bucket join — which is what the st3 oracle states in SQL. */
+  def spotTickJoin(trades: DataFrame, ticks: DataFrame,
+      watermark: String = "30 minutes"): DataFrame = {
+    // each side may carry exactly ONE event-time column into the join:
+    // the 15-min window. The raw timestamps are exported as plain
+    // epoch longs, which strips their event-time tag (keeping them as
+    // TimestampType fails analysis with "more than one event time
+    // column").
+    val t = trades.withWatermark("timestamp", watermark)
+      .select(col("trade_id"), col("underlying"),
+        window(col("timestamp"), "15 minutes").as("w"),
+        unix_timestamp(col("timestamp")).as("trade_ep"))
+    val k = ticks.withWatermark("timestamp", watermark)
+      .select(col("symbol"),
+        window(col("timestamp"), "15 minutes").as("w2"),
+        unix_timestamp(col("timestamp")).as("tick_ep"), col("close"))
+    t.join(k, col("underlying") === col("symbol") && col("w") === col("w2"))
+      .select(col("trade_id"), col("trade_ep"), col("symbol"),
+        col("tick_ep"), col("close"))
+  }
+
   final case class GapEvent(underlying: String, gap_start_ep: Long,
       gap_end_ep: Long, gap_seconds: Long)
 

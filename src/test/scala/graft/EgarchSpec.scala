@@ -88,6 +88,26 @@ class EgarchSpec extends AnyFunSuite {
     }
   }
 
+  test("M6 spread series: one row per bar, spread = iv - cond_vol") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val vals = series(300, 5)
+    val bars = vals.zipWithIndex.map { case (v, i) =>
+      ("BTC", i.toLong * 900, v) }.toSeq
+      .toDF("underlying", "bucket_start", "iv_close")
+    val out = Egarch.spreadSeriesPerGroup(bars).collect()
+      .sortBy(_.bucket_start)
+    assert(out.length == 300)
+    assert(out.map(_.bucket_start).toSeq == (0 until 300).map(_.toLong * 900))
+    out.foreach { r =>
+      assert(r.cond_vol > 0)
+      assert(!r.residual.isNaN && !r.residual.isInfinite)
+      assert(math.abs(r.iv_egarch_spread - (r.iv_close - r.cond_vol)) < 1e-12)
+    }
+    // series values round-trip unchanged
+    assert(out.map(_.iv_close).toSeq == vals.toSeq)
+  }
+
   test("per-group multi-horizon forecast emits one row per (key, h)") {
     val spark = TestSpark.spark
     import spark.implicits._

@@ -234,6 +234,33 @@ class LlmOperatorsSpec extends AnyFunSuite {
     assert(ivf == brute)
   }
 
+  test("PQ ANN: exact re-rank scores, high recall vs brute force") {
+    val emb = graft.util.Tables.load(spark, "/root/testdata/sf0.001",
+      "embeddings")
+    val queries = emb.filter(col("vec_id") < 8)
+    val pq = VectorOps.pqTopK(emb, queries, k = 5).collect()
+    val brute = VectorOps.annTopK(emb, queries, k = 5).collect()
+    // per (query, neighbor) the re-ranked cosine is EXACT — identical
+    // to the brute-force score for the same pair
+    val bruteScore = brute.map(r => (r.getAs[Long]("query_id"),
+      r.getAs[Long]("neighbor_id")) -> r.getAs[Double]("cos_sim")).toMap
+    val pqPairs = pq.map(r => (r.getAs[Long]("query_id"),
+      r.getAs[Long]("neighbor_id"))).toSet
+    pq.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      bruteScore.get(key).foreach { exact =>
+        assert(r.getAs[Double]("cos_sim") == exact, s"score drift at $key")
+      }
+    }
+    // recall@5 of the ADC shortlist against brute force
+    val hit = brute.count(r => pqPairs.contains(
+      (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))))
+    val recall = hit.toDouble / brute.length
+    assert(recall >= 0.5, s"PQ recall@5 = $recall")
+    // shape: 5 rows per query, ranks 1..5
+    assert(pq.length == 8 * 5)
+  }
+
   test("bucketed ANN only pairs within argmax bucket") {
     val out = VectorOps.bucketTop1(vecs).collect()
       .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("nn_id")).toMap

@@ -50,7 +50,11 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("broadcast nested-loop joins appear only by design") {
-    val allowed = Set("llm_ann_topk") // broadcast query set, non-equi
+    // broadcast query set, non-equi: the brute-force ANN scores and
+    // the PQ ADC table join both pair the full corpus against a
+    // bounded broadcast query set — the small side is small by
+    // construction, never corpus-sized
+    val allowed = Set("llm_ann_topk", "llm_ann_pq")
     for (name <- SparkEntry.queries.keys if !driverSide(name)) {
       val bnl = planOf(name).collect { case j: BroadcastNestedLoopJoinExec => j }
       assert(bnl.isEmpty || allowed(name),

@@ -117,6 +117,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream spot join matches trades to same-bucket ticks") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val trades = MemoryStream[(String, String, Timestamp)]
+    val ticks = MemoryStream[(String, Timestamp, Double)]
+    val joined = StreamingIngest.spotTickJoin(
+      trades.toDF().toDF("trade_id", "underlying", "timestamp"),
+      ticks.toDF().toDF("symbol", "timestamp", "close"),
+      watermark = "1 minutes")
+    val q = joined.writeStream.format("memory").queryName("st_join_out")
+      .outputMode("append").start()
+    try {
+      trades.addData(
+        ("1", "BTC", ts(3)),   // bucket 10:00
+        ("2", "ETH", ts(20)))  // bucket 10:15
+      ticks.addData(
+        ("BTC", ts(5), 100.0),  // same bucket as trade 1
+        ("BTC", ts(22), 101.0), // bucket 10:15 — no BTC trade there
+        ("ETH", ts(16), 50.0),  // same bucket as trade 2
+        ("ETH", ts(40), 51.0))  // bucket 10:30 — no ETH trade
+      q.processAllAvailable()
+      val out = spark.table("st_join_out").collect()
+        .map(r => (r.getAs[String]("trade_id"), r.getAs[String]("symbol"),
+          r.getAs[Double]("close"))).toSet
+      assert(out == Set(("1", "BTC", 100.0), ("2", "ETH", 50.0)))
+      // trade/tick epochs survive as plain longs
+      val eps = spark.table("st_join_out").collect()
+        .map(r => (r.getAs[Long]("trade_ep"), r.getAs[Long]("tick_ep")))
+      assert(eps.forall { case (a, b) => a / 900 == b / 900 })
+    } finally q.stop()
+  }
+
   test("streaming dedup drops duplicate trade_ids within watermark") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
