@@ -308,6 +308,30 @@ object TextDedup {
       (col("id") === col("label")).as("keep"))
   }
 
+  /** Decontamination: flag corpus documents that share any n-gram with
+    * a benchmark/eval set — the standard train-test overlap removal of
+    * LLM data pipelines. `corpus` and `benchmark` both carry
+    * (idCol, tokensCol) distinct token-hash arrays; the benchmark's
+    * distinct hash set is broadcast (eval sets are bounded by
+    * construction), so the check is a map-side join over the exploded
+    * corpus postings — no shuffle proportional to the corpus.
+    * Returns one row per corpus doc: (id, n_overlap, contaminated). */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String = "doc_id", tokensCol: String = "hs"): DataFrame = {
+    val benchHashes = benchmark
+      .select(explode(col(tokensCol)).as("_bh")).distinct()
+    val overlaps = corpus
+      .select(col(idCol), explode(col(tokensCol)).as("_bh"))
+      .join(broadcast(benchHashes), "_bh")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_overlap"))
+    corpus.select(col(idCol))
+      .join(overlaps, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** SimHash near-dup pairs: candidate pairs share at least one of the
     * four 15-bit chunks of the 60-bit simhash (pigeonhole: any pair at
     * Hamming distance <= 3 must agree on >= 1 chunk), verified by exact

@@ -308,10 +308,11 @@ object LlmQueries {
       .select("doc_id", "n_words", "avg_word_len", "punct_ratio",
         "digit_ratio", "upper_ratio", "stopword_ratio", "quality_ok")
 
-  val qualityOracle: String = {
+  /** The quality SELECT over `wrds` (no WITH) — reused as a CTE body
+    * by the curation oracle. */
+  private val qualitySelectSql: String = {
     val en = TextAnalysis.stopwords("en").map(w => s"'$w'").mkString(", ")
-    s"""WITH $wrdsCte
-       |SELECT doc_id, len(w) AS n_words,
+    s"""SELECT doc_id, len(w) AS n_words,
        |  (length(nt) - (len(w) - 1))::DOUBLE / len(w) AS avg_word_len,
        |  len(regexp_extract_all(text, '[^A-Za-z0-9 \\t\\n\\r]'))::DOUBLE
        |    / greatest(length(text), 1) AS punct_ratio,
@@ -328,6 +329,8 @@ object LlmQueries {
        |      / greatest(length(text), 1) < 0.3 AS quality_ok
        |FROM wrds""".stripMargin
   }
+
+  val qualityOracle: String = s"WITH $wrdsCte\n$qualitySelectSql"
 
   // ---- language ID ----
 
@@ -369,41 +372,128 @@ object LlmQueries {
       .select("doc_id", "n_lines", "dup_line_frac", "dup_10gram_frac",
         "n_bigrams", "top_bigram_frac", "repetition_ok")
 
+  /** rep/topbg CTE bodies + the final repetition SELECT, split out so
+    * the curation oracle can reuse them. */
+  private val repCtesSql: String =
+    """rep AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(text, chr(10)),
+      |                l -> length(trim(l)) > 0) AS lines,
+      |    CASE WHEN len(w) >= 10 THEN
+      |      [array_to_string(w[i:i+9], ' ') for i in range(1, len(w)-8)]
+      |    ELSE [] END AS tg,
+      |    CASE WHEN len(w) >= 2 THEN
+      |      [array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]
+      |    ELSE [] END AS bg
+      |  FROM wrds
+      |),
+      |topbg AS (
+      |  SELECT doc_id, max(c) AS topc FROM (
+      |    SELECT doc_id, b, count(*) AS c
+      |    FROM (SELECT doc_id, unnest(bg) AS b FROM rep)
+      |    GROUP BY 1, 2
+      |  ) GROUP BY 1
+      |)""".stripMargin
+
+  private val repSelectSql: String =
+    """SELECT r.doc_id, len(lines) AS n_lines,
+      |  CASE WHEN len(lines) > 0 THEN
+      |    (len(lines) - len(list_distinct(lines)))::DOUBLE / len(lines)
+      |  END AS dup_line_frac,
+      |  CASE WHEN len(tg) > 0 THEN
+      |    (len(tg) - len(list_distinct(tg)))::DOUBLE / len(tg)
+      |  END AS dup_10gram_frac,
+      |  len(bg) AS n_bigrams,
+      |  CASE WHEN len(bg) > 0 THEN topc::DOUBLE / len(bg)
+      |  END AS top_bigram_frac,
+      |  coalesce(dup_line_frac <= 0.3, true)
+      |    AND coalesce(top_bigram_frac <= 0.2, true)
+      |    AND coalesce(dup_10gram_frac <= 0.5, true) AS repetition_ok
+      |FROM rep r LEFT JOIN topbg USING (doc_id)""".stripMargin
+
   val repetitionOracle: String =
-    s"""WITH $wrdsCte,
-       |rep AS (
-       |  SELECT doc_id,
-       |    list_filter(string_split(text, chr(10)),
-       |                l -> length(trim(l)) > 0) AS lines,
-       |    CASE WHEN len(w) >= 10 THEN
-       |      [array_to_string(w[i:i+9], ' ') for i in range(1, len(w)-8)]
-       |    ELSE [] END AS tg,
-       |    CASE WHEN len(w) >= 2 THEN
-       |      [array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]
-       |    ELSE [] END AS bg
-       |  FROM wrds
+    s"WITH $wrdsCte,\n$repCtesSql\n$repSelectSql"
+
+  // ---- decontamination (train-test overlap removal) ----
+
+  /** 8-gram overlap against the benchmark stand-in (docs with
+    * doc_id < 20). Docs shorter than 8 words have no 8-grams and are
+    * clean by construction (they drop out of the hashed corpus, so the
+    * output covers docs with >= 8 words — mirrored by the oracle). */
+  private val DecontamN = 8
+  private val BenchmarkIds = 20
+
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val corpus = hashedCorpus(s, dir, DecontamN)
+    TextDedup.decontaminate(corpus,
+      corpus.filter(col("doc_id") < BenchmarkIds))
+  }
+
+  val decontaminateOracle: String =
+    s"""WITH ${hashedCte(DecontamN)},
+       |bench AS (
+       |  SELECT DISTINCT h FROM hashed WHERE doc_id < $BenchmarkIds
        |),
-       |topbg AS (
-       |  SELECT doc_id, max(c) AS topc FROM (
-       |    SELECT doc_id, b, count(*) AS c
-       |    FROM (SELECT doc_id, unnest(bg) AS b FROM rep)
-       |    GROUP BY 1, 2
-       |  ) GROUP BY 1
+       |ov AS (
+       |  SELECT doc_id, count(*) AS n_overlap
+       |  FROM hashed JOIN bench USING (h) GROUP BY 1
        |)
-       |SELECT r.doc_id, len(lines) AS n_lines,
-       |  CASE WHEN len(lines) > 0 THEN
-       |    (len(lines) - len(list_distinct(lines)))::DOUBLE / len(lines)
-       |  END AS dup_line_frac,
-       |  CASE WHEN len(tg) > 0 THEN
-       |    (len(tg) - len(list_distinct(tg)))::DOUBLE / len(tg)
-       |  END AS dup_10gram_frac,
-       |  len(bg) AS n_bigrams,
-       |  CASE WHEN len(bg) > 0 THEN topc::DOUBLE / len(bg)
-       |  END AS top_bigram_frac,
-       |  coalesce(dup_line_frac <= 0.3, true)
-       |    AND coalesce(top_bigram_frac <= 0.2, true)
-       |    AND coalesce(dup_10gram_frac <= 0.5, true) AS repetition_ok
-       |FROM rep r LEFT JOIN topbg USING (doc_id)""".stripMargin
+       |SELECT d.doc_id, coalesce(o.n_overlap, 0) AS n_overlap,
+       |  coalesce(o.n_overlap, 0) > 0 AS contaminated
+       |FROM (SELECT DISTINCT doc_id FROM hashed) d
+       |LEFT JOIN ov o USING (doc_id)""".stripMargin
+
+  // ---- curation end-to-end (quality ∧ repetition ∧ exact-dedup keep) ----
+
+  /** The full corpus-curation funnel as one plan: per source, how many
+    * documents enter, how many survive quality + repetition filters
+    * AND are the canonical copy of their exact-dup class, and the
+    * surviving whitespace-token budget. Each metric operator stays its
+    * own composable stage (joined by doc_id) — at 100 TB the four
+    * branches fuse into independent map stages over the same scan and
+    * one shuffle per aggregate, all keyed by doc_id/source. */
+  def curationE2e(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val q = TextAnalysis.qualityScore(d).select(col("doc_id"), col("quality_ok"))
+    val r = TextAnalysis.repetitionMetrics(d)
+      .select(col("doc_id"), col("repetition_ok"))
+    val t = TextAnalysis.tokenCounts(d).select(col("doc_id"), col("n_ws_tokens"))
+    val keep = TextDedup.exactDedup(d)
+      .select(col("keep_id").as("doc_id"), lit(true).as("_keep"))
+    val surviving = col("quality_ok") && col("repetition_ok") &&
+      coalesce(col("_keep"), lit(false))
+    d.select(col("doc_id"), col("source"))
+      .join(q, "doc_id").join(r, "doc_id").join(t, "doc_id")
+      .join(keep, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when(surviving, 1)).as("n_survivors"),
+        coalesce(sum(when(surviving, col("n_ws_tokens"))), lit(0L))
+          .as("tokens_out"))
+  }
+
+  val curationE2eOracle: String =
+    s"""WITH $wrdsCte,
+       |$repCtesSql,
+       |qual AS ($qualitySelectSql),
+       |repm AS ($repSelectSql),
+       |tok AS (SELECT doc_id, len(w) AS n_ws_tokens FROM wrds),
+       |keepers AS (
+       |  SELECT min(doc_id) AS doc_id FROM norm GROUP BY sha256(nt)
+       |)
+       |SELECT doc.source, count(*) AS n_docs,
+       |  count(CASE WHEN qual.quality_ok AND repm.repetition_ok
+       |    AND k.doc_id IS NOT NULL THEN 1 END) AS n_survivors,
+       |  coalesce(CAST(sum(CASE WHEN qual.quality_ok AND repm.repetition_ok
+       |    AND k.doc_id IS NOT NULL THEN tok.n_ws_tokens END) AS BIGINT), 0)
+       |    AS tokens_out
+       |FROM documents doc
+       |JOIN qual ON qual.doc_id = doc.doc_id
+       |JOIN repm ON repm.doc_id = doc.doc_id
+       |JOIN tok ON tok.doc_id = doc.doc_id
+       |LEFT JOIN keepers k ON k.doc_id = doc.doc_id
+       |GROUP BY doc.source""".stripMargin
 
   // ---- per-source corpus statistics ----
 
@@ -534,5 +624,7 @@ object LlmQueries {
     "llm_ann_bucketed" -> QueryDef(annBucketed _, annBucketedOracle),
     "llm_embed_neardup" -> QueryDef(embedNearDups _, embedNearDupsOracle),
     "llm_ann_ivf_trained" -> QueryDef(annIvfTrained _, None),
-    "llm_ann_pq" -> QueryDef(annPq _, None))
+    "llm_ann_pq" -> QueryDef(annPq _, None),
+    "llm_decontaminate" -> QueryDef(decontaminate _, decontaminateOracle),
+    "llm_curation_e2e" -> QueryDef(curationE2e _, curationE2eOracle))
 }

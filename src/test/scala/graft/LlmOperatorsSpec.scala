@@ -123,6 +123,25 @@ class LlmOperatorsSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("decontaminate flags exactly the docs sharing benchmark n-grams") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps"),   // benchmark
+      (2L, "a quick brown fox sits here"), // shares "quick brown fox"
+      (3L, "completely different words in this text"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextDedup.words(col("text")).as("_w"))
+      .select(col("doc_id"),
+        transform(TextDedup.wordShingles(col("_w"), 3),
+          TextDedup.wordHash32(_)).as("hs"))
+    val out = TextDedup.decontaminate(corpus,
+      corpus.filter(col("doc_id") === 1L)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out(1L)._2) // benchmark doc overlaps itself entirely
+    assert(out(2L) == ((1L, true))) // exactly one shared 3-gram
+    assert(out(3L) == ((0L, false)))
+  }
+
   test("quality + token metrics are bounded and consistent") {
     val q = TextAnalysis.qualityScore(docs).collect()
     q.foreach { r =>
