@@ -573,6 +573,43 @@ object LlmQueries {
        |FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
        |WHERE ${duckCosine("a.embedding", "c.embedding")} >= $EmbedDupThreshold""".stripMargin
 
+  /** Embedding near-dup clusters: the same distributed
+    * connected-components operator the text near-dups use, composed
+    * over the cosine pair graph — one cluster id (the component
+    * minimum) per vector that appears in any near-dup pair. */
+  def embedClusters(s: SparkSession, dir: String): DataFrame =
+    TextDedup.dedupClusters(
+      VectorOps.cosineNearDups(emb(s, dir), EmbedDupThreshold)
+        .select(col("id_a"), col("id_b")))
+      .select(col("doc_id").as("vec_id"), col("cluster_id"), col("keep"))
+
+  val embedClustersOracle: String =
+    s"""WITH RECURSIVE b AS (
+       |  SELECT vec_id, embedding,
+       |    list_indexof(embedding, list_aggregate(embedding, 'max')) AS bucket
+       |  FROM embeddings
+       |),
+       |pairs AS (
+       |  SELECT a.vec_id AS id_a, c.vec_id AS id_b
+       |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+       |  WHERE ${duckCosine("a.embedding", "c.embedding")} >= $EmbedDupThreshold
+       |),
+       |edges AS (
+       |  SELECT id_a AS s, id_b AS t FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs
+       |),
+       |reach AS (
+       |  SELECT s, t FROM edges
+       |  UNION
+       |  SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s
+       |)
+       |SELECT n.s AS vec_id,
+       |  least(n.s, min(r.t)) AS cluster_id,
+       |  n.s = least(n.s, min(r.t)) AS keep
+       |FROM (SELECT DISTINCT s FROM edges) n
+       |JOIN reach r ON r.s = n.s
+       |GROUP BY n.s""".stripMargin
+
   val annBucketedOracle: String =
     s"""WITH b AS (
        |  SELECT vec_id, embedding,
@@ -626,5 +663,6 @@ object LlmQueries {
     "llm_ann_ivf_trained" -> QueryDef(annIvfTrained _, None),
     "llm_ann_pq" -> QueryDef(annPq _, None),
     "llm_decontaminate" -> QueryDef(decontaminate _, decontaminateOracle),
-    "llm_curation_e2e" -> QueryDef(curationE2e _, curationE2eOracle))
+    "llm_curation_e2e" -> QueryDef(curationE2e _, curationE2eOracle),
+    "llm_embed_clusters" -> QueryDef(embedClusters _, embedClustersOracle))
 }
