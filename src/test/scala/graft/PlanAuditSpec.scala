@@ -92,6 +92,13 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("decontamination broadcasts the benchmark hash set") {
+    val bhj = planOf("llm_decontaminate")
+      .collect { case b: BroadcastHashJoinExec => b }
+    assert(bhj.nonEmpty,
+      "llm_decontaminate does not broadcast the benchmark hashes")
+  }
+
   test("s8_fetch_pruned prunes date partitions at the scan") {
     val scans = planOf("s8_fetch_pruned")
       .collect { case s: FileSourceScanExec => s }
