@@ -321,6 +321,109 @@ object VectorOps {
       .filter(col("rank") <= k)
   }
 
+  /** IVF-PQ top-k: the canonical large-scale ANN composition — a
+    * coarse IVF quantizer routes vectors to inverted lists, vectors
+    * are PQ-encoded as m small codes over their RESIDUAL from the
+    * list centroid (residual energy << vector energy, so the same
+    * code budget quantizes much finer), and each query probes its
+    * `nprobe` nearest lists with a per-(query, list) ADC table over
+    * the residual codebooks. Approximate distance = m table lookups
+    * per candidate; the ADC shortlist is re-ranked by exact cosine.
+    *
+    * Memory shape at 100 TB: the scored side carries (cluster, m
+    * codes) per vector — a few bytes — and the candidate join is an
+    * equi-join on cluster, shuffle bounded by nprobe x |query| lists,
+    * never all-pairs and never full vectors. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nClusters: Int = 16, nprobe: Int = 2,
+      m: Int = 4, ksub: Int = 16, shortlist: Int = 32,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = kmeansCentroids(corpus, nClusters, iters = 3, idCol, vecCol)
+    val bcC = spark.sparkContext.broadcast(centroids)
+    // one pass: (id, cluster, residual); reused by PQ training + encoding
+    val resid = corpus
+      .select(col(idCol).cast("long"), col(vecCol)).as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        val c = nearestCentroid(v, bcC.value)
+        val ct = bcC.value(c)
+        (id, c, Array.tabulate(v.length)(i => (v(i) - ct(i)).toFloat))
+      }
+      .toDF(idCol, "cluster", "residual")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val books = pqTrain(resid.select(col(idCol), col("residual")),
+        m, ksub, idCol, "residual")
+      val bcB = spark.sparkContext.broadcast(books)
+      val codes = resid
+        .select(col(idCol), col("cluster"), col("residual"))
+        .as[(Long, Int, Array[Float])]
+        .map { case (id, c, r) => (id, c, pqEncode(r, bcB.value)) }
+        .toDF("neighbor_id", "cluster", "_codes")
+      // per (query, probed list): ADC table over the residual books,
+      // t(s)(code) = ||(q - centroid)_s - book_s(code)||^2
+      val probeDf = broadcast(queries
+        .select(col(idCol).cast("long"), col(vecCol)).as[(Long, Array[Float])]
+        .flatMap { case (qid, qv) =>
+          val cs = bcC.value; val bks = bcB.value
+          val dsub = qv.length / bks.length
+          cs.indices
+            .sortBy { c =>
+              var d = 0.0; var i = 0
+              while (i < qv.length) {
+                val diff = qv(i) - cs(c)(i); d += diff * diff; i += 1 }
+              (d, c)
+            }
+            .take(nprobe)
+            .map { c =>
+              val ct = cs(c)
+              val table = Array.tabulate(bks.length) { s =>
+                Array.tabulate(bks(s).length) { code =>
+                  var d = 0.0; var i = 0
+                  val bk = bks(s)(code)
+                  while (i < dsub) {
+                    val diff = qv(s * dsub + i) - ct(s * dsub + i) - bk(i)
+                    d += diff * diff; i += 1
+                  }
+                  d
+                }
+              }
+              (qid, c, table)
+            }
+        }
+        .toDF("query_id", "cluster", "_table"))
+      val adc = codes.join(probeDf, "cluster")
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          aggregate(
+            zip_with(col("_codes"), col("_table"),
+              (c, t) => element_at(t, c + lit(1))),
+            lit(0.0), (acc, x) => acc + x).as("_adc"))
+      val wAdc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("_adc"), col("neighbor_id"))
+      val short = adc.withColumn("_rn", row_number().over(wAdc))
+        .filter(col("_rn") <= shortlist)
+        .select(col("query_id"), col("neighbor_id"))
+      val scored = short
+        .join(corpus.select(col(idCol).cast("long").as("neighbor_id"),
+          col(vecCol).as("_cv")), "neighbor_id")
+        .join(broadcast(queries.select(col(idCol).cast("long").as("query_id"),
+          col(vecCol).as("_qv"))), "query_id")
+        .select(col("query_id"), col("neighbor_id"),
+          cosine(col("_qv"), col("_cv")).as("cos_sim"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("cos_sim").desc, col("neighbor_id"))
+      // eager: the caller's action must not outlive the resid cache
+      val out = scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .localCheckpoint(true)
+      out
+    } finally resid.unpersist()
+  }
+
   /** IVF-style bucketed nearest neighbour: per vector, the single most
     * cosine-similar other vector *within its argmax-coordinate bucket*
     * (ties broken by neighbor id). Vectors alone in their bucket drop

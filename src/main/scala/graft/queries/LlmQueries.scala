@@ -644,6 +644,13 @@ object LlmQueries {
     VectorOps.pqTopK(e, e.filter(col("vec_id") < AnnQueries), AnnK)
   }
 
+  /** IVF-PQ ANN — coarse lists + residual PQ codes + ADC + exact
+    * re-rank (rows-only; structure and recall in LlmOperatorsSpec). */
+  def annIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    VectorOps.ivfPqTopK(e, e.filter(col("vec_id") < AnnQueries), AnnK)
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "llm_dedup_exact" -> QueryDef(dedupExact _, dedupExactOracle),
     "llm_minhash_neardup" -> QueryDef(minhashNearDups _, minhashOracle),
@@ -662,6 +669,7 @@ object LlmQueries {
     "llm_embed_neardup" -> QueryDef(embedNearDups _, embedNearDupsOracle),
     "llm_ann_ivf_trained" -> QueryDef(annIvfTrained _, None),
     "llm_ann_pq" -> QueryDef(annPq _, None),
+    "llm_ann_ivfpq" -> QueryDef(annIvfPq _, None),
     "llm_decontaminate" -> QueryDef(decontaminate _, decontaminateOracle),
     "llm_curation_e2e" -> QueryDef(curationE2e _, curationE2eOracle),
     "llm_embed_clusters" -> QueryDef(embedClusters _, embedClustersOracle))

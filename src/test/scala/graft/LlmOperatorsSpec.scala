@@ -280,6 +280,41 @@ class LlmOperatorsSpec extends AnyFunSuite {
     assert(pq.length == 8 * 5)
   }
 
+  test("IVF-PQ: planted clusters recovered through residual codes") {
+    import spark.implicits._
+    // same planted geometry as the IVF test: 3 orthogonal-axis
+    // clusters — IVF-PQ must route and rank within them like brute
+    // force (dim 3 is not divisible by m=4, so m=3/ksub=4 here)
+    val planted = (0 until 24).map { i =>
+      val axis = i % 3
+      val base = Array.fill(3)(0.01f * ((i * 7) % 5))
+      base(axis) = 1.0f + 0.01f * (i / 3)
+      (i.toLong, base)
+    }.toDF("vec_id", "embedding")
+    val queries = planted.filter(col("vec_id") < 3)
+    val ivfpq = VectorOps.ivfPqTopK(planted, queries, k = 1,
+      nClusters = 3, nprobe = 1, m = 3, ksub = 4, shortlist = 8).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    val brute = VectorOps.annTopK(planted, queries, k = 1).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    assert(ivfpq == brute)
+    // real corpus: shortlist recall + exact re-rank scores
+    val emb = graft.util.Tables.load(spark, "/root/testdata/sf0.001",
+      "embeddings")
+    val q8 = emb.filter(col("vec_id") < 8)
+    val pq = VectorOps.ivfPqTopK(emb, q8, k = 5).collect()
+    val bf = VectorOps.annTopK(emb, q8, k = 5).collect()
+    val bfScore = bf.map(r => (r.getAs[Long]("query_id"),
+      r.getAs[Long]("neighbor_id")) -> r.getAs[Double]("cos_sim")).toMap
+    pq.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      bfScore.get(key).foreach { exact =>
+        assert(r.getAs[Double]("cos_sim") == exact, s"score drift at $key")
+      }
+    }
+    assert(pq.length == 8 * 5)
+  }
+
   test("bucketed ANN only pairs within argmax bucket") {
     val out = VectorOps.bucketTop1(vecs).collect()
       .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("nn_id")).toMap
