@@ -224,6 +224,49 @@ object SystemQueries {
        |  ON k.symbol = t.underlying
        | AND k.tick_ep - k.tick_ep % 900 = t.trade_ep - t.trade_ep % 900""".stripMargin
 
+  /** §2.9 + A6: watermarked streaming put/call-ratio bars, driven to
+    * completion over a file source. Same emission rule as st2: a bar
+    * emits once window.end <= final watermark (max event time over
+    * ALL trades — pcrBars has no pre-aggregation filter, so the
+    * event-time stats see every row). */
+  def st4StreamingPcr(s: SparkSession, dir: String): DataFrame = {
+    val src = Files.createTempDirectory("st4-src").toString
+    val ckpt = Files.createTempDirectory("st4-ckpt").toString
+    val trades = SyntheticTrades.trades(s, dir)
+      .select("trade_id", "underlying", "timestamp", "option_type", "amount")
+    trades.write.mode("overwrite").parquet(s"$src/pages")
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val raw = s.readStream.schema(trades.schema).parquet(s"$src/pages")
+      val q = StreamingIngest.pcrBars(raw, watermark = "30 minutes")
+        .writeStream.format("memory").queryName("st4_pcr")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    s.table("st4_pcr")
+  }
+
+  val st4Oracle: String =
+    s"""WITH ${graft.queries.OracleCtes.enriched},
+       |bars AS (
+       |  SELECT bucket_start, underlying,
+       |    coalesce(${duckDsum("CASE WHEN option_type = 'P' THEN amount END")}, 0.0)
+       |      AS put_volume,
+       |    coalesce(${duckDsum("CASE WHEN option_type = 'C' THEN amount END")}, 0.0)
+       |      AS call_volume
+       |  FROM enriched
+       |  GROUP BY bucket_start, underlying
+       |),
+       |wm AS (
+       |  SELECT max(epoch_ms("timestamp")) - 1800000 AS wm_ms FROM trades
+       |)
+       |SELECT bucket_start, underlying, put_volume, call_volume,
+       |  put_volume / nullif(call_volume, 0.0) AS pcr
+       |FROM bars, wm
+       |WHERE (bucket_start + 900) * 1000 <= wm_ms""".stripMargin
+
   /** Day-partitioned sorted store per sf dir, built once per JVM-host
     * (keyed by the read-only sf path; rebuilt only if absent). */
   private[graft] def prunedStore(s: SparkSession, dir: String): String = {
@@ -272,5 +315,6 @@ object SystemQueries {
     "s9_schema_system" -> QueryDef(s9Schema _, None),
     "st1_streaming_ingest" -> QueryDef(st1Streaming _, None),
     "st2_streaming_bars" -> QueryDef(st2StreamingBars _, st2Oracle),
-    "st3_stream_join" -> QueryDef(st3StreamJoin _, st3Oracle))
+    "st3_stream_join" -> QueryDef(st3StreamJoin _, st3Oracle),
+    "st4_streaming_pcr" -> QueryDef(st4StreamingPcr _, st4Oracle))
 }

@@ -49,14 +49,18 @@ object StreamingIngest {
         col("iv_close"), col("volume"), col("n_trades"))
 
   /** A6-for-streams: watermarked per-bar put/call volume ratio — the
-    * conditional-aggregation form of PCR emitted as bars close. */
+    * conditional-aggregation form of PCR emitted as bars close.
+    * Decimal-exact sums (Parity.dsum) so the emitted values are
+    * aggregation-order-free and the st4 oracle can hash-match. */
   def pcrBars(trades: DataFrame, watermark: String = "30 minutes"): DataFrame =
     trades
       .withWatermark("timestamp", watermark)
       .groupBy(window(col("timestamp"), "15 minutes"), col("underlying"))
       .agg(
-        sum(when(col("option_type") === "P", col("amount"))).as("put_volume"),
-        sum(when(col("option_type") === "C", col("amount"))).as("call_volume"))
+        graft.util.Parity.dsum(when(col("option_type") === "P", col("amount")))
+          .as("put_volume"),
+        graft.util.Parity.dsum(when(col("option_type") === "C", col("amount")))
+          .as("call_volume"))
       .select(
         unix_timestamp(col("window.start")).as("bucket_start"),
         col("underlying"),
