@@ -267,6 +267,49 @@ object SystemQueries {
        |FROM bars, wm
        |WHERE (bucket_start + 900) * 1000 <= wm_ms""".stripMargin
 
+  /** §2.9 + W1: the custom-state gap detector
+    * (flatMapGroupsWithState) driven over a thinned file-source
+    * stream. All files land in micro-batch 0 in event order per key,
+    * so the emitted gap set equals the static per-underlying
+    * lead-window computation the oracle states. */
+  def st5GapEvents(s: SparkSession, dir: String): DataFrame = {
+    val src = Files.createTempDirectory("st5-src").toString
+    val ckpt = Files.createTempDirectory("st5-ckpt").toString
+    val trades = SyntheticTrades.trades(s, dir)
+      .filter(col("trade_id").cast("long") % 97 === 0)
+      .select("underlying", "timestamp")
+    trades.write.mode("overwrite").parquet(s"$src/pages")
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val raw = s.readStream.schema(trades.schema).parquet(s"$src/pages")
+      val q = StreamingIngest.gapEvents(raw, thresholdSec = 4 * 3600L)
+        .toDF()
+        .writeStream.format("memory").queryName("st5_gaps")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    s.table("st5_gaps")
+  }
+
+  val st5Oracle: String =
+    s"""WITH ${SyntheticTrades.tradesCte},
+       |sampled AS (
+       |  SELECT underlying, ${duckEpochS("\"timestamp\"")} AS ep
+       |  FROM trades WHERE CAST(trade_id AS BIGINT) % 97 = 0
+       |),
+       |gaps AS (
+       |  SELECT underlying, ep AS gap_start_ep,
+       |    lead(ep) OVER (PARTITION BY underlying ORDER BY ep) AS gap_end_ep
+       |  FROM sampled
+       |)
+       |SELECT underlying, gap_start_ep, gap_end_ep,
+       |  gap_end_ep - gap_start_ep AS gap_seconds
+       |FROM gaps
+       |WHERE gap_end_ep IS NOT NULL
+       |  AND gap_end_ep - gap_start_ep > ${4 * 3600}""".stripMargin
+
   /** Day-partitioned sorted store per sf dir, built once per JVM-host
     * (keyed by the read-only sf path; rebuilt only if absent). */
   private[graft] def prunedStore(s: SparkSession, dir: String): String = {
@@ -316,5 +359,6 @@ object SystemQueries {
     "st1_streaming_ingest" -> QueryDef(st1Streaming _, None),
     "st2_streaming_bars" -> QueryDef(st2StreamingBars _, st2Oracle),
     "st3_stream_join" -> QueryDef(st3StreamJoin _, st3Oracle),
-    "st4_streaming_pcr" -> QueryDef(st4StreamingPcr _, st4Oracle))
+    "st4_streaming_pcr" -> QueryDef(st4StreamingPcr _, st4Oracle),
+    "st5_gap_events" -> QueryDef(st5GapEvents _, st5Oracle))
 }
