@@ -89,6 +89,15 @@ object SystemQueries {
         "store_rows", "store_partitioned")
   }
 
+  /** Every invariant the schema/store roundtrip must hold, stated as
+    * oracle literals (store_rows gates the write/read roundtrip). */
+  val s9Oracle: String =
+    """SELECT true AS ddl_partitioned, true AS ddl_not_null,
+      |  true AS self_diff_clean,
+      |  CAST(least(1000, (SELECT count(*) FROM events)) AS BIGINT)
+      |    AS store_rows,
+      |  true AS store_partitioned""".stripMargin
+
   /** §2.9: streaming ingest + watermarked dedup, driven to completion
     * over a temp file source; returns the deduped row count vs input. */
   def st1Streaming(s: SparkSession, dir: String): DataFrame = {
@@ -96,7 +105,10 @@ object SystemQueries {
     val src = Files.createTempDirectory("st1-src").toString
     val tgt = Files.createTempDirectory("st1-tgt").toString
     val ckpt = Files.createTempDirectory("st1-ckpt").toString
-    val trades = SyntheticTrades.trades(s, dir).limit(2000)
+    // deterministic 1-in-31 subset (a bare `limit` picks
+    // plan-execution-order rows, which an oracle cannot state)
+    val trades = SyntheticTrades.trades(s, dir)
+      .filter(col("trade_id").cast("long") % 31 === 0)
       .select("trade_id", "underlying", "timestamp", "iv", "amount")
     // simulate a page-overlap re-delivery: every 97th trade twice
     trades.unionAll(trades.filter(col("trade_id").cast("long") % 97 === 0))
@@ -118,6 +130,13 @@ object SystemQueries {
       written.select(countDistinct(col("trade_id"))).head().getLong(0)))
       .toDF("rows_written", "unique_ids")
   }
+
+  /** The streamed dedup must write exactly one row per distinct
+    * trade_id in the subset — re-delivered duplicates dropped. */
+  val st1Oracle: String =
+    """SELECT CAST(count(*) AS BIGINT) AS rows_written,
+      |  CAST(count(*) AS BIGINT) AS unique_ids
+      |FROM events WHERE event_id % 31 = 0""".stripMargin
 
   /** §2.9 + A2: the watermarked streaming 15-min IV OHLC bars, driven
     * to completion over a file source and verified against a DuckDB
@@ -355,8 +374,8 @@ object SystemQueries {
   val defs: Map[String, QueryDef] = Map(
     "s7_backfill_roundtrip" -> QueryDef(s7Backfill _, s7Oracle),
     "s8_fetch_pruned" -> QueryDef(s8FetchPruned _, s8PrunedOracle),
-    "s9_schema_system" -> QueryDef(s9Schema _, None),
-    "st1_streaming_ingest" -> QueryDef(st1Streaming _, None),
+    "s9_schema_system" -> QueryDef(s9Schema _, s9Oracle),
+    "st1_streaming_ingest" -> QueryDef(st1Streaming _, st1Oracle),
     "st2_streaming_bars" -> QueryDef(st2StreamingBars _, st2Oracle),
     "st3_stream_join" -> QueryDef(st3StreamJoin _, st3Oracle),
     "st4_streaming_pcr" -> QueryDef(st4StreamingPcr _, st4Oracle),
