@@ -196,4 +196,23 @@ object TextAnalysis {
           .as("dup_rate"),
         graft.util.Parity.davg(length(col(textCol))).as("mean_chars"))
   }
+
+  /** Deterministic stratified sampling: each document is assigned a
+    * stable bucket in [0, 100) from the sha256 of its id, and kept
+    * iff bucket < its stratum's keep-rate percentage. Hash-based
+    * (never `rand()`): the sample is reproducible across runs,
+    * engines, and partitionings — resampling with a higher rate
+    * yields a SUPERSET of the lower-rate sample (nested samples), the
+    * property training-data ablations rely on. Pure map-side filter:
+    * no shuffle, no state, any scale. */
+  def sampleBucket(idCol: Column): Column =
+    conv(substring(sha2(idCol.cast("string"), 256), 1, 8), 16, 10)
+      .cast("long") % 100
+
+  def stratifiedSample(docs: DataFrame, ratePct: Column,
+      idCol: String = "doc_id"): DataFrame =
+    docs
+      .withColumn("sample_bucket", sampleBucket(col(idCol)))
+      .withColumn("keep_rate", ratePct)
+      .filter(col("sample_bucket") < col("keep_rate"))
 }

@@ -495,6 +495,32 @@ object LlmQueries {
        |LEFT JOIN keepers k ON k.doc_id = doc.doc_id
        |GROUP BY doc.source""".stripMargin
 
+  // ---- deterministic stratified sampling ----
+
+  /** Quality-weighted downsampling stand-in: even-indexed sources are
+    * kept at 75%, odd at 25%, by stable sha256 bucket — reproducible
+    * and nested (raising a rate yields a superset). */
+  def stratSample(s: SparkSession, dir: String): DataFrame = {
+    val idx = regexp_extract(col("source"), "src(\\d+)", 1).cast("int")
+    TextAnalysis.stratifiedSample(docs(s, dir),
+      when(idx % 2 === 0, lit(75)).otherwise(lit(25)))
+      .select("doc_id", "source", "sample_bucket", "keep_rate")
+  }
+
+  val stratSampleOracle: String =
+    s"""WITH h AS (
+       |  SELECT doc_id, source, sha256(CAST(doc_id AS VARCHAR)) AS sha
+       |  FROM documents
+       |),
+       |b AS (
+       |  SELECT doc_id, source, $duckHash32 % 100 AS sample_bucket,
+       |    CASE WHEN CAST(regexp_extract(source, 'src(\\d+)', 1) AS INT) % 2 = 0
+       |      THEN 75 ELSE 25 END AS keep_rate
+       |  FROM h
+       |)
+       |SELECT doc_id, source, sample_bucket, keep_rate
+       |FROM b WHERE sample_bucket < keep_rate""".stripMargin
+
   // ---- per-source corpus statistics ----
 
   def sourceStats(s: SparkSession, dir: String): DataFrame =
@@ -672,5 +698,6 @@ object LlmQueries {
     "llm_ann_ivfpq" -> QueryDef(annIvfPq _, None),
     "llm_decontaminate" -> QueryDef(decontaminate _, decontaminateOracle),
     "llm_curation_e2e" -> QueryDef(curationE2e _, curationE2eOracle),
-    "llm_embed_clusters" -> QueryDef(embedClusters _, embedClustersOracle))
+    "llm_embed_clusters" -> QueryDef(embedClusters _, embedClustersOracle),
+    "llm_strat_sample" -> QueryDef(stratSample _, stratSampleOracle))
 }

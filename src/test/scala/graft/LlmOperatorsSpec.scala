@@ -142,6 +142,21 @@ class LlmOperatorsSpec extends AnyFunSuite {
     assert(out(3L) == ((0L, false)))
   }
 
+  test("stratified sample is deterministic and nested across rates") {
+    val d = graft.util.Tables.load(spark, "/root/testdata/sf0.001",
+      "documents")
+    def ids(rate: Int) = TextAnalysis
+      .stratifiedSample(d, lit(rate)).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val s25 = ids(25); val s50 = ids(50); val s100 = ids(100)
+    assert(s25.subsetOf(s50) && s50.subsetOf(s100)) // nested samples
+    assert(s100.size == d.count())                  // rate 100 keeps all
+    assert(ids(25) == s25)                          // reproducible
+    // rate is approximately honored (hash buckets are uniform-ish)
+    val frac = s25.size.toDouble / s100.size
+    assert(frac > 0.15 && frac < 0.35, s"25% sample kept $frac")
+  }
+
   test("quality + token metrics are bounded and consistent") {
     val q = TextAnalysis.qualityScore(docs).collect()
     q.foreach { r =>
