@@ -215,4 +215,34 @@ object TextAnalysis {
       .withColumn("sample_bucket", sampleBucket(col(idCol)))
       .withColumn("keep_rate", ratePct)
       .filter(col("sample_bucket") < col("keep_rate"))
+
+  /** Unigram log-probability scoring — the perplexity-filter proxy of
+    * CCNet-style pipelines: per document, the mean add-one-smoothed
+    * corpus-unigram log-likelihood of its words. Low scores mark
+    * gibberish / vocabulary-atypical text. Two hash aggregates (corpus
+    * counts, per-doc mean) + one count-join, all keyed by word/doc —
+    * nothing collects, any scale. Each word's log term is quantized
+    * to 6 decimals before the order-free decimal sum ([[
+    * graft.util.Parity.roundTo]]): JVM and glibc `ln` differ by <=1
+    * ulp, so raw doubles could never hash-match across engines. */
+  def unigramLogprob(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val tok = graft.util.Caches.materialize(
+      docs.select(col(idCol),
+        explode(TextDedup.words(col(textCol))).as("word")))
+    val counts = tok.groupBy(col("word")).agg(count(lit(1)).as("_c"))
+    val totals = counts.agg(sum(col("_c")).as("_total"),
+      count(lit(1)).as("_vocab"))
+    tok.join(counts, "word")
+      .crossJoin(broadcast(totals))
+      .select(col(idCol),
+        graft.util.Parity.roundTo(
+          log((col("_c") + 1) / (col("_total") + col("_vocab"))), 6)
+          .as("_lp"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_words"),
+        (graft.util.Parity.dsum(col("_lp")) / count(lit(1)))
+          .as("avg_logprob"))
+  }
 }

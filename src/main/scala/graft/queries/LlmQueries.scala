@@ -521,6 +521,23 @@ object LlmQueries {
        |SELECT doc_id, source, sample_bucket, keep_rate
        |FROM b WHERE sample_bucket < keep_rate""".stripMargin
 
+  // ---- unigram log-probability (perplexity-filter proxy) ----
+
+  def unigramLogprob(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.unigramLogprob(docs(s, dir))
+
+  val unigramLogprobOracle: String =
+    s"""WITH $wrdsCte,
+       |tok AS (SELECT doc_id, unnest(w) AS word FROM wrds),
+       |counts AS (SELECT word, count(*) AS c FROM tok GROUP BY 1),
+       |tot AS (SELECT sum(c) AS total, count(*) AS vocab FROM counts)
+       |SELECT doc_id, count(*) AS n_words,
+       |  ${graft.util.Parity.duckDsum(
+             graft.util.Parity.duckRoundTo("ln((c + 1) / (total + vocab))", 6))}
+       |    / count(*) AS avg_logprob
+       |FROM tok JOIN counts USING (word), tot
+       |GROUP BY doc_id""".stripMargin
+
   // ---- per-source corpus statistics ----
 
   def sourceStats(s: SparkSession, dir: String): DataFrame =
@@ -699,5 +716,6 @@ object LlmQueries {
     "llm_decontaminate" -> QueryDef(decontaminate _, decontaminateOracle),
     "llm_curation_e2e" -> QueryDef(curationE2e _, curationE2eOracle),
     "llm_embed_clusters" -> QueryDef(embedClusters _, embedClustersOracle),
-    "llm_strat_sample" -> QueryDef(stratSample _, stratSampleOracle))
+    "llm_strat_sample" -> QueryDef(stratSample _, stratSampleOracle),
+    "llm_unigram_logprob" -> QueryDef(unigramLogprob _, unigramLogprobOracle))
 }

@@ -157,6 +157,21 @@ class LlmOperatorsSpec extends AnyFunSuite {
     assert(frac > 0.15 && frac < 0.35, s"25% sample kept $frac")
   }
 
+  test("unigram logprob ranks common-vocabulary docs above rare ones") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat on the mat"),
+      (3L, "zyx qwv pfj xkz brr gnl")) // vocabulary singletons
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.unigramLogprob(corpus).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("avg_logprob")).toMap
+    assert(out.size == 3)
+    assert(out.values.forall(_ < 0.0))
+    // docs 1/2 share high-frequency words; doc 3 is all singletons
+    assert(out(1L) > out(3L) && out(2L) > out(3L))
+  }
+
   test("quality + token metrics are bounded and consistent") {
     val q = TextAnalysis.qualityScore(docs).collect()
     q.foreach { r =>

@@ -51,11 +51,12 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("broadcast nested-loop joins appear only by design") {
-    // broadcast query set, non-equi: the brute-force ANN scores and
-    // the PQ ADC table join both pair the full corpus against a
-    // bounded broadcast query set — the small side is small by
-    // construction, never corpus-sized
-    val allowed = Set("llm_ann_topk", "llm_ann_pq")
+    // bounded-broadcast by design: the brute-force ANN scores and the
+    // PQ ADC table join pair the full corpus against a broadcast
+    // query set; the unigram scorer cross-joins a broadcast ONE-ROW
+    // total/vocab aggregate. The small side is small by construction,
+    // never corpus-sized.
+    val allowed = Set("llm_ann_topk", "llm_ann_pq", "llm_unigram_logprob")
     for (name <- SparkEntry.queries.keys if !driverSide(name)) {
       val bnl = planOf(name).collect { case j: BroadcastNestedLoopJoinExec => j }
       assert(bnl.isEmpty || allowed(name),
