@@ -216,6 +216,24 @@ object TextAnalysis {
       .withColumn("keep_rate", ratePct)
       .filter(col("sample_bucket") < col("keep_rate"))
 
+  /** Sequence packing: assign documents to fixed-token-budget
+    * training bins by next-fit over a deterministic order — bin =
+    * floor(exclusive-prefix-token-sum / budget) per group. The
+    * prefix sum is a window partitioned by the grouping column
+    * (shards/sources), so packing parallelizes across groups and no
+    * global sort exists. Integer token counts make the cumulative
+    * arithmetic exact in any engine. */
+  def packIntoBins(docTokens: DataFrame, budget: Long,
+      idCol: String = "doc_id", groupCol: String = "source",
+      tokensCol: String = "n_tokens"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docTokens.withColumn("bin_id",
+      floor(coalesce(sum(col(tokensCol)).over(w), lit(0L)) /
+        lit(budget.toDouble)).cast("long"))
+  }
+
   /** Unigram log-probability scoring — the perplexity-filter proxy of
     * CCNet-style pipelines: per document, the mean add-one-smoothed
     * corpus-unigram log-likelihood of its words. Low scores mark

@@ -538,6 +538,33 @@ object LlmQueries {
        |FROM tok JOIN counts USING (word), tot
        |GROUP BY doc_id""".stripMargin
 
+  // ---- sequence packing into token-budget bins ----
+
+  private val PackBudget = 300L
+
+  def packBins(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val tokens = TextAnalysis.tokenCounts(d)
+      .select(col("doc_id"), col("n_ws_tokens").as("n_tokens"))
+      .join(d.select(col("doc_id"), col("source")), "doc_id")
+    TextAnalysis.packIntoBins(tokens, PackBudget)
+      .select("doc_id", "source", "n_tokens", "bin_id")
+  }
+
+  val packBinsOracle: String =
+    s"""WITH $wrdsCte,
+       |tok AS (SELECT doc_id, len(w) AS n_tokens FROM wrds),
+       |j AS (
+       |  SELECT d.doc_id, d.source, t.n_tokens
+       |  FROM documents d JOIN tok t USING (doc_id)
+       |)
+       |SELECT doc_id, source, n_tokens,
+       |  CAST(floor(coalesce(sum(n_tokens) OVER (
+       |    PARTITION BY source ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |    / $PackBudget.0) AS BIGINT) AS bin_id
+       |FROM j""".stripMargin
+
   // ---- per-source corpus statistics ----
 
   def sourceStats(s: SparkSession, dir: String): DataFrame =
@@ -717,5 +744,6 @@ object LlmQueries {
     "llm_curation_e2e" -> QueryDef(curationE2e _, curationE2eOracle),
     "llm_embed_clusters" -> QueryDef(embedClusters _, embedClustersOracle),
     "llm_strat_sample" -> QueryDef(stratSample _, stratSampleOracle),
-    "llm_unigram_logprob" -> QueryDef(unigramLogprob _, unigramLogprobOracle))
+    "llm_unigram_logprob" -> QueryDef(unigramLogprob _, unigramLogprobOracle),
+    "llm_pack_bins" -> QueryDef(packBins _, packBinsOracle))
 }

@@ -157,6 +157,20 @@ class LlmOperatorsSpec extends AnyFunSuite {
     assert(frac > 0.15 && frac < 0.35, s"25% sample kept $frac")
   }
 
+  test("packIntoBins: next-fit, exact budgets, per-group isolation") {
+    import spark.implicits._
+    val toks = Seq(
+      (1L, "a", 100L), (2L, "a", 150L), (3L, "a", 100L), (4L, "a", 60L),
+      (5L, "b", 400L), (6L, "b", 10L))
+      .toDF("doc_id", "source", "n_tokens")
+    val out = TextAnalysis.packIntoBins(toks, budget = 300L).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("bin_id")).toMap
+    // group a: prefix sums 0,100,250,350 -> bins 0,0,0,1
+    assert(out(1L) == 0 && out(2L) == 0 && out(3L) == 0 && out(4L) == 1)
+    // group b packs independently: 0,400 -> bins 0,1
+    assert(out(5L) == 0 && out(6L) == 1)
+  }
+
   test("unigram logprob ranks common-vocabulary docs above rare ones") {
     import spark.implicits._
     val corpus = Seq(
