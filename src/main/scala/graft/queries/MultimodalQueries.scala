@@ -79,6 +79,30 @@ object MultimodalQueries {
        |  CAST(((n_frames + 1) // 2) * frame_size AS BIGINT) AS sampled_bytes
        |FROM v""".stripMargin
 
+  // ---- resize (truncate-to-budget stub; byte accounting oracle) ----
+
+  private val ResizeMaxBytes = 120
+
+  def mm4Resize(s: SparkSession, dir: String): DataFrame =
+    Multimodal.resizeImages(media(s, dir), maxBytes = ResizeMaxBytes).toDF()
+      .groupBy(col("media_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(length(col("content"))).as("bytes_after"),
+        count(when(length(col("content")) === ResizeMaxBytes, 1))
+          .as("n_at_budget"))
+
+  val mm4Oracle: String =
+    s"""WITH $mediaCte
+       |SELECT media_type, count(*) AS n,
+       |  CAST(sum(CASE WHEN media_type = 'image'
+       |    THEN least(len, $ResizeMaxBytes) ELSE len END) AS BIGINT)
+       |    AS bytes_after,
+       |  count(CASE WHEN (CASE WHEN media_type = 'image'
+       |    THEN least(len, $ResizeMaxBytes) ELSE len END) = $ResizeMaxBytes
+       |    THEN 1 END) AS n_at_budget
+       |FROM m GROUP BY 1""".stripMargin
+
   // ---- feature extraction (rows-only: float histogram path) ----
 
   def mm3Features(s: SparkSession, dir: String): DataFrame =
@@ -91,5 +115,6 @@ object MultimodalQueries {
   val defs: Map[String, QueryDef] = Map(
     "mm1_decode_stats" -> QueryDef(mm1DecodeStats _, mm1Oracle),
     "mm2_frame_sample" -> QueryDef(mm2FrameSample _, mm2Oracle),
-    "mm3_features" -> QueryDef(mm3Features _, None))
+    "mm3_features" -> QueryDef(mm3Features _, None),
+    "mm4_resize" -> QueryDef(mm4Resize _, mm4Oracle))
 }
