@@ -70,7 +70,51 @@ object ScaleQueries {
        |SELECT instrument_name, trade_id, amount, total_volume
        |FROM trades JOIN tot USING (instrument_name)""".stripMargin
 
+  /** x3: dynamic partition pruning — joining the date-partitioned
+    * store against a filtered dimension of target dates must prune
+    * the fact scan to those partitions AT RUN TIME (the filter value
+    * is only known after the dimension is evaluated; static pruning
+    * cannot do this). PlanAuditSpec asserts the scan carries a
+    * `dynamicpruning` partition filter. This is the mechanism that
+    * turns "join trades against yesterday's expiry calendar" into a
+    * 3-partition read instead of a full scan at 100 TB. */
+  def x3DppJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val store = graft.sources.TradesStore.read(
+      s, SystemQueries.prunedStore(s, dir))
+    // the dimension must come from a real source with the selective
+    // filter still in the plan: a Seq-backed LocalRelation is
+    // constant-folded, the Filter disappears, and DPP's
+    // selective-predicate precondition fails
+    val dimPath = s"/tmp/graft_store/x3_dim_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    if (!new java.io.File(s"$dimPath/_SUCCESS").exists()) {
+      Seq(("20240110", "keep"), ("20240111", "keep"), ("20240112", "keep"),
+        ("20240120", "drop"))
+        .toDF("date", "tag")
+        .coalesce(1).write.mode("overwrite").parquet(dimPath)
+    }
+    // equality predicate, not a bare boolean column: DPP's
+    // likely-selective check recognizes comparisons/IN/LIKE, and a
+    // bare boolean would anyway be erased by BooleanSimplification
+    val dim = s.read.parquet(dimPath)
+      .filter(col("tag") === "keep")
+      .select(col("date"))
+    store.join(dim, "date")
+      .groupBy(col("date"))
+      .agg(count(lit(1)).as("n_trades"), dsum(col("amount")).as("total_amount"))
+  }
+
+  val x3Oracle: String =
+    s"""WITH ${SyntheticTrades.tradesCte}
+       |SELECT strftime("timestamp", '%Y%m%d') AS date,
+       |  count(*) AS n_trades, ${duckDsum("amount")} AS total_amount
+       |FROM trades
+       |WHERE strftime("timestamp", '%Y%m%d')
+       |  IN ('20240110', '20240111', '20240112')
+       |GROUP BY 1""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
     "x1_salted_agg" -> QueryDef(x1SaltedDailyVolume _, x1Oracle),
-    "x2_bucketed_join" -> QueryDef(x2BucketedJoin _, x2Oracle))
+    "x2_bucketed_join" -> QueryDef(x2BucketedJoin _, x2Oracle),
+    "x3_dpp_join" -> QueryDef(x3DppJoin _, x3Oracle))
 }

@@ -110,6 +110,15 @@ class PlanAuditSpec extends AnyFunSuite {
       s"no partition filters: ${scans.map(_.metadata.get("PartitionFilters"))}")
   }
 
+  test("x3 join prunes store partitions dynamically") {
+    val scans = planOf("x3_dpp_join")
+      .collect { case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty)
+    assert(scans.exists(_.metadata.get("PartitionFilters")
+      .exists(_.contains("dynamicpruning"))),
+      s"no dynamic pruning: ${scans.map(_.metadata.get("PartitionFilters"))}")
+  }
+
   test("x2 bucketed join runs with no shuffle exchange at all") {
     val ex = planOf("x2_bucketed_join").collect {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
