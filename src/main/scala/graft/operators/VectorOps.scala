@@ -17,11 +17,17 @@ import org.apache.spark.sql.functions._
   *    map-side, and takes the per-query top-k with a rank window
   *    partitioned by query id — shuffle keyed by query, never all-pairs
   *    between corpus rows.
-  *  - `bucketTop1` assigns each vector to one of `dim` buckets by its
-  *    argmax coordinate (a deterministic concomitant-of-maximum LSH for
-  *    inner-product search); pairs are generated only inside a bucket.
-  *    At 100 TB the bucket key would extend to the top-2 coordinates
-  *    (dim² buckets) — same plan shape, one more array_position call.
+  *  - `bucketTop1` / `cosineNearDups` bucket each vector by ORDERED
+  *    PAIRS of its top coordinates (a deterministic
+  *    concomitant-of-maximum LSH for inner-product search): each
+  *    vector posts the 6 ordered pairs over its 3 largest
+  *    coordinates, and candidates are generated only inside a
+  *    (coord, coord) bucket — a dim² key space, so one hot coordinate
+  *    spreads over dim-1 buckets instead of collapsing into a single
+  *    quadratic bucket the way a plain argmax key does. Candidates
+  *    travel as id pairs only; full vectors are re-fetched by id for
+  *    the exact-cosine verify (the same fetch-by-id shape the MinHash
+  *    verify uses).
   */
 object VectorOps {
 
@@ -37,9 +43,47 @@ object VectorOps {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
 
-  /** 1-based index of the (first) maximum coordinate — the bucket id. */
-  def argmaxBucket(a: Column): Column =
-    array_position(a, array_max(a))
+  /** 1-based indices of the `l` largest coordinates, ordered by
+    * (value desc, index asc) — deterministic under ties, and exactly
+    * reproducible by a rank window in any SQL engine. */
+  def topCoords(a: Column, l: Int): Column = {
+    val pairs = transform(sequence(lit(1), size(a)),
+      i => struct(element_at(a, i).as("v"), i.as("i")))
+    val sorted = array_sort(pairs, (x, y) =>
+      when(x.getField("v") > y.getField("v"), -1)
+        .when(x.getField("v") < y.getField("v"), 1)
+        .otherwise(x.getField("i") - y.getField("i")))
+    transform(slice(sorted, 1, l), _.getField("i"))
+  }
+
+  /** The multi-probe bucket keys for one vector: all 6 ordered pairs
+    * (t_i, t_j), i != j, over its top-3 coordinates, packed as
+    * t_i * 1000 + t_j (dims < 1000 by construction). Two vectors
+    * share a bucket iff their top-3 coordinate sets share at least
+    * two members — a dim²-sized key space. */
+  def pairBucketKeys(a: Column): Column = {
+    val t = topCoords(a, 3)
+    def k(i: Int, j: Int): Column =
+      element_at(t, i) * lit(1000) + element_at(t, j)
+    array(k(1, 2), k(1, 3), k(2, 1), k(2, 3), k(3, 1), k(3, 2))
+  }
+
+  /** Distinct candidate id pairs (id_a < id_b) from the pair-bucket
+    * join — ids only; callers re-fetch vectors by id. Exposed so the
+    * candidate volume can be asserted directly in tests. */
+  def candidatePairs(corpus: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // materialized: the key table feeds both sides of the self-join,
+    // and explode's implicit size>0 pushdown would otherwise re-inline
+    // the sort-per-row key computation into a row-level filter
+    val keyed = graft.util.Caches.materialize(corpus.select(col(idCol),
+      explode(pairBucketKeys(col(vecCol))).as("bucket")))
+    keyed.select(col(idCol).as("id_a"), col("bucket"))
+      .join(keyed.select(col(idCol).as("id_b"), col("bucket")), "bucket")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
 
   /** Exact brute-force cosine top-k: every corpus vector scored against
     * every query vector (queries broadcast), per-query top-k by
@@ -61,19 +105,17 @@ object VectorOps {
       .filter(col("rank") <= k)
   }
 
-  /** Embedding-cosine near-duplicate pairs: same argmax-coordinate
-    * bucketing as [[bucketTop1]], emitting every intra-bucket pair at
-    * or above `threshold` (id_a < id_b). The dedup-flavored variant of
-    * the bucketed search — feeds the same cluster assignment as the
-    * text near-dup pairs. */
+  /** Embedding-cosine near-duplicate pairs: same top-coordinate
+    * pair bucketing as [[bucketTop1]], emitting every candidate pair
+    * at or above `threshold` (id_a < id_b). The dedup-flavored
+    * variant of the bucketed search — feeds the same cluster
+    * assignment as the text near-dup pairs. */
   def cosineNearDups(corpus: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val b = corpus.select(col(idCol), col(vecCol),
-      argmaxBucket(col(vecCol)).as("bucket"))
-    b.select(col(idCol).as("id_a"), col(vecCol).as("_va"), col("bucket"))
-      .join(b.select(col(idCol).as("id_b"), col(vecCol).as("_vb"), col("bucket")),
-        "bucket")
-      .filter(col("id_a") < col("id_b"))
+    val cand = candidatePairs(corpus, idCol, vecCol)
+    cand
+      .join(corpus.select(col(idCol).as("id_a"), col(vecCol).as("_va")), "id_a")
+      .join(corpus.select(col(idCol).as("id_b"), col(vecCol).as("_vb")), "id_b")
       .select(col("id_a"), col("id_b"),
         cosine(col("_va"), col("_vb")).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
@@ -424,18 +466,20 @@ object VectorOps {
     } finally resid.unpersist()
   }
 
-  /** IVF-style bucketed nearest neighbour: per vector, the single most
-    * cosine-similar other vector *within its argmax-coordinate bucket*
-    * (ties broken by neighbor id). Vectors alone in their bucket drop
-    * out — that is the approximation the bucket join buys. */
+  /** LSH-bucketed nearest neighbour: per vector, the single most
+    * cosine-similar other vector *among its pair-bucket candidates*
+    * (ties broken by neighbor id). Vectors that share no bucket with
+    * any other vector drop out — that is the approximation the
+    * bucket join buys. */
   def bucketTop1(corpus: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val b = corpus.select(col(idCol), col(vecCol),
-      argmaxBucket(col(vecCol)).as("bucket"))
-    val pairs = b.select(col(idCol).as("id_a"), col(vecCol).as("_va"), col("bucket"))
-      .join(b.select(col(idCol).as("id_b"), col(vecCol).as("_vb"), col("bucket")),
-        "bucket")
-      .filter(col("id_a") =!= col("id_b"))
+    val cand = graft.util.Caches.materialize(
+      candidatePairs(corpus, idCol, vecCol))
+    val both = cand.union(
+      cand.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    val pairs = both
+      .join(corpus.select(col(idCol).as("id_a"), col(vecCol).as("_va")), "id_a")
+      .join(corpus.select(col(idCol).as("id_b"), col(vecCol).as("_vb")), "id_b")
       .select(col("id_a"), col("id_b"),
         cosine(col("_va"), col("_vb")).as("cos_sim"))
     val w = org.apache.spark.sql.expressions.Window

@@ -632,16 +632,39 @@ object LlmQueries {
   def embedNearDups(s: SparkSession, dir: String): DataFrame =
     VectorOps.cosineNearDups(emb(s, dir), EmbedDupThreshold)
 
+  /** Shared oracle CTEs mirroring [[VectorOps.candidatePairs]]: rank
+    * coordinates per vector by (value desc, index asc), post the 6
+    * ordered pairs over the top-3 as bucket keys, and keep distinct
+    * intra-bucket id pairs. */
+  private val pairBucketCte: String =
+    """ranked AS (
+      |  SELECT vec_id, i,
+      |    row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY embedding[i] DESC, i) AS r
+      |  FROM (SELECT vec_id, embedding,
+      |          unnest(range(1, len(embedding) + 1)) AS i FROM embeddings)
+      |),
+      |top3 AS (
+      |  SELECT vec_id, list(i ORDER BY r) AS tops
+      |  FROM ranked WHERE r <= 3 GROUP BY vec_id
+      |),
+      |keys AS (
+      |  SELECT vec_id, tops[a] * 1000 + tops[b] AS bucket
+      |  FROM top3, (VALUES (1,2),(1,3),(2,1),(2,3),(3,1),(3,2)) probes(a, b)
+      |),
+      |cand AS (
+      |  SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+      |  FROM keys a JOIN keys c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+      |)""".stripMargin
+
   val embedNearDupsOracle: String =
-    s"""WITH b AS (
-       |  SELECT vec_id, embedding,
-       |    list_indexof(embedding, list_aggregate(embedding, 'max')) AS bucket
-       |  FROM embeddings
-       |)
-       |SELECT a.vec_id AS id_a, c.vec_id AS id_b,
-       |  ${duckCosine("a.embedding", "c.embedding")} AS cos_sim
-       |FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
-       |WHERE ${duckCosine("a.embedding", "c.embedding")} >= $EmbedDupThreshold""".stripMargin
+    s"""WITH $pairBucketCte
+       |SELECT id_a, id_b,
+       |  ${duckCosine("ea.embedding", "eb.embedding")} AS cos_sim
+       |FROM cand
+       |JOIN embeddings ea ON ea.vec_id = cand.id_a
+       |JOIN embeddings eb ON eb.vec_id = cand.id_b
+       |WHERE ${duckCosine("ea.embedding", "eb.embedding")} >= $EmbedDupThreshold""".stripMargin
 
   /** Embedding near-dup clusters: the same distributed
     * connected-components operator the text near-dups use, composed
@@ -654,15 +677,13 @@ object LlmQueries {
       .select(col("doc_id").as("vec_id"), col("cluster_id"), col("keep"))
 
   val embedClustersOracle: String =
-    s"""WITH RECURSIVE b AS (
-       |  SELECT vec_id, embedding,
-       |    list_indexof(embedding, list_aggregate(embedding, 'max')) AS bucket
-       |  FROM embeddings
-       |),
+    s"""WITH RECURSIVE $pairBucketCte,
        |pairs AS (
-       |  SELECT a.vec_id AS id_a, c.vec_id AS id_b
-       |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
-       |  WHERE ${duckCosine("a.embedding", "c.embedding")} >= $EmbedDupThreshold
+       |  SELECT id_a, id_b
+       |  FROM cand
+       |  JOIN embeddings ea ON ea.vec_id = cand.id_a
+       |  JOIN embeddings eb ON eb.vec_id = cand.id_b
+       |  WHERE ${duckCosine("ea.embedding", "eb.embedding")} >= $EmbedDupThreshold
        |),
        |edges AS (
        |  SELECT id_a AS s, id_b AS t FROM pairs
@@ -681,15 +702,17 @@ object LlmQueries {
        |GROUP BY n.s""".stripMargin
 
   val annBucketedOracle: String =
-    s"""WITH b AS (
-       |  SELECT vec_id, embedding,
-       |    list_indexof(embedding, list_aggregate(embedding, 'max')) AS bucket
-       |  FROM embeddings
+    s"""WITH $pairBucketCte,
+       |bidir AS (
+       |  SELECT id_a, id_b FROM cand
+       |  UNION ALL SELECT id_b, id_a FROM cand
        |),
        |pairs AS (
-       |  SELECT a.vec_id AS id_a, c.vec_id AS id_b,
-       |    ${duckCosine("a.embedding", "c.embedding")} AS cos_sim
-       |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
+       |  SELECT id_a, id_b,
+       |    ${duckCosine("ea.embedding", "eb.embedding")} AS cos_sim
+       |  FROM bidir
+       |  JOIN embeddings ea ON ea.vec_id = bidir.id_a
+       |  JOIN embeddings eb ON eb.vec_id = bidir.id_b
        |)
        |SELECT id_a AS vec_id, id_b AS nn_id, cos_sim FROM (
        |  SELECT *, row_number() OVER (

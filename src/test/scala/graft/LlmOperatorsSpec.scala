@@ -359,13 +359,49 @@ class LlmOperatorsSpec extends AnyFunSuite {
     assert(pq.length == 8 * 5)
   }
 
-  test("bucketed ANN only pairs within argmax bucket") {
+  test("bucketed ANN pairs via top-coordinate pair buckets") {
     val out = VectorOps.bucketTop1(vecs).collect()
       .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("nn_id")).toMap
-    // argmax coord buckets: {0,1} dim1; {2,3,4} dim2 (vec 4's max is
-    // the 0.0 at position 2 — first occurrence of the max)
+    // dim 3 with top-3 keys: every vector posts all ordered coord
+    // pairs, so each nn is the global best — exercising the full
+    // candidate->fetch->rank path
     assert(out(0L) == 1L && out(1L) == 0L)
     assert(out(2L) == 3L && out(3L) == 2L)
     assert(out(4L) == 2L) // cos ties at 0.0 -> lower neighbor id wins
+  }
+
+  test("pair buckets bound candidates on a hot-argmax skewed corpus") {
+    import spark.implicits._
+    // 200 vectors, dim 64, ALL sharing the same argmax coordinate —
+    // the adversarial skew for a plain argmax bucket, which would
+    // put every pair in one bucket (19 900 candidates). The ordered
+    // top-2 pair keys spread the hot coordinate across dim-1 buckets.
+    val dim = 64
+    val n = 200
+    val rows = (0 until n).map { i =>
+      val v = Array.fill(dim)(0.0f)
+      v(0) = 10.0f // hot argmax, shared by every vector
+      val p2 = 1 + (i % (dim - 1))
+      var p3 = 1 + ((i * 5 + 7) % (dim - 1))
+      if (p3 == p2) p3 = 1 + (p3 % (dim - 1))
+      v(p2) = 5.0f
+      v(p3) = 3.0f
+      (i.toLong, v)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val cand = VectorOps.candidatePairs(df).count()
+    val allPairs = n.toLong * (n - 1) / 2
+    assert(cand > 0, "skewed fixture produced no candidates")
+    assert(cand * 10 < allPairs,
+      s"candidate volume not bounded: $cand of $allPairs all-pairs")
+  }
+
+  test("topCoords ranks by value desc then index asc") {
+    import spark.implicits._
+    val d = Seq((1L, Array(0.5f, 0.9f, 0.9f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val tops = d.select(VectorOps.topCoords(col("embedding"), 3).as("t"))
+      .head().getSeq[Int](0)
+    assert(tops == Seq(2, 3, 1)) // tie at 0.9 -> lower index first
   }
 }
