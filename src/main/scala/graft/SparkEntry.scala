@@ -21,7 +21,11 @@ object SparkEntry {
     registry.map { case (k, d) => k -> d.fn }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+    * the same parquet tables. Omitted for non-SQL-expressible ops.
+    * Queries whose oracle depends on run artifacts (the trained-ANN
+    * shortlists) stash theirs in [[queries.DynamicOracles]] as they
+    * run; Verify dumps this map after running every query. */
   def oracleSql: Map[String, String] =
-    registry.collect { case (k, QueryDef(_, Some(sql))) => k -> sql }
+    registry.collect { case (k, QueryDef(_, Some(sql))) => k -> sql } ++
+      DynamicOracles.snapshot
 }

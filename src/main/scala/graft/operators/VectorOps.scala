@@ -182,12 +182,35 @@ object VectorOps {
     best
   }
 
-  /** Trained-IVF top-k: corpus vectors are assigned to their nearest
-    * centroid (one map pass, centroids broadcast); each query probes
-    * its `nprobe` nearest centroid lists and scores only those — the
-    * classic inverted-file search, no all-pairs anywhere. Exact cosine
-    * inside the probed lists, deterministic ties. */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+  /** Exact-cosine re-rank of a (query_id, neighbor_id) shortlist:
+    * fetch both vectors by id, score, and keep the per-query top-k
+    * by (cosine desc, neighbor id). This is the plain-SQL tail every
+    * trained-ANN variant shares — and the stage the DuckDB oracle
+    * gates (the shortlist ids are embedded in the oracle as
+    * literals, so both engines rank the same candidate set). */
+  def exactRerank(shortlist: DataFrame, corpus: DataFrame,
+      queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val scored = shortlist
+      .join(corpus.select(col(idCol).cast("long").as("neighbor_id"),
+        col(vecCol).as("_cv")), "neighbor_id")
+      .join(broadcast(queries.select(col(idCol).cast("long").as("query_id"),
+        col(vecCol).as("_qv"))), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("_qv"), col("_cv")).as("cos_sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Candidate (query_id, neighbor_id) pairs from the trained-IVF
+    * probe: corpus vectors assigned to their nearest centroid (one
+    * map pass, centroids broadcast), each query probing its `nprobe`
+    * nearest lists — the classic inverted-file candidate set, no
+    * all-pairs anywhere. */
+  def ivfCandidates(corpus: DataFrame, queries: DataFrame,
       nClusters: Int = 16, nprobe: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val spark = corpus.sparkSession
@@ -196,8 +219,8 @@ object VectorOps {
     val bc = spark.sparkContext.broadcast(centroids)
     val assigned = corpus
       .select(col(idCol).cast("long"), col(vecCol)).as[(Long, Array[Float])]
-      .map { case (id, v) => (id, v, nearestCentroid(v, bc.value)) }
-      .toDF(idCol, vecCol, "cluster")
+      .map { case (id, v) => (id, nearestCentroid(v, bc.value)) }
+      .toDF("neighbor_id", "cluster")
     // probe selection runs distributed over the query set (only the
     // broadcast centroids are driver-sized) — the query DataFrame
     // never collects to the driver
@@ -213,19 +236,22 @@ object VectorOps {
             (d, c)
           }
           .take(nprobe)
-          .map(c => (qid, qv, c))
+          .map(c => (qid, c))
       }
-      .toDF("query_id", "_qv", "cluster"))
-    val scored = assigned.join(probeDf, "cluster")
-      .filter(col(idCol) =!= col("query_id"))
-      .select(col("query_id"), col(idCol).as("neighbor_id"),
-        cosine(col("_qv"), col(vecCol)).as("cos_sim"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+      .toDF("query_id", "cluster"))
+    assigned.join(probeDf, "cluster")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"))
   }
+
+  /** Trained-IVF top-k: exact cosine over the probed candidate
+    * lists, deterministic ties. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nClusters: Int = 16, nprobe: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    exactRerank(
+      ivfCandidates(corpus, queries, nClusters, nprobe, idCol, vecCol),
+      corpus, queries, k, idCol, vecCol)
 
   // ---- product quantization (PQ) ANN ----
 
@@ -295,17 +321,18 @@ object VectorOps {
     }
   }
 
-  /** PQ ANN top-k with exact re-rank: corpus vectors are encoded to m
-    * small codes (one map pass, codebooks broadcast); each query
-    * builds an asymmetric-distance (ADC) table — its squared L2 to
-    * every codebook entry per subspace — so the approximate distance
-    * per corpus vector is m table lookups over the codes, never a
-    * touch of the full vector. The ADC top-`shortlist` per query is
-    * then re-ranked by exact cosine against the real vectors (a join
-    * back by id — shuffle sized by shortlist x queries, not corpus).
-    * This is the memory shape that matters at 100 TB: the scored side
-    * carries m ints per vector instead of the embedding. */
-  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+  /** PQ ADC shortlist: corpus vectors are encoded to m small codes
+    * (one map pass, codebooks broadcast); each query builds an
+    * asymmetric-distance (ADC) table — its squared L2 to every
+    * codebook entry per subspace — so the approximate distance per
+    * corpus vector is m table lookups over the codes, never a touch
+    * of the full vector. Returns the ADC top-`shortlist`
+    * (query_id, neighbor_id) pairs; [[pqTopK]] re-ranks them by
+    * exact cosine (a join back by id — shuffle sized by shortlist x
+    * queries, not corpus). This is the memory shape that matters at
+    * 100 TB: the scored side carries m ints per vector instead of
+    * the embedding. */
+  def pqShortlist(corpus: DataFrame, queries: DataFrame,
       m: Int = 4, ksub: Int = 16, shortlist: Int = 32,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val spark = corpus.sparkSession
@@ -345,23 +372,17 @@ object VectorOps {
     val wAdc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("_adc"), col("neighbor_id"))
-    val short = adc.withColumn("_rn", row_number().over(wAdc))
+    adc.withColumn("_rn", row_number().over(wAdc))
       .filter(col("_rn") <= shortlist)
       .select(col("query_id"), col("neighbor_id"))
-    // exact re-rank over the shortlist only
-    val scored = short
-      .join(corpus.select(col(idCol).cast("long").as("neighbor_id"),
-        col(vecCol).as("_cv")), "neighbor_id")
-      .join(broadcast(queries.select(col(idCol).cast("long").as("query_id"),
-        col(vecCol).as("_qv"))), "query_id")
-      .select(col("query_id"), col("neighbor_id"),
-        cosine(col("_qv"), col("_cv")).as("cos_sim"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
   }
+
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      m: Int = 4, ksub: Int = 16, shortlist: Int = 32,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    exactRerank(
+      pqShortlist(corpus, queries, m, ksub, shortlist, idCol, vecCol),
+      corpus, queries, k, idCol, vecCol)
 
   /** IVF-PQ top-k: the canonical large-scale ANN composition — a
     * coarse IVF quantizer routes vectors to inverted lists, vectors
@@ -376,7 +397,7 @@ object VectorOps {
     * codes) per vector — a few bytes — and the candidate join is an
     * equi-join on cluster, shuffle bounded by nprobe x |query| lists,
     * never all-pairs and never full vectors. */
-  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+  def ivfPqShortlist(corpus: DataFrame, queries: DataFrame,
       nClusters: Int = 16, nprobe: Int = 2,
       m: Int = 4, ksub: Int = 16, shortlist: Int = 32,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -445,26 +466,22 @@ object VectorOps {
       val wAdc = org.apache.spark.sql.expressions.Window
         .partitionBy(col("query_id"))
         .orderBy(col("_adc"), col("neighbor_id"))
-      val short = adc.withColumn("_rn", row_number().over(wAdc))
+      // eager: the caller's action must not outlive the resid cache
+      adc.withColumn("_rn", row_number().over(wAdc))
         .filter(col("_rn") <= shortlist)
         .select(col("query_id"), col("neighbor_id"))
-      val scored = short
-        .join(corpus.select(col(idCol).cast("long").as("neighbor_id"),
-          col(vecCol).as("_cv")), "neighbor_id")
-        .join(broadcast(queries.select(col(idCol).cast("long").as("query_id"),
-          col(vecCol).as("_qv"))), "query_id")
-        .select(col("query_id"), col("neighbor_id"),
-          cosine(col("_qv"), col("_cv")).as("cos_sim"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("query_id"))
-        .orderBy(col("cos_sim").desc, col("neighbor_id"))
-      // eager: the caller's action must not outlive the resid cache
-      val out = scored.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= k)
         .localCheckpoint(true)
-      out
     } finally resid.unpersist()
   }
+
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nClusters: Int = 16, nprobe: Int = 2,
+      m: Int = 4, ksub: Int = 16, shortlist: Int = 32,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    exactRerank(
+      ivfPqShortlist(corpus, queries, nClusters, nprobe, m, ksub,
+        shortlist, idCol, vecCol),
+      corpus, queries, k, idCol, vecCol)
 
   /** LSH-bucketed nearest neighbour: per vector, the single most
     * cosine-similar other vector *among its pair-bucket candidates*

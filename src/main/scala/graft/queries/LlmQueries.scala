@@ -720,28 +720,77 @@ object LlmQueries {
        |  FROM pairs
        |) WHERE rn = 1""".stripMargin
 
-  /** Trained-IVF ANN (rows-only: k-means centroid means are FP-order-
-    * dependent, so no cross-engine oracle; recall and structure are
-    * covered by LlmOperatorsSpec). */
+  /** Re-rank gate shared by the trained-ANN entries: the trained
+    * stage (k-means centroids / PQ codebooks — FP-order-dependent,
+    * not SQL-expressible) produces a deterministic shortlist of
+    * (query_id, neighbor_id) candidates; we pin that shortlist by
+    * collecting it (bounded: queries x shortlist — the harness seam,
+    * not the operator, which stays fully distributed in VectorOps),
+    * re-rank from the pinned ids, and stash a DuckDB oracle that
+    * embeds the same ids as literals and computes the same
+    * exact-cosine top-k. The quantizer's quality is covered by the
+    * recall/planted-cluster suites in LlmOperatorsSpec; this gate
+    * hash-verifies the whole plain-SQL scoring tail. */
+  private def gatedRerank(name: String, s: SparkSession, corpus: DataFrame,
+      queries: DataFrame, shortlist: DataFrame, k: Int): DataFrame = {
+    import s.implicits._
+    val ids = shortlist.select(col("query_id").cast("long"),
+        col("neighbor_id").cast("long"))
+      .as[(Long, Long)].collect().sorted.toSeq
+    DynamicOracles.put(name, rerankOracle(ids, k))
+    VectorOps.exactRerank(ids.toDF("query_id", "neighbor_id"),
+      corpus, queries, k)
+  }
+
+  private def rerankOracle(ids: Seq[(Long, Long)], k: Int): String =
+    if (ids.isEmpty)
+      """SELECT CAST(NULL AS BIGINT) AS query_id,
+        |  CAST(NULL AS BIGINT) AS neighbor_id,
+        |  CAST(NULL AS DOUBLE) AS cos_sim, CAST(NULL AS INT) AS rank
+        |WHERE false""".stripMargin
+    else {
+      val values = ids.map { case (q, n) => s"($q, $n)" }.mkString(", ")
+      s"""WITH short(query_id, neighbor_id) AS (VALUES $values),
+         |scored AS (
+         |  SELECT CAST(query_id AS BIGINT) AS query_id,
+         |    CAST(neighbor_id AS BIGINT) AS neighbor_id,
+         |    ${duckCosine("eq.embedding", "en.embedding")} AS cos_sim
+         |  FROM short
+         |  JOIN embeddings eq ON eq.vec_id = short.query_id
+         |  JOIN embeddings en ON en.vec_id = short.neighbor_id
+         |)
+         |SELECT query_id, neighbor_id, cos_sim, rank FROM (
+         |  SELECT *, CAST(row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+         |  ) AS INT) AS rank
+         |  FROM scored
+         |) WHERE rank <= $k""".stripMargin
+    }
+
+  /** Trained-IVF ANN, oracle-gated at the re-rank stage (the probed
+    * candidate set is the "shortlist" IVF scores exactly). */
   def annIvfTrained(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    VectorOps.ivfTopK(e, e.filter(col("vec_id") < AnnQueries), AnnK)
+    val q = e.filter(col("vec_id") < AnnQueries)
+    gatedRerank("llm_ann_ivf_trained", s, e, q,
+      VectorOps.ivfCandidates(e, q), AnnK)
   }
 
-  /** PQ (product-quantization) ANN with exact re-rank (rows-only for
-    * the same reason as IVF: the trained codebooks are k-means
-    * artifacts; recall against brute force is asserted in
-    * LlmOperatorsSpec). */
+  /** PQ (product-quantization) ANN: ADC shortlist + gated exact
+    * re-rank. */
   def annPq(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    VectorOps.pqTopK(e, e.filter(col("vec_id") < AnnQueries), AnnK)
+    val q = e.filter(col("vec_id") < AnnQueries)
+    gatedRerank("llm_ann_pq", s, e, q, VectorOps.pqShortlist(e, q), AnnK)
   }
 
-  /** IVF-PQ ANN — coarse lists + residual PQ codes + ADC + exact
-    * re-rank (rows-only; structure and recall in LlmOperatorsSpec). */
+  /** IVF-PQ ANN — coarse lists + residual PQ codes + per-list ADC
+    * shortlist + gated exact re-rank. */
   def annIvfPq(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    VectorOps.ivfPqTopK(e, e.filter(col("vec_id") < AnnQueries), AnnK)
+    val q = e.filter(col("vec_id") < AnnQueries)
+    gatedRerank("llm_ann_ivfpq", s, e, q,
+      VectorOps.ivfPqShortlist(e, q), AnnK)
   }
 
   val defs: Map[String, QueryDef] = Map(
