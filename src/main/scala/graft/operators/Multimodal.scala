@@ -29,6 +29,8 @@ object Multimodal {
       frame_bytes: Array[Byte])
   final case class MediaFeature(doc_id: Long, media_type: String,
       embedding: Array[Float])
+  final case class MediaHistogram(doc_id: Long, media_type: String,
+      bins: Array[Long])
 
   /** The codec seam. A real implementation opens the payload with an
     * actual decoder (per-partition init amortized by mapPartitions);
@@ -93,22 +95,33 @@ object Multimodal {
     }
   }
 
-  /** Feature extraction: 16-bin byte histogram, L1-normalized — the
-    * stub for "run the vision/audio tower"; shape (fixed-length
-    * float vector per row) is what downstream ANN operators consume. */
-  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeature] = {
+  /** Integer feature stage: 16-bin histogram of payload byte high
+    * nibbles — pure integer math, so it hash-matches an external
+    * oracle exactly (DuckDB recomputes the nibbles from the hex
+    * encoding of the same bytes). */
+  def extractHistogram(media: Dataset[MediaRow]): Dataset[MediaHistogram] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.map { m =>
-        val hist = new Array[Float](16)
+        val hist = new Array[Long](16)
         var i = 0
         while (i < m.content.length) {
-          hist((m.content(i) & 0xff) >> 4) += 1f
+          hist((m.content(i) & 0xff) >> 4) += 1L
           i += 1
         }
-        val total = math.max(1f, m.content.length.toFloat)
-        MediaFeature(m.doc_id, m.media_type, hist.map(_ / total))
+        MediaHistogram(m.doc_id, m.media_type, hist)
       }
+    }
+  }
+
+  /** Feature extraction: the L1-normalized histogram — the stub for
+    * "run the vision/audio tower"; shape (fixed-length float vector
+    * per row) is what downstream ANN operators consume. */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeature] = {
+    import media.sparkSession.implicits._
+    extractHistogram(media).map { h =>
+      val total = math.max(1f, h.bins.sum.toFloat)
+      MediaFeature(h.doc_id, h.media_type, h.bins.map(_ / total))
     }
   }
 

@@ -103,18 +103,50 @@ object MultimodalQueries {
        |    THEN 1 END) AS n_at_budget
        |FROM m GROUP BY 1""".stripMargin
 
-  // ---- feature extraction (rows-only: float histogram path) ----
+  // ---- feature extraction (integer byte-nibble histogram) ----
 
+  /** Long-format histogram features: one row per (doc, bin) with the
+    * integer count and its share of the payload. The counts are pure
+    * integer math and `share` is a single exact division of those
+    * ints, so the whole row hash-matches; the float L1-normalized
+    * embedding (the same bins / total in float) stays covered by
+    * MultimodalSpec. */
   def mm3Features(s: SparkSession, dir: String): DataFrame =
-    Multimodal.extractFeatures(media(s, dir)).toDF()
+    Multimodal.extractHistogram(media(s, dir)).toDF()
       .select(col("doc_id"), col("media_type"),
-        size(col("embedding")).as("dim"),
-        aggregate(col("embedding"), lit(0.0),
-          (acc, x) => acc + x.cast("double")).as("l1_mass"))
+        posexplode(col("bins")).as(Seq("bin", "cnt")),
+        aggregate(col("bins"), lit(0L), (acc, x) => acc + x).as("_total"))
+      .select(col("doc_id"), col("media_type"), col("bin"), col("cnt"),
+        (col("cnt").cast("double") /
+          greatest(lit(1L), col("_total")).cast("double")).as("share"))
+
+  val mm3Oracle: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |         WHEN doc_id % 3 = 1 THEN 'audio'
+      |         ELSE 'video' END AS media_type,
+      |    hex(encode(text)) AS hx, strlen(text) AS len
+      |  FROM documents
+      |),
+      |bytes AS (
+      |  SELECT doc_id, unnest(list_transform(range(0, len),
+      |    i -> strpos('0123456789ABCDEF', substr(hx, 2 * i + 1, 1)) - 1))
+      |    AS bin
+      |  FROM m
+      |),
+      |cnt AS (SELECT doc_id, bin, count(*) AS c FROM bytes GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT doc_id, media_type, len, unnest(range(0, 16)) AS bin FROM m
+      |)
+      |SELECT g.doc_id, g.media_type, CAST(g.bin AS INT) AS bin,
+      |  CAST(coalesce(c.c, 0) AS BIGINT) AS cnt,
+      |  coalesce(c.c, 0)::DOUBLE / greatest(1, g.len) AS share
+      |FROM grid g LEFT JOIN cnt c USING (doc_id, bin)""".stripMargin
 
   val defs: Map[String, QueryDef] = Map(
     "mm1_decode_stats" -> QueryDef(mm1DecodeStats _, mm1Oracle),
     "mm2_frame_sample" -> QueryDef(mm2FrameSample _, mm2Oracle),
-    "mm3_features" -> QueryDef(mm3Features _, None),
+    "mm3_features" -> QueryDef(mm3Features _, mm3Oracle),
     "mm4_resize" -> QueryDef(mm4Resize _, mm4Oracle))
 }
