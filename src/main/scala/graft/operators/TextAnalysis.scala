@@ -216,22 +216,40 @@ object TextAnalysis {
       .withColumn("keep_rate", ratePct)
       .filter(col("sample_bucket") < col("keep_rate"))
 
-  /** Sequence packing: assign documents to fixed-token-budget
-    * training bins by next-fit over a deterministic order — bin =
-    * floor(exclusive-prefix-token-sum / budget) per group. The
-    * prefix sum is a window partitioned by the grouping column
-    * (shards/sources), so packing parallelizes across groups and no
-    * global sort exists. Integer token counts make the cumulative
-    * arithmetic exact in any engine. */
+  /** Sequence packing with document splitting: documents are laid
+    * out as one concatenated token stream per group (deterministic
+    * order by id), and bins are the consecutive `budget`-token
+    * windows of that stream — so every bin holds exactly `budget`
+    * tokens (except the group's last) and a document crossing a bin
+    * boundary emits one row per bin it overlaps, with its
+    * doc-relative token sub-range [tok_from, tok_until). This is the
+    * packing a training loader actually consumes; the prior
+    * whole-doc next-fit overflowed its budget by up to a document at
+    * each boundary. The prefix sum is a window partitioned by the
+    * grouping column (shards/sources), so packing parallelizes
+    * across groups and no global sort exists; the per-doc explode
+    * emits ceil(n/budget)+1 rows at most. Integer token counts make
+    * the cumulative arithmetic exact in any engine. */
   def packIntoBins(docTokens: DataFrame, budget: Long,
       idCol: String = "doc_id", groupCol: String = "source",
       tokensCol: String = "n_tokens"): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol)).orderBy(col(idCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    docTokens.withColumn("bin_id",
-      floor(coalesce(sum(col(tokensCol)).over(w), lit(0L)) /
-        lit(budget.toDouble)).cast("long"))
+    val b = lit(budget)
+    docTokens
+      .withColumn("_p", coalesce(sum(col(tokensCol)).over(w), lit(0L)))
+      .withColumn("bin_id", explode(sequence(
+        floor(col("_p") / lit(budget.toDouble)).cast("long"),
+        floor((col("_p") + greatest(col(tokensCol).cast("long"), lit(1L)) -
+          lit(1L)) / lit(budget.toDouble)).cast("long"))))
+      .withColumn("tok_from",
+        greatest(col("_p"), col("bin_id") * b) - col("_p"))
+      .withColumn("tok_until",
+        least(col("_p") + col(tokensCol), (col("bin_id") + lit(1L)) * b) -
+          col("_p"))
+      .withColumn("n_in_bin", col("tok_until") - col("tok_from"))
+      .drop("_p")
   }
 
   /** Unigram log-probability scoring — the perplexity-filter proxy of

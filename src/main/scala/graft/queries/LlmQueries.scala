@@ -548,7 +548,8 @@ object LlmQueries {
       .select(col("doc_id"), col("n_ws_tokens").as("n_tokens"))
       .join(d.select(col("doc_id"), col("source")), "doc_id")
     TextAnalysis.packIntoBins(tokens, PackBudget)
-      .select("doc_id", "source", "n_tokens", "bin_id")
+      .select("doc_id", "source", "n_tokens", "bin_id",
+        "tok_from", "tok_until", "n_in_bin")
   }
 
   val packBinsOracle: String =
@@ -557,13 +558,27 @@ object LlmQueries {
        |j AS (
        |  SELECT d.doc_id, d.source, t.n_tokens
        |  FROM documents d JOIN tok t USING (doc_id)
+       |),
+       |pre AS (
+       |  SELECT *, CAST(coalesce(sum(n_tokens) OVER (
+       |    PARTITION BY source ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |    AS p
+       |  FROM j
+       |),
+       |x AS (
+       |  SELECT *, unnest(range(p // $PackBudget,
+       |    (p + greatest(n_tokens, 1) - 1) // $PackBudget + 1)) AS bin_id
+       |  FROM pre
        |)
        |SELECT doc_id, source, n_tokens,
-       |  CAST(floor(coalesce(sum(n_tokens) OVER (
-       |    PARTITION BY source ORDER BY doc_id
-       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-       |    / $PackBudget.0) AS BIGINT) AS bin_id
-       |FROM j""".stripMargin
+       |  CAST(bin_id AS BIGINT) AS bin_id,
+       |  CAST(greatest(p, bin_id * $PackBudget) - p AS BIGINT) AS tok_from,
+       |  CAST(least(p + n_tokens, (bin_id + 1) * $PackBudget) - p AS BIGINT)
+       |    AS tok_until,
+       |  CAST(least(p + n_tokens, (bin_id + 1) * $PackBudget)
+       |    - greatest(p, bin_id * $PackBudget) AS BIGINT) AS n_in_bin
+       |FROM x""".stripMargin
 
   // ---- per-source corpus statistics ----
 

@@ -157,18 +157,60 @@ class LlmOperatorsSpec extends AnyFunSuite {
     assert(frac > 0.15 && frac < 0.35, s"25% sample kept $frac")
   }
 
-  test("packIntoBins: next-fit, exact budgets, per-group isolation") {
+  test("packIntoBins splits boundary docs and never overflows budget") {
     import spark.implicits._
     val toks = Seq(
       (1L, "a", 100L), (2L, "a", 150L), (3L, "a", 100L), (4L, "a", 60L),
       (5L, "b", 400L), (6L, "b", 10L))
       .toDF("doc_id", "source", "n_tokens")
-    val out = TextAnalysis.packIntoBins(toks, budget = 300L).collect()
-      .map(r => r.getLong(0) -> r.getAs[Long]("bin_id")).toMap
-    // group a: prefix sums 0,100,250,350 -> bins 0,0,0,1
-    assert(out(1L) == 0 && out(2L) == 0 && out(3L) == 0 && out(4L) == 1)
-    // group b packs independently: 0,400 -> bins 0,1
-    assert(out(5L) == 0 && out(6L) == 1)
+    val rows = TextAnalysis.packIntoBins(toks, budget = 300L).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("bin_id"),
+        r.getAs[Long]("tok_from"), r.getAs[Long]("tok_until")))
+    val byDoc = rows.groupBy(_._1)
+    // doc 3 (prefix 250, 100 tokens) straddles the a-group boundary:
+    // 50 tokens close bin 0, the remaining 50 open bin 1
+    assert(byDoc(3L).toSet ==
+      Set((3L, 0L, 0L, 50L), (3L, 1L, 50L, 100L)))
+    // doc 5 (400 tokens > budget) fills bin 0 and spills into bin 1
+    assert(byDoc(5L).toSet ==
+      Set((5L, 0L, 0L, 300L), (5L, 1L, 300L, 400L)))
+    // unsplit docs emit exactly one full-range row
+    assert(byDoc(1L).toSeq == Seq((1L, 0L, 0L, 100L)))
+    assert(byDoc(6L).toSeq == Seq((6L, 1L, 0L, 10L)))
+    // every doc's sub-ranges tile [0, n_tokens) exactly
+    val n = Map(1L -> 100L, 2L -> 150L, 3L -> 100L, 4L -> 60L,
+      5L -> 400L, 6L -> 10L)
+    byDoc.foreach { case (id, rs) =>
+      assert(rs.map(r => r._4 - r._3).sum == n(id), s"doc $id not tiled")
+    }
+  }
+
+  test("packIntoBins property: every bin holds at most budget tokens") {
+    import spark.implicits._
+    // adversarial mix: giant docs, singletons, zero-token docs
+    val toks = (1 to 120).map { i =>
+      val n = (i * 37 % 11) match {
+        case 0 => 0L
+        case k if k < 4 => k * 450L // > budget
+        case k => k * 17L
+      }
+      (i.toLong, s"src${i % 3}", n)
+    }.toDF("doc_id", "source", "n_tokens")
+    val budget = 256L
+    val out = TextAnalysis.packIntoBins(toks, budget).collect()
+    val perBin = out.groupBy(r => (r.getAs[String]("source"),
+        r.getAs[Long]("bin_id")))
+      .view.mapValues(_.map(r => r.getAs[Long]("n_in_bin")).sum)
+    perBin.foreach { case (k, total) =>
+      assert(total <= budget, s"bin $k overflows: $total > $budget")
+    }
+    // all bins below a group's last are filled to exactly the budget
+    val lastBin = out.groupBy(r => r.getAs[String]("source"))
+      .view.mapValues(_.map(r => r.getAs[Long]("bin_id")).max)
+    perBin.foreach { case ((src, bin), total) =>
+      if (bin < lastBin(src)) assert(total == budget,
+        s"non-terminal bin ($src, $bin) underfilled: $total")
+    }
   }
 
   test("unigram logprob ranks common-vocabulary docs above rare ones") {
