@@ -134,14 +134,26 @@ object StreamingIngest {
   }
 
   /** Streaming ingest job: parquet file source -> dedup -> idempotent
-    * partitioned append. Batch idempotence piggybacks on the streaming
-    * engine: `foreachBatch` re-delivers a batch with the SAME batchId
-    * after a crash, and the sink directory is keyed by it. */
+    * partitioned append through the default parquet [[BatchSink]]. */
   def startIngest(
       spark: SparkSession,
       sourceDir: String,
       sourceSchema: org.apache.spark.sql.types.StructType,
       targetDir: String,
+      checkpointDir: String,
+      watermark: String = "30 minutes"): StreamingQuery =
+    startIngestTo(spark, sourceDir, sourceSchema,
+      BatchSink.forMode("parquet", targetDir), checkpointDir, watermark)
+
+  /** Sink-generic ingest: dedup -> `sink.writeBatch` per micro-batch.
+    * Batch idempotence piggybacks on the streaming engine:
+    * `foreachBatch` re-delivers a batch with the SAME batchId after a
+    * crash, and the [[BatchSink]] contract keys commits by it. */
+  def startIngestTo(
+      spark: SparkSession,
+      sourceDir: String,
+      sourceSchema: org.apache.spark.sql.types.StructType,
+      sink: BatchSink,
       checkpointDir: String,
       watermark: String = "30 minutes"): StreamingQuery = {
     val raw = spark.readStream
@@ -150,15 +162,7 @@ object StreamingIngest {
     dedupedTrades(raw, watermark).writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val dir = s"$targetDir/ingest_batch=$batchId"
-        // skip only COMMITTED batches (_SUCCESS marker): a bare
-        // directory check would permanently drop a batch whose write
-        // crashed mid-flight; overwrite of a partial dir is safe.
-        if (!new java.io.File(dir, "_SUCCESS").exists()) {
-          batch.withColumn(
-            "month", date_format(col("timestamp"), "yyyyMM"))
-            .write.mode("overwrite").partitionBy("month").parquet(dir)
-        }
+        sink.writeBatch(batch, batchId)
       }
       .start()
   }

@@ -152,6 +152,56 @@ class IngestSpec extends AnyFunSuite {
     assert(TradesStore.read(spark, target).count() == 100)
   }
 
+  test("BatchSink seam: stream delivers each batchId to the sink once") {
+    import spark.implicits._
+    import graft.streaming.{BatchSink, StreamingIngest}
+    val src = tmp("sink-src"); val ckpt = tmp("sink-ckpt")
+    val seed = Seq(
+      ("1", "BTC", new java.sql.Timestamp(1700000000000L), 1.0),
+      ("2", "ETH", new java.sql.Timestamp(1700000001000L), 2.0))
+      .toDF("trade_id", "underlying", "timestamp", "amount")
+    seed.write.parquet(s"$src/part1")
+    val calls = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val mock = new BatchSink {
+      override def writeBatch(batch: org.apache.spark.sql.DataFrame,
+          batchId: Long): Unit =
+        calls.synchronized { calls += ((batchId, batch.count())) }
+    }
+    val q = StreamingIngest.startIngestTo(spark, s"$src/part*",
+      seed.schema, mock, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    assert(calls.map(_._1).distinct.size == calls.size,
+      s"batchId re-delivered without crash: $calls")
+    assert(calls.map(_._2).sum == 2)
+  }
+
+  test("ParquetBatchSink: committed batch skipped, partial overwritten") {
+    import spark.implicits._
+    import graft.streaming.BatchSink
+    val target = tmp("sink-idem")
+    val sink = BatchSink.forMode("parquet", target)
+    val batch = Seq(
+      ("1", new java.sql.Timestamp(1700000000000L), 1.0))
+      .toDF("trade_id", "timestamp", "amount")
+    sink.writeBatch(batch, 7L)
+    val dir = java.nio.file.Paths.get(target, "ingest_batch=7")
+    val committedAt = java.nio.file.Files
+      .getLastModifiedTime(dir.resolve("_SUCCESS"))
+    // re-delivery of a COMMITTED batch is a no-op
+    sink.writeBatch(batch, 7L)
+    assert(java.nio.file.Files.getLastModifiedTime(dir.resolve("_SUCCESS"))
+      == committedAt, "committed batch was rewritten")
+    // a partial (uncommitted) batch is overwritten on re-delivery
+    java.nio.file.Files.delete(dir.resolve("_SUCCESS"))
+    sink.writeBatch(batch, 7L)
+    assert(java.nio.file.Files.exists(dir.resolve("_SUCCESS")))
+    assert(spark.read.parquet(s"$target/ingest_batch=*").count() == 1)
+    // unknown modes fail fast at the dispatch point
+    intercept[IllegalArgumentException] {
+      BatchSink.forMode("clickhouse-cloud", target)
+    }
+  }
+
   test("TradesStore writes month partitions that prune on read") {
     import spark.implicits._
     val target = tmp("store")
