@@ -329,6 +329,70 @@ object SystemQueries {
        |WHERE gap_end_ep IS NOT NULL
        |  AND gap_end_ep - gap_start_ep > ${4 * 3600}""".stripMargin
 
+  /** §2.9 session windows: trade-burst sessions over the thinned
+    * stream (the st5 sample, whose inter-trade spacing actually
+    * produces multi-session structure). All files land in micro-batch
+    * 0; append emits every session whose end (last event + gap) is at
+    * or below the final watermark — the islands-and-gaps rule the
+    * oracle states in SQL. */
+  def st6SessionBursts(s: SparkSession, dir: String): DataFrame = {
+    val src = Files.createTempDirectory("st6-src").toString
+    val ckpt = Files.createTempDirectory("st6-ckpt").toString
+    val trades = SyntheticTrades.trades(s, dir)
+      .filter(col("trade_id").cast("long") % 97 === 0)
+      .select("underlying", "timestamp", "amount")
+    trades.write.mode("overwrite").parquet(s"$src/pages")
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val raw = s.readStream.schema(trades.schema).parquet(s"$src/pages")
+      val q = StreamingIngest.sessionBursts(raw, gap = "2 hours")
+        .writeStream.format("memory").queryName("st6_sessions")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    s.table("st6_sessions")
+  }
+
+  /** Islands-and-gaps in SQL: a new session starts when the ms gap to
+    * the previous trade STRICTLY exceeds the 2 h session gap (Spark
+    * merges the per-event [t, t+gap) intervals on touch, so an exact
+    * gap-length spacing still extends — pinned by StreamingSpec);
+    * session end = last event + gap; the append cutoff keeps sessions
+    * whose exact-ms end is at or below the final watermark. */
+  val st6Oracle: String =
+    s"""WITH ${SyntheticTrades.tradesCte},
+       |sampled AS (
+       |  SELECT underlying, ${duckEpochS("\"timestamp\"")} AS ep,
+       |    epoch_ms("timestamp") AS ep_ms, amount
+       |  FROM trades WHERE CAST(trade_id AS BIGINT) % 97 = 0
+       |),
+       |flagged AS (
+       |  SELECT *, CASE WHEN ep_ms - lag(ep_ms) OVER (
+       |      PARTITION BY underlying ORDER BY ep_ms) > ${2 * 3600 * 1000}
+       |    THEN 1 ELSE 0 END AS brk
+       |  FROM sampled
+       |),
+       |sess AS (
+       |  SELECT *, sum(brk) OVER (PARTITION BY underlying ORDER BY ep_ms
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+       |  FROM flagged
+       |),
+       |agg AS (
+       |  SELECT underlying,
+       |    min(ep) AS session_start_ep,
+       |    max(ep) + ${2 * 3600} AS session_end_ep,
+       |    max(ep_ms) + ${2 * 3600 * 1000} AS end_ms,
+       |    count(*) AS n_trades,
+       |    ${duckDsum("amount")} AS volume
+       |  FROM sess GROUP BY underlying, sid
+       |),
+       |wm AS (SELECT max(ep_ms) - 1800000 AS wm_ms FROM sampled)
+       |SELECT session_start_ep, session_end_ep, underlying, n_trades,
+       |  volume
+       |FROM agg, wm WHERE end_ms <= wm_ms""".stripMargin
+
   /** Day-partitioned sorted store per sf dir, built once per JVM-host
     * (keyed by the read-only sf path; rebuilt only if absent). */
   private[graft] def prunedStore(s: SparkSession, dir: String): String = {
@@ -379,5 +443,6 @@ object SystemQueries {
     "st2_streaming_bars" -> QueryDef(st2StreamingBars _, st2Oracle),
     "st3_stream_join" -> QueryDef(st3StreamJoin _, st3Oracle),
     "st4_streaming_pcr" -> QueryDef(st4StreamingPcr _, st4Oracle),
-    "st5_gap_events" -> QueryDef(st5GapEvents _, st5Oracle))
+    "st5_gap_events" -> QueryDef(st5GapEvents _, st5Oracle),
+    "st6_session_bursts" -> QueryDef(st6SessionBursts _, st6Oracle))
 }

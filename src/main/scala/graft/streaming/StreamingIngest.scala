@@ -98,6 +98,28 @@ object StreamingIngest {
         col("tick_ep"), col("close"))
   }
 
+  /** §2.9 session windows: per-underlying trade-burst sessions. A
+    * session extends while consecutive trades arrive within `gap` of
+    * the previous one and closes once a trade is `gap` or more away
+    * (Spark merges the per-event [t, t+gap) intervals on strict
+    * overlap); in append mode a session emits when the watermark
+    * passes its end (= last event + gap). The dual of the gap
+    * detector: [[gapEvents]] reports the silences, this aggregates
+    * the bursts between them. Decimal-exact volume so the emitted
+    * rows are aggregation-order-free for the st6 oracle. */
+  def sessionBursts(trades: DataFrame, gap: String = "2 hours",
+      watermark: String = "30 minutes"): DataFrame =
+    trades
+      .withWatermark("timestamp", watermark)
+      .groupBy(session_window(col("timestamp"), gap), col("underlying"))
+      .agg(
+        count(lit(1)).as("n_trades"),
+        graft.util.Parity.dsum(col("amount")).as("volume"))
+      .select(
+        unix_timestamp(col("session_window.start")).as("session_start_ep"),
+        unix_timestamp(col("session_window.end")).as("session_end_ep"),
+        col("underlying"), col("n_trades"), col("volume"))
+
   final case class GapEvent(underlying: String, gap_start_ep: Long,
       gap_end_ep: Long, gap_seconds: Long)
 

@@ -223,6 +223,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionBursts splits on an exact gap-length spacing") {
+    import spark.implicits._
+    // session_window semantics are identical in batch; pin the merge
+    // rule the st6 oracle states: an EXACT gap-length spacing still
+    // extends the session (intervals merge on touch), only a
+    // strictly-greater spacing splits
+    val trades = Seq(
+      ("BTC", ts(0), 1.0),
+      ("BTC", ts(5, 0), 2.0), // exactly 5 min after: still merged
+      ("BTC", ts(10, 1), 4.0), // 5 min 1 s after: NEW session
+      ("ETH", ts(0), 8.0)) // other key: independent sessions
+      .toDF("underlying", "timestamp", "amount")
+    val out = trades
+      .groupBy(session_window(col("timestamp"), "5 minutes"),
+        col("underlying"))
+      .agg(count(lit(1)).as("n"), sum(col("amount")).as("vol"))
+      .select(col("underlying"), col("n"), col("vol"),
+        unix_timestamp(col("session_window.start")).as("s"),
+        unix_timestamp(col("session_window.end")).as("e"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getLong(4) - r.getLong(3))).toSet
+    val btc = out.filter(_._1 == "BTC")
+    assert(btc.map(t => (t._2, t._3)) == Set((2L, 3.0), (1L, 4.0)))
+    // first BTC session spans [t0, t5+gap) = 10 minutes
+    assert(btc.map(_._4) == Set(10 * 60L, 5 * 60L))
+    assert(out.count(_._1 == "ETH") == 1)
+  }
+
   test("streaming ingest writes batchId-keyed partitioned parquet") {
     import spark.implicits._
     val src = Files.createTempDirectory("stream-src").toString
