@@ -41,6 +41,35 @@ object ScaleTechniques {
         sum(col("_pcnt")).as("n_rows"))
   }
 
+  /** Windowed per-key total, the DIRECT form: `sum() OVER
+    * (PARTITION BY key)`. On a power-law key this is the shape skew
+    * actually kills in Spark — a partitioned window materializes and
+    * sorts the whole hot partition in ONE task (partial aggregation,
+    * which neutralizes input skew for algebraic `groupBy` aggregates,
+    * does not apply to windows). Registered only as the bench
+    * contrast for [[joinKeyTotal]]. */
+  def windowKeyTotal(df: DataFrame, key: String, valueCol: String)
+      : DataFrame =
+    df.withColumn(s"${valueCol}_key_total",
+      sum(col(valueCol).cast(DecimalType(28, 6)))
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col(key)))
+        .cast("double"))
+
+  /** The skew-safe rewrite of [[windowKeyTotal]]: two-stage
+    * aggregate (map-side partials absorb the hot key) + broadcast
+    * join back. No per-key sort, no single hot task; the dimension
+    * side is one row per key. Decimal partials keep the value
+    * bit-identical to the window form, so both share one oracle. */
+  def joinKeyTotal(df: DataFrame, key: String, valueCol: String)
+      : DataFrame = {
+    val totals = df.groupBy(col(key))
+      .agg(sum(col(valueCol).cast(DecimalType(28, 6))).as("_t"))
+    df.join(broadcast(totals), key)
+      .withColumn(s"${valueCol}_key_total", col("_t").cast("double"))
+      .drop("_t")
+  }
+
   // no dots: the suffix becomes part of a catalog table name
   private def san(s: String): String = s.replaceAll("[^A-Za-z0-9]", "_")
 

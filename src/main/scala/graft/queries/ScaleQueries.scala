@@ -113,8 +113,57 @@ object ScaleQueries {
        |  IN ('20240110', '20240111', '20240112')
        |GROUP BY 1""".stripMargin
 
+  /** Power-law key fixture derived deterministically from lineitem:
+    * half the rows land on key 0 (the heavy hitter), the rest spread
+    * over a modular tail — the adversarial distribution for any
+    * per-key partitioning. */
+  private def skewedLineitem(s: SparkSession, dir: String): DataFrame =
+    graft.util.Tables.load(s, dir, "lineitem")
+      .filter(col("l_orderkey") % 3 === 0)
+      .select(
+        when(col("l_orderkey") % 2 === 0, lit(0L))
+          .otherwise(col("l_orderkey") % 1024).as("skew_key"),
+        col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+
+  private val skewCte: String =
+    """skewed AS (
+      |  SELECT CASE WHEN l_orderkey % 2 = 0 THEN 0
+      |           ELSE l_orderkey % 1024 END AS skew_key,
+      |    l_orderkey, l_linenumber, l_quantity
+      |  FROM lineitem WHERE l_orderkey % 3 = 0
+      |)""".stripMargin
+
+  /** Shared oracle: the plain SQL window states the semantics; the
+    * two registered forms must both hash-match it. */
+  private val skewTotalOracle: String =
+    s"""WITH $skewCte
+       |SELECT skew_key, l_orderkey, l_linenumber, l_quantity,
+       |  CAST(sum(CAST(l_quantity AS DECIMAL(28, 6)))
+       |    OVER (PARTITION BY skew_key) AS DOUBLE)
+       |    AS l_quantity_key_total
+       |FROM skewed""".stripMargin
+
+  /** x4: the skew-safe agg+broadcast-join rewrite of a per-key
+    * windowed total on the power-law fixture. */
+  def x4SkewJoinTotal(s: SparkSession, dir: String): DataFrame =
+    ScaleTechniques.joinKeyTotal(skewedLineitem(s, dir),
+      "skew_key", "l_quantity")
+
+  /** x5: the direct partitioned-window form — the contrast whose hot
+    * partition lands in one task. Same oracle as x4: the rewrite is
+    * invisible in the values. At sf0.1 both run sub-second (wall
+    * clock is overhead-dominated, as with the pruning headline), so
+    * the skew evidence is pinned at the task level: SkewSpec measures
+    * one window task reading >= 40% of all rows while no task of the
+    * rewrite reads more than a third of that. */
+  def x5SkewWindowDirect(s: SparkSession, dir: String): DataFrame =
+    ScaleTechniques.windowKeyTotal(skewedLineitem(s, dir),
+      "skew_key", "l_quantity")
+
   val defs: Map[String, QueryDef] = Map(
     "x1_salted_agg" -> QueryDef(x1SaltedDailyVolume _, x1Oracle),
     "x2_bucketed_join" -> QueryDef(x2BucketedJoin _, x2Oracle),
-    "x3_dpp_join" -> QueryDef(x3DppJoin _, x3Oracle))
+    "x3_dpp_join" -> QueryDef(x3DppJoin _, x3Oracle),
+    "x4_skew_join_total" -> QueryDef(x4SkewJoinTotal _, skewTotalOracle),
+    "x5_skew_window_direct" -> QueryDef(x5SkewWindowDirect _, skewTotalOracle))
 }
