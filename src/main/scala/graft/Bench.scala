@@ -36,7 +36,13 @@ object Bench {
     try graft.queries.ScaleQueries.ensureX2Tables(spark, sfDir)
     catch { case _: Throwable => () }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // iteration aid: SPARK_GRAFT_ONLY=q1,q2 restricts the run (the
+    // driver never sets it, so the recorded bench always covers all)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       // GC between measurements (outside the timed window) so one
       // query's garbage is not attributed to the next — standard
       // isolation; the timed window still includes planning + caches.

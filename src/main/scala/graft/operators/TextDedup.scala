@@ -256,6 +256,17 @@ object TextDedup {
       p.select(col("id_a").as("src"), col("id_b").as("dst"))
         .unionAll(p.select(col("id_b").as("src"), col("id_a").as("dst"))))
     p.unpersist()
+    // Size the loop's shuffles to the GRAPH, not the session's scan
+    // parallelism: the label/edge tables are tiny relative to the
+    // corpus (only near-dup participants), and every round runs ~4
+    // shuffle stages whose fixed per-task cost dominates at 32+
+    // partitions. ~250k edges per partition; grows with the graph, so
+    // the knob is scale-correct at 100 TB too.
+    val spark = pairs.sparkSession
+    val edgeCount = edges.count()
+    val loopParts = math.max(4L,
+      math.min(4096L, edgeCount / 250000L + 4L)).toString
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     // checkpoint-or-localCheckpoint: lineage MUST be truncated every
     // round (it grows exponentially), and a configured checkpoint dir
     // upgrades the truncation to a fault-tolerant one (localCheckpoint
@@ -265,6 +276,8 @@ object TextDedup {
       if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
         df.checkpoint(true)
       else df.localCheckpoint(true)
+    spark.conf.set("spark.sql.shuffle.partitions", loopParts)
+    try {
     // seed with min(self, direct neighbors) — one propagation round
     // for free
     var labels = snapshot(
@@ -274,21 +287,30 @@ object TextDedup {
     var converged = false
     var rounds = 0
     val maxRounds = 64 // log2-diameter rounds suffice; 64 is unreachable
+    // Label tables are node-sized (near-dup participants only). AQE
+    // cannot convert the loop's joins to broadcasts (checkpointed
+    // leaves carry no stats), so hint them explicitly while the graph
+    // is broadcastable and fall back to shuffle joins beyond that —
+    // the same decision AQE would make with stats. One shuffle per
+    // round instead of three.
+    val smallGraph = edgeCount <= 2000000L
+    def maybeBc(df: DataFrame): DataFrame =
+      if (smallGraph) broadcast(df) else df
     while (!converged && rounds < maxRounds) {
       // (a) min over self + neighbor labels, carrying the round-start
       // label as _old so convergence needs no second join afterwards
       val neighborMin = edges
-        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .join(maybeBc(labels.withColumnRenamed("id", "dst")), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("label")).as("_nbr"))
-      val propagated = labels.join(neighborMin, Seq("id"), "left")
+      val propagated = labels.join(maybeBc(neighborMin), Seq("id"), "left")
         .select(col("id"), col("label").as("_old"),
           least(col("label"), coalesce(col("_nbr"), col("label"))).as("label"))
       // (b) pointer jump: follow the label's own label (labels are
       // node ids, so the self-join is total on the left)
       val parent = propagated
         .select(col("id").as("label"), col("label").as("_ll"))
-      val jumped = snapshot(propagated.join(parent, Seq("label"), "left")
+      val jumped = snapshot(propagated.join(maybeBc(parent), Seq("label"), "left")
         .select(col("id"), col("_old"),
           least(col("label"), coalesce(col("_ll"), col("label"))).as("label")))
       // the snapshot already materialized the round; the convergence
@@ -306,6 +328,7 @@ object TextDedup {
     edges.unpersist()
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"),
       (col("id") === col("label")).as("keep"))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
 
   /** Decontamination: flag corpus documents that share any n-gram with

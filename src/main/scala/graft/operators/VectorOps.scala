@@ -56,15 +56,17 @@ object VectorOps {
     transform(slice(sorted, 1, l), _.getField("i"))
   }
 
-  /** The multi-probe bucket keys for one vector: all 6 ordered pairs
-    * (t_i, t_j), i != j, over its top-3 coordinates, packed as
-    * t_i * 1000 + t_j (dims < 1000 by construction). Two vectors
-    * share a bucket iff their top-3 coordinate sets share at least
-    * two members — a dim²-sized key space. */
-  def pairBucketKeys(a: Column): Column = {
-    val t = topCoords(a, 3)
+  /** The 6 ordered-pair bucket keys (t_i, t_j), i != j, over a
+    * vector's top-3 coordinate column, packed as t_i * 1000 + t_j
+    * (dims < 1000 by construction). Two vectors share a bucket iff
+    * their top-3 coordinate sets share at least two members — a
+    * dim²-sized key space. Takes the PRE-COMPUTED tops column, never
+    * the raw vector: inlining [[topCoords]] here would re-evaluate
+    * the per-row sort 12 times (measured ~2 s on 2 000 rows — the
+    * comparator lambda runs interpreted). */
+  def pairKeysFromTops(tops: Column): Column = {
     def k(i: Int, j: Int): Column =
-      element_at(t, i) * lit(1000) + element_at(t, j)
+      element_at(tops, i) * lit(1000) + element_at(tops, j)
     array(k(1, 2), k(1, 3), k(2, 1), k(2, 3), k(3, 1), k(3, 2))
   }
 
@@ -73,11 +75,13 @@ object VectorOps {
     * candidate volume can be asserted directly in tests. */
   def candidatePairs(corpus: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // materialized: the key table feeds both sides of the self-join,
-    // and explode's implicit size>0 pushdown would otherwise re-inline
-    // the sort-per-row key computation into a row-level filter
-    val keyed = graft.util.Caches.materialize(corpus.select(col(idCol),
-      explode(pairBucketKeys(col(vecCol))).as("bucket")))
+    // the sort runs ONCE per row in its own projection (CollapseProject
+    // keeps a multiply-referenced non-cheap alias staged); materialized
+    // because the key table feeds both sides of the self-join and
+    // explode's implicit size>0 pushdown would re-inline it otherwise
+    val keyed = graft.util.Caches.materialize(corpus
+      .select(col(idCol), topCoords(col(vecCol), 3).as("_tops"))
+      .select(col(idCol), explode(pairKeysFromTops(col("_tops"))).as("bucket")))
     keyed.select(col(idCol).as("id_a"), col("bucket"))
       .join(keyed.select(col(idCol).as("id_b"), col("bucket")), "bucket")
       .filter(col("id_a") < col("id_b"))
@@ -490,10 +494,13 @@ object VectorOps {
     * bucket join buys. */
   def bucketTop1(corpus: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cand = graft.util.Caches.materialize(
-      candidatePairs(corpus, idCol, vecCol))
-    val both = cand.union(
-      cand.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    // both directions in ONE pass over the candidate list (a union
+    // would read — and recompute — the candidate join twice)
+    val both = candidatePairs(corpus, idCol, vecCol)
+      .select(explode(array(
+        struct(col("id_a"), col("id_b")),
+        struct(col("id_b").as("id_a"), col("id_a").as("id_b")))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
     val pairs = both
       .join(corpus.select(col(idCol).as("id_a"), col(vecCol).as("_va")), "id_a")
       .join(corpus.select(col(idCol).as("id_b"), col(vecCol).as("_vb")), "id_b")
