@@ -266,7 +266,6 @@ object TextDedup {
     val edgeCount = edges.count()
     val loopParts = math.max(4L,
       math.min(4096L, edgeCount / 250000L + 4L)).toString
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     // checkpoint-or-localCheckpoint: lineage MUST be truncated every
     // round (it grows exponentially), and a configured checkpoint dir
     // upgrades the truncation to a fault-tolerant one (localCheckpoint
@@ -276,12 +275,18 @@ object TextDedup {
       if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
         df.checkpoint(true)
       else df.localCheckpoint(true)
-    spark.conf.set("spark.sql.shuffle.partitions", loopParts)
-    try {
+    // The override lives in a CLONED session (shared SparkContext +
+    // CacheManager, private SQLConf): every DataFrame the loop derives
+    // from loopEdges plans against the small partition count, while
+    // queries running concurrently on the caller's session keep their
+    // own shuffle sizing — mutating the shared conf here would leak
+    // the tiny count to them for the duration of the loop.
+    val loopEdges = org.apache.spark.sql.GraftBridge.withSessionConf(
+      edges, Map("spark.sql.shuffle.partitions" -> loopParts))
     // seed with min(self, direct neighbors) — one propagation round
     // for free
     var labels = snapshot(
-      edges.groupBy(col("src"))
+      loopEdges.groupBy(col("src"))
         .agg(least(min(col("dst")), col("src")).as("label"))
         .select(col("src").as("id"), col("label")))
     var converged = false
@@ -299,7 +304,7 @@ object TextDedup {
     while (!converged && rounds < maxRounds) {
       // (a) min over self + neighbor labels, carrying the round-start
       // label as _old so convergence needs no second join afterwards
-      val neighborMin = edges
+      val neighborMin = loopEdges
         .join(maybeBc(labels.withColumnRenamed("id", "dst")), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("label")).as("_nbr"))
@@ -326,9 +331,12 @@ object TextDedup {
     // the result plan reads only the final (checkpointed) labels —
     // the edge cache is dead weight from here on
     edges.unpersist()
-    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"),
-      (col("id") === col("label")).as("keep"))
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    // bind the (checkpointed) result back to the caller's session so
+    // downstream plans use the caller's conf, not the loop's
+    org.apache.spark.sql.GraftBridge.bindTo(
+      labels.select(col("id").as("doc_id"), col("label").as("cluster_id"),
+        (col("id") === col("label")).as("keep")),
+      spark)
   }
 
   /** Decontamination: flag corpus documents that share any n-gram with

@@ -17,17 +17,17 @@ import org.apache.spark.sql.functions._
   *    map-side, and takes the per-query top-k with a rank window
   *    partitioned by query id — shuffle keyed by query, never all-pairs
   *    between corpus rows.
-  *  - `bucketTop1` / `cosineNearDups` bucket each vector by ORDERED
+  *  - `bucketTop1` / `cosineNearDups` bucket each vector by UNORDERED
   *    PAIRS of its top coordinates (a deterministic
   *    concomitant-of-maximum LSH for inner-product search): each
-  *    vector posts the 6 ordered pairs over its 3 largest
+  *    vector posts the 3 canonical {lo, hi} pairs over its 3 largest
   *    coordinates, and candidates are generated only inside a
-  *    (coord, coord) bucket — a dim² key space, so one hot coordinate
-  *    spreads over dim-1 buckets instead of collapsing into a single
-  *    quadratic bucket the way a plain argmax key does. Candidates
-  *    travel as id pairs only; full vectors are re-fetched by id for
-  *    the exact-cosine verify (the same fetch-by-id shape the MinHash
-  *    verify uses).
+  *    {coord, coord} bucket — a dim²/2 key space, so one hot
+  *    coordinate spreads over dim-1 buckets instead of collapsing
+  *    into a single quadratic bucket the way a plain argmax key does.
+  *    Candidates travel as id pairs only; full vectors are re-fetched
+  *    by id for the exact-cosine verify (the same fetch-by-id shape
+  *    the MinHash verify uses).
   */
 object VectorOps {
 
@@ -56,18 +56,25 @@ object VectorOps {
     transform(slice(sorted, 1, l), _.getField("i"))
   }
 
-  /** The 6 ordered-pair bucket keys (t_i, t_j), i != j, over a
-    * vector's top-3 coordinate column, packed as t_i * 1000 + t_j
-    * (dims < 1000 by construction). Two vectors share a bucket iff
-    * their top-3 coordinate sets share at least two members — a
-    * dim²-sized key space. Takes the PRE-COMPUTED tops column, never
-    * the raw vector: inlining [[topCoords]] here would re-evaluate
-    * the per-row sort 12 times (measured ~2 s on 2 000 rows — the
-    * comparator lambda runs interpreted). */
+  /** The 3 canonical unordered-pair bucket keys {t_i, t_j} over a
+    * vector's top-3 coordinate column, as (lo, hi) structs. Candidate
+    * generation is symmetric, so the canonical form yields the exact
+    * candidate set the 6 ordered pairs did with half the exploded
+    * rows, and each surviving pair matches once per shared pair
+    * instead of twice before distinct(). A struct key (not an integer
+    * packing) stays collision-free at any embedding dim — a fixed
+    * t_i * 1000 + t_j multiplier silently collides at dim >= 1000,
+    * and 1024/1536-dim embeddings are common. Two vectors share a
+    * bucket iff their top-3 coordinate sets share at least two
+    * members — a dim²/2-sized key space. Takes the PRE-COMPUTED tops
+    * column, never the raw vector: inlining [[topCoords]] here would
+    * re-evaluate the per-row sort per key (measured ~2 s on 2 000
+    * rows — the comparator lambda runs interpreted). */
   def pairKeysFromTops(tops: Column): Column = {
-    def k(i: Int, j: Int): Column =
-      element_at(tops, i) * lit(1000) + element_at(tops, j)
-    array(k(1, 2), k(1, 3), k(2, 1), k(2, 3), k(3, 1), k(3, 2))
+    def k(i: Int, j: Int): Column = struct(
+      least(element_at(tops, i), element_at(tops, j)).as("lo"),
+      greatest(element_at(tops, i), element_at(tops, j)).as("hi"))
+    array(k(1, 2), k(1, 3), k(2, 3))
   }
 
   /** Distinct candidate id pairs (id_a < id_b) from the pair-bucket
@@ -82,11 +89,18 @@ object VectorOps {
     val keyed = graft.util.Caches.materialize(corpus
       .select(col(idCol), topCoords(col(vecCol), 3).as("_tops"))
       .select(col(idCol), explode(pairKeysFromTops(col("_tops"))).as("bucket")))
-    keyed.select(col(idCol).as("id_a"), col("bucket"))
-      .join(keyed.select(col(idCol).as("id_b"), col("bucket")), "bucket")
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .distinct()
+    // eager localCheckpoint so the key cache can be dropped before
+    // returning — otherwise every call leaks a MEMORY_AND_DISK plan
+    // for the session's lifetime (the pairs themselves are ids only,
+    // far smaller than the exploded key table they replace)
+    try {
+      keyed.select(col(idCol).as("id_a"), col("bucket"))
+        .join(keyed.select(col(idCol).as("id_b"), col("bucket")), "bucket")
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .localCheckpoint(true)
+    } finally keyed.unpersist()
   }
 
   /** Exact brute-force cosine top-k: every corpus vector scored against

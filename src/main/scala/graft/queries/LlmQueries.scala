@@ -648,9 +648,9 @@ object LlmQueries {
     VectorOps.cosineNearDups(emb(s, dir), EmbedDupThreshold)
 
   /** Shared oracle CTEs mirroring [[VectorOps.candidatePairs]]: rank
-    * coordinates per vector by (value desc, index asc), post the 6
-    * ordered pairs over the top-3 as bucket keys, and keep distinct
-    * intra-bucket id pairs. */
+    * coordinates per vector by (value desc, index asc), post the 3
+    * canonical unordered pairs over the top-3 as (lo, hi) bucket
+    * keys, and keep distinct intra-bucket id pairs. */
   private val pairBucketCte: String =
     """ranked AS (
       |  SELECT vec_id, i,
@@ -664,12 +664,14 @@ object LlmQueries {
       |  FROM ranked WHERE r <= 3 GROUP BY vec_id
       |),
       |keys AS (
-      |  SELECT vec_id, tops[a] * 1000 + tops[b] AS bucket
-      |  FROM top3, (VALUES (1,2),(1,3),(2,1),(2,3),(3,1),(3,2)) probes(a, b)
+      |  SELECT vec_id, least(tops[a], tops[b]) AS lo,
+      |    greatest(tops[a], tops[b]) AS hi
+      |  FROM top3, (VALUES (1,2),(1,3),(2,3)) probes(a, b)
       |),
       |cand AS (
       |  SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
-      |  FROM keys a JOIN keys c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+      |  FROM keys a JOIN keys c
+      |    ON a.lo = c.lo AND a.hi = c.hi AND a.vec_id < c.vec_id
       |)""".stripMargin
 
   val embedNearDupsOracle: String =
@@ -735,21 +737,34 @@ object LlmQueries {
        |  FROM pairs
        |) WHERE rn = 1""".stripMargin
 
+  /** Cap on the per-query candidate set the re-rank gate pins: the
+    * collect (and the generated oracle literal) is bounded at
+    * |queries| x GateCap no matter how the candidate stage scales. */
+  private val GateCap = 32
+
   /** Re-rank gate shared by the trained-ANN entries: the trained
     * stage (k-means centroids / PQ codebooks — FP-order-dependent,
     * not SQL-expressible) produces a deterministic shortlist of
     * (query_id, neighbor_id) candidates; we pin that shortlist by
-    * collecting it (bounded: queries x shortlist — the harness seam,
-    * not the operator, which stays fully distributed in VectorOps),
-    * re-rank from the pinned ids, and stash a DuckDB oracle that
-    * embeds the same ids as literals and computes the same
-    * exact-cosine top-k. The quantizer's quality is covered by the
-    * recall/planted-cluster suites in LlmOperatorsSpec; this gate
-    * hash-verifies the whole plain-SQL scoring tail. */
+    * collecting it, re-rank from the pinned ids, and stash a DuckDB
+    * oracle that embeds the same ids as literals and computes the
+    * same exact-cosine top-k. The quantizer's quality is covered by
+    * the recall/planted-cluster suites in LlmOperatorsSpec; this gate
+    * hash-verifies the whole plain-SQL scoring tail.
+    *
+    * The collect is capped DISTRIBUTED first: the IVF candidate set
+    * grows ~|corpus| * nprobe / nClusters per query (linear in the
+    * corpus — unbounded at the 100 TB design point), so the gate
+    * takes the exact-cosine top-[[GateCap]] per query before anything
+    * reaches the driver. For cap >= k the top-k over the capped set
+    * IS the top-k over the full candidate set (same score, same
+    * tie-break), so the pinned gate loses nothing. */
   private def gatedRerank(name: String, s: SparkSession, corpus: DataFrame,
       queries: DataFrame, shortlist: DataFrame, k: Int): DataFrame = {
     import s.implicits._
-    val ids = shortlist.select(col("query_id").cast("long"),
+    require(GateCap >= k, s"GateCap $GateCap must cover k=$k")
+    val capped = VectorOps.exactRerank(shortlist, corpus, queries, GateCap)
+    val ids = capped.select(col("query_id").cast("long"),
         col("neighbor_id").cast("long"))
       .as[(Long, Long)].collect().sorted.toSeq
     DynamicOracles.put(name, rerankOracle(ids, k))

@@ -98,6 +98,20 @@ object SystemQueries {
       |    AS store_rows,
       |  true AS store_partitioned""".stripMargin
 
+  /** Session clone with harness-sized state-store partitions. The
+    * state-store count is fixed per checkpoint at stream start; a
+    * 2k-row harness stream wants a handful of state partitions, not
+    * the session's scan parallelism (32 HDFS-backed stores add ~7 s
+    * of per-microbatch commit overhead here). A production deployment
+    * sizes this to key cardinality / executor count instead. Scoping
+    * the override to a CLONED session (shared context + caches,
+    * private SQLConf) keeps it from leaking to queries running
+    * concurrently on `s` — the same pattern TextDedup's label loop
+    * uses. */
+  private def streamSession(s: SparkSession): SparkSession =
+    org.apache.spark.sql.GraftBridge.sessionWithConf(
+      s, Map("spark.sql.shuffle.partitions" -> "4"))
+
   /** §2.9: streaming ingest + watermarked dedup, driven to completion
     * over a temp file source; returns the deduped row count vs input. */
   def st1Streaming(s: SparkSession, dir: String): DataFrame = {
@@ -113,18 +127,10 @@ object SystemQueries {
     // simulate a page-overlap re-delivery: every 97th trade twice
     trades.unionAll(trades.filter(col("trade_id").cast("long") % 97 === 0))
       .write.parquet(s"$src/pages")
-    // State-store count is fixed per checkpoint at stream start; a
-    // 2k-row harness stream wants a handful of state partitions, not
-    // the session's scan parallelism (32 HDFS-backed stores add ~7 s
-    // of per-microbatch commit overhead here). A production deployment
-    // sizes this to key cardinality / executor count instead.
-    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
-    try {
-      val q = StreamingIngest.startIngest(s, s"$src/pages", trades.schema,
-        tgt, ckpt)
-      try q.processAllAvailable() finally q.stop()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    val ss = streamSession(s)
+    val q = StreamingIngest.startIngest(ss, s"$src/pages", trades.schema,
+      tgt, ckpt)
+    try q.processAllAvailable() finally q.stop()
     val written = s.read.parquet(s"$tgt/ingest_batch=*")
     Seq((written.count(),
       written.select(countDistinct(col("trade_id"))).head().getLong(0)))
@@ -150,17 +156,14 @@ object SystemQueries {
     val trades = SyntheticTrades.trades(s, dir)
       .select("trade_id", "underlying", "timestamp", "iv", "amount")
     trades.write.mode("overwrite").parquet(s"$src/pages")
-    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
-    try {
-      val raw = s.readStream.schema(trades.schema).parquet(s"$src/pages")
-      val q = StreamingIngest.ivBars(raw, watermark = "30 minutes")
-        .writeStream.format("memory").queryName("st2_bars")
-        .option("checkpointLocation", ckpt)
-        .outputMode("append").start()
-      try q.processAllAvailable() finally q.stop()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-    s.table("st2_bars")
+    val ss = streamSession(s)
+    val raw = ss.readStream.schema(trades.schema).parquet(s"$src/pages")
+    val q = StreamingIngest.ivBars(raw, watermark = "30 minutes")
+      .writeStream.format("memory").queryName("st2_bars")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    org.apache.spark.sql.GraftBridge.bindTo(ss.table("st2_bars"), s)
   }
 
   /** Watermark cutoff in ms exactly as the engine computes it: event
@@ -212,18 +215,15 @@ object SystemQueries {
     val ticks = SyntheticTrades.spotTicks(s, dir)
     trades.write.mode("overwrite").parquet(s"$src/trades")
     ticks.write.mode("overwrite").parquet(s"$src/ticks")
-    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
-    try {
-      val tStream = s.readStream.schema(trades.schema).parquet(s"$src/trades")
-      val kStream = s.readStream.schema(ticks.schema).parquet(s"$src/ticks")
-      val q = StreamingIngest.spotTickJoin(tStream, kStream)
-        .writeStream.format("memory").queryName("st3_join")
-        .option("checkpointLocation", ckpt)
-        .outputMode("append").start()
-      try q.processAllAvailable() finally q.stop()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-    s.table("st3_join")
+    val ss = streamSession(s)
+    val tStream = ss.readStream.schema(trades.schema).parquet(s"$src/trades")
+    val kStream = ss.readStream.schema(ticks.schema).parquet(s"$src/ticks")
+    val q = StreamingIngest.spotTickJoin(tStream, kStream)
+      .writeStream.format("memory").queryName("st3_join")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    org.apache.spark.sql.GraftBridge.bindTo(ss.table("st3_join"), s)
   }
 
   val st3Oracle: String =
@@ -254,17 +254,14 @@ object SystemQueries {
     val trades = SyntheticTrades.trades(s, dir)
       .select("trade_id", "underlying", "timestamp", "option_type", "amount")
     trades.write.mode("overwrite").parquet(s"$src/pages")
-    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
-    try {
-      val raw = s.readStream.schema(trades.schema).parquet(s"$src/pages")
-      val q = StreamingIngest.pcrBars(raw, watermark = "30 minutes")
-        .writeStream.format("memory").queryName("st4_pcr")
-        .option("checkpointLocation", ckpt)
-        .outputMode("append").start()
-      try q.processAllAvailable() finally q.stop()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-    s.table("st4_pcr")
+    val ss = streamSession(s)
+    val raw = ss.readStream.schema(trades.schema).parquet(s"$src/pages")
+    val q = StreamingIngest.pcrBars(raw, watermark = "30 minutes")
+      .writeStream.format("memory").queryName("st4_pcr")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    org.apache.spark.sql.GraftBridge.bindTo(ss.table("st4_pcr"), s)
   }
 
   val st4Oracle: String =
@@ -298,18 +295,15 @@ object SystemQueries {
       .filter(col("trade_id").cast("long") % 97 === 0)
       .select("underlying", "timestamp")
     trades.write.mode("overwrite").parquet(s"$src/pages")
-    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
-    try {
-      val raw = s.readStream.schema(trades.schema).parquet(s"$src/pages")
-      val q = StreamingIngest.gapEvents(raw, thresholdSec = 4 * 3600L)
-        .toDF()
-        .writeStream.format("memory").queryName("st5_gaps")
-        .option("checkpointLocation", ckpt)
-        .outputMode("append").start()
-      try q.processAllAvailable() finally q.stop()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-    s.table("st5_gaps")
+    val ss = streamSession(s)
+    val raw = ss.readStream.schema(trades.schema).parquet(s"$src/pages")
+    val q = StreamingIngest.gapEvents(raw, thresholdSec = 4 * 3600L)
+      .toDF()
+      .writeStream.format("memory").queryName("st5_gaps")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    org.apache.spark.sql.GraftBridge.bindTo(ss.table("st5_gaps"), s)
   }
 
   val st5Oracle: String =
@@ -342,17 +336,14 @@ object SystemQueries {
       .filter(col("trade_id").cast("long") % 97 === 0)
       .select("underlying", "timestamp", "amount")
     trades.write.mode("overwrite").parquet(s"$src/pages")
-    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
-    try {
-      val raw = s.readStream.schema(trades.schema).parquet(s"$src/pages")
-      val q = StreamingIngest.sessionBursts(raw, gap = "2 hours")
-        .writeStream.format("memory").queryName("st6_sessions")
-        .option("checkpointLocation", ckpt)
-        .outputMode("append").start()
-      try q.processAllAvailable() finally q.stop()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-    s.table("st6_sessions")
+    val ss = streamSession(s)
+    val raw = ss.readStream.schema(trades.schema).parquet(s"$src/pages")
+    val q = StreamingIngest.sessionBursts(raw, gap = "2 hours")
+      .writeStream.format("memory").queryName("st6_sessions")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    org.apache.spark.sql.GraftBridge.bindTo(ss.table("st6_sessions"), s)
   }
 
   /** Islands-and-gaps in SQL: a new session starts when the ms gap to

@@ -100,9 +100,11 @@ object StreamingIngest {
 
   /** §2.9 session windows: per-underlying trade-burst sessions. A
     * session extends while consecutive trades arrive within `gap` of
-    * the previous one and closes once a trade is `gap` or more away
-    * (Spark merges the per-event [t, t+gap) intervals on strict
-    * overlap); in append mode a session emits when the watermark
+    * the previous one and closes once a trade is strictly MORE than
+    * `gap` away — Spark merges the per-event [t, t+gap] intervals on
+    * touch, so an exact gap-length spacing still extends the session
+    * (the rule StreamingSpec and the st6 oracle pin); in append mode
+    * a session emits when the watermark
     * passes its end (= last event + gap). The dual of the gap
     * detector: [[gapEvents]] reports the silences, this aggregates
     * the bursts between them. Decimal-exact volume so the emitted

@@ -3,12 +3,40 @@ package org.apache.spark.sql
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.classic.ExpressionUtils
 
-/** Column <-> Expression bridge. Spark 4 marks ExpressionUtils
-  * private[sql]; extension libraries conventionally expose the two
-  * conversions from inside the package (same pattern as frameless /
-  * spark-daria / sedona bridges). Nothing else from the private API is
-  * touched. */
+/** Column <-> Expression bridge plus a session-scoped conf rebind.
+  * Spark 4 marks ExpressionUtils / cloneSession / Dataset.ofRows
+  * private[sql]; extension libraries conventionally expose them from
+  * inside the package (same pattern as frameless / spark-daria /
+  * sedona bridges). Nothing else from the private API is touched. */
 object GraftBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Clone of `session` carrying `confs` overrides. The clone shares
+    * the SparkContext, SharedState and CacheManager (cached plans
+    * still hit), but its SQLConf is private — callers can size
+    * shuffles / state stores without mutating the conf that
+    * concurrent queries on the original session read. */
+  def sessionWithConf(session: SparkSession,
+      confs: Map[String, String]): SparkSession = {
+    val scoped = session.asInstanceOf[classic.SparkSession].cloneSession()
+    confs.foreach { case (k, v) => scoped.conf.set(k, v) }
+    scoped
+  }
+
+  /** Rebind `df` to a clone of its session carrying `confs` overrides
+    * (see [[sessionWithConf]]) — iterative operators size their loop
+    * shuffles through this instead of a set/finally-restore on the
+    * shared conf. */
+  def withSessionConf(df: DataFrame, confs: Map[String, String]): DataFrame =
+    classic.Dataset.ofRows(
+      sessionWithConf(df.sparkSession, confs)
+        .asInstanceOf[classic.SparkSession],
+      df.asInstanceOf[classic.Dataset[Row]].queryExecution.logical)
+
+  /** Rebind `df`'s logical plan to `target` (the way home after
+    * [[withSessionConf]]). */
+  def bindTo(df: DataFrame, target: SparkSession): DataFrame =
+    classic.Dataset.ofRows(target.asInstanceOf[classic.SparkSession],
+      df.asInstanceOf[classic.Dataset[Row]].queryExecution.logical)
 }
