@@ -34,9 +34,12 @@ object GraftBridge {
         .asInstanceOf[classic.SparkSession],
       df.asInstanceOf[classic.Dataset[Row]].queryExecution.logical)
 
-  /** Rebind `df`'s logical plan to `target` (the way home after
-    * [[withSessionConf]]). */
+  /** Rebind `df`'s plan to `target` (the way home after
+    * [[withSessionConf]]). Binds the ANALYZED plan: session-local
+    * relations (e.g. a memory-sink temp view registered only on a
+    * clone) must be resolved against the session that knows them
+    * before the plan can execute under `target`'s catalog. */
   def bindTo(df: DataFrame, target: SparkSession): DataFrame =
     classic.Dataset.ofRows(target.asInstanceOf[classic.SparkSession],
-      df.asInstanceOf[classic.Dataset[Row]].queryExecution.logical)
+      df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed)
 }
