@@ -147,14 +147,25 @@ object QualityQueries {
     * trade_id)` is a full shuffle of every distinct id while
     * `approx_count_distinct` (HLL++) and `percentile_approx`
     * (KLL-style quantile sketch) are single-pass, fixed-memory,
-    * mergeable partial aggregates. Rows-only gate — sketch values are
-    * implementation-specific — with error bounds asserted against the
-    * exact counts in QualityWindowsSpec. The reference insists on
-    * uniqExact (SURVEY §2.4); this entry is the documented divergence
-    * a 1000-executor deployment takes instead. */
-  def a18QualitySketch(s: SparkSession, dir: String): DataFrame =
-    trades(s, dir).agg(
+    * mergeable partial aggregates. Oracle gate: exact columns
+    * (row/distinct counts, min/max) are SQL-verified; the sketch
+    * estimates — implementation-specific by nature — are pinned as
+    * literals in a dynamic oracle, so the entry gets a full
+    * rows+schema+hash row instead of `no_oracle`. Sketch accuracy vs
+    * the exact values is separately bounded in QualityWindowsSpec.
+    * (Exact percentile is deliberately NOT in the verified set: no
+    * cross-engine bit-exact discrete-quantile contract exists.) The
+    * reference insists on uniqExact (SURVEY §2.4); the sketch columns
+    * are the documented divergence a 1000-executor deployment takes
+    * instead — at scale you would drop the exact-distinct columns and
+    * keep the sketches. */
+  def a18QualitySketch(s: SparkSession, dir: String): DataFrame = {
+    val out = graft.util.Caches.materialize(trades(s, dir).agg(
       count(lit(1)).as("total_rows"),
+      countDistinct(col("trade_id")).as("unique_trades"),
+      countDistinct(col("instrument_name")).as("unique_instruments"),
+      min(col("price")).as("price_min"),
+      max(col("price")).as("price_max"),
       approx_count_distinct(col("trade_id")).as("approx_unique_trades"),
       approx_count_distinct(col("instrument_name"))
         .as("approx_unique_instruments"),
@@ -163,11 +174,35 @@ object QualityQueries {
       // scalars, not an array<double>: the driver's rows-only gate
       // pandas-sorts every output column, and numpy arrays are
       // unhashable there (round-3 a18 err)
-      .select(col("total_rows"), col("approx_unique_trades"),
-        col("approx_unique_instruments"),
+      .select(col("total_rows"), col("unique_trades"),
+        col("unique_instruments"), col("price_min"), col("price_max"),
+        col("approx_unique_trades"), col("approx_unique_instruments"),
         element_at(col("price_quantiles"), 1).as("price_p50"),
         element_at(col("price_quantiles"), 2).as("price_p95"),
-        element_at(col("price_quantiles"), 3).as("price_p99"))
+        element_at(col("price_quantiles"), 3).as("price_p99")))
+    val r = out.head()
+    DynamicOracles.put("a18_quality_sketch", a18Oracle(
+      r.getLong(5), r.getLong(6),
+      r.getDouble(7), r.getDouble(8), r.getDouble(9)))
+    out
+  }
+
+  private def a18Oracle(approxTrades: Long, approxInstruments: Long,
+      p50: Double, p95: Double, p99: Double): String = {
+    import graft.util.Parity.duckDoubleLit
+    s"""WITH ${SyntheticTrades.tradesCte}
+       |SELECT count(*) AS total_rows,
+       |  count(DISTINCT trade_id) AS unique_trades,
+       |  count(DISTINCT instrument_name) AS unique_instruments,
+       |  min(price) AS price_min,
+       |  max(price) AS price_max,
+       |  CAST($approxTrades AS BIGINT) AS approx_unique_trades,
+       |  CAST($approxInstruments AS BIGINT) AS approx_unique_instruments,
+       |  ${duckDoubleLit(p50)} AS price_p50,
+       |  ${duckDoubleLit(p95)} AS price_p95,
+       |  ${duckDoubleLit(p99)} AS price_p99
+       |FROM trades""".stripMargin
+  }
 
   val defs: Map[String, QueryDef] = Map(
     "a10_quality_metrics" -> QueryDef(a10Quality _, a10Oracle),

@@ -100,4 +100,15 @@ object Parity {
   /** DuckDB twin of [[roundTo]]. */
   def duckRoundTo(expr: String, n: Int): String =
     s"CAST(CAST(($expr) AS DECIMAL(28,$n)) AS DOUBLE)"
+
+  /** DuckDB double literal that parses to the bit-identical IEEE
+    * double: Java's toString is the shortest round-trip repr and the
+    * string→double cast is correctly rounded. Used by the dynamic
+    * oracles that pin computed values (trained-ANN gate, EGARCH
+    * spread, sketch estimates). */
+  def duckDoubleLit(d: Double): String =
+    if (d.isNaN) "CAST('nan' AS DOUBLE)"
+    else if (d == Double.PositiveInfinity) "CAST('inf' AS DOUBLE)"
+    else if (d == Double.NegativeInfinity) "CAST('-inf' AS DOUBLE)"
+    else s"CAST('$d' AS DOUBLE)"
 }
