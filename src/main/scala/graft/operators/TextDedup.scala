@@ -266,15 +266,10 @@ object TextDedup {
     val edgeCount = edges.count()
     val loopParts = math.max(4L,
       math.min(4096L, edgeCount / 250000L + 4L)).toString
-    // checkpoint-or-localCheckpoint: lineage MUST be truncated every
-    // round (it grows exponentially), and a configured checkpoint dir
-    // upgrades the truncation to a fault-tolerant one (localCheckpoint
-    // blocks are unreplicated — an executor loss mid-loop cannot be
-    // recomputed past the truncation).
-    def snapshot(df: DataFrame): DataFrame =
-      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-        df.checkpoint(true)
-      else df.localCheckpoint(true)
+    // lineage MUST be truncated every round (it grows exponentially);
+    // Caches.snapshot upgrades to a fault-tolerant checkpoint when a
+    // checkpoint dir is configured.
+    def snapshot(df: DataFrame): DataFrame = graft.util.Caches.snapshot(df)
     // The override lives in a CLONED session (shared SparkContext +
     // CacheManager, private SQLConf): every DataFrame the loop derives
     // from loopEdges plans against the small partition count, while

@@ -89,17 +89,18 @@ object VectorOps {
     val keyed = graft.util.Caches.materialize(corpus
       .select(col(idCol), topCoords(col(vecCol), 3).as("_tops"))
       .select(col(idCol), explode(pairKeysFromTops(col("_tops"))).as("bucket")))
-    // eager localCheckpoint so the key cache can be dropped before
-    // returning — otherwise every call leaks a MEMORY_AND_DISK plan
-    // for the session's lifetime (the pairs themselves are ids only,
-    // far smaller than the exploded key table they replace)
+    // eager snapshot (reliable checkpoint when a dir is configured) so
+    // the key cache can be dropped before returning — otherwise every
+    // call leaks a MEMORY_AND_DISK plan for the session's lifetime
+    // (the pairs themselves are ids only, far smaller than the
+    // exploded key table they replace)
     try {
-      keyed.select(col(idCol).as("id_a"), col("bucket"))
-        .join(keyed.select(col(idCol).as("id_b"), col("bucket")), "bucket")
-        .filter(col("id_a") < col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-        .localCheckpoint(true)
+      graft.util.Caches.snapshot(
+        keyed.select(col(idCol).as("id_a"), col("bucket"))
+          .join(keyed.select(col(idCol).as("id_b"), col("bucket")), "bucket")
+          .filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b")
+          .distinct())
     } finally keyed.unpersist()
   }
 

@@ -20,4 +20,16 @@ object Caches {
     cached.count()
     cached
   }
+
+  /** Eager checkpoint-or-localCheckpoint: truncates lineage either way,
+    * and a configured checkpoint dir upgrades the truncation to a
+    * fault-tolerant one — localCheckpoint blocks are unreplicated, so
+    * an executor loss cannot recompute past the truncation. Iterative
+    * loops (connected components) and released-cache snapshots
+    * (candidate pair sets) both route through this so a cluster
+    * deployment gets reliability by setting one conf. */
+  def snapshot(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(true)
+    else df.localCheckpoint(true)
 }

@@ -12,17 +12,29 @@ object GraftBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** One clone per (base session, conf overrides): cloneSession
+    * registers listeners/state with the shared context for the
+    * process lifetime, so an uncached helper called in a loop would
+    * accumulate a SessionState per call. The distinct conf-map set is
+    * small and stable (shuffle/state sizing), which bounds the cache.
+    * Contract: treat the returned session as shared and read-only —
+    * set conf ONLY through the `confs` argument. */
+  private val cloneCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, Map[String, String]), SparkSession]
+
   /** Clone of `session` carrying `confs` overrides. The clone shares
     * the SparkContext, SharedState and CacheManager (cached plans
     * still hit), but its SQLConf is private — callers can size
     * shuffles / state stores without mutating the conf that
-    * concurrent queries on the original session read. */
+    * concurrent queries on the original session read. Cached per
+    * (session, confs); see [[cloneCache]]. */
   def sessionWithConf(session: SparkSession,
-      confs: Map[String, String]): SparkSession = {
-    val scoped = session.asInstanceOf[classic.SparkSession].cloneSession()
-    confs.foreach { case (k, v) => scoped.conf.set(k, v) }
-    scoped
-  }
+      confs: Map[String, String]): SparkSession =
+    cloneCache.getOrElseUpdate((session, confs), {
+      val scoped = session.asInstanceOf[classic.SparkSession].cloneSession()
+      confs.foreach { case (k, v) => scoped.conf.set(k, v) }
+      scoped
+    })
 
   /** Rebind `df` to a clone of its session carrying `confs` overrides
     * (see [[sessionWithConf]]) — iterative operators size their loop
