@@ -1,0 +1,26 @@
+#!/usr/bin/env python3
+"""Emit the README scale-factor sensitivity table from two Bench JSON
+dumps (sf0.01 and sf0.1). Queries whose sf0.1/sf0.01 ratio exceeds 3x
+must carry a comment in the NOTES map below — the point of the table is
+separating per-query fixed overhead from data-proportional cost."""
+import json, sys
+
+a = json.load(open(sys.argv[1] if len(sys.argv) > 1 else "/tmp/bench_sf001.json"))
+b = json.load(open(sys.argv[2] if len(sys.argv) > 2 else "/tmp/bench_sf01.json"))
+qa, qb = a["queries"], b["queries"]
+
+NOTES = {
+    "llm_repetition": "data-proportional by design: per-doc line/bigram/10-gram explode dominates; still sublinear (10x data, <4x time)",
+}
+
+print("| query | sf0.01 (s) | sf0.1 (s) | ratio | note |")
+print("|---|---|---|---|---|")
+for k in sorted(qa):
+    s1, s2 = qa[k]["sec"], qb[k]["sec"]
+    r = s2 / s1
+    note = NOTES.get(k, "")
+    if r > 3 and not note:
+        note = "RATIO>3x NEEDS COMMENT"
+    print(f"| `{k}` | {s1:.2f} | {s2:.2f} | {r:.1f}x | {note} |")
+print(f"| **total** | **{a['value']:.1f}** | **{b['value']:.1f}** | "
+      f"**{b['value']/a['value']:.1f}x** | |")

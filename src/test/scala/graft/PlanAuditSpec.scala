@@ -53,10 +53,11 @@ class PlanAuditSpec extends AnyFunSuite {
   test("broadcast nested-loop joins appear only by design") {
     // bounded-broadcast by design: the brute-force ANN scores and the
     // PQ ADC table join pair the full corpus against a broadcast
-    // query set; the unigram scorer cross-joins a broadcast ONE-ROW
-    // total/vocab aggregate. The small side is small by construction,
-    // never corpus-sized.
-    val allowed = Set("llm_ann_topk", "llm_ann_pq", "llm_unigram_logprob")
+    // query set; the unigram scorer and the sketch-quality entry
+    // cross-join a broadcast ONE-ROW aggregate. The small side is
+    // small by construction, never corpus-sized.
+    val allowed = Set("llm_ann_topk", "llm_ann_pq", "llm_unigram_logprob",
+      "a18_quality_sketch")
     for (name <- SparkEntry.queries.keys if !driverSide(name)) {
       val bnl = planOf(name).collect { case j: BroadcastNestedLoopJoinExec => j }
       assert(bnl.isEmpty || allowed(name),
