@@ -17,9 +17,11 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // A query that throws must still leave a trace: errors.json gets one
-    // entry per failure so the driver's correctness file shows `err` rows
-    // instead of silently shrinking (round-6 lesson: 5 breakages read as
-    // "fewer queries").
+    // entry per failure, and a ZERO-row parquet with a lone `err` column
+    // is written in the query's place — the driver's compare then
+    // records an explicit schema/row failure instead of the query
+    // silently vanishing from the correctness file (round-6 lesson:
+    // 5 breakages read as "fewer queries").
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -27,6 +29,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+        try {
+          import spark.implicits._
+          Seq.empty[String].toDF("err").coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+        } catch { case _: Throwable => () }
       }
       // per-query caches (signature tables etc.) are dead once the
       // result is written — drop them before the next query
