@@ -160,10 +160,60 @@ object ScaleQueries {
     ScaleTechniques.windowKeyTotal(skewedLineitem(s, dir),
       "skew_key", "l_quantity")
 
+  /** x6: runtime bloom-filter row pruning (InjectRuntimeFilter) — the
+    * optimizer plants a `bloom_filter_agg` scalar subquery over the
+    * selective dimension and a `might_contain` predicate on the fact
+    * side of the shuffle join, so fact rows that cannot find a match
+    * are dropped BEFORE the exchange instead of shuffling and failing
+    * the join probe. x3's DPP prunes whole partitions on the
+    * partition key; the bloom filter prunes rows on a NON-partition
+    * key — the complementary runtime-filtering technique for a
+    * 100 TB fact table (PlanAuditSpec pins the `might_contain`).
+    * The rule's thresholds are sized for cluster-scale inputs
+    * (application side >= 10 GB scan), so the demo rescales them in
+    * a scoped session clone; the result stays bound to the clone
+    * because injection happens at optimization time under the
+    * clone's conf — a bindTo home would re-optimize under the
+    * caller's thresholds and silently drop the filter. */
+  def x6BloomJoin(s: SparkSession, dir: String): DataFrame = {
+    val ss = org.apache.spark.sql.GraftBridge.sessionWithConf(s, Map(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      // force the shuffle-join shape the rule targets: with a
+      // broadcast join the build side already filters the probe
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1"))
+    import ss.implicits._
+    // selective dimension as a real parquet source (like x3's): the
+    // rule requires a selective filter over a creation-side scan, and
+    // a Seq-backed LocalRelation would be constant-folded away.
+    // Strike grid 8000 + 250k, k<17 is SF-independent by construction.
+    val dimPath =
+      s"/tmp/graft_store/x6_dim_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    if (!new java.io.File(s"$dimPath/_SUCCESS").exists()) {
+      (0 until 17).map(k => (8000.0 + 250.0 * k, if (k < 3) "keep" else "drop"))
+        .toDF("strike", "tag")
+        .coalesce(1).write.mode("overwrite").parquet(dimPath)
+    }
+    val dim = ss.read.parquet(dimPath)
+      .filter(col("tag") === "keep").select(col("strike"))
+    SyntheticTrades.trades(ss, dir)
+      .join(dim, "strike")
+      .groupBy(col("strike"))
+      .agg(count(lit(1)).as("n_trades"), dsum(col("amount")).as("amount_sum"))
+  }
+
+  val x6Oracle: String =
+    s"""WITH ${SyntheticTrades.tradesCte}
+       |SELECT strike, count(*) AS n_trades, ${duckDsum("amount")} AS amount_sum
+       |FROM trades
+       |WHERE strike IN (8000.0, 8250.0, 8500.0)
+       |GROUP BY 1""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
     "x1_salted_agg" -> QueryDef(x1SaltedDailyVolume _, x1Oracle),
     "x2_bucketed_join" -> QueryDef(x2BucketedJoin _, x2Oracle),
     "x3_dpp_join" -> QueryDef(x3DppJoin _, x3Oracle),
     "x4_skew_join_total" -> QueryDef(x4SkewJoinTotal _, skewTotalOracle),
-    "x5_skew_window_direct" -> QueryDef(x5SkewWindowDirect _, skewTotalOracle))
+    "x5_skew_window_direct" -> QueryDef(x5SkewWindowDirect _, skewTotalOracle),
+    "x6_bloom_join" -> QueryDef(x6BloomJoin _, x6Oracle))
 }

@@ -120,6 +120,14 @@ class PlanAuditSpec extends AnyFunSuite {
       s"no dynamic pruning: ${scans.map(_.metadata.get("PartitionFilters"))}")
   }
 
+  test("x6 join plants a runtime bloom filter on the fact side") {
+    val hasBloom = planOf("x6_bloom_join").exists(_.expressions.exists(_.exists {
+      case _: org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain => true
+      case _ => false
+    }))
+    assert(hasBloom, "x6 plan carries no might_contain runtime filter")
+  }
+
   test("x2 bucketed join runs with no shuffle exchange at all") {
     val ex = planOf("x2_bucketed_join").collect {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
