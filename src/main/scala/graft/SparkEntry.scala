@@ -10,7 +10,8 @@ object SparkEntry {
     RelationalQueries.defs ++ OptionsQueries.defs ++ FetchQueries.defs ++
       FeatureQueries.defs ++ QualityQueries.defs ++ GreeksQueries.defs ++
       LlmQueries.defs ++ CoverageQueries.defs ++ EgarchQueries.defs ++
-      SystemQueries.defs ++ MultimodalQueries.defs ++ ScaleQueries.defs
+      SystemQueries.defs ++ MultimodalQueries.defs ++ ScaleQueries.defs ++
+      EventsQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

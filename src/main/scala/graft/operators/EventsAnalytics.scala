@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Behavioral-analytics operators over the `events` stream table —
+  * the batch twins of the ClickHouse-style windowFunnel / retention /
+  * sessionization family (the reference's engine ships these as
+  * first-class aggregate combinators; here each is a declarative
+  * window/join plan Catalyst can optimize).
+  *
+  * All time arithmetic is integer epoch-microseconds (`unix_micros`),
+  * never interval/double math — bit-exact in any engine and immune to
+  * the parquet ns→µs truncation difference between readers.
+  *
+  * Scale notes (100 TB): every operator shuffles at most by
+  * `user_id` — sessionize's window and its follow-up aggregate reuse
+  * ONE user-keyed exchange (HashPartitioning(user) satisfies the
+  * (user, session) clustered distribution), funnel's per-step
+  * aggregates are user-keyed equi-joins over already-minimized
+  * per-user rows, and retention joins a per-user cohort row (one row
+  * per user) back to per-user-day activity. Nothing collects; skewed
+  * power users are one partition's worth of rows, not a hot key
+  * explosion, because per-user state is O(events of that user).
+  */
+object EventsAnalytics {
+
+  /** Gap-based sessionization (islands-and-gaps): a new session opens
+    * when the gap to the user's previous event STRICTLY exceeds
+    * `gapSec`. Emits one row per session with start/end (epoch µs),
+    * event count, distinct-type count and exact value total. Window
+    * order is (ts, event_id) so same-microsecond events sessionize
+    * deterministically. */
+  def sessionize(events: DataFrame, gapSec: Long = 1800,
+      userCol: String = "user_id", tsCol: String = "ts",
+      idCol: String = "event_id", typeCol: String = "event_type",
+      valueCol: String = "value"): DataFrame = {
+    val byUser = Window.partitionBy(col(userCol))
+      .orderBy(col("_us"), col(idCol))
+    events
+      .withColumn("_us", unix_micros(col(tsCol)))
+      .withColumn("_prev", lag(col("_us"), 1).over(byUser))
+      .withColumn("_new",
+        when(col("_prev").isNull ||
+          col("_us") - col("_prev") > gapSec * 1000000L, 1L).otherwise(0L))
+      .withColumn("session_seq", sum(col("_new")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(userCol), col("session_seq"))
+      .agg(
+        min(col("_us")).as("session_start_us"),
+        max(col("_us")).as("session_end_us"),
+        count(lit(1)).as("n_events"),
+        countDistinct(col(typeCol)).as("n_types"),
+        graft.util.Parity.dsum(col(valueCol)).as("total_value"))
+  }
+
+  /** Funnel levels (windowFunnel analog, earliest-chain semantics):
+    * per user, t1 = first `steps(0)` event; each later step's time is
+    * the first matching event STRICTLY after the previous step and at
+    * most `windowSec` after t1. `funnel_level` = number of chained
+    * steps reached (0 for users who never fired step 1 — they are
+    * kept, the drop-off denominator). Greedy earliest-chain is a
+    * deterministic, engine-independent rule; ClickHouse's
+    * windowFunnel(strict_order=0) can match later chains greedy
+    * misses — divergence documented here, pinned in the spec. */
+  def funnel(events: DataFrame, steps: Seq[String], windowSec: Long,
+      userCol: String = "user_id", tsCol: String = "ts",
+      typeCol: String = "event_type"): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val e = events.select(col(userCol),
+      col(typeCol).as("_t"), unix_micros(col(tsCol)).as("_us"))
+    val users = e.groupBy(col(userCol)).agg(count(lit(1)).as("_n"))
+      .select(col(userCol))
+    val t1 = e.filter(col("_t") === steps.head)
+      .groupBy(col(userCol)).agg(min(col("_us")).as("t1_us"))
+    val chained = steps.indices.drop(1).foldLeft(t1) { (acc, i) =>
+      val prevT = col(s"t${i}_us")
+      val ti = e.filter(col("_t") === steps(i))
+        .join(acc.select(col(userCol), col("t1_us"), prevT), Seq(userCol))
+        .filter(col("_us") > prevT &&
+          col("_us") <= col("t1_us") + windowSec * 1000000L)
+        .groupBy(col(userCol)).agg(min(col("_us")).as(s"t${i + 1}_us"))
+      acc.join(ti, Seq(userCol), "left")
+    }
+    val level = steps.indices.map(i => when(col(s"t${i + 1}_us").isNotNull,
+      lit(1L)).otherwise(lit(0L))).reduce(_ + _)
+    users.join(chained, Seq(userCol), "left")
+      .withColumn("funnel_level", level)
+  }
+
+  /** Cohort retention: users cohorted by their first event's UTC day;
+    * for each day offset in [0, maxOffsetDays], how many cohort
+    * members had any event that day. Dates leave as ISO strings and
+    * offsets as exact integer day arithmetic on epoch days. */
+  def retention(events: DataFrame, maxOffsetDays: Int = 7,
+      userCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
+    val epochDay = floor(unix_micros(col(tsCol)) / lit(86400000000L))
+    val activity = events
+      .select(col(userCol), epochDay.as("_day")).distinct()
+    val cohort = activity.groupBy(col(userCol))
+      .agg(min(col("_day")).as("_day0"))
+    activity.join(cohort, Seq(userCol))
+      .withColumn("day_offset", col("_day") - col("_day0"))
+      .filter(col("day_offset") <= maxOffsetDays)
+      .groupBy(col("_day0"), col("day_offset"))
+      .agg(countDistinct(col(userCol)).as("n_users"))
+      .select(
+        date_format(timestamp_seconds(col("_day0") * 86400L), "yyyy-MM-dd")
+          .as("cohort_date"),
+        col("day_offset"), col("n_users"))
+  }
+}

@@ -252,6 +252,79 @@ object TextAnalysis {
       .drop("_p")
   }
 
+  /** Corpus-wide n-gram heavy hitters: raw (non-deduped) word
+    * n-grams exploded and counted, top `k` by (count DESC, ngram ASC)
+    * — the deterministic tiebreak makes the boundary of the top-k set
+    * engine-independent. Physical shape: explode → partial (map-side)
+    * count → final count → TakeOrderedAndProject; the full ordered
+    * result never materializes, only per-partition top-k heaps reach
+    * the driver-side merge, so `k` bounds memory at any corpus size. */
+  def topNgrams(docs: DataFrame, n: Int = 2, k: Int = 100,
+      textCol: String = "text"): DataFrame =
+    // materialized: explode's implicit size>0 pushdown would re-inline
+    // the words projection into the transform lambda (Caches contract)
+    graft.util.Caches.materialize(docs
+      .select(TextDedup.words(col(textCol)).as("_w"))
+      .filter(size(col("_w")) >= n))
+      .select(explode(rawShingles(col("_w"), n)).as("ngram"))
+      .groupBy(col("ngram")).agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("ngram").asc)
+      .limit(k)
+
+  /** Cross-document duplicated-n-gram fraction — the corpus-level
+    * twin of [[repetitionMetrics]]'s within-doc `dup_10gram_frac`:
+    * for each doc, the share of its DISTINCT n-gram hashes that occur
+    * in at least `minDf` documents corpus-wide. High values mark
+    * boilerplate/templated docs whose content is massively shared
+    * (the signal Dolma-style pipelines use for paragraph-level dedup;
+    * with no newlines in this corpus the unit is the word n-gram).
+    * Input is the hashed corpus (doc_id, distinct hash32 array) so
+    * only 4-byte hashes — never shingle strings — cross the two
+    * df/join shuffles, both keyed by the hash. */
+  def dupNgramFrac(hashedCorpus: DataFrame, minDf: Int = 2,
+      maxDupFrac: Double = 0.5, idCol: String = "doc_id",
+      hashesCol: String = "hs"): DataFrame = {
+    val posting = graft.util.Caches.materialize(
+      hashedCorpus.select(col(idCol), explode(col(hashesCol)).as("_h")))
+    val dup = posting.groupBy(col("_h"))
+      .agg(count(lit(1)).as("_df")).filter(col("_df") >= minDf)
+      .select(col("_h"), lit(true).as("_dup"))
+    posting.join(dup, Seq("_h"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_ngrams"),
+        count(when(col("_dup"), lit(1))).as("n_dup_ngrams"),
+        (count(when(col("_dup"), lit(1))).cast("double") / count(lit(1)))
+          .as("dup_frac"))
+      .withColumn("dup_ok", col("dup_frac") <= maxDupFrac)
+  }
+
+  /** Language-balanced resampling (temperature mixing at α = 0.5,
+    * renormalized so the rarest language keeps 100%): language ℓ with
+    * nℓ docs keeps at rate sqrt(min(n)/nℓ) — over-represented
+    * languages are downsampled toward uniform, the standard
+    * multilingual-pretraining mix. Membership is the same stable
+    * sha-bucket as [[stratifiedSample]] (reproducible, nested across
+    * reweightings). sqrt and division are correctly-rounded IEEE ops,
+    * so the keep percentage is bit-identical in any engine — the
+    * bucket comparison can never straddle engines. The per-language
+    * count table is tiny and broadcast back onto the corpus: one
+    * aggregate + a map-side join, no corpus shuffle. */
+  def langBalancedSample(docs: DataFrame, langCol: String = "lang",
+      idCol: String = "doc_id"): DataFrame = {
+    val counts = docs.groupBy(col(langCol)).agg(count(lit(1)).as("_n"))
+    val minN = counts.agg(min(col("_n")).as("_mn"))
+    val rates = counts.crossJoin(broadcast(minN))
+      .select(col(langCol),
+        (sqrt(col("_mn").cast("double") / col("_n").cast("double"))
+          * lit(100.0)).as("keep_pct"))
+    docs.join(broadcast(rates), Seq(langCol))
+      .withColumn("sample_bucket", sampleBucket(col(idCol)))
+      .filter(col("sample_bucket") < col("keep_pct"))
+      .select(col(idCol), col(langCol), col("sample_bucket"),
+        col("keep_pct"))
+  }
+
   /** Unigram log-probability scoring — the perplexity-filter proxy of
     * CCNet-style pipelines: per document, the mean add-one-smoothed
     * corpus-unigram log-likelihood of its words. Low scores mark

@@ -1,0 +1,115 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.EventsAnalytics
+import graft.util.Parity.duckDsum
+import graft.util.Tables
+
+/** Correctness entries for the behavioral-analytics operators over
+  * the `events` table (batch twins of the ClickHouse windowFunnel /
+  * retention / sessionization family — SURVEY §2.4's aggregate
+  * combinators, re-expressed as window/join plans). All time math is
+  * integer epoch-µs so the DuckDB oracles are bit-exact. */
+object EventsQueries {
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+
+  private val SessionGapSec = 43200L
+  private val FunnelSteps = Seq("view", "click", "purchase")
+  private val FunnelWindowSec = 2L * 86400L
+  private val RetentionDays = 7
+
+  /** Epoch-µs of `ts` in DuckDB: the parquet NANOS column loads as
+    * TIMESTAMP (µs, truncated) there, matching Spark's `ts div 1000`
+    * load in [[graft.util.Tables.load]]. */
+  private val evCte =
+    """ev AS (
+      |  SELECT user_id, event_id, event_type, value,
+      |    epoch_us(ts) AS us
+      |  FROM events
+      |)""".stripMargin
+
+  def ev1Sessionize(s: SparkSession, dir: String): DataFrame =
+    EventsAnalytics.sessionize(events(s, dir), gapSec = SessionGapSec)
+
+  val ev1Oracle: String =
+    s"""WITH $evCte,
+       |seq AS (
+       |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+       |      OR us - lag(us) OVER w > ${SessionGapSec}::BIGINT * 1000000
+       |    THEN 1 ELSE 0 END AS is_new
+       |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+       |),
+       |ses AS (
+       |  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id
+       |      ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+       |    AS session_seq
+       |  FROM seq
+       |)
+       |SELECT user_id, session_seq,
+       |  min(us) AS session_start_us, max(us) AS session_end_us,
+       |  count(*) AS n_events,
+       |  count(DISTINCT event_type) AS n_types,
+       |  ${duckDsum("value")} AS total_value
+       |FROM ses GROUP BY 1, 2""".stripMargin
+
+  def ev2Funnel(s: SparkSession, dir: String): DataFrame =
+    EventsAnalytics.funnel(events(s, dir), FunnelSteps, FunnelWindowSec)
+
+  val ev2Oracle: String = {
+    val winUs = FunnelWindowSec * 1000000L
+    s"""WITH $evCte,
+       |t1 AS (
+       |  SELECT user_id, min(us) AS t1_us FROM ev
+       |  WHERE event_type = '${FunnelSteps(0)}' GROUP BY 1
+       |),
+       |t2 AS (
+       |  SELECT ev.user_id, min(us) AS t2_us
+       |  FROM ev JOIN t1 USING (user_id)
+       |  WHERE event_type = '${FunnelSteps(1)}'
+       |    AND us > t1_us AND us <= t1_us + ${winUs}::BIGINT
+       |  GROUP BY 1
+       |),
+       |t3 AS (
+       |  SELECT ev.user_id, min(us) AS t3_us
+       |  FROM ev JOIN t2 USING (user_id) JOIN t1 USING (user_id)
+       |  WHERE event_type = '${FunnelSteps(2)}'
+       |    AND us > t2_us AND us <= t1_us + ${winUs}::BIGINT
+       |  GROUP BY 1
+       |)
+       |SELECT u.user_id, t1_us, t2_us, t3_us,
+       |  (CASE WHEN t1_us IS NULL THEN 0 ELSE 1 END
+       |   + CASE WHEN t2_us IS NULL THEN 0 ELSE 1 END
+       |   + CASE WHEN t3_us IS NULL THEN 0 ELSE 1 END)::BIGINT
+       |    AS funnel_level
+       |FROM (SELECT DISTINCT user_id FROM events) u
+       |LEFT JOIN t1 USING (user_id)
+       |LEFT JOIN t2 USING (user_id)
+       |LEFT JOIN t3 USING (user_id)""".stripMargin
+  }
+
+  def ev3Retention(s: SparkSession, dir: String): DataFrame =
+    EventsAnalytics.retention(events(s, dir), maxOffsetDays = RetentionDays)
+
+  val ev3Oracle: String =
+    s"""WITH $evCte,
+       |act AS (
+       |  SELECT DISTINCT user_id,
+       |    CAST(floor(us / 86400000000) AS BIGINT) AS day
+       |  FROM ev
+       |),
+       |coh AS (SELECT user_id, min(day) AS day0 FROM act GROUP BY 1)
+       |SELECT strftime(make_timestamp(day0 * 86400000000), '%Y-%m-%d')
+       |    AS cohort_date,
+       |  day - day0 AS day_offset,
+       |  count(DISTINCT act.user_id) AS n_users
+       |FROM act JOIN coh USING (user_id)
+       |WHERE day - day0 <= $RetentionDays
+       |GROUP BY 1, 2""".stripMargin
+
+  val defs: Map[String, QueryDef] = Map(
+    "ev1_sessionize" -> QueryDef(ev1Sessionize _, ev1Oracle),
+    "ev2_funnel" -> QueryDef(ev2Funnel _, ev2Oracle),
+    "ev3_retention" -> QueryDef(ev3Retention _, ev3Oracle))
+}

@@ -823,7 +823,77 @@ object LlmQueries {
       VectorOps.ivfPqShortlist(e, q), AnnK)
   }
 
+  // ---- corpus n-gram heavy hitters ----
+
+  private val TopNgramN = 2
+  private val TopNgramK = 100
+
+  def topkNgrams(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.topNgrams(docs(s, dir), n = TopNgramN, k = TopNgramK)
+
+  /** Raw (non-distinct) bigrams; ties broken (count DESC, ngram ASC)
+    * on both sides so the top-k SET is engine-independent. */
+  val topkNgramsOracle: String =
+    s"""WITH $wrdsCte,
+       |rng AS (
+       |  SELECT [array_to_string(w[i:i+${TopNgramN - 1}], ' ')
+       |          for i in range(1, len(w)-${TopNgramN - 2})] AS ngrams
+       |  FROM wrds WHERE len(w) >= $TopNgramN
+       |)
+       |SELECT ngram, count(*) AS n_occurrences
+       |FROM (SELECT unnest(ngrams) AS ngram FROM rng)
+       |GROUP BY 1
+       |ORDER BY n_occurrences DESC, ngram ASC
+       |LIMIT $TopNgramK""".stripMargin
+
+  // ---- cross-document duplicated-n-gram fraction ----
+
+  private val DupNgramN = 8
+
+  def dupNgramFrac(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.dupNgramFrac(hashedCorpus(s, dir, DupNgramN))
+
+  val dupNgramFracOracle: String =
+    s"""WITH ${hashedCte(DupNgramN)},
+       |dfreq AS (SELECT h, count(*) AS df FROM hashed GROUP BY 1)
+       |SELECT doc_id, count(*) AS n_ngrams,
+       |  count(CASE WHEN df >= 2 THEN 1 END) AS n_dup_ngrams,
+       |  count(CASE WHEN df >= 2 THEN 1 END)::DOUBLE / count(*)
+       |    AS dup_frac,
+       |  (count(CASE WHEN df >= 2 THEN 1 END)::DOUBLE / count(*))
+       |    <= 0.5 AS dup_ok
+       |FROM hashed JOIN dfreq USING (h)
+       |GROUP BY doc_id""".stripMargin
+
+  // ---- language-balanced resampling (temperature mix) ----
+
+  def langBalance(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.langBalancedSample(docs(s, dir))
+
+  /** sqrt(min/n)*100 keep rate per language; sqrt and / are
+    * correctly-rounded IEEE ops, so the percentage is bit-identical
+    * across engines and the bucket filter can never straddle. */
+  val langBalanceOracle: String =
+    s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+       |m AS (SELECT min(n) AS mn FROM c),
+       |r AS (
+       |  SELECT lang, sqrt(CAST(mn AS DOUBLE) / CAST(n AS DOUBLE)) * 100.0
+       |    AS keep_pct
+       |  FROM c, m
+       |),
+       |h AS (
+       |  SELECT doc_id, lang, sha256(CAST(doc_id AS VARCHAR)) AS sha
+       |  FROM documents
+       |),
+       |b AS (SELECT doc_id, lang, $duckHash32 % 100 AS sample_bucket FROM h)
+       |SELECT b.doc_id, b.lang, b.sample_bucket, r.keep_pct
+       |FROM b JOIN r USING (lang)
+       |WHERE sample_bucket < keep_pct""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "llm_topk_ngrams" -> QueryDef(topkNgrams _, topkNgramsOracle),
+    "llm_dup_ngram_frac" -> QueryDef(dupNgramFrac _, dupNgramFracOracle),
+    "llm_lang_balance" -> QueryDef(langBalance _, langBalanceOracle),
     "llm_dedup_exact" -> QueryDef(dedupExact _, dedupExactOracle),
     "llm_minhash_neardup" -> QueryDef(minhashNearDups _, minhashOracle),
     "llm_dedup_clusters" -> QueryDef(dedupClusters _, dedupClustersOracle),

@@ -446,4 +446,60 @@ class LlmOperatorsSpec extends AnyFunSuite {
       .head().getSeq[Int](0)
     assert(tops == Seq(2, 3, 1)) // tie at 0.9 -> lower index first
   }
+
+  test("topNgrams counts raw occurrences with a deterministic tiebreak") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b a b c"),   // "a b" x2
+      (2L, "a b z z")).toDF("doc_id", "text")
+    val top = TextAnalysis.topNgrams(d, n = 2, k = 3)
+      .as[(String, Long)].collect().toSeq
+    // counts: "a b"->3, then ties at 1 broken alphabetically
+    assert(top === Seq(("a b", 3L), ("b a", 1L), ("b c", 1L)))
+  }
+
+  test("dupNgramFrac charges corpus-shared n-grams to every holder") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "p q r s t u v w"),          // one 8-gram, shared with 2
+      (2L, "p q r s t u v w x"),        // two 8-grams, one shared
+      (3L, "aa bb cc dd ee ff gg hh"),  // unique 8-gram
+      (4L, "too short")).toDF("doc_id", "text")
+    val hashed8 = d.select(col("doc_id"),
+      graft.functions.TextHashColumns.ngramHashes(col("text"), 8).as("hs"))
+      .filter(size(col("hs")) > 0)
+    val f = TextAnalysis.dupNgramFrac(hashed8)
+      .select("doc_id", "n_ngrams", "n_dup_ngrams", "dup_ok")
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(f(1L) === ((1L, 1L, false))) // 1/1 duplicated > 0.5
+    assert(f(2L) === ((2L, 1L, true))) // 1/2 duplicated <= 0.5
+    assert(f(3L) === ((1L, 0L, true)))
+    assert(!f.contains(4L)) // shorter than n words: no n-grams
+  }
+
+  test("langBalancedSample keeps the rarest language whole and nests") {
+    import spark.implicits._
+    val d = (1 to 40).map(i => (i.toLong, s"doc $i",
+      if (i <= 36) "en" else "fr")).toDF("doc_id", "text", "lang")
+    val kept = TextAnalysis.langBalancedSample(d)
+      .select("doc_id", "lang", "keep_pct")
+      .as[(Long, String, Double)].collect()
+    val frPct = kept.filter(_._2 == "fr").map(_._3).distinct
+    val enPct = kept.filter(_._2 == "en").map(_._3).distinct
+    assert(frPct.toSeq === Seq(100.0)) // rarest keeps everything
+    assert(kept.count(_._2 == "fr") === 4)
+    // en keep rate sqrt(4/36)*100 = 33.3...%
+    assert(enPct.length === 1 && math.abs(enPct.head - 100.0 / 3) < 1e-9)
+    // nested: kept en docs are a subset of any higher-rate sample
+    val kept50 = TextAnalysis
+      .stratifiedSample(d, lit(50), idCol = "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    val keptEn = kept.filter(_._2 == "en").map(_._1).toSet
+    assert(keptEn.subsetOf(
+      TextAnalysis.stratifiedSample(d, lit(34), idCol = "doc_id")
+        .select("doc_id").as[Long].collect().toSet))
+    assert(TextAnalysis.stratifiedSample(d, lit(34), idCol = "doc_id")
+      .select("doc_id").as[Long].collect().toSet.subsetOf(kept50))
+  }
 }

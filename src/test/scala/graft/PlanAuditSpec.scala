@@ -53,11 +53,11 @@ class PlanAuditSpec extends AnyFunSuite {
   test("broadcast nested-loop joins appear only by design") {
     // bounded-broadcast by design: the brute-force ANN scores and the
     // PQ ADC table join pair the full corpus against a broadcast
-    // query set; the unigram scorer and the sketch-quality entry
-    // cross-join a broadcast ONE-ROW aggregate. The small side is
-    // small by construction, never corpus-sized.
+    // query set; the unigram scorer, the sketch-quality entry and the
+    // language-balance rates cross-join a broadcast ONE-ROW aggregate.
+    // The small side is small by construction, never corpus-sized.
     val allowed = Set("llm_ann_topk", "llm_ann_pq", "llm_unigram_logprob",
-      "a18_quality_sketch")
+      "a18_quality_sketch", "llm_lang_balance")
     for (name <- SparkEntry.queries.keys if !driverSide(name)) {
       val bnl = planOf(name).collect { case j: BroadcastNestedLoopJoinExec => j }
       assert(bnl.isEmpty || allowed(name),
