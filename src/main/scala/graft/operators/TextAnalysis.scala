@@ -325,6 +325,34 @@ object TextAnalysis {
         col("keep_pct"))
   }
 
+  /** Sliding context-window chunking with overlap — the
+    * chunk-for-RAG / training-window twin of [[packIntoBins]]: chunk
+    * c of a doc covers token range [c·stride, c·stride + chunk)
+    * clipped to the doc, and chunks advance by `strideTokens` until
+    * one reaches the doc's end (so every token is covered, chunks
+    * overlap by chunk − stride tokens, and no trailing chunk is a
+    * strict suffix of its predecessor). Pure map-side explode of
+    * integer arithmetic: no shuffle, no state, each doc emits
+    * ceil((n − chunk)/stride) + 1 rows independently of every other
+    * doc — embarrassingly parallel at any corpus size. */
+  def chunkWithStride(docTokens: DataFrame, chunkTokens: Long,
+      strideTokens: Long, idCol: String = "doc_id",
+      tokensCol: String = "n_tokens"): DataFrame = {
+    require(strideTokens >= 1, "stride must be >= 1")
+    require(chunkTokens >= strideTokens, "chunk must cover its stride")
+    val n = col(tokensCol).cast("long")
+    // integer ceil-div on longs (expr: Column./ is double division)
+    val nChunks = when(n <= chunkTokens, lit(1L)).otherwise(
+      expr(s"(cast($tokensCol as bigint) - ${chunkTokens - strideTokens}"
+        + s" - 1) div $strideTokens + 1"))
+    docTokens
+      .filter(n > 0)
+      .withColumn("chunk_id", explode(sequence(lit(0L), nChunks - 1)))
+      .withColumn("tok_from", col("chunk_id") * strideTokens)
+      .withColumn("tok_until", least(col("tok_from") + chunkTokens, n))
+      .withColumn("n_in_chunk", col("tok_until") - col("tok_from"))
+  }
+
   /** Unigram log-probability scoring — the perplexity-filter proxy of
     * CCNet-style pipelines: per document, the mean add-one-smoothed
     * corpus-unigram log-likelihood of its words. Low scores mark

@@ -865,6 +865,37 @@ object LlmQueries {
        |FROM hashed JOIN dfreq USING (h)
        |GROUP BY doc_id""".stripMargin
 
+  // ---- sliding context-window chunking ----
+
+  private val ChunkTokens = 32L
+  private val StrideTokens = 24L
+
+  def chunkStride(s: SparkSession, dir: String): DataFrame = {
+    val tokens = TextAnalysis.tokenCounts(docs(s, dir))
+      .select(col("doc_id"), col("n_ws_tokens").cast("long").as("n_tokens"))
+    TextAnalysis.chunkWithStride(tokens, ChunkTokens, StrideTokens)
+      .select("doc_id", "n_tokens", "chunk_id", "tok_from", "tok_until",
+        "n_in_chunk")
+  }
+
+  val chunkStrideOracle: String = {
+    val (c, st) = (ChunkTokens, StrideTokens)
+    s"""WITH $wrdsCte,
+       |tok AS (SELECT doc_id, len(w) AS n_tokens FROM wrds),
+       |x AS (
+       |  SELECT *, unnest(range(0, CASE WHEN n_tokens <= $c THEN 1
+       |    ELSE (n_tokens - ${c - st} - 1) // $st + 1 END)) AS chunk_id
+       |  FROM tok WHERE n_tokens > 0
+       |)
+       |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(chunk_id AS BIGINT) AS chunk_id,
+       |  CAST(chunk_id * $st AS BIGINT) AS tok_from,
+       |  CAST(least(chunk_id * $st + $c, n_tokens) AS BIGINT) AS tok_until,
+       |  CAST(least(chunk_id * $st + $c, n_tokens) - chunk_id * $st
+       |    AS BIGINT) AS n_in_chunk
+       |FROM x""".stripMargin
+  }
+
   // ---- language-balanced resampling (temperature mix) ----
 
   def langBalance(s: SparkSession, dir: String): DataFrame =
@@ -894,6 +925,7 @@ object LlmQueries {
     "llm_topk_ngrams" -> QueryDef(topkNgrams _, topkNgramsOracle),
     "llm_dup_ngram_frac" -> QueryDef(dupNgramFrac _, dupNgramFracOracle),
     "llm_lang_balance" -> QueryDef(langBalance _, langBalanceOracle),
+    "llm_chunk_stride" -> QueryDef(chunkStride _, chunkStrideOracle),
     "llm_dedup_exact" -> QueryDef(dedupExact _, dedupExactOracle),
     "llm_minhash_neardup" -> QueryDef(minhashNearDups _, minhashOracle),
     "llm_dedup_clusters" -> QueryDef(dedupClusters _, dedupClustersOracle),

@@ -478,6 +478,28 @@ class LlmOperatorsSpec extends AnyFunSuite {
     assert(!f.contains(4L)) // shorter than n words: no n-grams
   }
 
+  test("chunkWithStride covers every token, overlaps by chunk-stride, no suffix tails") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, 10L),  // fits one chunk
+      (2L, 32L),  // exact fit: still one chunk
+      (3L, 56L),  // boundary-exact second chunk [24,56)
+      (4L, 57L),  // third chunk [48,57)
+      (5L, 0L)    // empty doc: dropped
+    ).toDF("doc_id", "n_tokens")
+    val ch = TextAnalysis.chunkWithStride(d, 32L, 24L)
+      .select("doc_id", "chunk_id", "tok_from", "tok_until")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(ch === Set(
+      (1L, 0L, 0L, 10L),
+      (2L, 0L, 0L, 32L),
+      (3L, 0L, 0L, 32L), (3L, 1L, 24L, 56L),
+      (4L, 0L, 0L, 32L), (4L, 1L, 24L, 56L), (4L, 2L, 48L, 57L)))
+    // every token covered; last chunk always reaches n
+    for ((id, n) <- Seq((3L, 56L), (4L, 57L)))
+      assert(ch.filter(_._1 == id).map(_._4).max === n)
+  }
+
   test("langBalancedSample keeps the rarest language whole and nests") {
     import spark.implicits._
     val d = (1 to 40).map(i => (i.toLong, s"doc $i",
