@@ -89,6 +89,27 @@ object EventsAnalytics {
       .withColumn("funnel_level", level)
   }
 
+  /** Semi-structured props extraction (ClickHouse JSONExtract twin):
+    * pulls integer key `key` out of the JSON `propsCol` with the
+    * codegen'd `get_json_object` path expression and rolls up exact
+    * per-type stats. Missing/malformed keys surface as nulls and are
+    * counted separately, never dropped silently. One hash aggregate —
+    * the JSON parse runs map-side inside whole-stage codegen. */
+  def propsValueStats(events: DataFrame, key: String,
+      propsCol: String = "props", typeCol: String = "event_type")
+      : DataFrame = {
+    val k = get_json_object(col(propsCol), s"$$.$key").cast("long")
+    events
+      .withColumn("_k", k)
+      .groupBy(col(typeCol))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(col("_k")).as("n_with_key"),
+        min(col("_k")).as("min_val"),
+        max(col("_k")).as("max_val"),
+        sum(col("_k")).as("sum_val"))
+  }
+
   /** Cohort retention: users cohorted by their first event's UTC day;
     * for each day offset in [0, maxOffsetDays], how many cohort
     * members had any event that day. Dates leave as ISO strings and

@@ -325,6 +325,61 @@ object TextAnalysis {
         col("keep_pct"))
   }
 
+  /** Per-document top-k TF-IDF terms — the classic keyword-extraction
+    * / relevance-feature operator: tf from one doc-word aggregate, df
+    * from a word-keyed roll-up of that same table, idf =
+    * ln((N+1)/(df+1)) with the corpus size N broadcast as a one-row
+    * aggregate, rank by (quantized tfidf DESC, word ASC) inside a
+    * doc-partitioned window. Every shuffle is keyed by word or
+    * doc_id; ranking never leaves the document partition, so no
+    * global sort exists at any corpus size. The tfidf value is
+    * quantized ([[graft.util.Parity.roundTo]]) BEFORE ranking so the
+    * rank order — not just the emitted score — is engine-exact. */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 5,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val tok = graft.util.Caches.materialize(
+      docs.select(col(idCol),
+        explode(TextDedup.words(col(textCol))).as("word")))
+    val tf = graft.util.Caches.materialize(
+      tok.groupBy(col(idCol), col("word")).agg(count(lit(1)).as("tf")))
+    val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("_n"))
+    val scored = tf.join(dfreq, "word")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf_q", graft.util.Parity.roundTo(
+        col("tf") * log((col("_n") + 1).cast("double") / (col("df") + 1)),
+        6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("tfidf_q").desc, col("word").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("word"), col("tf"), col("df"),
+        col("tfidf_q"), col("rank"))
+  }
+
+  /** Per-source quality-percentile cut — the FineWeb-style "keep the
+    * best X% of each domain" relative filter (absolute thresholds
+    * misfire when sources have different score distributions). Ranks
+    * docs inside each source by a quality metric with a doc-id
+    * tiebreak and keeps percent_rank <= keepFrac. The window is
+    * source-partitioned — ranking parallelizes across sources and no
+    * global sort exists. percent_rank = (rank-1)/(n-1) is integer
+    * arithmetic in a double — bit-exact in any engine. */
+  def qualityPercentileCut(docs: DataFrame, metric: Column,
+      keepFrac: Double = 0.5, sourceCol: String = "source",
+      idCol: String = "doc_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol))
+      .orderBy(metric.desc, col(idCol).asc)
+    docs
+      .withColumn("metric", metric)
+      .withColumn("pct_rank", percent_rank().over(w))
+      .filter(col("pct_rank") <= keepFrac)
+      .select(col(idCol), col(sourceCol), col("metric"), col("pct_rank"))
+  }
+
   /** Sliding context-window chunking with overlap — the
     * chunk-for-RAG / training-window twin of [[packIntoBins]]: chunk
     * c of a doc covers token range [c·stride, c·stride + chunk)

@@ -108,8 +108,24 @@ object EventsQueries {
        |WHERE day - day0 <= $RetentionDays
        |GROUP BY 1, 2""".stripMargin
 
+  def ev4PropsStats(s: SparkSession, dir: String): DataFrame =
+    EventsAnalytics.propsValueStats(events(s, dir), key = "k")
+
+  /** JSON integer extraction + exact per-type stats; nulls from
+    * missing keys counted, never silently dropped. */
+  val ev4Oracle: String = {
+    val k = "CAST(json_extract_string(props, '$.k') AS BIGINT)"
+    s"""SELECT event_type, count(*) AS n_events,
+       |  count($k) AS n_with_key,
+       |  min($k) AS min_val,
+       |  max($k) AS max_val,
+       |  CAST(sum($k) AS BIGINT) AS sum_val
+       |FROM events GROUP BY 1""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "ev1_sessionize" -> QueryDef(ev1Sessionize _, ev1Oracle),
     "ev2_funnel" -> QueryDef(ev2Funnel _, ev2Oracle),
-    "ev3_retention" -> QueryDef(ev3Retention _, ev3Oracle))
+    "ev3_retention" -> QueryDef(ev3Retention _, ev3Oracle),
+    "ev4_props_stats" -> QueryDef(ev4PropsStats _, ev4Oracle))
 }

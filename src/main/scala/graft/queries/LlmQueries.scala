@@ -896,6 +896,65 @@ object LlmQueries {
        |FROM x""".stripMargin
   }
 
+  // ---- per-document top-k TF-IDF terms ----
+
+  private val TfidfK = 5
+
+  def tfidfTopTerms(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfidfTopTerms(docs(s, dir), k = TfidfK)
+
+  /** tfidf quantized to 6 decimals BEFORE ranking on both sides, so
+    * the rank order is engine-exact (Parity.roundTo contract). */
+  val tfidfOracle: String =
+    s"""WITH $wrdsCte,
+       |tok AS (SELECT doc_id, unnest(w) AS word FROM wrds),
+       |tf AS (SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT count(*) AS nn FROM documents),
+       |scored AS (
+       |  SELECT doc_id, word, tf, df,
+       |    ${graft.util.Parity.duckRoundTo(
+        "tf * ln((nn + 1)::DOUBLE / (df + 1))", 6)} AS tfidf_q
+       |  FROM tf JOIN dfreq USING (word), n
+       |)
+       |SELECT doc_id, word, tf, df, tfidf_q, rank FROM (
+       |  SELECT *, CAST(row_number() OVER (
+       |    PARTITION BY doc_id ORDER BY tfidf_q DESC, word ASC
+       |  ) AS INT) AS rank
+       |  FROM scored
+       |) WHERE rank <= $TfidfK""".stripMargin
+
+  // ---- per-source quality-percentile cut ----
+
+  private val QualityKeepFrac = 0.5
+
+  def qualityCut(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityPercentileCut(
+      TextAnalysis.qualityScore(docs(s, dir)),
+      col("stopword_ratio"), keepFrac = QualityKeepFrac)
+
+  val qualityCutOracle: String = {
+    val en = TextAnalysis.stopwords("en").map(w => s"'$w'").mkString(", ")
+    s"""WITH $wrdsCte,
+       |sw AS (
+       |  SELECT doc_id,
+       |    len(list_filter(w, x -> list_contains([$en], x)))::DOUBLE
+       |      / greatest(len(w), 1) AS metric
+       |  FROM wrds
+       |),
+       |j AS (
+       |  SELECT d.doc_id, d.source, sw.metric
+       |  FROM documents d JOIN sw USING (doc_id)
+       |),
+       |r AS (
+       |  SELECT *, percent_rank() OVER (
+       |    PARTITION BY source ORDER BY metric DESC, doc_id ASC
+       |  ) AS pct_rank FROM j
+       |)
+       |SELECT doc_id, source, metric, pct_rank
+       |FROM r WHERE pct_rank <= $QualityKeepFrac""".stripMargin
+  }
+
   // ---- language-balanced resampling (temperature mix) ----
 
   def langBalance(s: SparkSession, dir: String): DataFrame =
@@ -926,6 +985,8 @@ object LlmQueries {
     "llm_dup_ngram_frac" -> QueryDef(dupNgramFrac _, dupNgramFracOracle),
     "llm_lang_balance" -> QueryDef(langBalance _, langBalanceOracle),
     "llm_chunk_stride" -> QueryDef(chunkStride _, chunkStrideOracle),
+    "llm_tfidf_topterms" -> QueryDef(tfidfTopTerms _, tfidfOracle),
+    "llm_quality_cut" -> QueryDef(qualityCut _, qualityCutOracle),
     "llm_dedup_exact" -> QueryDef(dedupExact _, dedupExactOracle),
     "llm_minhash_neardup" -> QueryDef(minhashNearDups _, minhashOracle),
     "llm_dedup_clusters" -> QueryDef(dedupClusters _, dedupClustersOracle),

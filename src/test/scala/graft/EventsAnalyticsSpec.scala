@@ -69,6 +69,23 @@ class EventsAnalyticsSpec extends AnyFunSuite {
     assert(f.toSeq === Seq(500000L))
   }
 
+  test("propsValueStats extracts JSON ints and counts missing keys apart") {
+    import spark.implicits._
+    val e = Seq(
+      (1L, 1L, "a", """{"k": 5}"""),
+      (2L, 1L, "a", """{"k": 7}"""),
+      (3L, 1L, "a", """{"other": 1}"""),  // missing key -> null
+      (4L, 1L, "b", "not json"))          // malformed -> null
+      .toDF("event_id", "user_id", "event_type", "props")
+    val s = EventsAnalytics.propsValueStats(e, key = "k")
+      .select("event_type", "n_events", "n_with_key", "min_val", "sum_val")
+      .as[(String, Long, Long, Option[Long], Option[Long])]
+      .collect().toSet
+    assert(s === Set(
+      ("a", 3L, 2L, Some(5L), Some(12L)),
+      ("b", 1L, 0L, None, None)))
+  }
+
   test("retention counts distinct cohort users per day offset") {
     val day = 86400000000L
     val e = ev(

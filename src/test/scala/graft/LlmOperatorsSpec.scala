@@ -500,6 +500,36 @@ class LlmOperatorsSpec extends AnyFunSuite {
       assert(ch.filter(_._1 == id).map(_._4).max === n)
   }
 
+  test("tfidf ranks rare terms above common ones, deterministic ties") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "common common rare"),
+      (2L, "common other"),
+      (3L, "common thing")).toDF("doc_id", "text")
+    val top = TextAnalysis.tfidfTopTerms(d, k = 2)
+      .select("doc_id", "word", "rank")
+      .as[(Long, String, Int)].collect().toSet
+    // "common" has df=3 -> idf ln(4/4)=0 -> tfidf 0; rare terms win
+    assert(top.contains((1L, "rare", 1)))
+    assert(top.contains((2L, "other", 1)))
+    // doc 1 rank 2 is "common" (only term left), tfidf 0
+    assert(top.contains((1L, "common", 2)))
+  }
+
+  test("qualityPercentileCut keeps the top fraction per source") {
+    import spark.implicits._
+    // metric = doc_id mod 10 for transparency; two sources of 4 docs
+    val d = (1 to 8).map(i =>
+      (i.toLong, if (i <= 4) "s1" else "s2", (i % 10).toDouble))
+      .toDF("doc_id", "source", "m")
+    val kept = TextAnalysis.qualityPercentileCut(d, col("m"), 0.5)
+      .select("doc_id", "pct_rank").as[(Long, Double)].collect().toMap
+    // s1 ranks by m desc: 4,3,2,1 -> pct 0, 1/3, 2/3, 1 -> keep 4,3
+    // s2 ranks 8,7,6,5 likewise -> keep 8,7
+    assert(kept.keySet === Set(4L, 3L, 8L, 7L))
+    assert(kept(4L) === 0.0 && math.abs(kept(3L) - 1.0 / 3) < 1e-15)
+  }
+
   test("langBalancedSample keeps the rarest language whole and nests") {
     import spark.implicits._
     val d = (1 to 40).map(i => (i.toLong, s"doc $i",
