@@ -337,9 +337,11 @@ object TextAnalysis {
     * rank order — not just the emitted score — is engine-exact. */
   def tfidfTopTerms(docs: DataFrame, k: Int = 5,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val tok = graft.util.Caches.materialize(
-      docs.select(col(idCol),
-        explode(TextDedup.words(col(textCol))).as("word")))
+    // tok has a single consumer (the tf aggregate) and words() holds
+    // no HOF lambda, so it needs no cache barrier; tf feeds BOTH the
+    // df roll-up and the scored join — that one is materialized
+    val tok = docs.select(col(idCol),
+      explode(TextDedup.words(col(textCol))).as("word"))
     val tf = graft.util.Caches.materialize(
       tok.groupBy(col(idCol), col("word")).agg(count(lit(1)).as("tf")))
     val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))

@@ -162,4 +162,30 @@ class PlanAuditSpec extends AnyFunSuite {
         s"$name runs an unpartitioned window")
     }
   }
+
+  test("ev1 sessionize: window + session aggregate share ONE exchange") {
+    // HashPartitioning(user_id) satisfies the (user_id, session_seq)
+    // clustered distribution, so the groupBy must reuse the window's
+    // user-keyed exchange instead of reshuffling on both keys.
+    val ex = planOf("ev1_sessionize").collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(ex.size == 1, s"ev1 plans ${ex.size} exchanges, expected 1")
+  }
+
+  test("corpus top-k n-grams use TakeOrderedAndProject, never a global sort") {
+    val tops = planOf("llm_topk_ngrams")
+      .collect { case t: TakeOrderedAndProjectExec => t }
+    assert(tops.nonEmpty, "llm_topk_ngrams does not TakeOrderedAndProject")
+  }
+
+  test("ranking windows are partitioned (tfidf by doc, quality cut by source)") {
+    for (name <- Seq("llm_tfidf_topterms", "llm_quality_cut")) {
+      val winds = planOf(name)
+        .collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+      assert(winds.nonEmpty, s"$name has no window")
+      assert(winds.forall(_.partitionSpec.nonEmpty),
+        s"$name runs an unpartitioned window")
+    }
+  }
 }
