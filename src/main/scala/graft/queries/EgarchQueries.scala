@@ -6,31 +6,113 @@ import graft.operators.{Egarch, IvResampler}
 import graft.options.SyntheticTrades
 
 /** EGARCH volatility entries (M3-M6). The MLE fit itself is not
-  * ANSI-SQL-expressible — M3-M5 have no DuckDB oracle (rows-only
-  * checks; statistical properties covered by EgarchSpec). M6 is
-  * oracle-gated around the fit: the fitted series is pinned as
-  * literals and the SQL-expressible tail (bars pipeline, alignment
-  * join, spread arithmetic) is hash-matched — same pattern as the
-  * trained-ANN re-rank gate in [[LlmQueries]]. */
+  * ANSI-SQL-expressible, so every entry is oracle-gated around the
+  * fit with the [[DynamicOracles]] echo+verify pattern (same as the
+  * trained-ANN re-rank gate in [[LlmQueries]] and m6): fit outputs
+  * are pinned as literals, while everything the SQL engine CAN
+  * derive — the per-underlying observation count from the bars
+  * pipeline, the last bar's iv_close feeding the spread — is
+  * recomputed in DuckDB and hash-matched, so drift in the series the
+  * fit consumed mismatches even though the MLE itself is only
+  * echoed. Statistical properties of the fit are covered by
+  * EgarchSpec. */
 object EgarchQueries {
 
   private def bars(s: SparkSession, dir: String): DataFrame =
     IvResampler.resample(
       SyntheticTrades.trades(s, dir), "15 minutes", col("underlying"))
 
+  /** Bars + per-underlying series stats the oracles re-derive from
+    * the raw trades: n_obs = bar count, the fit's observation count
+    * (Egarch.prepareAndFit consumes one value per bar). */
+  private def statsCtes: String =
+    s"""${OracleCtes.enriched},
+       |bars AS (
+       |  SELECT underlying, arg_max(iv, "timestamp") AS iv_close,
+       |    bucket_start
+       |  FROM enriched WHERE iv IS NOT NULL
+       |  GROUP BY underlying, bucket_start
+       |),
+       |stats AS (
+       |  SELECT underlying, CAST(count(*) AS INT) AS n_obs
+       |  FROM bars GROUP BY underlying
+       |)""".stripMargin
+
   /** M3/M5/M6: EGARCH(1,1,1) per underlying + 1-step vol forecast +
     * residual stats + IV-vs-EGARCH spread. */
   def m3Fit(s: SparkSession, dir: String): DataFrame =
-    Egarch.fitPerGroup(bars(s, dir)).toDF()
+    gatedFit("m3_egarch_fit", s, dir, auto = false)
 
   /** M4: AIC grid auto-selection over p,q in {1,2}. */
   def m4Auto(s: SparkSession, dir: String): DataFrame =
-    Egarch.fitPerGroup(bars(s, dir), auto = true).toDF()
+    gatedFit("m4_egarch_auto", s, dir, auto = true)
+
+  /** Shared m3/m4 gate: fit params pinned as literals (echo); n_obs
+    * re-derived by the oracle from raw trades, so a drift in the bars
+    * pipeline the fit consumed hash-mismatches. The collect is one
+    * row per underlying. EgarchRow field order is the contract here:
+    * 0 underlying, 1 p, 2 q, 3-12 doubles (mu..persistence),
+    * 13 n_obs, 14 converged, 15-18 doubles (vol_forecast_1,
+    * resid_mean, resid_std, iv_egarch_spread_last). */
+  private def gatedFit(name: String, s: SparkSession, dir: String,
+      auto: Boolean): DataFrame = {
+    val out = graft.util.Caches.materialize(
+      Egarch.fitPerGroup(bars(s, dir), auto = auto).toDF())
+    val rows = out.collect().sortBy(_.getString(0))
+    val sql =
+      if (rows.isEmpty) emptyFitOracle
+      else {
+        val values = rows.map { r =>
+          val dbl = (i: Int) => dlit(r.getDouble(i))
+          s"('${r.getString(0)}', ${r.getInt(1)}, ${r.getInt(2)}, " +
+            (3 to 12).map(dbl).mkString(", ") +
+            s", ${r.getBoolean(14)}, " +
+            (15 to 18).map(dbl).mkString(", ") + ")"
+        }.mkString(",\n    ")
+        s"""WITH $statsCtes,
+           |fitted(underlying, p, q, mu, omega, alpha1, gamma, beta1, nu,
+           |       log_lik, aic, bic, persistence, converged,
+           |       vol_forecast_1, resid_mean, resid_std,
+           |       iv_egarch_spread_last) AS (VALUES
+           |    $values)
+           |SELECT f.underlying, f.p, f.q, f.mu, f.omega, f.alpha1,
+           |  f.gamma, f.beta1, f.nu, f.log_lik, f.aic, f.bic,
+           |  f.persistence, s.n_obs, f.converged, f.vol_forecast_1,
+           |  f.resid_mean, f.resid_std, f.iv_egarch_spread_last
+           |FROM fitted f JOIN stats s USING (underlying)""".stripMargin
+      }
+    DynamicOracles.put(name, sql)
+    out
+  }
+
+  private val emptyFitOracle =
+    """SELECT CAST(NULL AS VARCHAR) AS underlying WHERE false""".stripMargin
 
   /** M5: 5-step volatility forecast per underlying (analytic 1-step +
-    * seeded simulation for 2..5). */
-  def m5Forecast(s: SparkSession, dir: String): DataFrame =
-    Egarch.forecastPerGroup(bars(s, dir), horizon = 5).toDF()
+    * seeded simulation for 2..5). Gate: forecasts pinned, n_obs
+    * re-derived from the bars pipeline. */
+  def m5Forecast(s: SparkSession, dir: String): DataFrame = {
+    val out = graft.util.Caches.materialize(
+      Egarch.forecastPerGroup(bars(s, dir), horizon = 5).toDF())
+    val rows = out.collect().sortBy(r => (r.getString(0), r.getInt(1)))
+    val sql =
+      if (rows.isEmpty) emptyFitOracle
+      else {
+        val values = rows.map { r =>
+          s"('${r.getString(0)}', ${r.getInt(1)}, ${dlit(r.getDouble(2))}, " +
+            s"${dlit(r.getDouble(3))}, ${r.getBoolean(5)})"
+        }.mkString(",\n    ")
+        s"""WITH $statsCtes,
+           |fc(underlying, horizon, vol_forecast, persistence, converged)
+           |  AS (VALUES
+           |    $values)
+           |SELECT f.underlying, f.horizon, f.vol_forecast, f.persistence,
+           |  s.n_obs, f.converged
+           |FROM fc f JOIN stats s USING (underlying)""".stripMargin
+      }
+    DynamicOracles.put("m5_egarch_forecast", sql)
+    out
+  }
 
   /** M6: full per-bar residual / conditional-vol / IV-spread series
     * (one row per 15-min bar per underlying, not just the last value
