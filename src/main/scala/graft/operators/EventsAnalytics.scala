@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -63,29 +63,50 @@ object EventsAnalytics {
     * kept, the drop-off denominator). Greedy earliest-chain is a
     * deterministic, engine-independent rule; ClickHouse's
     * windowFunnel(strict_order=0) can match later chains greedy
-    * misses — divergence documented here, pinned in the spec. */
+    * misses — divergence documented here, pinned in the spec and
+    * EventsProps.
+    *
+    * Single-pass shape: ONE scan of the events table and ONE
+    * user-keyed shuffle — each user's (time, type) pairs are
+    * collected, sorted, and folded through the `aggregate` HOF whose
+    * state is the chain-so-far struct. A k-step join-chain
+    * formulation would re-scan the fact table k+1 times; at 100 TB
+    * the fold is the only shape that survives. Per-user state is
+    * O(events of that user), the same bound a stateful streaming
+    * funnel needs. Sorting by time alone is enough: a later fold
+    * step only fires strictly after the previous step's time, and
+    * equal-time candidates produce the identical min. */
   def funnel(events: DataFrame, steps: Seq[String], windowSec: Long,
       userCol: String = "user_id", tsCol: String = "ts",
       typeCol: String = "event_type"): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
-    val e = events.select(col(userCol),
-      col(typeCol).as("_t"), unix_micros(col(tsCol)).as("_us"))
-    val users = e.groupBy(col(userCol)).agg(count(lit(1)).as("_n"))
-      .select(col(userCol))
-    val t1 = e.filter(col("_t") === steps.head)
-      .groupBy(col(userCol)).agg(min(col("_us")).as("t1_us"))
-    val chained = steps.indices.drop(1).foldLeft(t1) { (acc, i) =>
-      val prevT = col(s"t${i}_us")
-      val ti = e.filter(col("_t") === steps(i))
-        .join(acc.select(col(userCol), col("t1_us"), prevT), Seq(userCol))
-        .filter(col("_us") > prevT &&
-          col("_us") <= col("t1_us") + windowSec * 1000000L)
-        .groupBy(col(userCol)).agg(min(col("_us")).as(s"t${i + 1}_us"))
-      acc.join(ti, Seq(userCol), "left")
+    val winUs = windowSec * 1000000L
+    val fields = steps.indices.map(i => s"t${i + 1}_us")
+    val zero = struct(
+      fields.map(f => lit(null).cast("bigint").as(f)): _*)
+    def fold(acc: Column, e: Column): Column = {
+      val us = e.getField("us")
+      val tp = e.getField("t")
+      val cap = acc.getField(fields.head) + winUs
+      struct(fields.zipWithIndex.map { case (f, i) =>
+        val cur = acc.getField(f)
+        val hit =
+          if (i == 0) cur.isNull && tp === steps(0)
+          else cur.isNull && acc.getField(fields(i - 1)).isNotNull &&
+            tp === steps(i) && us > acc.getField(fields(i - 1)) &&
+            us <= cap
+        when(hit, us).otherwise(cur).as(f)
+      }: _*)
     }
-    val level = steps.indices.map(i => when(col(s"t${i + 1}_us").isNotNull,
-      lit(1L)).otherwise(lit(0L))).reduce(_ + _)
-    users.join(chained, Seq(userCol), "left")
+    val level = steps.indices.map(i =>
+      when(col(s"t${i + 1}_us").isNotNull, lit(1L)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    events
+      .groupBy(col(userCol))
+      .agg(sort_array(collect_list(struct(
+        unix_micros(col(tsCol)).as("us"), col(typeCol).as("t")))).as("_es"))
+      .withColumn("_f", aggregate(col("_es"), zero, fold))
+      .select(col(userCol) +: fields.map(f => col(s"_f.$f")): _*)
       .withColumn("funnel_level", level)
   }
 

@@ -173,6 +173,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(ex.size == 1, s"ev1 plans ${ex.size} exchanges, expected 1")
   }
 
+  test("ev2 funnel: single-pass — one scan of events, one exchange") {
+    val plan = planOf("ev2_funnel")
+    val ex = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    val scans = plan.collect { case s: FileSourceScanExec => s }
+    assert(ex.size == 1, s"ev2 plans ${ex.size} exchanges, expected 1")
+    assert(scans.size == 1,
+      s"ev2 scans the events table ${scans.size} times, expected 1")
+  }
+
   test("corpus top-k n-grams use TakeOrderedAndProject, never a global sort") {
     val tops = planOf("llm_topk_ngrams")
       .collect { case t: TakeOrderedAndProjectExec => t }
