@@ -134,19 +134,30 @@ object EventsAnalytics {
   /** Cohort retention: users cohorted by their first event's UTC day;
     * for each day offset in [0, maxOffsetDays], how many cohort
     * members had any event that day. Dates leave as ISO strings and
-    * offsets as exact integer day arithmetic on epoch days. */
+    * offsets as exact integer day arithmetic on epoch days.
+    *
+    * Single-pass shape: each user's distinct active-day set is
+    * collected in ONE user-keyed aggregate (map-side partial
+    * collect_set dedups before the shuffle), the cohort day is the
+    * array minimum, and the exploded (day0, offset) rows — one per
+    * (user, day), so a plain count IS the distinct-user count — feed
+    * the final roll-up. One fact-table scan and two exchanges; the
+    * activity-join formulation scanned the events table twice.
+    * Per-user state is the active-day set, bounded by the dataset's
+    * day span. */
   def retention(events: DataFrame, maxOffsetDays: Int = 7,
       userCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
     val epochDay = floor(unix_micros(col(tsCol)) / lit(86400000000L))
-    val activity = events
-      .select(col(userCol), epochDay.as("_day")).distinct()
-    val cohort = activity.groupBy(col(userCol))
-      .agg(min(col("_day")).as("_day0"))
-    activity.join(cohort, Seq(userCol))
+    events
+      .select(col(userCol), epochDay.as("_day"))
+      .groupBy(col(userCol))
+      .agg(collect_set(col("_day")).as("_days"))
+      .withColumn("_day0", array_min(col("_days")))
+      .select(col("_day0"), explode(col("_days")).as("_day"))
       .withColumn("day_offset", col("_day") - col("_day0"))
       .filter(col("day_offset") <= maxOffsetDays)
       .groupBy(col("_day0"), col("day_offset"))
-      .agg(countDistinct(col(userCol)).as("n_users"))
+      .agg(count(lit(1)).as("n_users"))
       .select(
         date_format(timestamp_seconds(col("_day0") * 86400L), "yyyy-MM-dd")
           .as("cohort_date"),

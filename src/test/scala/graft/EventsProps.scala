@@ -87,6 +87,29 @@ object EventsProps extends Properties("Events") {
         Prop(got == ref) :| s"got=$got ref=$ref"
     }
 
+  property("retention matches the in-memory cohort-offset reference") =
+    forAll(eventsGen, Gen.choose(0, 3)) {
+      (evs: List[(Long, Long, String)], maxOff: Int) =>
+        val dayUs = 86400000000L
+        // shrink days so offsets actually vary within the µs range:
+        // treat each second as a "day" by scaling us up
+        val scaled = evs.map { case (u, us, t) => (u, us * 86400L, t) }
+        val act = scaled.map { case (u, us, _) => (u, us / dayUs) }.distinct
+        val day0 = act.groupBy(_._1).map { case (u, ds) =>
+          u -> ds.map(_._2).min
+        }
+        val ref = act
+          .map { case (u, d) => (day0(u), d - day0(u)) }
+          .filter(_._2 <= maxOff)
+          .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+        val got = EventsAnalytics.retention(toDf(scaled), maxOff)
+          .collect().map { r =>
+            val d0 = java.time.LocalDate.parse(r.getString(0)).toEpochDay
+            ((d0, r.getLong(1)), r.getLong(2))
+          }.toMap
+        Prop(got == ref) :| s"got=$got ref=$ref"
+    }
+
   property("chunkWithStride covers [0,n) exactly with stride steps") =
     forAll(Gen.choose(1L, 200L), Gen.choose(1L, 40L), Gen.choose(0L, 30L)) {
       (n: Long, stride: Long, extra: Long) =>

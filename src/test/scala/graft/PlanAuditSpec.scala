@@ -184,6 +184,13 @@ class PlanAuditSpec extends AnyFunSuite {
       s"ev2 scans the events table ${scans.size} times, expected 1")
   }
 
+  test("ev3 retention: single-pass — one scan of events") {
+    val scans = planOf("ev3_retention")
+      .collect { case s: FileSourceScanExec => s }
+    assert(scans.size == 1,
+      s"ev3 scans the events table ${scans.size} times, expected 1")
+  }
+
   test("corpus top-k n-grams use TakeOrderedAndProject, never a global sort") {
     val tops = planOf("llm_topk_ngrams")
       .collect { case t: TakeOrderedAndProjectExec => t }
