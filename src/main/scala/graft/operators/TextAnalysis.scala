@@ -312,7 +312,10 @@ object TextAnalysis {
     * aggregate + a map-side join, no corpus shuffle. */
   def langBalancedSample(docs: DataFrame, langCol: String = "lang",
       idCol: String = "doc_id"): DataFrame = {
-    val counts = docs.groupBy(col(langCol)).agg(count(lit(1)).as("_n"))
+    // counts feeds BOTH the min aggregate and the rates join — without
+    // the barrier each branch re-scans the corpus (Caches contract)
+    val counts = graft.util.Caches.materialize(
+      docs.groupBy(col(langCol)).agg(count(lit(1)).as("_n")))
     val minN = counts.agg(min(col("_n")).as("_mn"))
     val rates = counts.crossJoin(broadcast(minN))
       .select(col(langCol),

@@ -543,10 +543,12 @@ object LlmQueries {
   private val PackBudget = 300L
 
   def packBins(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
-    val tokens = TextAnalysis.tokenCounts(d)
-      .select(col("doc_id"), col("n_ws_tokens").as("n_tokens"))
-      .join(d.select(col("doc_id"), col("source")), "doc_id")
+    // tokenCounts preserves every input column (withColumn), so source
+    // rides along — re-joining the docs table would scan it twice and
+    // shuffle for nothing
+    val tokens = TextAnalysis.tokenCounts(docs(s, dir))
+      .select(col("doc_id"), col("source"),
+        col("n_ws_tokens").as("n_tokens"))
     TextAnalysis.packIntoBins(tokens, PackBudget)
       .select("doc_id", "source", "n_tokens", "bin_id",
         "tok_from", "tok_until", "n_in_bin")
