@@ -7,7 +7,18 @@ import org.apache.spark.sql.SparkSession
   * time is the crash latency, never silently folded into the total.
   */
 object Bench {
+  /** 1-minute loadavg, so a run carries its own contamination evidence:
+    * timings are only comparable when the machine was idle (loadavg well
+    * below the core count) — concurrent sbt/round-end churn inflates
+    * every query ~1.5-2x uniformly.
+    */
+  private def loadavg(): Double =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString
+      .split("\\s+").head.toDouble
+    catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
+    val loadStart = loadavg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -65,8 +76,9 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val failed = results.count(!_._3)
+    val loadEnd = loadavg()
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"n_queries":${results.size},"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"n_queries":${results.size},"sf":"$sfDir","loadavg_start":$loadStart,"loadavg_end":$loadEnd}""")
     spark.stop()
   }
 }

@@ -61,65 +61,131 @@ object EventsAnalytics {
     * most `windowSec` after t1. `funnel_level` = number of chained
     * steps reached (0 for users who never fired step 1 — they are
     * kept, the drop-off denominator). Greedy earliest-chain is a
-    * deterministic, engine-independent rule; ClickHouse's
-    * windowFunnel(strict_order=0) can match later chains greedy
-    * misses — divergence documented here, pinned in the spec and
-    * EventsProps.
+    * deterministic, engine-independent rule; a later step-1 anchor
+    * can complete a chain the earliest can't — that exists-a-chain
+    * semantics is [[funnelAnyChain]], divergence pinned in the spec
+    * and EventsProps.
     *
     * Single-pass shape: ONE scan of the events table and ONE
-    * user-keyed shuffle — each user's (time, type) pairs are
-    * collected, sorted, and folded through the `aggregate` HOF whose
-    * state is the chain-so-far struct. A k-step join-chain
+    * user-keyed shuffle. Events stream through the
+    * [[graft.functions.WindowFunnelChain]] aggregate in
+    * sort-within-partition time order, so per-user state is the
+    * O(steps) chain-so-far struct — NOT O(events of that user): a
+    * pathological bot user with tens of millions of events costs one
+    * task's scan time, never its memory. A k-step join-chain
     * formulation would re-scan the fact table k+1 times; at 100 TB
-    * the fold is the only shape that survives. Per-user state is
-    * O(events of that user), the same bound a stateful streaming
-    * funnel needs. Sorting by time alone is enough: a later fold
-    * step only fires strictly after the previous step's time, and
-    * equal-time candidates produce the identical min. */
+    * the streaming fold is the only shape that survives. The explicit
+    * repartition+sortWithinPartitions IS the aggregation's exchange
+    * (the planner inserts nothing further), and the struct buffer
+    * forces SortAggregateExec — the order-preserving aggregate the
+    * fold's correctness contract needs (see WindowFunnel.scala). */
   def funnel(events: DataFrame, steps: Seq[String], windowSec: Long,
       userCol: String = "user_id", tsCol: String = "ts",
       typeCol: String = "event_type"): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
-    val winUs = windowSec * 1000000L
     val fields = steps.indices.map(i => s"t${i + 1}_us")
-    val zero = struct(
-      fields.map(f => lit(null).cast("bigint").as(f)): _*)
-    def fold(acc: Column, e: Column): Column = {
-      val us = e.getField("us")
-      val tp = e.getField("t")
-      val cap = acc.getField(fields.head) + winUs
-      struct(fields.zipWithIndex.map { case (f, i) =>
-        val cur = acc.getField(f)
-        val hit =
-          if (i == 0) cur.isNull && tp === steps(0)
-          else cur.isNull && acc.getField(fields(i - 1)).isNotNull &&
-            tp === steps(i) && us > acc.getField(fields(i - 1)) &&
-            us <= cap
-        when(hit, us).otherwise(cur).as(f)
-      }: _*)
-    }
     val level = steps.indices.map(i =>
       when(col(s"t${i + 1}_us").isNotNull, lit(1L)).otherwise(lit(0L)))
       .reduce(_ + _)
+    val chain = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.WindowFunnelChain(
+        org.apache.spark.sql.GraftBridge.expression(col("_us")),
+        org.apache.spark.sql.GraftBridge.expression(col("_t")),
+        steps, windowSec * 1000000L).toAggregateExpression())
     events
+      .select(col(userCol), unix_micros(col(tsCol)).as("_us"),
+        col(typeCol).as("_t"))
+      .repartition(col(userCol))
+      .sortWithinPartitions(col(userCol), col("_us"))
       .groupBy(col(userCol))
-      .agg(sort_array(collect_list(struct(
-        unix_micros(col(tsCol)).as("us"), col(typeCol).as("t")))).as("_es"))
-      .withColumn("_f", aggregate(col("_es"), zero, fold))
+      .agg(chain.as("_f"))
       .select(col(userCol) +: fields.map(f => col(s"_f.$f")): _*)
       .withColumn("funnel_level", level)
+  }
+
+  /** Any-chain funnel (exists-a-chain semantics, the ClickHouse
+    * windowFunnel lineage where a LATER step-1 anchor may complete
+    * when the earliest can't): per user, `funnel_level_any` = the
+    * maximum chain length over ALL step-1 anchors, where a chain from
+    * anchor t1 takes the first steps(i) event strictly after the
+    * previous step and at most `windowSec` after t1. For a fixed
+    * anchor the greedy earliest continuation is optimal (exchange
+    * argument), so max-over-anchors is exactly "does a valid chain of
+    * length k exist". Reported times are the chain of the EARLIEST
+    * anchor reaching the max level (deterministic tiebreak).
+    *
+    * Shape: one scan of events into a snapshot carrying, per event,
+    * the next-step-(i+1) pointer (a conditional min over ONE
+    * user-keyed range window — all pointers share the window, one
+    * exchange + sort). Every anchor's chain is then pointer-chased
+    * with step-filtered user-keyed self-joins of the snapshot —
+    * k-2 joins for k steps, never all-pairs: the join key is
+    * (user, exact event time). The snapshot bounds the multi-branch
+    * reuse to the one scan ([[graft.util.Caches.snapshot]] upgrades
+    * to a fault-tolerant checkpoint when a checkpoint dir exists). */
+  def funnelAnyChain(events: DataFrame, steps: Seq[String], windowSec: Long,
+      userCol: String = "user_id", tsCol: String = "ts",
+      typeCol: String = "event_type"): DataFrame = {
+    require(steps.size >= 2, "any-chain funnel needs at least two steps")
+    val winUs = windowSec * 1000000L
+    // [us+1, inf): strictly-after in integer µs — exact, tie-immune
+    val after = Window.partitionBy(col(userCol)).orderBy(col("_us"))
+      .rangeBetween(1L, Window.unboundedFollowing)
+    val withNext = graft.util.Caches.snapshot(
+      (2 to steps.size).foldLeft(
+        events.select(col(userCol), unix_micros(col(tsCol)).as("_us"),
+          col(typeCol).as("_t"))) { (df, i) =>
+        df.withColumn(s"_nxt$i",
+          min(when(col("_t") === steps(i - 1), col("_us"))).over(after))
+      })
+    // anchor rows carry t1 + the chain's step-2 time; later steps are
+    // chased through the step-(i-1) rows' next pointers.
+    val anchored = withNext
+      .withColumn("t1_us", when(col("_t") === steps(0), col("_us")))
+      .withColumn("t2_us",
+        when(col("_nxt2") <= col("t1_us") + winUs, col("_nxt2")))
+    val chased = (3 to steps.size).foldLeft(anchored) { (df, i) =>
+      val prev = withNext.filter(col("_t") === steps(i - 2))
+        .select(col(userCol).as("_ju"), col("_us").as("_jus"),
+          col(s"_nxt$i").as("_jnxt"))
+      df.join(prev,
+          df(userCol) === col("_ju") && df(s"t${i - 1}_us") === col("_jus"),
+          "left")
+        .withColumn(s"t${i}_us",
+          when(col("_jnxt") <= col("t1_us") + winUs, col("_jnxt")))
+        .drop("_ju", "_jus", "_jnxt")
+    }
+    val fields = steps.indices.map(i => s"t${i + 1}_us")
+    val level = fields.map(f =>
+      when(col(f).isNotNull, lit(1L)).otherwise(lit(0L))).reduce(_ + _)
+    // best anchor per user: max level, then earliest t1. Users with
+    // no anchor keep a row at level 0 (max_by ignores null keys).
+    chased
+      .withColumn("_lvl", when(col("t1_us").isNotNull, level))
+      .groupBy(col(userCol))
+      .agg(max_by(
+        struct(col("_lvl") +: fields.map(col): _*),
+        when(col("_lvl").isNotNull,
+          struct(col("_lvl"), (-col("t1_us")).as("_negt1")))).as("_b"))
+      .select(col(userCol) +:
+        fields.map(f => col(s"_b.$f")) :+
+        coalesce(col("_b._lvl"), lit(0L)).as("funnel_level_any"): _*)
   }
 
   /** Semi-structured props extraction (ClickHouse JSONExtract twin):
     * pulls integer key `key` out of the JSON `propsCol` with the
     * codegen'd `get_json_object` path expression and rolls up exact
-    * per-type stats. Missing/malformed keys surface as nulls and are
-    * counted separately, never dropped silently. One hash aggregate —
+    * per-type stats. Missing/malformed/non-integer values surface as
+    * nulls and are counted separately, never dropped silently — the
+    * explicit integer-pattern guard makes the domain total (a bare
+    * string→long cast would truncate "1.5" where SQL engines round
+    * it, and under ANSI would throw on junk). One hash aggregate —
     * the JSON parse runs map-side inside whole-stage codegen. */
   def propsValueStats(events: DataFrame, key: String,
       propsCol: String = "props", typeCol: String = "event_type")
       : DataFrame = {
-    val k = get_json_object(col(propsCol), s"$$.$key").cast("long")
+    val raw = get_json_object(col(propsCol), s"$$.$key")
+    val k = when(raw.rlike("^-?[0-9]+$"), raw.cast("long"))
     events
       .withColumn("_k", k)
       .groupBy(col(typeCol))
@@ -129,6 +195,37 @@ object EventsAnalytics {
         min(col("_k")).as("min_val"),
         max(col("_k")).as("max_val"),
         sum(col("_k")).as("sum_val"))
+  }
+
+  /** Multi-key props extraction in ONE parse: where [[propsValueStats]]
+    * re-parses the JSON per key (get_json_object is one path per
+    * call), this parses `propsCol` once into a typed struct with
+    * `from_json` and unpivots the k keys into per-(type, key) stat
+    * rows — one JsonToStructs per input row however many keys are
+    * pulled (pinned in the plan audit). Keys absent from every row
+    * still produce their (type, key) rows with n_with_key = 0: the
+    * struct field exists, its value is null — absence is visible,
+    * never silently dropped. Long values only (the integer-valued
+    * props contract; non-integer JSON numbers surface as null). */
+  def propsMultiKeyStats(events: DataFrame, keys: Seq[String],
+      propsCol: String = "props", typeCol: String = "event_type")
+      : DataFrame = {
+    require(keys.nonEmpty, "needs at least one key")
+    val schema = org.apache.spark.sql.types.StructType(keys.map(k =>
+      org.apache.spark.sql.types.StructField(k,
+        org.apache.spark.sql.types.LongType)))
+    val stacked = array(keys.map(k =>
+      struct(lit(k).as("key_name"), col("_p").getField(k).as("v"))): _*)
+    events
+      .withColumn("_p", from_json(col(propsCol), schema))
+      .select(col(typeCol), explode(stacked).as("_kv"))
+      .groupBy(col(typeCol), col("_kv.key_name"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(col("_kv.v")).as("n_with_key"),
+        min(col("_kv.v")).as("min_val"),
+        max(col("_kv.v")).as("max_val"),
+        sum(col("_kv.v")).as("sum_val"))
   }
 
   /** Cohort retention: users cohorted by their first event's UTC day;

@@ -486,10 +486,10 @@ object VectorOps {
         .partitionBy(col("query_id"))
         .orderBy(col("_adc"), col("neighbor_id"))
       // eager: the caller's action must not outlive the resid cache
-      adc.withColumn("_rn", row_number().over(wAdc))
-        .filter(col("_rn") <= shortlist)
-        .select(col("query_id"), col("neighbor_id"))
-        .localCheckpoint(true)
+      graft.util.Caches.snapshot(
+        adc.withColumn("_rn", row_number().over(wAdc))
+          .filter(col("_rn") <= shortlist)
+          .select(col("query_id"), col("neighbor_id")))
     } finally resid.unpersist()
   }
 

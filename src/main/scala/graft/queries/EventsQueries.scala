@@ -89,6 +89,53 @@ object EventsQueries {
        |LEFT JOIN t3 USING (user_id)""".stripMargin
   }
 
+  def ev2bFunnelAny(s: SparkSession, dir: String): DataFrame =
+    EventsAnalytics.funnelAnyChain(events(s, dir), FunnelSteps,
+      FunnelWindowSec)
+
+  /** Independent candidate-anchor formulation: every step-1 event is
+    * scanned as a potential chain anchor, each anchor's greedy chain
+    * is built with correlated min-joins, and the best (max level,
+    * then earliest anchor) is kept per user — a completely different
+    * plan shape from the Spark side's shared next-pointer window. */
+  val ev2bOracle: String = {
+    val winUs = FunnelWindowSec * 1000000L
+    s"""WITH $evCte,
+       |anchors AS (
+       |  SELECT DISTINCT user_id, us AS t1 FROM ev
+       |  WHERE event_type = '${FunnelSteps(0)}'
+       |),
+       |c2 AS (
+       |  SELECT a.user_id, a.t1, min(e.us) AS t2
+       |  FROM anchors a LEFT JOIN ev e
+       |    ON e.user_id = a.user_id AND e.event_type = '${FunnelSteps(1)}'
+       |    AND e.us > a.t1 AND e.us <= a.t1 + ${winUs}::BIGINT
+       |  GROUP BY 1, 2
+       |),
+       |c3 AS (
+       |  SELECT c.user_id, c.t1, c.t2, min(e.us) AS t3
+       |  FROM c2 c LEFT JOIN ev e
+       |    ON e.user_id = c.user_id AND e.event_type = '${FunnelSteps(2)}'
+       |    AND e.us > c.t2 AND e.us <= c.t1 + ${winUs}::BIGINT
+       |  GROUP BY 1, 2, 3
+       |),
+       |lv AS (
+       |  SELECT user_id, t1, t2, t3,
+       |    (1 + CASE WHEN t2 IS NULL THEN 0 ELSE 1 END
+       |       + CASE WHEN t3 IS NULL THEN 0 ELSE 1 END)::BIGINT AS lvl
+       |  FROM c3
+       |),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY user_id
+       |    ORDER BY lvl DESC, t1 ASC) AS rn
+       |  FROM lv
+       |)
+       |SELECT u.user_id, r.t1 AS t1_us, r.t2 AS t2_us, r.t3 AS t3_us,
+       |  coalesce(r.lvl, 0)::BIGINT AS funnel_level_any
+       |FROM (SELECT DISTINCT user_id FROM events) u
+       |LEFT JOIN ranked r ON r.user_id = u.user_id AND r.rn = 1""".stripMargin
+  }
+
   def ev3Retention(s: SparkSession, dir: String): DataFrame =
     EventsAnalytics.retention(events(s, dir), maxOffsetDays = RetentionDays)
 
@@ -111,10 +158,20 @@ object EventsQueries {
   def ev4PropsStats(s: SparkSession, dir: String): DataFrame =
     EventsAnalytics.propsValueStats(events(s, dir), key = "k")
 
+  /** Both sides guard extraction with the same integer pattern, so
+    * the oracle covers the operator's full input domain (a bare CAST
+    * rounds '1.5' in DuckDB where Spark truncates — the guard nulls
+    * non-integer values identically on both engines). */
+  private def duckIntKey(key: String): String =
+    s"""CASE WHEN regexp_matches(
+       |    json_extract_string(props, '$$.$key'), '^-?[0-9]+$$')
+       |  THEN CAST(json_extract_string(props, '$$.$key') AS BIGINT)
+       |  END""".stripMargin
+
   /** JSON integer extraction + exact per-type stats; nulls from
-    * missing keys counted, never silently dropped. */
+    * missing/non-integer keys counted, never silently dropped. */
   val ev4Oracle: String = {
-    val k = "CAST(json_extract_string(props, '$.k') AS BIGINT)"
+    val k = duckIntKey("k")
     s"""SELECT event_type, count(*) AS n_events,
        |  count($k) AS n_with_key,
        |  min($k) AS min_val,
@@ -123,9 +180,33 @@ object EventsQueries {
        |FROM events GROUP BY 1""".stripMargin
   }
 
+  private val MultiKeys = Seq("k", "k2")
+
+  def ev4bPropsMulti(s: SparkSession, dir: String): DataFrame =
+    EventsAnalytics.propsMultiKeyStats(events(s, dir), MultiKeys)
+
+  /** One stat block per key; a key absent from every row ("k2") still
+    * contributes its (type, key) rows with n_with_key = 0, matching
+    * the struct-typed single-parse extraction. The integer-valued
+    * contract: props values are JSON integers (both engines null
+    * anything else — Spark's from_json long field, the oracle's
+    * pattern guard). */
+  val ev4bOracle: String =
+    MultiKeys.map { key =>
+      val k = duckIntKey(key)
+      s"""SELECT event_type, '$key' AS key_name, count(*) AS n_events,
+         |  count($k) AS n_with_key,
+         |  min($k) AS min_val,
+         |  max($k) AS max_val,
+         |  CAST(sum($k) AS BIGINT) AS sum_val
+         |FROM events GROUP BY 1""".stripMargin
+    }.mkString("\nUNION ALL\n")
+
   val defs: Map[String, QueryDef] = Map(
     "ev1_sessionize" -> QueryDef(ev1Sessionize _, ev1Oracle),
     "ev2_funnel" -> QueryDef(ev2Funnel _, ev2Oracle),
+    "ev2b_funnel_any" -> QueryDef(ev2bFunnelAny _, ev2bOracle),
     "ev3_retention" -> QueryDef(ev3Retention _, ev3Oracle),
-    "ev4_props_stats" -> QueryDef(ev4PropsStats _, ev4Oracle))
+    "ev4_props_stats" -> QueryDef(ev4PropsStats _, ev4Oracle),
+    "ev4b_props_multikey" -> QueryDef(ev4bPropsMulti _, ev4bOracle))
 }

@@ -69,6 +69,112 @@ class EventsAnalyticsSpec extends AnyFunSuite {
     assert(f.toSeq === Seq(500000L))
   }
 
+  test("funnel holds a 1M-event user in O(steps) state") {
+    // The WindowFunnelChain buffer is the chain struct, not a per-user
+    // event array: one pathological bot user with a million events
+    // streams through a single task's SortAggregate without
+    // materializing anything user-sized. Chain: view@0 -> first
+    // click@1 -> first purchase@2 (types cycle v/c/p by index).
+    val e = spark.range(1000000L).select(
+      col("id").as("event_id"),
+      lit(7L).as("user_id"),
+      timestamp_micros(col("id")).as("ts"),
+      element_at(
+        typedLit(Seq("view", "click", "purchase")),
+        (col("id") % 3).cast("int") + 1).as("event_type"),
+      lit(0.0).as("value"))
+    val f = EventsAnalytics.funnel(e, Seq("view", "click", "purchase"),
+      windowSec = 3600L)
+      .select("user_id", "t1_us", "t2_us", "t3_us", "funnel_level")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(f === Seq((7L, 0L, 1L, 2L, 3L)))
+  }
+
+  test("funnelAnyChain completes via a later anchor where greedy can't") {
+    // view@0 can't reach its click within the window; view@5s can.
+    // Greedy (earliest-anchor) stops at level 1; any-chain reports the
+    // level-2 chain anchored at 5s — the documented divergence, pinned
+    // both ways.
+    val e = ev(
+      (1L, 1L, 0L, "view", 0.0),
+      (2L, 1L, 5000000L, "view", 0.0),
+      (3L, 1L, 6000000L, "click", 0.0))
+    val greedy = EventsAnalytics.funnel(e, Seq("view", "click"), 2L)
+      .select("user_id", "funnel_level").as[(Long, Long)].collect().toSeq
+    assert(greedy === Seq((1L, 1L)))
+    val any = EventsAnalytics.funnelAnyChain(e, Seq("view", "click"), 2L)
+      .select("user_id", "t1_us", "t2_us", "funnel_level_any")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(any === Seq((1L, 5000000L, 6000000L, 2L)))
+  }
+
+  test("funnelAnyChain reports the EARLIEST anchor reaching the max level") {
+    val e = ev(
+      (1L, 1L, 0L, "view", 0.0),
+      (2L, 1L, 1000000L, "view", 0.0),
+      (3L, 1L, 2000000L, "click", 0.0),  // both anchors reach level 2
+      (4L, 2L, 0L, "click", 0.0))        // no anchor -> level 0 row
+    val any = EventsAnalytics.funnelAnyChain(e, Seq("view", "click"), 60L)
+      .select("user_id", "t1_us", "funnel_level_any")
+      .as[(Long, Option[Long], Long)].collect().toSet
+    assert(any === Set((1L, Some(0L), 2L), (2L, None, 0L)))
+  }
+
+  test("funnelAnyChain chases the third step through the second's pointer") {
+    val e = ev(
+      // anchor@0: click@1 then NO purchase in (1, cap]; anchor@2:
+      // click@3, purchase@4 completes. Strictness: purchase tied with
+      // click (user 2) never chains.
+      (1L, 1L, 0L, "view", 0.0),
+      (2L, 1L, 1000000L, "click", 0.0),
+      (3L, 1L, 2000000L, "view", 0.0),
+      (4L, 1L, 3000000L, "click", 0.0),
+      (5L, 1L, 4000000L, "purchase", 0.0),
+      (6L, 2L, 0L, "view", 0.0),
+      (7L, 2L, 1000000L, "click", 0.0),
+      (8L, 2L, 1000000L, "purchase", 0.0)) // tied with click -> no chain
+    val any = EventsAnalytics.funnelAnyChain(
+      e, Seq("view", "click", "purchase"), 2L)
+      .select("user_id", "t1_us", "funnel_level_any")
+      .as[(Long, Long, Long)].collect().toSet
+    // user 1: anchor@2s reaches 3 (purchase 4s <= 2s+2s); anchor@0
+    //   only reaches 2 (purchase 4s > 0+2s cap).
+    // user 2: purchase tied at 1s is not strictly after the click.
+    assert(any === Set((1L, 2000000L, 3L), (2L, 0L, 2L)))
+  }
+
+  test("propsMultiKeyStats parses once and keeps absent keys visible") {
+    import spark.implicits._
+    val e = Seq(
+      (1L, "a", """{"k": 5, "m": 2}"""),
+      (2L, "a", """{"k": 7}"""),
+      (3L, "b", """{"m": 9}"""))
+      .toDF("event_id", "event_type", "props")
+    val s = EventsAnalytics.propsMultiKeyStats(e, Seq("k", "m", "absent"))
+      .select("event_type", "key_name", "n_events", "n_with_key", "sum_val")
+      .as[(String, String, Long, Long, Option[Long])].collect().toSet
+    assert(s === Set(
+      ("a", "k", 2L, 2L, Some(12L)),
+      ("a", "m", 2L, 1L, Some(2L)),
+      ("a", "absent", 2L, 0L, None),
+      ("b", "k", 1L, 0L, None),
+      ("b", "m", 1L, 1L, Some(9L)),
+      ("b", "absent", 1L, 0L, None)))
+  }
+
+  test("propsValueStats nulls non-integer values instead of truncating") {
+    import spark.implicits._
+    val e = Seq(
+      (1L, "a", """{"k": 5}"""),
+      (2L, "a", """{"k": 1.5}"""),   // non-integer -> null, never 1
+      (3L, "a", """{"k": "x"}"""))   // junk -> null, never an error
+      .toDF("event_id", "event_type", "props")
+    val s = EventsAnalytics.propsValueStats(e, key = "k")
+      .select("n_events", "n_with_key", "sum_val")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(s === Seq((3L, 1L, 5L)))
+  }
+
   test("propsValueStats extracts JSON ints and counts missing keys apart") {
     import spark.implicits._
     val e = Seq(

@@ -87,6 +87,57 @@ object EventsProps extends Properties("Events") {
         Prop(got == ref) :| s"got=$got ref=$ref"
     }
 
+  property("funnelAnyChain matches the exhaustive max-over-anchors reference") =
+    forAll(eventsGen, Gen.choose(1L, 30L)) {
+      (evs: List[(Long, Long, String)], winSec: Long) =>
+        val steps = Seq("view", "click", "purchase")
+        val winUs = winSec * 1000000L
+        val ref = evs.map(_._1).distinct.map { u =>
+          val mine = evs.filter(_._1 == u)
+          def minAfter(tpe: String, after: Long, cap: Long): Option[Long] = {
+            val c = mine.filter(e => e._3 == tpe && e._2 > after &&
+              e._2 <= cap).map(_._2)
+            if (c.isEmpty) None else Some(c.min)
+          }
+          // every step-1 event is a candidate anchor; greedy from a
+          // fixed anchor is optimal, so max-over-anchors IS the
+          // exists-a-chain answer
+          val chains = mine.filter(_._3 == steps(0)).map(_._2).distinct
+            .map { a =>
+              val t2 = minAfter(steps(1), a, a + winUs)
+              val t3 = t2.flatMap(b => minAfter(steps(2), b, a + winUs))
+              (a, Seq(Some(a), t2, t3).count(_.isDefined).toLong)
+            }
+          val best =
+            if (chains.isEmpty) (None: Option[Long], 0L)
+            else {
+              val top = chains.maxBy(_._2)._2
+              (Some(chains.filter(_._2 == top).map(_._1).min), top)
+            }
+          u -> best
+        }.toMap
+        val got = EventsAnalytics.funnelAnyChain(toDf(evs), steps, winSec)
+          .select("user_id", "t1_us", "funnel_level_any")
+          .collect().map(r => r.getLong(0) ->
+            ((if (r.isNullAt(1)) None else Some(r.getLong(1))),
+              r.getLong(2))).toMap
+        Prop(got == ref) :| s"got=$got ref=$ref"
+    }
+
+  property("anyChain level is never below the greedy level") =
+    forAll(eventsGen, Gen.choose(1L, 30L)) {
+      (evs: List[(Long, Long, String)], winSec: Long) =>
+        val steps = Seq("view", "click", "purchase")
+        val greedy = EventsAnalytics.funnel(toDf(evs), steps, winSec)
+          .select("user_id", "funnel_level")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val any = EventsAnalytics.funnelAnyChain(toDf(evs), steps, winSec)
+          .select("user_id", "funnel_level_any")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        Prop(greedy.forall { case (u, l) => any(u) >= l }) :|
+          s"greedy=$greedy any=$any"
+    }
+
   property("retention matches the in-memory cohort-offset reference") =
     forAll(eventsGen, Gen.choose(0, 3)) {
       (evs: List[(Long, Long, String)], maxOff: Int) =>

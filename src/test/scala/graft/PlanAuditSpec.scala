@@ -184,6 +184,43 @@ class PlanAuditSpec extends AnyFunSuite {
       s"ev2 scans the events table ${scans.size} times, expected 1")
   }
 
+  test("ev2 funnel: O(steps) buffer via SortAggregate, no per-user array") {
+    // The struct-buffered WindowFunnelChain must plan as
+    // SortAggregateExec (the order-preserving aggregate its streaming
+    // fold contract requires) and nothing in the plan may materialize
+    // a per-user event array (the old collect_list shape).
+    val plan = planOf("ev2_funnel")
+    val sortAggs = plan.collect {
+      case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec => a
+    }
+    assert(sortAggs.exists(_.aggregateExpressions.exists(
+      _.aggregateFunction.isInstanceOf[graft.functions.WindowFunnelChain])),
+      "ev2 does not aggregate through WindowFunnelChain in a SortAggregate")
+    val hasCollect = plan.exists(_.expressions.exists(_.exists {
+      case _: org.apache.spark.sql.catalyst.expressions.aggregate.CollectList => true
+      case _ => false
+    }))
+    assert(!hasCollect, "ev2 still materializes a per-user collect_list")
+  }
+
+  test("ev2b any-chain funnel: branches reuse the one events snapshot") {
+    // funnelAnyChain snapshots the next-pointer frame once; the
+    // anchor/chase/all-user branches must read that snapshot, never
+    // re-scan the events parquet.
+    val scans = planOf("ev2b_funnel_any")
+      .collect { case s: FileSourceScanExec => s }
+    assert(scans.isEmpty,
+      s"ev2b re-scans the events table ${scans.size} times past its snapshot")
+  }
+
+  test("ev4b multi-key props: exactly ONE JsonToStructs per row") {
+    val parses = planOf("ev4b_props_multikey").map(_.expressions.map(_.collect {
+      case j: org.apache.spark.sql.catalyst.expressions.JsonToStructs => j
+    }.size).sum).sum
+    assert(parses == 1,
+      s"ev4b plans $parses JsonToStructs, expected exactly 1")
+  }
+
   test("ev3 retention: single-pass — one scan of events") {
     val scans = planOf("ev3_retention")
       .collect { case s: FileSourceScanExec => s }
