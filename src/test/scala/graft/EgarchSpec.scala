@@ -121,4 +121,75 @@ class EgarchSpec extends AnyFunSuite {
     val one = Egarch.fitPerGroup(bars).collect().head.vol_forecast_1
     assert(math.abs(out.minBy(_.horizon).vol_forecast - one) < 1e-12)
   }
+
+  /** Simulate from the EXACT model the fit assumes:
+    * log s2_t = w + a(|e_{t-1}| - E|e|) + g e_{t-1} + b log s2_{t-1},
+    * x_t = exp(log s2_t / 2) e_t, e standardized Student-t(nu). */
+  private def simulateEgarch(n: Int, omega: Double, alpha: Double,
+      gamma: Double, beta: Double, nu: Double, seed: Long): Array[Double] = {
+    val rng = new java.util.Random(seed)
+    def tDraw(): Double = {
+      val g = rng.nextGaussian()
+      var chi2 = 0.0
+      for (_ <- 0 until nu.toInt) { val z = rng.nextGaussian(); chi2 += z * z }
+      g / math.sqrt(chi2 / nu) * math.sqrt((nu - 2.0) / nu)
+    }
+    val eAbs = Egarch.absMoment(nu)
+    val x = new Array[Double](n)
+    var logS2 = omega / (1.0 - beta) // unconditional mean of log s2
+    var ePrev = 0.0; var eAbsPrev = eAbs
+    for (t <- 0 until n) {
+      logS2 = omega + alpha * (eAbsPrev - eAbs) + gamma * ePrev +
+        beta * logS2
+      val e = tDraw()
+      x(t) = math.exp(0.5 * logS2) * e
+      ePrev = e; eAbsPrev = math.abs(e)
+    }
+    x
+  }
+
+  test("golden: fit recovers known EGARCH(1,1) parameters") {
+    // The echo+verify oracle gate pins that the fit REPRODUCES; this
+    // pins that it is TRUE: data simulated with known (w, a, g, b, nu)
+    // at fixed seed must fit back to those values. The fit runs on the
+    // internally-standardized series, so every parameter except omega
+    // is scale-invariant; omega's truth shifts by (1-b)*2*ln(c) for
+    // the standardization factor c (log s2 drops 2 ln c uniformly).
+    val (omega, alpha, gamma, beta, nu) = (-0.1, 0.25, -0.15, 0.9, 8.0)
+    val x = simulateEgarch(4000, omega, alpha, gamma, beta, nu,
+      seed = 20260813L)
+    val f = Egarch.fit(x)
+    assert(f.converged, "golden fit did not converge")
+    val mean = x.sum / x.length
+    val c = math.sqrt(x.map(v => (v - mean) * (v - mean)).sum / x.length)
+    val omegaStd = omega - (1.0 - beta) * 2.0 * math.log(c)
+    // tolerances ~2x the MLE standard error at n=4000 (observed
+    // recovery: a=0.261 g=-0.150 b=0.882 nu=7.80)
+    assert(math.abs(f.mu) < 0.02, s"mu=${f.mu}, true 0")
+    assert(math.abs(f.omega - omegaStd) < 0.05,
+      s"omega=${f.omega}, true (standardized) $omegaStd")
+    assert(math.abs(f.alpha.head - alpha) < 0.08,
+      s"alpha=${f.alpha.head}, true $alpha")
+    assert(math.abs(f.gamma - gamma) < 0.05, s"gamma=${f.gamma}, true $gamma")
+    assert(math.abs(f.beta.head - beta) < 0.05, s"beta=${f.beta.head}, true $beta")
+    assert(f.nu > 6.0 && f.nu < 11.0, s"nu=${f.nu}, true $nu")
+  }
+
+  test("golden: m4 AIC grid prefers the true (1,1) order on simulated data") {
+    val x = simulateEgarch(4000, -0.1, 0.25, -0.15, 0.9, 8.0,
+      seed = 20260813L)
+    val grid = (for (p <- 1 to 2; q <- 1 to 2) yield
+      (p, q) -> Egarch.fit(x, p, q)).toMap
+    assert(grid.values.forall(_.converged))
+    // the true model must win the grid, and autoSelect must agree
+    val ordered = grid.toSeq.sortBy(_._2.aic).map(_._1)
+    assert(ordered.head == ((1, 1)),
+      s"AIC picked $ordered over the true (1,1)")
+    val auto = Egarch.autoSelect(x).get
+    assert((auto.p, auto.q) == ((1, 1)))
+    assert(math.abs(auto.aic - grid((1, 1)).aic) < 1e-9)
+    // golden pin of the full deterministic ordering at this seed
+    assert(ordered == Seq((1, 1), (2, 1), (2, 2), (1, 2)),
+      s"grid AIC ordering drifted: $ordered")
+  }
 }
