@@ -15,51 +15,43 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val emb = graft.util.Tables.load(spark, sfDir, "embeddings")
-    emb.count() // warm
     def timed(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
       val n = f
       println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%6.2f s  rows=$n")
     }
-    timed("noop count")(emb.select(col("vec_id")).count())
-    timed("tops only")(emb
-      .select(col("vec_id"),
-        graft.operators.VectorOps.topCoords(col("embedding"), 3).as("_tops"))
-      .count())
-    val naturalTops = {
-      val a = col("embedding")
-      val pairs = transform(sequence(lit(1), size(a)),
-        i => struct((-element_at(a, i)).as("v"), i.as("i")))
-      transform(slice(array_sort(pairs), 1, 3), _.getField("i"))
-    }
-    timed("tops natural-order")(emb
-      .select(col("vec_id"), naturalTops.as("_tops")).count())
-    timed("tops natural again")(emb
-      .select(col("vec_id"), naturalTops.as("_tops")).count())
-    timed("keyed")(emb
-      .select(col("vec_id"),
-        graft.operators.VectorOps.topCoords(col("embedding"), 3).as("_tops"))
-      .select(col("vec_id"),
-        explode(graft.operators.VectorOps.pairKeysFromTops(col("_tops")))
-          .as("bucket")).count())
-    timed("keyed again")(emb
-      .select(col("vec_id"),
-        graft.operators.VectorOps.topCoords(col("embedding"), 3).as("_tops"))
-      .select(col("vec_id"),
-        explode(graft.operators.VectorOps.pairKeysFromTops(col("_tops")))
-          .as("bucket")).count())
-    timed("candidatePairs")(
+    val emb = graft.util.Tables.load(spark, sfDir, "embeddings")
+    emb.count() // warm
+    timed("embed candidatePairs")(
       graft.operators.VectorOps.candidatePairs(emb).count())
     spark.catalog.clearCache()
-    timed("cosineNearDups")(
+    timed("embed cosineNearDups")(
       graft.operators.VectorOps.cosineNearDups(emb, 0.3).count())
     spark.catalog.clearCache()
-    timed("bucketTop1")(
-      graft.operators.VectorOps.bucketTop1(emb).count())
+    val docs = graft.util.Tables.load(spark, sfDir, "documents")
+    docs.count()
+    val hashed = docs.select(col("doc_id"),
+      graft.functions.TextHashColumns.ngramHashes(col("text"), 2).as("hs"))
+    timed("minhash sig+bands only") {
+      val sig = graft.operators.TextDedup.minhashSignature(col("hs"), 12)
+      hashed.select(col("doc_id"),
+        explode(array(graft.operators.TextDedup.bands(sig): _*))
+          .as("band_val")).count()
+    }
+    timed("minhash candidates") {
+      val sig = graft.operators.TextDedup.minhashSignature(col("hs"), 12)
+      val exploded = hashed.select(col("doc_id"),
+        explode(array(graft.operators.TextDedup.bands(sig): _*))
+          .as("band_val"))
+      exploded.select(col("doc_id").as("id_a"), col("band_val"))
+        .join(exploded.select(col("doc_id").as("id_b"), col("band_val")),
+          "band_val")
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct().count()
+    }
     spark.catalog.clearCache()
-    timed("bucketTop1 again")(
-      graft.operators.VectorOps.bucketTop1(emb).count())
+    timed("minhash full")(
+      graft.operators.TextDedup.minhashNearDups(hashed).count())
     spark.stop()
   }
 }

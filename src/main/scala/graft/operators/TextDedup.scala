@@ -93,7 +93,12 @@ object TextDedup {
     1013904223L, 3L, 12820163L, 7L, 11L, 17L, 23L, 29L)
 
   /** MinHash signature: k affine-permutation minima over the per-
-    * shingle 32-bit hashes (`hashesCol`: array<long>). */
+    * shingle 32-bit hashes (`hashesCol`: array<long>). The Column-HOF
+    * reference formulation — [[minhashNearDups]] computes the same k
+    * minima through the codegen'd
+    * [[graft.functions.MinhashSigs]] kernel (one array traversal for
+    * all k permutations instead of k interpreted-lambda passes, the
+    * measured hot spot of the pipeline at the sf1 decade). */
   def minhashSignature(hashesCol: Column, k: Int): Seq[Column] =
     (0 until k).map { s =>
       array_min(transform(hashesCol,
@@ -174,12 +179,21 @@ object TextDedup {
       k: Int = 12,
       threshold: Double = 0.5): DataFrame = {
     val hashed = materialize(corpus)
-    val sig = minhashSignature(col("hs"), k)
+    // all k permutation minima in ONE codegen'd traversal per doc
+    // (the k-lambda Column formulation was the pipeline's measured
+    // hot spot at sf1), staged as an attribute so the band builder
+    // reads the array instead of re-evaluating the kernel per band
+    val sigd = hashed.select(col(idCol),
+      graft.functions.TextHashColumns.minhashSigs(col("hs"),
+        MinhashA.take(k), MinhashB.take(k), MinhashP).as("_sig"))
+    val sigCols = (0 until k).map(s => element_at(col("_sig"), s + 1))
     // explode index-prefixed bands -> (id, band_val); candidate pairs
     // are a self-equi-join on band_val (a shuffle keyed by bucket, the
-    // thing that makes this not-all-pairs at scale)
-    val exploded = hashed.select(col(idCol),
-      explode(array(bands(sig): _*)).as("band_val"))
+    // thing that makes this not-all-pairs at scale). Materialized:
+    // it feeds BOTH sides of the band self-join — without the barrier
+    // each side recomputes the full signature pass.
+    val exploded = materialize(sigd.select(col(idCol),
+      explode(array(bands(sigCols): _*)).as("band_val")))
     val candidates = exploded.select(col(idCol).as("id_a"), col("band_val"))
       .join(exploded.select(col(idCol).as("id_b"), col("band_val")), "band_val")
       .filter(col("id_a") < col("id_b"))

@@ -17,17 +17,19 @@ import org.apache.spark.sql.functions._
   *    map-side, and takes the per-query top-k with a rank window
   *    partitioned by query id — shuffle keyed by query, never all-pairs
   *    between corpus rows.
-  *  - `bucketTop1` / `cosineNearDups` bucket each vector by UNORDERED
-  *    PAIRS of its top coordinates (a deterministic
-  *    concomitant-of-maximum LSH for inner-product search): each
-  *    vector posts the 3 canonical {lo, hi} pairs over its 3 largest
-  *    coordinates, and candidates are generated only inside a
-  *    {coord, coord} bucket — a dim²/2 key space, so one hot
-  *    coordinate spreads over dim-1 buckets instead of collapsing
-  *    into a single quadratic bucket the way a plain argmax key does.
-  *    Candidates travel as id pairs only; full vectors are re-fetched
-  *    by id for the exact-cosine verify (the same fetch-by-id shape
-  *    the MinHash verify uses).
+  *  - `bucketTop1` / `cosineNearDups` bucket each vector with banded
+  *    sign-projection LSH ([[graft.functions.VectorHash]]): 16 bands
+  *    of 16 hyperplane-sign bits, a `bands * 2^bits` (~1M) key space.
+  *    Candidates are generated only inside a band bucket, so expected
+  *    random collisions are ~2^-16 per band per pair while true
+  *    near-duplicates (cos >= 0.95) are recalled with p ~ 0.96. The
+  *    earlier top-coordinate pair scheme had a FIXED dim²/2 (~2k) key
+  *    space — candidates grew as n²/2k (measured 100x for 10x rows at
+  *    the sf1 decade), which no data distribution rescues; here
+  *    selectivity is a parameter (bits ~ 2 log2 n) that grows with
+  *    the corpus. Candidates travel as id pairs only; full vectors
+  *    are re-fetched by id for the exact-cosine verify (the same
+  *    fetch-by-id shape the MinHash verify uses).
   */
 object VectorOps {
 
@@ -43,52 +45,33 @@ object VectorOps {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
 
-  /** 1-based indices of the `l` largest coordinates, ordered by
-    * (value desc, index asc) — deterministic under ties, and exactly
-    * reproducible by a rank window in any SQL engine. */
-  def topCoords(a: Column, l: Int): Column = {
-    val pairs = transform(sequence(lit(1), size(a)),
-      i => struct(element_at(a, i).as("v"), i.as("i")))
-    val sorted = array_sort(pairs, (x, y) =>
-      when(x.getField("v") > y.getField("v"), -1)
-        .when(x.getField("v") < y.getField("v"), 1)
-        .otherwise(x.getField("i") - y.getField("i")))
-    transform(slice(sorted, 1, l), _.getField("i"))
-  }
+  /** LSH geometry: 16 bands x 16 bits. At this width random 64-dim
+    * pairs collide in some band with p ~ 4x2^-16 (measured 983
+    * candidates over 2M pairs), near-identical vectors are recalled
+    * with p(cos .95) ~ .96, p(cos .99) ~ 1. The scale lever is
+    * `SignLshBits` (+2 bits per 2x corpus growth holds expected
+    * random candidates flat); both constants feed the oracle SQL so
+    * the gate follows any retuning. */
+  val SignLshBands = 16
+  val SignLshBits = 16
 
-  /** The 3 canonical unordered-pair bucket keys {t_i, t_j} over a
-    * vector's top-3 coordinate column, as (lo, hi) structs. Candidate
-    * generation is symmetric, so the canonical form yields the exact
-    * candidate set the 6 ordered pairs did with half the exploded
-    * rows, and each surviving pair matches once per shared pair
-    * instead of twice before distinct(). A struct key (not an integer
-    * packing) stays collision-free at any embedding dim — a fixed
-    * t_i * 1000 + t_j multiplier silently collides at dim >= 1000,
-    * and 1024/1536-dim embeddings are common. Two vectors share a
-    * bucket iff their top-3 coordinate sets share at least two
-    * members — a dim²/2-sized key space. Takes the PRE-COMPUTED tops
-    * column, never the raw vector: inlining [[topCoords]] here would
-    * re-evaluate the per-row sort per key (measured ~2 s on 2 000
-    * rows — the comparator lambda runs interpreted). */
-  def pairKeysFromTops(tops: Column): Column = {
-    def k(i: Int, j: Int): Column = struct(
-      least(element_at(tops, i), element_at(tops, j)).as("lo"),
-      greatest(element_at(tops, i), element_at(tops, j)).as("hi"))
-    array(k(1, 2), k(1, 3), k(2, 3))
-  }
+  /** Per-vector band bucket keys (array of `SignLshBands` longs). */
+  def signLshKeys(vec: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.SignLshKeys(
+        org.apache.spark.sql.GraftBridge.expression(vec),
+        SignLshBands, SignLshBits))
 
-  /** Distinct candidate id pairs (id_a < id_b) from the pair-bucket
-    * join — ids only; callers re-fetch vectors by id. Exposed so the
-    * candidate volume can be asserted directly in tests. */
+  /** Distinct candidate id pairs (id_a < id_b) from the LSH band
+    * bucket join — ids only; callers re-fetch vectors by id. Exposed
+    * so the candidate volume can be asserted directly in tests. */
   def candidatePairs(corpus: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // the sort runs ONCE per row in its own projection (CollapseProject
-    // keeps a multiply-referenced non-cheap alias staged); materialized
-    // because the key table feeds both sides of the self-join and
-    // explode's implicit size>0 pushdown would re-inline it otherwise
+    // materialized because the key table feeds both sides of the
+    // self-join and explode's implicit size>0 pushdown would
+    // re-inline the signature expression otherwise
     val keyed = graft.util.Caches.materialize(corpus
-      .select(col(idCol), topCoords(col(vecCol), 3).as("_tops"))
-      .select(col(idCol), explode(pairKeysFromTops(col("_tops"))).as("bucket")))
+      .select(col(idCol), explode(signLshKeys(col(vecCol))).as("bucket")))
     // eager snapshot (reliable checkpoint when a dir is configured) so
     // the key cache can be dropped before returning — otherwise every
     // call leaks a MEMORY_AND_DISK plan for the session's lifetime
@@ -124,8 +107,8 @@ object VectorOps {
       .filter(col("rank") <= k)
   }
 
-  /** Embedding-cosine near-duplicate pairs: same top-coordinate
-    * pair bucketing as [[bucketTop1]], emitting every candidate pair
+  /** Embedding-cosine near-duplicate pairs: same sign-LSH band
+    * bucketing as [[bucketTop1]], emitting every candidate pair
     * at or above `threshold` (id_a < id_b). The dedup-flavored
     * variant of the bucketed search — feeds the same cluster
     * assignment as the text near-dup pairs. */

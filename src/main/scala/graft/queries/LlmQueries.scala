@@ -649,32 +649,50 @@ object LlmQueries {
   def embedNearDups(s: SparkSession, dir: String): DataFrame =
     VectorOps.cosineNearDups(emb(s, dir), EmbedDupThreshold)
 
-  /** Shared oracle CTEs mirroring [[VectorOps.candidatePairs]]: rank
-    * coordinates per vector by (value desc, index asc), post the 3
-    * canonical unordered pairs over the top-3 as (lo, hi) bucket
-    * keys, and keep distinct intra-bucket id pairs. */
-  private val pairBucketCte: String =
-    """ranked AS (
-      |  SELECT vec_id, i,
-      |    row_number() OVER (PARTITION BY vec_id
-      |      ORDER BY embedding[i] DESC, i) AS r
-      |  FROM (SELECT vec_id, embedding,
-      |          unnest(range(1, len(embedding) + 1)) AS i FROM embeddings)
-      |),
-      |top3 AS (
-      |  SELECT vec_id, list(i ORDER BY r) AS tops
-      |  FROM ranked WHERE r <= 3 GROUP BY vec_id
-      |),
-      |keys AS (
-      |  SELECT vec_id, least(tops[a], tops[b]) AS lo,
-      |    greatest(tops[a], tops[b]) AS hi
-      |  FROM top3, (VALUES (1,2),(1,3),(2,3)) probes(a, b)
-      |),
-      |cand AS (
-      |  SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
-      |  FROM keys a JOIN keys c
-      |    ON a.lo = c.lo AND a.hi = c.hi AND a.vec_id < c.vec_id
-      |)""".stripMargin
+  /** Shared oracle CTEs mirroring [[VectorOps.candidatePairs]]'s
+    * banded sign-projection LSH bit for bit: hyperplane coefficients
+    * are +/-1 by the parity of the first hex char of sha256("p:i")
+    * (p = band*bits + bit, i the 1-based coordinate), each projection
+    * is the same left-to-right double fold the codegen'd
+    * [[graft.functions.VectorHash.signLsh]] runs, the band key packs
+    * as band * 2^bits + sig, and candidates are distinct intra-bucket
+    * id pairs. Geometry constants come from VectorOps so a retune
+    * cannot desynchronize the gate. */
+  private val pairBucketCte: String = {
+    val bands = VectorOps.SignLshBands
+    val bits = VectorOps.SignLshBits
+    s"""coefs AS (
+       |  SELECT p, list(CASE WHEN substr(sha256(p::VARCHAR || ':' || i::VARCHAR), 1, 1)
+       |                      IN ('1','3','5','7','9','b','d','f')
+       |                 THEN -1.0 ELSE 1.0 END ORDER BY i) AS cs
+       |  FROM (SELECT t1.range AS p, u.i
+       |        FROM range(0, ${bands * bits}) t1,
+       |             (SELECT unnest(range(1, max(len(embedding)) + 1)) AS i
+       |              FROM embeddings) u)
+       |  GROUP BY p
+       |),
+       |sigs AS (
+       |  SELECT vec_id, b,
+       |    CAST(b AS BIGINT) * ${1L << bits}
+       |      + sum(CASE WHEN proj >= 0 THEN (1::BIGINT << j) ELSE 0 END)
+       |      AS bucket
+       |  FROM (
+       |    SELECT e.vec_id, p.b, p.j,
+       |      list_reduce(list_transform(range(1, len(e.embedding) + 1),
+       |        i -> c.cs[i] * e.embedding[i]::DOUBLE),
+       |        (acc, x) -> acc + x) AS proj
+       |    FROM embeddings e
+       |    JOIN (SELECT t1.range AS b, t2.range AS j
+       |          FROM range(0, $bands) t1, range(0, $bits) t2) p ON true
+       |    JOIN coefs c ON c.p = p.b * $bits + p.j
+       |  ) GROUP BY 1, 2
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+       |  FROM sigs a JOIN sigs c
+       |    ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+       |)""".stripMargin
+  }
 
   val embedNearDupsOracle: String =
     s"""WITH $pairBucketCte

@@ -401,50 +401,63 @@ class LlmOperatorsSpec extends AnyFunSuite {
     assert(pq.length == 8 * 5)
   }
 
-  test("bucketed ANN pairs via top-coordinate pair buckets") {
-    val out = VectorOps.bucketTop1(vecs).collect()
-      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("nn_id")).toMap
-    // dim 3 with top-3 keys: every vector posts all ordered coord
-    // pairs, so each nn is the global best — exercising the full
-    // candidate->fetch->rank path
-    assert(out(0L) == 1L && out(1L) == 0L)
-    assert(out(2L) == 3L && out(3L) == 2L)
-    assert(out(4L) == 2L) // cos ties at 0.0 -> lower neighbor id wins
+  /** Deterministic pseudo-random 64-dim corpus with planted near-dup
+    * pairs: vector 2i+1 of each planted pair is a tiny perturbation of
+    * vector 2i (cos > 0.99); the rest are index-hashed noise. */
+  private def lshCorpus(n: Int, planted: Int) = {
+    import spark.implicits._
+    def noise(seed: Int) = {
+      val r = new scala.util.Random(seed)
+      val v = Array.fill(64)(r.nextGaussian().toFloat)
+      val nrm = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / nrm)
+    }
+    (0 until n).map { i =>
+      if (i < 2 * planted && i % 2 == 1) {
+        val base = noise(i - 1)
+        base(0) = base(0) + 0.02f // perturbed copy of 2i
+        (i.toLong, base)
+      } else (i.toLong, noise(i))
+    }.toDF("vec_id", "embedding")
   }
 
-  test("pair buckets bound candidates on a hot-argmax skewed corpus") {
-    import spark.implicits._
-    // 200 vectors, dim 64, ALL sharing the same argmax coordinate —
-    // the adversarial skew for a plain argmax bucket, which would
-    // put every pair in one bucket (19 900 candidates). The ordered
-    // top-2 pair keys spread the hot coordinate across dim-1 buckets.
-    val dim = 64
-    val n = 200
-    val rows = (0 until n).map { i =>
-      val v = Array.fill(dim)(0.0f)
-      v(0) = 10.0f // hot argmax, shared by every vector
-      val p2 = 1 + (i % (dim - 1))
-      var p3 = 1 + ((i * 5 + 7) % (dim - 1))
-      if (p3 == p2) p3 = 1 + (p3 % (dim - 1))
-      v(p2) = 5.0f
-      v(p3) = 3.0f
-      (i.toLong, v)
-    }
-    val df = rows.toDF("vec_id", "embedding")
+  test("sign-LSH recalls every planted near-identical pair") {
+    // semantic pin of the bucketing: near-identical vectors
+    // (cos > 0.99) MUST share a band — deterministic given the
+    // sha-derived hyperplanes, not a probabilistic flake
+    val df = lshCorpus(200, planted = 10)
+    val cand = VectorOps.candidatePairs(df)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (i <- 0 until 10)
+      assert(cand.contains((2L * i, 2L * i + 1)),
+        s"planted pair ${2 * i} missing from candidates")
+  }
+
+  test("sign-LSH keeps random-pair candidates far below all-pairs") {
+    val n = 400
+    val df = lshCorpus(n, planted = 0)
     val cand = VectorOps.candidatePairs(df).count()
     val allPairs = n.toLong * (n - 1) / 2
-    assert(cand > 0, "skewed fixture produced no candidates")
-    assert(cand * 10 < allPairs,
+    assert(cand * 50 < allPairs,
       s"candidate volume not bounded: $cand of $allPairs all-pairs")
   }
 
-  test("topCoords ranks by value desc then index asc") {
-    import spark.implicits._
-    val d = Seq((1L, Array(0.5f, 0.9f, 0.9f, 0.1f)))
-      .toDF("vec_id", "embedding")
-    val tops = d.select(VectorOps.topCoords(col("embedding"), 3).as("t"))
-      .head().getSeq[Int](0)
-    assert(tops == Seq(2, 3, 1)) // tie at 0.9 -> lower index first
+  test("bucketed ANN finds the planted twin as nearest neighbour") {
+    val out = VectorOps.bucketTop1(lshCorpus(100, planted = 5)).collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        (r.getAs[Long]("nn_id"), r.getAs[Double]("cos_sim")))).toMap
+    for (i <- 0 until 5) {
+      val (nn, cos) = out(2L * i)
+      assert(nn == 2L * i + 1 && cos > 0.99,
+        s"vec ${2 * i}: nn=$nn cos=$cos, expected its planted twin")
+      assert(out(2L * i + 1)._1 == 2L * i)
+    }
+  }
+
+  test("cosineNearDups emits exactly the planted pairs at a high threshold") {
+    val pairs = VectorOps.cosineNearDups(lshCorpus(200, planted = 10), 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == (0 until 10).map(i => (2L * i, 2L * i + 1)).toSet)
   }
 
   test("topNgrams counts raw occurrences with a deterministic tiebreak") {
