@@ -27,9 +27,24 @@ object Caches {
     * an executor loss cannot recompute past the truncation. Iterative
     * loops (connected components) and released-cache snapshots
     * (candidate pair sets) both route through this so a cluster
-    * deployment gets reliability by setting one conf. */
-  def snapshot(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-      df.checkpoint(true)
-    else df.localCheckpoint(true)
+    * deployment gets reliability by setting one conf.
+    *
+    * The checkpointed leaf's carried size estimate is CAPPED: Spark
+    * copies the origin plan's estimated Statistics onto the new leaf,
+    * and Catalyst's size-only visitor MULTIPLIES child sizes through
+    * joins — in a snapshot-per-round loop the estimate's bit-length
+    * doubles every round (size_k ~ size_{k-1}^2), and by round ~25
+    * the driver spends minutes on multi-megabit BigInteger products
+    * just planning the next round (observed: the sf1 cluster loop
+    * wedged single-threaded in BigInteger.multiplyToomCook3). Small
+    * real estimates pass through untouched, so broadcast-threshold
+    * decisions keep working; only the meaningless astronomical ones
+    * are clamped. */
+  def snapshot(df: DataFrame): DataFrame = {
+    val chk =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        df.checkpoint(true)
+      else df.localCheckpoint(true)
+    org.apache.spark.sql.GraftBridge.capLeafStats(chk, BigInt(2).pow(50))
+  }
 }

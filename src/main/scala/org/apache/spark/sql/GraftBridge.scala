@@ -54,4 +54,25 @@ object GraftBridge {
   def bindTo(df: DataFrame, target: SparkSession): DataFrame =
     classic.Dataset.ofRows(target.asInstanceOf[classic.SparkSession],
       df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed)
+
+  /** Clamp the size estimate a checkpointed `LogicalRDD` leaf carries
+    * (Dataset.checkpoint copies the origin plan's Statistics onto the
+    * new leaf; join-product estimation then compounds them across
+    * snapshot-per-round loops — see graft.util.Caches.snapshot).
+    * Leaves whose estimate is already at or below `cap` — every
+    * honestly-sized table — are returned untouched, real row counts
+    * and column stats are preserved either way. */
+  def capLeafStats(df: DataFrame, cap: BigInt): DataFrame =
+    df.asInstanceOf[classic.Dataset[Row]].queryExecution.logical match {
+      case lr: execution.LogicalRDD if lr.stats.sizeInBytes > cap =>
+        val capped = lr.stats.copy(sizeInBytes = cap)
+        val fresh = execution.LogicalRDD(
+          lr.output, lr.rdd, lr.outputPartitioning, lr.outputOrdering,
+          lr.isStreaming, lr.stream)(
+          df.sparkSession.asInstanceOf[classic.SparkSession],
+          Some(capped), None)
+        classic.Dataset.ofRows(
+          df.sparkSession.asInstanceOf[classic.SparkSession], fresh)
+      case _ => df
+    }
 }

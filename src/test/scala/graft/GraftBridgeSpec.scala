@@ -39,4 +39,30 @@ class GraftBridgeSpec extends AnyFunSuite {
     assert(base.conf.get("spark.sql.shuffle.partitions") == before)
     assert(GraftBridge.bindTo(df, base).count() == 3)
   }
+
+  test("snapshot loops cannot compound size estimates (BigInt blowup)") {
+    // Dataset.checkpoint copies the origin plan's estimated
+    // sizeInBytes onto the new leaf and join estimation MULTIPLIES
+    // child sizes, so a snapshot-per-round loop squares the estimate
+    // every round — by round ~25 the driver wedges for minutes in
+    // BigInteger products just planning (observed on the sf1 cluster
+    // loop). Caches.snapshot clamps each leaf, so 20 rounds of
+    // self-join+snapshot must keep every estimate at or below the cap
+    // (and this test finishes in seconds instead of geologic time).
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val cap = BigInt(2).pow(50)
+    var labels = graft.util.Caches.snapshot(
+      Seq((1L, 1L), (2L, 1L), (3L, 2L)).toDF("id", "label"))
+    for (_ <- 1 to 20) {
+      val parent = labels.select($"id".as("label"), $"label".as("_ll"))
+      labels = graft.util.Caches.snapshot(
+        labels.join(parent, Seq("label"), "left")
+          .select($"id", org.apache.spark.sql.functions.coalesce($"_ll",
+            $"label").as("label")))
+      val est = labels.queryExecution.logical.stats.sizeInBytes
+      assert(est <= cap, s"snapshot leaf estimate $est exceeds the cap")
+    }
+    assert(labels.count() == 3)
+  }
 }
