@@ -67,8 +67,17 @@ object Bench {
         }
       val sec = (System.nanoTime() - t0) / 1e9
       // drop caches a query materialized (signature tables etc.) so
-      // they cannot crowd later queries' memory — outside the window
+      // they cannot crowd later queries' memory — outside the window.
+      // catalog.clearCache misses localCheckpoint RDD blocks (they are
+      // persisted RDDs, not cached plans, and ContextCleaner only
+      // frees them after a driver GC happens to collect the RDD
+      // object) — unpersist every persistent RDD explicitly so one
+      // query's snapshots can never crowd a later query's execution
+      // memory nondeterministically.
       try spark.catalog.clearCache() catch { case _: Throwable => () }
+      try spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      catch { case _: Throwable => () }
       (name, sec, ok)
     }
     val qs = results.map { case (k, v, ok) =>

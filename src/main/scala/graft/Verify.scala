@@ -42,8 +42,12 @@ object Verify {
         } catch { case _: Throwable => () }
       }
       // per-query caches (signature tables etc.) are dead once the
-      // result is written — drop them before the next query
+      // result is written — drop them before the next query, including
+      // localCheckpoint RDD blocks clearCache does not reach
       try spark.catalog.clearCache() catch { case _: Throwable => () }
+      try spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      catch { case _: Throwable => () }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
