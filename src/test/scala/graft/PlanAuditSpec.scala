@@ -50,6 +50,29 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("registry-wide scan audit: no query scans one table more than 4x") {
+    // The permanent form of the round-7 scan audit (it caught
+    // double-computed subtrees in pack-bins and lang-balance).
+    // Legitimate multi-scans are joins of two projections of the same
+    // table (trades x spot bars from the synthetic source, ANN corpus
+    // x query subset, DPP dim + its filter subquery, the two
+    // verify-fetch sides of a candidate pair join) — all <= 4 today
+    // (llm_curation_e2e's staged composition is the maximum). A
+    // regression past that means a materialization barrier was lost
+    // and a subtree is being recomputed per branch.
+    for ((name, _) <- SparkEntry.queries if !driverSide(name)) {
+      val perTable = planOf(name)
+        .collect { case s: FileSourceScanExec =>
+          s.relation.location.rootPaths.headOption
+            .map(_.getName).getOrElse("?")
+        }
+        .groupBy(identity).view.mapValues(_.size)
+      perTable.foreach { case (table, n) =>
+        assert(n <= 4, s"$name scans $table $n times")
+      }
+    }
+  }
+
   test("broadcast nested-loop joins appear only by design") {
     // bounded-broadcast by design: the brute-force ANN scores and the
     // PQ ADC table join pair the full corpus against a broadcast
