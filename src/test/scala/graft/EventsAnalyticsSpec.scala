@@ -90,6 +90,35 @@ class EventsAnalyticsSpec extends AnyFunSuite {
     assert(f === Seq((7L, 0L, 1L, 2L, 3L)))
   }
 
+  test("WindowFunnelChain refuses to merge two non-empty partials loudly") {
+    // The O(steps) buffer cannot merge two genuine partial chains
+    // exactly, so the merge path must RAISE when a group's events ever
+    // reach the aggregate from more than one partial buffer (i.e. the
+    // input was not pre-partitioned by the group key) — a silent
+    // coalesce would return a wrong chain. Build that forbidden plan
+    // directly: a partial-before-exchange aggregate over a 2-partition
+    // input whose single user fires step 1 in BOTH partitions.
+    val chain = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.WindowFunnelChain(
+        org.apache.spark.sql.GraftBridge.expression(col("_us")),
+        org.apache.spark.sql.GraftBridge.expression(col("_t")),
+        Seq("view", "click"), 60L * 1000000L).toAggregateExpression())
+    val rows = spark.range(2).select(
+      lit(1L).as("user_id"),
+      (col("id") * 1000000L).as("_us"),
+      lit("view").as("_t"))
+      .repartition(2, col("_us")) // user 1 spans partitions
+      .sortWithinPartitions(col("user_id"), col("_us"))
+    val ex = intercept[Exception] {
+      rows.groupBy(col("user_id")).agg(chain.as("_f")).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("pre-partitioned")),
+      s"expected the merge guard to fire, got: ${messages(ex).take(2)}")
+  }
+
   test("funnelAnyChain completes via a later anchor where greedy can't") {
     // view@0 can't reach its click within the window; view@5s can.
     // Greedy (earliest-anchor) stops at level 1; any-chain reports the
