@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a training-data pipeline: language ID
@@ -441,5 +442,66 @@ object TextAnalysis {
         count(lit(1)).as("n_words"),
         (graft.util.Parity.dsum(col("_lp")) / count(lit(1)))
           .as("avg_logprob"))
+  }
+
+  /** Deterministic global corpus shuffle for training-data ordering:
+    * every document gets a seeded sha256 shuffle key, a shard (the
+    * training-file granularity) from the key's top 32 bits, and its
+    * position within the shard. The permutation is a pure function of
+    * (seed, doc_id) — independent of input partitioning, cluster
+    * size, and execution order — so a re-run, a resume, or a
+    * different engine reproduces byte-identical training order (the
+    * property data-ordering ablations and crash-recovery both need;
+    * `rand()`-keyed shuffles have neither).
+    *
+    * Scale shape: ONE exchange, keyed by shard (the position
+    * row_number never leaves its shard partition; there is no global
+    * sort). sha keys are uniform, so shards are balanced within
+    * O(sqrt) noise — no skew handling needed at any corpus size. The
+    * production writer is `.repartition(nShards, $"shard")` +
+    * `.sortWithinPartitions("shuffle_key")` + one file per shard;
+    * this operator emits the assignment table that writer consumes. */
+  def corpusShuffle(docs: DataFrame, seed: Long, nShards: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val key = sha2(
+      concat(lit(s"shuffle:$seed:"), col(idCol).cast("string")), 256)
+    val shard = (conv(substring(col("shuffle_key"), 1, 8), 16, 10)
+      .cast("long") % nShards).cast("int")
+    docs
+      .select(col(idCol), key.as("shuffle_key"))
+      .withColumn("shard", shard)
+      .withColumn("pos_in_shard", row_number().over(
+        Window.partitionBy(col("shard"))
+          .orderBy(col("shuffle_key"), col(idCol))))
+  }
+
+  /** Temperature-based source mixture weights — the multilingual /
+    * multi-domain sampling scheme (T5, XLM-R lineage): a source's
+    * sampling weight is its token share raised to 1/T, here T = 2
+    * (sqrt), renormalized. Rare sources are upsampled toward uniform,
+    * dominant ones damped; expected_docs is the per-source draw count
+    * a budget of `budgetDocs` documents implies. sqrt is a
+    * correctly-rounded IEEE op (unlike pow, whose libm implementations
+    * differ across engines), so weights are engine-exact given the
+    * same integer token counts; the normalizing sum is an order-free
+    * decimal sum of 6-decimal-quantized terms. One aggregate over the
+    * corpus + arithmetic on the tiny per-source table — the corpus is
+    * scanned once, nothing about the operator grows with corpus
+    * size. */
+  def temperatureMixture(docs: DataFrame, budgetDocs: Long,
+      sourceCol: String = "source", charsCol: String = "n_chars")
+      : DataFrame = {
+    val perSource = docs.groupBy(col(sourceCol)).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col(charsCol)).as("n_chars"))
+    val scaled = perSource.withColumn("_s",
+      graft.util.Parity.roundTo(sqrt(col("n_chars").cast("double")), 6))
+    val z = scaled.agg(graft.util.Parity.dsum(col("_s")).as("_z"))
+    scaled.crossJoin(broadcast(z))
+      .select(col(sourceCol), col("n_docs"), col("n_chars"),
+        (col("_s") / col("_z")).as("mix_weight"),
+        (col("_s") / col("_z") * lit(budgetDocs.toDouble))
+          .as("expected_docs"))
   }
 }

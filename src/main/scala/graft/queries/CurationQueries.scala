@@ -1,0 +1,226 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{TextAnalysis, TextDedup, TextPii}
+import graft.util.{Parity, Tables}
+
+/** Training-data curation entries beyond the round-7 LLM family:
+  * PII scrub/redaction, incremental snapshot-delta dedup,
+  * deterministic corpus shuffling for training order, and
+  * temperature-based source mixture weighting.
+  *
+  * The synthetic `documents` corpus contains no PII and no exact
+  * duplicates, so the entries that need them PLANT them
+  * deterministically — the same arithmetic-on-doc_id construction is
+  * spelled on the Spark side and in the DuckDB oracle, so the
+  * patterns/joins are genuinely exercised and still bit-verifiable
+  * (zero-match regexes or an all-false join column would verify
+  * nothing). */
+object CurationQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  // ---- PII scrub (pii1/pii2) ----
+
+  /** Deterministic PII planting: 2/3 of documents get one email, one
+    * IPv4 and one phone number derived from doc_id appended; the rest
+    * stay clean (the zero-count path must be exercised too). */
+  private def injected: Column =
+    when(col("doc_id") % 3 =!= 0,
+      concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com from 10."), (col("doc_id") % 200).cast("string"),
+        lit(".0."), (col("doc_id") % 250).cast("string"),
+        lit(" or call +1 (202) 555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+      .otherwise(col("text"))
+
+  /** NOTE: this fragment is embedded in oracles that call
+    * `.stripMargin` on the assembled string, so no line here may
+    * START with `|` — a leading `||` would lose its first char to the
+    * outer stripMargin. Concatenation operators sit at line ends. */
+  private val injCte =
+    """inj AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN doc_id % 3 <> 0 THEN text ||
+      |      ' contact user' || CAST(doc_id AS VARCHAR) ||
+      |      '@example.com from 10.' || CAST(doc_id % 200 AS VARCHAR) ||
+      |      '.0.' || CAST(doc_id % 250 AS VARCHAR) ||
+      |      ' or call +1 (202) 555-' ||
+      |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      |    ELSE text END AS t
+      |  FROM documents
+      |)""".stripMargin
+
+  private def duckRedact(t: String): String =
+    s"""regexp_replace(regexp_replace(regexp_replace($t,
+       |      '${TextPii.emailPattern}', '[EMAIL]', 'g'),
+       |      '${TextPii.ipv4Pattern}', '[IP]', 'g'),
+       |      '${TextPii.phonePattern}', '[PHONE]', 'g')""".stripMargin
+
+  /** pii1: per-document PII counts + redacted text. Pure projection —
+    * one scan, zero shuffles, fully inside whole-stage codegen. */
+  def pii1Scrub(s: SparkSession, dir: String): DataFrame =
+    TextPii.scrub(
+      docs(s, dir).select(col("doc_id"), injected.as("_t")), "_t")
+      .select("doc_id", "n_emails", "n_ips", "n_phones", "redacted")
+
+  val pii1Oracle: String =
+    s"""WITH $injCte
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(t, '${TextPii.emailPattern}')) AS INT)
+       |    AS n_emails,
+       |  CAST(len(regexp_extract_all(t, '${TextPii.ipv4Pattern}')) AS INT)
+       |    AS n_ips,
+       |  CAST(len(regexp_extract_all(t, '${TextPii.phonePattern}')) AS INT)
+       |    AS n_phones,
+       |  ${duckRedact("t")} AS redacted
+       |FROM inj""".stripMargin
+
+  /** pii2: per-source PII incidence + redaction volume — the
+    * compliance dashboard roll-up. One scan + one hash aggregate. */
+  def pii2SourceRates(s: SparkSession, dir: String): DataFrame =
+    TextPii.scrub(
+      docs(s, dir).select(col("doc_id"), col("source"), injected.as("_t")),
+      "_t")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when(col("n_emails") + col("n_ips") + col("n_phones") > 0,
+          lit(1))).as("docs_with_pii"),
+        sum(col("n_emails")).as("total_emails"),
+        sum(col("n_ips")).as("total_ips"),
+        sum(col("n_phones")).as("total_phones"),
+        sum(length(col("_t")) - length(col("redacted"))).as("chars_removed"))
+
+  val pii2Oracle: String =
+    s"""WITH $injCte,
+       |scr AS (
+       |  SELECT source,
+       |    len(regexp_extract_all(t, '${TextPii.emailPattern}')) AS ne,
+       |    len(regexp_extract_all(t, '${TextPii.ipv4Pattern}')) AS ni,
+       |    len(regexp_extract_all(t, '${TextPii.phonePattern}')) AS np,
+       |    len(t) - len(${duckRedact("t")}) AS delta
+       |  FROM inj
+       |)
+       |SELECT source, count(*) AS n_docs,
+       |  count(CASE WHEN ne + ni + np > 0 THEN 1 END) AS docs_with_pii,
+       |  CAST(sum(ne) AS BIGINT) AS total_emails,
+       |  CAST(sum(ni) AS BIGINT) AS total_ips,
+       |  CAST(sum(np) AS BIGINT) AS total_phones,
+       |  CAST(sum(delta) AS BIGINT) AS chars_removed
+       |FROM scr GROUP BY source""".stripMargin
+
+  // ---- incremental snapshot-delta dedup ----
+
+  /** Canonical planted-duplicate text: k in [0,7). Lowercase single
+    * spaces, so normalization is the identity on it. */
+  private def canonText(k: Column): Column =
+    concat(lit("the quick brown fox "), k.cast("string"),
+      lit(" jumped over the lazy dog"))
+
+  private val canonSql =
+    "'the quick brown fox ' || CAST(%s AS VARCHAR) || ' jumped over the lazy dog'"
+
+  /** Snapshot = even docs + 7 canonical synthetic docs; batch = odd
+    * docs, with every doc_id ≡ 1 (mod 10) rewritten to a canonical
+    * text — so ~10% of the batch are exact duplicates of snapshot
+    * rows and the rest are novel (the corpus itself has no exact
+    * dups, see the object doc). */
+  def incrDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val canon = s.range(7).select(
+      (col("id") + 100000L).as("doc_id"), canonText(col("id")).as("text"))
+    val snapshot = d.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("text")).union(canon)
+    val batch = d.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"),
+        when(col("doc_id") % 10 === 1, canonText(col("doc_id") % 7))
+          .otherwise(col("text")).as("text"))
+    TextDedup.incrementalDedup(batch, snapshot)
+  }
+
+  private val duckNorm =
+    """sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))"""
+
+  val incrDedupOracle: String =
+    s"""WITH snap_raw AS (
+       |  SELECT text FROM documents WHERE doc_id % 2 = 0
+       |  UNION ALL
+       |  SELECT ${canonSql.format("k")} AS text FROM range(7) t(k)
+       |),
+       |snap AS (SELECT DISTINCT $duckNorm AS h FROM snap_raw),
+       |batch AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 10 = 1 THEN ${canonSql.format("doc_id % 7")}
+       |    ELSE text END AS text
+       |  FROM documents WHERE doc_id % 2 = 1
+       |),
+       |bh AS (SELECT doc_id, $duckNorm AS text_hash FROM batch)
+       |SELECT b.doc_id, b.text_hash, (s.h IS NOT NULL) AS is_dup
+       |FROM bh b LEFT JOIN snap s ON b.text_hash = s.h""".stripMargin
+
+  // ---- deterministic corpus shuffle ----
+
+  private val ShuffleSeed = 42L
+  private val NShards = 16
+
+  def corpusShuffle(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.corpusShuffle(docs(s, dir), ShuffleSeed, NShards)
+
+  /** DuckDB twin of `conv(substring(hex, 1, 8), 16, 10)`: per-char
+    * hex digit values summed with double powers of 16 (exact below
+    * 2^31; same spelling as LlmQueries' duckHash32). */
+  private def duckHex32(hexCol: String): String =
+    s"""CAST(list_sum([(strpos('0123456789abcdef', $hexCol[i]) - 1)
+       |      * (16.0 ** (8 - i)) for i in range(1, 9)]) AS BIGINT)""".stripMargin
+
+  val corpusShuffleOracle: String =
+    s"""WITH k AS (
+       |  SELECT doc_id,
+       |    sha256('shuffle:$ShuffleSeed:' || CAST(doc_id AS VARCHAR)) AS sha
+       |  FROM documents
+       |),
+       |s AS (
+       |  SELECT doc_id, sha AS shuffle_key,
+       |    CAST(${duckHex32("sha")} % $NShards AS INT) AS shard
+       |  FROM k
+       |)
+       |SELECT doc_id, shuffle_key, shard,
+       |  CAST(row_number() OVER (
+       |    PARTITION BY shard ORDER BY shuffle_key, doc_id) AS INT)
+       |    AS pos_in_shard
+       |FROM s""".stripMargin
+
+  // ---- temperature mixture weights ----
+
+  private val MixBudget = 1000L
+
+  def mixWeights(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.temperatureMixture(docs(s, dir), MixBudget)
+
+  val mixWeightsOracle: String =
+    s"""WITH ps AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    CAST(sum(n_chars) AS BIGINT) AS n_chars
+       |  FROM documents GROUP BY 1
+       |),
+       |sc AS (
+       |  SELECT source, n_docs, n_chars,
+       |    ${Parity.duckRoundTo("sqrt(CAST(n_chars AS DOUBLE))", 6)} AS s
+       |  FROM ps
+       |),
+       |z AS (SELECT ${Parity.duckDsum("s")} AS z FROM sc)
+       |SELECT source, n_docs, n_chars, s / z AS mix_weight,
+       |  s / z * ${MixBudget.toDouble} AS expected_docs
+       |FROM sc, z""".stripMargin
+
+  val defs: Map[String, QueryDef] = Map(
+    "pii1_scrub" -> QueryDef(pii1Scrub _, pii1Oracle),
+    "pii2_source_rates" -> QueryDef(pii2SourceRates _, pii2Oracle),
+    "llm_incr_dedup" -> QueryDef(incrDedup _, incrDedupOracle),
+    "llm_corpus_shuffle" -> QueryDef(corpusShuffle _, corpusShuffleOracle),
+    "llm_mix_weights" -> QueryDef(mixWeights _, mixWeightsOracle))
+}

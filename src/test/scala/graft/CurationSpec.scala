@@ -1,0 +1,125 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{TextAnalysis, TextDedup, TextPii}
+
+/** Unit semantics of the round-8 curation operators: PII scrub,
+  * incremental snapshot-delta dedup, deterministic corpus shuffle,
+  * temperature mixture weights. The DuckDB oracles pin cross-engine
+  * parity; these pin the SEMANTICS on handcrafted inputs. */
+class CurationSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---- TextPii ----
+
+  private def scrubOne(text: String): (Int, Int, Int, String) = {
+    val r = TextPii.scrub(Seq((1L, text)).toDF("doc_id", "text")).collect()(0)
+    (r.getAs[Int]("n_emails"), r.getAs[Int]("n_ips"),
+      r.getAs[Int]("n_phones"), r.getAs[String]("redacted"))
+  }
+
+  test("pii scrub counts and redacts each pattern family") {
+    val (e, i, p, red) = scrubOne(
+      "mail a.b+c@host-1.org and x%y@sub.example.com, " +
+        "server 192.168.0.1, call +44 (0) 20-7946-0958 now")
+    assert(e == 2 && i == 1 && p == 1)
+    assert(red ==
+      "mail [EMAIL] and [EMAIL].com, server [IP], call [PHONE] now")
+    // x%y@sub.example.com: the tld class stops at 'example'; the
+    // trailing '.com' stays — over-masking is bounded and deterministic
+  }
+
+  test("pii scrub leaves clean text untouched with zero counts") {
+    val (e, i, p, red) = scrubOne("no personal data in this sentence")
+    assert(e == 0 && i == 0 && p == 0)
+    assert(red == "no personal data in this sentence")
+  }
+
+  test("pii redaction order: masked emails/ips never re-match as phones") {
+    // counts are per-pattern over the RAW text, so the email's long
+    // digit run legitimately counts as a phone too — but redaction
+    // masks emails first, so the output never leaks a partial match
+    val (e, _, p, red) = scrubOne("user20255500421@example.com 10.20.30.40")
+    assert(e == 1 && p == 1)
+    assert(red == "[EMAIL] [IP]")
+  }
+
+  test("pii phone needs >= 8 span and digit bounds") {
+    val (_, _, p1, _) = scrubOne("call 5551234")      // 7 chars: too short
+    val (_, _, p2, _) = scrubOne("call 555-12345")    // 9 with separator
+    assert(p1 == 0 && p2 == 1)
+  }
+
+  // ---- incremental dedup ----
+
+  test("incremental dedup flags exact snapshot matches only") {
+    val snapshot = Seq((10L, "Alpha  Beta"), (11L, "gamma delta"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "alpha beta"),        // dup: normalization folds case/space
+      (2L, "gamma delta"),       // dup: exact
+      (3L, "epsilon zeta"),      // novel
+      (4L, "alpha beta"))        // dup again (batch-internal repeat ok)
+      .toDF("doc_id", "text")
+    val out = TextDedup.incrementalDedup(batch, snapshot)
+      .select("doc_id", "is_dup").as[(Long, Boolean)].collect().toMap
+    assert(out == Map(1L -> true, 2L -> true, 3L -> false, 4L -> true))
+  }
+
+  test("incremental dedup emits exactly one row per batch doc") {
+    // snapshot multiplicity must not fan out the probe join
+    val snapshot = Seq((1L, "same text"), (2L, "same text"), (3L, "same text"))
+      .toDF("doc_id", "text")
+    val batch = Seq((9L, "same text")).toDF("doc_id", "text")
+    assert(TextDedup.incrementalDedup(batch, snapshot).count() == 1)
+  }
+
+  // ---- corpus shuffle ----
+
+  test("corpus shuffle is a partitioning-independent permutation") {
+    val docs = spark.range(0, 300).select(col("id").as("doc_id"))
+    val a = TextAnalysis.corpusShuffle(docs, seed = 7, nShards = 8)
+    val b = TextAnalysis.corpusShuffle(docs.repartition(13), 7, 8)
+    assert(a.collect().toSet == b.collect().toSet)
+    val rows = a.select("shard", "pos_in_shard").as[(Int, Int)]
+      .collect().groupBy(_._1)
+    assert(rows.keys.forall(s => s >= 0 && s < 8))
+    // positions within each shard are exactly 1..n_shard
+    rows.foreach { case (_, g) =>
+      assert(g.map(_._2).sorted.toSeq == (1 to g.length))
+    }
+    assert(rows.values.map(_.length).sum == 300)
+  }
+
+  test("corpus shuffle: different seeds give different orders") {
+    val docs = spark.range(0, 100).select(col("id").as("doc_id"))
+    val k7 = TextAnalysis.corpusShuffle(docs, 7, 4)
+      .select("doc_id", "shard", "pos_in_shard").collect().toSet
+    val k8 = TextAnalysis.corpusShuffle(docs, 8, 4)
+      .select("doc_id", "shard", "pos_in_shard").collect().toSet
+    assert(k7 != k8)
+  }
+
+  // ---- temperature mixture ----
+
+  test("temperature mixture: weights normalize and damp dominance") {
+    val docs = Seq.tabulate(90)(i => (i.toLong, "s_big", 400L)) ++
+      Seq.tabulate(10)(i => ((100 + i).toLong, "s_small", 100L))
+    val out = TextAnalysis.temperatureMixture(
+      docs.toDF("doc_id", "source", "n_chars"), budgetDocs = 1000)
+      .select("source", "n_docs", "n_chars", "mix_weight", "expected_docs")
+      .as[(String, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val wBig = out("s_big")._4
+    val wSmall = out("s_small")._4
+    assert(math.abs(wBig + wSmall - 1.0) < 1e-12)
+    // sqrt damping: big keeps the larger weight, but less than its
+    // raw 97.3% char share; small is upsampled above its 2.7% share
+    val shareBig = 36000.0 / 37000.0
+    assert(wBig > wSmall && wBig < shareBig)
+    assert(wSmall > 1.0 - shareBig)
+    assert(math.abs(out("s_big")._5 + out("s_small")._5 - 1000.0) < 1e-9)
+  }
+}

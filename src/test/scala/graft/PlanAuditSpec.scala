@@ -80,7 +80,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // language-balance rates cross-join a broadcast ONE-ROW aggregate.
     // The small side is small by construction, never corpus-sized.
     val allowed = Set("llm_ann_topk", "llm_ann_pq", "llm_unigram_logprob",
-      "a18_quality_sketch", "llm_lang_balance", "llm_tfidf_topterms")
+      "a18_quality_sketch", "llm_lang_balance", "llm_tfidf_topterms",
+      "llm_mix_weights")
     for (name <- SparkEntry.queries.keys if !driverSide(name)) {
       val bnl = planOf(name).collect { case j: BroadcastNestedLoopJoinExec => j }
       assert(bnl.isEmpty || allowed(name),
@@ -157,6 +158,35 @@ class PlanAuditSpec extends AnyFunSuite {
     }
     assert(ex.isEmpty,
       s"bucketed co-located join still shuffles: ${ex.map(_.nodeName)}")
+  }
+
+  test("pii1 scrub is a pure shuffle-free projection") {
+    val ex = planOf("pii1_scrub").collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(ex.isEmpty, "PII scrub must not shuffle — it is per-row work")
+  }
+
+  test("incremental dedup probes the index with a shuffled hash join") {
+    val shj = planOf("llm_incr_dedup").collect {
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }
+    assert(shj.nonEmpty,
+      "llm_incr_dedup lost its SHUFFLE_HASH probe join (sort-merge " +
+        "would sort the full batch side to probe a lookup table)")
+  }
+
+  test("corpus shuffle plans exactly one exchange (no global sort)") {
+    val plan = planOf("llm_corpus_shuffle")
+    val ex = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(ex.length == 1,
+      s"corpus shuffle should shuffle once (by shard), saw ${ex.length}")
+    val globalSort = plan.collect {
+      case s: org.apache.spark.sql.execution.SortExec if s.global => s
+    }
+    assert(globalSort.isEmpty, "corpus shuffle must not sort globally")
   }
 
   test("x1 salted agg is a genuine two-stage aggregate") {
