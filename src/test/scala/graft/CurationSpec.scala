@@ -102,6 +102,54 @@ class CurationSpec extends AnyFunSuite {
     assert(k7 != k8)
   }
 
+  // ---- int8 quantization ----
+
+  test("int8 quantize: scale, bounds, exact reconstruction stats") {
+    import graft.operators.VectorOps
+    val df = Seq(
+      (1L, Array(12.7f, -6.35f, 0.0f, 1.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f))) // zero vector: no NaNs
+      .toDF("vec_id", "embedding")
+    val out = VectorOps.int8Quantize(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val v1 = out(1L)
+    assert(v1.getAs[Int]("n_dims") == 4)
+    assert(math.abs(v1.getAs[Double]("scale") - 0.1) < 1e-7) // 12.7f is inexact
+    assert(v1.getAs[Int]("q_first") == 127)   // max|x| maps to exactly 127
+    assert(v1.getAs[Int]("q_last") == 10)
+    assert(v1.getAs[Double]("max_err") <= v1.getAs[Double]("scale") / 2 + 1e-12)
+    val v2 = out(2L)
+    assert(v2.getAs[Double]("scale") == 0.0 && v2.getAs[Int]("q_first") == 0
+      && v2.getAs[Double]("mse") == 0.0)
+  }
+
+  test("int8 quantize error is bounded by half a step across real vectors") {
+    import graft.operators.VectorOps
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val bad = VectorOps.int8Quantize(emb)
+      .filter(col("max_err") > col("scale") / 2).count()
+    assert(bad == 0)
+  }
+
+  // ---- dataset card ----
+
+  test("dataset card: counts, dup rate, and language entropy") {
+    val docs = Seq(
+      (1L, "alpha beta gamma", "en", "s1", 16L),
+      (2L, "Alpha  beta GAMMA", "en", "s1", 17L), // exact dup after norm
+      (3L, "uno dos tres", "es", "s2", 12L),
+      (4L, "eins zwei", "de", "s2", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = graft.operators.TextAnalysis.datasetCard(docs).collect()(0)
+    assert(r.getAs[Long]("n_docs") == 4 && r.getAs[Long]("n_sources") == 2
+      && r.getAs[Long]("n_langs") == 3)
+    assert(r.getAs[Long]("n_distinct_texts") == 3)
+    assert(math.abs(r.getAs[Double]("dup_rate") - 0.25) < 1e-12)
+    assert(r.getAs[Long]("total_words") == 11)
+    // entropy of (2,1,1)/4 = 1.5 ln-bits = 1.0397 nats
+    assert(math.abs(r.getAs[Double]("lang_entropy") - 1.039720) < 1e-4)
+  }
+
   // ---- temperature mixture ----
 
   test("temperature mixture: weights normalize and damp dominance") {
