@@ -12,6 +12,7 @@ qa, qb = a["queries"], b["queries"]
 NOTES = {
     "llm_repetition": "data-proportional by design: per-doc line/bigram/10-gram explode dominates; still sublinear (10x data, <4x time)",
     "llm_curation_e2e": "stage-composed e2e: chains dedup + quality + decontamination, each stage re-reading the corpus and each data-proportional; still sublinear",
+    "llm_decontaminate": "sub-second absolute times: corpus-side shingle probe is data-proportional, benchmark build is fixed; ratio noise-dominated below ~0.5 s",
 }
 
 print("| query | sf0.01 (s) | sf0.1 (s) | ratio | note |")
