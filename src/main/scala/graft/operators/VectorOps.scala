@@ -551,4 +551,48 @@ object VectorOps {
       .select(col("id_a").as("vec_id"), col("id_b").as("nn_id"),
         col("cos_sim"))
   }
+
+  // ---- SemDeDup: semantic dedup inside k-means partitions ----
+
+  /** SemDeDup-style semantic dedup (cluster-then-compare, after
+    * Abbas et al. 2023): k-means the embedding space, then look for
+    * near-duplicates ONLY inside each cluster — pairwise cost drops
+    * from n² to Σ cluster_size², and the cluster count is the scale
+    * lever (hold the target cluster size constant and k grows
+    * linearly with the corpus, so per-cluster work stays flat). A
+    * vector is dropped when a SMALLER-ID vector in its cluster has
+    * cosine >= `threshold` (greedy keep-first, deterministic);
+    * `dup_of` records the smallest such id, null for survivors.
+    * Cross-cluster near-duplicates are NOT candidates — the method's
+    * documented recall trade-off (the banded-LSH
+    * [[cosineNearDups]] path is the complementary high-recall pass).
+    *
+    * Distribution shape: assignment is one map pass over broadcast
+    * centroids; the candidate join is CLUSTER-KEYED (an equi-join,
+    * never all-pairs across the corpus) and AQE splits a skewed
+    * cluster's join work at runtime. Returns the centroids alongside
+    * the result so a gate can pin the exact geometry the run used. */
+  def semDedup(corpus: DataFrame, nClusters: Int, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      : (Array[Array[Double]], DataFrame) = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = kmeansCentroids(corpus, nClusters, iters = 3, idCol, vecCol)
+    val bc = spark.sparkContext.broadcast(centroids)
+    val assigned = corpus
+      .select(col(idCol).cast("long"), col(vecCol)).as[(Long, Array[Float])]
+      .map { case (id, v) => (id, nearestCentroid(v, bc.value), v) }
+      .toDF("vec_id", "cluster_id", "_v")
+    val b = assigned.select(col("vec_id").as("_bid"),
+      col("cluster_id").as("_bc"), col("_v").as("_bv"))
+    val dups = assigned
+      .join(b, col("cluster_id") === col("_bc") && col("_bid") < col("vec_id"))
+      .filter(cosine(col("_v"), col("_bv")) >= threshold)
+      .groupBy(col("vec_id")).agg(min(col("_bid")).as("dup_of"))
+    val out = assigned.select(col("vec_id"), col("cluster_id"))
+      .join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster_id"),
+        col("dup_of"), col("dup_of").isNull.as("keep"))
+    (centroids, out)
+  }
 }

@@ -803,6 +803,143 @@ object LlmQueries {
        |  FROM pairs
        |) WHERE rn = 1""".stripMargin
 
+  // ---- SemDeDup: semantic dedup within k-means clusters ----
+
+  private val SemDedupClusters = 8
+
+  /** SemDeDup over the embeddings table: cluster-partitioned exact
+    * cosine dedup ([[VectorOps.semDedup]]). Echo+verify gate: the
+    * trained centroids (FP-order-dependent, not SQL-derivable) are
+    * echoed into the oracle as literals — k x dim doubles, driver-
+    * sized by construction — and DuckDB independently recomputes the
+    * assignment (same squared-L2 left fold, same lowest-index
+    * tie-break), the within-cluster pair scan, and the keep/dup_of
+    * decisions from raw embeddings. */
+  def semDedup(s: SparkSession, dir: String): DataFrame = {
+    val (cents, out) =
+      VectorOps.semDedup(emb(s, dir), SemDedupClusters, EmbedDupThreshold)
+    DynamicOracles.put("llm_semdedup", semDedupOracle(cents))
+    out
+  }
+
+  private def semDedupOracle(cents: Array[Array[Double]]): String =
+    if (cents.isEmpty)
+      """SELECT CAST(NULL AS BIGINT) AS vec_id,
+        |  CAST(NULL AS INT) AS cluster_id,
+        |  CAST(NULL AS BIGINT) AS dup_of, CAST(NULL AS BOOLEAN) AS keep
+        |WHERE false""".stripMargin
+    else {
+      // each element through duckDoubleLit: a bare 17-digit literal
+      // parses as DECIMAL whose DOUBLE conversion can drift 1 ULP,
+      // enough to flip an assignment between near-equidistant centroids
+      val values = cents.zipWithIndex.map { case (v, c) =>
+        s"($c, [${v.map(graft.util.Parity.duckDoubleLit).mkString(", ")}])"
+      }.mkString(",\n    ")
+      s"""WITH cents(c, cv) AS (VALUES $values),
+         |dists AS (
+         |  SELECT e.vec_id, c.c,
+         |    list_reduce(list_transform(range(1, len(e.embedding) + 1),
+         |      i -> (e.embedding[i]::DOUBLE - c.cv[i])
+         |           * (e.embedding[i]::DOUBLE - c.cv[i])),
+         |      (acc, x) -> acc + x) AS d
+         |  FROM embeddings e CROSS JOIN cents c
+         |),
+         |assigned AS (
+         |  SELECT vec_id, CAST(c AS INT) AS cluster_id FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY d, c) AS rn
+         |    FROM dists
+         |  ) WHERE rn = 1
+         |),
+         |dups AS (
+         |  SELECT a.vec_id, min(b.vec_id) AS dup_of
+         |  FROM assigned a
+         |  JOIN assigned b
+         |    ON a.cluster_id = b.cluster_id AND b.vec_id < a.vec_id
+         |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+         |  JOIN embeddings eb ON eb.vec_id = b.vec_id
+         |  WHERE ${duckCosine("ea.embedding", "eb.embedding")}
+         |    >= $EmbedDupThreshold
+         |  GROUP BY 1
+         |)
+         |SELECT a.vec_id, a.cluster_id, d.dup_of, d.dup_of IS NULL AS keep
+         |FROM assigned a LEFT JOIN dups d ON d.vec_id = a.vec_id""".stripMargin
+    }
+
+  // ---- trainable quality/domain classifier ----
+
+  /** Trained-classifier gate ([[graft.operators.QualityClassifier]]):
+    * features, weak label, margin, and prediction are ALL recomputed
+    * independently in SQL — only the trained weights/standardization
+    * constants (FP-order-dependent, not SQL-derivable) are echoed as
+    * literals, the same echo+verify split the EGARCH and trained-ANN
+    * gates use. */
+  def qualClassifier(s: SparkSession, dir: String): DataFrame = {
+    val feats = graft.operators.QualityClassifier
+      .featureFrame(docs(s, dir), col("lang") === "en")
+    // 25 full-batch passes: each iteration is one aggregation job over
+    // the cached feature frame, so wall-clock here is iteration count x
+    // job latency (data-size-independent until the cache outgrows
+    // memory). 25 is past the loss plateau on this corpus; the gate
+    // itself is exact at ANY count (it echoes whatever converged).
+    val m = graft.operators.QualityClassifier.train(feats, iters = 25)
+    DynamicOracles.put("llm_qual_classifier", qualClassifierOracle(m))
+    graft.operators.QualityClassifier.score(feats, m)
+  }
+
+  /** The six quality-feature expressions over the `wrds` CTE, in
+    * [[graft.operators.QualityClassifier.FeatureCols]] order — same
+    * definitions `qualitySelectSql` pins for llm_quality_score (both
+    * gates fail loudly if either copy drifts from
+    * [[TextAnalysis.qualityScore]]). All pre-cast to DOUBLE, matching
+    * the Spark side's `.cast("double")`. */
+  private def qualFeatSql(name: String): String = {
+    val en = TextAnalysis.stopwords("en").map(w => s"'$w'").mkString(", ")
+    name match {
+      case "n_words" => "len(w)::DOUBLE"
+      case "avg_word_len" => "(length(nt) - (len(w) - 1))::DOUBLE / len(w)"
+      case "punct_ratio" =>
+        """len(regexp_extract_all(text, '[^A-Za-z0-9 \t\n\r]'))::DOUBLE
+          | / greatest(length(text), 1)""".stripMargin
+      case "digit_ratio" =>
+        """len(regexp_extract_all(text, '[0-9]'))::DOUBLE
+          | / greatest(length(text), 1)""".stripMargin
+      case "upper_ratio" =>
+        """len(regexp_extract_all(text, '[A-Z]'))::DOUBLE
+          | / greatest(length(text), 1)""".stripMargin
+      case "stopword_ratio" =>
+        s"""len(list_filter(w, x -> list_contains([$en], x)))::DOUBLE
+           | / greatest(len(w), 1)""".stripMargin
+    }
+  }
+
+  private def qualClassifierOracle(
+      m: graft.operators.QualityClassifier.Model): String = {
+    // The string-cast (duckDoubleLit) on every echoed constant is
+    // load-bearing: a bare decimal literal parses as DECIMAL and
+    // DuckDB's wide-DECIMAL -> DOUBLE conversion is not correctly
+    // rounded (1-ULP drift on ~20% of 17-digit shortest-reprs), so the
+    // echoed model would not round-trip. VARCHAR -> DOUBLE casting is
+    // a correctly-rounded strtod, after which every +/-/* in the
+    // margin chain is exact IEEE binary64 on both engines.
+    def d(x: Double) = graft.util.Parity.duckDoubleLit(x)
+    // bias + Σ ((f - mean)/std)*w in the exact left-to-right
+    // association QualityClassifier.marginCol folds with
+    val margin = m.features.zipWithIndex.foldLeft(d(m.bias)) {
+      case (acc, (f, j)) =>
+        s"$acc\n    + (((${qualFeatSql(f)}) - ${d(m.mean(j))})" +
+          s" / ${d(m.std(j))}) * ${d(m.weights(j))}"
+    }
+    s"""WITH $wrdsCte,
+       |scored AS (
+       |  SELECT doc_id, lang = 'en' AS label,
+       |    $margin AS margin
+       |  FROM wrds
+       |)
+       |SELECT doc_id, label, margin, margin > 0.0 AS pred
+       |FROM scored""".stripMargin
+  }
+
   /** Cap on the per-query candidate set the re-rank gate pins: the
     * collect (and the generated oracle literal) is bounded at
     * |queries| x GateCap no matter how the candidate stage scales. */
@@ -1142,6 +1279,8 @@ object LlmQueries {
     "llm_decontaminate" -> QueryDef(decontaminate _, decontaminateOracle),
     "llm_curation_e2e" -> QueryDef(curationE2e _, curationE2eOracle),
     "llm_embed_clusters" -> QueryDef(embedClusters _, embedClustersOracle),
+    "llm_semdedup" -> QueryDef(semDedup _, None),
+    "llm_qual_classifier" -> QueryDef(qualClassifier _, None),
     "llm_strat_sample" -> QueryDef(stratSample _, stratSampleOracle),
     "llm_unigram_logprob" -> QueryDef(unigramLogprob _, unigramLogprobOracle),
     "llm_pack_bins" -> QueryDef(packBins _, packBinsOracle))
