@@ -579,10 +579,13 @@ object VectorOps {
     import spark.implicits._
     val centroids = kmeansCentroids(corpus, nClusters, iters = 3, idCol, vecCol)
     val bc = spark.sparkContext.broadcast(centroids)
-    val assigned = corpus
+    // materialize: `assigned` feeds FOUR plan branches (both join
+    // sides, twice) — without the barrier each branch re-scans the
+    // corpus and re-runs the assignment map
+    val assigned = graft.util.Caches.materialize(corpus
       .select(col(idCol).cast("long"), col(vecCol)).as[(Long, Array[Float])]
       .map { case (id, v) => (id, nearestCentroid(v, bc.value), v) }
-      .toDF("vec_id", "cluster_id", "_v")
+      .toDF("vec_id", "cluster_id", "_v"))
     val b = assigned.select(col("vec_id").as("_bid"),
       col("cluster_id").as("_bc"), col("_v").as("_bv"))
     val dups = assigned
