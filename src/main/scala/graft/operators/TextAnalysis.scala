@@ -538,4 +538,77 @@ object TextAnalysis {
         (col("_s") / col("_z") * lit(budgetDocs.toDouble))
           .as("expected_docs"))
   }
+
+  /** Corpus-frequent span scrub — boilerplate removal at n-gram-span
+    * granularity (the C4/CCNet "remove lines seen in many pages"
+    * cleaning step, at word-span granularity since this corpus has no
+    * line structure): any word n-gram appearing in >= `minDf` DISTINCT
+    * documents is boilerplate, and every word covered by at least one
+    * boilerplate span occurrence is dropped from the document.
+    * Deterministic — no sampling, no ordering dependence (coverage is
+    * a set union over span starts).
+    *
+    * Scale shape: the span stream (positions via posexplode —
+    * occurrences, not the distinct-shingle set) feeds the df count
+    * (map-side-combining aggregate on the span string) and the
+    * dictionary join-back, which is an equi-key join, never
+    * doc-pairwise. The two consumers deliberately RECOMPUTE the span
+    * stream from the 2-column pruned source scan rather than cache
+    * it: the explosion is ~n x corpus bytes, so a MEMORY_AND_DISK
+    * barrier would spill the whole corpus several times over at
+    * scale, while re-running split+posexplode over a columnar scan is
+    * cheap CPU. Coverage collapses to a per-doc covered-index set
+    * (collect_set of word indexes, bounded by doc length) and the
+    * rebuild is a single indexed-lambda filter over the words array —
+    * per-doc columnar work, no second corpus-wide shuffle. */
+  def spanScrub(docs: DataFrame, n: Int, minDf: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(n >= 1 && minDf >= 2, "need n >= 1 and minDf >= 2")
+    val base = docs.select(col(idCol),
+      TextDedup.words(col(textCol)).as("_w"))
+    val spans = base
+      .filter(size(col("_w")) >= n)
+      .select(col(idCol),
+        posexplode(TextDedup.rawWordShingles(col("_w"), n))
+          .as(Seq("_pos", "_g")))
+    val boiler = spans.groupBy(col("_g"))
+      .agg(countDistinct(col(idCol)).as("_df"))
+      .filter(col("_df") >= minDf)
+      .select(col("_g"))
+    val covered = spans.join(boiler, "_g")
+      .select(col(idCol),
+        explode(sequence(col("_pos"), col("_pos") + lit(n - 1))).as("_i"))
+      .groupBy(col(idCol)).agg(collect_set(col("_i")).as("_cov"))
+    base.join(covered, Seq(idCol), "left")
+      .withColumn("_cov", coalesce(col("_cov"), array()))
+      .withColumn("_kept",
+        filter(col("_w"), (w, i) => !array_contains(col("_cov"), i)))
+      .select(col(idCol), size(col("_w")).as("n_words"),
+        (size(col("_w")) - size(col("_kept"))).as("n_removed"),
+        array_join(col("_kept"), " ").as("cleaned_text"))
+  }
+
+  /** Deterministic train/val/test split: the assignment is a pure
+    * function of (seed, doc_id) via a seeded sha256 — reproducible
+    * across runs, engines, cluster sizes, and input orderings, and
+    * stable under corpus growth (a document never changes split when
+    * other documents arrive — the property random-number splits
+    * lack). Percent bucket = top-32-bits-of-sha mod 100; `train` is
+    * [0, trainPct), `val` is [trainPct, trainPct+valPct), `test` the
+    * rest. Pure per-row arithmetic: no shuffle, no state, linear at
+    * any corpus size. */
+  def splitAssign(docs: DataFrame, seed: Long, trainPct: Int, valPct: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+      "percentages must fit in [0, 100]")
+    val sha = sha2(
+      concat(lit(s"split:$seed:"), col(idCol).cast("string")), 256)
+    val pct = (conv(substring(sha, 1, 8), 16, 10).cast("long") % 100)
+      .cast("int")
+    docs.select(col(idCol), pct.as("split_pct"))
+      .withColumn("split",
+        when(col("split_pct") < trainPct, "train")
+          .when(col("split_pct") < trainPct + valPct, "val")
+          .otherwise("test"))
+  }
 }

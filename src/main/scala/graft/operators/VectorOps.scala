@@ -598,4 +598,47 @@ object VectorOps {
         col("dup_of"), col("dup_of").isNull.as("keep"))
     (centroids, out)
   }
+
+  // ---- MRL truncation: neighbor preservation after prefix-truncating ----
+
+  /** Matryoshka-style truncation audit: how much exact-cosine top-k
+    * neighbor structure survives keeping only the first `truncDim`
+    * embedding coordinates (the storage/latency lever MRL-trained
+    * embeddings are built for — serve a prefix, keep most recall).
+    * Per query: `overlap` = |topk(full) ∩ topk(truncated)|, `recall`
+    * = overlap/k. Cosine over a prefix needs no re-normalization —
+    * the norm is recomputed on the slice.
+    *
+    * Scale shape: ONE broadcast-queries corpus pass scores BOTH
+    * cosines per pair (running [[annTopK]] twice would scan the
+    * corpus twice for the same pairs), then both rankings come from
+    * two row_number windows over the SAME query_id partitioning —
+    * one exchange, two sort passes. The overlap is a filter + count
+    * on the k-bounded ranks, size Q x k. */
+  def mrlRecall(corpus: DataFrame, queries: DataFrame, k: Int,
+      truncDim: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("_qv"), slice(col(vecCol), 1, truncDim).as("_tqv")))
+    val scored = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
+        slice(col(vecCol), 1, truncDim).as("_tcv"))
+      .join(q, col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("_qv"), col("_cv")).as("_cos_full"),
+        cosine(col("_tqv"), col("_tcv")).as("_cos_trunc"))
+    def w(c: Column) = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(c.desc, col("neighbor_id"))
+    val overlap = scored
+      .withColumn("_rf", row_number().over(w(col("_cos_full"))))
+      .withColumn("_rt", row_number().over(w(col("_cos_trunc"))))
+      .filter(col("_rf") <= k && col("_rt") <= k)
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).cast("int").as("overlap"))
+    queries.select(col(idCol).cast("long").as("query_id"))
+      .join(overlap, Seq("query_id"), "left")
+      .select(col("query_id"), lit(truncDim).as("trunc_dim"),
+        coalesce(col("overlap"), lit(0)).as("overlap"),
+        (coalesce(col("overlap"), lit(0)).cast("double") / k).as("recall"))
+  }
 }

@@ -217,10 +217,98 @@ object CurationQueries {
        |  s / z * ${MixBudget.toDouble} AS expected_docs
        |FROM sc, z""".stripMargin
 
+  // ---- deterministic train/val/test split ----
+
+  private val SplitSeed = 7L
+  private val TrainPct = 90
+  private val ValPct = 5
+
+  def splitAssign(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.splitAssign(docs(s, dir), SplitSeed, TrainPct, ValPct)
+
+  val splitAssignOracle: String =
+    s"""WITH k AS (
+       |  SELECT doc_id,
+       |    sha256('split:$SplitSeed:' || CAST(doc_id AS VARCHAR)) AS sha
+       |  FROM documents
+       |),
+       |p AS (
+       |  SELECT doc_id,
+       |    CAST(${duckHex32("sha")} % 100 AS INT) AS split_pct
+       |  FROM k
+       |)
+       |SELECT doc_id, split_pct,
+       |  CASE WHEN split_pct < $TrainPct THEN 'train'
+       |       WHEN split_pct < ${TrainPct + ValPct} THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM p""".stripMargin
+
+  // ---- corpus-frequent span scrub (boilerplate removal) ----
+
+  private val SpanN = 5
+  private val SpanMinDf = 2
+
+  def spanScrub(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.spanScrub(docs(s, dir), SpanN, SpanMinDf)
+
+  /** Full SQL recompute: span occurrences with positions, distinct-doc
+    * df, covered word indexes (1-based here, 0-based Spark-side — the
+    * +1 shift below), anti-join rebuild with order restored by word
+    * index. The double-unnest in `toks` zips (DuckDB zips equal-length
+    * unnests in one SELECT). */
+  val spanScrubOracle: String =
+    s"""WITH norm AS (
+       |  SELECT doc_id,
+       |    lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS nt
+       |  FROM documents
+       |),
+       |wrds AS (SELECT doc_id, string_split(nt, ' ') AS w FROM norm),
+       |posd AS (
+       |  SELECT doc_id, w,
+       |    unnest(range(1, greatest(len(w) - $SpanN + 2, 1))) AS p
+       |  FROM wrds
+       |),
+       |spans AS (
+       |  SELECT doc_id, p, array_to_string(w[p:p + $SpanN - 1], ' ') AS g
+       |  FROM posd WHERE p + $SpanN - 1 <= len(w)
+       |),
+       |boiler AS (
+       |  SELECT g FROM spans GROUP BY g
+       |  HAVING count(DISTINCT doc_id) >= $SpanMinDf
+       |),
+       |cov AS (
+       |  SELECT DISTINCT doc_id, widx FROM (
+       |    SELECT s.doc_id, s.p + unnest(range(0, $SpanN)) AS widx
+       |    FROM spans s JOIN boiler b USING (g)
+       |  )
+       |),
+       |toks AS (
+       |  SELECT doc_id, unnest(w) AS word,
+       |    unnest(range(1, len(w) + 1)) AS widx
+       |  FROM wrds
+       |),
+       |kept AS (
+       |  SELECT t.doc_id, t.word, t.widx
+       |  FROM toks t LEFT JOIN cov c
+       |    ON c.doc_id = t.doc_id AND c.widx = t.widx
+       |  WHERE c.doc_id IS NULL
+       |),
+       |agg AS (
+       |  SELECT doc_id, CAST(count(*) AS INT) AS n_kept,
+       |    string_agg(word, ' ' ORDER BY widx) AS cleaned
+       |  FROM kept GROUP BY doc_id
+       |)
+       |SELECT w.doc_id, CAST(len(w.w) AS INT) AS n_words,
+       |  CAST(len(w.w) - coalesce(a.n_kept, 0) AS INT) AS n_removed,
+       |  coalesce(a.cleaned, '') AS cleaned_text
+       |FROM wrds w LEFT JOIN agg a USING (doc_id)""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
     "pii1_scrub" -> QueryDef(pii1Scrub _, pii1Oracle),
     "pii2_source_rates" -> QueryDef(pii2SourceRates _, pii2Oracle),
     "llm_incr_dedup" -> QueryDef(incrDedup _, incrDedupOracle),
     "llm_corpus_shuffle" -> QueryDef(corpusShuffle _, corpusShuffleOracle),
+    "llm_split_assign" -> QueryDef(splitAssign _, splitAssignOracle),
+    "llm_span_scrub" -> QueryDef(spanScrub _, spanScrubOracle),
     "llm_mix_weights" -> QueryDef(mixWeights _, mixWeightsOracle))
 }

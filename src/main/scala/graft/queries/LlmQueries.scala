@@ -683,6 +683,49 @@ object LlmQueries {
        |  FROM scored
        |) WHERE rank <= $AnnK""".stripMargin
 
+  // ---- MRL truncation: neighbor preservation audit ----
+
+  private val MrlDim = 16
+
+  /** Top-k overlap between full-dimension and prefix-truncated
+    * cosine rankings ([[VectorOps.mrlRecall]]) — the recall audit run
+    * before serving Matryoshka-truncated embeddings. Same query
+    * subset as llm_ann_topk; both rankings recomputed exactly in SQL
+    * (truncation = list slice). */
+  def mrlRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    VectorOps.mrlRecall(e, e.filter(col("vec_id") < AnnQueries), AnnK, MrlDim)
+  }
+
+  private def mrlRankCte(name: String, qv: String, cv: String): String =
+    s"""$name AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.query_id, e.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY ${duckCosine(qv, cv)} DESC, e.vec_id) AS rn
+       |    FROM embeddings e JOIN q ON e.vec_id <> q.query_id
+       |  ) WHERE rn <= $AnnK
+       |)""".stripMargin
+
+  val mrlRecallOracle: String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, embedding AS qv,
+       |    embedding[1:$MrlDim] AS tqv
+       |  FROM embeddings WHERE vec_id < $AnnQueries
+       |),
+       |${mrlRankCte("full_rank", "q.qv", "e.embedding")},
+       |${mrlRankCte("trunc_rank", "q.tqv", s"e.embedding[1:$MrlDim]")},
+       |ov AS (
+       |  SELECT f.query_id, count(*) AS overlap
+       |  FROM full_rank f JOIN trunc_rank t
+       |    ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+       |  GROUP BY 1
+       |)
+       |SELECT q.query_id, $MrlDim AS trunc_dim,
+       |  CAST(coalesce(ov.overlap, 0) AS INT) AS overlap,
+       |  CAST(coalesce(ov.overlap, 0) AS DOUBLE) / $AnnK AS recall
+       |FROM q LEFT JOIN ov ON ov.query_id = q.query_id""".stripMargin
+
   // ---- embedding ANN: bucketed (IVF/LSH) nearest neighbour ----
 
   def annBucketed(s: SparkSession, dir: String): DataFrame =
@@ -1271,6 +1314,7 @@ object LlmQueries {
     "llm_source_stats" -> QueryDef(sourceStats _, sourceStatsOracle),
     "llm_lang_id" -> QueryDef(langId _, langIdOracle),
     "llm_ann_topk" -> QueryDef(annTopK _, annTopKOracle),
+    "llm_mrl_recall" -> QueryDef(mrlRecall _, mrlRecallOracle),
     "llm_ann_bucketed" -> QueryDef(annBucketed _, annBucketedOracle),
     "llm_embed_neardup" -> QueryDef(embedNearDups _, embedNearDupsOracle),
     "llm_ann_ivf_trained" -> QueryDef(annIvfTrained _, None),

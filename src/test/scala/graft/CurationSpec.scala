@@ -170,4 +170,79 @@ class CurationSpec extends AnyFunSuite {
     assert(wSmall > 1.0 - shareBig)
     assert(math.abs(out("s_big")._5 + out("s_small")._5 - 1000.0) < 1e-9)
   }
+
+  // ---- span scrub ----
+
+  test("span scrub removes every word covered by a corpus-frequent span") {
+    // "a b c" appears in docs 1 and 2 (df=2 >= 2): all covered words
+    // drop; doc 3 shares no 3-gram, unchanged.
+    val docs = Seq(
+      (1L, "a b c x y"),
+      (2L, "p q a b c"),
+      (3L, "u v w x y")).toDF("doc_id", "text")
+    val out = TextAnalysis.spanScrub(docs, n = 3, minDf = 2).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getString(3)))
+      .toMap
+    assert(out(1L) == ((5, 3, "x y")))
+    assert(out(2L) == ((5, 3, "p q")))
+    assert(out(3L) == ((5, 0, "u v w x y")))
+  }
+
+  test("span scrub: overlapping frequent spans union their coverage") {
+    // both 2-grams "a b" and "b c" are frequent; coverage of words
+    // 0..2 in doc 1 is the union, not double-counted
+    val docs = Seq(
+      (1L, "a b c z"),
+      (2L, "a b q r"),
+      (3L, "s b c t")).toDF("doc_id", "text")
+    val out = TextAnalysis.spanScrub(docs, n = 2, minDf = 2).collect()
+      .map(r => r.getLong(0) -> (r.getInt(2), r.getString(3))).toMap
+    assert(out(1L) == ((3, "z")))
+  }
+
+  test("span scrub: doc shorter than n words is untouched") {
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a b c d e f"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.spanScrub(docs, n = 5, minDf = 2).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(out(1L) == 0 && out(2L) == 0 && out(3L) == 0)
+  }
+
+  test("span scrub can empty a document entirely") {
+    val docs = Seq((1L, "a b c"), (2L, "a b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.spanScrub(docs, n = 3, minDf = 2).collect()
+      .map(r => r.getLong(0) -> (r.getInt(2), r.getString(3))).toMap
+    assert(out(1L) == ((3, "")) && out(2L) == ((3, "")))
+  }
+
+  // ---- deterministic split ----
+
+  test("split assignment is deterministic and respects percent bounds") {
+    val docs = (0L until 400L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val a = TextAnalysis.splitAssign(docs, seed = 7, trainPct = 90,
+      valPct = 5).collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getString(2))).toMap
+    val b = TextAnalysis.splitAssign(docs.repartition(7), seed = 7,
+      trainPct = 90, valPct = 5).collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getString(2))).toMap
+    assert(a == b) // partitioning-independent
+    a.values.foreach { case (pct, split) =>
+      assert(pct >= 0 && pct < 100)
+      val want = if (pct < 90) "train" else if (pct < 95) "val" else "test"
+      assert(split == want)
+    }
+    // roughly proportional (sha uniformity; generous bounds)
+    val n = a.values.count(_._2 == "train")
+    assert(n > 320 && n < 392, s"train count $n far from 360")
+  }
+
+  test("split assignment is stable under corpus growth") {
+    val small = (0L until 100L).map(i => (i, "t")).toDF("doc_id", "text")
+    val large = (0L until 300L).map(i => (i, "t")).toDF("doc_id", "text")
+    val a = TextAnalysis.splitAssign(small, 7, 90, 5).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val b = TextAnalysis.splitAssign(large, 7, 90, 5).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(a.forall { case (id, s) => b(id) == s })
+  }
 }

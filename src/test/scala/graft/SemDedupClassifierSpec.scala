@@ -111,6 +111,38 @@ class SemDedupClassifierSpec extends AnyFunSuite {
     assert(got.toSeq == want.toSeq) // bit-exact, not approx
   }
 
+  test("mrlRecall: identical prefix ranking gives recall 1, scrambled gives less") {
+    import spark.implicits._
+    // First 2 dims carry the full ranking signal for queries 1-2:
+    // truncation to 2 dims preserves top-k exactly -> recall 1.0.
+    val e = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+      (4L, Array(0.1f, 0.9f, 0.0f, 0.0f)),
+      (5L, Array(0.7f, 0.7f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = VectorOps.mrlRecall(e, e.filter(col("vec_id") <= 2L),
+      k = 2, truncDim = 2).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(1L) == 1.0 && out(2L) == 1.0)
+    // signal only in the TAIL dims: truncating to the first 2 (all
+    // equal) destroys the ranking for at least one query
+    val t = Seq(
+      (1L, Array(1.0f, 1.0f, 1.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 1.0f, 0.0f, 1.0f, 0.0f)),
+      (3L, Array(1.0f, 1.0f, 1.0f, 0.1f, 0.0f)),
+      (4L, Array(1.0f, 1.0f, 0.0f, 0.9f, 0.4f)),
+      (5L, Array(1.0f, 1.0f, 0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val res = VectorOps.mrlRecall(t, t.filter(col("vec_id") <= 2L),
+      k = 1, truncDim = 2).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    // truncated space is degenerate (all vectors identical in first
+    // two dims) -> cos ties at 1 -> lowest-id tie-break picks the
+    // OTHER query vector for both queries, while the full space picks
+    // 3 (q1) and 4 (q2): zero overlap for both
+    assert(res(1L) == 0 && res(2L) == 0)
+  }
+
   test("classifier on empty input returns the zero model") {
     val feats = QualityClassifier.featureFrame(
       docs.filter(lit(false)), col("lang") === "en")
