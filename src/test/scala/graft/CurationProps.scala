@@ -108,4 +108,70 @@ object CurationProps extends Properties("Curation") {
           r.getAs[Double]("mse") <= half * half
       }
     }
+
+  // small word alphabet so cross-doc n-gram collisions actually occur
+  private val docGen: Gen[String] = for {
+    n <- Gen.choose(0, 12)
+    ws <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d", "e"))
+  } yield ws.mkString(" ")
+
+  property("span scrub: kept text is a subsequence; counts reconcile") =
+    forAll(Gen.nonEmptyListOf(docGen), Gen.choose(2, 4)) {
+      (texts: List[String], n: Int) =>
+        import spark.implicits._
+        val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text")
+        val out = TextAnalysis.spanScrub(docs, n, minDf = 2).collect()
+        val orig = texts.zipWithIndex
+          .map { case (t, i) => i.toLong -> t.trim.toLowerCase
+            .replaceAll("\\s+", " ").split(" ", -1).toSeq }.toMap
+        out.length == texts.length && out.forall { r =>
+          val (id, nw, rm, cleaned) = (r.getLong(0), r.getInt(1),
+            r.getInt(2), r.getString(3))
+          val ow = orig(id)
+          if (cleaned.isEmpty)
+            // "" is ambiguous: all words scrubbed, or the degenerate
+            // single-empty-word doc untouched (split("") = [""])
+            nw == ow.length && (rm == nw || (ow == Seq("") && rm == 0))
+          else {
+            val keptWords = cleaned.split(" ", -1).toSeq
+            // kept is a subsequence of the original word sequence
+            var rem = ow
+            val isSub = keptWords.forall { w =>
+              val i = rem.indexOf(w)
+              if (i < 0) false else { rem = rem.drop(i + 1); true }
+            }
+            nw == ow.length && rm >= 0 &&
+              rm == nw - keptWords.length && isSub
+          }
+        }
+    }
+
+  property("span scrub: a doc with words unseen elsewhere is untouched") =
+    forAll(Gen.choose(2, 4)) { n: Int =>
+      import spark.implicits._
+      val docs = Seq((1L, "z y x w v u t"), (2L, "a b c d e"),
+        (3L, "a b c d e")).toDF("doc_id", "text")
+      val r = TextAnalysis.spanScrub(docs, n, minDf = 2).collect()
+        .map(x => x.getLong(0) -> x.getString(3)).toMap
+      r(1L) == "z y x w v u t"
+    }
+
+  property("split assign: pure function of (seed, id); pct in [0,100)") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(0L, 1000000L)),
+      Gen.choose(0L, 99L)) { (rawIds: List[Long], seed: Long) =>
+      import spark.implicits._
+      val ids = rawIds.distinct
+      val df = ids.toDF("doc_id")
+      val a = TextAnalysis.splitAssign(df, seed, 80, 10).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      val b = TextAnalysis.splitAssign(df.repartition(5), seed, 80, 10)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+        .toSet
+      a == b && a.forall { case (_, pct, split) =>
+        pct >= 0 && pct < 100 &&
+          split == (if (pct < 80) "train" else if (pct < 90) "val"
+            else "test")
+      }
+    }
 }
