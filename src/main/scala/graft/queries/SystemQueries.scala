@@ -426,10 +426,71 @@ object SystemQueries {
        |  AND "timestamp" >= TIMESTAMP '2024-01-10 00:00:00'
        |  AND "timestamp" < TIMESTAMP '2024-01-13 00:00:00'""".stripMargin
 
+  /** §2.9 for the corpus: streaming document curation — file-source
+    * documents (with every 13th doc re-delivered, simulating page
+    * overlap) -> content-hash dedup within the watermark -> quality
+    * gate -> idempotent partitioned append, then a per-source audit
+    * of what landed. The oracle recomputes the kept set in SQL from
+    * the corpus: re-deliveries are exact copies, so after dedup the
+    * kept set is exactly the quality-passing documents. */
+  def st7StreamDocs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val src = Files.createTempDirectory("st7-src").toString
+    val tgt = Files.createTempDirectory("st7-tgt").toString
+    val ckpt = Files.createTempDirectory("st7-ckpt").toString
+    val docs = graft.util.Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("source"),
+        timestamp_seconds(lit(1700000000L) + col("doc_id"))
+          .as("ingest_ts"))
+    docs.unionAll(docs.filter(col("doc_id") % 13 === 0))
+      .write.parquet(s"$src/pages")
+    val ss = streamSession(s)
+    val raw = ss.readStream.schema(docs.schema).parquet(s"$src/pages")
+    val q = StreamingIngest.curatedDocs(raw).writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.streaming.BatchSink.forMode("parquet", tgt)
+          .writeBatch(batch, batchId)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(s"$tgt/ingest_batch=*")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs_kept"),
+        countDistinct(col("text_hash")).as("unique_texts"),
+        sum(col("n_words").cast("long")).as("words_kept"))
+  }
+
+  /** The quality predicate is [[graft.operators.TextAnalysis
+    * .qualityScore]]'s `quality_ok` spelled in SQL (n_words >= 5,
+    * punct_ratio < 0.3, digit_ratio < 0.3 over the raw text); dedup
+    * contributes no rows here because re-deliveries are exact copies
+    * — which is exactly what `docs_kept = unique_texts` certifies. */
+  val st7Oracle: String =
+    """WITH norm AS (
+      |  SELECT doc_id, text, source,
+      |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS nt
+      |  FROM documents
+      |),
+      |wr AS (SELECT *, string_split(nt, ' ') AS w FROM norm),
+      |kept AS (
+      |  SELECT source, len(w) AS nw FROM wr
+      |  WHERE len(w) >= 5
+      |    AND len(regexp_extract_all(text, '[^A-Za-z0-9 \t\n\r]'))::DOUBLE
+      |        / greatest(length(text), 1) < 0.3
+      |    AND len(regexp_extract_all(text, '[0-9]'))::DOUBLE
+      |        / greatest(length(text), 1) < 0.3
+      |)
+      |SELECT source, CAST(count(*) AS BIGINT) AS docs_kept,
+      |  CAST(count(*) AS BIGINT) AS unique_texts,
+      |  CAST(sum(nw) AS BIGINT) AS words_kept
+      |FROM kept GROUP BY source""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
     "s7_backfill_roundtrip" -> QueryDef(s7Backfill _, s7Oracle),
     "s8_fetch_pruned" -> QueryDef(s8FetchPruned _, s8PrunedOracle),
     "s9_schema_system" -> QueryDef(s9Schema _, s9Oracle),
+    "st7_stream_docs" -> QueryDef(st7StreamDocs _, st7Oracle),
     "st1_streaming_ingest" -> QueryDef(st1Streaming _, st1Oracle),
     "st2_streaming_bars" -> QueryDef(st2StreamingBars _, st2Oracle),
     "st3_stream_join" -> QueryDef(st3StreamJoin _, st3Oracle),

@@ -157,6 +157,32 @@ object StreamingIngest {
       }
   }
 
+  /** Streaming corpus curation — the incremental twin of the batch
+    * curation funnel (llm_dedup_exact + llm_quality_score): documents
+    * arrive as files, are content-hash deduped WITHIN the re-delivery
+    * watermark horizon (`dropDuplicatesWithinWatermark` keys state by
+    * sha256 of normalized text and evicts it once the watermark
+    * passes — bounded state at any stream length; corpus-global
+    * historical dedup stays the batch snapshot operator,
+    * `llm_incr_dedup`), then pass the rule-based quality gate. The
+    * gate reuses [[graft.operators.TextAnalysis.qualityScore]]
+    * verbatim — pure column expressions, so the whole curation is
+    * codegen'd inside the micro-batch with the only state being the
+    * dedup hash store. */
+  def curatedDocs(raw: DataFrame, watermark: String = "30 minutes"): DataFrame = {
+    val deduped = raw
+      .withColumn("text_hash",
+        sha2(graft.operators.TextDedup.normText(col("text")), 256))
+      .withWatermark("ingest_ts", watermark)
+      .dropDuplicatesWithinWatermark("text_hash")
+    graft.operators.TextAnalysis.qualityScore(deduped)
+      .filter(col("quality_ok"))
+      // event time lands as `timestamp` — the [[BatchSink]] month
+      // partitioning contract
+      .select(col("doc_id"), col("source"), col("text_hash"),
+        col("n_words"), col("ingest_ts").as("timestamp"))
+  }
+
   /** Streaming ingest job: parquet file source -> dedup -> idempotent
     * partitioned append through the default parquet [[BatchSink]]. */
   def startIngest(

@@ -41,7 +41,7 @@ class PlanAuditSpec extends AnyFunSuite {
   private val driverSide = Set(
     "s7_backfill_roundtrip", "s9_schema_system", "st1_streaming_ingest",
     "st2_streaming_bars", "st3_stream_join", "st4_streaming_pcr",
-    "st5_gap_events")
+    "st5_gap_events", "st7_stream_docs")
 
   test("no registered query plans a cartesian product") {
     for (name <- SparkEntry.queries.keys if !driverSide(name)) {

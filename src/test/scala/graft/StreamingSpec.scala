@@ -252,6 +252,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.count(_._1 == "ETH") == 1)
   }
 
+  test("curatedDocs dedups by content hash and applies the quality gate") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, String, String, Timestamp)]
+    val out = StreamingIngest.curatedDocs(
+      input.toDF().toDF("doc_id", "text", "source", "ingest_ts"),
+      watermark = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("curated_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, "the quick brown fox jumps over the dog", "a", ts(1)),
+        // same text modulo case/whitespace -> same hash -> dropped
+        (2L, "  The QUICK brown fox   jumps over the dog ", "a", ts(2)),
+        // quality-fail: under 5 words
+        (3L, "too short", "b", ts(3)),
+        // quality-fail: punct ratio >= 0.3
+        (4L, "a!!! b??? c;;; d::: e,,, f...", "b", ts(4)),
+        (5L, "another perfectly ordinary document with many words", "b",
+          ts(5)))
+      q.processAllAvailable()
+      val rows = spark.table("curated_out")
+        .select("doc_id", "source").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(rows == Set((1L, "a"), (5L, "b")))
+    } finally q.stop()
+  }
+
   test("streaming ingest writes batchId-keyed partitioned parquet") {
     import spark.implicits._
     val src = Files.createTempDirectory("stream-src").toString
