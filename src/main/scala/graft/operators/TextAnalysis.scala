@@ -444,6 +444,57 @@ object TextAnalysis {
           .as("avg_logprob"))
   }
 
+  /** Interpolated bigram LM scoring — the LM-perplexity quality filter
+    * (CCNet lineage) one order up from [[unigramLogprob]]: per
+    * document, the mean log of P(w2|w1) = lambda * c(w1,w2)/c_ctx(w1)
+    * + backoff * (c(w2)+1)/(total+vocab), where c_ctx is the
+    * bigram-context count (so the ML term is a proper conditional) and
+    * the backoff term is the same add-one unigram model. Callers pass
+    * both interpolation weights explicitly — deriving backoff as
+    * 1-lambda in code would bake a floating-point artifact
+    * (1.0 - 0.7 != 0.3 in binary64) into the cross-engine contract.
+    *
+    * Scale shape: the log-probability is computed once per DISTINCT
+    * bigram (the probs table — counts joined to counts, all equi-keyed
+    * hash aggregates), so the corpus-sized pair stream shuffles ONCE,
+    * for its (w1,w2) probability lookup; the naive form (join pairs to
+    * three count tables) would shuffle the corpus three times. Log
+    * terms are 6-decimal-quantized before the order-free decimal sum —
+    * the same ln-parity contract as [[unigramLogprob]]. */
+  def bigramLogprob(docs: DataFrame, lambda: Double = 0.7,
+      backoff: Double = 0.3, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val base = graft.util.Caches.materialize(
+      docs.select(col(idCol), TextDedup.words(col(textCol)).as("_w")))
+    val tok = base.select(col(idCol), explode(col("_w")).as("word"))
+    val uni = tok.groupBy(col("word")).agg(count(lit(1)).as("_cu"))
+    val totals = uni.agg(sum(col("_cu")).as("_total"),
+      count(lit(1)).as("_vocab"))
+    val pairs = base.filter(size(col("_w")) >= 2)
+      .select(col(idCol), explode(zip_with(
+        slice(col("_w"), lit(1), size(col("_w")) - 1),
+        slice(col("_w"), lit(2), size(col("_w")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("_p"))
+      .select(col(idCol), col("_p.w1").as("_w1"), col("_p.w2").as("_w2"))
+    val bigc = pairs.groupBy(col("_w1"), col("_w2"))
+      .agg(count(lit(1)).as("_cb"))
+    val ctx = bigc.groupBy(col("_w1")).agg(sum(col("_cb")).as("_cctx"))
+    val probs = bigc
+      .join(ctx, "_w1")
+      .join(uni.withColumnRenamed("word", "_w2"), "_w2")
+      .crossJoin(broadcast(totals))
+      .select(col("_w1"), col("_w2"), graft.util.Parity.roundTo(
+        log(lit(lambda) * (col("_cb") / col("_cctx")) +
+          lit(backoff) * ((col("_cu") + 1) /
+            (col("_total") + col("_vocab")))), 6).as("_lp"))
+    pairs.join(probs, Seq("_w1", "_w2"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        (graft.util.Parity.dsum(col("_lp")) / count(lit(1)))
+          .as("avg_logprob"))
+  }
+
   /** One-row corpus "dataset card" — the summary block a curation run
     * publishes with its output: volume (docs/chars/words), source and
     * language coverage, exact-duplicate rate, and language-balance

@@ -584,6 +584,45 @@ object LlmQueries {
        |FROM tok JOIN counts USING (word), tot
        |GROUP BY doc_id""".stripMargin
 
+  // ---- interpolated bigram LM (perplexity-filter, order 2) ----
+
+  private val BigramLambda = 0.7
+  private val BigramBackoff = 0.3
+
+  def bigramLogprob(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bigramLogprob(docs(s, dir), BigramLambda, BigramBackoff)
+
+  /** Same CTE pipeline as the operator: corpus counts, context counts,
+    * per-distinct-bigram interpolated probability, per-doc quantized
+    * decimal mean. The two weights are spelled with duckDoubleLit so
+    * both engines fold bit-identical constants. */
+  val bigramLogprobOracle: String = {
+    val lam = graft.util.Parity.duckDoubleLit(BigramLambda)
+    val bo = graft.util.Parity.duckDoubleLit(BigramBackoff)
+    s"""WITH $wrdsCte,
+       |tok AS (SELECT doc_id, unnest(w) AS word FROM wrds),
+       |uni AS (SELECT word, count(*) AS cu FROM tok GROUP BY 1),
+       |tot AS (SELECT sum(cu) AS total, count(*) AS vocab FROM uni),
+       |pairs AS (
+       |  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+       |  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+       |        FROM wrds WHERE len(w) >= 2)
+       |),
+       |bigc AS (SELECT w1, w2, count(*) AS cb FROM pairs GROUP BY 1, 2),
+       |ctx AS (SELECT w1, sum(cb) AS cctx FROM bigc GROUP BY 1),
+       |probs AS (
+       |  SELECT b.w1, b.w2,
+       |    ${graft.util.Parity.duckRoundTo(
+              s"ln($lam * (cb / cctx) + $bo * ((cu + 1) / (total + vocab)))",
+              6)} AS lp
+       |  FROM bigc b JOIN ctx USING (w1) JOIN uni u ON u.word = b.w2, tot
+       |)
+       |SELECT p.doc_id, count(*) AS n_bigrams,
+       |  ${graft.util.Parity.duckDsum("lp")} / count(*) AS avg_logprob
+       |FROM pairs p JOIN probs USING (w1, w2)
+       |GROUP BY 1""".stripMargin
+  }
+
   // ---- sequence packing into token-budget bins ----
 
   private val PackBudget = 300L
@@ -1327,5 +1366,6 @@ object LlmQueries {
     "llm_qual_classifier" -> QueryDef(qualClassifier _, None),
     "llm_strat_sample" -> QueryDef(stratSample _, stratSampleOracle),
     "llm_unigram_logprob" -> QueryDef(unigramLogprob _, unigramLogprobOracle),
+    "llm_bigram_logprob" -> QueryDef(bigramLogprob _, bigramLogprobOracle),
     "llm_pack_bins" -> QueryDef(packBins _, packBinsOracle))
 }

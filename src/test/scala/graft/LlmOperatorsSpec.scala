@@ -228,6 +228,34 @@ class LlmOperatorsSpec extends AnyFunSuite {
     assert(out(1L) > out(3L) && out(2L) > out(3L))
   }
 
+  test("bigram logprob matches the hand-computed interpolated LM") {
+    import spark.implicits._
+    // tokens: a x3, b x2, c x1 -> total=6, vocab=3
+    // bigrams: (a,b) x2, (a,c) x1 -> cctx(a)=3
+    val corpus = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLogprob(corpus, 0.7, 0.3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    def q6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val pAB = 0.7 * (2.0 / 3.0) + 0.3 * ((2.0 + 1) / (6.0 + 3))
+    val pAC = 0.7 * (1.0 / 3.0) + 0.3 * ((1.0 + 1) / (6.0 + 3))
+    assert(out(1L) == ((1L, q6(math.log(pAB)))))
+    assert(out(2L) == out(1L))
+    assert(out(3L) == ((1L, q6(math.log(pAC)))))
+    // the common bigram scores higher than the rare one
+    assert(out(1L)._2 > out(3L)._2)
+  }
+
+  test("bigram logprob drops docs with fewer than two words") {
+    import spark.implicits._
+    val corpus = Seq((1L, "solo"), (2L, ""), (3L, "a b c"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLogprob(corpus).collect()
+    assert(out.map(_.getLong(0)).toSet == Set(3L))
+    assert(out.head.getLong(1) == 2L) // "a b" and "b c"
+  }
+
   test("quality + token metrics are bounded and consistent") {
     val q = TextAnalysis.qualityScore(docs).collect()
     q.foreach { r =>
