@@ -430,9 +430,15 @@ object SystemQueries {
     * documents (with every 13th doc re-delivered, simulating page
     * overlap) -> content-hash dedup within the watermark -> quality
     * gate -> idempotent partitioned append, then a per-source audit
-    * of what landed. The oracle recomputes the kept set in SQL from
-    * the corpus: re-deliveries are exact copies, so after dedup the
-    * kept set is exactly the quality-passing documents. */
+    * of what landed. The surviving TEXT set is a pure function of
+    * the corpus, but WHICH copy of a cross-source exact duplicate
+    * survives is first-arrival (execution-order-dependent) — so the
+    * per-source rollup attributes every kept text to its CANONICAL
+    * owner (min doc_id among its quality-passing copies), which is
+    * survivor-independent and SQL-stateable. `rows_landed` counts
+    * physical landed rows per attributed source: any dedup failure
+    * (a re-delivered or duplicate hash landing twice) inflates it
+    * past `texts_kept` and breaks the hash match. */
   def st7StreamDocs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val src = Files.createTempDirectory("st7-src").toString
@@ -454,18 +460,28 @@ object SystemQueries {
       }
       .start()
     try q.processAllAvailable() finally q.stop()
-    s.read.parquet(s"$tgt/ingest_batch=*")
+    val landed = s.read.parquet(s"$tgt/ingest_batch=*")
+      .groupBy(col("text_hash"))
+      .agg(count(lit(1)).as("_rows"), max(col("n_words")).as("_nw"))
+    val canonSrc = docs
+      .select(sha2(graft.operators.TextDedup.normText(col("text")), 256)
+        .as("text_hash"), col("doc_id"), col("source"))
+      .groupBy(col("text_hash"))
+      .agg(min_by(col("source"), col("doc_id")).as("source"))
+    landed.join(canonSrc, "text_hash")
       .groupBy(col("source"))
-      .agg(count(lit(1)).as("docs_kept"),
-        countDistinct(col("text_hash")).as("unique_texts"),
-        sum(col("n_words").cast("long")).as("words_kept"))
+      .agg(count(lit(1)).as("texts_kept"),
+        sum(col("_rows")).as("rows_landed"),
+        sum(col("_nw").cast("long")).as("words_kept"))
   }
 
   /** The quality predicate is [[graft.operators.TextAnalysis
     * .qualityScore]]'s `quality_ok` spelled in SQL (n_words >= 5,
-    * punct_ratio < 0.3, digit_ratio < 0.3 over the raw text); dedup
-    * contributes no rows here because re-deliveries are exact copies
-    * — which is exactly what `docs_kept = unique_texts` certifies. */
+    * punct_ratio < 0.3, digit_ratio < 0.3 over the raw text);
+    * duplicate copies have identical text, so the quality-passing set
+    * is closed under duplicate equivalence and the canonical
+    * attribution (min doc_id) is computed over it directly.
+    * `rows_landed = texts_kept` here IS the dedup certificate. */
   val st7Oracle: String =
     """WITH norm AS (
       |  SELECT doc_id, text, source,
@@ -473,18 +489,23 @@ object SystemQueries {
       |  FROM documents
       |),
       |wr AS (SELECT *, string_split(nt, ' ') AS w FROM norm),
-      |kept AS (
-      |  SELECT source, len(w) AS nw FROM wr
+      |q AS (
+      |  SELECT doc_id, source, nt, len(w) AS nw FROM wr
       |  WHERE len(w) >= 5
       |    AND len(regexp_extract_all(text, '[^A-Za-z0-9 \t\n\r]'))::DOUBLE
       |        / greatest(length(text), 1) < 0.3
       |    AND len(regexp_extract_all(text, '[0-9]'))::DOUBLE
       |        / greatest(length(text), 1) < 0.3
+      |),
+      |canon AS (SELECT nt, min(doc_id) AS cid FROM q GROUP BY nt),
+      |attr AS (
+      |  SELECT c.nt, k.source, k.nw
+      |  FROM canon c JOIN q k ON k.doc_id = c.cid
       |)
-      |SELECT source, CAST(count(*) AS BIGINT) AS docs_kept,
-      |  CAST(count(*) AS BIGINT) AS unique_texts,
+      |SELECT source, CAST(count(*) AS BIGINT) AS texts_kept,
+      |  CAST(count(*) AS BIGINT) AS rows_landed,
       |  CAST(sum(nw) AS BIGINT) AS words_kept
-      |FROM kept GROUP BY source""".stripMargin
+      |FROM attr GROUP BY source""".stripMargin
 
   val defs: Map[String, QueryDef] = Map(
     "s7_backfill_roundtrip" -> QueryDef(s7Backfill _, s7Oracle),
