@@ -592,14 +592,14 @@ object LlmQueries {
   def bigramLogprob(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.bigramLogprob(docs(s, dir), BigramLambda, BigramBackoff)
 
-  /** Same CTE pipeline as the operator: corpus counts, context counts,
-    * per-distinct-bigram interpolated probability, per-doc quantized
-    * decimal mean. The two weights are spelled with duckDoubleLit so
-    * both engines fold bit-identical constants. */
-  val bigramLogprobOracle: String = {
+  /** Shared CTE pipeline: corpus counts, context counts,
+    * per-distinct-bigram interpolated probability. The two weights are
+    * spelled with duckDoubleLit so both engines fold bit-identical
+    * constants. */
+  private val bigramCtes: String = {
     val lam = graft.util.Parity.duckDoubleLit(BigramLambda)
     val bo = graft.util.Parity.duckDoubleLit(BigramBackoff)
-    s"""WITH $wrdsCte,
+    s"""$wrdsCte,
        |tok AS (SELECT doc_id, unnest(w) AS word FROM wrds),
        |uni AS (SELECT word, count(*) AS cu FROM tok GROUP BY 1),
        |tot AS (SELECT sum(cu) AS total, count(*) AS vocab FROM uni),
@@ -616,12 +616,52 @@ object LlmQueries {
               s"ln($lam * (cb / cctx) + $bo * ((cu + 1) / (total + vocab)))",
               6)} AS lp
        |  FROM bigc b JOIN ctx USING (w1) JOIN uni u ON u.word = b.w2, tot
-       |)
-       |SELECT p.doc_id, count(*) AS n_bigrams,
-       |  ${graft.util.Parity.duckDsum("lp")} / count(*) AS avg_logprob
-       |FROM pairs p JOIN probs USING (w1, w2)
-       |GROUP BY 1""".stripMargin
+       |),
+       |perdoc AS (
+       |  SELECT p.doc_id, count(*) AS n_bigrams,
+       |    ${graft.util.Parity.duckDsum("lp")} / count(*) AS avg_logprob
+       |  FROM pairs p JOIN probs USING (w1, w2)
+       |  GROUP BY 1
+       |)""".stripMargin
   }
+
+  val bigramLogprobOracle: String =
+    s"""WITH $bigramCtes
+       |SELECT doc_id, n_bigrams, avg_logprob FROM perdoc""".stripMargin
+
+  // ---- LM-perplexity percentile cut (CCNet head/tail split) ----
+
+  private val PerplexityKeepFrac = 0.5
+
+  /** The CCNet composition: score every document with the interpolated
+    * bigram LM, then keep the most-likely half of each source
+    * (per-source percent_rank on avg_logprob, the same relative-cut
+    * machinery as llm_quality_cut — absolute LM thresholds misfire
+    * across sources with different length/vocabulary profiles). The
+    * ranking metric is the quantized decimal mean, so ordering is
+    * bit-identical across engines and the cut can never straddle. */
+  def perplexityCut(s: SparkSession, dir: String): DataFrame = {
+    val lm = TextAnalysis.bigramLogprob(docs(s, dir), BigramLambda,
+      BigramBackoff)
+    val scored = lm.join(
+      docs(s, dir).select(col("doc_id"), col("source")), "doc_id")
+    TextAnalysis.qualityPercentileCut(scored, col("avg_logprob"),
+      keepFrac = PerplexityKeepFrac)
+  }
+
+  val perplexityCutOracle: String =
+    s"""WITH $bigramCtes,
+       |j AS (
+       |  SELECT d.doc_id, d.source, p.avg_logprob AS metric
+       |  FROM documents d JOIN perdoc p USING (doc_id)
+       |),
+       |r AS (
+       |  SELECT *, percent_rank() OVER (
+       |    PARTITION BY source ORDER BY metric DESC, doc_id ASC
+       |  ) AS pct_rank FROM j
+       |)
+       |SELECT doc_id, source, metric, pct_rank
+       |FROM r WHERE pct_rank <= $PerplexityKeepFrac""".stripMargin
 
   // ---- sequence packing into token-budget bins ----
 
@@ -1367,5 +1407,6 @@ object LlmQueries {
     "llm_strat_sample" -> QueryDef(stratSample _, stratSampleOracle),
     "llm_unigram_logprob" -> QueryDef(unigramLogprob _, unigramLogprobOracle),
     "llm_bigram_logprob" -> QueryDef(bigramLogprob _, bigramLogprobOracle),
+    "llm_perplexity_cut" -> QueryDef(perplexityCut _, perplexityCutOracle),
     "llm_pack_bins" -> QueryDef(packBins _, packBinsOracle))
 }

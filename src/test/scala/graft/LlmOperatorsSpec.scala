@@ -256,6 +256,27 @@ class LlmOperatorsSpec extends AnyFunSuite {
     assert(out.head.getLong(1) == 2L) // "a b" and "b c"
   }
 
+  test("perplexity cut keeps the most-likely half per source") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "a b c d", "s1"), (2L, "a b c d", "s1"),
+      (3L, "a b x q", "s1"), (4L, "q x z w", "s1"),
+      (5L, "a b c d", "s2"), (6L, "z w q x", "s2"))
+      .toDF("doc_id", "text", "source")
+    val lm = TextAnalysis.bigramLogprob(corpus)
+    val scored = lm.join(corpus.select("doc_id", "source"), "doc_id")
+    val kept = TextAnalysis.qualityPercentileCut(scored,
+      col("avg_logprob"), keepFrac = 0.5).collect()
+      .map(r => r.getLong(0)).toSet
+    // Conditional bigram likelihood rewards PREDICTABLE transitions,
+    // not common words: s1 keeps 1,2 (their transitions are the
+    // majority of their contexts) over 3,4 (mixed-context tails); in
+    // s2 doc 6 wins — all its transitions are deterministic within
+    // their contexts (P_ML = 1) — while doc 5 pays for b->c competing
+    // with b->x. Hand-computed: avg lp 6 ~ -0.309 > 5 ~ -0.391.
+    assert(kept == Set(1L, 2L, 6L))
+  }
+
   test("quality + token metrics are bounded and consistent") {
     val q = TextAnalysis.qualityScore(docs).collect()
     q.foreach { r =>

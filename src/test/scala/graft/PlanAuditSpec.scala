@@ -80,9 +80,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // language-balance rates cross-join a broadcast ONE-ROW aggregate.
     // The small side is small by construction, never corpus-sized.
     val allowed = Set("llm_ann_topk", "llm_ann_pq", "llm_unigram_logprob",
-      "llm_bigram_logprob", "a18_quality_sketch", "llm_lang_balance",
-      "llm_tfidf_topterms", "llm_mix_weights", "llm_dataset_card",
-      "llm_mrl_recall")
+      "llm_bigram_logprob", "llm_perplexity_cut", "a18_quality_sketch",
+      "llm_lang_balance", "llm_tfidf_topterms", "llm_mix_weights",
+      "llm_dataset_card", "llm_mrl_recall")
     for (name <- SparkEntry.queries.keys if !driverSide(name)) {
       val bnl = planOf(name).collect { case j: BroadcastNestedLoopJoinExec => j }
       assert(bnl.isEmpty || allowed(name),
