@@ -11,7 +11,7 @@ object SparkEntry {
       FeatureQueries.defs ++ QualityQueries.defs ++ GreeksQueries.defs ++
       LlmQueries.defs ++ CoverageQueries.defs ++ EgarchQueries.defs ++
       SystemQueries.defs ++ MultimodalQueries.defs ++ ScaleQueries.defs ++
-      EventsQueries.defs ++ CurationQueries.defs
+      EventsQueries.defs ++ CurationQueries.defs ++ RetrievalQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

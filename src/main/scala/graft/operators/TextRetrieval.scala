@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** BM25 full-text retrieval over the documents corpus — the ranked
+  * keyword-search operator a curation stack uses to pull targeted
+  * subsets out of a web-scale corpus ("find the docs about X and
+  * route them to annotation/eval"). Okapi BM25 (Robertson et al.):
+  *
+  *   score(q, d) = Σ_{t ∈ q} idf(t) · tf(t,d)·(k1+1)
+  *                            / (tf(t,d) + k1·(1 − b + b·|d|/avgdl))
+  *   idf(t)      = ln(1 + (N − df(t) + 0.5) / (df(t) + 0.5))
+  *
+  * Scale shape: ONE corpus scan builds the per-(doc, word) tf table
+  * (materialized — doc lengths, corpus stats, and the postings probe
+  * all derive from it, and the Caches barrier stops each branch from
+  * re-scanning). The query set is tiny by nature and broadcast twice
+  * (term filter, then query-id attach); document frequencies come
+  * from the already-filtered postings — only query terms are ever
+  * counted, so the vocabulary-sized df table never materializes. The
+  * final rank window is partitioned by query id: per-query top-k,
+  * never a global sort, at any corpus size.
+  *
+  * Engine parity (the DuckDB gate hash-compares values): the idf is
+  * the only transcendental — it is quantized to 6 decimals
+  * ([[graft.util.Parity.roundTo]], the ln-parity contract) — every
+  * other step is correctly-rounded IEEE arithmetic spelled
+  * identically in both engines, and the per-term scores cross the
+  * final aggregation as an order-free decimal sum. */
+object TextRetrieval {
+
+  /** `queryTerms`: a tiny (query_id, term) table, one row per query
+    * term, terms already normalized (lowercase). Emits the per-query
+    * top-`k` documents by BM25 score with (score DESC, doc_id ASC)
+    * tie-break: (query_id, doc_id, n_terms, score, rank). Documents
+    * matching no query term never surface (standard retrieval
+    * semantics — and the reason no full cross product exists). */
+  def bm25TopK(docs: DataFrame, queryTerms: DataFrame, k: Int,
+      k1: Double = 1.2, b: Double = 0.75,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val k1p1 = k1 + 1.0
+    // one corpus scan: tf feeds doc lengths, corpus stats AND the
+    // postings probe (Caches contract — three branches otherwise
+    // re-tokenize the corpus three times)
+    val tf = graft.util.Caches.materialize(
+      docs.select(col(idCol),
+        explode(TextDedup.words(col(textCol))).as("word"))
+        .groupBy(col(idCol), col("word"))
+        .agg(count(lit(1)).as("tf")))
+    val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("_n"), sum(col("dl")).as("_tot"))
+    // postings restricted to query terms BEFORE any further work: df
+    // is computed on the filtered stream (identical value, vocabulary
+    // never aggregated), and only matching rows reach the scorer
+    val qdist = queryTerms.select(col("term")).distinct()
+    val post = graft.util.Caches.materialize(
+      tf.join(broadcast(qdist), col("word") === col("term")).drop("term"))
+    val dfreq = post.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val scored = post
+      .join(dfreq, "word")
+      .join(dl, idCol)
+      .crossJoin(broadcast(stats))
+      .withColumn("_avgdl",
+        col("_tot").cast("double") / col("_n").cast("double"))
+      .withColumn("_idf", graft.util.Parity.roundTo(
+        log((col("_n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+          + lit(1.0)), 6))
+      .withColumn("_s", col("_idf") *
+        ((col("tf") * lit(k1p1)) /
+          (col("tf") + lit(k1) *
+            (lit(1.0) - lit(b) + (lit(b) * col("dl")) / col("_avgdl")))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col(idCol).asc)
+    scored
+      .join(broadcast(queryTerms), col("word") === col("term"))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(count(lit(1)).as("n_terms"),
+        graft.util.Parity.dsum(col("_s")).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}
