@@ -11,7 +11,8 @@ object SparkEntry {
       FeatureQueries.defs ++ QualityQueries.defs ++ GreeksQueries.defs ++
       LlmQueries.defs ++ CoverageQueries.defs ++ EgarchQueries.defs ++
       SystemQueries.defs ++ MultimodalQueries.defs ++ ScaleQueries.defs ++
-      EventsQueries.defs ++ CurationQueries.defs ++ RetrievalQueries.defs
+      EventsQueries.defs ++ CurationQueries.defs ++ RetrievalQueries.defs ++
+      VolQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

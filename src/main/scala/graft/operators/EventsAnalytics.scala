@@ -260,4 +260,37 @@ object EventsAnalytics {
           .as("cohort_date"),
         col("day_offset"), col("n_users"))
   }
+
+  /** First-order path transition matrix (the "what do users do next"
+    * Markov roll-up behind sankey/flow dashboards): per user, events
+    * ordered by (ts, event_id); each adjacent (event, next event)
+    * pair contributes one transition. Emits per (from_type, to_type):
+    * the count, the row-conditional probability P(to | from) as an
+    * exact integer/integer double division, and the rank of `to`
+    * within `from` (count DESC, to_type ASC — deterministic).
+    *
+    * Shape: ONE user-keyed exchange for the lead() window, then a
+    * hash aggregate on (from, to) whose cardinality is |types|² —
+    * broadcast-sized however large the fact table — so the two final
+    * windows over `from_type` partitions are driver-cheap. */
+  def pathTransitions(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts", idCol: String = "event_id",
+      typeCol: String = "event_type"): DataFrame = {
+    val byUser = Window.partitionBy(col(userCol))
+      .orderBy(col("_us"), col(idCol))
+    val byFrom = Window.partitionBy(col("from_type"))
+    events
+      .select(col(userCol), unix_micros(col(tsCol)).as("_us"),
+        col(idCol), col(typeCol).as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(byUser))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+      .withColumn("p_transition",
+        col("n_transitions").cast("double")
+          / sum(col("n_transitions")).over(byFrom).cast("double"))
+      .withColumn("transition_rank",
+        row_number().over(
+          byFrom.orderBy(col("n_transitions").desc, col("to_type"))))
+  }
 }

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.util.Parity
+
+/** Realized-volatility estimators over intraday price bars — the
+  * natural extension of the reference's IV-bar family (SURVEY §2.4
+  * A2/A3, `features/resampler.py:25-111`) to the *price* path: where
+  * the reference resamples implied vol, the same OHLC machinery over
+  * trade prices yields the classical daily realized-variance
+  * estimators (close-to-close RV, Parkinson range, Garman-Klass,
+  * Rogers-Satchell) that an options desk runs next to the implied
+  * series (the IV-vs-realized spread is the EGARCH family's whole
+  * point, `egarch.py:302-308`).
+  *
+  * Numerics: every per-bar term is an ln-product, quantized to the
+  * Parity 1e-6 grid before the order-free DECIMAL sum, so the DuckDB
+  * oracle hash-matches despite 1-ulp libm differences. Daily ratios
+  * are (exact sum / bar count) — identical IEEE ops on both engines.
+  *
+  * Scale: bars are one hash aggregate keyed (underlying, bucket) —
+  * map-side partials, no skew (bar cardinality grows with the time
+  * range, not the data volume). The day roll-up re-keys to the
+  * coarser (underlying, day): one more exchange whose input is
+  * already bar-sized (~5 orders smaller than the trades), and the
+  * lag() window shares that day partitioning, so window + final
+  * aggregate run inside a single exchange.
+  */
+object RealizedVol {
+
+  /** 1 / (4 ln 2) — Parkinson (1980) range-variance coefficient. */
+  val ParkinsonCoef: Double = 1.0 / (4.0 * math.log(2.0))
+
+  /** 2 ln 2 − 1 — Garman-Klass (1980) cross-term coefficient. */
+  val GkCoef: Double = 2.0 * math.log(2.0) - 1.0
+
+  /** Price OHLC bars per (underlying, `intervalSec` bucket).
+    * Open/close are min_by/max_by on the trade timestamp (the a2
+    * argMin/argMax discipline — deterministic, timestamps are unique
+    * in the fact table). Non-positive prices are dropped up front:
+    * every estimator below is a log-price functional. */
+  def priceBars(trades: DataFrame, intervalSec: Long = 900L): DataFrame = {
+    val ep = unix_timestamp(col("timestamp"))
+    trades
+      .filter(col("price") > 0)
+      .withColumn("bucket_start", ep - ep % intervalSec)
+      .groupBy(col("underlying"), col("bucket_start"))
+      .agg(
+        min_by(col("price"), col("timestamp")).as("open"),
+        max(col("price")).as("high"),
+        min(col("price")).as("low"),
+        max_by(col("price"), col("timestamp")).as("close"),
+        count(lit(1)).as("n_trades"))
+  }
+
+  /** Daily realized-variance estimators per underlying from intraday
+    * bars: `rv_cc` (sum of squared intra-day bar-close log returns),
+    * `parkinson`, `garman_klass`, `rogers_satchell` (per-bar range
+    * terms averaged over the day's bars), plus `rv_vol` = sqrt(rv_cc).
+    * A one-bar day has rv_cc = 0 (no return inside the day) and
+    * n_returns = 0. */
+  def dailyEstimators(trades: DataFrame, intervalSec: Long = 900L)
+      : DataFrame = {
+    val h = col("high"); val l = col("low")
+    val o = col("open"); val c = col("close")
+    val lhl = log(h / l)
+    val lco = log(c / o)
+    val terms = priceBars(trades, intervalSec)
+      .withColumn("day_start",
+        col("bucket_start") - col("bucket_start") % 86400L)
+      .withColumn("_lhl2", Parity.roundTo(lhl * lhl, 6))
+      .withColumn("_gk",
+        Parity.roundTo(lit(0.5) * lhl * lhl - lit(GkCoef) * lco * lco, 6))
+      .withColumn("_rs",
+        Parity.roundTo(
+          log(h / c) * log(h / o) + log(l / c) * log(l / o), 6))
+    val byDay = Window
+      .partitionBy(col("underlying"), col("day_start"))
+      .orderBy(col("bucket_start"))
+    val n = count(lit(1))
+    terms
+      .withColumn("_r", log(c / lag(c, 1).over(byDay)))
+      .withColumn("_r2", Parity.roundTo(col("_r") * col("_r"), 6))
+      .groupBy(col("underlying"), col("day_start"))
+      .agg(
+        n.as("n_bars"),
+        count(col("_r")).as("n_returns"),
+        coalesce(Parity.dsum(col("_r2")), lit(0.0)).as("rv_cc"),
+        ((Parity.dsum(col("_lhl2")) / n) * lit(ParkinsonCoef))
+          .as("parkinson"),
+        (Parity.dsum(col("_gk")) / n).as("garman_klass"),
+        (Parity.dsum(col("_rs")) / n).as("rogers_satchell"))
+      .withColumn("rv_vol", sqrt(col("rv_cc")))
+  }
+}

@@ -173,6 +173,73 @@ object TextAnalysis {
       .drop("_lines", "_w", "_tg", "_bg", "_top")
   }
 
+  /** The eight canonical Gopher stop words ("must contain at least 2
+    * of …" — the MassiveText natural-language check). */
+  val gopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Document-level Gopher/MassiveText quality rules — the canonical
+    * pre-training document gate, complementing [[repetitionMetrics]]
+    * (which covers the repetition half of the paper's appendix):
+    * word-count bounds, mean-word-length band, symbol-to-word ratio
+    * (hash + ellipsis), bullet-started and ellipsis-ended line
+    * fractions, alphabetic-word fraction, and the ≥2-stop-words
+    * natural-language check. Every ratio is integer/integer (or an
+    * exact length difference over an integer) so the oracle matches
+    * bit-for-bit; one narrow projection, no shuffle — at 100 TB this
+    * is a map-only stage fused into whatever consumes the flags.
+    *
+    * Word rules run on the normalized (lowercased, space-collapsed)
+    * text; line rules run on the RAW text (normalization collapses
+    * newlines). Thresholds are parameters; defaults follow the paper
+    * except `minWords`, sized to this corpus's short synthetic docs. */
+  def gopherRules(docs: DataFrame, textCol: String = "text",
+      minWords: Int = 40, maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, maxBulletFrac: Double = 0.9,
+      maxEllipsisFrac: Double = 0.3, minAlphaFrac: Double = 0.8,
+      minStopHits: Int = 2): DataFrame = {
+    val t = col(textCol)
+    val w = col("_w")
+    val lines = col("_lines")
+    val nWords = col("n_words")
+    val nLines = size(lines)
+    docs
+      .withColumn("_nt", TextDedup.normText(t))
+      .withColumn("_w", split(col("_nt"), " "))
+      .withColumn("_lines",
+        filter(split(t, "\n"), l => length(trim(l)) > 0))
+      .withColumn("n_words", size(w))
+      .withColumn("mean_word_len",
+        (length(col("_nt")) - (nWords - lit(1))).cast("double") / nWords)
+      .withColumn("symbol_ratio",
+        (regexp_count(t, lit("#")) + regexp_count(t, lit("\\.\\.\\.|…")))
+          .cast("double") / nWords)
+      .withColumn("n_lines", nLines)
+      .withColumn("bullet_frac",
+        when(nLines > 0,
+          size(filter(lines, l => trim(l).rlike("^[-*•]")))
+            .cast("double") / nLines).otherwise(lit(0.0)))
+      .withColumn("ellipsis_frac",
+        when(nLines > 0,
+          size(filter(lines, l => trim(l).rlike("(\\.\\.\\.|…)$")))
+            .cast("double") / nLines).otherwise(lit(0.0)))
+      .withColumn("alpha_word_frac",
+        size(filter(w, x => x.rlike("[a-z]"))).cast("double") / nWords)
+      .withColumn("stop_hits",
+        size(array_intersect(array_distinct(w),
+          array(gopherStops.map(lit): _*))))
+      .withColumn("gopher_ok",
+        nWords.between(minWords, maxWords) &&
+          col("mean_word_len").between(minMeanWordLen, maxMeanWordLen) &&
+          col("symbol_ratio") <= maxSymbolRatio &&
+          col("bullet_frac") <= maxBulletFrac &&
+          col("ellipsis_frac") <= maxEllipsisFrac &&
+          col("alpha_word_frac") >= minAlphaFrac &&
+          col("stop_hits") >= minStopHits)
+      .drop("_nt", "_w", "_lines")
+  }
+
   /** Per-source corpus statistics — the "which crawl/feed is rotten"
     * roll-up every corpus triage starts with: document count, exact-
     * duplicate rate (docs whose normalized-text hash occurs >= 2 times

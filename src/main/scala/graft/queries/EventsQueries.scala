@@ -202,7 +202,34 @@ object EventsQueries {
          |FROM events GROUP BY 1""".stripMargin
     }.mkString("\nUNION ALL\n")
 
+  def ev5Transitions(s: SparkSession, dir: String): DataFrame =
+    EventsAnalytics.pathTransitions(events(s, dir))
+
+  /** Exact integer counts; the conditional probability is one
+    * BIGINT→DOUBLE division on both engines, and rank ties break
+    * (count DESC, to_type ASC). */
+  val ev5Oracle: String =
+    s"""WITH $evCte,
+       |seq AS (
+       |  SELECT event_type AS from_type,
+       |    lead(event_type) OVER (PARTITION BY user_id
+       |      ORDER BY us, event_id) AS to_type
+       |  FROM ev
+       |),
+       |tr AS (
+       |  SELECT from_type, to_type, count(*) AS n_transitions
+       |  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
+       |)
+       |SELECT from_type, to_type, n_transitions,
+       |  CAST(n_transitions AS DOUBLE)
+       |    / CAST(sum(n_transitions) OVER (PARTITION BY from_type) AS DOUBLE)
+       |    AS p_transition,
+       |  CAST(row_number() OVER (PARTITION BY from_type
+       |    ORDER BY n_transitions DESC, to_type) AS INT) AS transition_rank
+       |FROM tr""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "ev5_transitions" -> QueryDef(ev5Transitions _, ev5Oracle),
     "ev1_sessionize" -> QueryDef(ev1Sessionize _, ev1Oracle),
     "ev2_funnel" -> QueryDef(ev2Funnel _, ev2Oracle),
     "ev2b_funnel_any" -> QueryDef(ev2bFunnelAny _, ev2bOracle),

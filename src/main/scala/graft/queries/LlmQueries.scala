@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{TextAnalysis, TextDedup, VectorOps}
+import graft.operators.{TextAnalysis, TextBpe, TextDedup, VectorOps}
 import graft.util.Tables
 
 /** Correctness entries for the LLM-training-data pipeline operators
@@ -377,6 +377,188 @@ object LlmQueries {
   }
 
   val qualityOracle: String = s"WITH $wrdsCte\n$qualitySelectSql"
+
+  // ---- Gopher/MassiveText document rules ----
+
+  def gopher(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.gopherRules(docs(s, dir))
+      .select("doc_id", "n_words", "mean_word_len", "symbol_ratio",
+        "n_lines", "bullet_frac", "ellipsis_frac", "alpha_word_frac",
+        "stop_hits", "gopher_ok")
+
+  /** Word rules over the normalized text (wrds), line rules over the
+    * RAW text; every double threshold is spelled with duckDoubleLit
+    * so both engines compare against bit-identical constants. */
+  val gopherOracle: String = {
+    def d(x: Double) = graft.util.Parity.duckDoubleLit(x)
+    val stops = TextAnalysis.gopherStops.map(w => s"'$w'").mkString(", ")
+    s"""WITH $wrdsCte,
+       |lined AS (
+       |  SELECT *, list_filter(string_split(text, chr(10)),
+       |    l -> len(trim(l)) > 0) AS lns
+       |  FROM wrds
+       |),
+       |m AS (
+       |  SELECT doc_id, len(w) AS n_words,
+       |    (length(nt) - (len(w) - 1))::DOUBLE / len(w) AS mean_word_len,
+       |    (len(regexp_extract_all(text, '#'))
+       |     + len(regexp_extract_all(text, '\\.\\.\\.|…')))::DOUBLE
+       |      / len(w) AS symbol_ratio,
+       |    len(lns) AS n_lines,
+       |    CASE WHEN len(lns) > 0 THEN
+       |      len(list_filter(lns, l -> regexp_matches(trim(l), '^[-*•]')))::DOUBLE
+       |        / len(lns) ELSE 0.0::DOUBLE END AS bullet_frac,
+       |    CASE WHEN len(lns) > 0 THEN
+       |      len(list_filter(lns,
+       |        l -> regexp_matches(trim(l), '(\\.\\.\\.|…)$$')))::DOUBLE
+       |        / len(lns) ELSE 0.0::DOUBLE END AS ellipsis_frac,
+       |    len(list_filter(w, x -> regexp_matches(x, '[a-z]')))::DOUBLE
+       |      / len(w) AS alpha_word_frac,
+       |    len(list_intersect(list_distinct(w), [$stops])) AS stop_hits
+       |  FROM lined
+       |)
+       |SELECT *,
+       |  n_words BETWEEN 40 AND 100000
+       |    AND mean_word_len BETWEEN ${d(3.0)} AND ${d(10.0)}
+       |    AND symbol_ratio <= ${d(0.1)}
+       |    AND bullet_frac <= ${d(0.9)}
+       |    AND ellipsis_frac <= ${d(0.3)}
+       |    AND alpha_word_frac >= ${d(0.8)}
+       |    AND stop_hits >= 2 AS gopher_ok
+       |FROM m""".stripMargin
+  }
+
+  // ---- BPE vocabulary training ----
+
+  private val BpeMerges = 24
+
+  /** Distributed BPE merge learning ([[TextBpe.train]]), gated with
+    * the echo+verify pattern: the learned merge list is pinned, and
+    * the oracle re-derives from the raw corpus (a) the ENTIRE initial
+    * adjacent-pair count table, (b) rank-1's argmax — its row in the
+    * final SELECT is built from the SQL-derived pair, so a drift in
+    * the first merge (or in the word-frequency pipeline feeding it)
+    * hash-mismatches — and (c) `init_pair_count` for every pinned
+    * merge whose sides are base symbols (joined from the SQL table on
+    * both engines; later merges of merged symbols are null on both).
+    * The fold itself (ranks >= 2) is echoed; its statistical
+    * properties are pinned by BpeSpec's golden corpus. */
+  def bpeTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (merges, init) = TextBpe.train(docs(s, dir), BpeMerges)
+    DynamicOracles.put("llm_bpe_train", bpeOracle(merges))
+    val mdf = merges.toDF()
+    mdf.join(
+        init.select(col("l"), col("r"), col("cnt").as("init_pair_count")),
+        mdf("l_sym") === col("l") && mdf("r_sym") === col("r"), "left")
+      .select(col("rank"), col("l_sym"), col("r_sym"), col("merged"),
+        col("pair_count"), col("init_pair_count"))
+  }
+
+  /** Initial char-level pair counts re-derived in DuckDB — the same
+    * chars + end-token symbolization as [[TextBpe.wordSymbols]]. */
+  private val bpeInitCtes: String =
+    s"""wf AS (
+       |  SELECT word, count(*) AS c
+       |  FROM (SELECT unnest(w) AS word FROM wrds)
+       |  WHERE len(word) > 0 GROUP BY 1
+       |),
+       |symd AS (
+       |  SELECT c,
+       |    list_concat([word[i:i] for i in range(1, len(word) + 1)],
+       |      ['${TextBpe.EndToken}']) AS syms
+       |  FROM wf
+       |),
+       |pe AS (
+       |  SELECT c, unnest([{'l': syms[i], 'r': syms[i+1]}
+       |                    for i in range(1, len(syms))]) AS p
+       |  FROM symd
+       |),
+       |ip AS (
+       |  SELECT p.l AS l, p.r AS r, CAST(sum(c) AS BIGINT) AS cnt
+       |  FROM pe GROUP BY 1, 2
+       |),
+       |fp AS (SELECT * FROM ip ORDER BY cnt DESC, l, r LIMIT 1)""".stripMargin
+
+  private def bpeOracle(merges: Seq[graft.operators.TextBpe.Merge])
+      : String =
+    if (merges.isEmpty)
+      """SELECT CAST(NULL AS INT) AS rank, CAST(NULL AS VARCHAR) AS l_sym,
+        |  CAST(NULL AS VARCHAR) AS r_sym, CAST(NULL AS VARCHAR) AS merged,
+        |  CAST(NULL AS BIGINT) AS pair_count,
+        |  CAST(NULL AS BIGINT) AS init_pair_count
+        |WHERE false""".stripMargin
+    else {
+      def esc(x: String) = x.replace("'", "''")
+      val tail = merges.drop(1)
+      val pinnedSql =
+        if (tail.isEmpty) ""
+        else {
+          val values = tail.map(m =>
+            s"(${m.rank}, '${esc(m.l_sym)}', '${esc(m.r_sym)}', " +
+              s"'${esc(m.merged)}', ${m.pair_count}::BIGINT)")
+            .mkString(",\n    ")
+          s""",
+             |pinned(rank, l_sym, r_sym, merged, pair_count) AS (VALUES
+             |    $values)""".stripMargin
+        }
+      val tailSelect =
+        if (tail.isEmpty) ""
+        else
+          s"""
+             |UNION ALL
+             |SELECT p.rank, p.l_sym, p.r_sym, p.merged, p.pair_count,
+             |  ip.cnt AS init_pair_count
+             |FROM pinned p
+             |LEFT JOIN ip ON ip.l = p.l_sym AND ip.r = p.r_sym""".stripMargin
+      s"""WITH $wrdsCte,
+         |$bpeInitCtes$pinnedSql
+         |SELECT 1 AS rank, l AS l_sym, r AS r_sym, l || r AS merged,
+         |  cnt AS pair_count, cnt AS init_pair_count
+         |FROM fp$tailSelect""".stripMargin
+    }
+
+  // ---- tokenizer fertility ----
+
+  /** Per-language tokenizer fertility roll-up (the audit run before
+    * committing a tokenizer to a corpus mix): BPE-pre-tokens per
+    * whitespace word and normalized chars per BPE token, from exact
+    * integer sums over [[TextAnalysis.tokenCounts]]. */
+  def tokFertility(s: SparkSession, dir: String): DataFrame = {
+    val t = TextAnalysis.tokenCounts(docs(s, dir))
+    t.groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_ws_tokens")).as("ws_tokens"),
+        sum(col("n_bpe_tokens")).as("bpe_tokens"),
+        sum(col("n_chars_norm")).as("chars_norm"))
+      .withColumn("fertility",
+        col("bpe_tokens").cast("double") / col("ws_tokens").cast("double"))
+      .withColumn("chars_per_token",
+        col("chars_norm").cast("double") / col("bpe_tokens").cast("double"))
+  }
+
+  val tokFertilityOracle: String =
+    s"""WITH $wrdsCte,
+       |tok AS (
+       |  SELECT lang, len(w) AS n_ws,
+       |    len(regexp_extract_all(text,
+       |      '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \\t\\n\\r]')) AS n_bpe,
+       |    length(nt) AS n_chars
+       |  FROM wrds
+       |),
+       |agg AS (
+       |  SELECT lang, count(*) AS n_docs,
+       |    CAST(sum(n_ws) AS BIGINT) AS ws_tokens,
+       |    CAST(sum(n_bpe) AS BIGINT) AS bpe_tokens,
+       |    CAST(sum(n_chars) AS BIGINT) AS chars_norm
+       |  FROM tok GROUP BY 1
+       |)
+       |SELECT *,
+       |  CAST(bpe_tokens AS DOUBLE) / CAST(ws_tokens AS DOUBLE) AS fertility,
+       |  CAST(chars_norm AS DOUBLE) / CAST(bpe_tokens AS DOUBLE)
+       |    AS chars_per_token
+       |FROM agg""".stripMargin
 
   // ---- language ID ----
 
@@ -1389,6 +1571,9 @@ object LlmQueries {
     "llm_fingerprint" -> QueryDef(fingerprint _, fingerprintOracle),
     "llm_token_count" -> QueryDef(tokenCount _, tokenCountOracle),
     "llm_quality_score" -> QueryDef(quality _, qualityOracle),
+    "llm_gopher_rules" -> QueryDef(gopher _, gopherOracle),
+    "llm_tok_fertility" -> QueryDef(tokFertility _, tokFertilityOracle),
+    "llm_bpe_train" -> QueryDef(bpeTrain _, None),
     "llm_repetition" -> QueryDef(repetition _, repetitionOracle),
     "llm_source_stats" -> QueryDef(sourceStats _, sourceStatsOracle),
     "llm_lang_id" -> QueryDef(langId _, langIdOracle),

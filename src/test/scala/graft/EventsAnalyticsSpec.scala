@@ -234,4 +234,33 @@ class EventsAnalyticsSpec extends AnyFunSuite {
       .as[(String, Long, Long)].collect().toSet
     assert(r === Set(("1970-01-01", 0L, 2L), ("1970-01-01", 1L, 1L)))
   }
+
+  test("pathTransitions counts adjacent pairs per user with exact P and rank") {
+    val e = ev(
+      // user 1: a -> b -> a -> c ; user 2: b -> c
+      (1L, 1L, 0L, "a", 0.0),
+      (2L, 1L, 1000000L, "b", 0.0),
+      (3L, 1L, 2000000L, "a", 0.0),
+      (4L, 1L, 3000000L, "c", 0.0),
+      (5L, 2L, 0L, "b", 0.0),
+      (6L, 2L, 1000000L, "c", 0.0))
+    val t = EventsAnalytics.pathTransitions(e)
+      .select("from_type", "to_type", "n_transitions", "p_transition",
+        "transition_rank")
+      .as[(String, String, Long, Double, Int)].collect().toSet
+    assert(t === Set(
+      ("a", "b", 1L, 0.5, 1), ("a", "c", 1L, 0.5, 2),
+      ("b", "a", 1L, 0.5, 1), ("b", "c", 1L, 0.5, 2)))
+  }
+
+  test("pathTransitions never pairs across users; ties order by event_id") {
+    val e = ev(
+      (2L, 1L, 5000000L, "b", 0.0),
+      (1L, 1L, 5000000L, "a", 0.0), // same µs: event_id orders a before b
+      (3L, 2L, 9000000L, "c", 0.0)) // singleton user: no transition
+    val t = EventsAnalytics.pathTransitions(e)
+      .select("from_type", "to_type")
+      .as[(String, String)].collect().toSeq
+    assert(t === Seq(("a", "b")))
+  }
 }

@@ -616,4 +616,36 @@ class LlmOperatorsSpec extends AnyFunSuite {
     assert(TextAnalysis.stratifiedSample(d, lit(34), idCol = "doc_id")
       .select("doc_id").as[Long].collect().toSet.subsetOf(kept50))
   }
+
+  test("gopherRules: each rule trips on its own violation") {
+    import spark.implicits._
+    val passing = ("the quick brown fox and that dog have fun with " +
+      "words of every kind to be sure ") * 3 // 54 words, stops present
+    val d = Seq(
+      (1L, passing),
+      (2L, "too short to pass the word count"), // n_words rule
+      (3L, ("- bullet item\n" * 5) + "- final bullet"), // all bullet lines
+      (4L, passing.replace("fun", "fun...")), // symbol+ellipsis counted
+      (5L, ("数据 引擎 查询 " * 20) + "扫描 排序")) // no [a-z] words
+      .toDF("doc_id", "text")
+    val m = TextAnalysis.gopherRules(d)
+      .select("doc_id", "n_words", "bullet_frac", "alpha_word_frac",
+        "stop_hits", "symbol_ratio", "gopher_ok")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(m(1L).getBoolean(6))
+    assert(!m(2L).getBoolean(6) && m(2L).getInt(1) < 40)
+    assert(!m(3L).getBoolean(6) && m(3L).getDouble(2) == 1.0)
+    assert(m(4L).getDouble(5) > 0.0) // three ellipses over 54 words
+    assert(!m(5L).getBoolean(6) && m(5L).getDouble(3) == 0.0)
+  }
+
+  test("gopherRules line fractions use raw newlines, word rules the norm text") {
+    import spark.implicits._
+    val d = Seq((1L, "one line...\nand the second\n\n  \nthird...")).toDF(
+      "doc_id", "text")
+    val r = TextAnalysis.gopherRules(d).head()
+    assert(r.getAs[Int]("n_lines") == 3) // blank/whitespace lines dropped
+    assert(math.abs(r.getAs[Double]("ellipsis_frac") - 2.0 / 3) < 1e-12)
+    assert(r.getAs[Int]("n_words") == 6) // newlines collapse to spaces
+  }
 }
