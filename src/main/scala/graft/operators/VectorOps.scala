@@ -253,10 +253,18 @@ object VectorOps {
     * all-pairs anywhere. */
   def ivfCandidates(corpus: DataFrame, queries: DataFrame,
       nClusters: Int = 16, nprobe: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfCandidatesWith(
+      kmeansCentroids(corpus, nClusters, iters = 3, idCol, vecCol),
+      corpus, queries, nprobe, idCol, vecCol)
+
+  /** [[ivfCandidates]] with the trained coarse quantizer supplied —
+    * the entry point for audits that must pin the centroids. */
+  def ivfCandidatesWith(centroids: Array[Array[Double]],
+      corpus: DataFrame, queries: DataFrame, nprobe: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val centroids = kmeansCentroids(corpus, nClusters, iters = 3, idCol, vecCol)
     val bc = spark.sparkContext.broadcast(centroids)
     val assigned = corpus
       .select(col(idCol).cast("long"), col(vecCol)).as[(Long, Array[Float])]
@@ -293,6 +301,44 @@ object VectorOps {
     exactRerank(
       ivfCandidates(corpus, queries, nClusters, nprobe, idCol, vecCol),
       corpus, queries, k, idCol, vecCol)
+
+  /** Recall@k audit of the trained IVF against exact brute force —
+    * the acceptance gate run before trusting an ANN index at scale.
+    * Per query: candidate-set size, |IVF top-k ∩ brute top-k| and
+    * recall = overlap/k. Returns the trained centroids alongside so
+    * the caller can pin them (given the centroids, every downstream
+    * step — assignment, probes, both top-k rankings, the overlap —
+    * is exact arithmetic an independent engine can re-derive).
+    * Cost shape: the brute side is |queries| x corpus (the audit IS
+    * the exhaustive scan — run it on the bounded query panel, never
+    * the full corpus); the IVF side is the production probe path. */
+  def ivfRecallAudit(corpus: DataFrame, queries: DataFrame, k: Int,
+      nClusters: Int = 16, nprobe: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      : (Array[Array[Double]], DataFrame) = {
+    val centroids =
+      kmeansCentroids(corpus, nClusters, iters = 3, idCol, vecCol)
+    val cands = graft.util.Caches.materialize(
+      ivfCandidatesWith(centroids, corpus, queries, nprobe, idCol, vecCol))
+    val ivfTop = exactRerank(cands, corpus, queries, k, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id"))
+    val bruteTop = annTopK(corpus, queries, k, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id"))
+    val ncand = cands.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_candidates"))
+    val ov = ivfTop.join(bruteTop, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("overlap"))
+    val out = queries
+      .select(col(idCol).cast("long").as("query_id"))
+      .join(ncand, Seq("query_id"), "left")
+      .join(ov, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("overlap"), lit(0L)).as("overlap"),
+        (coalesce(col("overlap"), lit(0L)).cast("double") / lit(k))
+          .as("recall"))
+    (centroids, out)
+  }
 
   // ---- product quantization (PQ) ANN ----
 

@@ -1330,6 +1330,105 @@ object LlmQueries {
       VectorOps.ivfPqShortlist(e, q), AnnK)
   }
 
+  // ---- IVF recall audit (echo centroids + verify everything) ----
+
+  private val IvfClusters = 16
+  private val IvfProbe = 2
+
+  /** Recall@k of the trained IVF vs exact brute force
+    * ([[VectorOps.ivfRecallAudit]]). The gate pins ONLY the trained
+    * centroids; the oracle re-derives in SQL the squared-L2
+    * assignment (same left-to-right fold, first-wins ties), the
+    * per-query probe lists, the probed candidate set, BOTH exact
+    * cosine top-k rankings and the overlap — so unlike the re-rank
+    * gates this one verifies the ENTIRE search path, not just the
+    * scoring tail. */
+  def annIvfRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val q = e.filter(col("vec_id") < AnnQueries)
+    val (centroids, out) = VectorOps.ivfRecallAudit(
+      e, q, AnnK, IvfClusters, IvfProbe)
+    DynamicOracles.put("llm_ann_recall", ivfRecallOracle(centroids))
+    out
+  }
+
+  private def ivfRecallOracle(centroids: Array[Array[Double]]): String = {
+    val d = graft.util.Parity.duckDoubleLit _
+    val values = centroids.zipWithIndex.map { case (cs, c) =>
+      s"($c, [${cs.map(d).mkString(", ")}])"
+    }.mkString(",\n    ")
+    val sqdist =
+      """list_reduce(list_transform(range(1, len(e.embedding) + 1),
+        |      i -> (e.embedding[i]::DOUBLE - c.cs[i])
+        |           * (e.embedding[i]::DOUBLE - c.cs[i])),
+        |      (a, b) -> a + b)""".stripMargin
+    s"""WITH cent(c, cs) AS (VALUES
+       |    $values),
+       |dists AS (
+       |  SELECT e.vec_id, c.c,
+       |    $sqdist AS dd
+       |  FROM embeddings e, cent c
+       |),
+       |assigned AS (
+       |  SELECT vec_id AS neighbor_id, c AS cluster FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY dd, c) AS rn FROM dists
+       |  ) WHERE rn = 1
+       |),
+       |probes AS (
+       |  SELECT vec_id AS query_id, c AS cluster FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY dd, c) AS rn
+       |    FROM dists WHERE vec_id < $AnnQueries
+       |  ) WHERE rn <= $IvfProbe
+       |),
+       |cand AS (
+       |  SELECT p.query_id, a.neighbor_id
+       |  FROM probes p JOIN assigned a USING (cluster)
+       |  WHERE a.neighbor_id <> p.query_id
+       |),
+       |q AS (
+       |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+       |  WHERE vec_id < $AnnQueries
+       |),
+       |ivf_top AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT cand.query_id, cand.neighbor_id,
+       |      row_number() OVER (PARTITION BY cand.query_id
+       |        ORDER BY ${duckCosine("q.qv", "e.embedding")} DESC,
+       |                 cand.neighbor_id) AS rn
+       |    FROM cand
+       |    JOIN embeddings e ON e.vec_id = cand.neighbor_id
+       |    JOIN q ON q.query_id = cand.query_id
+       |  ) WHERE rn <= $AnnK
+       |),
+       |brute_top AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.query_id, e.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY ${duckCosine("q.qv", "e.embedding")} DESC,
+       |                 e.vec_id) AS rn
+       |    FROM embeddings e JOIN q ON e.vec_id <> q.query_id
+       |  ) WHERE rn <= $AnnK
+       |),
+       |ncand AS (
+       |  SELECT query_id, count(*) AS n_candidates FROM cand GROUP BY 1
+       |),
+       |ov AS (
+       |  SELECT i.query_id, count(*) AS overlap
+       |  FROM ivf_top i JOIN brute_top b
+       |    ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+       |  GROUP BY 1
+       |)
+       |SELECT q.query_id,
+       |  CAST(coalesce(n.n_candidates, 0) AS BIGINT) AS n_candidates,
+       |  CAST(coalesce(ov.overlap, 0) AS BIGINT) AS overlap,
+       |  CAST(coalesce(ov.overlap, 0) AS DOUBLE) / $AnnK AS recall
+       |FROM q
+       |LEFT JOIN ncand n ON n.query_id = q.query_id
+       |LEFT JOIN ov ON ov.query_id = q.query_id""".stripMargin
+  }
+
   // ---- corpus n-gram heavy hitters ----
 
   private val TopNgramN = 2
@@ -1584,6 +1683,7 @@ object LlmQueries {
     "llm_ann_ivf_trained" -> QueryDef(annIvfTrained _, None),
     "llm_ann_pq" -> QueryDef(annPq _, None),
     "llm_ann_ivfpq" -> QueryDef(annIvfPq _, None),
+    "llm_ann_recall" -> QueryDef(annIvfRecall _, None),
     "llm_decontaminate" -> QueryDef(decontaminate _, decontaminateOracle),
     "llm_curation_e2e" -> QueryDef(curationE2e _, curationE2eOracle),
     "llm_embed_clusters" -> QueryDef(embedClusters _, embedClustersOracle),

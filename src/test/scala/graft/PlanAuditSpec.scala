@@ -82,7 +82,11 @@ class PlanAuditSpec extends AnyFunSuite {
     val allowed = Set("llm_ann_topk", "llm_ann_pq", "llm_unigram_logprob",
       "llm_bigram_logprob", "llm_perplexity_cut", "a18_quality_sketch",
       "llm_lang_balance", "llm_tfidf_topterms", "llm_mix_weights",
-      "llm_dataset_card", "llm_mrl_recall")
+      "llm_dataset_card", "llm_mrl_recall",
+      // one-row corpus-stats crossJoins (avgdl / raw+target totals):
+      // AQE sizing on the regenerated testdata surfaced these
+      // pre-existing bounded broadcasts in the collected plan
+      "llm_bm25_topk", "llm_dsir_select")
     for (name <- SparkEntry.queries.keys if !driverSide(name)) {
       val bnl = planOf(name).collect { case j: BroadcastNestedLoopJoinExec => j }
       assert(bnl.isEmpty || allowed(name),
@@ -296,5 +300,39 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(winds.forall(_.partitionSpec.nonEmpty),
         s"$name runs an unpartitioned window")
     }
+  }
+
+  test("gopher rules are a pure shuffle-free projection") {
+    val ex = planOf("llm_gopher_rules").collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(ex.isEmpty, "gopher rules must not shuffle — per-row work")
+  }
+
+  test("m7 realized vol: exactly two exchanges (bar key, then day key)") {
+    // trades -> (underlying, bucket) hash agg -> (underlying, day)
+    // window + final agg share the second exchange
+    val ex = planOf("m7_realized_vol").collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(ex.size == 2,
+      s"m7 plans ${ex.size} exchanges, expected 2 (bar, day)")
+    val winds = planOf("m7_realized_vol")
+      .collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(winds.forall(_.partitionSpec.nonEmpty),
+      "m7 runs an unpartitioned window")
+  }
+
+  test("ev5 transitions: user-keyed lead window, partitioned rank windows") {
+    val winds = planOf("ev5_transitions")
+      .collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(winds.nonEmpty, "ev5 has no window")
+    assert(winds.forall(_.partitionSpec.nonEmpty),
+      "ev5 runs an unpartitioned window")
+    // events scanned once; everything after the (from, to) aggregate
+    // is |types|^2-sized
+    val scans = planOf("ev5_transitions")
+      .collect { case s: FileSourceScanExec => s }
+    assert(scans.size == 1, s"ev5 scans events ${scans.size} times")
   }
 }
