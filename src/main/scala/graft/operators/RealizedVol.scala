@@ -94,4 +94,48 @@ object RealizedVol {
         (Parity.dsum(col("_rs")) / n).as("rogers_satchell"))
       .withColumn("rv_vol", sqrt(col("rv_cc")))
   }
+
+  /** RiskMetrics-style EWMA variance over intra-day bar returns, one
+    * row per return bar: ewma_t = Σ_{i<=t} λ^{t-i} r_i² · (1−λ) /
+    * (1−λ^t) (truncated-weight normalization, so t=1 gives r²).
+    *
+    * Exact-parity shape: the closed form λ^t · Σ λ^{-i} r_i² turns
+    * the recursion into ONE running DECIMAL sum per day partition —
+    * no recursion, no O(n²) window. λ^{-i} is bounded by the day
+    * length (λ^{-96} ≈ 382 at 15-min bars), so nothing overflows at
+    * any corpus size. Every pow() output is quantized before use —
+    * Java and libm pow disagree by 1 ulp, and a raw pow inside the
+    * summed term would hash-diverge; after quantization every
+    * multiply/divide is identical IEEE on both engines. */
+  def ewmaSeries(trades: DataFrame, lambda: Double = 0.94,
+      intervalSec: Long = 900L): DataFrame = {
+    val byDay = Window
+      .partitionBy(col("underlying"), col("day_start"))
+      .orderBy(col("bucket_start"))
+    val running = byDay
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val c = col("close")
+    priceBars(trades, intervalSec)
+      .withColumn("day_start",
+        col("bucket_start") - col("bucket_start") % 86400L)
+      .withColumn("_r", log(c / lag(c, 1).over(byDay)))
+      .filter(col("_r").isNotNull)
+      .withColumn("bar_rn", row_number().over(byDay))
+      .withColumn("r2", Parity.roundTo(col("_r") * col("_r"), 6))
+      .withColumn("_pneg",
+        Parity.roundTo(pow(lit(lambda), -col("bar_rn")), 6))
+      .withColumn("_s",
+        sum((col("_pneg") * col("r2"))
+          .cast(org.apache.spark.sql.types.DataTypes
+            .createDecimalType(28, 6))).over(running).cast("double"))
+      .withColumn("_ppos",
+        Parity.roundTo(pow(lit(lambda), col("bar_rn")), 12))
+      .withColumn("ewma_var",
+        Parity.roundTo(
+          col("_ppos") * lit(1.0 - lambda) * col("_s")
+            / (lit(1.0) - col("_ppos")), 9))
+      .withColumn("ewma_vol", sqrt(col("ewma_var")))
+      .select(col("underlying"), col("day_start"), col("bucket_start"),
+        col("bar_rn"), col("r2"), col("ewma_var"), col("ewma_vol"))
+  }
 }

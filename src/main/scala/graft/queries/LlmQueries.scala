@@ -1345,7 +1345,10 @@ object LlmQueries {
     * scoring tail. */
   def annIvfRecall(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    val q = e.filter(col("vec_id") < AnnQueries)
+    // the query panel is bounded by construction — materialize it so
+    // the audit's three query-side branches read one cached scan
+    val q = graft.util.Caches.materialize(
+      e.filter(col("vec_id") < AnnQueries))
     val (centroids, out) = VectorOps.ivfRecallAudit(
       e, q, AnnK, IvfClusters, IvfProbe)
     DynamicOracles.put("llm_ann_recall", ivfRecallOracle(centroids))

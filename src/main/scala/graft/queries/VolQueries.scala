@@ -1,17 +1,36 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.RealizedVol
+import graft.operators.{OrderFlow, RealizedVol}
 import graft.options.SyntheticTrades
 import graft.util.Parity._
 
-/** Realized-volatility entries (M7 — beyond the reference: the
-  * price-path twin of the IV resample family that the EGARCH spread
-  * analysis implies but the reference never materializes). */
+/** Realized-volatility and order-flow entries (M7/M8/A19 — beyond
+  * the reference: the price-path twin of the IV resample family that
+  * the EGARCH spread analysis implies but the reference never
+  * materializes, plus the microstructure read on `direction`). */
 object VolQueries {
 
   private def trades(s: SparkSession, dir: String): DataFrame =
     SyntheticTrades.trades(s, dir)
+
+  /** Shared oracle CTE: 15-min price OHLC bars (positive prices,
+    * argMin/argMax open/close on unique timestamps) + day key. */
+  private val pbCte: String =
+    s"""${SyntheticTrades.tradesCte},
+       |pb AS (
+       |  SELECT underlying, ep - ep % 900 AS bucket_start,
+       |    arg_min(price, "timestamp") AS open,
+       |    max(price) AS high, min(price) AS low,
+       |    arg_max(price, "timestamp") AS close
+       |  FROM (SELECT *, ${duckEpochS("\"timestamp\"")} AS ep FROM trades)
+       |  WHERE price > 0
+       |  GROUP BY 1, 2
+       |),
+       |pbd AS (
+       |  SELECT *, bucket_start - bucket_start % 86400 AS day_start
+       |  FROM pb
+       |)""".stripMargin
 
   def m7RealizedVol(s: SparkSession, dir: String): DataFrame =
     RealizedVol.dailyEstimators(trades(s, dir))
@@ -23,19 +42,9 @@ object VolQueries {
     val kp = duckDoubleLit(RealizedVol.ParkinsonCoef)
     val kgk = duckDoubleLit(RealizedVol.GkCoef)
     val rvSum = duckDsum(duckRoundTo("r*r", 6))
-    s"""WITH ${SyntheticTrades.tradesCte},
-       |pb AS (
-       |  SELECT underlying, ep - ep % 900 AS bucket_start,
-       |    arg_min(price, "timestamp") AS open,
-       |    max(price) AS high, min(price) AS low,
-       |    arg_max(price, "timestamp") AS close
-       |  FROM (SELECT *, ${duckEpochS("\"timestamp\"")} AS ep FROM trades)
-       |  WHERE price > 0
-       |  GROUP BY 1, 2
-       |),
+    s"""WITH $pbCte,
        |terms AS (
-       |  SELECT underlying, bucket_start,
-       |    bucket_start - bucket_start % 86400 AS day_start, close,
+       |  SELECT underlying, bucket_start, day_start, close,
        |    ${duckRoundTo("ln(high/low)*ln(high/low)", 6)} AS lhl2,
        |    ${duckRoundTo(
                s"0.5*ln(high/low)*ln(high/low) - $kgk*ln(close/open)*ln(close/open)",
@@ -43,7 +52,7 @@ object VolQueries {
        |    ${duckRoundTo(
                "ln(high/close)*ln(high/open) + ln(low/close)*ln(low/open)",
                6)} AS rs
-       |  FROM pb
+       |  FROM pbd
        |),
        |rets AS (
        |  SELECT *, ln(close / lag(close) OVER (
@@ -60,6 +69,81 @@ object VolQueries {
        |FROM rets GROUP BY 1, 2""".stripMargin
   }
 
+  private val EwmaLambda = 0.94
+
+  def m8EwmaVol(s: SparkSession, dir: String): DataFrame =
+    RealizedVol.ewmaSeries(trades(s, dir), EwmaLambda)
+
+  /** The λ^t·Σλ^{-i}r² closed form with every pow() output quantized
+    * (see [[RealizedVol.ewmaSeries]]); the running sum is DECIMAL —
+    * order-free — so DuckDB's segment-tree window aggregation cannot
+    * diverge from Spark's sequential one. */
+  val m8Oracle: String = {
+    val lam = duckDoubleLit(EwmaLambda)
+    val oneMinus = duckDoubleLit(1.0 - EwmaLambda)
+    s"""WITH $pbCte,
+       |rets AS (
+       |  SELECT underlying, day_start, bucket_start,
+       |    ln(close / lag(close) OVER w) AS r
+       |  FROM pbd
+       |  WINDOW w AS (PARTITION BY underlying, day_start
+       |               ORDER BY bucket_start)
+       |),
+       |seq AS (
+       |  SELECT underlying, day_start, bucket_start,
+       |    CAST(row_number() OVER w AS INT) AS bar_rn,
+       |    ${duckRoundTo("r*r", 6)} AS r2
+       |  FROM rets WHERE r IS NOT NULL
+       |  WINDOW w AS (PARTITION BY underlying, day_start
+       |               ORDER BY bucket_start)
+       |),
+       |acc AS (
+       |  SELECT *,
+       |    CAST(sum(CAST(${duckRoundTo(s"power($lam, -bar_rn)", 6)} * r2
+       |          AS DECIMAL(28,6))) OVER (
+       |        PARTITION BY underlying, day_start ORDER BY bucket_start
+       |        ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS s,
+       |    ${duckRoundTo(s"power($lam, bar_rn)", 12)} AS ppos
+       |  FROM seq
+       |)
+       |SELECT underlying, day_start, bucket_start, bar_rn, r2,
+       |  ${duckRoundTo(s"ppos * $oneMinus * s / (1.0 - ppos)", 9)}
+       |    AS ewma_var,
+       |  sqrt(${duckRoundTo(s"ppos * $oneMinus * s / (1.0 - ppos)", 9)})
+       |    AS ewma_vol
+       |FROM acc""".stripMargin
+  }
+
+  def a19FlowImbalance(s: SparkSession, dir: String): DataFrame =
+    OrderFlow.flowImbalance(trades(s, dir))
+
+  /** Conditional DECIMAL sums per side in one aggregate; imbalance is
+    * the identical double expression on both engines, null when the
+    * bucket's total volume is zero. */
+  val a19Oracle: String = {
+    val buy = duckDsum("CASE WHEN direction = 'buy' THEN amount END")
+    val sell = duckDsum("CASE WHEN direction <> 'buy' THEN amount END")
+    s"""WITH ${SyntheticTrades.tradesCte},
+       |agg AS (
+       |  SELECT underlying, ep - ep % 900 AS bucket_start,
+       |    count(CASE WHEN direction = 'buy' THEN 1 END) AS n_buys,
+       |    count(CASE WHEN direction <> 'buy' THEN 1 END) AS n_sells,
+       |    $buy AS buy_volume,
+       |    $sell AS sell_volume
+       |  FROM (SELECT *, ${duckEpochS("\"timestamp\"")} AS ep FROM trades)
+       |  GROUP BY 1, 2
+       |)
+       |SELECT *,
+       |  (coalesce(buy_volume, 0.0::DOUBLE)
+       |     - coalesce(sell_volume, 0.0::DOUBLE))
+       |    / nullif(coalesce(buy_volume, 0.0::DOUBLE)
+       |       + coalesce(sell_volume, 0.0::DOUBLE), 0.0::DOUBLE)
+       |    AS imbalance
+       |FROM agg""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
-    "m7_realized_vol" -> QueryDef(m7RealizedVol _, m7Oracle))
+    "m7_realized_vol" -> QueryDef(m7RealizedVol _, m7Oracle),
+    "m8_ewma_vol" -> QueryDef(m8EwmaVol _, m8Oracle),
+    "a19_flow_imbalance" -> QueryDef(a19FlowImbalance _, a19Oracle))
 }

@@ -86,7 +86,9 @@ class PlanAuditSpec extends AnyFunSuite {
       // one-row corpus-stats crossJoins (avgdl / raw+target totals):
       // AQE sizing on the regenerated testdata surfaced these
       // pre-existing bounded broadcasts in the collected plan
-      "llm_bm25_topk", "llm_dsir_select")
+      "llm_bm25_topk", "llm_dsir_select",
+      // recall audit embeds the brute-force scorer by design
+      "llm_ann_recall")
     for (name <- SparkEntry.queries.keys if !driverSide(name)) {
       val bnl = planOf(name).collect { case j: BroadcastNestedLoopJoinExec => j }
       assert(bnl.isEmpty || allowed(name),
@@ -321,6 +323,19 @@ class PlanAuditSpec extends AnyFunSuite {
       .collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
     assert(winds.forall(_.partitionSpec.nonEmpty),
       "m7 runs an unpartitioned window")
+  }
+
+  test("m8 ewma / a19 flow: bar-keyed aggregates, no extra exchanges") {
+    // m8: bar agg exchange + day-keyed window exchange = 2
+    val m8 = planOf("m8_ewma_vol").collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(m8.size == 2, s"m8 plans ${m8.size} exchanges, expected 2")
+    // a19: single hash aggregate = 1 exchange
+    val a19 = planOf("a19_flow_imbalance").collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(a19.size == 1, s"a19 plans ${a19.size} exchanges, expected 1")
   }
 
   test("ev5 transitions: user-keyed lead window, partitioned rank windows") {

@@ -61,6 +61,46 @@ class RealizedVolSpec extends AnyFunSuite {
     assert(bar.getDouble(4) == 100.0) // low
   }
 
+  test("ewmaSeries matches the recursive EWMA definition") {
+    val lambda = 0.94
+    // one day, five bars -> four returns
+    val prices = Seq(100.0, 104.0, 101.0, 107.0, 103.0)
+    val df = trades(prices.zipWithIndex.map {
+      case (p, i) => (i * 900L, p) }: _*)
+    val rows = graft.operators.RealizedVol.ewmaSeries(df, lambda)
+      .orderBy("bar_rn").collect()
+    assert(rows.length == 4)
+    // reference: truncated-weight normalized EWMA, recursive form
+    val rs = prices.sliding(2).map { case Seq(a, b) =>
+      val r = math.log(b / a); r * r }.toSeq
+    for ((row, t) <- rows.zipWithIndex) {
+      val num = (0 to t).map(i => math.pow(lambda, t - i) * rs(i)).sum
+      val den = (0 to t).map(i => math.pow(lambda, i.toDouble)).sum
+      assert(math.abs(row.getAs[Double]("ewma_var") - num / den) < 1e-4,
+        s"bar ${t + 1}")
+    }
+    // t=1 is exactly r^2 (quantized)
+    assert(math.abs(rows(0).getAs[Double]("ewma_var") - rs(0)) < 1e-5)
+  }
+
+  test("flowImbalance: conditional sums and the signed ratio") {
+    import spark.implicits._
+    val df = Seq(
+      ("BTC", ts(0L), 3.0, "buy"),
+      ("BTC", ts(60L), 1.0, "sell"),
+      ("BTC", ts(120L), 2.0, "buy"),
+      ("ETH", ts(0L), 4.0, "sell"))
+      .toDF("underlying", "timestamp", "amount", "direction")
+    val m = graft.operators.OrderFlow.flowImbalance(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val btc = m("BTC")
+    assert(btc.getAs[Long]("n_buys") == 2L &&
+      btc.getAs[Long]("n_sells") == 1L)
+    assert(btc.getAs[Double]("buy_volume") == 5.0)
+    assert(btc.getAs[Double]("imbalance") == (5.0 - 1.0) / 6.0)
+    assert(m("ETH").getAs[Double]("imbalance") == -1.0)
+  }
+
   test("returns never cross a day boundary") {
     val df = trades((86400L - 900L, 100.0), (86400L, 200.0))
     val days = RealizedVol.dailyEstimators(df)
