@@ -264,6 +264,49 @@ object SystemQueries {
     org.apache.spark.sql.GraftBridge.bindTo(ss.table("st4_pcr"), s)
   }
 
+  /** §2.9 + A19: watermarked streaming order-flow bars — the
+    * streaming twin of a19_flow_imbalance. Same harness discipline as
+    * st4: bounded file source, append mode, the oracle restates the
+    * batch aggregate over the watermark-complete bar prefix. */
+  def st8StreamingFlow(s: SparkSession, dir: String): DataFrame = {
+    val src = Files.createTempDirectory("st8-src").toString
+    val ckpt = Files.createTempDirectory("st8-ckpt").toString
+    val trades = SyntheticTrades.trades(s, dir)
+      .select("trade_id", "underlying", "timestamp", "direction", "amount")
+    trades.write.mode("overwrite").parquet(s"$src/pages")
+    val ss = streamSession(s)
+    val raw = ss.readStream.schema(trades.schema).parquet(s"$src/pages")
+    val q = StreamingIngest.flowBars(raw, watermark = "30 minutes")
+      .writeStream.format("memory").queryName("st8_flow")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    org.apache.spark.sql.GraftBridge.bindTo(ss.table("st8_flow"), s)
+  }
+
+  val st8Oracle: String =
+    s"""WITH ${graft.queries.OracleCtes.enriched},
+       |bars AS (
+       |  SELECT bucket_start, underlying,
+       |    count(CASE WHEN direction = 'buy' THEN 1 END) AS n_buys,
+       |    count(CASE WHEN direction <> 'buy' THEN 1 END) AS n_sells,
+       |    coalesce(${duckDsum("CASE WHEN direction = 'buy' THEN amount END")}, 0.0)
+       |      AS buy_volume,
+       |    coalesce(${duckDsum("CASE WHEN direction <> 'buy' THEN amount END")}, 0.0)
+       |      AS sell_volume
+       |  FROM enriched
+       |  GROUP BY bucket_start, underlying
+       |),
+       |wm AS (
+       |  SELECT max(epoch_ms("timestamp")) - 1800000 AS wm_ms FROM trades
+       |)
+       |SELECT bucket_start, underlying, n_buys, n_sells,
+       |  buy_volume, sell_volume,
+       |  (buy_volume - sell_volume)
+       |    / nullif(buy_volume + sell_volume, 0.0) AS imbalance
+       |FROM bars, wm
+       |WHERE (bucket_start + 900) * 1000 <= wm_ms""".stripMargin
+
   val st4Oracle: String =
     s"""WITH ${graft.queries.OracleCtes.enriched},
        |bars AS (
@@ -517,5 +560,6 @@ object SystemQueries {
     "st3_stream_join" -> QueryDef(st3StreamJoin _, st3Oracle),
     "st4_streaming_pcr" -> QueryDef(st4StreamingPcr _, st4Oracle),
     "st5_gap_events" -> QueryDef(st5GapEvents _, st5Oracle),
-    "st6_session_bursts" -> QueryDef(st6SessionBursts _, st6Oracle))
+    "st6_session_bursts" -> QueryDef(st6SessionBursts _, st6Oracle),
+    "st8_streaming_flow" -> QueryDef(st8StreamingFlow _, st8Oracle))
 }

@@ -69,6 +69,33 @@ object StreamingIngest {
         (coalesce(col("put_volume"), lit(0.0)) /
           nullif(coalesce(col("call_volume"), lit(0.0)), lit(0.0))).as("pcr"))
 
+  /** A19-for-streams: watermarked per-bar order-flow imbalance (the
+    * streaming twin of [[graft.operators.OrderFlow.flowImbalance]]).
+    * Conditional DECIMAL sums per side close with the bar window;
+    * imbalance is computed at emit so the streamed rows equal the
+    * batch aggregate over the watermark-complete prefix. */
+  def flowBars(trades: DataFrame, watermark: String = "30 minutes")
+      : DataFrame = {
+    val isBuy = col("direction") === "buy"
+    val buy = coalesce(col("buy_volume"), lit(0.0))
+    val sell = coalesce(col("sell_volume"), lit(0.0))
+    trades
+      .withWatermark("timestamp", watermark)
+      .groupBy(window(col("timestamp"), "15 minutes"), col("underlying"))
+      .agg(
+        count(when(isBuy, 1)).as("n_buys"),
+        count(when(!isBuy, 1)).as("n_sells"),
+        graft.util.Parity.dsum(when(isBuy, col("amount")))
+          .as("buy_volume"),
+        graft.util.Parity.dsum(when(!isBuy, col("amount")))
+          .as("sell_volume"))
+      .select(
+        unix_timestamp(col("window.start")).as("bucket_start"),
+        col("underlying"), col("n_buys"), col("n_sells"),
+        buy.as("buy_volume"), sell.as("sell_volume"),
+        ((buy - sell) / nullif(buy + sell, lit(0.0))).as("imbalance"))
+  }
+
   /** J2-for-streams: stream-stream inner join of trades to spot ticks
     * in the same 15-minute bucket. Both sides are watermarked and the
     * join key includes the event-time window, so the state store
