@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scalable interval-containment join — the range-join pattern a
+  * naive `a.start <= b.ts AND b.ts <= a.end` theta-join turns into a
+  * cartesian disaster at scale. Spark's planner has no interval
+  * index, so the classic fix is BUCKETIZATION: explode each interval
+  * into the fixed-width buckets it spans, key the points by their
+  * bucket, and equi-join on (key, bucket) with the exact containment
+  * predicate as a post-filter. The join is then a plain shuffled
+  * hash/sort-merge equi-join Catalyst can plan, the fan-out is
+  * bounded by interval length / bucket width, and no all-pairs ever
+  * materializes (pinned by the plan audit: zero
+  * BroadcastNestedLoopJoin / CartesianProduct).
+  */
+object IntervalJoin {
+
+  /** Join `points` (keyCol, tsCol in epoch seconds) to the enclosing
+    * interval in `intervals` (keyCol, startCol, endCol — inclusive
+    * epoch-second bounds). Inner semantics: points in no interval
+    * drop; overlapping intervals yield one row per enclosure.
+    * `bucketSec` trades fan-out (long intervals explode into
+    * span/bucketSec rows) against join selectivity. */
+  def containmentJoin(points: DataFrame, intervals: DataFrame,
+      keyCol: String, tsCol: String, startCol: String, endCol: String,
+      bucketSec: Long = 86400L): DataFrame = {
+    val iv = intervals.withColumn("_bucket",
+      explode(sequence(
+        (col(startCol) / bucketSec).cast("long"),
+        (col(endCol) / bucketSec).cast("long"))))
+    val pt = points.withColumn("_bucket",
+      (col(tsCol) / bucketSec).cast("long"))
+    pt.join(iv, Seq(keyCol, "_bucket"))
+      .filter(col(tsCol).between(col(startCol), col(endCol)))
+      .drop("_bucket")
+  }
+
+  /** Gap-based activity intervals from an event-time column: one row
+    * per (key, session) with inclusive [start, end] epoch-second
+    * bounds — islands-and-gaps over a lag window, a new interval when
+    * the gap STRICTLY exceeds `gapSec`. */
+  def activityIntervals(events: DataFrame, keyCol: String,
+      epCol: String, gapSec: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(epCol))
+    events
+      .select(col(keyCol), col(epCol))
+      .withColumn("_new",
+        when(col(epCol) - lag(col(epCol), 1).over(w) > gapSec, 1)
+          .otherwise(when(lag(col(epCol), 1).over(w).isNull, 1)
+            .otherwise(0)))
+      .withColumn("session_seq",
+        sum(col("_new")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)))
+      .groupBy(col(keyCol), col("session_seq"))
+      .agg(min(col(epCol)).as("start_ep"), max(col(epCol)).as("end_ep"))
+  }
+}

@@ -36,4 +36,38 @@ object OrderFlow {
           / nullif(coalesce(col("buy_volume"), lit(0.0))
             + coalesce(col("sell_volume"), lit(0.0)), lit(0.0)))
   }
+
+  /** Intraday cumulative VWAP per (underlying, day): per-bar exact
+    * notional and volume sums, then DECIMAL running sums over the
+    * day partition — order-free, so DuckDB's segment-tree window
+    * aggregation and Spark's sequential one agree bit-for-bit. The
+    * bar aggregate and the day window share one exchange lineage
+    * (bar key ⊂ day key never holds, so this is two exchanges — the
+    * same shape as the realized-vol roll-up). */
+  def vwapSeries(trades: DataFrame, intervalSec: Long = 900L)
+      : DataFrame = {
+    val ep = unix_timestamp(col("timestamp"))
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(28, 6)
+    val bars = trades
+      .withColumn("bucket_start", ep - ep % intervalSec)
+      .groupBy(col("underlying"), col("bucket_start"))
+      .agg(
+        Parity.dsum(col("price") * col("amount")).as("bar_pv"),
+        Parity.dsum(col("amount")).as("bar_volume"),
+        count(lit(1)).as("n_trades"))
+    val running = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("underlying"), col("day_start"))
+      .orderBy(col("bucket_start"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    bars
+      .withColumn("day_start",
+        col("bucket_start") - col("bucket_start") % 86400L)
+      .withColumn("cum_pv",
+        sum(col("bar_pv").cast(dec)).over(running).cast("double"))
+      .withColumn("cum_volume",
+        sum(col("bar_volume").cast(dec)).over(running).cast("double"))
+      .withColumn("vwap",
+        col("cum_pv") / nullif(col("cum_volume"), lit(0.0)))
+  }
 }

@@ -142,8 +142,98 @@ object VolQueries {
        |FROM agg""".stripMargin
   }
 
+  def a20Vwap(s: SparkSession, dir: String): DataFrame =
+    OrderFlow.vwapSeries(trades(s, dir))
+
+  /** Bar notional/volume as exact DECIMAL sums, then DECIMAL running
+    * sums per day — order-free on both engines; vwap is one double
+    * division. */
+  val a20Oracle: String =
+    s"""WITH ${SyntheticTrades.tradesCte},
+       |bars AS (
+       |  SELECT underlying, ep - ep % 900 AS bucket_start,
+       |    ${duckDsum("price * amount")} AS bar_pv,
+       |    ${duckDsum("amount")} AS bar_volume,
+       |    count(*) AS n_trades
+       |  FROM (SELECT *, ${duckEpochS("\"timestamp\"")} AS ep FROM trades)
+       |  GROUP BY 1, 2
+       |),
+       |acc AS (
+       |  SELECT *, bucket_start - bucket_start % 86400 AS day_start
+       |  FROM bars
+       |)
+       |SELECT underlying, bucket_start, bar_pv, bar_volume, n_trades,
+       |  day_start,
+       |  CAST(sum(CAST(bar_pv AS DECIMAL(28,6))) OVER w AS DOUBLE)
+       |    AS cum_pv,
+       |  CAST(sum(CAST(bar_volume AS DECIMAL(28,6))) OVER w AS DOUBLE)
+       |    AS cum_volume,
+       |  CAST(sum(CAST(bar_pv AS DECIMAL(28,6))) OVER w AS DOUBLE)
+       |    / nullif(CAST(sum(CAST(bar_volume AS DECIMAL(28,6))) OVER w
+       |             AS DOUBLE), 0.0) AS vwap
+       |FROM acc
+       |WINDOW w AS (PARTITION BY underlying, day_start
+       |  ORDER BY bucket_start ROWS UNBOUNDED PRECEDING)""".stripMargin
+
+  private val J6GapSec = 4L * 3600L
+
+  /** J6: interval-containment join via bucketization
+    * ([[graft.operators.IntervalJoin]]) — activity sessions from the
+    * thinned trade tape joined to every spot tick they enclose. The
+    * oracle states the same join as a plain BETWEEN theta-join
+    * (DuckDB's optimizer copes at oracle scale; the Spark side is the
+    * shape that survives 100 TB). */
+  def j6IntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val t = trades(s, dir)
+      .filter(col("trade_id").cast("long") % 7 === 0)
+      .select(col("underlying").as("symbol"),
+        unix_timestamp(col("timestamp")).as("ep"))
+    val iv = graft.operators.IntervalJoin.activityIntervals(
+      t, "symbol", "ep", J6GapSec)
+    val ticks = SyntheticTrades.spotTicks(s, dir)
+      .select(col("symbol"), unix_timestamp(col("timestamp")).as("ep"),
+        col("close"))
+    graft.operators.IntervalJoin
+      .containmentJoin(ticks, iv, "symbol", "ep", "start_ep", "end_ep")
+      .select("symbol", "ep", "close", "session_seq", "start_ep", "end_ep")
+  }
+
+  val j6Oracle: String =
+    s"""WITH ${SyntheticTrades.tradesCte},
+       |${SyntheticTrades.spotCte},
+       |sampled AS (
+       |  SELECT underlying, ${duckEpochS("\"timestamp\"")} AS ep
+       |  FROM trades WHERE CAST(trade_id AS BIGINT) % 7 = 0
+       |),
+       |seq AS (
+       |  SELECT *, CASE WHEN lag(ep) OVER w IS NULL
+       |      OR ep - lag(ep) OVER w > $J6GapSec THEN 1 ELSE 0 END AS is_new
+       |  FROM sampled WINDOW w AS (PARTITION BY underlying ORDER BY ep)
+       |),
+       |ses AS (
+       |  SELECT *, CAST(sum(is_new) OVER (PARTITION BY underlying
+       |      ORDER BY ep ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+       |  FROM seq
+       |),
+       |iv AS (
+       |  SELECT underlying, session_seq, min(ep) AS start_ep,
+       |    max(ep) AS end_ep
+       |  FROM ses GROUP BY 1, 2
+       |),
+       |ticks AS (
+       |  SELECT symbol, ${duckEpochS("\"timestamp\"")} AS ep, close
+       |  FROM spot_ticks
+       |)
+       |SELECT t.symbol, t.ep, t.close, i.session_seq, i.start_ep, i.end_ep
+       |FROM ticks t JOIN iv i
+       |  ON i.underlying = t.symbol
+       |  AND t.ep BETWEEN i.start_ep AND i.end_ep""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
     "m7_realized_vol" -> QueryDef(m7RealizedVol _, m7Oracle),
     "m8_ewma_vol" -> QueryDef(m8EwmaVol _, m8Oracle),
-    "a19_flow_imbalance" -> QueryDef(a19FlowImbalance _, a19Oracle))
+    "a19_flow_imbalance" -> QueryDef(a19FlowImbalance _, a19Oracle),
+    "a20_vwap" -> QueryDef(a20Vwap _, a20Oracle),
+    "j6_interval_join" -> QueryDef(j6IntervalJoin _, j6Oracle))
 }

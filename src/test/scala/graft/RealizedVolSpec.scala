@@ -101,6 +101,23 @@ class RealizedVolSpec extends AnyFunSuite {
     assert(m("ETH").getAs[Double]("imbalance") == -1.0)
   }
 
+  test("vwapSeries: running notional/volume ratio resets per day") {
+    import spark.implicits._
+    val df = Seq(
+      ("BTC", ts(0L), 100.0, 2.0),
+      ("BTC", ts(900L), 110.0, 1.0),
+      ("BTC", ts(86400L), 200.0, 1.0)) // next day: cumulative resets
+      .toDF("underlying", "timestamp", "price", "amount")
+    val rows = graft.operators.OrderFlow.vwapSeries(df)
+      .orderBy("bucket_start")
+      .select("bucket_start", "cum_pv", "cum_volume", "vwap")
+      .as[(Long, Double, Double, Double)].collect().toSeq
+    assert(rows == Seq(
+      (0L, 200.0, 2.0, 100.0),
+      (900L, 310.0, 3.0, 310.0 / 3.0),
+      (86400L, 200.0, 1.0, 200.0)))
+  }
+
   test("returns never cross a day boundary") {
     val df = trades((86400L - 900L, 100.0), (86400L, 200.0))
     val days = RealizedVol.dailyEstimators(df)
