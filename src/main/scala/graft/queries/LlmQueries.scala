@@ -518,6 +518,55 @@ object LlmQueries {
          |FROM fp$tailSelect""".stripMargin
     }
 
+  // ---- BPE encode (top-K word tokenization table) ----
+
+  private val BpeTopWords = 200
+
+  /** The trained tokenizer applied to the vocabulary, gated on the
+    * top-[[BpeTopWords]] words by (freq DESC, word): the oracle
+    * re-derives the word-frequency table, the top-K membership and
+    * every frequency in SQL, then joins the pinned tokenization — a
+    * pinned word outside the SQL top-K, a frequency drift, or a
+    * membership change all hash-mismatch; the fold output itself
+    * (n_tokens, tokens) is echoed, with its semantics pinned by
+    * TextBpeSpec and the content-preservation property. */
+  def bpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val (_, _, folded) = TextBpe.trainFull(d, BpeMerges)
+    val out = TextBpe.decorate(folded)
+      .orderBy(col("freq").desc, col("word")).limit(BpeTopWords)
+    val rows = out.collect().sortBy(_.getString(0))
+    val sql =
+      if (rows.isEmpty)
+        """SELECT CAST(NULL AS VARCHAR) AS word,
+          |  CAST(NULL AS BIGINT) AS freq, CAST(NULL AS INT) AS n_tokens,
+          |  CAST(NULL AS VARCHAR) AS tokens
+          |WHERE false""".stripMargin
+      else {
+        def esc(x: String) = x.replace("'", "''")
+        val values = rows.map { r =>
+          s"('${esc(r.getString(0))}', ${r.getInt(2)}, " +
+            s"'${esc(r.getString(3))}')"
+        }.mkString(",\n    ")
+        s"""WITH $wrdsCte,
+           |wf AS (
+           |  SELECT word, count(*) AS c
+           |  FROM (SELECT unnest(w) AS word FROM wrds)
+           |  WHERE len(word) > 0 GROUP BY 1
+           |),
+           |topw AS (
+           |  SELECT word, c FROM wf ORDER BY c DESC, word
+           |  LIMIT $BpeTopWords
+           |),
+           |pinned(word, n_tokens, tokens) AS (VALUES
+           |    $values)
+           |SELECT t.word, t.c AS freq, p.n_tokens, p.tokens
+           |FROM topw t JOIN pinned p USING (word)""".stripMargin
+      }
+    DynamicOracles.put("llm_bpe_encode", sql)
+    out
+  }
+
   // ---- tokenizer fertility ----
 
   /** Per-language tokenizer fertility roll-up (the audit run before
@@ -1676,6 +1725,7 @@ object LlmQueries {
     "llm_gopher_rules" -> QueryDef(gopher _, gopherOracle),
     "llm_tok_fertility" -> QueryDef(tokFertility _, tokFertilityOracle),
     "llm_bpe_train" -> QueryDef(bpeTrain _, None),
+    "llm_bpe_encode" -> QueryDef(bpeEncode _, None),
     "llm_repetition" -> QueryDef(repetition _, repetitionOracle),
     "llm_source_stats" -> QueryDef(sourceStats _, sourceStatsOracle),
     "llm_lang_id" -> QueryDef(langId _, langIdOracle),

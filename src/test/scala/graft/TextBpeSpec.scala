@@ -58,6 +58,23 @@ class TextBpeSpec extends AnyFunSuite {
       Seq(("a", "a", 2L), ("a", TextBpe.EndToken, 1L)))
   }
 
+  test("encodeWords tokenizes the golden vocab with the learned merges") {
+    val docs = docsOf(
+      "low low low low low",
+      "lower lower",
+      "newest newest newest newest newest newest",
+      "widest widest widest")
+    val (merges, _) = TextBpe.train(docs, 6)
+    val enc = TextBpe.encodeWords(docs, merges).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getInt(2),
+        r.getString(3))).toMap
+    // after es/est/est</w>/lo/low/ew: hand-tokenized
+    assert(enc("low") == ((5L, 2, "low </w>")))
+    assert(enc("lower") == ((2L, 4, "low e r </w>")))
+    assert(enc("newest") == ((6L, 3, "n ew est</w>")))
+    assert(enc("widest") == ((3L, 4, "w i d est</w>")))
+  }
+
   test("train drains early when no pairs remain") {
     // single 1-char word: one pair (x, </w>), then nothing to merge
     val (merges, _) = TextBpe.train(docsOf("x x"), 5)
