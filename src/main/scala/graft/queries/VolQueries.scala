@@ -230,7 +230,32 @@ object VolQueries {
        |  ON i.underlying = t.symbol
        |  AND t.ep BETWEEN i.start_ep AND i.end_ep""".stripMargin
 
+  def a21SizeQuantiles(s: SparkSession, dir: String): DataFrame =
+    OrderFlow.sizeQuantiles(trades(s, dir))
+
+  /** Integer-rank quantile selection — both engines pick the exact
+    * element at ceil(q·n) under (amount, trade_id) order; `//` is
+    * DuckDB's integer division, `div` Spark's. */
+  val a21Oracle: String =
+    s"""WITH ${SyntheticTrades.tradesCte},
+       |ranked AS (
+       |  SELECT underlying, amount,
+       |    row_number() OVER (PARTITION BY underlying
+       |      ORDER BY amount, trade_id) AS rn,
+       |    count(*) OVER (PARTITION BY underlying) AS n
+       |  FROM trades
+       |)
+       |SELECT underlying, max(n) AS n_trades,
+       |  max(CASE WHEN rn = (n * 1 + 1) // 2 THEN amount END) AS p50,
+       |  max(CASE WHEN rn = (n * 9 + 9) // 10 THEN amount END) AS p90,
+       |  max(CASE WHEN rn = (n * 99 + 99) // 100 THEN amount END) AS p99
+       |FROM ranked
+       |WHERE rn = (n * 1 + 1) // 2 OR rn = (n * 9 + 9) // 10
+       |   OR rn = (n * 99 + 99) // 100
+       |GROUP BY underlying""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "a21_size_quantiles" -> QueryDef(a21SizeQuantiles _, a21Oracle),
     "m7_realized_vol" -> QueryDef(m7RealizedVol _, m7Oracle),
     "m8_ewma_vol" -> QueryDef(m8EwmaVol _, m8Oracle),
     "a19_flow_imbalance" -> QueryDef(a19FlowImbalance _, a19Oracle),

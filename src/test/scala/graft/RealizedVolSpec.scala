@@ -118,6 +118,24 @@ class RealizedVolSpec extends AnyFunSuite {
       (86400L, 200.0, 1.0, 200.0)))
   }
 
+  test("sizeQuantiles picks the exact ceil(q*n) element") {
+    import spark.implicits._
+    // amounts 1..10 for BTC: p50 = 5th = 5.0, p90 = 9th, p99 = 10th
+    val df = (1 to 10).map(i => ("BTC", i.toDouble, i.toString))
+      .toDF("underlying", "amount", "trade_id")
+    val r = graft.operators.OrderFlow.sizeQuantiles(df).head()
+    assert(r.getAs[Long]("n_trades") == 10L)
+    assert(r.getAs[Double]("p50") == 5.0)
+    assert(r.getAs[Double]("p90") == 9.0)
+    assert(r.getAs[Double]("p99") == 10.0)
+    // single row: every quantile is that row
+    val one = graft.operators.OrderFlow.sizeQuantiles(
+      Seq(("ETH", 7.0, "1")).toDF("underlying", "amount", "trade_id"))
+      .head()
+    assert(one.getAs[Double]("p50") == 7.0 &&
+      one.getAs[Double]("p99") == 7.0)
+  }
+
   test("returns never cross a day boundary") {
     val df = trades((86400L - 900L, 100.0), (86400L, 200.0))
     val days = RealizedVol.dailyEstimators(df)
