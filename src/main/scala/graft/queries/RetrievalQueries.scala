@@ -56,10 +56,12 @@ object RetrievalQueries {
       Bm25Queries.toDF("query_id", "term"), Bm25K, Bm25K1, Bm25B)
   }
 
-  val bm25Oracle: String = {
+  /** CTE prefix shared by the BM25 oracle and the retrieval-eval
+    * oracle: tokenization through the per-(query, doc) score `agg`. */
+  private val bm25Ctes: String = {
     val d = Parity.duckDoubleLit _
     val qv = Bm25Queries.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
-    s"""WITH $wrdsCte,
+    s"""$wrdsCte,
        |tok AS (SELECT doc_id, unnest(w) AS word FROM wrds),
        |tf AS (SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY 1, 2),
        |dl AS (
@@ -92,13 +94,145 @@ object RetrievalQueries {
        |  SELECT query_id, doc_id, count(*) AS n_terms,
        |    ${Parity.duckDsum("s")} AS score
        |  FROM terms GROUP BY 1, 2
-       |)
-       |SELECT query_id, doc_id, n_terms, score, rank FROM (
+       |)""".stripMargin
+  }
+
+  private val bm25TopSelect: String =
+    s"""SELECT query_id, doc_id, n_terms, score, rank FROM (
        |  SELECT *, CAST(row_number() OVER (
        |    PARTITION BY query_id ORDER BY score DESC, doc_id
        |  ) AS INT) AS rank
        |  FROM agg
        |) WHERE rank <= $Bm25K""".stripMargin
+
+  val bm25Oracle: String = s"WITH $bm25Ctes\n$bm25TopSelect"
+
+  // ---- retrieval evaluation (MRR / precision@k / NDCG@k) ----
+
+  /** Relevance floor: a doc is relevant to a query iff EVERY query
+    * term occurs at least this many times in it — strict enough on
+    * this corpus's small vocabulary that the label sets (5-18 docs
+    * per query at sf0.01) actually discriminate the ranking. */
+  private val RelMinTf = 4
+
+  /** Binary relevance derived from the corpus itself (every query
+    * term with tf >= [[RelMinTf]]) — so the label set, both rankings
+    * and all three metrics are re-derivable in SQL and the whole
+    * evaluation is hash-gated. log2 terms are quantized before the
+    * order-free DECIMAL sums (libm parity); MRR/precision/NDCG are
+    * exact divisions of identical doubles. */
+  def retrievalEval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val d = docs(s, dir)
+    val qt = Bm25Queries.toDF("query_id", "term")
+    val top = TextRetrieval.bm25TopK(d, qt, Bm25K, Bm25K1, Bm25B)
+    val dtf = d.select(col("doc_id"),
+        explode(graft.operators.TextDedup.words(col("text"))).as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("_tf"))
+    val qsize = qt.groupBy(col("query_id"))
+      .agg(countDistinct(col("term")).as("q_n"))
+    val hitn = dtf.filter(col("_tf") >= RelMinTf)
+      .join(broadcast(qt), col("word") === col("term"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(countDistinct(col("term")).as("hit_n"))
+    val rel = hitn.join(broadcast(qsize), "query_id")
+      .filter(col("hit_n") === col("q_n"))
+      .select(col("query_id"), col("doc_id"))
+    val relc = rel.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_relevant"))
+    val hits = top.join(rel.withColumn("_r", lit(1)),
+      Seq("query_id", "doc_id"), "left")
+    val isRel = col("_r") === 1
+    val perq = hits.groupBy(col("query_id")).agg(
+      min(when(isRel, col("rank"))).as("first_rel_rank"),
+      count(when(isRel, 1)).as("n_retrieved_relevant"),
+      coalesce(Parity.dsum(when(isRel,
+        Parity.roundTo(lit(1.0) / log2(col("rank") + 1), 9))), lit(0.0))
+        .as("dcg"))
+    val ideal = relc.filter(col("n_relevant") > 0)
+      .select(col("query_id"),
+        explode(sequence(lit(1L),
+          least(col("n_relevant"), lit(Bm25K.toLong)))).as("i"))
+      .groupBy(col("query_id"))
+      .agg(Parity.dsum(
+        Parity.roundTo(lit(1.0) / log2(col("i") + 1), 9)).as("idcg"))
+    qt.select(col("query_id")).distinct()
+      .join(relc, Seq("query_id"), "left")
+      .join(perq, Seq("query_id"), "left")
+      .join(ideal, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_relevant"), lit(0L)).as("n_relevant"),
+        coalesce(col("n_retrieved_relevant"), lit(0L))
+          .as("n_retrieved_relevant"),
+        col("first_rel_rank"),
+        when(col("first_rel_rank").isNull, lit(0.0))
+          .otherwise(lit(1.0) / col("first_rel_rank")).as("mrr"),
+        (coalesce(col("n_retrieved_relevant"), lit(0L)).cast("double")
+          / lit(Bm25K)).as("precision_at_k"),
+        coalesce(col("dcg"), lit(0.0)).as("dcg"),
+        col("idcg"),
+        (coalesce(col("dcg"), lit(0.0)) / col("idcg")).as("ndcg"))
+  }
+
+  val retrievalEvalOracle: String = {
+    val dcgTerm = Parity.duckRoundTo("CAST(1.0 AS DOUBLE) / log2(rank + 1)", 9)
+    val idcgTerm = Parity.duckRoundTo("CAST(1.0 AS DOUBLE) / log2(i + 1)", 9)
+    s"""WITH $bm25Ctes,
+       |topk AS ($bm25TopSelect),
+       |qsize AS (
+       |  SELECT query_id, count(DISTINCT term) AS q_n FROM qt GROUP BY 1
+       |),
+       |hitn AS (
+       |  SELECT qt.query_id, tf.doc_id, count(DISTINCT qt.term) AS hit_n
+       |  FROM tf JOIN qt ON tf.word = qt.term AND tf.tf >= $RelMinTf
+       |  GROUP BY 1, 2
+       |),
+       |rel AS (
+       |  SELECT h.query_id, h.doc_id
+       |  FROM hitn h JOIN qsize USING (query_id) WHERE h.hit_n = qsize.q_n
+       |),
+       |relc AS (
+       |  SELECT query_id, count(*) AS n_relevant FROM rel GROUP BY 1
+       |),
+       |hits AS (
+       |  SELECT t.query_id, t.rank, (r.doc_id IS NOT NULL) AS is_rel
+       |  FROM topk t LEFT JOIN rel r
+       |    ON r.query_id = t.query_id AND r.doc_id = t.doc_id
+       |),
+       |perq AS (
+       |  SELECT query_id,
+       |    CAST(min(CASE WHEN is_rel THEN rank END) AS INT)
+       |      AS first_rel_rank,
+       |    count(CASE WHEN is_rel THEN 1 END) AS n_retrieved_relevant,
+       |    coalesce(${Parity.duckDsum(s"CASE WHEN is_rel THEN $dcgTerm END")},
+       |      CAST(0.0 AS DOUBLE)) AS dcg
+       |  FROM hits GROUP BY 1
+       |),
+       |ideal AS (
+       |  SELECT query_id, ${Parity.duckDsum(idcgTerm)} AS idcg
+       |  FROM (
+       |    SELECT relc.query_id,
+       |      unnest(range(1, least(relc.n_relevant, $Bm25K) + 1)) AS i
+       |    FROM relc WHERE n_relevant > 0
+       |  ) GROUP BY 1
+       |)
+       |SELECT q.query_id,
+       |  CAST(coalesce(relc.n_relevant, 0) AS BIGINT) AS n_relevant,
+       |  CAST(coalesce(p.n_retrieved_relevant, 0) AS BIGINT)
+       |    AS n_retrieved_relevant,
+       |  p.first_rel_rank,
+       |  CASE WHEN p.first_rel_rank IS NULL THEN CAST(0.0 AS DOUBLE)
+       |       ELSE CAST(1.0 AS DOUBLE) / p.first_rel_rank END AS mrr,
+       |  CAST(coalesce(p.n_retrieved_relevant, 0) AS DOUBLE) / $Bm25K
+       |    AS precision_at_k,
+       |  coalesce(p.dcg, CAST(0.0 AS DOUBLE)) AS dcg,
+       |  i.idcg,
+       |  coalesce(p.dcg, CAST(0.0 AS DOUBLE)) / i.idcg AS ndcg
+       |FROM (SELECT DISTINCT query_id FROM qt) q
+       |LEFT JOIN relc USING (query_id)
+       |LEFT JOIN perq p USING (query_id)
+       |LEFT JOIN ideal i USING (query_id)""".stripMargin
   }
 
   // ---- DSIR importance-based selection ----
@@ -142,5 +276,6 @@ object RetrievalQueries {
 
   val defs: Map[String, QueryDef] = Map(
     "llm_bm25_topk" -> QueryDef(bm25TopK _, bm25Oracle),
+    "llm_retrieval_eval" -> QueryDef(retrievalEval _, retrievalEvalOracle),
     "llm_dsir_select" -> QueryDef(dsirSelect _, dsirOracle))
 }

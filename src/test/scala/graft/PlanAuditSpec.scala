@@ -88,7 +88,9 @@ class PlanAuditSpec extends AnyFunSuite {
       // pre-existing bounded broadcasts in the collected plan
       "llm_bm25_topk", "llm_dsir_select",
       // recall audit embeds the brute-force scorer by design
-      "llm_ann_recall")
+      "llm_ann_recall",
+      // retrieval eval composes the bm25 scorer (one-row stats)
+      "llm_retrieval_eval")
     for (name <- SparkEntry.queries.keys if !driverSide(name)) {
       val bnl = planOf(name).collect { case j: BroadcastNestedLoopJoinExec => j }
       assert(bnl.isEmpty || allowed(name),
