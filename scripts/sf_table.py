@@ -10,6 +10,7 @@ b = json.load(open(sys.argv[2] if len(sys.argv) > 2 else "/tmp/bench_sf01.json")
 qa, qb = a["queries"], b["queries"]
 
 NOTES = {
+    "llm_ann_topk": "brute-force by definition: |queries| x corpus cosine scan is data-proportional; sub-1.5 s absolute, and the IVF/PQ entries are the scale path",
     "llm_repetition": "data-proportional by design: per-doc line/bigram/10-gram explode dominates; still sublinear (10x data, <4x time)",
     "llm_curation_e2e": "stage-composed e2e: chains dedup + quality + decontamination, each stage re-reading the corpus and each data-proportional; still sublinear",
     "llm_decontaminate": "sub-second absolute times: corpus-side shingle probe is data-proportional, benchmark build is fixed; ratio noise-dominated below ~0.5 s",
