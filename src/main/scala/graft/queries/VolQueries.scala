@@ -69,6 +69,56 @@ object VolQueries {
        |FROM rets GROUP BY 1, 2""".stripMargin
   }
 
+  /** M9: daily implied-vs-realized spread — the volatility-risk-
+    * premium read the reference's EGARCH spread (m6) approximates
+    * per-bar, here stated at the daily horizon: mean traded IV minus
+    * the day's realized vol, per underlying. Joins two bar-sized
+    * aggregates (both orders smaller than the tape) on
+    * (underlying, day). */
+  def m9IvRvSpread(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val t = trades(s, dir)
+    val rv = RealizedVol.dailyEstimators(t)
+      .select(col("underlying"), col("day_start"), col("n_bars"),
+        col("rv_vol"))
+    val ep = unix_timestamp(col("timestamp"))
+    val ivd = t.filter(col("iv").isNotNull)
+      .withColumn("day_start", ep - ep % 86400L)
+      .groupBy(col("underlying"), col("day_start"))
+      .agg(davg(col("iv")).as("iv_mean"),
+        count(lit(1)).as("n_iv_trades"))
+    ivd.join(rv, Seq("underlying", "day_start"))
+      .withColumn("iv_rv_spread", col("iv_mean") - col("rv_vol"))
+  }
+
+  val m9Oracle: String = {
+    val rvSum = duckDsum(duckRoundTo("r*r", 6))
+    s"""WITH $pbCte,
+       |rets AS (
+       |  SELECT underlying, day_start, bucket_start,
+       |    ln(close / lag(close) OVER (
+       |      PARTITION BY underlying, day_start ORDER BY bucket_start)) AS r
+       |  FROM pbd
+       |),
+       |rv AS (
+       |  SELECT underlying, day_start, count(*) AS n_bars,
+       |    sqrt(coalesce($rvSum, 0.0::DOUBLE)) AS rv_vol
+       |  FROM rets GROUP BY 1, 2
+       |),
+       |ivd AS (
+       |  SELECT underlying, ep - ep % 86400 AS day_start,
+       |    ${duckDavg("iv")} AS iv_mean,
+       |    count(*) AS n_iv_trades
+       |  FROM (SELECT *, ${duckEpochS("\"timestamp\"")} AS ep FROM trades)
+       |  WHERE iv IS NOT NULL
+       |  GROUP BY 1, 2
+       |)
+       |SELECT i.underlying, i.day_start, i.iv_mean, i.n_iv_trades,
+       |  r.n_bars, r.rv_vol, i.iv_mean - r.rv_vol AS iv_rv_spread
+       |FROM ivd i JOIN rv r
+       |  ON r.underlying = i.underlying AND r.day_start = i.day_start""".stripMargin
+  }
+
   private val EwmaLambda = 0.94
 
   def m8EwmaVol(s: SparkSession, dir: String): DataFrame =
@@ -258,6 +308,7 @@ object VolQueries {
     "a21_size_quantiles" -> QueryDef(a21SizeQuantiles _, a21Oracle),
     "m7_realized_vol" -> QueryDef(m7RealizedVol _, m7Oracle),
     "m8_ewma_vol" -> QueryDef(m8EwmaVol _, m8Oracle),
+    "m9_iv_rv_spread" -> QueryDef(m9IvRvSpread _, m9Oracle),
     "a19_flow_imbalance" -> QueryDef(a19FlowImbalance _, a19Oracle),
     "a20_vwap" -> QueryDef(a20Vwap _, a20Oracle),
     "j6_interval_join" -> QueryDef(j6IntervalJoin _, j6Oracle))
