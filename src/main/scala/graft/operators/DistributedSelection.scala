@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Distributed EXACT order-statistic selection — the scale-path
+  * replacement for the classic `row_number() OVER (PARTITION BY key
+  * ORDER BY value)` selection, whose per-key global sort puts every
+  * row of a key into ONE task (a genuine 100×-scale killer when key
+  * cardinality is small: two underlyings means two tasks sort the
+  * whole table).
+  *
+  * The rewrite is the textbook two-level distributed selection:
+  *
+  *  1. collapse rows to a (key, value) FREQUENCY table — one hash
+  *     aggregate with map-side partial counts (the only corpus-sized
+  *     shuffle; output is bounded by distinct-value cardinality);
+  *  2. range-repartition the frequency table by (key, value) so each
+  *     task holds a contiguous slice of one-or-more keys' value
+  *     ranges — no task ever holds a whole key unless the DISTINCT
+  *     table is that small anyway;
+  *  3. per-(slice, key) subtotals → a prefix-sum window over the TINY
+  *     subtotal table (numPartitions × keys rows) gives each slice
+  *     its global rank offset;
+  *  4. broadcast the offsets back, window-cumsum WITHIN each slice
+  *     (partitioned by (slice, key) — group size is bounded by the
+  *     range partitioner's slice width, never by key cardinality),
+  *     add the offset → exact global cumulative counts;
+  *  5. the q-quantile is the value whose cumulative range
+  *     (cum−cnt, cum] contains the integer rank ceil(q·n) — ranks in
+  *     pure integer math so both engines select the identical element.
+  *
+  * The value at rank r under (value, tiebreak) order is independent
+  * of the tiebreak column, so the frequency-table rewrite returns
+  * exactly what the row_number formulation returned.
+  */
+object DistributedSelection {
+
+  /** Exact global cumulative counts per (key, value): the frequency
+    * table decorated with `_cnt` (multiplicity), `_cum` (inclusive
+    * global cumulative count under value order within key) and `_n`
+    * (total rows per key). Shared scaffolding for quantile selection
+    * and trimmed aggregation. */
+  def cumulativeFreq(df: DataFrame, keyCol: String, valCol: String)
+      : DataFrame = {
+    val spark = df.sparkSession
+    val freq = df
+      .groupBy(col(keyCol), col(valCol))
+      .agg(count(lit(1)).as("_cnt"))
+    val parts = spark.sessionState.conf.numShufflePartitions
+    // explicit partition count: AQE leaves user-specified range
+    // repartitions alone, and slice ids must be stable within the job
+    val ranged = graft.util.Caches.materialize(
+      freq.repartitionByRange(parts, col(keyCol), col(valCol))
+        .withColumn("_pid", spark_partition_id()))
+    val subtot = ranged
+      .groupBy(col("_pid"), col(keyCol))
+      .agg(sum(col("_cnt")).as("_ptot"))
+    val wOff = Window.partitionBy(col(keyCol)).orderBy(col("_pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.partitionBy(col(keyCol))
+    val offs = subtot
+      .withColumn("_off", coalesce(sum(col("_ptot")).over(wOff), lit(0L)))
+      .withColumn("_n", sum(col("_ptot")).over(wTot))
+      .select(col("_pid"), col(keyCol), col("_off"), col("_n"))
+    val wLoc = Window.partitionBy(col("_pid"), col(keyCol))
+      .orderBy(col(valCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    ranged
+      .join(broadcast(offs), Seq("_pid", keyCol))
+      .withColumn("_cum", sum(col("_cnt")).over(wLoc) + col("_off"))
+  }
+
+  /** Exact integer-rank quantiles per key: for each (numerator a,
+    * denominator b, name), the element at rank ceil(a·n/b) =
+    * (a·n + b − 1) div b under value order. One row per key with a
+    * column per quantile plus `n_trades` (the per-key row count —
+    * named for the a21 contract). */
+  def quantiles(df: DataFrame, keyCol: String, valCol: String,
+      qs: Seq[(Int, Int, String)]): DataFrame = {
+    val cum = cumulativeFreq(df, keyCol, valCol)
+    val ranks = qs.map { case (a, b, name) =>
+      name -> expr(s"(_n * $a + ${b - 1}) div $b")
+    }
+    def hits(r: Column): Column =
+      col("_cum") - col("_cnt") < r && r <= col("_cum")
+    cum
+      .filter(ranks.map { case (_, r) => hits(r) }.reduce(_ || _))
+      .groupBy(col(keyCol))
+      .agg(max(col("_n")).as("n_trades"),
+        ranks.map { case (name, r) =>
+          max(when(hits(r), col(valCol))).as(name)
+        }: _*)
+  }
+
+  /** Exact symmetric trimmed mean per key: drop the lowest and
+    * highest floor(n·trimNum/trimDen) elements, average the rest.
+    * Each (key, value) row contributes its rank-range overlap with
+    * (lo, hi] — multiplicity-weighted in exact DECIMAL so the sum is
+    * order-free — and the division is the identical double division
+    * on both engines. Null when the trim swallows the whole key. */
+  def trimmedMean(df: DataFrame, keyCol: String, valCol: String,
+      trimNum: Int, trimDen: Int): DataFrame = {
+    val cum = cumulativeFreq(df, keyCol, valCol)
+    val lo = expr(s"(_n * $trimNum) div $trimDen")
+    val hi = col("_n") - lo
+    val kept = greatest(lit(0L),
+      least(col("_cum"), hi) - greatest(col("_cum") - col("_cnt"), lo))
+    cum
+      .withColumn("_kept", kept)
+      .filter(col("_kept") > 0)
+      .groupBy(col(keyCol))
+      .agg(max(col("_n")).as("n_rows"),
+        max(col("_n") - lo * 2).as("n_kept"),
+        (sum(col(valCol).cast(DecimalType(28, 6)) * col("_kept"))
+          .cast("double") /
+          nullif(max(col("_n") - lo * 2).cast("double"), lit(0.0)))
+          .as("trimmed_mean"))
+  }
+}

@@ -261,6 +261,72 @@ object EventsAnalytics {
         col("day_offset"), col("n_users"))
   }
 
+  /** SCD2 (slowly-changing-dimension type 2) history reconstruction
+    * from a change log — the standard warehouse merge every dimension
+    * pipeline runs: per user, consecutive runs of the same attribute
+    * value collapse into one versioned validity interval
+    * [valid_from, valid_to), the last version open-ended
+    * (`is_current`).
+    *
+    * Shape: islands-and-gaps over ONE user-keyed exchange — the
+    * change-flag window, the per-version aggregate (grouping key ⊇
+    * window partitioning, so the exchange is reused) and the
+    * valid_to lead all share it. Deterministic ordering by
+    * (ts, event_id) so replays reconstruct identical histories. */
+  def scd2History(events: DataFrame, userCol: String = "user_id",
+      attrCol: String = "event_type", tsCol: String = "ts"): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col("_us"), col("event_id"))
+    val wv = Window.partitionBy(col(userCol)).orderBy(col("version_n"))
+    events
+      .select(col(userCol), col("event_id"), col(attrCol).as("attr"),
+        unix_micros(col(tsCol)).as("_us"))
+      .withColumn("_chg",
+        when(lag(col("attr"), 1).over(w).isNull ||
+          lag(col("attr"), 1).over(w) =!= col("attr"), 1).otherwise(0))
+      .withColumn("version_n",
+        sum(col("_chg")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(userCol), col("version_n"))
+      .agg(max(col("attr")).as("attr"),
+        min(col("_us")).as("valid_from_us"),
+        count(lit(1)).as("n_events"))
+      .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(wv))
+      .withColumn("is_current", col("valid_to_us").isNull)
+  }
+
+  /** Rolling active users — exact DAU / trailing-N-day WAU /
+    * stickiness per event day (the engagement roll-up every events
+    * store ships; ClickHouse spells it uniqExact over a window join).
+    *
+    * Exact-at-scale shape: collapse to the DISTINCT (user, day) table
+    * first (one corpus-sized shuffle with map-side partials — output
+    * is users × days, orders of magnitude smaller), then explode each
+    * user-day into the N target days it contributes to (day ∈ [t−N+1,
+    * t] ⟺ t ∈ [day, day+N−1]) and count distinct users per target
+    * day. The N× fan-out happens on the COLLAPSED table, never the
+    * fact table, and the distinct count is a plain two-phase hash
+    * aggregate — no per-day window over user sets, no bitmap state.
+    * The (user, day) table feeds both branches through one
+    * materialization barrier. */
+  def rollingActive(events: DataFrame, windowDays: Int = 7,
+      userCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
+    val epochDay = floor(unix_micros(col(tsCol)) / lit(86400000000L))
+    val ud = graft.util.Caches.materialize(
+      events.select(col(userCol).as("u"), epochDay.as("day")).distinct())
+    val dau = ud.groupBy(col("day"))
+      .agg(countDistinct(col("u")).as("dau"))
+    val wau = ud
+      .select(col("u"),
+        explode(sequence(col("day"), col("day") + (windowDays - 1)))
+          .as("t"))
+      .groupBy(col("t"))
+      .agg(countDistinct(col("u")).as("wau"))
+    dau.join(wau, dau("day") === wau("t"))
+      .select(col("day"), col("dau"), col("wau"),
+        (col("dau").cast("double") / col("wau").cast("double"))
+          .as("stickiness"))
+  }
+
   /** First-order path transition matrix (the "what do users do next"
     * Markov roll-up behind sankey/flow dashboards): per user, events
     * ordered by (ts, event_id); each adjacent (event, next event)

@@ -26,12 +26,25 @@ object IntervalJoin {
   def containmentJoin(points: DataFrame, intervals: DataFrame,
       keyCol: String, tsCol: String, startCol: String, endCol: String,
       bucketSec: Long = 86400L): DataFrame = {
-    val iv = intervals.withColumn("_bucket",
-      explode(sequence(
-        (col(startCol) / bucketSec).cast("long"),
-        (col(endCol) / bucketSec).cast("long"))))
-    val pt = points.withColumn("_bucket",
-      (col(tsCol) / bucketSec).cast("long"))
+    // Integer `div` (truncation, monotone) keeps bucket boundaries
+    // exact for any integer epoch resolution — double division would
+    // lose exactness past 2^53 (sub-second epochs) and cast-truncation
+    // of a double is implementation-defined around negative zeros.
+    // Containment only needs the SAME monotone bucket fn on both
+    // sides, which `div` is. The epochs land in fixed internal
+    // columns first so `expr` never sees a caller-supplied name.
+    val iv = intervals
+      .withColumn("_s_ep", col(startCol).cast("long"))
+      .withColumn("_e_ep", col(endCol).cast("long"))
+      .withColumn("_bucket",
+        explode(sequence(
+          expr(s"_s_ep div ${bucketSec}L"),
+          expr(s"_e_ep div ${bucketSec}L"))))
+      .drop("_s_ep", "_e_ep")
+    val pt = points
+      .withColumn("_t_ep", col(tsCol).cast("long"))
+      .withColumn("_bucket", expr(s"_t_ep div ${bucketSec}L"))
+      .drop("_t_ep")
     pt.join(iv, Seq(keyCol, "_bucket"))
       .filter(col(tsCol).between(col(startCol), col(endCol)))
       .drop("_bucket")

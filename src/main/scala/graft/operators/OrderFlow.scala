@@ -38,43 +38,24 @@ object OrderFlow {
   }
 
   /** Exact trade-size quantiles per underlying by integer-rank
-    * selection: the q-quantile is the value at row_number
-    * ceil(q·n) under (amount, trade_id) order — no interpolation
-    * arithmetic, so both engines pick the identical element (engine
-    * quantile functions interpolate differently and can never
-    * hash-match). Ranks are pure integer math: ceil(a·n/b) =
-    * (a·n + b − 1) div b.
+    * selection: the q-quantile is the element at rank ceil(q·n)
+    * under amount order — no interpolation arithmetic, so both
+    * engines pick the identical element (engine quantile functions
+    * interpolate differently and can never hash-match). Ranks are
+    * pure integer math: ceil(a·n/b) = (a·n + b − 1) div b.
     *
-    * Scale note: this is the EXACT path — one sort per underlying
-    * partition (the classic per-key global sort; fine when group
-    * count ≥ cores or n/group fits a task). The sketch path for
-    * 100 TB interactive use is a18's KLL quantiles; this operator is
-    * what you run when the answer must be exact (billing, audits). */
+    * Scale path: [[DistributedSelection.quantiles]] — frequency
+    * table + range-partitioned prefix sums, so no task ever sorts a
+    * whole underlying's rows (the old row_number-over-2-keys plan
+    * was a per-key global sort). a18's KLL quantiles remain the
+    * sketch path for interactive use; this is the exact answer
+    * (billing, audits) at the same scale. */
   def sizeQuantiles(trades: DataFrame,
       qs: Seq[(Int, Int, String)] = Seq((1, 2, "p50"), (9, 10, "p90"),
-        (99, 100, "p99"))): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("underlying"))
-      .orderBy(col("amount"), col("trade_id"))
-    val n = count(lit(1)).over(
-      org.apache.spark.sql.expressions.Window.partitionBy(col("underlying")))
-    val withRank = trades
-      .select(col("underlying"), col("amount"), col("trade_id"))
-      .withColumn("_rn", row_number().over(w))
-      .withColumn("_n", n)
-    // `div` is Spark's integer division (Column./ would go double)
-    val ranks = qs.map { case (a, b, name) =>
-      name -> expr(s"(_n * $a + ${b - 1}) div $b")
-    }
-    withRank
-      .filter(ranks.map { case (_, r) => col("_rn") === r }
-        .reduce(_ || _))
-      .groupBy(col("underlying"))
-      .agg(max(col("_n")).as("n_trades"),
-        ranks.map { case (name, r) =>
-          max(when(col("_rn") === r, col("amount"))).as(name)
-        }: _*)
-  }
+        (99, 100, "p99"))): DataFrame =
+    DistributedSelection.quantiles(
+      trades.select(col("underlying"), col("amount")),
+      "underlying", "amount", qs)
 
   /** Intraday cumulative VWAP per (underlying, day): per-bar exact
     * notional and volume sums, then DECIMAL running sums over the

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Cross-asset realized correlation — BTC vs ETH daily spot returns
+  * (the pair-level companion of M7's per-asset realized vol; the
+  * reference stores both underlyings side by side but never relates
+  * them). Pipeline shape at 100 TB:
+  *
+  *   1. tick → daily close: one hash aggregate keyed (symbol, day)
+  *      with `max_by(close, timestamp)` map-side partials — the only
+  *      corpus-sized shuffle;
+  *   2. daily returns: a lag window over the TINY (symbols × days)
+  *      table;
+  *   3. BTC/ETH alignment: an equi-join of two projections of that
+  *      tiny table on day;
+  *   4. Pearson/beta in ONE global aggregate: returns are quantized
+  *      once to DECIMAL(12,8) (the only double→decimal rounding),
+  *      the squares/cross products and their sums are pure decimal
+  *      arithmetic — exact on both engines — and the final algebra
+  *      is spelled from the same strings in Spark and the oracle
+  *      (sqrt is IEEE-exact on both, so outputs stay raw doubles).
+  */
+object SpotCorr {
+
+  /** Correlation/beta expressions over the aligned-return sums —
+    * shared verbatim with the DuckDB oracle. x = BTC return,
+    * y = ETH return. */
+  val covExpr: String = "(nd*sxy - sx*sy)"
+  val varxExpr: String = "(nd*sxx - sx*sx)"
+  val varyExpr: String = "(nd*syy - sy*sy)"
+  val corrExpr: String =
+    s"$covExpr / nullif(sqrt($varxExpr * $varyExpr), 0.0)"
+  val betaExpr: String = s"$covExpr / nullif($varxExpr, 0.0)"
+
+  /** Daily closes are last-tick-of-day via `max_by(close, timestamp)`
+    * — the same convention the verified spot-bar dictionary (a17)
+    * uses, deterministic on the synthetic feed. */
+  def realizedCorr(ticks: DataFrame): DataFrame = {
+    val ep = unix_timestamp(col("timestamp"))
+    val daily = ticks
+      .withColumn("_ep", ep)
+      .withColumn("day", expr("_ep div 86400L"))
+      .groupBy(col("symbol"), col("day"))
+      .agg(max_by(col("close"), col("timestamp")).as("close"))
+    val w = Window.partitionBy(col("symbol")).orderBy(col("day"))
+    val rets = daily
+      .withColumn("prev", lag(col("close"), 1).over(w))
+      .withColumn("r", col("close") / col("prev") - 1.0)
+      .filter(col("r").isNotNull)
+    val d8 = org.apache.spark.sql.types.DataTypes.createDecimalType(12, 8)
+    val x = rets.filter(col("symbol") === "BTC")
+      .select(col("day"), col("r").cast(d8).as("xq"))
+    val y = rets.filter(col("symbol") === "ETH")
+      .select(col("day"), col("r").cast(d8).as("yq"))
+    x.join(y, Seq("day"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        sum(col("xq")).cast("double").as("sx"),
+        sum(col("yq")).cast("double").as("sy"),
+        sum(col("xq") * col("yq")).cast("double").as("sxy"),
+        sum(col("xq") * col("xq")).cast("double").as("sxx"),
+        sum(col("yq") * col("yq")).cast("double").as("syy"))
+      .withColumn("nd", col("n_days").cast("double"))
+      .withColumn("corr_btc_eth", expr(corrExpr))
+      .withColumn("beta_eth_on_btc", expr(betaExpr))
+      .select("n_days", "corr_btc_eth", "beta_eth_on_btc")
+  }
+}

@@ -729,4 +729,37 @@ object TextAnalysis {
           .when(col("split_pct") < trainPct + valPct, "val")
           .otherwise("test"))
   }
+
+  /** Character-coverage table — the SentencePiece-style pre-tokenizer
+    * audit (its `character_coverage` knob decides which tail chars
+    * become UNK): per distinct character of the word stream, its
+    * count, frequency rank and the cumulative corpus-coverage
+    * fraction, truncated to the top `topK`.
+    *
+    * Scale shape: one corpus-sized shuffle collapses chars to the
+    * ALPHABET-bounded frequency table (a few hundred rows for any
+    * real corpus — Unicode itself caps it at ~150k); the rank/cumsum
+    * windows and the global total run over that bounded table, so
+    * their unpartitioned ordering is driver-cheap by construction,
+    * not a per-row sort. */
+  def charCoverage(docs: DataFrame, topK: Int = 64,
+      textCol: String = "text"): DataFrame = {
+    val counts = docs
+      .select(explode(TextDedup.words(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(explode(split(col("w"), "")).as("ch"))
+      .filter(length(col("ch")) > 0)
+      .groupBy(col("ch"))
+      .agg(count(lit(1)).as("cnt"))
+    val ord = Window.orderBy(col("cnt").desc, col("ch"))
+    counts
+      .withColumn("rnk", row_number().over(ord).cast("long"))
+      .withColumn("cum",
+        sum(col("cnt")).over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("total", sum(col("cnt")).over(Window.partitionBy()))
+      .filter(col("rnk") <= topK)
+      .select(col("ch"), col("cnt"), col("rnk"),
+        (col("cum").cast("double") / col("total").cast("double"))
+          .as("cum_frac"))
+  }
 }

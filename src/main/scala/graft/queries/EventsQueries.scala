@@ -228,7 +228,67 @@ object EventsQueries {
        |    ORDER BY n_transitions DESC, to_type) AS INT) AS transition_rank
        |FROM tr""".stripMargin
 
+  def ev6RollingActive(s: SparkSession, dir: String): DataFrame =
+    EventsAnalytics.rollingActive(events(s, dir), windowDays = 7)
+
+  /** Exact rolling actives: the oracle states WAU as the distinct
+    * users in the trailing 7-day range via a range join over the
+    * collapsed (user, day) table — same multiset as the Spark side's
+    * explode-to-target-days rewrite by construction. */
+  val ev6Oracle: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id AS u,
+      |    epoch_us(ts) // 86400000000 AS day
+      |  FROM events
+      |),
+      |dau AS (SELECT day, count(DISTINCT u) AS dau FROM ud GROUP BY 1),
+      |wau AS (
+      |  SELECT d.day, count(DISTINCT u.u) AS wau
+      |  FROM dau d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+      |  GROUP BY 1
+      |)
+      |SELECT d.day, d.dau, w.wau,
+      |  CAST(d.dau AS DOUBLE) / CAST(w.wau AS DOUBLE) AS stickiness
+      |FROM dau d JOIN wau w ON w.day = d.day""".stripMargin
+
+  def ev7Scd2(s: SparkSession, dir: String): DataFrame =
+    EventsAnalytics.scd2History(events(s, dir))
+
+  /** Islands-and-gaps restated in SQL over epoch-µs with the same
+    * (us, event_id) ordering; valid_to is the next version's
+    * valid_from (null-open current row). */
+  val ev7Oracle: String =
+    s"""WITH $evCte,
+       |flagged AS (
+       |  SELECT user_id, event_id, event_type AS attr, us,
+       |    CASE WHEN lag(event_type) OVER w IS NULL
+       |           OR lag(event_type) OVER w <> event_type
+       |         THEN 1 ELSE 0 END AS chg
+       |  FROM ev
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+       |),
+       |versioned AS (
+       |  SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id
+       |    ORDER BY us, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS version_n
+       |  FROM flagged
+       |),
+       |agg AS (
+       |  SELECT user_id, version_n, max(attr) AS attr,
+       |    min(us) AS valid_from_us, count(*) AS n_events
+       |  FROM versioned GROUP BY 1, 2
+       |)
+       |SELECT user_id, version_n, attr, valid_from_us, n_events,
+       |  lead(valid_from_us) OVER (PARTITION BY user_id
+       |    ORDER BY version_n) AS valid_to_us,
+       |  lead(valid_from_us) OVER (PARTITION BY user_id
+       |    ORDER BY version_n) IS NULL AS is_current
+       |FROM agg""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "ev6_rolling_active" -> QueryDef(ev6RollingActive _, ev6Oracle),
+    "ev7_scd2_history" -> QueryDef(ev7Scd2 _, ev7Oracle),
     "ev5_transitions" -> QueryDef(ev5Transitions _, ev5Oracle),
     "ev1_sessionize" -> QueryDef(ev1Sessionize _, ev1Oracle),
     "ev2_funnel" -> QueryDef(ev2Funnel _, ev2Oracle),

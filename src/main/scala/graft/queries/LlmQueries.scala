@@ -428,24 +428,78 @@ object LlmQueries {
        |FROM m""".stripMargin
   }
 
+  // ---- character coverage ----
+
+  def charCoverage(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.charCoverage(docs(s, dir), topK = 64)
+
+  /** Fully SQL-gated: the oracle re-derives the char frequency table
+    * (same word-stream symbolization as the BPE gate), the (cnt DESC,
+    * ch) rank, cumulative mass and total in DuckDB. */
+  val charCoverageOracle: String =
+    s"""WITH $wrdsCte,
+       |wx AS (SELECT unnest(w) AS word FROM wrds),
+       |chx AS (
+       |  SELECT unnest([word[i:i] for i in range(1, len(word) + 1)]) AS ch
+       |  FROM wx WHERE len(word) > 0
+       |),
+       |cc AS (SELECT ch, count(*) AS cnt FROM chx GROUP BY 1),
+       |ranked AS (
+       |  SELECT ch, cnt,
+       |    row_number() OVER (ORDER BY cnt DESC, ch) AS rnk,
+       |    sum(cnt) OVER (ORDER BY cnt DESC, ch
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |    sum(cnt) OVER () AS total
+       |  FROM cc
+       |)
+       |SELECT ch, cnt, rnk,
+       |  CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) AS cum_frac
+       |FROM ranked WHERE rnk <= 64""".stripMargin
+
   // ---- BPE vocabulary training ----
 
   private val BpeMerges = 24
 
+  /** Train-once cache: the 24-merge distributed training loop (the
+    * most expensive loop in the registry — a collect + fold job per
+    * merge) runs at most once per (session, sf dir); llm_bpe_train
+    * and llm_bpe_encode both consume it. Only the DRIVER-SIDE merge
+    * list is cached: a cross-query cached DataFrame would not survive
+    * Verify's per-query cache/checkpoint-block cleanup, so each entry
+    * rebuilds its cheap DataFrame side (one aggregation for the
+    * initial pair table / a map-only fold chain for the encoded
+    * vocab) from the cached merges — deterministic either way. */
+  private val bpeCache = scala.collection.concurrent.TrieMap
+    .empty[(Int, String), Seq[graft.operators.TextBpe.Merge]]
+
+  private def trainedMerges(s: SparkSession, dir: String)
+      : Seq[graft.operators.TextBpe.Merge] =
+    bpeCache.getOrElseUpdate((System.identityHashCode(s), dir),
+      TextBpe.train(docs(s, dir), BpeMerges)._1)
+
   /** Distributed BPE merge learning ([[TextBpe.train]]), gated with
     * the echo+verify pattern: the learned merge list is pinned, and
     * the oracle re-derives from the raw corpus (a) the ENTIRE initial
-    * adjacent-pair count table, (b) rank-1's argmax — its row in the
-    * final SELECT is built from the SQL-derived pair, so a drift in
-    * the first merge (or in the word-frequency pipeline feeding it)
-    * hash-mismatches — and (c) `init_pair_count` for every pinned
-    * merge whose sides are base symbols (joined from the SQL table on
-    * both engines; later merges of merged symbols are null on both).
-    * The fold itself (ranks >= 2) is echoed; its statistical
-    * properties are pinned by BpeSpec's golden corpus. */
+    * adjacent-pair count table, (b) rank-1's argmax, (c) rank-2's
+    * argmax by FOLDING rank-1's merge in SQL — the symbol arrays are
+    * space-joined and the merge is DuckDB `replace` (greedy leftmost
+    * non-overlapping — exactly [[TextBpe.applyMerge]]'s rewrite rule;
+    * unambiguous because corpus symbols are single non-space chars,
+    * so every pattern occurrence aligns with a symbol boundary) and
+    * the pair recount + argmax run on the folded strings. Rank 1 and
+    * 2's rows in the final SELECT are built from the SQL-derived
+    * pairs, so a drift in the word-frequency pipeline, the first
+    * merge, or one step of the ITERATIVE fold itself hash-mismatches.
+    * (d) `init_pair_count` for every pinned merge whose sides are
+    * base symbols is joined from the SQL table on both engines;
+    * merges of merged symbols are null on both. Ranks >= 3 are
+    * echoed; their statistical properties are pinned by
+    * TextBpeSpec's golden corpus. */
   def bpeTrain(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val (merges, init) = TextBpe.train(docs(s, dir), BpeMerges)
+    val merges = trainedMerges(s, dir)
+    val init = graft.util.Caches.materialize(
+      TextBpe.pairCounts(TextBpe.wordSymbols(docs(s, dir))))
     DynamicOracles.put("llm_bpe_train", bpeOracle(merges))
     val mdf = merges.toDF()
     mdf.join(
@@ -478,7 +532,25 @@ object LlmQueries {
        |  SELECT p.l AS l, p.r AS r, CAST(sum(c) AS BIGINT) AS cnt
        |  FROM pe GROUP BY 1, 2
        |),
-       |fp AS (SELECT * FROM ip ORDER BY cnt DESC, l, r LIMIT 1)""".stripMargin
+       |fp AS (SELECT * FROM ip ORDER BY cnt DESC, l, r LIMIT 1),
+       |symstr AS (
+       |  SELECT c, array_to_string(syms, ' ') AS s FROM symd
+       |),
+       |fold1 AS (
+       |  SELECT c, replace(s, fp.l || ' ' || fp.r, fp.l || fp.r) AS s
+       |  FROM symstr, fp
+       |),
+       |syms2 AS (SELECT c, string_split(s, ' ') AS syms FROM fold1),
+       |pe2 AS (
+       |  SELECT c, unnest([{'l': syms[i], 'r': syms[i+1]}
+       |                    for i in range(1, len(syms))]) AS p
+       |  FROM syms2
+       |),
+       |ip2 AS (
+       |  SELECT p.l AS l, p.r AS r, CAST(sum(c) AS BIGINT) AS cnt
+       |  FROM pe2 GROUP BY 1, 2
+       |),
+       |fp2 AS (SELECT * FROM ip2 ORDER BY cnt DESC, l, r LIMIT 1)""".stripMargin
 
   private def bpeOracle(merges: Seq[graft.operators.TextBpe.Merge])
       : String =
@@ -490,7 +562,10 @@ object LlmQueries {
         |WHERE false""".stripMargin
     else {
       def esc(x: String) = x.replace("'", "''")
-      val tail = merges.drop(1)
+      // ranks 1 AND 2 are fully SQL-derived (rank 2 via the string
+      // fold of rank-1's merge — one step INTO the iterative loop);
+      // only ranks >= 3 are echoed.
+      val tail = merges.drop(2)
       val pinnedSql =
         if (tail.isEmpty) ""
         else {
@@ -502,6 +577,16 @@ object LlmQueries {
              |pinned(rank, l_sym, r_sym, merged, pair_count) AS (VALUES
              |    $values)""".stripMargin
         }
+      val rank2Select =
+        if (merges.size < 2) ""
+        else
+          s"""
+             |UNION ALL
+             |SELECT 2 AS rank, f.l AS l_sym, f.r AS r_sym,
+             |  f.l || f.r AS merged, f.cnt AS pair_count,
+             |  ip.cnt AS init_pair_count
+             |FROM fp2 f
+             |LEFT JOIN ip ON ip.l = f.l AND ip.r = f.r""".stripMargin
       val tailSelect =
         if (tail.isEmpty) ""
         else
@@ -515,7 +600,7 @@ object LlmQueries {
          |$bpeInitCtes$pinnedSql
          |SELECT 1 AS rank, l AS l_sym, r AS r_sym, l || r AS merged,
          |  cnt AS pair_count, cnt AS init_pair_count
-         |FROM fp$tailSelect""".stripMargin
+         |FROM fp$rank2Select$tailSelect""".stripMargin
     }
 
   // ---- BPE encode (top-K word tokenization table) ----
@@ -531,9 +616,7 @@ object LlmQueries {
     * (n_tokens, tokens) is echoed, with its semantics pinned by
     * TextBpeSpec and the content-preservation property. */
   def bpeEncode(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
-    val (_, _, folded) = TextBpe.trainFull(d, BpeMerges)
-    val out = TextBpe.decorate(folded)
+    val out = TextBpe.encodeWords(docs(s, dir), trainedMerges(s, dir))
       .orderBy(col("freq").desc, col("word")).limit(BpeTopWords)
     val rows = out.collect().sortBy(_.getString(0))
     val sql =
@@ -1724,6 +1807,7 @@ object LlmQueries {
     "llm_quality_score" -> QueryDef(quality _, qualityOracle),
     "llm_gopher_rules" -> QueryDef(gopher _, gopherOracle),
     "llm_tok_fertility" -> QueryDef(tokFertility _, tokFertilityOracle),
+    "llm_char_coverage" -> QueryDef(charCoverage _, charCoverageOracle),
     "llm_bpe_train" -> QueryDef(bpeTrain _, None),
     "llm_bpe_encode" -> QueryDef(bpeEncode _, None),
     "llm_repetition" -> QueryDef(repetition _, repetitionOracle),

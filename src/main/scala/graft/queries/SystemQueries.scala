@@ -1,6 +1,5 @@
 package graft.queries
 
-import java.nio.file.Files
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -39,8 +38,8 @@ object SystemQueries {
         if (r.isNullAt(7)) None else Some(r.getDouble(7)),
         if (r.isNullAt(8)) None else Some(r.getDouble(8))))
       .toIndexedSeq
-    val target = Files.createTempDirectory("s7-backfill").toString
-    val ckpt = Files.createTempDirectory("s7-ckpt").toString
+    val target = graft.util.TempDirs.scoped("s7-backfill")
+    val ckpt = graft.util.TempDirs.scoped("s7-ckpt")
     val startMs = fixture.map(_.timestamp_ms).min - 1
     val endMs = fixture.map(_.timestamp_ms).max
     // large batch size: each flush is a full Spark write job (~300 ms
@@ -74,7 +73,7 @@ object SystemQueries {
     val ddl = spec.createTableDdl
     val selfDiff = SchemaIntrospector.diff(spec, spec.structType)
     // store roundtrip on a small slice
-    val target = Files.createTempDirectory("s9-store").toString
+    val target = graft.util.TempDirs.scoped("s9-store")
     val slice = SyntheticTrades.trades(s, dir).limit(1000)
     TradesStore.write(slice, target)
     val back = TradesStore.read(s, target)
@@ -112,13 +111,37 @@ object SystemQueries {
     org.apache.spark.sql.GraftBridge.sessionWithConf(
       s, Map("spark.sql.shuffle.partitions" -> "4"))
 
+  /** Shared bounded-stream harness (the st2/st4/st5/st6/st8 shape):
+    * materialize `input` to a scoped temp source dir, stream it
+    * through `xform` into a memory sink in append mode, drive to
+    * completion, and hand the emitted rows back bound to the
+    * caller's session. All files land in micro-batch 0, so the
+    * emitted set is the watermark-complete prefix the oracles state.
+    * Temp dirs come from [[graft.util.TempDirs]] (exit-time cleanup —
+    * repeated verify/bench runs don't accumulate disk). */
+  private def boundedStream(s: SparkSession, prefix: String,
+      input: DataFrame, queryName: String, mode: String = "append")(
+      xform: DataFrame => DataFrame): DataFrame = {
+    val src = graft.util.TempDirs.scoped(s"$prefix-src")
+    val ckpt = graft.util.TempDirs.scoped(s"$prefix-ckpt")
+    input.write.mode("overwrite").parquet(s"$src/pages")
+    val ss = streamSession(s)
+    val raw = ss.readStream.schema(input.schema).parquet(s"$src/pages")
+    val q = xform(raw)
+      .writeStream.format("memory").queryName(queryName)
+      .option("checkpointLocation", ckpt)
+      .outputMode(mode).start()
+    try q.processAllAvailable() finally q.stop()
+    org.apache.spark.sql.GraftBridge.bindTo(ss.table(queryName), s)
+  }
+
   /** §2.9: streaming ingest + watermarked dedup, driven to completion
     * over a temp file source; returns the deduped row count vs input. */
   def st1Streaming(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val src = Files.createTempDirectory("st1-src").toString
-    val tgt = Files.createTempDirectory("st1-tgt").toString
-    val ckpt = Files.createTempDirectory("st1-ckpt").toString
+    val src = graft.util.TempDirs.scoped("st1-src")
+    val tgt = graft.util.TempDirs.scoped("st1-tgt")
+    val ckpt = graft.util.TempDirs.scoped("st1-ckpt")
     // deterministic 1-in-31 subset (a bare `limit` picks
     // plan-execution-order rows, which an oracle cannot state)
     val trades = SyntheticTrades.trades(s, dir)
@@ -150,21 +173,11 @@ object SystemQueries {
     * mode emits exactly the windows whose end is at or below
     * max(event time) - 30 min (the final watermark), so the emitted
     * set is a pure function of the data and fully SQL-expressible. */
-  def st2StreamingBars(s: SparkSession, dir: String): DataFrame = {
-    val src = Files.createTempDirectory("st2-src").toString
-    val ckpt = Files.createTempDirectory("st2-ckpt").toString
-    val trades = SyntheticTrades.trades(s, dir)
-      .select("trade_id", "underlying", "timestamp", "iv", "amount")
-    trades.write.mode("overwrite").parquet(s"$src/pages")
-    val ss = streamSession(s)
-    val raw = ss.readStream.schema(trades.schema).parquet(s"$src/pages")
-    val q = StreamingIngest.ivBars(raw, watermark = "30 minutes")
-      .writeStream.format("memory").queryName("st2_bars")
-      .option("checkpointLocation", ckpt)
-      .outputMode("append").start()
-    try q.processAllAvailable() finally q.stop()
-    org.apache.spark.sql.GraftBridge.bindTo(ss.table("st2_bars"), s)
-  }
+  def st2StreamingBars(s: SparkSession, dir: String): DataFrame =
+    boundedStream(s, "st2",
+      SyntheticTrades.trades(s, dir)
+        .select("trade_id", "underlying", "timestamp", "iv", "amount"),
+      "st2_bars")(StreamingIngest.ivBars(_, watermark = "30 minutes"))
 
   /** Watermark cutoff in ms exactly as the engine computes it: event
     * time stats truncate micros to ms, watermark = max - delay, and a
@@ -207,8 +220,8 @@ object SystemQueries {
     * The trades side is thinned 1-in-199 to keep the match set
     * output-sized; the tick side streams in full. */
   def st3StreamJoin(s: SparkSession, dir: String): DataFrame = {
-    val src = Files.createTempDirectory("st3-src").toString
-    val ckpt = Files.createTempDirectory("st3-ckpt").toString
+    val src = graft.util.TempDirs.scoped("st3-src")
+    val ckpt = graft.util.TempDirs.scoped("st3-ckpt")
     val trades = SyntheticTrades.trades(s, dir)
       .filter(col("trade_id").cast("long") % 199 === 0)
       .select("trade_id", "underlying", "timestamp")
@@ -248,41 +261,23 @@ object SystemQueries {
     * emits once window.end <= final watermark (max event time over
     * ALL trades — pcrBars has no pre-aggregation filter, so the
     * event-time stats see every row). */
-  def st4StreamingPcr(s: SparkSession, dir: String): DataFrame = {
-    val src = Files.createTempDirectory("st4-src").toString
-    val ckpt = Files.createTempDirectory("st4-ckpt").toString
-    val trades = SyntheticTrades.trades(s, dir)
-      .select("trade_id", "underlying", "timestamp", "option_type", "amount")
-    trades.write.mode("overwrite").parquet(s"$src/pages")
-    val ss = streamSession(s)
-    val raw = ss.readStream.schema(trades.schema).parquet(s"$src/pages")
-    val q = StreamingIngest.pcrBars(raw, watermark = "30 minutes")
-      .writeStream.format("memory").queryName("st4_pcr")
-      .option("checkpointLocation", ckpt)
-      .outputMode("append").start()
-    try q.processAllAvailable() finally q.stop()
-    org.apache.spark.sql.GraftBridge.bindTo(ss.table("st4_pcr"), s)
-  }
+  def st4StreamingPcr(s: SparkSession, dir: String): DataFrame =
+    boundedStream(s, "st4",
+      SyntheticTrades.trades(s, dir)
+        .select("trade_id", "underlying", "timestamp", "option_type",
+          "amount"),
+      "st4_pcr")(StreamingIngest.pcrBars(_, watermark = "30 minutes"))
 
   /** §2.9 + A19: watermarked streaming order-flow bars — the
     * streaming twin of a19_flow_imbalance. Same harness discipline as
     * st4: bounded file source, append mode, the oracle restates the
     * batch aggregate over the watermark-complete bar prefix. */
-  def st8StreamingFlow(s: SparkSession, dir: String): DataFrame = {
-    val src = Files.createTempDirectory("st8-src").toString
-    val ckpt = Files.createTempDirectory("st8-ckpt").toString
-    val trades = SyntheticTrades.trades(s, dir)
-      .select("trade_id", "underlying", "timestamp", "direction", "amount")
-    trades.write.mode("overwrite").parquet(s"$src/pages")
-    val ss = streamSession(s)
-    val raw = ss.readStream.schema(trades.schema).parquet(s"$src/pages")
-    val q = StreamingIngest.flowBars(raw, watermark = "30 minutes")
-      .writeStream.format("memory").queryName("st8_flow")
-      .option("checkpointLocation", ckpt)
-      .outputMode("append").start()
-    try q.processAllAvailable() finally q.stop()
-    org.apache.spark.sql.GraftBridge.bindTo(ss.table("st8_flow"), s)
-  }
+  def st8StreamingFlow(s: SparkSession, dir: String): DataFrame =
+    boundedStream(s, "st8",
+      SyntheticTrades.trades(s, dir)
+        .select("trade_id", "underlying", "timestamp", "direction",
+          "amount"),
+      "st8_flow")(StreamingIngest.flowBars(_, watermark = "30 minutes"))
 
   val st8Oracle: String =
     s"""WITH ${graft.queries.OracleCtes.enriched},
@@ -331,23 +326,13 @@ object SystemQueries {
     * stream. All files land in micro-batch 0 in event order per key,
     * so the emitted gap set equals the static per-underlying
     * lead-window computation the oracle states. */
-  def st5GapEvents(s: SparkSession, dir: String): DataFrame = {
-    val src = Files.createTempDirectory("st5-src").toString
-    val ckpt = Files.createTempDirectory("st5-ckpt").toString
-    val trades = SyntheticTrades.trades(s, dir)
-      .filter(col("trade_id").cast("long") % 97 === 0)
-      .select("underlying", "timestamp")
-    trades.write.mode("overwrite").parquet(s"$src/pages")
-    val ss = streamSession(s)
-    val raw = ss.readStream.schema(trades.schema).parquet(s"$src/pages")
-    val q = StreamingIngest.gapEvents(raw, thresholdSec = 4 * 3600L)
-      .toDF()
-      .writeStream.format("memory").queryName("st5_gaps")
-      .option("checkpointLocation", ckpt)
-      .outputMode("append").start()
-    try q.processAllAvailable() finally q.stop()
-    org.apache.spark.sql.GraftBridge.bindTo(ss.table("st5_gaps"), s)
-  }
+  def st5GapEvents(s: SparkSession, dir: String): DataFrame =
+    boundedStream(s, "st5",
+      SyntheticTrades.trades(s, dir)
+        .filter(col("trade_id").cast("long") % 97 === 0)
+        .select("underlying", "timestamp"),
+      "st5_gaps")(raw =>
+      StreamingIngest.gapEvents(raw, thresholdSec = 4 * 3600L).toDF())
 
   val st5Oracle: String =
     s"""WITH ${SyntheticTrades.tradesCte},
@@ -372,22 +357,12 @@ object SystemQueries {
     * 0; append emits every session whose end (last event + gap) is at
     * or below the final watermark — the islands-and-gaps rule the
     * oracle states in SQL. */
-  def st6SessionBursts(s: SparkSession, dir: String): DataFrame = {
-    val src = Files.createTempDirectory("st6-src").toString
-    val ckpt = Files.createTempDirectory("st6-ckpt").toString
-    val trades = SyntheticTrades.trades(s, dir)
-      .filter(col("trade_id").cast("long") % 97 === 0)
-      .select("underlying", "timestamp", "amount")
-    trades.write.mode("overwrite").parquet(s"$src/pages")
-    val ss = streamSession(s)
-    val raw = ss.readStream.schema(trades.schema).parquet(s"$src/pages")
-    val q = StreamingIngest.sessionBursts(raw, gap = "2 hours")
-      .writeStream.format("memory").queryName("st6_sessions")
-      .option("checkpointLocation", ckpt)
-      .outputMode("append").start()
-    try q.processAllAvailable() finally q.stop()
-    org.apache.spark.sql.GraftBridge.bindTo(ss.table("st6_sessions"), s)
-  }
+  def st6SessionBursts(s: SparkSession, dir: String): DataFrame =
+    boundedStream(s, "st6",
+      SyntheticTrades.trades(s, dir)
+        .filter(col("trade_id").cast("long") % 97 === 0)
+        .select("underlying", "timestamp", "amount"),
+      "st6_sessions")(StreamingIngest.sessionBursts(_, gap = "2 hours"))
 
   /** Islands-and-gaps in SQL: a new session starts when the ms gap to
     * the previous trade STRICTLY exceeds the 2 h session gap (Spark
@@ -484,9 +459,9 @@ object SystemQueries {
     * past `texts_kept` and breaks the hash match. */
   def st7StreamDocs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val src = Files.createTempDirectory("st7-src").toString
-    val tgt = Files.createTempDirectory("st7-tgt").toString
-    val ckpt = Files.createTempDirectory("st7-ckpt").toString
+    val src = graft.util.TempDirs.scoped("st7-src")
+    val tgt = graft.util.TempDirs.scoped("st7-tgt")
+    val ckpt = graft.util.TempDirs.scoped("st7-ckpt")
     val docs = graft.util.Tables.load(s, dir, "documents")
       .select(col("doc_id"), col("text"), col("source"),
         timestamp_seconds(lit(1700000000L) + col("doc_id"))
@@ -550,8 +525,56 @@ object SystemQueries {
       |  CAST(sum(nw) AS BIGINT) AS words_kept
       |FROM attr GROUP BY source""".stripMargin
 
+  /** §2.9 + A20: watermarked streaming bar-VWAP — the streaming twin
+    * of a20's bar stage, same harness/emission discipline as st8. */
+  def st9StreamVwap(s: SparkSession, dir: String): DataFrame =
+    boundedStream(s, "st9",
+      SyntheticTrades.trades(s, dir)
+        .select("trade_id", "underlying", "timestamp", "price", "amount"),
+      "st9_vwap")(StreamingIngest.vwapBars(_, watermark = "30 minutes"))
+
+  val st9Oracle: String =
+    s"""WITH ${graft.queries.OracleCtes.enriched},
+       |bars AS (
+       |  SELECT bucket_start, underlying,
+       |    ${duckDsum("price * amount")} AS bar_pv,
+       |    ${duckDsum("amount")} AS bar_volume,
+       |    count(*) AS n_trades
+       |  FROM enriched
+       |  GROUP BY bucket_start, underlying
+       |),
+       |wm AS (
+       |  SELECT max(epoch_ms("timestamp")) - 1800000 AS wm_ms FROM trades
+       |)
+       |SELECT bucket_start, underlying, bar_pv, bar_volume, n_trades,
+       |  bar_pv / nullif(bar_volume, 0.0) AS vwap
+       |FROM bars, wm
+       |WHERE (bucket_start + 900) * 1000 <= wm_ms""".stripMargin
+
+  /** §2.9 + O1: complete-mode streaming top-k — the final memory-sink
+    * state of a sorted+limited complete-output aggregate over the
+    * bounded input equals the batch answer the oracle states (no
+    * watermark in play; ties broken by keys so the LIMIT edge is
+    * deterministic). */
+  def st10StreamTopk(s: SparkSession, dir: String): DataFrame =
+    boundedStream(s, "st10",
+      SyntheticTrades.trades(s, dir)
+        .select("trade_id", "underlying", "timestamp", "strike", "amount"),
+      "st10_topk", mode = "complete")(
+      StreamingIngest.topVolumeStrikes(_, k = 10))
+
+  val st10Oracle: String =
+    s"""WITH ${SyntheticTrades.tradesCte}
+       |SELECT underlying, strike, ${duckDsum("amount")} AS volume
+       |FROM trades
+       |GROUP BY underlying, strike
+       |ORDER BY volume DESC, underlying, strike
+       |LIMIT 10""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
     "s7_backfill_roundtrip" -> QueryDef(s7Backfill _, s7Oracle),
+    "st9_stream_vwap" -> QueryDef(st9StreamVwap _, st9Oracle),
+    "st10_stream_topk" -> QueryDef(st10StreamTopk _, st10Oracle),
     "s8_fetch_pruned" -> QueryDef(s8FetchPruned _, s8PrunedOracle),
     "s9_schema_system" -> QueryDef(s9Schema _, s9Oracle),
     "st7_stream_docs" -> QueryDef(st7StreamDocs _, st7Oracle),

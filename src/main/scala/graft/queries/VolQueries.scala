@@ -304,8 +304,179 @@ object VolQueries {
        |   OR rn = (n * 99 + 99) // 100
        |GROUP BY underlying""".stripMargin
 
+  def a22TrimmedMean(s: SparkSession, dir: String): DataFrame =
+    graft.operators.DistributedSelection.trimmedMean(
+      trades(s, dir).select("underlying", "amount"),
+      "underlying", "amount", trimNum = 5, trimDen = 100)
+
+  /** Exact 5%-each-side trimmed mean of trade size — the robust-stats
+    * twin of a21: same integer-rank machinery (lo = floor(0.05·n)
+    * ranks dropped per side), the kept mass summed in exact DECIMAL
+    * on both engines, one identical double division at the end. The
+    * oracle states it row-wise over a rank window; the Spark side is
+    * the distributed rank-range-overlap fold over the frequency
+    * table — same kept multiset by construction. */
+  val a22Oracle: String =
+    s"""WITH ${SyntheticTrades.tradesCte},
+       |ranked AS (
+       |  SELECT underlying, amount,
+       |    row_number() OVER (PARTITION BY underlying
+       |      ORDER BY amount, trade_id) AS rn,
+       |    count(*) OVER (PARTITION BY underlying) AS n
+       |  FROM trades
+       |)
+       |SELECT underlying, max(n) AS n_rows,
+       |  max(n - 2 * ((n * 5) // 100)) AS n_kept,
+       |  CAST(sum(CAST(amount AS DECIMAL(28,6))) AS DOUBLE)
+       |    / CAST(max(n - 2 * ((n * 5) // 100)) AS DOUBLE)
+       |    AS trimmed_mean
+       |FROM ranked
+       |WHERE rn > (n * 5) // 100 AND rn <= n - (n * 5) // 100
+       |GROUP BY underlying""".stripMargin
+
+  def m10SmileFit(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SmileFit.quadraticSmile(trades(s, dir))
+
+  /** The oracle rebuilds the same normal-equation sums — inputs
+    * quantized once to DECIMAL(16,6), the power/cross ladder then
+    * pure decimal arithmetic with the same pinned scales as the
+    * Spark plan (exact on both engines, zero per-term rounding) —
+    * and solves Cramer's rule from the SAME expression strings
+    * [[graft.operators.SmileFit]] feeds to `expr`: shared spelling,
+    * not re-derived algebra, so the doubles match bit-for-bit (no
+    * libm anywhere: moneyness is a plain ratio). */
+  val m10Oracle: String = {
+    import graft.operators.SmileFit
+    s"""WITH ${SyntheticTrades.tradesCte},
+       |v AS (
+       |  SELECT underlying, option_type,
+       |    CAST(strike / index_price AS DECIMAL(16,6)) AS mq,
+       |    CAST(iv AS DECIMAL(16,6)) AS ivq
+       |  FROM trades
+       |  WHERE iv IS NOT NULL AND index_price IS NOT NULL
+       |    AND strike > 0 AND index_price > 0
+       |),
+       |v2 AS (SELECT *, CAST(mq*mq AS DECIMAL(16,12)) AS m2 FROM v),
+       |v3 AS (SELECT *, CAST(m2*mq AS DECIMAL(20,18)) AS m3 FROM v2),
+       |v4 AS (SELECT *, m3*mq AS m4, ivq*mq AS t1r, ivq*m2 AS t2r
+       |       FROM v3),
+       |agg AS (
+       |  SELECT underlying, option_type,
+       |    count(*) AS n_fit,
+       |    CAST(CAST(round(sum(mq), 8) AS DECIMAL(22,8)) AS DOUBLE) AS s1,
+       |    CAST(CAST(round(sum(m2), 8) AS DECIMAL(22,8)) AS DOUBLE) AS s2,
+       |    CAST(CAST(round(sum(m3), 8) AS DECIMAL(22,8)) AS DOUBLE) AS s3,
+       |    CAST(CAST(round(sum(m4), 8) AS DECIMAL(22,8)) AS DOUBLE) AS s4,
+       |    CAST(CAST(round(sum(ivq), 8) AS DECIMAL(22,8)) AS DOUBLE) AS t0,
+       |    CAST(CAST(round(sum(t1r), 8) AS DECIMAL(22,8)) AS DOUBLE) AS t1,
+       |    CAST(CAST(round(sum(t2r), 8) AS DECIMAL(22,8)) AS DOUBLE) AS t2
+       |  FROM v4 GROUP BY 1, 2
+       |),
+       |solved AS (
+       |  SELECT underlying, option_type, n_fit,
+       |    ${SmileFit.aExpr} AS a_coef,
+       |    ${SmileFit.bExpr} AS b_coef,
+       |    ${SmileFit.cExpr} AS c_coef
+       |  FROM (SELECT *, CAST(n_fit AS DOUBLE) AS s0 FROM agg)
+       |)
+       |SELECT underlying, option_type, n_fit, a_coef, b_coef, c_coef,
+       |  ${SmileFit.vertexExpr} AS vertex_m
+       |FROM solved""".stripMargin
+  }
+
+  def m11RealizedCorr(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SpotCorr.realizedCorr(
+      SyntheticTrades.spotTicks(s, dir))
+
+  /** Daily-close lag returns aligned BTC×ETH, Pearson + beta from
+    * exact DECIMAL(12,8)-quantized sums and decimal cross products;
+    * same shared-spelling discipline as m10 (sqrt is IEEE-exact on
+    * both engines, so outputs stay raw doubles). */
+  val m11Oracle: String = {
+    import graft.operators.SpotCorr
+    s"""WITH ${SyntheticTrades.spotCte},
+       |daily AS (
+       |  SELECT symbol, ${duckEpochS("\"timestamp\"")} // 86400 AS day,
+       |    arg_max(close, "timestamp") AS close
+       |  FROM spot_ticks
+       |  GROUP BY 1, 2
+       |),
+       |rets AS (
+       |  SELECT symbol, day, close,
+       |    lag(close) OVER (PARTITION BY symbol ORDER BY day) AS prev
+       |  FROM daily
+       |),
+       |j AS (
+       |  SELECT b.day,
+       |    CAST(b.close / b.prev - 1.0 AS DECIMAL(12,8)) AS xq,
+       |    CAST(e.close / e.prev - 1.0 AS DECIMAL(12,8)) AS yq
+       |  FROM rets b JOIN rets e USING (day)
+       |  WHERE b.symbol = 'BTC' AND e.symbol = 'ETH'
+       |    AND b.prev IS NOT NULL AND e.prev IS NOT NULL
+       |),
+       |agg AS (
+       |  SELECT count(*) AS n_days,
+       |    CAST(CAST(sum(xq) AS DECIMAL(24,16)) AS DOUBLE) AS sx,
+       |    CAST(CAST(sum(yq) AS DECIMAL(24,16)) AS DOUBLE) AS sy,
+       |    CAST(CAST(sum(xq * yq) AS DECIMAL(24,16)) AS DOUBLE) AS sxy,
+       |    CAST(CAST(sum(xq * xq) AS DECIMAL(24,16)) AS DOUBLE) AS sxx,
+       |    CAST(CAST(sum(yq * yq) AS DECIMAL(24,16)) AS DOUBLE) AS syy
+       |  FROM j
+       |)
+       |SELECT n_days, ${SpotCorr.corrExpr} AS corr_btc_eth,
+       |  ${SpotCorr.betaExpr} AS beta_eth_on_btc
+       |FROM (SELECT *, CAST(n_days AS DOUBLE) AS nd FROM agg)""".stripMargin
+  }
+
+  def a23MaxPain(s: SparkSession, dir: String): DataFrame =
+    graft.operators.MaxPain.maxPain(trades(s, dir))
+
+  /** Candidate×ladder payout table restated over the exact decimal
+    * OI sums; argmin ordered by the exact payout (identical decimal
+    * order on both engines), output payout rendered through a 2-dp
+    * gate (int value < 2^53 — see the Parity notes). */
+  val a23Oracle: String =
+    s"""WITH ${SyntheticTrades.tradesCte},
+       |oi AS (
+       |  SELECT underlying, expiry, strike, option_type,
+       |    CAST(sum(CAST(amount AS DECIMAL(28,6))) AS DECIMAL(20,6))
+       |      AS oi
+       |  FROM trades WHERE strike > 0
+       |  GROUP BY 1, 2, 3, 4
+       |),
+       |cands AS (SELECT DISTINCT underlying, expiry, strike AS s FROM oi),
+       |pay AS (
+       |  SELECT c.underlying, c.expiry, c.s,
+       |    sum(CASE
+       |      WHEN o.option_type = 'C' AND c.s > o.strike
+       |        THEN o.oi * CAST(c.s - o.strike AS DECIMAL(6,0))
+       |      WHEN o.option_type = 'P' AND c.s < o.strike
+       |        THEN o.oi * CAST(o.strike - c.s AS DECIMAL(6,0))
+       |      ELSE CAST(0 AS DECIMAL(27,6)) END) AS payout
+       |  FROM cands c
+       |  JOIN oi o ON o.underlying = c.underlying AND o.expiry = c.expiry
+       |  GROUP BY 1, 2, 3
+       |),
+       |ranked AS (
+       |  SELECT *,
+       |    row_number() OVER (PARTITION BY underlying, expiry
+       |      ORDER BY payout, s) AS rn,
+       |    count(*) OVER (PARTITION BY underlying, expiry) AS n_strikes
+       |  FROM pay
+       |)
+       |SELECT underlying, strftime(expiry, '%Y-%m-%d') AS expiry_date,
+       |  s AS max_pain_strike,
+       |  CAST(CAST(round(payout, 2) AS DECIMAL(22,2)) AS DOUBLE)
+       |    AS total_payout,
+       |  n_strikes
+       |FROM ranked WHERE rn = 1""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
     "a21_size_quantiles" -> QueryDef(a21SizeQuantiles _, a21Oracle),
+    "a22_trimmed_mean" -> QueryDef(a22TrimmedMean _, a22Oracle),
+    "a23_max_pain" -> QueryDef(a23MaxPain _, a23Oracle),
+    "m10_smile_fit" -> QueryDef(m10SmileFit _, m10Oracle),
+    "m11_realized_corr" -> QueryDef(m11RealizedCorr _, m11Oracle),
     "m7_realized_vol" -> QueryDef(m7RealizedVol _, m7Oracle),
     "m8_ewma_vol" -> QueryDef(m8EwmaVol _, m8Oracle),
     "m9_iv_rv_spread" -> QueryDef(m9IvRvSpread _, m9Oracle),

@@ -96,6 +96,42 @@ object StreamingIngest {
         ((buy - sell) / nullif(buy + sell, lit(0.0))).as("imbalance"))
   }
 
+  /** A20-for-streams: watermarked per-bar VWAP — exact-DECIMAL
+    * notional and volume sums per (underlying, 15-min window), the
+    * ratio taken after aggregation (bar-level VWAP; the intraday
+    * CUMULATIVE vwap is the batch operator's window pass — a
+    * streaming twin of that would need arbitrary stateful
+    * processing, not a windowed aggregate). */
+  def vwapBars(trades: DataFrame, watermark: String = "30 minutes")
+      : DataFrame = {
+    trades
+      .withWatermark("timestamp", watermark)
+      .groupBy(window(col("timestamp"), "15 minutes"), col("underlying"))
+      .agg(
+        graft.util.Parity.dsum(col("price") * col("amount")).as("bar_pv"),
+        graft.util.Parity.dsum(col("amount")).as("bar_volume"),
+        count(lit(1)).as("n_trades"))
+      .select(
+        unix_timestamp(col("window.start")).as("bucket_start"),
+        col("underlying"), col("bar_pv"), col("bar_volume"),
+        col("n_trades"),
+        (col("bar_pv") / nullif(col("bar_volume"), lit(0.0))).as("vwap"))
+  }
+
+  /** O1-for-streams: complete-mode streaming top-k — total traded
+    * volume per (underlying, strike) ladder rung, top `k`. Sorting
+    * and limit are legal under complete output (the whole result
+    * re-emits per batch), so on a bounded input the memory sink's
+    * final state IS the batch answer — the continuously-maintained
+    * leaderboard every monitoring dashboard wants. State is the
+    * aggregate table (ladder-bounded), never the tape. */
+  def topVolumeStrikes(trades: DataFrame, k: Int = 10): DataFrame =
+    trades
+      .groupBy(col("underlying"), col("strike"))
+      .agg(graft.util.Parity.dsum(col("amount")).as("volume"))
+      .orderBy(col("volume").desc, col("underlying"), col("strike"))
+      .limit(k)
+
   /** J2-for-streams: stream-stream inner join of trades to spot ticks
     * in the same 15-minute bucket. Both sides are watermarked and the
     * join key includes the event-time window, so the state store

@@ -67,6 +67,15 @@ object Parity {
     * parity (SURVEY §2.7 P8). */
   def ratio(x: Column, y: Column): Column = x / nullif(y, lit(0.0))
 
+  // NOTE: there is deliberately no dsum variant finer than 6 dp.
+  // Spark casts double→decimal via the value's shortest string repr,
+  // DuckDB via the exact binary value; at a 12-dp grid the two
+  // roundings disagree for ~2e-4 of ~1-magnitude values (observed at
+  // sf0.01 in the first smile-fit cut). When finer-than-6-dp exact
+  // sums are needed, quantize only the raw INPUTS at a coarse grid
+  // and build the products in pinned-scale DECIMAL arithmetic — see
+  // operators/SmileFit.scala and operators/SpotCorr.scala.
+
   // ---- DuckDB-side spellings of the same helpers (string templates) ----
 
   /** DuckDB: epoch seconds as BIGINT, truncation identical to Spark's

@@ -73,28 +73,99 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
-  test("broadcast nested-loop joins appear only by design") {
-    // bounded-broadcast by design: the brute-force ANN scores and the
-    // PQ ADC table join pair the full corpus against a broadcast
-    // query set; the unigram scorer, the sketch-quality entry and the
-    // language-balance rates cross-join a broadcast ONE-ROW aggregate.
-    // The small side is small by construction, never corpus-sized.
-    val allowed = Set("llm_ann_topk", "llm_ann_pq", "llm_unigram_logprob",
-      "llm_bigram_logprob", "llm_perplexity_cut", "a18_quality_sketch",
-      "llm_lang_balance", "llm_tfidf_topterms", "llm_mix_weights",
-      "llm_dataset_card", "llm_mrl_recall",
-      // one-row corpus-stats crossJoins (avgdl / raw+target totals):
-      // AQE sizing on the regenerated testdata surfaced these
-      // pre-existing bounded broadcasts in the collected plan
-      "llm_bm25_topk", "llm_dsir_select",
-      // recall audit embeds the brute-force scorer by design
-      "llm_ann_recall",
-      // retrieval eval composes the bm25 scorer (one-row stats)
-      "llm_retrieval_eval")
+  test("broadcast nested-loop joins appear only by design, bounded build side") {
+    // bounded-broadcast by design, and the bound is ASSERTED on the
+    // build side's plan shape (not just the query name), so a future
+    // genuinely-unbounded BNLJ in one of these queries still fails:
+    //  - `oneRowBuild`: corpus-stats crossJoins — the broadcast side
+    //    must contain a GROUPLESS global aggregate (one row by
+    //    construction);
+    //  - `boundedPickBuild` (ANN family): the broadcast query set is
+    //    a literal-bounded subset — the build side must carry an
+    //    explicit limit/top-k or a literal `<` bound (in a Filter or
+    //    pushed to the scan).
+    import org.apache.spark.sql.catalyst.expressions.{LessThan, Literal}
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.{FilterExec, GlobalLimitExec}
+    val oneRowBuild = Set("llm_unigram_logprob", "llm_bigram_logprob",
+      "llm_perplexity_cut", "a18_quality_sketch", "llm_lang_balance",
+      "llm_tfidf_topterms", "llm_mix_weights", "llm_dataset_card",
+      "llm_bm25_topk", "llm_dsir_select", "llm_retrieval_eval")
+    val boundedPickBuild = Set("llm_ann_topk", "llm_ann_pq",
+      "llm_ann_recall", "llm_mrl_recall")
     for (name <- SparkEntry.queries.keys if !driverSide(name)) {
       val bnl = planOf(name).collect { case j: BroadcastNestedLoopJoinExec => j }
-      assert(bnl.isEmpty || allowed(name),
+      assert(bnl.isEmpty || oneRowBuild(name) || boundedPickBuild(name),
         s"$name plans an unexpected BroadcastNestedLoopJoin")
+      bnl.foreach { j =>
+        val build = j.buildSide match {
+          case BuildLeft => j.left
+          case BuildRight => j.right
+        }
+        val sub = nodes(build)
+        val hasGlobalAgg = sub.exists {
+          case a: BaseAggregateExec => a.groupingExpressions.isEmpty
+          case _ => false
+        }
+        def boundedPick(ps: Seq[SparkPlan]): Boolean = ps.exists {
+          case _: GlobalLimitExec | _: TakeOrderedAndProjectExec => true
+          case f: FilterExec => f.condition.exists {
+            case LessThan(_, _: Literal) => true
+            case LessThan(_: Literal, _) => true
+            case _ => false
+          }
+          case s: FileSourceScanExec =>
+            s.metadata.get("PushedFilters").exists(_.contains("LessThan"))
+          // a cached bounded subset hides its filter in the cached plan
+          case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+            boundedPick(nodes(m.relation.cachedPlan))
+          case _ => false
+        }
+        val hasBoundedPick = boundedPick(sub)
+        if (oneRowBuild(name))
+          assert(hasGlobalAgg,
+            s"$name BNLJ build side is not a one-row global aggregate")
+        else
+          assert(hasBoundedPick,
+            s"$name BNLJ build side is not a literal-bounded query subset")
+      }
+    }
+  }
+
+  test("a21/a22 exact selection is distributed — no per-key global sort") {
+    // DistributedSelection: the corpus-scale windows must be
+    // partitioned by (slice, key) — the range-partitioner slice id
+    // bounds window-group size, so no task ever sorts a whole key.
+    // The only key-partitioned windows allowed are the prefix-sum
+    // windows over the tiny per-slice subtotal table, recognizable
+    // by their `_pid` ordering.
+    import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
+    for (name <- Seq("a21_size_quantiles", "a22_trimmed_mean")) {
+      val plan = planOf(name)
+      val winds = plan
+        .collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+      assert(winds.nonEmpty, s"$name has no window")
+      // subtotal-table windows aggregate the per-slice `_ptot` column
+      val (subtotal, sliced) = winds.partition(
+        _.expressions.exists(_.exists(_.toString.contains("_ptot"))))
+      assert(sliced.nonEmpty && sliced.forall(_.partitionSpec.size >= 2),
+        s"$name windows a whole key (per-key global sort)")
+      assert(subtotal.forall(_.partitionSpec.nonEmpty),
+        s"$name runs an unpartitioned subtotal window")
+      // the range exchange sits inside the materialized (cached)
+      // frequency table — recurse through InMemoryTableScan leaves
+      def hasRange(ps: Seq[SparkPlan]): Boolean = ps.exists {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          e.outputPartitioning.isInstanceOf[RangePartitioning]
+        case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          hasRange(nodes(m.relation.cachedPlan))
+        // materialized AQE stages are leaves wrapping their exchange
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          hasRange(nodes(q.plan))
+        case _ => false
+      }
+      assert(hasRange(plan), s"$name lacks the (key, value) range repartition")
     }
   }
 
@@ -232,7 +303,7 @@ class PlanAuditSpec extends AnyFunSuite {
     val ex = planOf("ev1_sessionize").collect {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
     }
-    assert(ex.size == 1, s"ev1 plans ${ex.size} exchanges, expected 1")
+    assert(ex.size <= 1, s"ev1 plans ${ex.size} exchanges, expected at most 1")
   }
 
   test("ev2 funnel: single-pass — one scan of events, one exchange") {
@@ -241,7 +312,7 @@ class PlanAuditSpec extends AnyFunSuite {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
     }
     val scans = plan.collect { case s: FileSourceScanExec => s }
-    assert(ex.size == 1, s"ev2 plans ${ex.size} exchanges, expected 1")
+    assert(ex.size <= 1, s"ev2 plans ${ex.size} exchanges, expected at most 1")
     assert(scans.size == 1,
       s"ev2 scans the events table ${scans.size} times, expected 1")
   }
@@ -319,8 +390,8 @@ class PlanAuditSpec extends AnyFunSuite {
     val ex = planOf("m7_realized_vol").collect {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
     }
-    assert(ex.size == 2,
-      s"m7 plans ${ex.size} exchanges, expected 2 (bar, day)")
+    assert(ex.size <= 2,
+      s"m7 plans ${ex.size} exchanges, expected at most 2 (bar, day)")
     val winds = planOf("m7_realized_vol")
       .collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
     assert(winds.forall(_.partitionSpec.nonEmpty),
