@@ -730,6 +730,47 @@ object TextAnalysis {
           .otherwise("test"))
   }
 
+  /** T5/UL2-style span-corruption plan, deterministically seeded —
+    * the masking pass a denoising-objective pipeline runs over every
+    * document, stated as per-doc statistics (span starts, masked-word
+    * count, mask fraction) so the plan is auditable and replayable.
+    *
+    * A word position starts a span when its (doc_id, pos) hash lands
+    * under `startPct`%; the span covers 1 + (hash % 3) words; word i
+    * is masked when any start within the trailing window reaches it
+    * (three lag terms — span length is capped at 3). Everything is
+    * integer hash arithmetic on (doc_id, pos) — word-independent, so
+    * the mask is reproducible across reruns and restatable in SQL.
+    *
+    * Shape: posexplode + ONE doc-keyed window (lags + the aggregate
+    * share the exchange); output is one row per doc. */
+  def spanCorruptionStats(docs: DataFrame, startPct: Int = 15,
+      textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val h = TextDedup.wordHash32(
+      concat(col("doc_id").cast("string"), lit(":"),
+        col("pos").cast("string")))
+    def lagTerm(j: Int) =
+      coalesce(lag(col("start"), j).over(w) &&
+        lag(col("len"), j).over(w) > j, lit(false))
+    docs
+      .select(col("doc_id"),
+        posexplode(TextDedup.words(col(textCol))).as(Seq("pos0", "word")))
+      .withColumn("pos", col("pos0") + 1)
+      .withColumn("h", h)
+      .withColumn("start", col("h") % 100 < startPct)
+      .withColumn("len", (col("h") % 3 + 1).cast("int"))
+      .withColumn("masked",
+        (col("start") && col("len") > 0) || lagTerm(1) || lagTerm(2))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_words"),
+        count(when(col("start"), 1)).as("n_starts"),
+        count(when(col("masked"), 1)).as("n_masked"))
+      .withColumn("mask_frac",
+        col("n_masked").cast("double") / col("n_words").cast("double"))
+  }
+
   /** Character-coverage table — the SentencePiece-style pre-tokenizer
     * audit (its `character_coverage` knob decides which tail chars
     * become UNK): per distinct character of the word stream, its

@@ -452,4 +452,42 @@ object TextDedup {
       .distinct()
       .filter(col("hamming_dist") <= maxHamming)
   }
+
+  /** Cross-source content overlap at word-5-gram granularity — which
+    * source pairs ship the same phrasing, and how much (the
+    * provenance/boilerplate audit that decides whether two crawls are
+    * worth keeping separately; whole-document hashes only light up
+    * when corpora literally mirror each other, shingles catch the
+    * partial overlap that actually occurs). Exact: the corpus
+    * collapses to the DISTINCT (shingle-hash, source) table first
+    * (one corpus-sized shuffle, output bounded by distinct shingles ×
+    * sources-per-shingle); the pair join then runs on that table
+    * keyed by hash, with fan-out bounded by the handful of sources a
+    * shingle appears in — never corpus × corpus. Jaccard =
+    * shared / (n_a + n_b − shared) over distinct shingles. */
+  def sourceOverlap(docs: DataFrame, n: Int = 5,
+      textCol: String = "text", srcCol: String = "source"): DataFrame = {
+    val hs = materialize(
+      docs.select(col(srcCol).as("src"), words(col(textCol)).as("_w"))
+        .filter(size(col("_w")) >= n)
+        .select(col("src"),
+          explode(wordShingles(col("_w"), n)).as("sg"))
+        .select(sha2(col("sg"), 256).as("h"), col("src"))
+        .distinct())
+    val totals = hs.groupBy(col("src")).agg(count(lit(1)).as("n"))
+    hs.select(col("h"), col("src").as("source_a"))
+      .join(hs.select(col("h"), col("src").as("source_b")), "h")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("shared_texts"))
+      .join(broadcast(totals.select(col("src").as("source_a"),
+        col("n").as("n_a"))), Seq("source_a"))
+      .join(broadcast(totals.select(col("src").as("source_b"),
+        col("n").as("n_b"))), Seq("source_b"))
+      .withColumn("jaccard",
+        col("shared_texts").cast("double") /
+          (col("n_a") + col("n_b") - col("shared_texts")).cast("double"))
+      .select("source_a", "source_b", "shared_texts", "n_a", "n_b",
+        "jaccard")
+  }
 }

@@ -428,6 +428,85 @@ object LlmQueries {
        |FROM m""".stripMargin
   }
 
+  // ---- span corruption plan ----
+
+  def spanCorrupt(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.spanCorruptionStats(docs(s, dir), startPct = 15)
+
+  /** Fully SQL-gated: the (doc_id, pos) hash, start/length draws, the
+    * three-lag mask union and the per-doc stats all re-derived in
+    * DuckDB over the same word positions. */
+  val spanCorruptOracle: String =
+    s"""WITH $wrdsCte,
+       |px AS (
+       |  SELECT doc_id,
+       |    unnest([{'pos': i} for i in range(1, len(w) + 1)]) AS p
+       |  FROM wrds
+       |),
+       |hx AS (
+       |  SELECT doc_id, p.pos AS pos,
+       |    sha256(CAST(doc_id AS VARCHAR) || ':'
+       |      || CAST(p.pos AS VARCHAR)) AS sha
+       |  FROM px
+       |),
+       |fl AS (
+       |  SELECT doc_id, pos, h % 100 < 15 AS start,
+       |    CAST(h % 3 + 1 AS INT) AS len
+       |  FROM (SELECT doc_id, pos, $duckHash32 AS h FROM hx)
+       |),
+       |lg AS (
+       |  SELECT doc_id, pos, start, len,
+       |    (start AND len > 0)
+       |      OR coalesce(lag(start, 1) OVER w AND lag(len, 1) OVER w > 1,
+       |           false)
+       |      OR coalesce(lag(start, 2) OVER w AND lag(len, 2) OVER w > 2,
+       |           false) AS masked
+       |  FROM fl
+       |  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+       |)
+       |SELECT doc_id, count(*) AS n_words,
+       |  count(CASE WHEN start THEN 1 END) AS n_starts,
+       |  count(CASE WHEN masked THEN 1 END) AS n_masked,
+       |  CAST(count(CASE WHEN masked THEN 1 END) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) AS mask_frac
+       |FROM lg GROUP BY doc_id""".stripMargin
+
+  // ---- cross-source duplicate overlap ----
+
+  def sourceOverlap(s: SparkSession, dir: String): DataFrame =
+    TextDedup.sourceOverlap(docs(s, dir))
+
+  /** Distinct (5-gram-shingle-hash, source) pairs, pair join keyed by
+    * hash, per-source distinct totals and Jaccard — all in SQL. */
+  val sourceOverlapOracle: String =
+    """WITH wr AS (
+      |  SELECT source,
+      |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+      |      ' ') AS w
+      |  FROM documents
+      |),
+      |sh0 AS (
+      |  SELECT source,
+      |    unnest(list_distinct([array_to_string(w[i:i+4], ' ')
+      |                          for i in range(1, len(w) - 3)])) AS sg
+      |  FROM wr WHERE len(w) >= 5
+      |),
+      |hs AS (SELECT DISTINCT sha256(sg) AS h, source FROM sh0),
+      |tot AS (SELECT source, count(*) AS n FROM hs GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.source AS source_a, b.source AS source_b,
+      |    count(*) AS shared_texts
+      |  FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+      |  GROUP BY 1, 2
+      |)
+      |SELECT p.source_a, p.source_b, p.shared_texts,
+      |  ta.n AS n_a, tb.n AS n_b,
+      |  CAST(p.shared_texts AS DOUBLE)
+      |    / CAST(ta.n + tb.n - p.shared_texts AS DOUBLE) AS jaccard
+      |FROM pairs p
+      |JOIN tot ta ON ta.source = p.source_a
+      |JOIN tot tb ON tb.source = p.source_b""".stripMargin
+
   // ---- character coverage ----
 
   def charCoverage(s: SparkSession, dir: String): DataFrame =
@@ -1808,6 +1887,8 @@ object LlmQueries {
     "llm_gopher_rules" -> QueryDef(gopher _, gopherOracle),
     "llm_tok_fertility" -> QueryDef(tokFertility _, tokFertilityOracle),
     "llm_char_coverage" -> QueryDef(charCoverage _, charCoverageOracle),
+    "llm_span_corrupt" -> QueryDef(spanCorrupt _, spanCorruptOracle),
+    "llm_source_overlap" -> QueryDef(sourceOverlap _, sourceOverlapOracle),
     "llm_bpe_train" -> QueryDef(bpeTrain _, None),
     "llm_bpe_encode" -> QueryDef(bpeEncode _, None),
     "llm_repetition" -> QueryDef(repetition _, repetitionOracle),

@@ -471,10 +471,58 @@ object VolQueries {
        |  n_strikes
        |FROM ranked WHERE rn = 1""".stripMargin
 
+  def a24MadOutliers(s: SparkSession, dir: String): DataFrame =
+    graft.operators.MadOutliers.madOutliers(trades(s, dir))
+
+  /** Exact integer-rank medians (ceil(n/2), same rule as a21) for
+    * both the size median and the MAD; the k·MAD threshold is the
+    * identical double expression on both engines. */
+  val a24Oracle: String =
+    s"""WITH ${SyntheticTrades.tradesCte},
+       |r1 AS (
+       |  SELECT underlying, amount, trade_id,
+       |    row_number() OVER (PARTITION BY underlying
+       |      ORDER BY amount, trade_id) AS rn,
+       |    count(*) OVER (PARTITION BY underlying) AS n
+       |  FROM trades
+       |),
+       |med AS (
+       |  SELECT underlying, max(n) AS n_trades,
+       |    max(CASE WHEN rn = (n * 1 + 1) // 2 THEN amount END) AS med
+       |  FROM r1 GROUP BY 1
+       |),
+       |dev AS (
+       |  SELECT t.underlying, abs(t.amount - m.med) AS d, t.trade_id
+       |  FROM trades t JOIN med m ON m.underlying = t.underlying
+       |),
+       |r2 AS (
+       |  SELECT underlying, d,
+       |    row_number() OVER (PARTITION BY underlying
+       |      ORDER BY d, trade_id) AS rn,
+       |    count(*) OVER (PARTITION BY underlying) AS n
+       |  FROM dev
+       |),
+       |mad AS (
+       |  SELECT underlying,
+       |    max(CASE WHEN rn = (n * 1 + 1) // 2 THEN d END) AS mad
+       |  FROM r2 GROUP BY 1
+       |)
+       |SELECT m.underlying, m.n_trades, m.med, a.mad,
+       |  count(CASE WHEN abs(t.amount - m.med) > 5.0 * a.mad
+       |        THEN 1 END) AS n_outliers,
+       |  CAST(count(CASE WHEN abs(t.amount - m.med) > 5.0 * a.mad
+       |        THEN 1 END) AS DOUBLE)
+       |    / CAST(m.n_trades AS DOUBLE) AS outlier_frac
+       |FROM trades t
+       |JOIN med m ON m.underlying = t.underlying
+       |JOIN mad a ON a.underlying = t.underlying
+       |GROUP BY m.underlying, m.n_trades, m.med, a.mad""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
     "a21_size_quantiles" -> QueryDef(a21SizeQuantiles _, a21Oracle),
     "a22_trimmed_mean" -> QueryDef(a22TrimmedMean _, a22Oracle),
     "a23_max_pain" -> QueryDef(a23MaxPain _, a23Oracle),
+    "a24_mad_outliers" -> QueryDef(a24MadOutliers _, a24Oracle),
     "m10_smile_fit" -> QueryDef(m10SmileFit _, m10Oracle),
     "m11_realized_corr" -> QueryDef(m11RealizedCorr _, m11Oracle),
     "m7_realized_vol" -> QueryDef(m7RealizedVol _, m7Oracle),

@@ -231,6 +231,59 @@ class Round10Spec extends AnyFunSuite {
     assert(got.toSeq == Seq(("BTC", 100.0), ("ETH", 200.0)))
   }
 
+  // ---- MAD outliers ----
+
+  test("mad outliers: median/MAD exact, threshold flags the planted spike") {
+    // values 1..9 plus one 1000 spike: med = 5.5-ish? n=10 -> rank
+    // ceil(10/2)=5 -> med=5; deviations |x-5|: 0,1,1,2,2,3,3,4,4,995
+    // -> mad rank 5 -> 2; threshold 5*2=10 -> only the spike exceeds
+    val df = ((1 to 9).map(i => ("BTC", i.toDouble)) :+ (("BTC", 1000.0)))
+      .toDF("underlying", "amount")
+    val r = graft.operators.MadOutliers.madOutliers(df).head()
+    assert(r.getAs[Double]("med") == 5.0)
+    assert(r.getAs[Double]("mad") == 2.0)
+    assert(r.getAs[Long]("n_outliers") == 1L)
+    assert(math.abs(r.getAs[Double]("outlier_frac") - 0.1) < 1e-12)
+  }
+
+  // ---- span corruption ----
+
+  test("span corruption stats are deterministic and bounded") {
+    val df = Seq((1L, ("w " * 200).trim), (2L, "a b c"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.spanCorruptionStats(df)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_words") == 200L)
+    assert(out(2L).getAs[Long]("n_words") == 3L)
+    for ((_, r) <- out) {
+      val (starts, masked, n) = (r.getAs[Long]("n_starts"),
+        r.getAs[Long]("n_masked"), r.getAs[Long]("n_words"))
+      assert(masked >= starts)          // every start masks >= itself
+      assert(masked <= math.min(n, starts * 3)) // spans cap at 3 words
+      assert(r.getAs[Double]("mask_frac") == masked.toDouble / n)
+    }
+    // determinism: same input -> identical stats
+    val again = TextAnalysis.spanCorruptionStats(df)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("n_masked")).toMap
+    assert(again(1L) == out(1L).getAs[Long]("n_masked"))
+  }
+
+  // ---- source overlap ----
+
+  test("source overlap counts shared distinct shingles with jaccard") {
+    val t1 = "alpha beta gamma delta epsilon zeta"  // 2 distinct 5-grams
+    val t2 = "alpha beta gamma delta epsilon"       // 1 5-gram (shared)
+    val df = Seq((1L, t1, "web"), (2L, t2, "books"), (3L, t2, "web"))
+      .toDF("doc_id", "text", "source")
+    val r = graft.operators.TextDedup.sourceOverlap(df).head()
+    assert(r.getAs[String]("source_a") == "books")
+    assert(r.getAs[String]("source_b") == "web")
+    assert(r.getAs[Long]("shared_texts") == 1L)
+    assert(r.getAs[Long]("n_a") == 1L && r.getAs[Long]("n_b") == 2L)
+    assert(math.abs(r.getAs[Double]("jaccard") - 0.5) < 1e-12)
+  }
+
   // ---- char coverage ----
 
   test("char coverage ranks by count then char, cumulative fraction") {
