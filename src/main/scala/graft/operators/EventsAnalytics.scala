@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataTypes.createDecimalType
 
 /** Behavioral-analytics operators over the `events` stream table —
   * the batch twins of the ClickHouse-style windowFunnel / retention /
@@ -358,5 +359,71 @@ object EventsAnalytics {
       .withColumn("transition_rank",
         row_number().over(
           byFrom.orderBy(col("n_transitions").desc, col("to_type"))))
+  }
+
+  /** EV8: RFM segmentation — recency/frequency/monetary quintiles
+    * per user, rolled up to segment counts. Scores are rank-based
+    * (ntile(5) with a user-id tie-break, so the assignment is a pure
+    * function of the data): r=1 ⇔ most recent last-activity day,
+    * f=1 ⇔ highest event count, m=1 ⇔ highest exact-decimal spend.
+    *
+    * Shape: ONE corpus-sized hash aggregate to the per-user table
+    * (map-side partials), then three global ntile windows over the
+    * USER table — dimension-sized, orders below the fact table; the
+    * final segment roll-up is ≤125 rows. The ntile sort is the one
+    * non-partitioned stage; it sorts users, never events (at 100 TB
+    * of events the user table is the ~GB dimension — range-partition
+    * sort, no single-task bottleneck).
+    *
+    * Exactness: day/count integers; monetary is an exact DECIMAL(28,6)
+    * sum (deterministic order key and 2^53-gated double render). */
+  def rfmSegments(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts", valueCol: String = "value"): DataFrame = {
+    val epochDay = floor(unix_micros(col(tsCol)) / lit(86400000000L))
+    val perUser = events
+      .groupBy(col(userCol).as("u"))
+      .agg(
+        max(epochDay).as("last_day"),
+        count(lit(1)).as("freq"),
+        sum(col(valueCol).cast(createDecimalType(28, 6))).as("monetary"))
+    val scored = perUser
+      .withColumn("r_score", ntile(5).over(
+        Window.orderBy(col("last_day").desc, col("u"))))
+      .withColumn("f_score", ntile(5).over(
+        Window.orderBy(col("freq").desc, col("u"))))
+      .withColumn("m_score", ntile(5).over(
+        Window.orderBy(col("monetary").desc, col("u"))))
+    scored
+      .groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum(col("monetary")).cast(createDecimalType(28, 2)).cast("double")
+          .as("segment_monetary"),
+        sum(col("freq")).as("segment_events"))
+  }
+
+  /** EV9: power-user curve — distribution of users by active-day
+    * count with the survival fraction P(active_days ≥ d). Shape: the
+    * distinct (user, day) collapse (one corpus shuffle), a per-user
+    * count, a histogram aggregate, then windows over the
+    * day-count-sized histogram — everything after stage one is tiny.
+    * All integers; the survival fraction is one exact division. */
+  def powerUserCurve(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    val epochDay = floor(unix_micros(col(tsCol)) / lit(86400000000L))
+    val activeDays = events
+      .select(col(userCol).as("u"), epochDay.as("day")).distinct()
+      .groupBy(col("u")).agg(count(lit(1)).as("active_days"))
+    val hist = activeDays
+      .groupBy(col("active_days")).agg(count(lit(1)).as("n_users"))
+    val wDesc = Window.orderBy(col("active_days").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    hist
+      .withColumn("users_at_least", sum(col("n_users")).over(wDesc))
+      .withColumn("frac_at_least",
+        col("users_at_least").cast("double")
+          / sum(col("n_users")).over(wAll).cast("double"))
+      .select("active_days", "n_users", "users_at_least", "frac_at_least")
   }
 }

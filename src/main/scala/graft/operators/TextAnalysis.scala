@@ -803,4 +803,147 @@ object TextAnalysis {
         (col("cum").cast("double") / col("total").cast("double"))
           .as("cum_frac"))
   }
+
+  /** Shared algebra for the Kneser–Ney probability over pre-cast
+    * double columns (cbd = bigram count, cctxd = context total, nfd =
+    * distinct continuations of w1, npd = distinct predecessors of w2,
+    * ttd = total bigram types) — spelled verbatim in the DuckDB
+    * oracle so both engines run the identical IEEE chain. */
+  val knExpr: String =
+    "greatest(cbd - 0.75, 0.0) / cctxd + 0.75 * nfd / cctxd * (npd / ttd)"
+
+  /** Kneser–Ney-smoothed bigram probabilities (absolute discount
+    * d = 0.75) for the corpus's top-`k` bigrams — the classic
+    * n-gram-LM smoothing where the backoff weight is the CONTINUATION
+    * probability N1+(·w₂)/|bigram types|, not raw frequency (Kneser &
+    * Ney 1995; the SRILM formulation).
+    *
+    * Scale shape: the corpus pair stream collapses to the distinct-
+    * bigram count table in ONE corpus-sized shuffle; context totals,
+    * continuation counts and predecessor counts are hash aggregates
+    * OF that table (bigram-type-sized); the single global total is a
+    * one-row broadcast. Final ranking is top-k (TakeOrdered — no
+    * global sort materializes). All model inputs are integers; the
+    * probability is a per-row exactly-rounded IEEE chain — no
+    * cross-row float sums anywhere. */
+  def kneserNeyBigrams(docs: DataFrame, k: Int = 100,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val base = docs.select(col(idCol), TextDedup.words(col(textCol)).as("_w"))
+    val pairs = base.filter(size(col("_w")) >= 2)
+      .select(explode(zip_with(
+        slice(col("_w"), lit(1), size(col("_w")) - 1),
+        slice(col("_w"), lit(2), size(col("_w")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("_p"))
+      .select(col("_p.w1").as("w1"), col("_p.w2").as("w2"))
+    val bigc = graft.util.Caches.materialize(
+      pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb")))
+    val ctx = bigc.groupBy(col("w1"))
+      .agg(sum(col("cb")).as("cctx"), count(lit(1)).as("n_follow"))
+    val prec = bigc.groupBy(col("w2")).agg(count(lit(1)).as("n_prec"))
+    val types = bigc.agg(count(lit(1)).as("n_types"))
+    bigc
+      .join(ctx, "w1")
+      .join(prec, "w2")
+      .crossJoin(broadcast(types))
+      .withColumn("cbd", col("cb").cast("double"))
+      .withColumn("cctxd", col("cctx").cast("double"))
+      .withColumn("nfd", col("n_follow").cast("double"))
+      .withColumn("npd", col("n_prec").cast("double"))
+      .withColumn("ttd", col("n_types").cast("double"))
+      .withColumn("p_kn", expr(knExpr))
+      .select(col("w1"), col("w2"), col("cb"), col("cctx"),
+        col("n_follow"), col("n_prec"), col("n_types"), col("p_kn"))
+      .orderBy(col("cb").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
+  /** Shared slope/intercept algebra for the log-log Zipf OLS —
+    * spelled verbatim in the DuckDB oracle. Works over the SpotCorr
+    * sum names (nd, sx, sy, sxy, sxx, syy): slope = β(y on x),
+    * alpha = −slope, r² = corr². */
+  val zipfInterceptExpr: String =
+    s"(sy - (${SpotCorr.betaExpr}) * sx) / nd"
+  val zipfR2Expr: String =
+    s"(${SpotCorr.corrExpr}) * (${SpotCorr.corrExpr})"
+
+  /** Zipf's-law fit over the corpus word-frequency table: OLS of
+    * ln(count) on ln(rank) for the top-`topK` words — the corpus
+    * health check (natural text ⇒ alpha ≈ 1; synthetic/boilerplate
+    * corpora bend the curve). One row out: vocab size, fitted alpha,
+    * intercept, R².
+    *
+    * Scale shape: ONE corpus-sized shuffle collapses tokens to the
+    * vocabulary table (Heaps-bounded, orders below the corpus); the
+    * rank window and the OLS aggregate run over the top-K slice.
+    * Exactness: ln terms are 6-dp-quantized (the ln-parity
+    * contract), products built in pinned-scale DECIMAL(12,6)
+    * arithmetic, sums rendered through a HALF-UP DECIMAL(22,8) gate
+    * (all terms ≥ 0), final algebra shared verbatim. */
+  def zipfFit(docs: DataFrame, topK: Int = 500,
+      textCol: String = "text"): DataFrame = {
+    val d6 = org.apache.spark.sql.types.DataTypes.createDecimalType(12, 6)
+    val d22 = org.apache.spark.sql.types.DataTypes.createDecimalType(22, 8)
+    val counts = docs
+      .select(explode(TextDedup.words(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val ranked = counts
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(col("cnt").desc, col("w"))))
+      .withColumn("n_vocab", count(lit(1)).over(Window.partitionBy()))
+      .filter(col("rnk") <= topK)
+      .withColumn("xq", graft.util.Parity.roundTo(
+        log(col("rnk").cast("double")), 6).cast(d6))
+      .withColumn("yq", graft.util.Parity.roundTo(
+        log(col("cnt").cast("double")), 6).cast(d6))
+    val dbl = (c: org.apache.spark.sql.Column) => c.cast(d22).cast("double")
+    ranked
+      .groupBy(col("n_vocab"))
+      .agg(
+        count(lit(1)).as("n_fit"),
+        dbl(sum(col("xq"))).as("sx"),
+        dbl(sum(col("yq"))).as("sy"),
+        dbl(sum(col("xq") * col("yq"))).as("sxy"),
+        dbl(sum(col("xq") * col("xq"))).as("sxx"),
+        dbl(sum(col("yq") * col("yq"))).as("syy"))
+      .withColumn("nd", col("n_fit").cast("double"))
+      .withColumn("alpha", -expr(SpotCorr.betaExpr))
+      .withColumn("intercept", expr(zipfInterceptExpr))
+      .withColumn("r2", expr(zipfR2Expr))
+      .select("n_vocab", "n_fit", "alpha", "intercept", "r2")
+  }
+
+  /** Power-of-two padding buckets for batch assembly: [16, maxLen]
+    * by doubling. A CASE chain of integer comparisons — identical in
+    * any engine, no log2/float anywhere. */
+  def pow2Bucket(n: Column, maxLen: Int = 2048): Column = {
+    val sizes = Iterator.iterate(16)(_ * 2).takeWhile(_ <= maxLen).toSeq
+    sizes.init.foldRight(lit(sizes.last)) { (s, acc) =>
+      when(n <= s, s).otherwise(acc)
+    }
+  }
+
+  /** Padding-waste audit for fixed-shape batching: docs bucketed to
+    * the next power-of-two sequence length; per bucket the doc
+    * count, token total, padding total (bucket − tokens, 0 for
+    * overflow docs that would be split) and the padding fraction of
+    * the padded batch volume. ONE corpus-sized aggregate keyed by the
+    * ≤9-value bucket column; everything is integer except the final
+    * per-bucket division. */
+  def padWaste(docs: DataFrame, maxLen: Int = 2048,
+      textCol: String = "text"): DataFrame = {
+    docs
+      .select(size(TextDedup.words(col(textCol))).cast("long").as("n_tok"))
+      .withColumn("bucket", pow2Bucket(col("n_tok"), maxLen).cast("long"))
+      .withColumn("pad",
+        greatest(col("bucket") - col("n_tok"), lit(0L)))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("total_tokens"),
+        sum(col("pad")).as("total_padding"))
+      .withColumn("pad_frac",
+        col("total_padding").cast("double")
+          / (col("bucket") * col("n_docs")).cast("double"))
+  }
 }

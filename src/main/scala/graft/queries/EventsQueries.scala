@@ -286,7 +286,61 @@ object EventsQueries {
        |    ORDER BY version_n) IS NULL AS is_current
        |FROM agg""".stripMargin
 
+  def ev8Rfm(s: SparkSession, dir: String): DataFrame =
+    EventsAnalytics.rfmSegments(events(s, dir))
+
+  /** RFM scores are pure rank functions (ntile with user-id
+    * tie-break) of integer/exact-decimal per-user aggregates, so the
+    * segment assignment is bit-identical across engines; the rendered
+    * monetary total rounds HALF-UP to 2 dp on both sides before the
+    * double cast (DuckDB's bare decimal scale-down would truncate). */
+  val ev8Oracle: String =
+    """WITH pu AS (
+      |  SELECT user_id AS u,
+      |    max(epoch_us(ts) // 86400000000) AS last_day,
+      |    count(*) AS freq,
+      |    sum(CAST(value AS DECIMAL(28,6))) AS monetary
+      |  FROM events GROUP BY 1
+      |),
+      |sc AS (
+      |  SELECT *,
+      |    ntile(5) OVER (ORDER BY last_day DESC, u) AS r_score,
+      |    ntile(5) OVER (ORDER BY freq DESC, u) AS f_score,
+      |    ntile(5) OVER (ORDER BY monetary DESC, u) AS m_score
+      |  FROM pu
+      |)
+      |SELECT r_score, f_score, m_score, count(*) AS n_users,
+      |  CAST(CAST(round(sum(monetary), 2) AS DECIMAL(28,2)) AS DOUBLE)
+      |    AS segment_monetary,
+      |  CAST(sum(freq) AS BIGINT) AS segment_events
+      |FROM sc GROUP BY 1, 2, 3""".stripMargin
+
+  def ev9PowerCurve(s: SparkSession, dir: String): DataFrame =
+    EventsAnalytics.powerUserCurve(events(s, dir))
+
+  val ev9Oracle: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id AS u,
+      |    epoch_us(ts) // 86400000000 AS day
+      |  FROM events
+      |),
+      |ad AS (SELECT u, count(*) AS active_days FROM ud GROUP BY 1),
+      |hist AS (
+      |  SELECT active_days, count(*) AS n_users FROM ad GROUP BY 1
+      |)
+      |SELECT active_days, n_users,
+      |  CAST(sum(n_users) OVER (ORDER BY active_days DESC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS users_at_least,
+      |  CAST(CAST(sum(n_users) OVER (ORDER BY active_days DESC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS DOUBLE) / CAST(CAST(sum(n_users) OVER () AS BIGINT) AS DOUBLE)
+      |    AS frac_at_least
+      |FROM hist""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "ev8_rfm" -> QueryDef(ev8Rfm _, ev8Oracle),
+    "ev9_power_curve" -> QueryDef(ev9PowerCurve _, ev9Oracle),
     "ev6_rolling_active" -> QueryDef(ev6RollingActive _, ev6Oracle),
     "ev7_scd2_history" -> QueryDef(ev7Scd2 _, ev7Oracle),
     "ev5_transitions" -> QueryDef(ev5Transitions _, ev5Oracle),

@@ -268,6 +268,60 @@ object FeatureQueries {
        |FROM tl ASOF LEFT JOIN sd
        |  ON tl.underlying = sd.symbol AND sd.ts <= tl.ts""".stripMargin
 
+  // ---- J7: nearest-temporal spot lookup (bidirectional as-of;
+  // oracle = two native DuckDB ASOF joins + the tie-backward CASE) ----
+
+  def j7NearestSpot(s: SparkSession, dir: String): DataFrame = {
+    val spot = SyntheticTrades.spotTicks(s, dir)
+      .select(col("symbol").as("underlying"), col("timestamp"),
+        col("close"))
+    graft.operators.NearestJoin.nearest(
+      trades(s, dir).select("trade_id", "underlying", "timestamp"),
+      spot,
+      key = "underlying", leftTime = "timestamp", rightTime = "timestamp",
+      rightVal = "close", valCol = "near_spot", deltaCol = "delta_us")
+      .select(col("trade_id"), Parity.epochS(col("timestamp")).as("ep"),
+        col("underlying"), col("near_spot"), col("delta_us"))
+  }
+
+  val j7Oracle: String =
+    s"""WITH ${SyntheticTrades.tradesCte},
+       |${SyntheticTrades.spotCte},
+       |sd AS (
+       |  SELECT symbol, date_trunc('microseconds', "timestamp") AS ts,
+       |    epoch_us(date_trunc('microseconds', "timestamp")) AS rts,
+       |    max(close) AS close
+       |  FROM spot_ticks GROUP BY 1, 2, 3
+       |),
+       |tl AS (
+       |  SELECT trade_id, underlying,
+       |    date_trunc('microseconds', "timestamp") AS ts,
+       |    epoch_us(date_trunc('microseconds', "timestamp")) AS us,
+       |    ${duckEpochS("\"timestamp\"")} AS ep
+       |  FROM trades
+       |),
+       |b AS (
+       |  SELECT tl.trade_id, tl.ep, tl.us, tl.underlying,
+       |    sd.rts AS bts, sd.close AS bclose
+       |  FROM tl ASOF LEFT JOIN sd
+       |    ON tl.underlying = sd.symbol AND sd.ts <= tl.ts
+       |),
+       |f AS (
+       |  SELECT tl.trade_id, sd.rts AS fts, sd.close AS fclose
+       |  FROM tl ASOF LEFT JOIN sd
+       |    ON tl.underlying = sd.symbol AND sd.ts >= tl.ts
+       |)
+       |SELECT b.trade_id, b.ep, b.underlying,
+       |  CASE WHEN bclose IS NULL THEN fclose
+       |       WHEN fclose IS NULL THEN bclose
+       |       WHEN (us - bts) <= (fts - us) THEN bclose
+       |       ELSE fclose END AS near_spot,
+       |  CASE WHEN bclose IS NULL THEN fts - us
+       |       WHEN fclose IS NULL THEN us - bts
+       |       WHEN (us - bts) <= (fts - us) THEN us - bts
+       |       ELSE fts - us END AS delta_us
+       |FROM b JOIN f ON f.trade_id = b.trade_id""".stripMargin
+
   // ---- A16: count wrapper per contract-selection strategy ----
 
   def a16StrategyCounts(s: SparkSession, dir: String): DataFrame = {
@@ -371,6 +425,7 @@ object FeatureQueries {
     "a17_spot_bars" -> QueryDef(a17SpotBars _, a17Oracle),
     "j2_spot_enrich" -> QueryDef(j2SpotEnrich _, j2Oracle),
     "j5_asof_spot" -> QueryDef(j5AsofSpot _, j5Oracle),
+    "j7_nearest_spot" -> QueryDef(j7NearestSpot _, j7Oracle),
     "a8_moneyness_long" -> QueryDef(a8MoneynessLong _, a8Oracle),
     "a9_moneyness_smile" -> QueryDef(a9MoneynessSmile _, a9Oracle),
     "a6_pcr_by_tenor" -> QueryDef(a6Pcr _, a6Oracle),

@@ -1865,7 +1865,76 @@ object LlmQueries {
        |)
        |SELECT * FROM card, ent""".stripMargin
 
+  // ---- Kneser–Ney-smoothed bigram LM (top bigrams) ----
+
+  def knBigrams(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.kneserNeyBigrams(docs(s, dir), k = 100)
+
+  /** Every model input is an integer count; the probability is the
+    * shared per-row IEEE chain [[graft.operators.TextAnalysis.knExpr]]
+    * over pre-cast doubles — no float sums anywhere, so no
+    * quantization is needed. */
+  val knBigramsOracle: String =
+    s"""WITH $wrdsCte,
+       |pairs AS (
+       |  SELECT w[i] AS w1, w[i + 1] AS w2
+       |  FROM (SELECT w, unnest(range(1, len(w))) AS i
+       |        FROM wrds WHERE len(w) >= 2)
+       |),
+       |bigc AS (SELECT w1, w2, count(*) AS cb FROM pairs GROUP BY 1, 2),
+       |ctx AS (
+       |  SELECT w1, CAST(sum(cb) AS BIGINT) AS cctx,
+       |    count(*) AS n_follow
+       |  FROM bigc GROUP BY 1
+       |),
+       |prec AS (SELECT w2, count(*) AS n_prec FROM bigc GROUP BY 1),
+       |types AS (SELECT count(*) AS n_types FROM bigc),
+       |scored AS (
+       |  SELECT b.w1, b.w2, b.cb, c.cctx, c.n_follow, p.n_prec, t.n_types,
+       |    CAST(b.cb AS DOUBLE) AS cbd, CAST(c.cctx AS DOUBLE) AS cctxd,
+       |    CAST(c.n_follow AS DOUBLE) AS nfd,
+       |    CAST(p.n_prec AS DOUBLE) AS npd,
+       |    CAST(t.n_types AS DOUBLE) AS ttd
+       |  FROM bigc b JOIN ctx c USING (w1) JOIN prec p USING (w2), types t
+       |)
+       |SELECT w1, w2, cb, cctx, n_follow, n_prec, n_types,
+       |  ${graft.operators.TextAnalysis.knExpr} AS p_kn
+       |FROM scored
+       |ORDER BY cb DESC, w1, w2 LIMIT 100""".stripMargin
+
+  // ---- padding-waste audit (power-of-two batching buckets) ----
+
+  def padWaste(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.padWaste(docs(s, dir))
+
+  val padWasteOracle: String = {
+    val sizes = Iterator.iterate(16)(_ * 2).takeWhile(_ <= 2048).toSeq
+    val bucketCase = sizes.init
+      .map(s0 => s"WHEN n_tok <= $s0 THEN $s0")
+      .mkString("CASE ", " ", s" ELSE ${sizes.last} END")
+    s"""WITH $wrdsCte,
+       |toks AS (
+       |  SELECT CAST(len(w) AS BIGINT) AS n_tok FROM wrds
+       |),
+       |bucketed AS (
+       |  SELECT n_tok, CAST($bucketCase AS BIGINT) AS bucket FROM toks
+       |),
+       |padded AS (
+       |  SELECT bucket, n_tok,
+       |    greatest(bucket - n_tok, 0) AS pad
+       |  FROM bucketed
+       |)
+       |SELECT bucket, count(*) AS n_docs,
+       |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       |  CAST(sum(pad) AS BIGINT) AS total_padding,
+       |  CAST(CAST(sum(pad) AS BIGINT) AS DOUBLE)
+       |    / CAST(bucket * count(*) AS DOUBLE) AS pad_frac
+       |FROM padded GROUP BY 1""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "llm_kn_bigram" -> QueryDef(knBigrams _, knBigramsOracle),
+    "llm_pad_waste" -> QueryDef(padWaste _, padWasteOracle),
     "llm_canonical_pick" -> QueryDef(canonicalPick _, canonicalPickOracle),
     "llm_vec_quantize" -> QueryDef(vecQuantize _, vecQuantizeOracle),
     "llm_dataset_card" -> QueryDef(datasetCard _, datasetCardOracle),

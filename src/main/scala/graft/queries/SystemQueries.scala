@@ -571,7 +571,55 @@ object SystemQueries {
        |ORDER BY volume DESC, underlying, strike
        |LIMIT 10""".stripMargin
 
+  /** §2.9: continuously-maintained aggregate (incremental view
+    * maintenance) — an UPDATE-mode streaming groupBy driven over
+    * FOUR micro-batches (maxFilesPerTrigger=1 over a 4-file source),
+    * each batch's changed keys upserted into a key-partitioned
+    * parquet table via foreachBatch + dynamic partition overwrite.
+    * The sink table after the last batch must equal the plain batch
+    * aggregate of the whole tape — the oracle states exactly that.
+    * (This is the S4/S5 idempotent-sink story applied to AGGREGATE
+    * state rather than raw rows: re-running a batch rewrites the
+    * same key partitions with the same state.) */
+  def st11StreamMerge(s: SparkSession, dir: String): DataFrame = {
+    val src = graft.util.TempDirs.scoped("st11-src")
+    val tgt = graft.util.TempDirs.scoped("st11-tgt")
+    val ckpt = graft.util.TempDirs.scoped("st11-ckpt")
+    val trades = SyntheticTrades.trades(s, dir)
+      .select("underlying", "timestamp", "amount")
+    trades.repartition(4).write.parquet(s"$src/pages")
+    val ss = streamSession(s)
+    ss.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val raw = ss.readStream.schema(trades.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$src/pages")
+    val q = StreamingIngest.runningTotals(raw)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("overwrite").partitionBy("underlying")
+          .parquet(tgt)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(tgt)
+      .select(col("underlying"), col("n_trades"),
+        col("total_amount_dec")
+          .cast(org.apache.spark.sql.types.DataTypes.createDecimalType(28, 2))
+          .cast("double").as("total_amount"),
+        col("last_ep"))
+  }
+
+  val st11Oracle: String =
+    s"""WITH ${SyntheticTrades.tradesCte}
+       |SELECT underlying, count(*) AS n_trades,
+       |  CAST(CAST(round(sum(CAST(amount AS DECIMAL(28,6))), 2)
+       |    AS DECIMAL(28,2)) AS DOUBLE) AS total_amount,
+       |  max(${duckEpochS("\"timestamp\"")}) AS last_ep
+       |FROM trades GROUP BY 1""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "st11_stream_merge" -> QueryDef(st11StreamMerge _, st11Oracle),
     "s7_backfill_roundtrip" -> QueryDef(s7Backfill _, s7Oracle),
     "st9_stream_vwap" -> QueryDef(st9StreamVwap _, st9Oracle),
     "st10_stream_topk" -> QueryDef(st10StreamTopk _, st10Oracle),
