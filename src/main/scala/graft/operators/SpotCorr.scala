@@ -35,6 +35,55 @@ object SpotCorr {
     s"$covExpr / nullif(sqrt($varxExpr * $varyExpr), 0.0)"
   val betaExpr: String = s"$covExpr / nullif($varxExpr, 0.0)"
 
+  /** M15: rolling 7-day beta/corr of ETH on BTC — the time-resolved
+    * view of [[realizedCorr]]. Same aligned-return construction; the
+    * five sums become range windows over the TINY aligned-day table
+    * (one partition key — the pair — but day-count-sized rows), each
+    * window sum pure decimal arithmetic rendered through the same
+    * DECIMAL(24,16) gate, then the shared Pearson/beta algebra per
+    * day. Full windows only. */
+  def rollingBeta(ticks: DataFrame, windowDays: Int = 7): DataFrame = {
+    val d24 = org.apache.spark.sql.types.DataTypes.createDecimalType(24, 16)
+    val aligned = alignedReturns(ticks)
+    val w = Window.orderBy(col("day"))
+      .rangeBetween(-(windowDays - 1).toLong, 0L)
+    val dbl = (c: org.apache.spark.sql.Column) => c.cast(d24).cast("double")
+    aligned
+      .withColumn("nw", count(lit(1)).over(w))
+      .withColumn("sx", dbl(sum(col("xq")).over(w)))
+      .withColumn("sy", dbl(sum(col("yq")).over(w)))
+      .withColumn("sxy", dbl(sum(col("xq") * col("yq")).over(w)))
+      .withColumn("sxx", dbl(sum(col("xq") * col("xq")).over(w)))
+      .withColumn("syy", dbl(sum(col("yq") * col("yq")).over(w)))
+      .filter(col("nw") === windowDays)
+      .withColumn("nd", col("nw").cast("double"))
+      .withColumn("corr_w", expr(corrExpr))
+      .withColumn("beta_w", expr(betaExpr))
+      .select("day", "corr_w", "beta_w")
+  }
+
+  /** Aligned quantized (day, BTC return, ETH return) table — the
+    * shared head of [[realizedCorr]] and [[rollingBeta]]. */
+  def alignedReturns(ticks: DataFrame): DataFrame = {
+    val ep = unix_timestamp(col("timestamp"))
+    val daily = ticks
+      .withColumn("_ep", ep)
+      .withColumn("day", expr("_ep div 86400L"))
+      .groupBy(col("symbol"), col("day"))
+      .agg(max_by(col("close"), col("timestamp")).as("close"))
+    val w = Window.partitionBy(col("symbol")).orderBy(col("day"))
+    val rets = daily
+      .withColumn("prev", lag(col("close"), 1).over(w))
+      .withColumn("r", col("close") / col("prev") - 1.0)
+      .filter(col("r").isNotNull)
+    val d8 = org.apache.spark.sql.types.DataTypes.createDecimalType(12, 8)
+    val x = rets.filter(col("symbol") === "BTC")
+      .select(col("day"), col("r").cast(d8).as("xq"))
+    val y = rets.filter(col("symbol") === "ETH")
+      .select(col("day"), col("r").cast(d8).as("yq"))
+    x.join(y, Seq("day"))
+  }
+
   /** Daily closes are last-tick-of-day via `max_by(close, timestamp)`
     * — the same convention the verified spot-bar dictionary (a17)
     * uses, deterministic on the synthetic feed. */

@@ -892,10 +892,8 @@ object TextAnalysis {
         row_number().over(Window.orderBy(col("cnt").desc, col("w"))))
       .withColumn("n_vocab", count(lit(1)).over(Window.partitionBy()))
       .filter(col("rnk") <= topK)
-      .withColumn("xq", graft.util.Parity.roundTo(
-        log(col("rnk").cast("double")), 6).cast(d6))
-      .withColumn("yq", graft.util.Parity.roundTo(
-        log(col("cnt").cast("double")), 6).cast(d6))
+      .withColumn("xq", log(col("rnk").cast("double")).cast(d6))
+      .withColumn("yq", log(col("cnt").cast("double")).cast(d6))
     val dbl = (c: org.apache.spark.sql.Column) => c.cast(d22).cast("double")
     ranked
       .groupBy(col("n_vocab"))

@@ -1932,7 +1932,49 @@ object LlmQueries {
        |FROM padded GROUP BY 1""".stripMargin
   }
 
+  // ---- Zipf's-law fit over the vocabulary ----
+
+  def zipfFit(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.zipfFit(docs(s, dir), topK = 500)
+
+  val zipfFitOracle: String = {
+    import graft.operators.{SpotCorr, TextAnalysis}
+    def gate(e: String) =
+      s"CAST(CAST(round(sum($e), 8) AS DECIMAL(22,8)) AS DOUBLE)"
+    s"""WITH $wrdsCte,
+       |tok AS (SELECT unnest(w) AS word FROM wrds),
+       |counts AS (
+       |  SELECT word, count(*) AS cnt FROM tok
+       |  WHERE len(word) > 0 GROUP BY 1
+       |),
+       |ranked AS (
+       |  SELECT cnt,
+       |    row_number() OVER (ORDER BY cnt DESC, word) AS rnk,
+       |    count(*) OVER () AS n_vocab
+       |  FROM counts
+       |),
+       |quant AS (
+       |  SELECT n_vocab,
+       |    CAST(ln(CAST(rnk AS DOUBLE)) AS DECIMAL(12,6)) AS xq,
+       |    CAST(ln(CAST(cnt AS DOUBLE)) AS DECIMAL(12,6)) AS yq
+       |  FROM ranked WHERE rnk <= 500
+       |),
+       |aggd AS (
+       |  SELECT n_vocab, count(*) AS n_fit,
+       |    ${gate("xq")} AS sx, ${gate("yq")} AS sy,
+       |    ${gate("xq * yq")} AS sxy,
+       |    ${gate("xq * xq")} AS sxx, ${gate("yq * yq")} AS syy
+       |  FROM quant GROUP BY 1
+       |)
+       |SELECT CAST(n_vocab AS BIGINT) AS n_vocab, n_fit,
+       |  -(${SpotCorr.betaExpr}) AS alpha,
+       |  ${TextAnalysis.zipfInterceptExpr} AS intercept,
+       |  ${TextAnalysis.zipfR2Expr} AS r2
+       |FROM (SELECT *, CAST(n_fit AS DOUBLE) AS nd FROM aggd)""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "llm_zipf_fit" -> QueryDef(zipfFit _, zipfFitOracle),
     "llm_kn_bigram" -> QueryDef(knBigrams _, knBigramsOracle),
     "llm_pad_waste" -> QueryDef(padWaste _, padWasteOracle),
     "llm_canonical_pick" -> QueryDef(canonicalPick _, canonicalPickOracle),

@@ -317,7 +317,63 @@ object QuantQueries {
        |  ${duckDsum("abs(gap)")} / count(*) AS mean_abs_gap
        |FROM g GROUP BY 1, 2""".stripMargin
 
+  // ---- M15: rolling 7-day beta/corr ----
+
+  def m15RollingBeta(s: SparkSession, dir: String): DataFrame =
+    SpotCorr.rollingBeta(ticks(s, dir))
+
+  val m15Oracle: String = {
+    def d24(e: String) = s"CAST(CAST(($e) AS DECIMAL(24,16)) AS DOUBLE)"
+    s"""WITH $retsCte,
+       |j AS (
+       |  SELECT b.day, b.rq AS xq, e.rq AS yq
+       |  FROM rets b JOIN rets e USING (day)
+       |  WHERE b.symbol = 'BTC' AND e.symbol = 'ETH'
+       |),
+       |roll AS (
+       |  SELECT day,
+       |    count(*) OVER w AS nw,
+       |    ${d24("sum(xq) OVER w")} AS sx,
+       |    ${d24("sum(yq) OVER w")} AS sy,
+       |    ${d24("sum(xq * yq) OVER w")} AS sxy,
+       |    ${d24("sum(xq * xq) OVER w")} AS sxx,
+       |    ${d24("sum(yq * yq) OVER w")} AS syy
+       |  FROM j
+       |  WINDOW w AS (ORDER BY day
+       |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+       |)
+       |SELECT day, ${SpotCorr.corrExpr} AS corr_w,
+       |  ${SpotCorr.betaExpr} AS beta_w
+       |FROM (SELECT *, CAST(nw AS DOUBLE) AS nd FROM roll WHERE nw = 7)"""
+      .stripMargin
+  }
+
+  // ---- A29: hour-of-day seasonality profile ----
+
+  def a29HourProfile(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Seasonality.hourProfile(trades(s, dir))
+
+  val a29Oracle: String =
+    s"""WITH ${SyntheticTrades.tradesCte},
+       |hourly AS (
+       |  SELECT underlying,
+       |    CAST((${duckEpochS("\"timestamp\"")} // 3600) % 24 AS INTEGER)
+       |      AS hour,
+       |    count(*) AS n_trades,
+       |    sum(CAST(amount AS DECIMAL(28,6))) AS vol_dec
+       |  FROM trades GROUP BY 1, 2
+       |)
+       |SELECT underlying, hour, n_trades,
+       |  CAST(vol_dec AS DOUBLE) AS volume,
+       |  CAST(vol_dec AS DOUBLE) / CAST(sum(vol_dec)
+       |    OVER (PARTITION BY underlying) AS DOUBLE) AS volume_share,
+       |  row_number() OVER (PARTITION BY underlying
+       |    ORDER BY n_trades DESC, hour) = 1 AS is_peak
+       |FROM hourly""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "m15_rolling_beta" -> QueryDef(m15RollingBeta _, m15Oracle),
+    "a29_hour_profile" -> QueryDef(a29HourProfile _, a29Oracle),
     "m12_var_swap" -> QueryDef(m12VarSwap _, m12Oracle),
     "a25_wing_quotes" -> QueryDef(a25WingQuotes _, a25Oracle),
     "a26_drawdown" -> QueryDef(a26Drawdown _, a26Oracle),

@@ -91,7 +91,8 @@ class PlanAuditSpec extends AnyFunSuite {
     val oneRowBuild = Set("llm_unigram_logprob", "llm_bigram_logprob",
       "llm_perplexity_cut", "a18_quality_sketch", "llm_lang_balance",
       "llm_tfidf_topterms", "llm_mix_weights", "llm_dataset_card",
-      "llm_bm25_topk", "llm_dsir_select", "llm_retrieval_eval")
+      "llm_bm25_topk", "llm_dsir_select", "llm_retrieval_eval",
+      "llm_kn_bigram")
     val boundedPickBuild = Set("llm_ann_topk", "llm_ann_pq",
       "llm_ann_recall", "llm_mrl_recall")
     for (name <- SparkEntry.queries.keys if !driverSide(name)) {
@@ -422,5 +423,38 @@ class PlanAuditSpec extends AnyFunSuite {
     val scans = planOf("ev5_transitions")
       .collect { case s: FileSourceScanExec => s }
     assert(scans.size == 1, s"ev5 scans events ${scans.size} times")
+  }
+
+  test("a25 wings / a27 hhi: argmin-by-aggregate, no Window on the tape") {
+    // both are designed as pure hash-aggregate pipelines — a Window
+    // appearing means the min-of-struct/no-window rewrite regressed
+    // to a per-key sort
+    for (name <- Seq("a25_wing_quotes", "a27_volume_hhi")) {
+      val winds = planOf(name)
+        .collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+      assert(winds.isEmpty, s"$name plans a Window: ${winds.map(_.nodeName)}")
+    }
+  }
+
+  test("j7 nearest / m12 var swap: every window is key-partitioned") {
+    for (name <- Seq("j7_nearest_spot", "m12_var_swap")) {
+      val winds = planOf(name)
+        .collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+      assert(winds.nonEmpty, s"$name has no window")
+      assert(winds.forall(_.partitionSpec.nonEmpty),
+        s"$name runs an unpartitioned window")
+    }
+  }
+
+  test("ev9 / zipf windows run on collapsed tables, tape scanned once") {
+    // the unpartitioned cumsum/rank windows are by design — they run
+    // over histogram/vocab-sized aggregates; the pin is that the FACT
+    // scan happens at most once (ev6's persisted (user, day) subtree
+    // can be cache-substituted into ev9's identical prefix, dropping
+    // the file scan to zero — also fine: still no double scan)
+    for (name <- Seq("ev9_power_curve", "llm_zipf_fit")) {
+      val scans = planOf(name).collect { case s: FileSourceScanExec => s }
+      assert(scans.size <= 1, s"$name scans the fact table ${scans.size}x")
+    }
   }
 }
