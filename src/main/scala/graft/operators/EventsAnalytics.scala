@@ -402,6 +402,80 @@ object EventsAnalytics {
         sum(col("freq")).as("segment_events"))
   }
 
+  /** EV10: daily-activity anomaly detection — each day's event count
+    * z-scored against the TRAILING week (7 preceding days, current
+    * day excluded, full windows only); |z| > threshold flags the day.
+    * The ops-monitoring twin of the tape's gap analysis: detects
+    * volume collapses/spikes rather than missing intervals.
+    *
+    * Shape: ONE corpus-sized hash aggregate to the daily-count table;
+    * the rolling mean/std windows run over that day-count-sized
+    * table. Exactness: integer sums; mean/variance/z are
+    * exactly-rounded IEEE chains spelled identically in the oracle
+    * (sample variance over integer sums, sqrt exact). */
+  def dailyAnomalies(events: DataFrame, threshold: Double = 2.0,
+      tsCol: String = "ts"): DataFrame = {
+    val epochDay = floor(unix_micros(col(tsCol)) / lit(86400000000L))
+    val daily = events.groupBy(epochDay.as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.orderBy(col("day"))
+      .rangeBetween(-7L, -1L)
+    daily
+      .withColumn("nw", count(lit(1)).over(w))
+      .withColumn("s1", sum(col("n_events")).over(w))
+      .withColumn("s2", sum(col("n_events") * col("n_events")).over(w))
+      .filter(col("nw") === 7)
+      .withColumn("mean7",
+        col("s1").cast("double") / col("nw").cast("double"))
+      .withColumn("var7",
+        (col("s2").cast("double")
+          - col("s1").cast("double") * col("s1").cast("double")
+            / col("nw").cast("double"))
+          / (col("nw").cast("double") - 1.0))
+      .withColumn("std7",
+        sqrt(when(col("var7") < 0, 0.0).otherwise(col("var7"))))
+      .withColumn("z",
+        (col("n_events").cast("double") - col("mean7"))
+          / nullif(col("std7"), lit(0.0)))
+      .withColumn("is_anomaly",
+        coalesce(abs(col("z")) > threshold, lit(false)))
+      .select("day", "n_events", "mean7", "std7", "z", "is_anomaly")
+  }
+
+  /** EV11: first/last-touch attribution — every `conversion` event
+    * credits the FIRST and the LAST preceding touch event (strictly
+    * earlier in (ts, event_id) order) of the same user; conversions
+    * with no preceding touch fall into the (null, null) bucket.
+    * Rolled up to (first_touch, last_touch): conversion count and
+    * exact-decimal revenue.
+    *
+    * Shape: ONE user-keyed exchange carries both running windows
+    * (first/last non-null over the same ordering); the roll-up is
+    * |touch types|²-sized. */
+  def touchAttribution(events: DataFrame,
+      touchTypes: Seq[String] = Seq("view", "click"),
+      conversionType: String = "purchase",
+      userCol: String = "user_id", tsCol: String = "ts",
+      idCol: String = "event_id", typeCol: String = "event_type",
+      valueCol: String = "value"): DataFrame = {
+    val touch = when(col(typeCol).isin(touchTypes: _*), col(typeCol))
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col("_us"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .select(col(userCol), unix_micros(col(tsCol)).as("_us"),
+        col(idCol), col(typeCol), col(valueCol))
+      .withColumn("_touch", touch)
+      .withColumn("first_touch", first(col("_touch"), ignoreNulls = true).over(w))
+      .withColumn("last_touch", last(col("_touch"), ignoreNulls = true).over(w))
+      .filter(col(typeCol) === conversionType)
+      .groupBy(col("first_touch"), col("last_touch"))
+      .agg(
+        count(lit(1)).as("n_conversions"),
+        sum(col(valueCol).cast(createDecimalType(28, 6)))
+          .cast(createDecimalType(28, 2)).cast("double").as("revenue"))
+  }
+
   /** EV9: power-user curve — distribution of users by active-day
     * count with the survival fraction P(active_days ≥ d). Shape: the
     * distinct (user, day) collapse (one corpus shuffle), a per-user

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DataTypes.createDecimalType
 
@@ -53,6 +54,38 @@ object Liquidity {
       .withColumn("top_share", col("top_volume") / col("total_volume"))
       .select("underlying", "day", "n_contracts", "total_volume",
         "hhi", "top_share")
+  }
+
+  /** A30: price-level volume profile + point of control — traded
+    * volume binned by price level per underlying, with each bin's
+    * share and the POC (max-volume bin, ties → lowest bin). The
+    * market-profile read of the tape (the reference bins by strike
+    * and DTE but never by traded price).
+    *
+    * Shape: ONE corpus-sized hash aggregate keyed (underlying, bin);
+    * share/POC windows run over the bin-count-sized profile.
+    * Exactness: bins are integer `div`; volumes exact decimal sums;
+    * the POC rank compares exact decimals. */
+  def volumeProfile(trades: DataFrame, binWidth: Double = 1.0)
+      : DataFrame = {
+    val d = createDecimalType(28, 6)
+    val byKey = Window.partitionBy(col("underlying"))
+    trades
+      .filter(col("price") > 0)
+      .withColumn("bin", floor(col("price") / binWidth).cast("long"))
+      .groupBy(col("underlying"), col("bin"))
+      .agg(
+        count(lit(1)).as("n_trades"),
+        sum(col("amount").cast(d)).as("vol_dec"))
+      .withColumn("volume", col("vol_dec").cast("double"))
+      .withColumn("volume_share",
+        col("vol_dec").cast("double")
+          / sum(col("vol_dec")).over(byKey).cast("double"))
+      .withColumn("is_poc",
+        row_number().over(
+          byKey.orderBy(col("vol_dec").desc, col("bin"))) === 1)
+      .select("underlying", "bin", "n_trades", "volume", "volume_share",
+        "is_poc")
   }
 
   /** A28: put–call parity audit. Quote = davg(price) per

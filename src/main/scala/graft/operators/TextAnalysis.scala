@@ -863,8 +863,19 @@ object TextAnalysis {
     * alpha = −slope, r² = corr². */
   val zipfInterceptExpr: String =
     s"(sy - (${SpotCorr.betaExpr}) * sx) / nd"
-  val zipfR2Expr: String =
-    s"(${SpotCorr.corrExpr}) * (${SpotCorr.corrExpr})"
+
+  /** r² with the variance product clamped at zero BEFORE the sqrt:
+    * a degenerate axis (constant y — e.g. a saturated vocabulary in
+    * the Heaps fit) makes the exact variance 0, and the 8-dp render
+    * gate can land it at −ε, where DuckDB's sqrt ERRORS while
+    * Spark's returns NaN. Clamped, both engines give sqrt(0) → the
+    * nullif turns the ratio into NULL — the honest "undefined". */
+  val zipfR2Expr: String = {
+    val vprod = s"(${SpotCorr.varxExpr} * ${SpotCorr.varyExpr})"
+    val corrSafe = s"${SpotCorr.covExpr} / nullif(sqrt(" +
+      s"CASE WHEN $vprod < 0 THEN 0.0 ELSE $vprod END), 0.0)"
+    s"($corrSafe) * ($corrSafe)"
+  }
 
   /** Zipf's-law fit over the corpus word-frequency table: OLS of
     * ln(count) on ln(rank) for the top-`topK` words — the corpus
@@ -909,6 +920,72 @@ object TextAnalysis {
       .withColumn("intercept", expr(zipfInterceptExpr))
       .withColumn("r2", expr(zipfR2Expr))
       .select("n_vocab", "n_fit", "alpha", "intercept", "r2")
+  }
+
+  /** Heaps'-law fit — vocabulary growth V(n) ≈ K·n^β along the
+    * doc-id ingest order, the companion diagnostic to [[zipfFit]]
+    * (natural corpora: β ≈ 0.4–0.6; duplicated/boilerplate corpora
+    * push β down). The corpus is cut into `nBuckets` equal doc-id
+    * ranges; per checkpoint (bucket end) the cumulative token count
+    * and cumulative vocabulary (words whose FIRST occurrence falls at
+    * or before it) give the (n, V) curve; OLS of ln V on ln n fits
+    * β and ln K.
+    *
+    * Scale shape: two corpus-sized aggregates — per-word min(doc_id)
+    * (the first-occurrence table, vocab-sized) and per-bucket token
+    * totals — plus prefix-sum windows over the `nBuckets`-row bucket
+    * table. No running window ever orders the corpus; the bucket of a
+    * row is a pure integer formula of (doc_id, min, max) from a
+    * one-row broadcast. Exactness: counts are integers; the ln points
+    * are 6-dp-quantized DECIMAL(12,6) with the zipf render gate. */
+  def heapsFit(docs: DataFrame, nBuckets: Int = 10,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val d6 = org.apache.spark.sql.types.DataTypes.createDecimalType(12, 6)
+    val d22 = org.apache.spark.sql.types.DataTypes.createDecimalType(22, 8)
+    val base = graft.util.Caches.materialize(
+      docs.select(col(idCol).as("_id"),
+        TextDedup.words(col(textCol)).as("_w")))
+    val minmax = base.agg(min(col("_id")).as("_lo"), max(col("_id")).as("_hi"))
+    def bucketOf(idc: org.apache.spark.sql.Column) =
+      expr(s"((${idc.toString} - _lo) * $nBuckets) div (_hi - _lo + 1)")
+    // per-bucket token totals
+    val tokPerBucket = base
+      .crossJoin(broadcast(minmax))
+      .select(bucketOf(col("_id")).as("b"),
+        size(col("_w")).cast("long").as("n_tok"))
+      .groupBy(col("b")).agg(sum(col("n_tok")).as("toks"))
+    // per-bucket first-occurrence counts
+    val firstPerBucket = base
+      .select(col("_id"), explode(col("_w")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(min(col("_id")).as("_fd"))
+      .crossJoin(broadcast(minmax))
+      .select(bucketOf(col("_fd")).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("news"))
+    val wCum = Window.orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val points = tokPerBucket.join(firstPerBucket, Seq("b"), "left")
+      .withColumn("cum_tok", sum(col("toks")).over(wCum))
+      .withColumn("cum_vocab", sum(coalesce(col("news"), lit(0L))).over(wCum))
+      .filter(col("cum_tok") > 0 && col("cum_vocab") > 0)
+      .withColumn("xq", log(col("cum_tok").cast("double")).cast(d6))
+      .withColumn("yq", log(col("cum_vocab").cast("double")).cast(d6))
+    val dbl = (c: org.apache.spark.sql.Column) => c.cast(d22).cast("double")
+    points
+      .agg(
+        count(lit(1)).as("n_points"),
+        max(col("cum_tok")).as("n_tokens"),
+        max(col("cum_vocab")).as("n_vocab"),
+        dbl(sum(col("xq"))).as("sx"),
+        dbl(sum(col("yq"))).as("sy"),
+        dbl(sum(col("xq") * col("yq"))).as("sxy"),
+        dbl(sum(col("xq") * col("xq"))).as("sxx"),
+        dbl(sum(col("yq") * col("yq"))).as("syy"))
+      .withColumn("nd", col("n_points").cast("double"))
+      .withColumn("heaps_beta", expr(SpotCorr.betaExpr))
+      .withColumn("ln_k", expr(zipfInterceptExpr))
+      .withColumn("r2", expr(zipfR2Expr))
+      .select("n_points", "n_tokens", "n_vocab", "heaps_beta", "ln_k", "r2")
   }
 
   /** Power-of-two padding buckets for batch assembly: [16, maxLen]

@@ -338,7 +338,73 @@ object EventsQueries {
       |    AS frac_at_least
       |FROM hist""".stripMargin
 
+  def ev10Anomalies(s: SparkSession, dir: String): DataFrame =
+    EventsAnalytics.dailyAnomalies(events(s, dir))
+
+  val ev10Oracle: String =
+    """WITH daily AS (
+      |  SELECT epoch_us(ts) // 86400000000 AS day,
+      |    count(*) AS n_events
+      |  FROM events GROUP BY 1
+      |),
+      |roll AS (
+      |  SELECT day, n_events,
+      |    count(*) OVER w AS nw,
+      |    CAST(sum(n_events) OVER w AS BIGINT) AS s1,
+      |    CAST(sum(n_events * n_events) OVER w AS BIGINT) AS s2
+      |  FROM daily
+      |  WINDOW w AS (ORDER BY day RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)
+      |),
+      |stats AS (
+      |  SELECT day, n_events,
+      |    CAST(s1 AS DOUBLE) / CAST(nw AS DOUBLE) AS mean7,
+      |    (CAST(s2 AS DOUBLE)
+      |      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(nw AS DOUBLE))
+      |      / (CAST(nw AS DOUBLE) - 1.0) AS var7
+      |  FROM roll WHERE nw = 7
+      |),
+      |z AS (
+      |  SELECT day, n_events, mean7,
+      |    sqrt(CASE WHEN var7 < 0 THEN 0.0 ELSE var7 END) AS std7
+      |  FROM stats
+      |)
+      |SELECT day, n_events, mean7, std7,
+      |  (CAST(n_events AS DOUBLE) - mean7) / nullif(std7, 0.0) AS z,
+      |  coalesce(abs((CAST(n_events AS DOUBLE) - mean7)
+      |    / nullif(std7, 0.0)) > 2.0, false) AS is_anomaly
+      |FROM z""".stripMargin
+
+  def ev11Attribution(s: SparkSession, dir: String): DataFrame =
+    EventsAnalytics.touchAttribution(events(s, dir))
+
+  val ev11Oracle: String =
+    s"""WITH $evCte,
+       |t AS (
+       |  SELECT *, CASE WHEN event_type IN ('view', 'click')
+       |    THEN event_type END AS tch
+       |  FROM ev
+       |),
+       |w AS (
+       |  SELECT *,
+       |    first_value(tch IGNORE NULLS) OVER (
+       |      PARTITION BY user_id ORDER BY us, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |      AS first_touch,
+       |    last_value(tch IGNORE NULLS) OVER (
+       |      PARTITION BY user_id ORDER BY us, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |      AS last_touch
+       |  FROM t
+       |)
+       |SELECT first_touch, last_touch, count(*) AS n_conversions,
+       |  CAST(CAST(round(sum(CAST(value AS DECIMAL(28,6))), 2)
+       |    AS DECIMAL(28,2)) AS DOUBLE) AS revenue
+       |FROM w WHERE event_type = 'purchase'
+       |GROUP BY 1, 2""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "ev10_anomaly_days" -> QueryDef(ev10Anomalies _, ev10Oracle),
+    "ev11_attribution" -> QueryDef(ev11Attribution _, ev11Oracle),
     "ev8_rfm" -> QueryDef(ev8Rfm _, ev8Oracle),
     "ev9_power_curve" -> QueryDef(ev9PowerCurve _, ev9Oracle),
     "ev6_rolling_active" -> QueryDef(ev6RollingActive _, ev6Oracle),

@@ -1973,7 +1973,64 @@ object LlmQueries {
        |FROM (SELECT *, CAST(n_fit AS DOUBLE) AS nd FROM aggd)""".stripMargin
   }
 
+  // ---- Heaps'-law vocabulary-growth fit ----
+
+  def heapsFit(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.heapsFit(docs(s, dir), nBuckets = 10)
+
+  val heapsFitOracle: String = {
+    import graft.operators.{SpotCorr, TextAnalysis}
+    def gate(e: String) =
+      s"CAST(CAST(round(sum($e), 8) AS DECIMAL(22,8)) AS DOUBLE)"
+    s"""WITH $wrdsCte,
+       |mm AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents),
+       |tokb AS (
+       |  SELECT ((doc_id - lo) * 10) // (hi - lo + 1) AS b,
+       |    CAST(sum(len(w)) AS BIGINT) AS toks
+       |  FROM wrds, mm GROUP BY 1
+       |),
+       |tok AS (SELECT doc_id, unnest(w) AS word FROM wrds),
+       |fw AS (
+       |  SELECT word, min(doc_id) AS fd FROM tok
+       |  WHERE len(word) > 0 GROUP BY 1
+       |),
+       |fb AS (
+       |  SELECT ((fd - lo) * 10) // (hi - lo + 1) AS b,
+       |    count(*) AS news
+       |  FROM fw, mm GROUP BY 1
+       |),
+       |points AS (
+       |  SELECT t.b,
+       |    CAST(sum(t.toks) OVER w AS BIGINT) AS cum_tok,
+       |    CAST(sum(coalesce(f.news, 0)) OVER w AS BIGINT) AS cum_vocab
+       |  FROM tokb t LEFT JOIN fb f USING (b)
+       |  WINDOW w AS (ORDER BY t.b
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |),
+       |quant AS (
+       |  SELECT cum_tok, cum_vocab,
+       |    CAST(ln(CAST(cum_tok AS DOUBLE)) AS DECIMAL(12,6)) AS xq,
+       |    CAST(ln(CAST(cum_vocab AS DOUBLE)) AS DECIMAL(12,6)) AS yq
+       |  FROM points WHERE cum_tok > 0 AND cum_vocab > 0
+       |),
+       |aggd AS (
+       |  SELECT count(*) AS n_points,
+       |    max(cum_tok) AS n_tokens, max(cum_vocab) AS n_vocab,
+       |    ${gate("xq")} AS sx, ${gate("yq")} AS sy,
+       |    ${gate("xq * yq")} AS sxy,
+       |    ${gate("xq * xq")} AS sxx, ${gate("yq * yq")} AS syy
+       |  FROM quant
+       |)
+       |SELECT n_points, n_tokens, n_vocab,
+       |  ${SpotCorr.betaExpr} AS heaps_beta,
+       |  ${TextAnalysis.zipfInterceptExpr} AS ln_k,
+       |  ${TextAnalysis.zipfR2Expr} AS r2
+       |FROM (SELECT *, CAST(n_points AS DOUBLE) AS nd FROM aggd)"""
+      .stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "llm_heaps_fit" -> QueryDef(heapsFit _, heapsFitOracle),
     "llm_zipf_fit" -> QueryDef(zipfFit _, zipfFitOracle),
     "llm_kn_bigram" -> QueryDef(knBigrams _, knBigramsOracle),
     "llm_pad_waste" -> QueryDef(padWaste _, padWasteOracle),

@@ -371,7 +371,31 @@ object QuantQueries {
        |    ORDER BY n_trades DESC, hour) = 1 AS is_peak
        |FROM hourly""".stripMargin
 
+  // ---- A30: price-level volume profile / point of control ----
+
+  def a30VolumeProfile(s: SparkSession, dir: String): DataFrame =
+    Liquidity.volumeProfile(trades(s, dir))
+
+  val a30Oracle: String =
+    s"""WITH ${SyntheticTrades.tradesCte},
+       |prof AS (
+       |  SELECT underlying,
+       |    CAST(floor(price / 1.0) AS BIGINT) AS bin,
+       |    count(*) AS n_trades,
+       |    sum(CAST(amount AS DECIMAL(28,6))) AS vol_dec
+       |  FROM trades WHERE price > 0
+       |  GROUP BY 1, 2
+       |)
+       |SELECT underlying, bin, n_trades,
+       |  CAST(vol_dec AS DOUBLE) AS volume,
+       |  CAST(vol_dec AS DOUBLE) / CAST(sum(vol_dec)
+       |    OVER (PARTITION BY underlying) AS DOUBLE) AS volume_share,
+       |  row_number() OVER (PARTITION BY underlying
+       |    ORDER BY vol_dec DESC, bin) = 1 AS is_poc
+       |FROM prof""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "a30_volume_profile" -> QueryDef(a30VolumeProfile _, a30Oracle),
     "m15_rolling_beta" -> QueryDef(m15RollingBeta _, m15Oracle),
     "a29_hour_profile" -> QueryDef(a29HourProfile _, a29Oracle),
     "m12_var_swap" -> QueryDef(m12VarSwap _, m12Oracle),

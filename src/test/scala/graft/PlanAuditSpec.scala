@@ -92,7 +92,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "llm_perplexity_cut", "a18_quality_sketch", "llm_lang_balance",
       "llm_tfidf_topterms", "llm_mix_weights", "llm_dataset_card",
       "llm_bm25_topk", "llm_dsir_select", "llm_retrieval_eval",
-      "llm_kn_bigram")
+      "llm_kn_bigram", "llm_heaps_fit")
     val boundedPickBuild = Set("llm_ann_topk", "llm_ann_pq",
       "llm_ann_recall", "llm_mrl_recall")
     for (name <- SparkEntry.queries.keys if !driverSide(name)) {

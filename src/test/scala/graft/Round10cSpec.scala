@@ -107,6 +107,103 @@ class Round10cSpec extends AnyFunSuite {
     assert(math.abs(got(5).getAs[Double]("volume_share") - 0.5) < 1e-12)
   }
 
+  // ---- Heaps fit ----
+
+  test("heaps fit recovers a planted linear vocabulary growth") {
+    // doc i = "w<i> w<i>": V(n) = n/2 exactly -> beta 1, lnK = -ln 2
+    val df = (1 to 20).map(i => (i.toLong, s"w$i w$i"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.heapsFit(df, nBuckets = 10).head()
+    assert(r.getAs[Long]("n_points") == 10L)
+    assert(r.getAs[Long]("n_tokens") == 40L)
+    assert(r.getAs[Long]("n_vocab") == 20L)
+    assert(math.abs(r.getAs[Double]("heaps_beta") - 1.0) < 1e-3)
+    assert(math.abs(r.getAs[Double]("ln_k") + math.log(2.0)) < 1e-2)
+    assert(r.getAs[Double]("r2") > 0.999999)
+  }
+
+  test("heaps fit: saturated vocabulary gives beta ~0 and null r2") {
+    val df = (1 to 20).map(i => (i.toLong, "same words every time"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.heapsFit(df, nBuckets = 10).head()
+    assert(math.abs(r.getAs[Double]("heaps_beta")) < 1e-6)
+    assert(r.get(r.fieldIndex("r2")) == null) // zero variance -> undefined
+  }
+
+  // ---- daily anomalies ----
+
+  test("daily anomalies z-score against the trailing week") {
+    import graft.operators.EventsAnalytics
+    // days 0..6 alternate 9/11 events, day 7 has 30
+    def rows(day: Int, n: Int) = (1 to n).map(i =>
+      ((day * 100 + i).toLong, day.toLong * 10 + i,
+        ts(day * 86400L + i), "view", 1.0))
+    val perDay = Seq(9, 11, 9, 11, 9, 11, 9)
+    val df = (perDay.zipWithIndex.flatMap { case (n, d) => rows(d, n) } ++
+      rows(7, 30))
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val got = EventsAnalytics.dailyAnomalies(df)
+      .collect().map(r => r.getAs[Long]("day") -> r).toMap
+    assert(got.keySet == Set(7L)) // only day 7 has a full trailing week
+    val r = got(7L)
+    val mean = perDay.sum / 7.0
+    assert(math.abs(r.getAs[Double]("mean7") - mean) < 1e-12)
+    assert(r.getAs[Boolean]("is_anomaly"))
+    assert(r.getAs[Double]("z") > 2.0)
+  }
+
+  test("daily anomalies: zero-variance baseline gives null z, no flag") {
+    import graft.operators.EventsAnalytics
+    val df = (0 to 7).flatMap(d => Seq(
+      (d.toLong * 2, 1L, ts(d * 86400L), "view", 1.0),
+      (d.toLong * 2 + 1, 2L, ts(d * 86400L + 9), "view", 1.0)))
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val r = EventsAnalytics.dailyAnomalies(df).head()
+    assert(r.get(r.fieldIndex("z")) == null)
+    assert(!r.getAs[Boolean]("is_anomaly"))
+  }
+
+  // ---- attribution ----
+
+  test("attribution credits first and last preceding touch") {
+    import graft.operators.EventsAnalytics
+    val df = Seq(
+      // user 1: view, click, purchase(10), purchase(5)
+      (1L, 1L, ts(10), "view", 0.0),
+      (2L, 1L, ts(20), "click", 0.0),
+      (3L, 1L, ts(30), "purchase", 10.0),
+      (4L, 1L, ts(40), "purchase", 5.0),
+      // user 2: purchase with no preceding touch
+      (5L, 2L, ts(50), "purchase", 3.0))
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val got = EventsAnalytics.touchAttribution(df).collect()
+      .map(r => (Option(r.getAs[String]("first_touch")),
+        Option(r.getAs[String]("last_touch"))) -> r).toMap
+    val vc = got((Some("view"), Some("click")))
+    assert(vc.getAs[Long]("n_conversions") == 2L)
+    assert(vc.getAs[Double]("revenue") == 15.0)
+    val none = got((None, None))
+    assert(none.getAs[Long]("n_conversions") == 1L)
+    assert(none.getAs[Double]("revenue") == 3.0)
+  }
+
+  // ---- volume profile ----
+
+  test("volume profile bins prices and marks the POC") {
+    import graft.operators.Liquidity
+    val df = Seq(
+      ("BTC", 0.5, 1.0), ("BTC", 0.9, 2.0),  // bin 0, vol 3
+      ("BTC", 1.5, 2.0),                      // bin 1, vol 2
+      ("BTC", 2.5, 3.0))                      // bin 2, vol 3 (tie -> 0)
+      .map { case (u, p, a) => (u, p, a, ts(60L)) }
+      .toDF("underlying", "price", "amount", "timestamp")
+    val got = Liquidity.volumeProfile(df).collect()
+      .map(r => r.getAs[Long]("bin") -> r).toMap
+    assert(got(0L).getAs[Boolean]("is_poc"))   // tie at vol 3 -> lowest bin
+    assert(!got(2L).getAs[Boolean]("is_poc"))
+    assert(math.abs(got(1L).getAs[Double]("volume_share") - 0.25) < 1e-12)
+  }
+
   // ---- rolling beta ----
 
   test("rolling beta: exact 2x return relation gives beta 2, corr 1") {
