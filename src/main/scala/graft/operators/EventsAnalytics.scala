@@ -442,6 +442,61 @@ object EventsAnalytics {
       .select("day", "n_events", "mean7", "std7", "z", "is_anomaly")
   }
 
+  /** EV12 (W6): CUSUM change-point detection on the daily count
+    * series. The recursive S⁺_t = max(0, S⁺_{t−1} + z_t) form is not
+    * a window function, but its closed form is: with P_t = Σ_{s≤t}
+    * z_s, S⁺_t = P_t − min(0, min_{s≤t} P_s) and S⁻_t = max(0,
+    * max_{s≤t} P_s) − P_t — a running decimal cumsum plus a running
+    * min/max, all order-free decimal window aggregates over the
+    * day-count-sized table. z_t = (count − corpus mean) quantized to
+    * DECIMAL(18,6); the flag threshold is `thresholdSigmas` × the
+    * series' population stddev (exact integer sums, IEEE chain).
+    *
+    * Shape: one corpus-sized aggregate to daily counts; mean/std via
+    * unpartitioned aggregates over that tiny table (windows, no
+    * second scan); everything else per-row. */
+  def cusumDays(events: DataFrame, thresholdSigmas: Double = 5.0,
+      tsCol: String = "ts"): DataFrame = {
+    val epochDay = floor(unix_micros(col(tsCol)) / lit(86400000000L))
+    val d18 = createDecimalType(18, 6)
+    val daily = events.groupBy(epochDay.as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val wAll = Window.partitionBy()
+    val wRun = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val n = col("n_events").cast("double")
+    val stats = daily
+      .withColumn("cnt", count(lit(1)).over(wAll).cast("double"))
+      .withColumn("s1", sum(col("n_events")).over(wAll).cast("double"))
+      .withColumn("s2",
+        sum(col("n_events") * col("n_events")).over(wAll).cast("double"))
+      .withColumn("mu", col("s1") / col("cnt"))
+      .withColumn("sigma", sqrt(greatest(
+        col("s2") / col("cnt") - col("mu") * col("mu"), lit(0.0))))
+    // two DuckDB decimal traps, both sidestepped so the algebra stays
+    // pure decimal end-to-end: (1) sum() OVER widens to (38,6) where
+    // any further op overflows to DOUBLE — cap back to (24,6);
+    // (2) least()/greatest() promote decimals to DOUBLE — clamp with
+    // CASE instead
+    val d24 = createDecimalType(24, 6)
+    val zero = lit(0).cast(d24)
+    stats
+      .withColumn("zq", (n - col("mu")).cast(d18))
+      .withColumn("p", sum(col("zq")).over(wRun).cast(d24))
+      .withColumn("runmin", min(col("p")).over(wRun))
+      .withColumn("runmax", max(col("p")).over(wRun))
+      .withColumn("cusum_up",
+        (col("p") - when(col("runmin") < 0, col("runmin")).otherwise(zero))
+          .cast("double"))
+      .withColumn("cusum_down",
+        (when(col("runmax") > 0, col("runmax")).otherwise(zero) - col("p"))
+          .cast("double"))
+      .withColumn("is_shift",
+        col("cusum_up") > lit(thresholdSigmas) * col("sigma") ||
+          col("cusum_down") > lit(thresholdSigmas) * col("sigma"))
+      .select("day", "n_events", "cusum_up", "cusum_down", "is_shift")
+  }
+
   /** EV11: first/last-touch attribution — every `conversion` event
     * credits the FIRST and the LAST preceding touch event (strictly
     * earlier in (ts, event_id) order) of the same user; conversions

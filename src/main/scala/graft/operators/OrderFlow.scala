@@ -90,4 +90,56 @@ object OrderFlow {
       .withColumn("vwap",
         col("cum_pv") / nullif(col("cum_volume"), lit(0.0)))
   }
+
+  /** M17: Kyle's lambda — per (underlying, day) price-impact slope:
+    * OLS of the bar's price move (close − open) on its signed flow
+    * (buy − sell volume), over 15-min bars. λ is THE microstructure
+    * liquidity read the tape's `direction` column enables (Kyle 1985;
+    * the reference never regresses its flow).
+    *
+    * Shape: ONE corpus-sized bar aggregate (arg-min/max open/close +
+    * conditional decimal flow sums, map-side partials), then a
+    * day-keyed hash aggregate of the bar table. Exactness: prices are
+    * exact 2-dp values so close−open quantizes losslessly to
+    * DECIMAL(12,6); flow is already an exact decimal; products are
+    * pinned-scale decimal arithmetic rendered through the HALF-UP
+    * DECIMAL(22,8) gate (sign-safe: HALF_UP == half-away-from-zero);
+    * slope/corr from the shared Pearson algebra with the clamped-r²
+    * guard for zero-variance days. */
+  def kyleLambda(trades: DataFrame, intervalSec: Long = 900L)
+      : DataFrame = {
+    val ep = unix_timestamp(col("timestamp"))
+    val d18 = org.apache.spark.sql.types.DataTypes.createDecimalType(18, 6)
+    val d12 = org.apache.spark.sql.types.DataTypes.createDecimalType(12, 6)
+    val d22 = org.apache.spark.sql.types.DataTypes.createDecimalType(22, 8)
+    val isBuy = col("direction") === "buy"
+    val bars = trades
+      .filter(col("price") > 0)
+      .withColumn("bucket_start", ep - ep % intervalSec)
+      .groupBy(col("underlying"), col("bucket_start"))
+      .agg(
+        // unique per-bucket timestamps (the m7 bar convention)
+        min_by(col("price"), col("timestamp")).as("open"),
+        max_by(col("price"), col("timestamp")).as("close"),
+        (coalesce(sum(when(isBuy, col("amount")).cast(d18)), lit(0).cast(d18))
+          - coalesce(sum(when(!isBuy, col("amount")).cast(d18)),
+            lit(0).cast(d18))).cast(d18).as("flow"))
+    val dbl = (c: org.apache.spark.sql.Column) => c.cast(d22).cast("double")
+    bars
+      .withColumn("day", expr("bucket_start div 86400L"))
+      .withColumn("xq", col("flow"))
+      .withColumn("yq", (col("close") - col("open")).cast(d12))
+      .groupBy(col("underlying"), col("day"))
+      .agg(
+        count(lit(1)).as("n_bars"),
+        dbl(sum(col("xq"))).as("sx"),
+        dbl(sum(col("yq"))).as("sy"),
+        dbl(sum(col("xq") * col("yq"))).as("sxy"),
+        dbl(sum(col("xq") * col("xq"))).as("sxx"),
+        dbl(sum(col("yq") * col("yq"))).as("syy"))
+      .withColumn("nd", col("n_bars").cast("double"))
+      .withColumn("kyle_lambda", expr(SpotCorr.betaExpr))
+      .withColumn("r2", expr(TextAnalysis.zipfR2Expr))
+      .select("underlying", "day", "n_bars", "kyle_lambda", "r2")
+  }
 }

@@ -402,7 +402,59 @@ object EventsQueries {
        |FROM w WHERE event_type = 'purchase'
        |GROUP BY 1, 2""".stripMargin
 
+  def ev12Cusum(s: SparkSession, dir: String): DataFrame =
+    EventsAnalytics.cusumDays(events(s, dir))
+
+  val ev12Oracle: String =
+    """WITH daily AS (
+      |  SELECT epoch_us(ts) // 86400000000 AS day,
+      |    count(*) AS n_events
+      |  FROM events GROUP BY 1
+      |),
+      |stats AS (
+      |  SELECT *,
+      |    CAST(count(*) OVER () AS DOUBLE) AS cnt,
+      |    CAST(CAST(sum(n_events) OVER () AS BIGINT) AS DOUBLE) AS s1,
+      |    CAST(CAST(sum(n_events * n_events) OVER () AS BIGINT) AS DOUBLE)
+      |      AS s2
+      |  FROM daily
+      |),
+      |m1 AS (SELECT *, s1 / cnt AS mu FROM stats),
+      |m2 AS (
+      |  SELECT *, sqrt(greatest(s2 / cnt - mu * mu, 0.0)) AS sigma
+      |  FROM m1
+      |),
+      |run AS (
+      |  SELECT *,
+      |    CAST(sum(zq) OVER w AS DECIMAL(24,6)) AS p
+      |  FROM (SELECT *, CAST(CAST(n_events AS DOUBLE) - mu
+      |        AS DECIMAL(18,6)) AS zq FROM m2)
+      |  WINDOW w AS (ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |),
+      |ext AS (
+      |  SELECT *,
+      |    min(p) OVER w AS runmin,
+      |    max(p) OVER w AS runmax
+      |  FROM run
+      |  WINDOW w AS (ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |),
+      |cus AS (
+      |  SELECT day, n_events, sigma,
+      |    CAST(p - (CASE WHEN runmin < 0 THEN runmin
+      |      ELSE CAST(0 AS DECIMAL(24,6)) END) AS DOUBLE) AS cusum_up,
+      |    CAST((CASE WHEN runmax > 0 THEN runmax
+      |      ELSE CAST(0 AS DECIMAL(24,6)) END) - p AS DOUBLE)
+      |      AS cusum_down
+      |  FROM ext
+      |)
+      |SELECT day, n_events, cusum_up, cusum_down,
+      |  cusum_up > 5.0 * sigma OR cusum_down > 5.0 * sigma AS is_shift
+      |FROM cus""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "ev12_cusum_days" -> QueryDef(ev12Cusum _, ev12Oracle),
     "ev10_anomaly_days" -> QueryDef(ev10Anomalies _, ev10Oracle),
     "ev11_attribution" -> QueryDef(ev11Attribution _, ev11Oracle),
     "ev8_rfm" -> QueryDef(ev8Rfm _, ev8Oracle),

@@ -518,7 +518,48 @@ object VolQueries {
        |JOIN mad a ON a.underlying = t.underlying
        |GROUP BY m.underlying, m.n_trades, m.med, a.mad""".stripMargin
 
+  def m17KyleLambda(s: SparkSession, dir: String): DataFrame =
+    OrderFlow.kyleLambda(trades(s, dir))
+
+  val m17Oracle: String = {
+    def gate(e: String) =
+      s"CAST(CAST(round(sum($e), 8) AS DECIMAL(22,8)) AS DOUBLE)"
+    s"""WITH ${SyntheticTrades.tradesCte},
+       |bars AS (
+       |  SELECT underlying, ep - ep % 900 AS bucket_start,
+       |    arg_min(price, "timestamp") AS open,
+       |    arg_max(price, "timestamp") AS close,
+       |    CAST(coalesce(sum(CASE WHEN direction = 'buy'
+       |        THEN CAST(amount AS DECIMAL(18,6)) END), 0)
+       |      - coalesce(sum(CASE WHEN direction <> 'buy'
+       |        THEN CAST(amount AS DECIMAL(18,6)) END), 0)
+       |      AS DECIMAL(18,6)) AS flow
+       |  FROM (SELECT *, ${graft.util.Parity.duckEpochS("\"timestamp\"")}
+       |        AS ep FROM trades)
+       |  WHERE price > 0
+       |  GROUP BY 1, 2
+       |),
+       |q AS (
+       |  SELECT underlying, bucket_start // 86400 AS day,
+       |    flow AS xq, CAST(close - open AS DECIMAL(12,6)) AS yq
+       |  FROM bars
+       |),
+       |aggd AS (
+       |  SELECT underlying, day, count(*) AS n_bars,
+       |    ${gate("xq")} AS sx, ${gate("yq")} AS sy,
+       |    ${gate("xq * yq")} AS sxy,
+       |    ${gate("xq * xq")} AS sxx, ${gate("yq * yq")} AS syy
+       |  FROM q GROUP BY 1, 2
+       |)
+       |SELECT underlying, day, n_bars,
+       |  ${graft.operators.SpotCorr.betaExpr} AS kyle_lambda,
+       |  ${graft.operators.TextAnalysis.zipfR2Expr} AS r2
+       |FROM (SELECT *, CAST(n_bars AS DOUBLE) AS nd FROM aggd)"""
+      .stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "m17_kyle_lambda" -> QueryDef(m17KyleLambda _, m17Oracle),
     "a21_size_quantiles" -> QueryDef(a21SizeQuantiles _, a21Oracle),
     "a22_trimmed_mean" -> QueryDef(a22TrimmedMean _, a22Oracle),
     "a23_max_pain" -> QueryDef(a23MaxPain _, a23Oracle),

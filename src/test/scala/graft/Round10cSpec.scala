@@ -204,6 +204,48 @@ class Round10cSpec extends AnyFunSuite {
     assert(math.abs(got(1L).getAs[Double]("volume_share") - 0.25) < 1e-12)
   }
 
+  // ---- CUSUM ----
+
+  test("cusum accumulates a planted level shift exactly") {
+    import graft.operators.EventsAnalytics
+    // 10 days at 100 events, 10 days at 130: mu = 115, sigma = 15;
+    // z = -/+15 exactly, so the cusum paths are exact decimals
+    def rows(day: Int, n: Int) = (1 to n).map(i =>
+      ((day * 1000 + i).toLong, i.toLong, ts(day * 86400L + i), "view", 1.0))
+    val df = ((0 until 10).flatMap(rows(_, 100)) ++
+      (10 until 20).flatMap(rows(_, 130)))
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val got = EventsAnalytics.cusumDays(df)
+      .collect().map(r => r.getAs[Long]("day") -> r).toMap
+    assert(got(9L).getAs[Double]("cusum_down") == 150.0)  // 10 x 15
+    assert(got(9L).getAs[Boolean]("is_shift"))            // 150 > 5*15
+    assert(got(19L).getAs[Double]("cusum_up") == 150.0)
+    assert(got(19L).getAs[Boolean]("is_shift"))
+    assert(got(10L).getAs[Double]("cusum_up") == 15.0)    // first high day
+    assert(got(10L).getAs[Double]("cusum_down") == 135.0) // down path decays
+    assert(got(0L).getAs[Double]("cusum_up") == 0.0)
+    assert(!got(0L).getAs[Boolean]("is_shift"))
+  }
+
+  // ---- Kyle lambda ----
+
+  test("kyle lambda recovers a planted linear price impact") {
+    import graft.operators.OrderFlow
+    // four 15-min bars in one day: flow f, price move exactly 0.5 f
+    val rows = (0 until 4).flatMap { k =>
+      val f = 2.0 * (k + 1)
+      Seq(
+        (s"o$k", "BTC", ts(k * 900L), 100.0, f, "buy"),
+        (s"c$k", "BTC", ts(k * 900L + 10), 100.0 + 0.5 * f, 0.0, "sell"))
+    }
+    val df = rows.toDF("trade_id", "underlying", "timestamp", "price",
+      "amount", "direction")
+    val r = OrderFlow.kyleLambda(df).head()
+    assert(r.getAs[Long]("n_bars") == 4L)
+    assert(math.abs(r.getAs[Double]("kyle_lambda") - 0.5) < 1e-9)
+    assert(r.getAs[Double]("r2") > 1.0 - 1e-9)
+  }
+
   // ---- rolling beta ----
 
   test("rolling beta: exact 2x return relation gives beta 2, corr 1") {
