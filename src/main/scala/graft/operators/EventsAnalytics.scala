@@ -442,6 +442,30 @@ object EventsAnalytics {
       .select("day", "n_events", "mean7", "std7", "z", "is_anomaly")
   }
 
+  /** EV13: top event-type paths — the k most frequent length-3
+    * type sequences (the sankey/flow-diagram feed, the 3-step
+    * generalization of [[pathTransitions]]). ONE user-keyed exchange
+    * carries both lead windows; the path aggregate is |types|³-sized
+    * and the final ranking is top-k (TakeOrdered, no global sort). */
+  def topPaths(events: DataFrame, k: Int = 20,
+      userCol: String = "user_id", tsCol: String = "ts",
+      idCol: String = "event_id", typeCol: String = "event_type")
+      : DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col("_us"), col(idCol))
+    events
+      .select(col(userCol), unix_micros(col(tsCol)).as("_us"),
+        col(idCol), col(typeCol).as("t0"))
+      .withColumn("t1", lead(col("t0"), 1).over(w))
+      .withColumn("t2", lead(col("t0"), 2).over(w))
+      .filter(col("t1").isNotNull && col("t2").isNotNull)
+      .select(concat_ws(">", col("t0"), col("t1"), col("t2")).as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_paths"))
+      .orderBy(col("n_paths").desc, col("path"))
+      .limit(k)
+  }
+
   /** EV12 (W6): CUSUM change-point detection on the daily count
     * series. The recursive S⁺_t = max(0, S⁺_{t−1} + z_t) form is not
     * a window function, but its closed form is: with P_t = Σ_{s≤t}

@@ -91,6 +91,42 @@ object OrderFlow {
         col("cum_pv") / nullif(col("cum_volume"), lit(0.0)))
   }
 
+  /** M18: Amihud illiquidity — mean(|bar return| / bar notional) per
+    * (underlying, day), the price-impact-per-dollar measure (Amihud
+    * 2002) that complements [[kyleLambda]]'s regression slope with a
+    * ratio robust to sparse bars. Terms span many magnitudes (a
+    * near-zero open price makes a huge ratio), so the usual 6-dp
+    * double→decimal quantization is NOT cross-engine-safe here —
+    * Spark rounds the shortest string repr, DuckDB the exact binary,
+    * and at 1e7 magnitude they disagree for ~1e-3 of values. The sum
+    * instead runs on a FLOOR grid: floor(term·1e15) is a pure IEEE
+    * op both engines compute bit-identically at any magnitude, and
+    * the integer sum is order-free. One tape-sized bar aggregate,
+    * then a day-keyed aggregate of the bar table. */
+  def amihudIlliq(trades: DataFrame, intervalSec: Long = 900L)
+      : DataFrame = {
+    val ep = unix_timestamp(col("timestamp"))
+    val bars = trades
+      .filter(col("price") > 0)
+      .withColumn("bucket_start", ep - ep % intervalSec)
+      .groupBy(col("underlying"), col("bucket_start"))
+      .agg(
+        min_by(col("price"), col("timestamp")).as("open"),
+        max_by(col("price"), col("timestamp")).as("close"),
+        Parity.dsum(col("price") * col("amount")).as("notional"))
+      .filter(col("notional") > 0)
+    val term = abs(col("close") / col("open") - 1.0) / col("notional") *
+      lit(1e9)
+    val q = floor(term * lit(1e6)).cast("long")
+    bars
+      .withColumn("day", expr("bucket_start div 86400L"))
+      .groupBy(col("underlying"), col("day"))
+      .agg(
+        count(lit(1)).as("n_bars"),
+        (sum(q).cast("double") / lit(1e6) / count(lit(1)))
+          .as("amihud_e9"))
+  }
+
   /** M17: Kyle's lambda — per (underlying, day) price-impact slope:
     * OLS of the bar's price move (close − open) on its signed flow
     * (buy − sell volume), over 15-min bars. λ is THE microstructure

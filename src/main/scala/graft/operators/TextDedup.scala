@@ -172,6 +172,38 @@ object TextDedup {
   def wordHash32(w: Column): Column =
     conv(substring(sha2(w, 256), 1, 8), 16, 10).cast("long")
 
+  /** Full winnowing (Schleimer/Wilkerson/Aiken 2003, the MOSS
+    * algorithm): positional k-gram hashes → the minimum of every
+    * length-`window` run → the distinct selected set is the doc's
+    * fingerprint set. Guarantees any shared run of ≥ window+k−1 words
+    * shares a fingerprint, at ~2/(window+1) selection density —
+    * [[fingerprint5]] is the degenerate 1-fingerprint version.
+    *
+    * Per-doc array work only (no shuffle, no explode): positional
+    * hashes with repeats via a transform over the shingle array, and
+    * rolling minima via a transform over start positions. Emits per
+    * doc the gram count, fingerprint count, selection density and
+    * the set's minimum (a cheap doc signature). Docs shorter than
+    * window+k−1 words are dropped (no full window exists). */
+  def winnow(docs: DataFrame, k: Int = 3, window: Int = 4,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    docs
+      .select(col(idCol), words(col(textCol)).as("_w"))
+      .withColumn("_sh", rawWordShingles(col("_w"), k))
+      .filter(size(col("_sh")) >= window)
+      .withColumn("_hs", transform(col("_sh"), s => wordHash32(s)))
+      .withColumn("_fps", array_distinct(transform(
+        sequence(lit(1), size(col("_hs")) - (window - 1)),
+        i => array_min(slice(col("_hs"), i, lit(window))))))
+      .select(col(idCol),
+        size(col("_hs")).cast("long").as("n_grams"),
+        size(col("_fps")).cast("long").as("n_fingerprints"),
+        (size(col("_fps")).cast("double")
+          / (size(col("_hs")) - (window - 1)).cast("double"))
+          .as("density"),
+        array_min(col("_fps")).as("min_fp"))
+  }
+
   /** SimHash width. 60 bits = 15 sha256 hex chars: wide enough that
     * 15-bit chunk buckets stay sparse (see [[simhashPairs]]), narrow
     * enough that every value and every sum of distinct bit terms stays

@@ -453,7 +453,26 @@ object EventsQueries {
       |  cusum_up > 5.0 * sigma OR cusum_down > 5.0 * sigma AS is_shift
       |FROM cus""".stripMargin
 
+  def ev13TopPaths(s: SparkSession, dir: String): DataFrame =
+    EventsAnalytics.topPaths(events(s, dir))
+
+  val ev13Oracle: String =
+    s"""WITH $evCte,
+       |seq AS (
+       |  SELECT event_type AS t0,
+       |    lead(event_type, 1) OVER w AS t1,
+       |    lead(event_type, 2) OVER w AS t2
+       |  FROM ev
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+       |)
+       |SELECT t0 || '>' || t1 || '>' || t2 AS path,
+       |  count(*) AS n_paths
+       |FROM seq WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+       |GROUP BY 1
+       |ORDER BY n_paths DESC, path LIMIT 20""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "ev13_top_paths" -> QueryDef(ev13TopPaths _, ev13Oracle),
     "ev12_cusum_days" -> QueryDef(ev12Cusum _, ev12Oracle),
     "ev10_anomaly_days" -> QueryDef(ev10Anomalies _, ev10Oracle),
     "ev11_attribution" -> QueryDef(ev11Attribution _, ev11Oracle),

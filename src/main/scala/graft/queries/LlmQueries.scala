@@ -2029,7 +2029,41 @@ object LlmQueries {
       .stripMargin
   }
 
+  // ---- full winnowing fingerprints (MOSS) ----
+
+  def winnowFps(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextDedup.winnow(docs(s, dir), k = 3, window = 4)
+
+  val winnowOracle: String =
+    s"""WITH $wrdsCte,
+       |shg AS (
+       |  SELECT doc_id,
+       |    [array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]
+       |      AS sh
+       |  FROM wrds WHERE len(w) >= 3
+       |),
+       |un AS (
+       |  SELECT doc_id, unnest(sh) AS s,
+       |    unnest(range(1, len(sh) + 1)) AS pos
+       |  FROM shg WHERE len(sh) >= 4
+       |),
+       |hx AS (SELECT doc_id, pos, sha256(s) AS sha FROM un),
+       |hh AS (SELECT doc_id, pos, $duckHash32 AS h FROM hx),
+       |arr AS (SELECT doc_id, list(h ORDER BY pos) AS hs FROM hh GROUP BY 1),
+       |fp AS (
+       |  SELECT doc_id, len(hs) AS n_grams,
+       |    list_distinct([list_min(hs[i:i+3])
+       |                   for i in range(1, len(hs)-2)]) AS fps
+       |  FROM arr
+       |)
+       |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+       |  CAST(len(fps) AS BIGINT) AS n_fingerprints,
+       |  CAST(len(fps) AS DOUBLE) / CAST(n_grams - 3 AS DOUBLE) AS density,
+       |  CAST(list_min(fps) AS BIGINT) AS min_fp
+       |FROM fp""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "llm_winnow" -> QueryDef(winnowFps _, winnowOracle),
     "llm_heaps_fit" -> QueryDef(heapsFit _, heapsFitOracle),
     "llm_zipf_fit" -> QueryDef(zipfFit _, zipfFitOracle),
     "llm_kn_bigram" -> QueryDef(knBigrams _, knBigramsOracle),

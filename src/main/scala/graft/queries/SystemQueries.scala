@@ -618,7 +618,57 @@ object SystemQueries {
        |  max(${duckEpochS("\"timestamp\"")}) AS last_ep
        |FROM trades GROUP BY 1""".stripMargin
 
+  /** S12: CSV ingestion with PERMISSIVE corrupt-record capture — the
+    * messy-feed half of the source story (S1-S7 cover the clean JSON
+    * pager): trades rendered to CSV text with every 7th line's price
+    * poisoned, read back through an explicit schema +
+    * `_corrupt_record`, and audited (row counts and the exact decimal
+    * amount total over rows that PARSED). The oracle derives the same
+    * audit from the construction rule — any parser behavior change
+    * (silently nulling vs capturing, or dropping the raw line) breaks
+    * the hash. */
+  def s12CsvCorrupt(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val src = graft.util.TempDirs.scoped("s12-src")
+    val lines = SyntheticTrades.trades(s, dir)
+      .select(concat_ws(",",
+        col("trade_id"), col("underlying"),
+        when(col("trade_id").cast("long") % 7 === 0, lit("xx"))
+          .otherwise(col("price").cast("string")),
+        col("amount").cast("string")).as("value"))
+    lines.write.mode("overwrite").text(s"$src/csv")
+    val schema = StructType(Seq(
+      StructField("trade_id", LongType), StructField("underlying", StringType),
+      StructField("price", DoubleType), StructField("amount", DoubleType),
+      StructField("_corrupt_record", StringType)))
+    val parsed = s.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(s"$src/csv")
+    parsed.agg(
+      count(lit(1)).as("n_rows"),
+      count(col("_corrupt_record")).as("n_corrupt"),
+      count(col("price")).as("n_parsed"),
+      sum(when(col("_corrupt_record").isNull, col("amount"))
+        .cast(org.apache.spark.sql.types.DataTypes.createDecimalType(28, 6)))
+        .cast(org.apache.spark.sql.types.DataTypes.createDecimalType(28, 2))
+        .cast("double").as("parsed_amount"))
+  }
+
+  val s12Oracle: String =
+    s"""WITH ${SyntheticTrades.tradesCte}
+       |SELECT count(*) AS n_rows,
+       |  count(CASE WHEN CAST(trade_id AS BIGINT) % 7 = 0 THEN 1 END)
+       |    AS n_corrupt,
+       |  count(CASE WHEN CAST(trade_id AS BIGINT) % 7 <> 0 THEN 1 END)
+       |    AS n_parsed,
+       |  CAST(CAST(round(sum(CASE WHEN CAST(trade_id AS BIGINT) % 7 <> 0
+       |      THEN CAST(amount AS DECIMAL(28,6)) END), 2)
+       |    AS DECIMAL(28,2)) AS DOUBLE) AS parsed_amount
+       |FROM trades""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "s12_csv_corrupt" -> QueryDef(s12CsvCorrupt _, s12Oracle),
     "st11_stream_merge" -> QueryDef(st11StreamMerge _, st11Oracle),
     "s7_backfill_roundtrip" -> QueryDef(s7Backfill _, s7Oracle),
     "st9_stream_vwap" -> QueryDef(st9StreamVwap _, st9Oracle),

@@ -558,7 +558,30 @@ object VolQueries {
       .stripMargin
   }
 
+  def m18Amihud(s: SparkSession, dir: String): DataFrame =
+    OrderFlow.amihudIlliq(trades(s, dir))
+
+  val m18Oracle: String =
+    s"""WITH ${SyntheticTrades.tradesCte},
+       |bars AS (
+       |  SELECT underlying, ep - ep % 900 AS bucket_start,
+       |    arg_min(price, "timestamp") AS open,
+       |    arg_max(price, "timestamp") AS close,
+       |    ${duckDsum("price * amount")} AS notional
+       |  FROM (SELECT *, ${duckEpochS("\"timestamp\"")} AS ep FROM trades)
+       |  WHERE price > 0
+       |  GROUP BY 1, 2
+       |)
+       |SELECT underlying, bucket_start // 86400 AS day,
+       |  count(*) AS n_bars,
+       |  CAST(CAST(sum(CAST(floor(abs(close / open - 1.0) / notional
+       |      * 1.0E9 * 1.0E6) AS BIGINT)) AS BIGINT) AS DOUBLE)
+       |    / 1.0E6 / count(*) AS amihud_e9
+       |FROM bars WHERE notional > 0
+       |GROUP BY 1, 2""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "m18_amihud" -> QueryDef(m18Amihud _, m18Oracle),
     "m17_kyle_lambda" -> QueryDef(m17KyleLambda _, m17Oracle),
     "a21_size_quantiles" -> QueryDef(a21SizeQuantiles _, a21Oracle),
     "a22_trimmed_mean" -> QueryDef(a22TrimmedMean _, a22Oracle),

@@ -246,6 +246,63 @@ class Round10cSpec extends AnyFunSuite {
     assert(r.getAs[Double]("r2") > 1.0 - 1e-9)
   }
 
+  // ---- winnowing ----
+
+  test("winnow: exact fingerprint count on a minimal doc") {
+    import graft.operators.TextDedup
+    // 6 words -> 4 3-gram shingles -> exactly one length-4 window
+    val df = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    val r = TextDedup.winnow(df, k = 3, window = 4).head()
+    assert(r.getAs[Long]("n_grams") == 4L)
+    assert(r.getAs[Long]("n_fingerprints") == 1L)
+    assert(r.getAs[Double]("density") == 1.0)
+  }
+
+  test("winnow: identical docs share the full fingerprint profile; short docs drop") {
+    import graft.operators.TextDedup
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val df = Seq((1L, text), (2L, text), (3L, "too short"))
+      .toDF("doc_id", "text")
+    val got = TextDedup.winnow(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(!got.contains(3L))
+    assert(got(1L).getAs[Long]("n_fingerprints") ==
+      got(2L).getAs[Long]("n_fingerprints"))
+    assert(got(1L).getAs[Long]("min_fp") == got(2L).getAs[Long]("min_fp"))
+    // winnowing selects at most one fingerprint per window position
+    val r = got(1L)
+    assert(r.getAs[Long]("n_fingerprints") <= r.getAs[Long]("n_grams") - 3)
+  }
+
+  // ---- Amihud ----
+
+  test("amihud matches the hand-computed single-bar ratio") {
+    import graft.operators.OrderFlow
+    val df = Seq(
+      ("t0", "BTC", ts(0L), 100.0, 1.0, "buy"),
+      ("t1", "BTC", ts(10L), 110.0, 1.0, "sell"))
+      .toDF("trade_id", "underlying", "timestamp", "price", "amount",
+        "direction")
+    val r = OrderFlow.amihudIlliq(df).head()
+    assert(r.getAs[Long]("n_bars") == 1L)
+    val expect = math.abs(110.0 / 100.0 - 1.0) / 210.0 * 1e9
+    assert(math.abs(r.getAs[Double]("amihud_e9") - expect) < 1e-5)
+  }
+
+  // ---- top paths ----
+
+  test("top paths counts 3-step sequences per user order") {
+    import graft.operators.EventsAnalytics
+    val df = Seq(
+      (1L, 1L, ts(10), "view", 0.0), (2L, 1L, ts(20), "click", 0.0),
+      (3L, 1L, ts(30), "purchase", 1.0), (4L, 2L, ts(5), "view", 0.0))
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val got = EventsAnalytics.topPaths(df).collect()
+    assert(got.length == 1)
+    assert(got.head.getString(0) == "view>click>purchase")
+    assert(got.head.getLong(1) == 1L)
+  }
+
   // ---- rolling beta ----
 
   test("rolling beta: exact 2x return relation gives beta 2, corr 1") {
