@@ -442,6 +442,44 @@ object EventsAnalytics {
       .select("day", "n_events", "mean7", "std7", "z", "is_anomaly")
   }
 
+  /** EV14: growth accounting — every active (user, day) classified
+    * as NEW (first-ever day), RESURRECTED (gap > `gapDays` since the
+    * previous active day) or RETAINED, plus CHURNED-AFTER (no
+    * activity within `gapDays` after this day — attributed to the
+    * day the user went dark). The DAU decomposition behind every
+    * growth dashboard, exact.
+    *
+    * Shape: distinct (user, day) collapse (one corpus shuffle), lag/
+    * lead + running-min windows on ONE user-keyed exchange over the
+    * collapsed table, then a day-keyed roll-up. All integers. */
+  def growthAccounting(events: DataFrame, gapDays: Int = 7,
+      userCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
+    val epochDay = floor(unix_micros(col(tsCol)) / lit(86400000000L))
+    val ud = events
+      .select(col(userCol).as("u"), epochDay.as("day")).distinct()
+    val w = Window.partitionBy(col("u")).orderBy(col("day"))
+    val classified = ud
+      .withColumn("first_day", min(col("day")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("prev_day", lag(col("day"), 1).over(w))
+      .withColumn("next_day", lead(col("day"), 1).over(w))
+      .withColumn("status",
+        when(col("day") === col("first_day"), "new")
+          .when(col("day") - col("prev_day") > gapDays, "resurrected")
+          .otherwise("retained"))
+      .withColumn("churned_after",
+        col("next_day").isNull || col("next_day") - col("day") > gapDays)
+    classified
+      .groupBy(col("day"))
+      .agg(
+        count(lit(1)).as("n_active"),
+        count(when(col("status") === "new", 1)).as("n_new"),
+        count(when(col("status") === "retained", 1)).as("n_retained"),
+        count(when(col("status") === "resurrected", 1))
+          .as("n_resurrected"),
+        count(when(col("churned_after"), 1)).as("n_churned_after"))
+  }
+
   /** EV13: top event-type paths — the k most frequent length-3
     * type sequences (the sankey/flow-diagram feed, the 3-step
     * generalization of [[pathTransitions]]). ONE user-keyed exchange

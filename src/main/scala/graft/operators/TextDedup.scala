@@ -172,6 +172,30 @@ object TextDedup {
   def wordHash32(w: Column): Column =
     conv(substring(sha2(w, 256), 1, 8), 16, 10).cast("long")
 
+  /** Hash-integrity audit: observed collision counts of the 32-bit
+    * and 60-bit word hashes over the corpus vocabulary — the check
+    * that tells you when a fingerprint width has been outgrown
+    * (birthday regime: expect ~V²/2³³ at 32 bits, so a 100 TB-scale
+    * vocabulary WILL collide there; the 60-bit hash is the headroom).
+    * Distinct-word collapse (one corpus shuffle), then two distinct
+    * counts over the vocabulary table. */
+  def hashCollisionAudit(docs: DataFrame, textCol: String = "text")
+      : DataFrame = {
+    val vocab = docs
+      .select(explode(words(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .distinct()
+    vocab
+      .select(wordHash32(col("w")).as("h32"),
+        wordHash60(col("w")).as("h60"))
+      .agg(
+        count(lit(1)).as("n_vocab"),
+        countDistinct(col("h32")).as("n_h32"),
+        countDistinct(col("h60")).as("n_h60"))
+      .withColumn("collisions_32", col("n_vocab") - col("n_h32"))
+      .withColumn("collisions_60", col("n_vocab") - col("n_h60"))
+  }
+
   /** Full winnowing (Schleimer/Wilkerson/Aiken 2003, the MOSS
     * algorithm): positional k-gram hashes → the minimum of every
     * length-`window` run → the distinct selected set is the doc's

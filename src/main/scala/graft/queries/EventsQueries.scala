@@ -471,7 +471,40 @@ object EventsQueries {
        |GROUP BY 1
        |ORDER BY n_paths DESC, path LIMIT 20""".stripMargin
 
+  def ev14Growth(s: SparkSession, dir: String): DataFrame =
+    EventsAnalytics.growthAccounting(events(s, dir))
+
+  val ev14Oracle: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id AS u,
+      |    epoch_us(ts) // 86400000000 AS day
+      |  FROM events
+      |),
+      |cl AS (
+      |  SELECT u, day,
+      |    lag(day) OVER w AS prev_day,
+      |    lead(day) OVER w AS next_day,
+      |    min(day) OVER (PARTITION BY u) AS first_day
+      |  FROM ud WINDOW w AS (PARTITION BY u ORDER BY day)
+      |),
+      |st AS (
+      |  SELECT day,
+      |    CASE WHEN day = first_day THEN 'new'
+      |         WHEN day - prev_day > 7 THEN 'resurrected'
+      |         ELSE 'retained' END AS status,
+      |    (next_day IS NULL OR next_day - day > 7) AS churned
+      |  FROM cl
+      |)
+      |SELECT day, count(*) AS n_active,
+      |  count(CASE WHEN status = 'new' THEN 1 END) AS n_new,
+      |  count(CASE WHEN status = 'retained' THEN 1 END) AS n_retained,
+      |  count(CASE WHEN status = 'resurrected' THEN 1 END)
+      |    AS n_resurrected,
+      |  count(CASE WHEN churned THEN 1 END) AS n_churned_after
+      |FROM st GROUP BY 1""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "ev14_growth" -> QueryDef(ev14Growth _, ev14Oracle),
     "ev13_top_paths" -> QueryDef(ev13TopPaths _, ev13Oracle),
     "ev12_cusum_days" -> QueryDef(ev12Cusum _, ev12Oracle),
     "ev10_anomaly_days" -> QueryDef(ev10Anomalies _, ev10Oracle),

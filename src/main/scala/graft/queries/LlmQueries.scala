@@ -2062,7 +2062,27 @@ object LlmQueries {
        |  CAST(list_min(fps) AS BIGINT) AS min_fp
        |FROM fp""".stripMargin
 
+  // ---- hash-width integrity audit ----
+
+  def hashAudit(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextDedup.hashCollisionAudit(docs(s, dir))
+
+  val hashAuditOracle: String =
+    s"""WITH $wrdsCte,
+       |vocab AS (SELECT DISTINCT unnest(w) AS word FROM wrds),
+       |hx AS (
+       |  SELECT sha256(word) AS sha FROM vocab WHERE len(word) > 0
+       |),
+       |hh AS (SELECT $duckHash32 AS h32, $duckHash60 AS h60 FROM hx)
+       |SELECT count(*) AS n_vocab,
+       |  count(DISTINCT h32) AS n_h32,
+       |  count(DISTINCT h60) AS n_h60,
+       |  count(*) - count(DISTINCT h32) AS collisions_32,
+       |  count(*) - count(DISTINCT h60) AS collisions_60
+       |FROM hh""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "llm_hash_audit" -> QueryDef(hashAudit _, hashAuditOracle),
     "llm_winnow" -> QueryDef(winnowFps _, winnowOracle),
     "llm_heaps_fit" -> QueryDef(heapsFit _, heapsFitOracle),
     "llm_zipf_fit" -> QueryDef(zipfFit _, zipfFitOracle),

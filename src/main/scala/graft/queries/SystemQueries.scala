@@ -667,7 +667,52 @@ object SystemQueries {
        |    AS DECIMAL(28,2)) AS DOUBLE) AS parsed_amount
        |FROM trades""".stripMargin
 
+  /** S13: small-files compaction — the physical-layout maintenance
+    * op every partitioned store needs at scale: rewrite day
+    * partitions with one task per partition value and a bounded
+    * `maxRecordsPerFile`, so each date lands in exactly
+    * ceil(rows/R) right-sized files. The audit reports, per date,
+    * the row count AND the actual post-compaction file count from
+    * the filesystem listing; the oracle re-derives both (file count
+    * = the ceil formula), so a layout regression — splits not
+    * applied, rows lost, a date fanned across tasks — breaks the
+    * hash. Date values carry a 'd' prefix so partition-column type
+    * inference can't retype them. */
+  def s13Compaction(s: SparkSession, dir: String): DataFrame = {
+    val tgt = graft.util.TempDirs.scoped("s13-tgt")
+    val maxRec = 200L
+    SyntheticTrades.trades(s, dir)
+      .withColumn("date",
+        concat(lit("d"), date_format(col("timestamp"), "yyyyMMdd")))
+      .repartition(col("date"))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRec)
+      .partitionBy("date").parquet(tgt)
+    val rows = s.read.parquet(tgt)
+      .groupBy(col("date")).agg(count(lit(1)).as("rows"))
+    import s.implicits._
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(new org.apache.hadoop.fs.Path(tgt))
+      .filter(_.isDirectory)
+      .map { d =>
+        (d.getPath.getName.stripPrefix("date="),
+          fs.listStatus(d.getPath)
+            .count(_.getPath.getName.endsWith(".parquet")).toLong)
+      }.toSeq.toDF("date", "n_files")
+    rows.join(files, "date")
+      .select(col("date"), col("rows"), col("n_files"))
+  }
+
+  val s13Oracle: String =
+    s"""WITH ${SyntheticTrades.tradesCte}
+       |SELECT 'd' || strftime("timestamp", '%Y%m%d') AS date,
+       |  count(*) AS rows,
+       |  CAST(ceil(count(*) / 200.0) AS BIGINT) AS n_files
+       |FROM trades GROUP BY 1""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "s13_compaction" -> QueryDef(s13Compaction _, s13Oracle),
     "s12_csv_corrupt" -> QueryDef(s12CsvCorrupt _, s12Oracle),
     "st11_stream_merge" -> QueryDef(st11StreamMerge _, st11Oracle),
     "s7_backfill_roundtrip" -> QueryDef(s7Backfill _, s7Oracle),
