@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.GraftColumns
 import graft.util.Parity
@@ -108,5 +109,41 @@ object Greeks {
         count(col(g)).as(s"${g}_count"))
     }
     greeks.groupBy(col(bucketCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** M19: delta-hedged P&L replay — per (underlying, expiry), walk
+    * each instrument's trade sequence and accumulate the option leg
+    * (Δprice) against the hedge leg (previous adjusted delta ×
+    * Δspot); hedged P&L = option − hedge. The classic check that the
+    * smile's deltas actually hedge (the reference computes the
+    * deltas, reference `features/greeks.py:14-25`, but never replays
+    * them).
+    *
+    * Shape: ONE instrument-keyed window exchange over the enriched
+    * tape (lag price/spot/delta in a single window), then an
+    * expiry-keyed hash aggregate. Exactness: Δprice terms are exact
+    * 2-dp doubles (dsum-safe); the hedge term carries an erf-derived
+    * delta — a ≤1-ulp transcendental — so it is 6-dp-quantized
+    * (roundTo) before its exact decimal sum, the same contract as
+    * every transcendental sum in the repo. */
+  def hedgedPnl(greeks: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("instrument_name"))
+      .orderBy(unix_timestamp(col("timestamp")), col("trade_id"))
+    val stepped = greeks
+      .filter(col("adjusted_delta").isNotNull && col("spot_price") > 0)
+      .withColumn("prev_price", lag(col("price"), 1).over(w))
+      .withColumn("prev_spot", lag(col("spot_price"), 1).over(w))
+      .withColumn("prev_delta", lag(col("adjusted_delta"), 1).over(w))
+      .filter(col("prev_price").isNotNull)
+    val hedgeTerm = Parity.roundTo(
+      col("prev_delta") * (col("spot_price") - col("prev_spot")), 6)
+    stepped
+      .groupBy(col("underlying"),
+        date_format(col("expiry"), "yyyy-MM-dd").as("expiry_date"))
+      .agg(
+        count(lit(1)).as("n_steps"),
+        Parity.dsum(col("price") - col("prev_price")).as("option_pnl"),
+        Parity.dsum(hedgeTerm).as("hedge_pnl"))
+      .withColumn("hedged_pnl", col("option_pnl") - col("hedge_pnl"))
   }
 }

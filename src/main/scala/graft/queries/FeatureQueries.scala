@@ -322,6 +322,60 @@ object FeatureQueries {
        |       ELSE fts - us END AS delta_us
        |FROM b JOIN f ON f.trade_id = b.trade_id""".stripMargin
 
+  // ---- A31: IV surface grid (DTE x moneyness) with fill ----
+
+  def a31SurfaceGrid(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SurfaceGrid.ivSurface(enrichedSpot(s, dir))
+
+  val a31Oracle: String = {
+    val mCase = graft.operators.SurfaceGrid.MBuckets.zipWithIndex
+      .map { case (b, i) => s"WHEN '$b' THEN $i" }
+      .mkString("CASE m_bucket ", " ", " ELSE -1 END")
+    s"""WITH ${OracleCtes.enrichedSpot},
+       |obs AS (
+       |  SELECT underlying, ${OracleCtes.dteBucketCase} AS dte_bucket,
+       |    ${OracleCtes.moneynessBucketCase("moneyness")} AS m_bucket,
+       |    ${duckDavg("iv")} AS iv_obs, count(*) AS n_obs
+       |  FROM enriched_spot
+       |  WHERE moneyness > 0 AND iv > 0
+       |    AND ${OracleCtes.dteBucketCase} IS NOT NULL
+       |  GROUP BY 1, 2, 3
+       |),
+       |dense AS (
+       |  SELECT DISTINCT o.underlying, o.dte_bucket, m.mb
+       |  FROM obs o, (VALUES ('deep_otm_put'), ('otm_put'), ('atm'),
+       |    ('otm_call'), ('deep_otm_call')) m(mb)
+       |),
+       |j AS (
+       |  SELECT d.underlying, d.dte_bucket, d.mb AS m_bucket,
+       |    o.iv_obs, o.n_obs
+       |  FROM dense d LEFT JOIN obs o
+       |    ON o.underlying = d.underlying AND o.dte_bucket = d.dte_bucket
+       |    AND o.m_bucket = d.mb
+       |),
+       |ordd AS (SELECT *, $mCase AS m_ord FROM j),
+       |f AS (
+       |  SELECT *,
+       |    last_value(iv_obs IGNORE NULLS) OVER (
+       |      PARTITION BY underlying, dte_bucket ORDER BY m_ord
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_iv,
+       |    first_value(iv_obs IGNORE NULLS) OVER (
+       |      PARTITION BY underlying, dte_bucket ORDER BY m_ord
+       |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_iv
+       |  FROM ordd
+       |)
+       |SELECT underlying, dte_bucket, m_bucket, m_ord,
+       |  CAST(coalesce(n_obs, 0) AS BIGINT) AS n_obs, iv_obs,
+       |  coalesce(iv_obs, (prev_iv + next_iv) / 2.0, prev_iv, next_iv)
+       |    AS iv_filled,
+       |  CASE WHEN iv_obs IS NOT NULL THEN 'obs'
+       |       WHEN prev_iv IS NOT NULL AND next_iv IS NOT NULL
+       |         THEN 'interp'
+       |       WHEN prev_iv IS NOT NULL OR next_iv IS NOT NULL THEN 'edge'
+       |       ELSE 'empty' END AS fill_src
+       |FROM f""".stripMargin
+  }
+
   // ---- A16: count wrapper per contract-selection strategy ----
 
   def a16StrategyCounts(s: SparkSession, dir: String): DataFrame = {
@@ -426,6 +480,7 @@ object FeatureQueries {
     "j2_spot_enrich" -> QueryDef(j2SpotEnrich _, j2Oracle),
     "j5_asof_spot" -> QueryDef(j5AsofSpot _, j5Oracle),
     "j7_nearest_spot" -> QueryDef(j7NearestSpot _, j7Oracle),
+    "a31_surface_grid" -> QueryDef(a31SurfaceGrid _, a31Oracle),
     "a8_moneyness_long" -> QueryDef(a8MoneynessLong _, a8Oracle),
     "a9_moneyness_smile" -> QueryDef(a9MoneynessSmile _, a9Oracle),
     "a6_pcr_by_tenor" -> QueryDef(a6Pcr _, a6Oracle),

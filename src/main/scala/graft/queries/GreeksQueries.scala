@@ -96,6 +96,37 @@ object GreeksQueries {
        |  ${duckRoundTo("theta", 9)} AS theta
        |FROM greeks_adj""".stripMargin
 
+  // ---- M19: delta-hedged P&L replay ----
+
+  def m19HedgedPnl(s: SparkSession, dir: String): DataFrame =
+    Greeks.hedgedPnl(greeksDf(s, dir))
+
+  val m19Oracle: String =
+    s"""WITH $greeksCte,
+       |base AS (
+       |  SELECT * FROM greeks_adj
+       |  WHERE adjusted_delta IS NOT NULL AND spot_price > 0
+       |),
+       |stp AS (
+       |  SELECT *,
+       |    lag(price) OVER w AS prev_price,
+       |    lag(spot_price) OVER w AS prev_spot,
+       |    lag(adjusted_delta) OVER w AS prev_delta
+       |  FROM base
+       |  WINDOW w AS (PARTITION BY instrument_name ORDER BY ep, trade_id)
+       |),
+       |fl AS (SELECT * FROM stp WHERE prev_price IS NOT NULL),
+       |aggd AS (
+       |  SELECT underlying, strftime(expiry, '%Y-%m-%d') AS expiry_date,
+       |    count(*) AS n_steps,
+       |    ${duckDsum("price - prev_price")} AS option_pnl,
+       |    ${duckDsum(duckRoundTo(
+              "prev_delta * (spot_price - prev_spot)", 6))} AS hedge_pnl
+       |  FROM fl GROUP BY 1, 2
+       |)
+       |SELECT *, option_pnl - hedge_pnl AS hedged_pnl FROM aggd"""
+      .stripMargin
+
   // ---- A14: portfolio greeks ----
 
   def a14Portfolio(s: SparkSession, dir: String): DataFrame =
@@ -142,6 +173,7 @@ object GreeksQueries {
 
   val defs: Map[String, QueryDef] = Map(
     "m1_greeks" -> QueryDef(m1Greeks _, m1Oracle),
+    "m19_hedged_pnl" -> QueryDef(m19HedgedPnl _, m19Oracle),
     "a14_portfolio_greeks" -> QueryDef(a14Portfolio _, a14Oracle),
     "a15_greeks_by_bucket" -> QueryDef(a15ByBucket _, a15Oracle))
 }

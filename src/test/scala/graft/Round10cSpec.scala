@@ -303,6 +303,48 @@ class Round10cSpec extends AnyFunSuite {
     assert(got.head.getLong(1) == 1L)
   }
 
+  // ---- IV surface grid ----
+
+  test("surface grid fills interior midpoints and extends edges") {
+    import graft.operators.SurfaceGrid
+    val expiry = java.sql.Date.valueOf("2026-01-06")
+    def row(m: Double, iv: Double) =
+      ("BTC", expiry, ts(1767225600L), m, iv) // 2026-01-01 -> dte 5
+    val df = Seq(row(1.0, 0.2), row(1.2, 0.4))
+      .toDF("underlying", "expiry", "timestamp", "moneyness", "iv")
+    val got = SurfaceGrid.ivSurface(df).collect()
+      .map(r => r.getAs[String]("m_bucket") -> r).toMap
+    assert(got.size == 5)
+    assert(got("atm").getAs[String]("fill_src") == "obs")
+    assert(got("deep_otm_call").getAs[String]("fill_src") == "obs")
+    val oc = got("otm_call")
+    assert(oc.getAs[String]("fill_src") == "interp")
+    assert(math.abs(oc.getAs[Double]("iv_filled") - 0.3) < 1e-12)
+    val op = got("otm_put")
+    assert(op.getAs[String]("fill_src") == "edge")
+    assert(op.getAs[Double]("iv_filled") == 0.2)
+    assert(got("deep_otm_put").getAs[Double]("iv_filled") == 0.2)
+  }
+
+  // ---- hedged PnL ----
+
+  test("hedged pnl: option leg minus prior-delta hedge leg") {
+    import graft.operators.Greeks
+    val expiry = java.sql.Date.valueOf("2026-06-26")
+    def row(id: String, t: Long, p: Double, s0: Double, d: Double) =
+      (id, "I1", "BTC", expiry, ts(t), p, s0, d)
+    val df = Seq(
+      row("1", 10L, 10.0, 100.0, 0.5),
+      row("2", 20L, 12.0, 110.0, 0.6)) // dv=2, hedge=0.5*10=5
+      .toDF("trade_id", "instrument_name", "underlying", "expiry",
+        "timestamp", "price", "spot_price", "adjusted_delta")
+    val r = Greeks.hedgedPnl(df).head()
+    assert(r.getAs[Long]("n_steps") == 1L)
+    assert(r.getAs[Double]("option_pnl") == 2.0)
+    assert(r.getAs[Double]("hedge_pnl") == 5.0)
+    assert(r.getAs[Double]("hedged_pnl") == -3.0)
+  }
+
   // ---- rolling beta ----
 
   test("rolling beta: exact 2x return relation gives beta 2, corr 1") {
