@@ -503,7 +503,36 @@ object EventsQueries {
       |  count(CASE WHEN churned THEN 1 END) AS n_churned_after
       |FROM st GROUP BY 1""".stripMargin
 
+  /** EV15: exact per-type value quantiles through the distributed
+    * selection machinery (the a21 plan — frequency table,
+    * range-repartitioned prefix sums, integer-rank containment — on
+    * the events domain; no per-key sort anywhere). */
+  def ev15ValueQuantiles(s: SparkSession, dir: String): DataFrame =
+    graft.operators.DistributedSelection.quantiles(
+      events(s, dir).select(org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.col("value")),
+      "event_type", "value",
+      Seq((1, 2, "p50"), (9, 10, "p90"), (99, 100, "p99")))
+
+  val ev15Oracle: String =
+    """WITH ranked AS (
+      |  SELECT event_type, value,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY value, event_id) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events
+      |)
+      |SELECT event_type, max(n) AS n_trades,
+      |  max(CASE WHEN rn = (n * 1 + 1) // 2 THEN value END) AS p50,
+      |  max(CASE WHEN rn = (n * 9 + 9) // 10 THEN value END) AS p90,
+      |  max(CASE WHEN rn = (n * 99 + 99) // 100 THEN value END) AS p99
+      |FROM ranked
+      |WHERE rn = (n * 1 + 1) // 2 OR rn = (n * 9 + 9) // 10
+      |   OR rn = (n * 99 + 99) // 100
+      |GROUP BY event_type""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "ev15_value_quantiles" -> QueryDef(ev15ValueQuantiles _, ev15Oracle),
     "ev14_growth" -> QueryDef(ev14Growth _, ev14Oracle),
     "ev13_top_paths" -> QueryDef(ev13TopPaths _, ev13Oracle),
     "ev12_cusum_days" -> QueryDef(ev12Cusum _, ev12Oracle),

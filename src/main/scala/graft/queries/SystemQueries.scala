@@ -667,6 +667,36 @@ object SystemQueries {
        |    AS DECIMAL(28,2)) AS DOUBLE) AS parsed_amount
        |FROM trades""".stripMargin
 
+  /** §2.9: STREAM-STATIC join — the third join mode (st3 covers
+    * stream-stream, j2 the batch broadcast): a streaming tape
+    * enriched against the STATIC spot-bar dimension (rebuilt from
+    * the stream's own session so the cloned harness session owns
+    * every plan node), then a complete-mode per-underlying coverage
+    * aggregate. Final state ≡ the batch enrichment the oracle
+    * states over the identical CTE chain. */
+  def st12StreamEnrich(s: SparkSession, dir: String): DataFrame =
+    boundedStream(s, "st12",
+      SyntheticTrades.trades(s, dir)
+        .select("trade_id", "underlying", "timestamp", "strike",
+          "index_price"),
+      "st12_enrich", mode = "complete") { raw =>
+      val bars = graft.operators.SpotProvider.spotBars(
+        SyntheticTrades.spotTicks(raw.sparkSession, dir))
+      graft.operators.SpotProvider.enrichWithSpot(raw, bars)
+        .groupBy(col("underlying"))
+        .agg(
+          count(lit(1)).as("n_trades"),
+          count(col("binance_spot")).as("n_with_spot"),
+          graft.util.Parity.davg(col("binance_spot")).as("spot_avg"))
+    }
+
+  val st12Oracle: String =
+    s"""WITH ${OracleCtes.enrichedSpot}
+       |SELECT underlying, count(*) AS n_trades,
+       |  count(binance_spot) AS n_with_spot,
+       |  ${graft.util.Parity.duckDavg("binance_spot")} AS spot_avg
+       |FROM enriched_spot GROUP BY 1""".stripMargin
+
   /** S13: small-files compaction — the physical-layout maintenance
     * op every partitioned store needs at scale: rewrite day
     * partitions with one task per partition value and a bounded
@@ -712,6 +742,7 @@ object SystemQueries {
        |FROM trades GROUP BY 1""".stripMargin
 
   val defs: Map[String, QueryDef] = Map(
+    "st12_stream_enrich" -> QueryDef(st12StreamEnrich _, st12Oracle),
     "s13_compaction" -> QueryDef(s13Compaction _, s13Oracle),
     "s12_csv_corrupt" -> QueryDef(s12CsvCorrupt _, s12Oracle),
     "st11_stream_merge" -> QueryDef(st11StreamMerge _, st11Oracle),

@@ -41,7 +41,12 @@ class PlanAuditSpec extends AnyFunSuite {
   private val driverSide = Set(
     "s7_backfill_roundtrip", "s9_schema_system", "st1_streaming_ingest",
     "st2_streaming_bars", "st3_stream_join", "st4_streaming_pcr",
-    "st5_gap_events", "st7_stream_docs")
+    "st5_gap_events", "st7_stream_docs",
+    // harness entries whose returned DataFrame is a post-hoc read of
+    // what the harness wrote (memory table / temp parquet) — planOf
+    // would EXECUTE the whole stream/write just to audit a trivial
+    // scan
+    "st11_stream_merge", "s12_csv_corrupt", "s13_compaction")
 
   test("no registered query plans a cartesian product") {
     for (name <- SparkEntry.queries.keys if !driverSide(name)) {
