@@ -209,8 +209,10 @@ object TextDedup {
     * doc the gram count, fingerprint count, selection density and
     * the set's minimum (a cheap doc signature). Docs shorter than
     * window+k−1 words are dropped (no full window exists). */
-  def winnow(docs: DataFrame, k: Int = 3, window: Int = 4,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+  /** Per-doc fingerprint SETS (the `_fps` array) — [[winnow]]'s
+    * internals, exposed so the shared-run guarantee is testable. */
+  def winnowSets(docs: DataFrame, k: Int, window: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
     docs
       .select(col(idCol), words(col(textCol)).as("_w"))
       .withColumn("_sh", rawWordShingles(col("_w"), k))
@@ -219,6 +221,10 @@ object TextDedup {
       .withColumn("_fps", array_distinct(transform(
         sequence(lit(1), size(col("_hs")) - (window - 1)),
         i => array_min(slice(col("_hs"), i, lit(window))))))
+
+  def winnow(docs: DataFrame, k: Int = 3, window: Int = 4,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    winnowSets(docs, k, window, textCol, idCol)
       .select(col(idCol),
         size(col("_hs")).cast("long").as("n_grams"),
         size(col("_fps")).cast("long").as("n_fingerprints"),
