@@ -340,6 +340,84 @@ object VectorOps {
     (centroids, out)
   }
 
+  /** Recall *curve*: [[ivfRecallAudit]] swept over several `nprobe`
+    * settings in ONE pass — the tuning table read before fixing the
+    * production probe count. Centroids train once; corpus assignment
+    * runs once; probe lists rank once up to max(nprobes); each sweep
+    * point is then a filter on the probe rank, so the whole curve
+    * costs one assignment pass + one candidate scoring pass over the
+    * union of candidate sets (the np=max set dominates) + one brute
+    * pass over the bounded query panel. Output: one row per
+    * (nprobe, query) with candidate count, overlap@k and recall@k. */
+  def ivfRecallSweep(corpus: DataFrame, queries: DataFrame, k: Int,
+      nClusters: Int, nprobes: Seq[Int],
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      : (Array[Array[Double]], DataFrame) = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids =
+      kmeansCentroids(corpus, nClusters, iters = 3, idCol, vecCol)
+    val bc = spark.sparkContext.broadcast(centroids)
+    val maxNp = nprobes.max
+    val assigned = corpus
+      .select(col(idCol).cast("long"), col(vecCol)).as[(Long, Array[Float])]
+      .map { case (id, v) => (id, nearestCentroid(v, bc.value)) }
+      .toDF("neighbor_id", "cluster")
+    // ranked probe lists (distributed; only centroids are broadcast)
+    val probesRanked = queries
+      .select(col(idCol).cast("long"), col(vecCol)).as[(Long, Array[Float])]
+      .flatMap { case (qid, qv) =>
+        val cs = bc.value
+        cs.indices
+          .sortBy { c =>
+            var d = 0.0; var i = 0
+            while (i < qv.length) {
+              val diff = qv(i) - cs(c)(i); d += diff * diff; i += 1 }
+            (d, c)
+          }
+          .take(maxNp).zipWithIndex
+          .map { case (c, r) => (qid, c, r + 1) }
+      }
+      .toDF("query_id", "cluster", "probe_rank")
+    val npDf = nprobes.toDF("nprobe")
+    val cands = graft.util.Caches.materialize(
+      assigned
+        .join(broadcast(probesRanked.crossJoin(npDf)
+          .filter(col("probe_rank") <= col("nprobe"))), "cluster")
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select(col("nprobe"), col("query_id"), col("neighbor_id")))
+    val scored = cands
+      .join(corpus.select(col(idCol).cast("long").as("neighbor_id"),
+        col(vecCol).as("_cv")), "neighbor_id")
+      .join(broadcast(queries.select(col(idCol).cast("long").as("query_id"),
+        col(vecCol).as("_qv"))), "query_id")
+      .select(col("nprobe"), col("query_id"), col("neighbor_id"),
+        cosine(col("_qv"), col("_cv")).as("cos_sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("nprobe"), col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    val ivfTop = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("nprobe"), col("query_id"), col("neighbor_id"))
+    val bruteTop = annTopK(corpus, queries, k, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id"))
+    val ncand = cands.groupBy(col("nprobe"), col("query_id"))
+      .agg(count(lit(1)).as("n_candidates"))
+    val ov = ivfTop.join(bruteTop, Seq("query_id", "neighbor_id"))
+      .groupBy(col("nprobe"), col("query_id"))
+      .agg(count(lit(1)).as("overlap"))
+    val out = npDf
+      .crossJoin(queries.select(col(idCol).cast("long").as("query_id")))
+      .join(ncand, Seq("nprobe", "query_id"), "left")
+      .join(ov, Seq("nprobe", "query_id"), "left")
+      .select(col("nprobe"), col("query_id"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("overlap"), lit(0L)).as("overlap"),
+        (coalesce(col("overlap"), lit(0L)).cast("double") / lit(k))
+          .as("recall"))
+    (centroids, out)
+  }
+
   // ---- product quantization (PQ) ANN ----
 
   /** Train PQ codebooks: the embedding dimension is split into `m`

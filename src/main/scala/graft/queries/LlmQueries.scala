@@ -687,46 +687,85 @@ object LlmQueries {
   private val BpeTopWords = 200
 
   /** The trained tokenizer applied to the vocabulary, gated on the
-    * top-[[BpeTopWords]] words by (freq DESC, word): the oracle
-    * re-derives the word-frequency table, the top-K membership and
-    * every frequency in SQL, then joins the pinned tokenization — a
-    * pinned word outside the SQL top-K, a frequency drift, or a
-    * membership change all hash-mismatch; the fold output itself
-    * (n_tokens, tokens) is echoed, with its semantics pinned by
-    * TextBpeSpec and the content-preservation property. */
+    * top-[[BpeTopWords]] words by (freq DESC, word) — and, since
+    * round 10, the FOLD ITSELF is SQL-derived: given only the pinned
+    * merge list, the oracle re-runs every merge as a nested DuckDB
+    * `list_reduce` implementing [[TextBpe.applyMerge]]'s exact
+    * leftmost-non-overlapping rewrite (match the accumulator's last
+    * symbol + the next symbol, splice in the merged symbol), so
+    * n_tokens and the tokenization are independently recomputed for
+    * every word — nothing about the fold is echoed any more. A
+    * second gate column widens the verified domain to the WHOLE
+    * corpus: `corpus_tokens` = Σ freq x n_tokens over the full
+    * vocabulary, reconciled against the oracle's own full-vocab
+    * fold. */
   def bpeEncode(s: SparkSession, dir: String): DataFrame = {
-    val out = TextBpe.encodeWords(docs(s, dir), trainedMerges(s, dir))
+    val merges = trainedMerges(s, dir)
+    val encoded = graft.util.Caches.materialize(
+      TextBpe.encodeWords(docs(s, dir), merges))
+    val total = encoded.agg(
+      sum(col("freq") * col("n_tokens")).cast("long").as("corpus_tokens"))
+    val out = encoded
       .orderBy(col("freq").desc, col("word")).limit(BpeTopWords)
-    val rows = out.collect().sortBy(_.getString(0))
-    val sql =
-      if (rows.isEmpty)
-        """SELECT CAST(NULL AS VARCHAR) AS word,
-          |  CAST(NULL AS BIGINT) AS freq, CAST(NULL AS INT) AS n_tokens,
-          |  CAST(NULL AS VARCHAR) AS tokens
-          |WHERE false""".stripMargin
-      else {
-        def esc(x: String) = x.replace("'", "''")
-        val values = rows.map { r =>
-          s"('${esc(r.getString(0))}', ${r.getInt(2)}, " +
-            s"'${esc(r.getString(3))}')"
-        }.mkString(",\n    ")
-        s"""WITH $wrdsCte,
-           |wf AS (
-           |  SELECT word, count(*) AS c
-           |  FROM (SELECT unnest(w) AS word FROM wrds)
-           |  WHERE len(word) > 0 GROUP BY 1
-           |),
-           |topw AS (
-           |  SELECT word, c FROM wf ORDER BY c DESC, word
-           |  LIMIT $BpeTopWords
-           |),
-           |pinned(word, n_tokens, tokens) AS (VALUES
-           |    $values)
-           |SELECT t.word, t.c AS freq, p.n_tokens, p.tokens
-           |FROM topw t JOIN pinned p USING (word)""".stripMargin
-      }
-    DynamicOracles.put("llm_bpe_encode", sql)
+      .crossJoin(broadcast(total))
+    DynamicOracles.put("llm_bpe_encode", bpeEncodeOracle(merges))
     out
+  }
+
+  /** Nested-fold expression: apply `merges` in rank order to the
+    * symbol-list expression `symsExpr`, returning the space-joined
+    * tokenization. Each rank is one `list_reduce` whose accumulator
+    * is the tokenization-so-far; the merge fires iff the
+    * accumulator's LAST symbol (exact match after the last space —
+    * merged symbols never contain spaces) equals `l` and the next
+    * symbol equals `r`, exactly [[TextBpe.applyMerge]]. */
+  private def duckBpeTokens(merges: Seq[graft.operators.TextBpe.Merge],
+      symsExpr: String): String = {
+    def esc(x: String) = s"'${x.replace("'", "''")}'"
+    if (merges.isEmpty) s"array_to_string($symsExpr, ' ')"
+    else merges.zipWithIndex.foldLeft(symsExpr) { case (inner, (m, i)) =>
+      val lst = if (i == 0) inner else s"string_split($inner, ' ')"
+      val l = esc(m.l_sym); val r = esc(m.r_sym); val mg = esc(m.merged)
+      s"""list_reduce($lst, (a, s) -> CASE
+         |      WHEN s = $r AND (a = $l
+         |        OR right(a, length($l) + 1) = ' ' || $l)
+         |      THEN left(a, length(a) - length($l)) || $mg
+         |      ELSE a || ' ' || s END)""".stripMargin
+    }
+  }
+
+  private def bpeEncodeOracle(
+      merges: Seq[graft.operators.TextBpe.Merge]): String = {
+    val syms =
+      s"""list_concat([word[i:i] for i in range(1, len(word) + 1)],
+         |      ['${graft.operators.TextBpe.EndToken}'])""".stripMargin
+    s"""WITH $wrdsCte,
+       |wf AS (
+       |  SELECT word, count(*) AS c
+       |  FROM (SELECT unnest(w) AS word FROM wrds)
+       |  WHERE len(word) > 0 GROUP BY 1
+       |),
+       |tok AS (
+       |  SELECT word, c,
+       |    ${duckBpeTokens(merges, syms)} AS tokens
+       |  FROM wf
+       |),
+       |tok2 AS (
+       |  SELECT word, c, tokens,
+       |    CAST(len(string_split(tokens, ' ')) AS INT) AS n_tokens
+       |  FROM tok
+       |),
+       |total AS (
+       |  SELECT CAST(sum(c * n_tokens) AS BIGINT) AS corpus_tokens
+       |  FROM tok2
+       |),
+       |topw AS (
+       |  SELECT word, c, n_tokens, tokens FROM tok2
+       |  ORDER BY c DESC, word LIMIT $BpeTopWords
+       |)
+       |SELECT t.word, t.c AS freq, t.n_tokens, t.tokens,
+       |  total.corpus_tokens
+       |FROM topw t CROSS JOIN total""".stripMargin
   }
 
   // ---- tokenizer fertility ----
@@ -1566,6 +1605,106 @@ object LlmQueries {
     out
   }
 
+  private val IvfSweepProbes = Seq(1, 2, 4)
+
+  /** Recall sensitivity curve: the single-point audit swept over
+    * nprobe ∈ {1,2,4} ([[VectorOps.ivfRecallSweep]]) — one row per
+    * (nprobe, query). Same gate discipline as `llm_ann_recall`: only
+    * the trained centroids are pinned; assignment, ranked probe
+    * lists, every sweep point's candidate set, both top-k rankings
+    * and the overlap are all re-derived in SQL. */
+  def annIvfRecallCurve(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val q = graft.util.Caches.materialize(
+      e.filter(col("vec_id") < AnnQueries))
+    val (centroids, out) = VectorOps.ivfRecallSweep(
+      e, q, AnnK, IvfClusters, IvfSweepProbes)
+    DynamicOracles.put("llm_ann_recall_curve", ivfSweepOracle(centroids))
+    out
+  }
+
+  private def ivfSweepOracle(centroids: Array[Array[Double]]): String = {
+    val d = graft.util.Parity.duckDoubleLit _
+    val values = centroids.zipWithIndex.map { case (cs, c) =>
+      s"($c, [${cs.map(d).mkString(", ")}])"
+    }.mkString(",\n    ")
+    val nps = IvfSweepProbes.map(n => s"($n)").mkString(", ")
+    val sqdist =
+      """list_reduce(list_transform(range(1, len(e.embedding) + 1),
+        |      i -> (e.embedding[i]::DOUBLE - c.cs[i])
+        |           * (e.embedding[i]::DOUBLE - c.cs[i])),
+        |      (a, b) -> a + b)""".stripMargin
+    s"""WITH cent(c, cs) AS (VALUES
+       |    $values),
+       |nps(np) AS (VALUES $nps),
+       |dists AS (
+       |  SELECT e.vec_id, c.c,
+       |    $sqdist AS dd
+       |  FROM embeddings e, cent c
+       |),
+       |assigned AS (
+       |  SELECT vec_id AS neighbor_id, c AS cluster FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY dd, c) AS rn FROM dists
+       |  ) WHERE rn = 1
+       |),
+       |probes AS (
+       |  SELECT n.np AS nprobe, r.vec_id AS query_id, r.c AS cluster
+       |  FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY dd, c) AS rn
+       |    FROM dists WHERE vec_id < $AnnQueries
+       |  ) r CROSS JOIN nps n
+       |  WHERE r.rn <= n.np
+       |),
+       |cand AS (
+       |  SELECT p.nprobe, p.query_id, a.neighbor_id
+       |  FROM probes p JOIN assigned a USING (cluster)
+       |  WHERE a.neighbor_id <> p.query_id
+       |),
+       |q AS (
+       |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+       |  WHERE vec_id < $AnnQueries
+       |),
+       |ivf_top AS (
+       |  SELECT nprobe, query_id, neighbor_id FROM (
+       |    SELECT cand.nprobe, cand.query_id, cand.neighbor_id,
+       |      row_number() OVER (PARTITION BY cand.nprobe, cand.query_id
+       |        ORDER BY ${duckCosine("q.qv", "e.embedding")} DESC,
+       |                 cand.neighbor_id) AS rn
+       |    FROM cand
+       |    JOIN embeddings e ON e.vec_id = cand.neighbor_id
+       |    JOIN q ON q.query_id = cand.query_id
+       |  ) WHERE rn <= $AnnK
+       |),
+       |brute_top AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.query_id, e.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY ${duckCosine("q.qv", "e.embedding")} DESC,
+       |                 e.vec_id) AS rn
+       |    FROM embeddings e JOIN q ON e.vec_id <> q.query_id
+       |  ) WHERE rn <= $AnnK
+       |),
+       |ncand AS (
+       |  SELECT nprobe, query_id, count(*) AS n_candidates
+       |  FROM cand GROUP BY 1, 2
+       |),
+       |ov AS (
+       |  SELECT i.nprobe, i.query_id, count(*) AS overlap
+       |  FROM ivf_top i JOIN brute_top b
+       |    ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT n.np AS nprobe, q.query_id,
+       |  CAST(coalesce(nc.n_candidates, 0) AS BIGINT) AS n_candidates,
+       |  CAST(coalesce(ov.overlap, 0) AS BIGINT) AS overlap,
+       |  CAST(coalesce(ov.overlap, 0) AS DOUBLE) / $AnnK AS recall
+       |FROM q CROSS JOIN nps n
+       |LEFT JOIN ncand nc ON nc.query_id = q.query_id AND nc.nprobe = n.np
+       |LEFT JOIN ov ON ov.query_id = q.query_id AND ov.nprobe = n.np""".stripMargin
+  }
+
   private def ivfRecallOracle(centroids: Array[Array[Double]]): String = {
     val d = graft.util.Parity.duckDoubleLit _
     val values = centroids.zipWithIndex.map { case (cs, c) =>
@@ -2124,6 +2263,7 @@ object LlmQueries {
     "llm_ann_pq" -> QueryDef(annPq _, None),
     "llm_ann_ivfpq" -> QueryDef(annIvfPq _, None),
     "llm_ann_recall" -> QueryDef(annIvfRecall _, None),
+    "llm_ann_recall_curve" -> QueryDef(annIvfRecallCurve _, None),
     "llm_decontaminate" -> QueryDef(decontaminate _, decontaminateOracle),
     "llm_curation_e2e" -> QueryDef(curationE2e _, curationE2eOracle),
     "llm_embed_clusters" -> QueryDef(embedClusters _, embedClustersOracle),

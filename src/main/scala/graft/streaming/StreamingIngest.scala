@@ -22,6 +22,23 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingIngest {
 
+  /** Production state-store configuration: RocksDB-backed state with
+    * changelog checkpointing. The default (HDFS-backed) provider
+    * keeps every key in executor heap — fine for the bar aggregates
+    * (key space = bars x underlyings) but not for the dedup /
+    * gap-detector stores whose key cardinality tracks the tape. The
+    * RocksDB provider spills state to local disk with bounded
+    * memory, and changelog checkpointing ships per-batch deltas
+    * instead of full snapshots. Set these on the session (they are
+    * SQL confs, picked up by queries started afterwards); state
+    * files in an existing checkpoint are provider-specific, so flip
+    * this only on a fresh checkpoint. */
+  val RocksDbStateStore: Map[String, String] = Map(
+    "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+      "true")
+
   /** O4-for-streams: watermarked exactly-once-per-trade_id dedup. */
   def dedupedTrades(raw: DataFrame, watermark: String = "30 minutes"): DataFrame =
     raw

@@ -202,6 +202,72 @@ class IngestSpec extends AnyFunSuite {
     }
   }
 
+  test("JdbcBatchSink: round-trip, committed replay no-op, partial rewritten") {
+    import spark.implicits._
+    import graft.streaming.BatchSink
+    val dbDir = tmp("derby")
+    val url = s"jdbc:derby:$dbDir/sinkdb;create=true"
+    val sink = BatchSink.forMode("jdbc", s"$url#trades_jdbc")
+    def mkBatch(ids: Range) = ids.map { i =>
+      (i.toString, new java.sql.Timestamp(1700000000000L + i * 1000L),
+        1.0 + i)
+    }.toDF("trade_id", "timestamp", "amount")
+    def readBack() = spark.read
+      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      .jdbc(url, "trades_jdbc", new java.util.Properties)
+
+    // batch 0 round-trips
+    sink.writeBatch(mkBatch(0 until 10), 0L)
+    assert(readBack().count() == 10)
+    // amounts are 1.0+i for i in 0..9 -> 55.0 exactly (small ints)
+    assert(readBack().agg(org.apache.spark.sql.functions.sum("amount"))
+      .first().getDouble(0) == 55.0)
+    // replay of a COMMITTED batch is a no-op (no duplicate rows)
+    sink.writeBatch(mkBatch(0 until 10), 0L)
+    assert(readBack().count() == 10)
+    // a partial (uncommitted) crash leftover is deleted and rewritten:
+    // write rows tagged batch 1 directly, WITHOUT the commit marker
+    mkBatch(100 until 103)
+      .withColumn("ingest_batch", org.apache.spark.sql.functions.lit(1L))
+      .write.mode("append")
+      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      .jdbc(url, "trades_jdbc", new java.util.Properties)
+    assert(readBack().count() == 13)
+    sink.writeBatch(mkBatch(10 until 15), 1L)
+    val b1 = readBack().filter(org.apache.spark.sql.functions
+      .col("ingest_batch") === 1L)
+    assert(b1.count() == 5, "partial batch-1 rows not replaced")
+    assert(readBack().count() == 15)
+    // replaying batch 1 after commit stays a no-op
+    sink.writeBatch(mkBatch(10 until 15), 1L)
+    assert(readBack().count() == 15)
+  }
+
+  test("streaming ingest lands exactly-once in the JDBC sink") {
+    import spark.implicits._
+    import graft.streaming.{BatchSink, StreamingIngest}
+    val src = tmp("jdbc-src"); val ckpt = tmp("jdbc-ckpt")
+    val dbDir = tmp("derby-stream")
+    val url = s"jdbc:derby:$dbDir/streamdb;create=true"
+    val seed = (0 until 20).map { i =>
+      (i.toString, if (i % 2 == 0) "BTC" else "ETH",
+        new java.sql.Timestamp(1700000000000L + i * 1000L), 1.0)
+    }.toDF("trade_id", "underlying", "timestamp", "amount")
+    seed.write.parquet(s"$src/p1")
+    // duplicate delivery of the same trades in a second file: the
+    // watermarked dedup must drop them before the sink
+    seed.write.parquet(s"$src/p2")
+    val sink = BatchSink.forMode("jdbc", s"$url#trades_stream")
+    val q = StreamingIngest.startIngestTo(spark, s"$src/p*", seed.schema,
+      sink, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.read
+      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      .jdbc(url, "trades_stream", new java.util.Properties)
+    assert(got.select("trade_id").distinct().count() == 20)
+    assert(got.count() == 20, "dedup or batch idempotence failed")
+  }
+
   test("TradesStore writes month partitions that prune on read") {
     import spark.implicits._
     val target = tmp("store")

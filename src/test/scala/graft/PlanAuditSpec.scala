@@ -97,9 +97,9 @@ class PlanAuditSpec extends AnyFunSuite {
       "llm_perplexity_cut", "a18_quality_sketch", "llm_lang_balance",
       "llm_tfidf_topterms", "llm_mix_weights", "llm_dataset_card",
       "llm_bm25_topk", "llm_dsir_select", "llm_retrieval_eval",
-      "llm_kn_bigram", "llm_heaps_fit")
+      "llm_kn_bigram", "llm_heaps_fit", "llm_bpe_encode")
     val boundedPickBuild = Set("llm_ann_topk", "llm_ann_pq",
-      "llm_ann_recall", "llm_mrl_recall")
+      "llm_ann_recall", "llm_ann_recall_curve", "llm_mrl_recall")
     for (name <- SparkEntry.queries.keys if !driverSide(name)) {
       val bnl = planOf(name).collect { case j: BroadcastNestedLoopJoinExec => j }
       assert(bnl.isEmpty || oneRowBuild(name) || boundedPickBuild(name),
@@ -126,6 +126,9 @@ class PlanAuditSpec extends AnyFunSuite {
           // a cached bounded subset hides its filter in the cached plan
           case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
             boundedPick(nodes(m.relation.cachedPlan))
+          // a driver-materialized literal relation (e.g. the 3-row
+          // nprobe sweep table) is bounded at plan time by definition
+          case _: org.apache.spark.sql.execution.LocalTableScanExec => true
           case _ => false
         }
         val hasBoundedPick = boundedPick(sub)
