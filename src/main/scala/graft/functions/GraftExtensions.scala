@@ -17,6 +17,16 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
+  /** Optional literal risk-free-rate tail argument (default 2%). */
+  private def rateArg(args: Seq[Expression], i: Int): Double =
+    if (args.length <= i) graft.operators.Greeks.DefaultRiskFreeRate
+    else args(i) match {
+      case Literal(v: Double, _) => v
+      case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+      case other => throw new IllegalArgumentException(
+        s"rate must be a numeric literal, got $other")
+    }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("graft_erf"),
@@ -24,6 +34,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 1, "graft_erf takes exactly 1 argument")
         Erf(args.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bs_call"),
+      new ExpressionInfo(classOf[BsCallPrice].getName, "graft_bs_call"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4 || args.length == 5,
+          "graft_bs_call takes (spot, strike, t, sigma[, r])")
+        BsCallPrice(args(0), args(1), args(2), args(3), rateArg(args, 4))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_implied_vol"),
+      new ExpressionInfo(classOf[ImpliedVolBisect].getName,
+        "graft_implied_vol"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4 || args.length == 5,
+          "graft_implied_vol takes (price, spot, strike, t[, r])")
+        ImpliedVolBisect(args(0), args(1), args(2), args(3),
+          rateArg(args, 4))
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_ngram_hash32"),

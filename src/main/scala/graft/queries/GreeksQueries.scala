@@ -171,9 +171,259 @@ object GreeksQueries {
        |GROUP BY moneyness_bucket""".stripMargin
   }
 
+  // ---- M20: implied-vol round-trip (price -> IV inversion) ----
+
+  private val IvPanelRows = 250
+  private val IvSolveTol = 1e-6
+
+  /** Price→IV inversion demo over a bounded, deterministic panel:
+    * each valid quote is forward-priced at its quoted IV
+    * ([[graft.functions.ImpliedVol.bsCall]]), then the price is
+    * inverted back by the codegen'd fixed-depth bisection
+    * ([[graft.functions.ImpliedVolBisect]]). Echo+verify gate (the
+    * EGARCH pattern): the panel, quoted IVs and target prices are
+    * fully SQL-derived; the solved roots are pinned as exact double
+    * literals and the oracle independently re-prices each pinned root
+    * in SQL, deriving `solver_ok` = |BS(solved) − target| < 1e-6 on
+    * its own — a broken solver pins roots the oracle re-prices far
+    * from target, flipping its booleans against Spark's claim.
+    * Tolerance headroom: 48 bisection steps leave a price residual
+    * ≤ ~1e-10 while cross-engine libm drift is ≤ ~1e-9 — both orders
+    * below the 1e-6 gate. */
+  def m20ImpliedVol(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ImpliedVolColumns._
+    val r = Greeks.DefaultRiskFreeRate
+    val panel = greeksDf(s, dir)
+      .filter(col("T") > 0 && col("iv") > 0 && col("spot_price") > 0 &&
+        col("strike") > 0 && col("iv") < 4.5)
+      .orderBy(col("trade_id")).limit(IvPanelRows)
+    val priced = panel
+      .withColumn("target_px", bsCall(col("spot_price"), col("strike"),
+        col("T"), col("iv"), r))
+      .withColumn("solved_iv", impliedVol(col("target_px"),
+        col("spot_price"), col("strike"), col("T"), r))
+      .select(col("trade_id"), Parity.epochS(col("timestamp")).as("ep"),
+        col("option_type"), col("iv"), col("spot_price"), col("strike"),
+        col("T"), col("target_px"), col("solved_iv"))
+    val cached = graft.util.Caches.materialize(priced)
+    val pins = cached.select(col("trade_id"), col("solved_iv")).collect()
+      .map(row => row.getString(0) -> row.getDouble(1))
+    DynamicOracles.put("m20_implied_vol", m20Oracle(pins))
+    cached.select(
+      col("trade_id"), col("ep"), col("option_type"),
+      Parity.roundTo(col("iv"), 9).as("iv_quoted"),
+      Parity.roundTo(col("target_px"), 6).as("target_px"),
+      Parity.roundTo(col("solved_iv"), 9).as("solved_iv"),
+      (abs(bsCall(col("spot_price"), col("strike"), col("T"),
+        col("solved_iv"), r) - col("target_px")) < IvSolveTol)
+        .as("solver_ok"))
+  }
+
+  /** One BS-call staging block (op-for-op [[ImpliedVol.bsCall]]):
+    * d1/d2/erf/cdf from `sig`, producing column `out`. */
+  private def duckBsStage(prev: String, tag: String, sig: String,
+      out: String): String =
+    s"""${tag}a AS (
+       |  SELECT *, (ln(spot_price / strike) + (0.02 + $sig * $sig / 2.0)
+       |      * T) / ($sig * sqt) AS ${tag}_d1
+       |  FROM $prev
+       |),
+       |${tag}b AS (SELECT *, ${tag}_d1 - $sig * sqt AS ${tag}_d2 FROM ${tag}a),
+       |${tag}c AS (SELECT *, ${tag}_d1 / sqrt(2.0) AS ${tag}_x1,
+       |  ${tag}_d2 / sqrt(2.0) AS ${tag}_x2 FROM ${tag}b),
+       |${tag}d AS (SELECT *, ${GraftMath.duckErf(s"${tag}_x1")} AS ${tag}_e1,
+       |  ${GraftMath.duckErf(s"${tag}_x2")} AS ${tag}_e2 FROM ${tag}c),
+       |${tag}e AS (
+       |  SELECT *, spot_price * (0.5 * (1.0 + ${tag}_e1))
+       |    - strike * exp(-(0.02 * T)) * (0.5 * (1.0 + ${tag}_e2)) AS $out
+       |  FROM ${tag}d
+       |)""".stripMargin
+
+  private def m20Oracle(pins: Array[(String, Double)]): String =
+    if (pins.isEmpty)
+      """SELECT CAST(NULL AS VARCHAR) AS trade_id,
+        |  CAST(NULL AS BIGINT) AS ep, CAST(NULL AS VARCHAR) AS option_type,
+        |  CAST(NULL AS DOUBLE) AS iv_quoted, CAST(NULL AS DOUBLE) AS target_px,
+        |  CAST(NULL AS DOUBLE) AS solved_iv, CAST(NULL AS BOOLEAN) AS solver_ok
+        |WHERE false""".stripMargin
+    else {
+      val values = pins.map { case (id, siv) =>
+        s"('${id.replace("'", "''")}', ${Parity.duckDoubleLit(siv)})"
+      }.mkString(",\n    ")
+      s"""WITH $greeksCte,
+         |panel AS (
+         |  SELECT trade_id, ep, option_type, spot_price, strike, T, iv,
+         |    sqrtT AS sqt
+         |  FROM g1 WHERE valid AND iv < 4.5
+         |  ORDER BY trade_id LIMIT $IvPanelRows
+         |),
+         |${duckBsStage("panel", "t1", "iv", "target_px")},
+         |pinned(trade_id, siv) AS (VALUES
+         |    $values),
+         |joined AS (SELECT t1e.*, pinned.siv FROM t1e
+         |  JOIN pinned USING (trade_id)),
+         |${duckBsStage("joined", "t2", "siv", "px_at_siv")}
+         |SELECT trade_id, ep, option_type,
+         |  ${duckRoundTo("iv", 9)} AS iv_quoted,
+         |  ${duckRoundTo("target_px", 6)} AS target_px,
+         |  ${duckRoundTo("siv", 9)} AS solved_iv,
+         |  abs(px_at_siv - target_px) < $IvSolveTol AS solver_ok
+         |FROM t2e""".stripMargin
+    }
+
+  // ---- M21: Breeden-Litzenberger risk-neutral density ----
+
+  def m21RnDensity(s: SparkSession, dir: String): DataFrame =
+    graft.operators.RnDensity.density(FeatureQueries.enrichedSpot(s, dir))
+
+  /** Fully SQL-derived twin of [[graft.operators.RnDensity.density]]:
+    * snapshot selection, common valuation time, BS pricing at the
+    * quoted IVs (grid-quantized at 6 dp so the butterfly divided
+    * differences run on identical doubles in both engines), ladder
+    * windows and the convexity audit all restate in DuckDB. */
+  val m21Oracle: String =
+    s"""WITH ${OracleCtes.enrichedSpot},
+       |v AS (
+       |  SELECT * FROM enriched_spot
+       |  WHERE iv > 0 AND spot_price > 0 AND strike > 0
+       |),
+       |lastq AS (
+       |  SELECT underlying, expiry, strike, iv, ep, trade_id, spot_price
+       |  FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY underlying, expiry, strike
+       |      ORDER BY ep DESC, trade_id DESC) AS rn FROM v
+       |  ) WHERE rn = 1
+       |),
+       |tr AS (SELECT max(ep) AS tref FROM lastq),
+       |mx AS (SELECT underlying, max(ep) AS mep FROM lastq GROUP BY 1),
+       |spotq AS (
+       |  SELECT underlying, spot_price AS spot FROM (
+       |    SELECT l.*, row_number() OVER (PARTITION BY l.underlying
+       |      ORDER BY l.trade_id DESC) AS rn
+       |    FROM lastq l JOIN mx ON mx.underlying = l.underlying
+       |      AND l.ep = mx.mep
+       |  ) WHERE rn = 1
+       |),
+       |base AS (
+       |  SELECT l.underlying, l.expiry, l.strike, l.iv, s.spot,
+       |    (${duckEpochS("CAST(l.expiry AS TIMESTAMP)")} - t.tref)
+       |      / 31557600.0 AS T
+       |  FROM lastq l JOIN spotq s USING (underlying) CROSS JOIN tr t
+       |),
+       |pos AS (
+       |  SELECT *, spot AS spot_price, sqrt(T) AS sqt
+       |  FROM base WHERE T > 0
+       |),
+       |${duckBsStage("pos", "d1", "iv", "px_raw")},
+       |priced AS (
+       |  SELECT underlying, expiry, strike, iv, T,
+       |    ${duckRoundTo("px_raw", 6)} AS px,
+       |    ${duckRoundTo("exp(0.02 * T)", 12)} AS disc
+       |  FROM d1e
+       |),
+       |grid AS (
+       |  SELECT *,
+       |    lag(strike) OVER w AS k_prev, lead(strike) OVER w AS k_next,
+       |    lag(px) OVER w AS px_prev, lead(px) OVER w AS px_next
+       |  FROM priced
+       |  WINDOW w AS (PARTITION BY underlying, expiry ORDER BY strike)
+       |),
+       |dens AS (
+       |  SELECT *,
+       |    disc * 2.0 * ((px_next - px) / (k_next - strike)
+       |      - (px - px_prev) / (strike - k_prev)) / (k_next - k_prev)
+       |      AS density
+       |  FROM grid WHERE k_prev IS NOT NULL AND k_next IS NOT NULL
+       |)
+       |SELECT underlying, strftime(expiry, '%Y-%m-%d') AS expiry_date,
+       |  strike, ${duckRoundTo("iv", 9)} AS iv_last, px AS call_px,
+       |  density, density >= 0.0 AS convex_ok
+       |FROM dens""".stripMargin
+
+  // ---- M22: calendar-arbitrage audit (total implied variance) ----
+
+  /** The term-structure dual of m21's butterfly audit: under
+    * no-calendar-arbitrage, TOTAL implied variance w = σ²·T must be
+    * non-decreasing in T along each underlying's ATM expiry ladder.
+    * Snapshot = last ATM-bucket quote per (underlying, expiry)
+    * (moneyness ∈ [0.95, 1.05), the reference's 'atm' bucket),
+    * valued at the panel's max epoch; `calendar_ok` flags each
+    * expiry-to-expiry step. Exact arithmetic throughout (iv and
+    * epoch inputs are engine-identical), so the oracle re-derives
+    * every column including the violation flags. One tape window
+    * partitioned by (underlying, expiry), then expiry-count-sized
+    * ladder windows — nothing scales with the tape beyond the first
+    * exchange. */
+  def m22CalendarArb(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val atm = FeatureQueries.enrichedSpot(s, dir)
+      .filter(col("iv") > 0 && col("moneyness") >= 0.95 &&
+        col("moneyness") < 1.05)
+      .withColumn("ep", Parity.epochS(col("timestamp")))
+    val wLast = Window.partitionBy(col("underlying"), col("expiry"))
+      .orderBy(col("ep").desc, col("trade_id").desc)
+    val lastQ = graft.util.Caches.materialize(atm
+      .withColumn("rn", row_number().over(wLast)).filter(col("rn") === 1)
+      .select(col("underlying"), col("expiry"), col("iv"), col("ep")))
+    val tref = lastQ.agg(max(col("ep")).as("tref"))
+    val lad = Window.partitionBy(col("underlying")).orderBy(col("expiry"))
+    lastQ
+      .crossJoin(broadcast(tref))
+      .withColumn("T",
+        (unix_timestamp(col("expiry").cast("timestamp")) - col("tref"))
+          / lit(Greeks.SecondsPerYear))
+      .filter(col("T") > 0)
+      .withColumn("w", col("iv") * col("iv") * col("T"))
+      .withColumn("w_prev", lag(col("w"), 1).over(lad))
+      .select(
+        col("underlying"),
+        date_format(col("expiry"), "yyyy-MM-dd").as("expiry_date"),
+        col("T"),
+        Parity.roundTo(col("iv"), 9).as("atm_iv"),
+        col("w").as("total_var"),
+        col("w_prev").as("prev_total_var"),
+        (col("w_prev").isNull || col("w") >= col("w_prev"))
+          .as("calendar_ok"))
+  }
+
+  val m22Oracle: String =
+    s"""WITH ${OracleCtes.enrichedSpot},
+       |atm AS (
+       |  SELECT * FROM enriched_spot
+       |  WHERE iv > 0 AND moneyness >= 0.95 AND moneyness < 1.05
+       |),
+       |lastq AS (
+       |  SELECT underlying, expiry, iv, ep FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY underlying, expiry
+       |      ORDER BY ep DESC, trade_id DESC) AS rn FROM atm
+       |  ) WHERE rn = 1
+       |),
+       |tr AS (SELECT max(ep) AS tref FROM lastq),
+       |pos AS (
+       |  SELECT l.underlying, l.expiry, l.iv,
+       |    (${duckEpochS("CAST(l.expiry AS TIMESTAMP)")} - t.tref)
+       |      / 31557600.0 AS T
+       |  FROM lastq l CROSS JOIN tr t
+       |),
+       |lad AS (
+       |  SELECT *, iv * iv * T AS w,
+       |    lag(iv * iv * T) OVER (PARTITION BY underlying
+       |      ORDER BY expiry) AS w_prev
+       |  FROM pos WHERE T > 0
+       |)
+       |SELECT underlying, strftime(expiry, '%Y-%m-%d') AS expiry_date, T,
+       |  ${duckRoundTo("iv", 9)} AS atm_iv,
+       |  w AS total_var, w_prev AS prev_total_var,
+       |  (w_prev IS NULL OR w >= w_prev) AS calendar_ok
+       |FROM lad""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
     "m1_greeks" -> QueryDef(m1Greeks _, m1Oracle),
     "m19_hedged_pnl" -> QueryDef(m19HedgedPnl _, m19Oracle),
+    "m20_implied_vol" -> QueryDef(m20ImpliedVol _, None),
+    "m21_rn_density" -> QueryDef(m21RnDensity _, m21Oracle),
+    "m22_calendar_arb" -> QueryDef(m22CalendarArb _, m22Oracle),
     "a14_portfolio_greeks" -> QueryDef(a14Portfolio _, a14Oracle),
     "a15_greeks_by_bucket" -> QueryDef(a15ByBucket _, a15Oracle))
 }

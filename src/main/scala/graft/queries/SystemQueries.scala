@@ -741,7 +741,55 @@ object SystemQueries {
        |  CAST(ceil(count(*) / 200.0) AS BIGINT) AS n_files
        |FROM trades GROUP BY 1""".stripMargin
 
+  /** S4/S5-through-JDBC, in the registry: the streaming ingest driven
+    * end-to-end into the [[graft.streaming.JdbcBatchSink]] (embedded
+    * Derby standing in for the warehouse — same JDBC path a
+    * ClickHouse driver would take), then read BACK over JDBC and
+    * audited. The oracle restates the landed aggregate from the raw
+    * events table, so a sink that drops, duplicates or mangles rows
+    * (or a broken batch-commit protocol re-appending on replay)
+    * hash-mismatches. The 1-in-37 subset keeps the single-JVM Derby
+    * insert off the bench's critical path; trade_ids are unique by
+    * construction so the watermarked dedup is a pass-through and
+    * landed == subset exactly. */
+  def s14JdbcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val src = graft.util.TempDirs.scoped("s14-src")
+    val ckpt = graft.util.TempDirs.scoped("s14-ckpt")
+    val dbDir = graft.util.TempDirs.scoped("s14-derby")
+    val trades = SyntheticTrades.trades(s, dir)
+      .filter(col("trade_id").cast("long") % 37 === 0)
+      .select("trade_id", "underlying", "timestamp", "amount")
+    trades.write.parquet(s"$src/pages")
+    val ss = streamSession(s)
+    val url = s"jdbc:derby:$dbDir/db;create=true"
+    val sink = graft.streaming.BatchSink.forMode("jdbc", s"$url#trades_rt")
+    val q = StreamingIngest.startIngestTo(ss, s"$src/pages", trades.schema,
+      sink, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    val back = s.read
+      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      .jdbc(url, "trades_rt", new java.util.Properties)
+    back.agg(
+      count(lit(1)).as("rows_landed"),
+      countDistinct(col("trade_id")).as("unique_ids"),
+      graft.util.Parity.dsum(col("amount")).as("total_amount"),
+      min(unix_timestamp(col("timestamp"))).as("min_ep"),
+      max(unix_timestamp(col("timestamp"))).as("max_ep"))
+  }
+
+  val s14Oracle: String =
+    s"""WITH ${graft.queries.OracleCtes.enriched},
+       |sub AS (
+       |  SELECT * FROM enriched WHERE CAST(trade_id AS BIGINT) % 37 = 0
+       |)
+       |SELECT CAST(count(*) AS BIGINT) AS rows_landed,
+       |  CAST(count(DISTINCT trade_id) AS BIGINT) AS unique_ids,
+       |  ${duckDsum("amount")} AS total_amount,
+       |  min(ep) AS min_ep, max(ep) AS max_ep
+       |FROM sub""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "s14_jdbc_roundtrip" -> QueryDef(s14JdbcRoundtrip _, s14Oracle),
     "st12_stream_enrich" -> QueryDef(st12StreamEnrich _, st12Oracle),
     "s13_compaction" -> QueryDef(s13Compaction _, s13Oracle),
     "s12_csv_corrupt" -> QueryDef(s12CsvCorrupt _, s12Oracle),

@@ -26,6 +26,17 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(hs.length == 2) // ["a b", "b c"]
       assert(hs.contains(TextHash.hash32("a b")))
       assert(hs.contains(TextHash.hash32("b c")))
+      // BS pricer + IV solver round-trip through the SQL surface,
+      // including the optional literal rate tail argument
+      val iv = s2.sql(
+        """SELECT graft_implied_vol(
+          |  graft_bs_call(5e4d, 5.2e4d, 0.5d, 0.7d), 5e4d, 5.2e4d, 0.5d)
+          |  AS iv,
+          |  graft_bs_call(5e4d, 5.2e4d, 0.5d, 0.7d, 0.05d) AS px5
+          |""".stripMargin).head()
+      assert(math.abs(iv.getDouble(0) - 0.7) < 1e-9)
+      assert(iv.getDouble(1) ==
+        graft.functions.ImpliedVol.bsCall(5e4, 5.2e4, 0.5, 0.05, 0.7))
       // non-literal n is rejected with a clear message
       val e = intercept[Exception](
         s2.sql("SELECT graft_ngram_hash32('x', length('ab'))").head())

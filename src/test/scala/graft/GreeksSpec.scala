@@ -103,4 +103,86 @@ class GreeksSpec extends AnyFunSuite {
     assert(math.abs(port.getAs[Double]("net_delta") - expected) < 1e-6)
     assert(port.getAs[Double]("spot_median") == 42000.0)
   }
+
+  test("RN density: positive under flat vol and integrates to ~1") {
+    import spark.implicits._
+    import graft.operators.RnDensity
+    val t0 = Timestamp.valueOf("2024-01-10 12:00:00")
+    val expiry = Date.valueOf("2024-04-10") // ~0.25y out
+    // one quote per strike, flat 50-vol ladder covering the terminal
+    // distribution of S=50k
+    val rows = (10 to 150).map { i =>
+      (s"t$i", t0, "BTC", expiry, i * 1000.0, 0.5, 50000.0)
+    }
+    val df = rows.toDF("trade_id", "timestamp", "underlying", "expiry",
+      "strike", "iv", "spot_price")
+    val out = RnDensity.density(df).collect()
+    assert(out.length == 139) // interior strikes only
+    assert(out.forall(_.getAs[Boolean]("convex_ok")),
+      "flat-vol BS surface must be butterfly-arbitrage-free")
+    // ∫ q(K) dK = 1 over full coverage (trapezoid on the 1k grid)
+    val mass = out.map(r => r.getAs[Double]("density") * 1000.0).sum
+    assert(math.abs(mass - 1.0) < 0.02, s"density mass $mass")
+  }
+
+  test("bsCall is monotone in sigma and respects no-arbitrage bounds") {
+    import graft.functions.ImpliedVol
+    val (s, k, t, r) = (50000.0, 55000.0, 0.25, 0.02)
+    val sigmas = Seq(0.05, 0.2, 0.5, 1.0, 2.0, 4.0)
+    val prices = sigmas.map(ImpliedVol.bsCall(s, k, t, r, _))
+    assert(prices.zip(prices.tail).forall { case (a, b) => a < b },
+      s"not monotone: $prices")
+    // C in (max(S - K e^{-rT}, 0), S)
+    val intrinsic = math.max(s - k * math.exp(-r * t), 0.0)
+    prices.foreach(p => assert(p > intrinsic && p < s))
+  }
+
+  test("bisection recovers the pricing sigma across the surface") {
+    import graft.functions.ImpliedVol
+    val r = Greeks.DefaultRiskFreeRate
+    for {
+      s <- Seq(30000.0, 50000.0)
+      mny <- Seq(0.7, 0.95, 1.0, 1.1, 1.6)
+      t <- Seq(0.02, 0.25, 1.5)
+      sigma <- Seq(0.08, 0.45, 1.2, 3.0)
+    } {
+      val k = s * mny
+      val px = ImpliedVol.bsCall(s, k, t, r, sigma)
+      val solved = ImpliedVol.bisect(px, s, k, t, r)
+      // price-space residual is the guarantee (sigma-space error can
+      // be large where vega ~ 0, e.g. deep OTM short-dated)
+      val resid = math.abs(ImpliedVol.bsCall(s, k, t, r, solved) - px)
+      assert(resid < 1e-7, s"resid $resid at s=$s k=$k t=$t sig=$sigma")
+    }
+  }
+
+  test("ImpliedVolBisect expression matches the kernel through codegen") {
+    import spark.implicits._
+    import graft.functions.{ImpliedVol, ImpliedVolColumns}
+    val r = Greeks.DefaultRiskFreeRate
+    val rows = Seq(
+      (45000.0, 44000.0, 0.3, 0.55),
+      (45000.0, 60000.0, 0.8, 0.95),
+      (45000.0, 45000.0, 0.05, 0.35))
+    val df = rows.toDF("spot", "strike", "t", "sigma")
+      .withColumn("px", ImpliedVolColumns.bsCall(
+        col("spot"), col("strike"), col("t"), col("sigma"), r))
+      .withColumn("iv", ImpliedVolColumns.impliedVol(
+        col("px"), col("spot"), col("strike"), col("t"), r))
+    val got = df.select("spot", "strike", "t", "px", "iv").collect()
+    got.zip(rows).foreach { case (row, (s, k, t, sigma)) =>
+      val px = ImpliedVol.bsCall(s, k, t, r, sigma)
+      assert(row.getDouble(3) == px, "expression px != kernel px")
+      assert(row.getDouble(4) == ImpliedVol.bisect(px, s, k, t, r),
+        "expression iv != kernel iv")
+    }
+    // null propagation
+    val n = Seq((Option.empty[Double], 1.0))
+      .toDF("spot", "strike")
+      .select(ImpliedVolColumns.bsCall(col("spot"), col("strike"),
+        lit(0.5), lit(0.5), r).as("px"))
+      .collect().head
+    assert(n.isNullAt(0))
+  }
+
 }

@@ -46,7 +46,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // what the harness wrote (memory table / temp parquet) — planOf
     // would EXECUTE the whole stream/write just to audit a trivial
     // scan
-    "st11_stream_merge", "s12_csv_corrupt", "s13_compaction")
+    "st11_stream_merge", "s12_csv_corrupt", "s13_compaction",
+    "s14_jdbc_roundtrip")
 
   test("no registered query plans a cartesian product") {
     for (name <- SparkEntry.queries.keys if !driverSide(name)) {
@@ -97,7 +98,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "llm_perplexity_cut", "a18_quality_sketch", "llm_lang_balance",
       "llm_tfidf_topterms", "llm_mix_weights", "llm_dataset_card",
       "llm_bm25_topk", "llm_dsir_select", "llm_retrieval_eval",
-      "llm_kn_bigram", "llm_heaps_fit", "llm_bpe_encode")
+      "llm_kn_bigram", "llm_heaps_fit", "llm_bpe_encode",
+      "m21_rn_density", "m22_calendar_arb")
     val boundedPickBuild = Set("llm_ann_topk", "llm_ann_pq",
       "llm_ann_recall", "llm_ann_recall_curve", "llm_mrl_recall")
     for (name <- SparkEntry.queries.keys if !driverSide(name)) {
