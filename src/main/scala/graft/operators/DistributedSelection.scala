@@ -95,6 +95,49 @@ object DistributedSelection {
         }: _*)
   }
 
+  /** Exact INTERPOLATED quantiles per key (ANSI PERCENTILE_CONT
+    * semantics) — the continuous companion to [[quantiles]]'s
+    * discrete selection, on the same scale-safe scaffolding. For
+    * q = a/b over n rows, the target position is 1 + q·(n−1); in
+    * pure integer math: lo = 1 + (a·(n−1)) div b, remainder
+    * r = (a·(n−1)) mod b, hi = lo + (1 if r > 0). The result
+    * interpolates v(lo) + (r·(v(hi) − v(lo)))/b — rank arithmetic is
+    * exact integers and the interpolation runs the identical double
+    * ops on identically-selected elements, so any engine reproduces
+    * it bit-for-bit. One row per key: `n_trades` + a column per
+    * quantile name. */
+  def quantilesCont(df: DataFrame, keyCol: String, valCol: String,
+      qs: Seq[(Int, Int, String)]): DataFrame = {
+    val cum = cumulativeFreq(df, keyCol, valCol)
+    def hits(r: Column): Column =
+      col("_cum") - col("_cnt") < r && r <= col("_cum")
+    val specs = qs.map { case (a, b, name) =>
+      val lo = expr(s"1L + (((_n - 1L) * $a) div $b)")
+      val rem = expr(s"((_n - 1L) * $a) % $b")
+      val hi = lo + when(rem > 0, lit(1L)).otherwise(lit(0L))
+      (name, lo, hi, rem, b)
+    }
+    val aggd = cum
+      .filter(specs.map { case (_, lo, hi, _, _) => hits(lo) || hits(hi) }
+        .reduce(_ || _))
+      .groupBy(col(keyCol))
+      .agg(max(col("_n")).as("n_trades"),
+        specs.flatMap { case (name, lo, hi, rem, _) =>
+          Seq(
+            max(when(hits(lo), col(valCol))).as(s"_lo_$name"),
+            max(when(hits(hi), col(valCol))).as(s"_hi_$name"),
+            max(rem).as(s"_rem_$name"))
+        }: _*)
+    aggd.select(
+      col(keyCol) +: col("n_trades") +:
+        specs.map { case (name, _, _, _, b) =>
+          (col(s"_lo_$name") +
+            (col(s"_rem_$name").cast("double") *
+              (col(s"_hi_$name") - col(s"_lo_$name"))) / lit(b.toDouble))
+            .as(name)
+        }: _*)
+  }
+
   /** Exact symmetric trimmed mean per key: drop the lowest and
     * highest floor(n·trimNum/trimDen) elements, average the rest.
     * Each (key, value) row contributes its rank-range overlap with

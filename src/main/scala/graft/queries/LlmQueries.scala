@@ -1782,6 +1782,70 @@ object LlmQueries {
        |LEFT JOIN ov ON ov.query_id = q.query_id""".stripMargin
   }
 
+  // ---- Misra-Gries heavy hitters (guarantee-gated sketch) ----
+
+  // k sized against the synthetic corpus's near-uniform 31-word
+  // vocabulary (top word ~3.5% of the stream): k=29 puts the
+  // guarantee threshold 1/(k+1) = 3.33% BELOW the head words (the
+  // gate is non-vacuous — ~a dozen guaranteed rows) while keeping
+  // k < |vocab| so the counter table actually evicts
+  private val MgK = 29
+  private val MgTopRows = 20
+
+  /** Mergeable Misra-Gries sketch over the corpus word stream
+    * ([[graft.operators.HeavyHitters]]), gated on its DETERMINISTIC
+    * guarantee rather than the (merge-order-dependent) summary
+    * content: the oracle derives the exact frequency table, the total
+    * stream length N, and the guaranteed set {freq·(k+1) > N}; every
+    * guaranteed word in the top-[[MgTopRows]] must be captured by the
+    * sketch (`mg_captured`) with estimate short by at most N/(k+1)
+    * (`est_ok`) — the oracle states both as `true`, so a summary
+    * losing a guaranteed item or blowing the error bound flips
+    * Spark's derived booleans against it. Rank window runs on the
+    * Heaps-bounded vocabulary table, not the stream. */
+  def heavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = docs(s, dir)
+    val sketch = graft.operators.HeavyHitters.misraGries(d, MgK)
+    val wf = d
+      .select(explode(graft.operators.TextDedup.words(col("text")))
+        .as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    val tot = wf.agg(sum(col("freq")).cast("long").as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("freq").desc, col("word"))
+    val sketchDf = sketch.toSeq.toDF("word", "est")
+    wf.withColumn("rank", row_number().over(w))
+      .crossJoin(broadcast(tot))
+      .filter(col("freq") * (MgK + 1) > col("n") &&
+        col("rank") <= MgTopRows)
+      .join(broadcast(sketchDf), Seq("word"), "left")
+      .select(col("word"), col("freq"), col("rank"),
+        col("est").isNotNull.as("mg_captured"),
+        (col("est").isNotNull &&
+          (col("freq") - coalesce(col("est"), lit(0L))) * (MgK + 1)
+            <= col("n")).as("est_ok"))
+  }
+
+  val heavyHittersOracle: String =
+    s"""WITH $wrdsCte,
+       |wf AS (
+       |  SELECT word, count(*) AS c
+       |  FROM (SELECT unnest(w) AS word FROM wrds)
+       |  WHERE len(word) > 0 GROUP BY 1
+       |),
+       |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM wf),
+       |ranked AS (
+       |  SELECT word, c, row_number() OVER (ORDER BY c DESC, word)
+       |    AS rank
+       |  FROM wf
+       |)
+       |SELECT r.word, r.c AS freq, CAST(r.rank AS INT) AS rank,
+       |  true AS mg_captured, true AS est_ok
+       |FROM ranked r CROSS JOIN tot t
+       |WHERE r.c * ${MgK + 1} > t.n AND r.rank <= $MgTopRows""".stripMargin
+
   // ---- corpus n-gram heavy hitters ----
 
   private val TopNgramN = 2
@@ -2264,6 +2328,7 @@ object LlmQueries {
     "llm_ann_ivfpq" -> QueryDef(annIvfPq _, None),
     "llm_ann_recall" -> QueryDef(annIvfRecall _, None),
     "llm_ann_recall_curve" -> QueryDef(annIvfRecallCurve _, None),
+    "llm_heavy_hitters" -> QueryDef(heavyHitters _, heavyHittersOracle),
     "llm_decontaminate" -> QueryDef(decontaminate _, decontaminateOracle),
     "llm_curation_e2e" -> QueryDef(curationE2e _, curationE2eOracle),
     "llm_embed_clusters" -> QueryDef(embedClusters _, embedClustersOracle),

@@ -140,8 +140,43 @@ object RelationalQueries {
        |GROUP BY r_name, n_name""".stripMargin
   }
 
+  /** ROLLUP hierarchy totals (SQL grouping-sets surface): per-(flag,
+    * status) → per-flag subtotal → grand total in ONE pass — Spark's
+    * Expand operator replicates each input row once per grouping set
+    * ahead of a single hash aggregate, so the hierarchy costs one
+    * shuffle, not three scans. `gid` composes GROUPING bits
+    * (first column = MSB, Spark's grouping_id numbering) and group
+    * keys surface as explicit strings ('ALL' for rolled-up levels)
+    * so neither engine's NULL-vs-rolled-up ambiguity reaches the
+    * comparator. */
+  def q6Rollup(s: SparkSession, dir: String): DataFrame =
+    li(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        Parity.dsum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n_rows"),
+        grouping_id().cast("int").as("gid"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("n_rows"), col("gid"))
+
+  val q6RollupOracle: String = {
+    import Parity._
+    s"""SELECT
+       |  coalesce(l_returnflag, 'ALL') AS returnflag,
+       |  coalesce(l_linestatus, 'ALL') AS linestatus,
+       |  ${duckDsum("l_quantity")} AS sum_qty,
+       |  count(*) AS n_rows,
+       |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT)
+       |    AS gid
+       |FROM lineitem
+       |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q1_agg" -> QueryDef(q1Agg _, q1AggOracle),
+    "q6_rollup" -> QueryDef(q6Rollup _, q6RollupOracle),
     "f1_filter_project" -> QueryDef(f1Filter _, f1FilterOracle),
     "o1_topk" -> QueryDef(o1TopK _, o1TopKOracle),
     "j2_broadcast_join" -> QueryDef(j2BroadcastJoin _, j2BroadcastJoinOracle),

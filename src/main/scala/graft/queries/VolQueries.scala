@@ -304,6 +304,53 @@ object VolQueries {
        |   OR rn = (n * 99 + 99) // 100
        |GROUP BY underlying""".stripMargin
 
+  private val ContQs = Seq((1, 4, "p25_cont"), (1, 2, "p50_cont"),
+    (3, 4, "p75_cont"), (9, 10, "p90_cont"))
+
+  def a32PercentileCont(s: SparkSession, dir: String): DataFrame =
+    graft.operators.DistributedSelection.quantilesCont(
+      trades(s, dir).select("underlying", "amount"),
+      "underlying", "amount", ContQs)
+
+  /** ANSI PERCENTILE_CONT on the distributed-selection scaffolding
+    * (a21 is the discrete rank pick; this interpolates). The oracle
+    * restates the integer rank math (lo = 1 + (a·(n−1)) // b,
+    * remainder mod b) over a rank window and runs the IDENTICAL
+    * interpolation doubles — deliberately NOT DuckDB's own
+    * quantile_cont, whose internal arithmetic order is unspecified;
+    * both engines interpolate the same two exactly-selected
+    * elements the same way. */
+  val a32Oracle: String = {
+    val selects = ContQs.map { case (a, b, name) =>
+      val lo = s"(1 + ((n - 1) * $a) // $b)"
+      val rem = s"(((n - 1) * $a) % $b)"
+      val hi = s"($lo + CASE WHEN $rem > 0 THEN 1 ELSE 0 END)"
+      s"""  max(CASE WHEN rn = $lo THEN amount END)
+         |    + (CAST(max($rem) AS DOUBLE)
+         |       * (max(CASE WHEN rn = $hi THEN amount END)
+         |          - max(CASE WHEN rn = $lo THEN amount END)))
+         |      / CAST($b AS DOUBLE) AS $name""".stripMargin
+    }.mkString(",\n")
+    val anyHit = ContQs.map { case (a, b, _) =>
+      val lo = s"(1 + ((n - 1) * $a) // $b)"
+      val hi = s"($lo + CASE WHEN (((n - 1) * $a) % $b) > 0 THEN 1 ELSE 0 END)"
+      s"rn = $lo OR rn = $hi"
+    }.mkString(" OR ")
+    s"""WITH ${SyntheticTrades.tradesCte},
+       |ranked AS (
+       |  SELECT underlying, amount,
+       |    row_number() OVER (PARTITION BY underlying
+       |      ORDER BY amount, trade_id) AS rn,
+       |    count(*) OVER (PARTITION BY underlying) AS n
+       |  FROM trades
+       |)
+       |SELECT underlying, max(n) AS n_trades,
+       |$selects
+       |FROM ranked
+       |WHERE $anyHit
+       |GROUP BY underlying""".stripMargin
+  }
+
   def a22TrimmedMean(s: SparkSession, dir: String): DataFrame =
     graft.operators.DistributedSelection.trimmedMean(
       trades(s, dir).select("underlying", "amount"),
@@ -584,6 +631,7 @@ object VolQueries {
     "m18_amihud" -> QueryDef(m18Amihud _, m18Oracle),
     "m17_kyle_lambda" -> QueryDef(m17KyleLambda _, m17Oracle),
     "a21_size_quantiles" -> QueryDef(a21SizeQuantiles _, a21Oracle),
+    "a32_percentile_cont" -> QueryDef(a32PercentileCont _, a32Oracle),
     "a22_trimmed_mean" -> QueryDef(a22TrimmedMean _, a22Oracle),
     "a23_max_pain" -> QueryDef(a23MaxPain _, a23Oracle),
     "a24_mad_outliers" -> QueryDef(a24MadOutliers _, a24Oracle),

@@ -99,4 +99,40 @@ object Round10Props extends Properties("Round10") {
           r.getSeq[Long](1).toSet).toMap
       sets(1L).intersect(sets(2L)).nonEmpty
     }
+
+  // ---- Misra-Gries guarantee under arbitrary split/merge order ----
+
+  private val mgGen: Gen[(List[String], Int, List[Int])] = for {
+    n <- Gen.choose(10, 400)
+    // zipf-ish alphabet: low ids much likelier
+    stream <- Gen.listOfN(n,
+      Gen.frequency((40, Gen.const(0)), (20, Gen.const(1)),
+        (10, Gen.const(2)), (10, Gen.choose(3, 6)),
+        (20, Gen.choose(7, 30))).map(i => s"w$i"))
+    k <- Gen.choose(2, 9)
+    nSplits <- Gen.choose(1, 6)
+    cuts <- Gen.listOfN(nSplits, Gen.choose(0, n))
+  } yield (stream, k, cuts)
+
+  property("MG summary keeps every freq>N/(k+1) item within N/(k+1) error") =
+    forAll(mgGen) { case (stream, k, cuts) =>
+      import graft.operators.HeavyHitters
+      // split the stream at arbitrary points, summarize each part,
+      // merge left-to-right — the partition/merge shape Spark uses
+      val bounds = (0 +: cuts.sorted :+ stream.length).distinct.sorted
+      val parts = bounds.zip(bounds.tail)
+        .map { case (a, b) => stream.slice(a, b) }
+      val sk = parts.map(p => HeavyHitters.summarize(p, k))
+        .foldLeft(Map.empty[String, Long])(HeavyHitters.merge(_, _, k))
+      val exact = stream.groupBy(identity).view.mapValues(_.size.toLong)
+      val n = stream.length.toLong
+      val guaranteedOk = exact.forall { case (w, f) =>
+        f * (k + 1) <= n ||
+          sk.get(w).exists(est => est <= f && (f - est) * (k + 1) <= n)
+      }
+      val noOverestimate = sk.forall { case (w, est) =>
+        est <= exact.getOrElse(w, 0L)
+      }
+      guaranteedOk && noOverestimate && sk.size <= k
+    }
 }
