@@ -146,4 +146,59 @@ object Greeks {
         Parity.dsum(hedgeTerm).as("hedge_pnl"))
       .withColumn("hedged_pnl", col("option_pnl") - col("hedge_pnl"))
   }
+
+  /** M23: Taylor P&L attribution — decompose each instrument's
+    * step-to-step price change into the classic greek ladder taken at
+    * the PREVIOUS quote (delta·ΔS + ½γ·ΔS² + vega·Δσ + θ·Δt) and
+    * surface the unexplained residual per (underlying, expiry). The
+    * desk-level "P&L explain" report the reference computes greeks
+    * FOR (features/greeks.py) but never assembles. Delta is the
+    * premium-adjusted (inverse-quote) delta — the hedge ratio m19
+    * replays; vega is per vol point so Δσ is scaled ×100; theta is
+    * per calendar day so Δt is epoch-seconds/86400.
+    *
+    * Shape: same single instrument-keyed window exchange as
+    * [[hedgedPnl]] (all lags ride one window), then one expiry-keyed
+    * hash aggregate; residual is post-aggregate column arithmetic.
+    * Exactness: every greek-carrying product is 6-dp-quantized before
+    * its exact decimal sum (the repo-wide transcendental-sum
+    * contract); ΔS/Δprice/Δσ/Δt are exact doubles by construction. */
+  def pnlAttribution(greeks: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("instrument_name"))
+      .orderBy(col("ep"), col("trade_id"))
+    val stepped = greeks
+      .withColumn("ep", unix_timestamp(col("timestamp")))
+      .filter(col("adjusted_delta").isNotNull && col("spot_price") > 0)
+      .withColumn("prev_price", lag(col("price"), 1).over(w))
+      .withColumn("prev_spot", lag(col("spot_price"), 1).over(w))
+      .withColumn("prev_iv", lag(col("iv"), 1).over(w))
+      .withColumn("prev_ep", lag(col("ep"), 1).over(w))
+      .withColumn("prev_delta", lag(col("adjusted_delta"), 1).over(w))
+      .withColumn("prev_gamma", lag(col("gamma"), 1).over(w))
+      .withColumn("prev_vega", lag(col("vega"), 1).over(w))
+      .withColumn("prev_theta", lag(col("theta"), 1).over(w))
+      .filter(col("prev_price").isNotNull)
+    val dS = col("spot_price") - col("prev_spot")
+    val deltaTerm = Parity.roundTo(col("prev_delta") * dS, 6)
+    val gammaTerm = Parity.roundTo(lit(0.5) * col("prev_gamma") * dS * dS, 6)
+    val vegaTerm = Parity.roundTo(
+      col("prev_vega") * ((col("iv") - col("prev_iv")) * 100.0), 6)
+    val thetaTerm = Parity.roundTo(
+      col("prev_theta") *
+        ((col("ep") - col("prev_ep")).cast("double") / 86400.0), 6)
+    stepped
+      .groupBy(col("underlying"),
+        date_format(col("expiry"), "yyyy-MM-dd").as("expiry_date"))
+      .agg(
+        count(lit(1)).as("n_steps"),
+        Parity.dsum(col("price") - col("prev_price")).as("option_pnl"),
+        Parity.dsum(deltaTerm).as("delta_pnl"),
+        Parity.dsum(gammaTerm).as("gamma_pnl"),
+        Parity.dsum(vegaTerm).as("vega_pnl"),
+        Parity.dsum(thetaTerm).as("theta_pnl"))
+      .withColumn("explained_pnl",
+        col("delta_pnl") + col("gamma_pnl") + col("vega_pnl") +
+          col("theta_pnl"))
+      .withColumn("residual_pnl", col("option_pnl") - col("explained_pnl"))
+  }
 }

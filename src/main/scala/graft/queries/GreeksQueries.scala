@@ -418,9 +418,61 @@ object GreeksQueries {
        |  (w_prev IS NULL OR w >= w_prev) AS calendar_ok
        |FROM lad""".stripMargin
 
+  // ---- M23: Taylor P&L attribution ----
+
+  def m23PnlAttribution(s: SparkSession, dir: String): DataFrame =
+    Greeks.pnlAttribution(greeksDf(s, dir))
+
+  /** Mirror of [[Greeks.pnlAttribution]]: same base filter, same
+    * single instrument-keyed lag window as m19, every greek-carrying
+    * term 6-dp-quantized before its exact decimal sum, explained/
+    * residual assembled from the summed columns post-aggregate. */
+  val m23Oracle: String =
+    s"""WITH $greeksCte,
+       |base AS (
+       |  SELECT * FROM greeks_adj
+       |  WHERE adjusted_delta IS NOT NULL AND spot_price > 0
+       |),
+       |stp AS (
+       |  SELECT *,
+       |    lag(price) OVER w AS prev_price,
+       |    lag(spot_price) OVER w AS prev_spot,
+       |    lag(iv) OVER w AS prev_iv,
+       |    lag(ep) OVER w AS prev_ep,
+       |    lag(adjusted_delta) OVER w AS prev_delta,
+       |    lag(gamma) OVER w AS prev_gamma,
+       |    lag(vega) OVER w AS prev_vega,
+       |    lag(theta) OVER w AS prev_theta
+       |  FROM base
+       |  WINDOW w AS (PARTITION BY instrument_name ORDER BY ep, trade_id)
+       |),
+       |fl AS (SELECT * FROM stp WHERE prev_price IS NOT NULL),
+       |aggd AS (
+       |  SELECT underlying, strftime(expiry, '%Y-%m-%d') AS expiry_date,
+       |    count(*) AS n_steps,
+       |    ${duckDsum("price - prev_price")} AS option_pnl,
+       |    ${duckDsum(duckRoundTo(
+              "prev_delta * (spot_price - prev_spot)", 6))} AS delta_pnl,
+       |    ${duckDsum(duckRoundTo(
+              "0.5 * prev_gamma * (spot_price - prev_spot)" +
+                " * (spot_price - prev_spot)", 6))} AS gamma_pnl,
+       |    ${duckDsum(duckRoundTo(
+              "prev_vega * ((iv - prev_iv) * 100.0)", 6))} AS vega_pnl,
+       |    ${duckDsum(duckRoundTo(
+              "prev_theta * (CAST(ep - prev_ep AS DOUBLE) / 86400.0)",
+              6))} AS theta_pnl
+       |  FROM fl GROUP BY 1, 2
+       |)
+       |SELECT *,
+       |  delta_pnl + gamma_pnl + vega_pnl + theta_pnl AS explained_pnl,
+       |  option_pnl - (delta_pnl + gamma_pnl + vega_pnl + theta_pnl)
+       |    AS residual_pnl
+       |FROM aggd""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
     "m1_greeks" -> QueryDef(m1Greeks _, m1Oracle),
     "m19_hedged_pnl" -> QueryDef(m19HedgedPnl _, m19Oracle),
+    "m23_pnl_attribution" -> QueryDef(m23PnlAttribution _, m23Oracle),
     "m20_implied_vol" -> QueryDef(m20ImpliedVol _, None),
     "m21_rn_density" -> QueryDef(m21RnDensity _, m21Oracle),
     "m22_calendar_arb" -> QueryDef(m22CalendarArb _, m22Oracle),

@@ -274,8 +274,55 @@ object RetrievalQueries {
        |  (logratio_sum / n_tokens > 0.0) AS keep
        |FROM perdoc""".stripMargin
 
+  // ---- TF-IDF cosine pairs (df-pruned inverted index) ----
+
+  def tfidfCosine(s: SparkSession, dir: String): DataFrame =
+    TextRetrieval.tfidfCosinePairs(docs(s, dir))
+
+  /** Full-pipeline mirror of [[TextRetrieval.tfidfCosinePairs]]:
+    * raw (with-multiplicity) 3-gram shingles, tf, df, the 6-dp
+    * idf = ln(N/df), decimal-exact norm and dot sums, cosine and the
+    * threshold — nothing echoed. */
+  val tfidfCosineOracle: String =
+    s"""WITH $wrdsCte,
+       |sh AS (
+       |  SELECT doc_id,
+       |    unnest([array_to_string(w[i:i+2], ' ')
+       |            for i in range(1, len(w)-1)]) AS shingle
+       |  FROM wrds WHERE len(w) >= 3
+       |),
+       |tf AS (SELECT doc_id, shingle, count(*) AS tf FROM sh GROUP BY 1, 2),
+       |nn AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+       |dfreq AS (SELECT shingle, count(*) AS df FROM tf GROUP BY 1),
+       |pruned AS (
+       |  SELECT t.doc_id, t.shingle,
+       |    t.tf * ${Parity.duckRoundTo("ln(CAST(n AS DOUBLE) / df)", 6)}
+       |      AS w
+       |  FROM tf t JOIN dfreq USING (shingle), nn
+       |  WHERE df BETWEEN 2 AND 10
+       |),
+       |nrm AS (
+       |  SELECT doc_id, ${Parity.duckDsum("w * w")} AS n2
+       |  FROM pruned GROUP BY 1
+       |),
+       |dots AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    count(*) AS n_shared,
+       |    ${Parity.duckDsum("a.w * b.w")} AS dot
+       |  FROM pruned a
+       |  JOIN pruned b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT doc_a, doc_b, n_shared,
+       |  dot / sqrt(na.n2 * nb.n2) AS cosine
+       |FROM dots
+       |JOIN nrm na ON na.doc_id = doc_a
+       |JOIN nrm nb ON nb.doc_id = doc_b
+       |WHERE dot / sqrt(na.n2 * nb.n2) >= 0.3""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
     "llm_bm25_topk" -> QueryDef(bm25TopK _, bm25Oracle),
     "llm_retrieval_eval" -> QueryDef(retrievalEval _, retrievalEvalOracle),
-    "llm_dsir_select" -> QueryDef(dsirSelect _, dsirOracle))
+    "llm_dsir_select" -> QueryDef(dsirSelect _, dsirOracle),
+    "llm_tfidf_cosine" -> QueryDef(tfidfCosine _, tfidfCosineOracle))
 }

@@ -209,11 +209,102 @@ object ScaleQueries {
        |WHERE strike IN (8000.0, 8250.0, 8500.0)
        |GROUP BY 1""".stripMargin
 
+  /** x7: Z-order vs single-dimension-sort layout, audited by
+    * replaying a (time-range × strike-range) box query against
+    * per-file min/max footers — the 2-D pruning the reference's
+    * 1-D ClickHouse primary key cannot give. The box straddles the
+    * top quadrant boundary (the z-curve's worst alignment), so the
+    * emitted zorder/linear `files_hit` gap is the honest lower bound
+    * of the layout's skipping win. */
+  def x7ZorderLayout(s: SparkSession, dir: String): DataFrame =
+    graft.operators.ZOrderLayout.audit(
+      SyntheticTrades.trades(s, dir),
+      dim1 = unix_timestamp(col("timestamp")),
+      dim2 = col("strike"))
+
+  val x7Oracle: String = {
+    import graft.operators.ZOrderLayout.duckMorton
+    s"""WITH ${SyntheticTrades.tradesCte},
+       |base AS (
+       |  SELECT ${duckEpochS("\"timestamp\"")} AS v1,
+       |    CAST(strike AS BIGINT) AS v2
+       |  FROM trades
+       |),
+       |st AS (
+       |  SELECT min(v1) AS mn1, max(v1) AS mx1,
+       |    min(v2) AS mn2, max(v2) AS mx2
+       |  FROM base
+       |),
+       |q AS (
+       |  SELECT (v1 - mn1) * 256 // (mx1 - mn1 + 1) AS b1,
+       |    (v2 - mn2) * 256 // (mx2 - mn2 + 1) AS b2
+       |  FROM base, st
+       |),
+       |coded AS (
+       |  SELECT b1, b2,
+       |    ${duckMorton("b1", "b2", 8)} >> 10 AS f_z,
+       |    (b1 * 256 + b2) >> 10 AS f_lin
+       |  FROM q
+       |),
+       |zf AS (
+       |  SELECT f_z, min(b1) AS f_mn1, max(b1) AS f_mx1,
+       |    min(b2) AS f_mn2, max(b2) AS f_mx2,
+       |    count(*) AS f_rows,
+       |    CAST(sum(CASE WHEN b1 BETWEEN 96 AND 159
+       |      AND b2 BETWEEN 96 AND 159 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS f_box
+       |  FROM coded GROUP BY 1
+       |),
+       |lf AS (
+       |  SELECT f_lin, min(b1) AS f_mn1, max(b1) AS f_mx1,
+       |    min(b2) AS f_mn2, max(b2) AS f_mx2,
+       |    count(*) AS f_rows,
+       |    CAST(sum(CASE WHEN b1 BETWEEN 96 AND 159
+       |      AND b2 BETWEEN 96 AND 159 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS f_box
+       |  FROM coded GROUP BY 1
+       |),
+       |summz AS (
+       |  SELECT 'zorder' AS layout,
+       |    count(*) AS n_files,
+       |    CAST(sum(CASE WHEN f_mn1 <= 159 AND f_mx1 >= 96
+       |      AND f_mn2 <= 159 AND f_mx2 >= 96 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS files_hit,
+       |    CAST(sum(f_rows) AS BIGINT) AS n_rows,
+       |    CAST(sum(f_box) AS BIGINT) AS box_rows,
+       |    CAST(sum(CASE WHEN f_mn1 <= 159 AND f_mx1 >= 96
+       |      AND f_mn2 <= 159 AND f_mx2 >= 96 THEN f_rows ELSE 0 END)
+       |      AS BIGINT) AS rows_scanned
+       |  FROM zf
+       |),
+       |summl AS (
+       |  SELECT 'linear' AS layout,
+       |    count(*) AS n_files,
+       |    CAST(sum(CASE WHEN f_mn1 <= 159 AND f_mx1 >= 96
+       |      AND f_mn2 <= 159 AND f_mx2 >= 96 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS files_hit,
+       |    CAST(sum(f_rows) AS BIGINT) AS n_rows,
+       |    CAST(sum(f_box) AS BIGINT) AS box_rows,
+       |    CAST(sum(CASE WHEN f_mn1 <= 159 AND f_mx1 >= 96
+       |      AND f_mn2 <= 159 AND f_mx2 >= 96 THEN f_rows ELSE 0 END)
+       |      AS BIGINT) AS rows_scanned
+       |  FROM lf
+       |)
+       |SELECT layout, n_files, files_hit, n_rows, box_rows, rows_scanned,
+       |  CAST(rows_scanned AS DOUBLE) / n_rows AS scan_frac
+       |FROM summz
+       |UNION ALL
+       |SELECT layout, n_files, files_hit, n_rows, box_rows, rows_scanned,
+       |  CAST(rows_scanned AS DOUBLE) / n_rows AS scan_frac
+       |FROM summl""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "x1_salted_agg" -> QueryDef(x1SaltedDailyVolume _, x1Oracle),
     "x2_bucketed_join" -> QueryDef(x2BucketedJoin _, x2Oracle),
     "x3_dpp_join" -> QueryDef(x3DppJoin _, x3Oracle),
     "x4_skew_join_total" -> QueryDef(x4SkewJoinTotal _, skewTotalOracle),
     "x5_skew_window_direct" -> QueryDef(x5SkewWindowDirect _, skewTotalOracle),
-    "x6_bloom_join" -> QueryDef(x6BloomJoin _, x6Oracle))
+    "x6_bloom_join" -> QueryDef(x6BloomJoin _, x6Oracle),
+    "x7_zorder_layout" -> QueryDef(x7ZorderLayout _, x7Oracle))
 }

@@ -99,7 +99,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "llm_tfidf_topterms", "llm_mix_weights", "llm_dataset_card",
       "llm_bm25_topk", "llm_dsir_select", "llm_retrieval_eval",
       "llm_kn_bigram", "llm_heaps_fit", "llm_bpe_encode",
-      "m21_rn_density", "m22_calendar_arb", "llm_heavy_hitters")
+      "m21_rn_density", "m22_calendar_arb", "llm_heavy_hitters",
+      "x7_zorder_layout", "llm_tfidf_cosine")
     val boundedPickBuild = Set("llm_ann_topk", "llm_ann_pq",
       "llm_ann_recall", "llm_ann_recall_curve", "llm_mrl_recall")
     for (name <- SparkEntry.queries.keys if !driverSide(name)) {
