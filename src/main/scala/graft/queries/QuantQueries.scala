@@ -394,7 +394,97 @@ object QuantQueries {
        |    ORDER BY vol_dec DESC, bin) = 1 AS is_poc
        |FROM prof""".stripMargin
 
+  // ---- M24: IV term-structure PCA (echo+verify) ----
+
+  /** SQL spelling of the daily panel → exact 4×4 covariance chain —
+    * shared by the dynamic oracle so every aggregation stage of
+    * [[graft.operators.TermPca]] is independently re-derived. */
+  private val m24CovCte: String = {
+    val ids = 0 until 4
+    val sums = ids.map(i => s"${duckDsum(s"b$i")} AS s$i") ++
+      (for (i <- ids; j <- i until 4)
+        yield s"${duckDsum(s"b$i * b$j")} AS s${i}_$j")
+    val covs = for (i <- ids; j <- i until 4) yield
+      s"(s${i}_$j - s$i * s$j / CAST(n AS DOUBLE))" +
+        s" / (CAST(n AS DOUBLE) - 1.0) AS c${i}_$j"
+    s"""pb AS (
+       |  SELECT strftime("timestamp", '%Y-%m-%d') AS day,
+       |    CASE WHEN dte <= 21 THEN 0 WHEN dte <= 36 THEN 1
+       |         WHEN dte <= 51 THEN 2 ELSE 3 END AS b,
+       |    ${duckRoundTo(duckDavg("iv"), 6)} AS biv
+       |  FROM (SELECT iv, "timestamp",
+       |          date_diff('day', CAST("timestamp" AS DATE), expiry) AS dte
+       |        FROM trades WHERE iv IS NOT NULL)
+       |  GROUP BY 1, 2
+       |),
+       |wide AS (
+       |  SELECT day,
+       |    max(CASE WHEN b = 0 THEN biv END) AS b0,
+       |    max(CASE WHEN b = 1 THEN biv END) AS b1,
+       |    max(CASE WHEN b = 2 THEN biv END) AS b2,
+       |    max(CASE WHEN b = 3 THEN biv END) AS b3
+       |  FROM pb GROUP BY 1
+       |),
+       |panel AS (
+       |  SELECT * FROM wide
+       |  WHERE b0 IS NOT NULL AND b1 IS NOT NULL
+       |    AND b2 IS NOT NULL AND b3 IS NOT NULL
+       |),
+       |mo AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n, ${sums.mkString(",\n    ")}
+       |  FROM panel
+       |),
+       |cv AS (SELECT n, ${covs.mkString(",\n    ")} FROM mo)""".stripMargin
+  }
+
+  /** The pinned-eigenpair gate: loadings/λ echoed as exact literals,
+    * covariance re-derived in SQL, `eigen_ok` = ‖Cv − λv‖∞ < 1e-8
+    * and the λ/trace share DERIVED — a wrong eigenpair or any panel
+    * drift breaks the hash. */
+  private def m24Oracle(lambda: Double, v: Array[Double]): String = {
+    import graft.operators.TermPca.BucketNames
+    def cc(i: Int, j: Int) = if (i <= j) s"c${i}_$j" else s"c${j}_$i"
+    val lamL = duckDoubleLit(lambda)
+    val vL = v.map(duckDoubleLit)
+    val resid = (0 until 4).map { i =>
+      val cv = (0 until 4).map(j => s"${cc(i, j)} * ${vL(j)}")
+        .mkString(" + ")
+      s"abs(($cv) - $lamL * ${vL(i)})"
+    }.mkString("greatest(", ", ", ")")
+    val rows = BucketNames.zipWithIndex.map { case (bn, i) =>
+      s"('$bn', ${vL(i)})"
+    }.mkString(", ")
+    val norm2 = vL.map(x => s"$x * $x").mkString(" + ")
+    s"""WITH ${SyntheticTrades.tradesCte},
+       |$m24CovCte
+       |SELECT bucket, loading, $lamL AS lambda1,
+       |  $lamL / (c0_0 + c1_1 + c2_2 + c3_3) AS explained_frac,
+       |  ($resid < 1.0E-8) AS eigen_ok,
+       |  (abs(($norm2) - 1.0) < 1.0E-12) AS norm_ok
+       |FROM (VALUES $rows) AS t(bucket, loading), cv""".stripMargin
+  }
+
+  def m24TermPca(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.TermPca
+    val panel = TermPca.dailyPanel(trades(s, dir))
+    val (c, _) = TermPca.covFromMoments(TermPca.momentSums(panel).head())
+    val (lambda, v) = TermPca.topEigen(c)
+    val trace = (0 until 4).map(i => c(i)(i)).sum
+    val resid = (0 until 4).map { i =>
+      math.abs((0 until 4).map(j => c(i)(j) * v(j)).sum - lambda * v(i))
+    }.max
+    val eigenOk = resid < 1e-8
+    val normOk = math.abs(v.map(x => x * x).sum - 1.0) < 1e-12
+    DynamicOracles.put("m24_term_pca", m24Oracle(lambda, v))
+    TermPca.BucketNames.zipWithIndex.map { case (bn, i) =>
+      (bn, v(i), lambda, lambda / trace, eigenOk, normOk)
+    }.toDF("bucket", "loading", "lambda1", "explained_frac",
+      "eigen_ok", "norm_ok")
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "m24_term_pca" -> QueryDef(m24TermPca _, None),
     "a30_volume_profile" -> QueryDef(a30VolumeProfile _, a30Oracle),
     "m15_rolling_beta" -> QueryDef(m15RollingBeta _, m15Oracle),
     "a29_hour_profile" -> QueryDef(a29HourProfile _, a29Oracle),

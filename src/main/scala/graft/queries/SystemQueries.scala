@@ -788,7 +788,127 @@ object SystemQueries {
        |  min(ep) AS min_ep, max(ep) AS max_ep
        |FROM sub""".stripMargin
 
+  /** §2.9 + J2, OUTER: left-outer stream-stream bucket join — the
+    * coverage-monitor shape (st3 is the inner twin): trades in
+    * buckets where the thinned tick feed is silent emit with a null
+    * tick side once the global watermark passes their bucket. The
+    * tick side keeps only even 15-min buckets, so roughly half the
+    * trades exercise the null path; the oracle states BOTH sets —
+    * all matches, plus unmatched trades whose bucket end is at or
+    * below the final global watermark (min over the two sides of
+    * max event-time-ms − 30 min, the engine's multi-watermark `min`
+    * policy). */
+  def st13StreamOuterJoin(s: SparkSession, dir: String): DataFrame = {
+    val src = graft.util.TempDirs.scoped("st13-src")
+    val ckpt = graft.util.TempDirs.scoped("st13-ckpt")
+    val trades = SyntheticTrades.trades(s, dir)
+      .filter(col("trade_id").cast("long") % 97 === 0)
+      .select("trade_id", "underlying", "timestamp")
+    val ticks = SyntheticTrades.spotTicks(s, dir)
+      .filter(expr("(unix_timestamp(timestamp) div 900) % 2") === 0)
+    trades.write.mode("overwrite").parquet(s"$src/trades")
+    ticks.write.mode("overwrite").parquet(s"$src/ticks")
+    val ss = streamSession(s)
+    val tStream = ss.readStream.schema(trades.schema).parquet(s"$src/trades")
+    val kStream = ss.readStream.schema(ticks.schema).parquet(s"$src/ticks")
+    val q = StreamingIngest.spotTickLeftJoin(tStream, kStream)
+      .writeStream.format("memory").queryName("st13_ljoin")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    org.apache.spark.sql.GraftBridge.bindTo(ss.table("st13_ljoin"), s)
+  }
+
+  val st13Oracle: String =
+    s"""WITH ${SyntheticTrades.tradesCte},
+       |${SyntheticTrades.spotCte},
+       |t AS (
+       |  SELECT trade_id, underlying,
+       |    ${duckEpochS("\"timestamp\"")} AS ep
+       |  FROM trades WHERE CAST(trade_id AS BIGINT) % 97 = 0
+       |),
+       |k AS (
+       |  SELECT symbol, ep, close FROM (
+       |    SELECT symbol, ${duckEpochS("\"timestamp\"")} AS ep, close
+       |    FROM spot_ticks
+       |  ) WHERE (ep // 900) % 2 = 0
+       |),
+       |matched AS (
+       |  SELECT t.trade_id, t.underlying, t.ep AS trade_ep,
+       |    t.ep - t.ep % 900 AS bucket_ep, k.ep AS tick_ep, k.close
+       |  FROM t JOIN k ON k.symbol = t.underlying
+       |    AND k.ep - k.ep % 900 = t.ep - t.ep % 900
+       |),
+       |wm AS (
+       |  SELECT least(
+       |    (SELECT max(epoch_ms("timestamp")) FROM trades
+       |     WHERE CAST(trade_id AS BIGINT) % 97 = 0),
+       |    (SELECT max(epoch_ms("timestamp"))
+       |     FROM (SELECT ${duckEpochS("\"timestamp\"")} AS ep, "timestamp"
+       |           FROM spot_ticks) WHERE (ep // 900) % 2 = 0)
+       |  ) - 1800000 AS wm_ms
+       |),
+       |unmatched AS (
+       |  SELECT t.trade_id, t.underlying, t.ep AS trade_ep,
+       |    t.ep - t.ep % 900 AS bucket_ep,
+       |    CAST(NULL AS BIGINT) AS tick_ep, CAST(NULL AS DOUBLE) AS close
+       |  FROM t, wm
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM k WHERE k.symbol = t.underlying
+       |      AND k.ep - k.ep % 900 = t.ep - t.ep % 900)
+       |    AND (t.ep - t.ep % 900 + 900) * 1000 <= wm_ms
+       |)
+       |SELECT * FROM matched
+       |UNION ALL
+       |SELECT * FROM unmatched""".stripMargin
+
+  /** S15: schema-evolution read — the lake reality the reference's
+    * fixed DDL hides (its ALTERs are manual, `schema.py`): an old
+    * ingest epoch wrote (trade_id, underlying, amount), a later one
+    * added `iv`. The merged read (`mergeSchema` + partition
+    * discovery over `epoch=N` dirs) must surface old rows with a
+    * null `iv`, keep both epochs' rows intact, and type the merged
+    * column once — the audit states per-underlying totals, iv
+    * coverage and the epoch count, and the oracle restates them from
+    * the raw table with the v1 rows' iv nulled by construction. At
+    * scale this is the contract that lets a 100 TB store evolve
+    * columns without rewriting history. */
+  def s15SchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val lake = graft.util.TempDirs.scoped("s15-lake")
+    val t = SyntheticTrades.trades(s, dir)
+    t.filter(col("trade_id").cast("long") % 41 === 0)
+      .select("trade_id", "underlying", "amount")
+      .write.mode("overwrite").parquet(s"$lake/epoch=1")
+    t.filter(col("trade_id").cast("long") % 43 === 0)
+      .select("trade_id", "underlying", "amount", "iv")
+      .write.mode("overwrite").parquet(s"$lake/epoch=2")
+    s.read.option("mergeSchema", "true").parquet(lake)
+      .groupBy(col("underlying"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("iv")).as("n_with_iv"),
+        graft.util.Parity.dsum(col("amount")).as("amount_sum"),
+        countDistinct(col("epoch")).as("n_epochs"))
+  }
+
+  val s15Oracle: String =
+    s"""WITH ${SyntheticTrades.tradesCte},
+       |u AS (
+       |  SELECT underlying, amount, CAST(NULL AS DOUBLE) AS iv, 1 AS ep
+       |  FROM trades WHERE CAST(trade_id AS BIGINT) % 41 = 0
+       |  UNION ALL
+       |  SELECT underlying, amount, iv, 2 AS ep
+       |  FROM trades WHERE CAST(trade_id AS BIGINT) % 43 = 0
+       |)
+       |SELECT underlying, count(*) AS n_rows,
+       |  count(iv) AS n_with_iv,
+       |  ${duckDsum("amount")} AS amount_sum,
+       |  CAST(count(DISTINCT ep) AS BIGINT) AS n_epochs
+       |FROM u GROUP BY 1""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "st13_stream_outer_join" -> QueryDef(st13StreamOuterJoin _, st13Oracle),
+    "s15_schema_evolution" -> QueryDef(s15SchemaEvolution _, s15Oracle),
     "s14_jdbc_roundtrip" -> QueryDef(s14JdbcRoundtrip _, s14Oracle),
     "st12_stream_enrich" -> QueryDef(st12StreamEnrich _, st12Oracle),
     "s13_compaction" -> QueryDef(s13Compaction _, s13Oracle),

@@ -178,6 +178,35 @@ object StreamingIngest {
         col("tick_ep"), col("close"))
   }
 
+  /** [[spotTickJoin]]'s LEFT OUTER twin — the missing-dimension probe
+    * a coverage monitor wants as a STREAM: trades in buckets with no
+    * tick emit with a null tick side instead of vanishing. Outer
+    * stream-stream semantics are watermark-driven: matches emit as
+    * they are found (batch-0 for a bounded source), but an unmatched
+    * trade can only be DECLARED unmatched once the global watermark
+    * (min over both sides of max event time − delay) passes its
+    * bucket end and the state store evicts the bucket — so the
+    * emitted null-side set is exactly the unmatched trades whose
+    * bucket end ≤ watermark, which is what the st13 oracle states.
+    * Bucket-keyed state, bounded like the inner join's. */
+  def spotTickLeftJoin(trades: DataFrame, ticks: DataFrame,
+      watermark: String = "30 minutes"): DataFrame = {
+    val t = trades.withWatermark("timestamp", watermark)
+      .select(col("trade_id"), col("underlying"),
+        window(col("timestamp"), "15 minutes").as("w"),
+        unix_timestamp(col("timestamp")).as("trade_ep"))
+    val k = ticks.withWatermark("timestamp", watermark)
+      .select(col("symbol"),
+        window(col("timestamp"), "15 minutes").as("w2"),
+        unix_timestamp(col("timestamp")).as("tick_ep"), col("close"))
+    t.join(k,
+        col("underlying") === col("symbol") && col("w") === col("w2"),
+        "left_outer")
+      .select(col("trade_id"), col("underlying"), col("trade_ep"),
+        unix_timestamp(col("w.start")).as("bucket_ep"),
+        col("tick_ep"), col("close"))
+  }
+
   /** §2.9 session windows: per-underlying trade-burst sessions. A
     * session extends while consecutive trades arrive within `gap` of
     * the previous one and closes once a trade is strictly MORE than
