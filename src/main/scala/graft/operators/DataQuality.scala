@@ -86,6 +86,27 @@ object DataQuality {
       .limit(limit)
   }
 
+  /** S16: gap → re-fetch work queue — the "gapless" promise made
+    * actionable: each detected gap is sliced into bounded fetch
+    * windows (`sliceSec` wide, last slice clipped to the gap end),
+    * one row per slice — exactly the (start_ts, end_ts) cursor pairs
+    * the backfill driver loop consumes (S7's window protocol). All
+    * integer epoch arithmetic; slice count per gap is
+    * ceil(gap/sliceSec), so the explode is bounded by gap length,
+    * never data volume. */
+  def gapRepairPlan(gaps: DataFrame, sliceSec: Long = 6L * 3600L)
+      : DataFrame =
+    gaps
+      .withColumn("slice_idx", explode(expr(
+        s"sequence(0L, (gap_end - gap_start - 1) div ${sliceSec}L)")))
+      .select(
+        col("gap_start"), col("gap_end"), col("gap_hours"),
+        col("slice_idx"),
+        (col("gap_start") + col("slice_idx") * sliceSec)
+          .as("slice_start"),
+        least(col("gap_start") + (col("slice_idx") + 1) * sliceSec,
+          col("gap_end")).as("slice_end"))
+
   /** A11: per-underlying coverage stats. */
   def coverageStats(trades: DataFrame): DataFrame = {
     val ep = unix_timestamp(col("timestamp"))

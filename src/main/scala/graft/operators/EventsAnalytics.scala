@@ -124,6 +124,39 @@ object EventsAnalytics {
     * (user, exact event time). The snapshot bounds the multi-branch
     * reuse to the one scan ([[graft.util.Caches.snapshot]] upgrades
     * to a fault-tolerant checkpoint when a checkpoint dir exists). */
+  /** EV16: step-transition latency — per adjacent funnel step pair,
+    * how long converters took (n, min/max/exact-decimal mean, the
+    * within-one-hour count). Consumes [[funnel]]'s per-user chain
+    * frame: dt(i→i+1) = t(i+1) − t(i) in integer µs, defined exactly
+    * for users who reached step i+1. The chain frame is snapshotted
+    * once (one row per user — the same user-cardinality bound the
+    * funnel itself carries), so the per-pair branches don't re-run
+    * the funnel scan; the final aggregate is |steps−1| rows.
+    * Snapshot, NOT persist: a persisted chain would register the
+    * funnel subtree in the session cache manager, silently rewriting
+    * the standalone ev2 query's plan (its audited scan shape) into a
+    * cached-relation read. */
+  def funnelTransitionStats(funnelFrame: DataFrame, steps: Seq[String])
+      : DataFrame = {
+    val chain = graft.util.Caches.snapshot(funnelFrame)
+    val pairs = steps.indices.dropRight(1).map { i =>
+      chain.filter(col(s"t${i + 2}_us").isNotNull)
+        .select(
+          lit(s"${steps(i)}->${steps(i + 1)}").as("transition"),
+          (col(s"t${i + 2}_us") - col(s"t${i + 1}_us")).as("dt_us"))
+    }
+    pairs.reduce(_ unionAll _)
+      .groupBy(col("transition"))
+      .agg(
+        count(lit(1)).as("n_converted"),
+        min(col("dt_us")).as("min_us"),
+        max(col("dt_us")).as("max_us"),
+        graft.util.Parity.davg(col("dt_us").cast("double") / 1000000.0)
+          .as("avg_sec"),
+        sum(when(col("dt_us") <= 3600L * 1000000L, 1L).otherwise(0L))
+          .as("within_1h"))
+  }
+
   def funnelAnyChain(events: DataFrame, steps: Seq[String], windowSec: Long,
       userCol: String = "user_id", tsCol: String = "ts",
       typeCol: String = "event_type"): DataFrame = {

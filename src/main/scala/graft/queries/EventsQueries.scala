@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.EventsAnalytics
-import graft.util.Parity.duckDsum
+import graft.util.Parity.{duckDavg, duckDsum}
 import graft.util.Tables
 
 /** Correctness entries for the behavioral-analytics operators over
@@ -57,10 +57,11 @@ object EventsQueries {
   def ev2Funnel(s: SparkSession, dir: String): DataFrame =
     EventsAnalytics.funnel(events(s, dir), FunnelSteps, FunnelWindowSec)
 
-  val ev2Oracle: String = {
+  /** The greedy earliest-chain step times t1/t2/t3 — shared by the
+    * ev2 gate and ev16's transition-latency stats. */
+  private val funnelStepsCte: String = {
     val winUs = FunnelWindowSec * 1000000L
-    s"""WITH $evCte,
-       |t1 AS (
+    s"""t1 AS (
        |  SELECT user_id, min(us) AS t1_us FROM ev
        |  WHERE event_type = '${FunnelSteps(0)}' GROUP BY 1
        |),
@@ -77,7 +78,12 @@ object EventsQueries {
        |  WHERE event_type = '${FunnelSteps(2)}'
        |    AND us > t2_us AND us <= t1_us + ${winUs}::BIGINT
        |  GROUP BY 1
-       |)
+       |)""".stripMargin
+  }
+
+  val ev2Oracle: String = {
+    s"""WITH $evCte,
+       |$funnelStepsCte
        |SELECT u.user_id, t1_us, t2_us, t3_us,
        |  (CASE WHEN t1_us IS NULL THEN 0 ELSE 1 END
        |   + CASE WHEN t2_us IS NULL THEN 0 ELSE 1 END
@@ -531,7 +537,37 @@ object EventsQueries {
       |   OR rn = (n * 99 + 99) // 100
       |GROUP BY event_type""".stripMargin
 
+  // ---- EV16: funnel transition latency ----
+
+  def ev16TimeToConvert(s: SparkSession, dir: String): DataFrame =
+    EventsAnalytics.funnelTransitionStats(
+      EventsAnalytics.funnel(events(s, dir), FunnelSteps, FunnelWindowSec),
+      FunnelSteps)
+
+  /** Transition latencies re-derived from the same greedy-chain CTEs
+    * the ev2 gate uses — dt in exact integer µs, mean over exact
+    * decimal sums of µs→sec doubles. */
+  val ev16Oracle: String =
+    s"""WITH $evCte,
+       |$funnelStepsCte,
+       |d AS (
+       |  SELECT '${FunnelSteps(0)}->${FunnelSteps(1)}' AS transition,
+       |    t2_us - t1_us AS dt_us
+       |  FROM t2 JOIN t1 USING (user_id)
+       |  UNION ALL
+       |  SELECT '${FunnelSteps(1)}->${FunnelSteps(2)}' AS transition,
+       |    t3_us - t2_us AS dt_us
+       |  FROM t3 JOIN t2 USING (user_id)
+       |)
+       |SELECT transition, count(*) AS n_converted,
+       |  min(dt_us) AS min_us, max(dt_us) AS max_us,
+       |  ${duckDavg("CAST(dt_us AS DOUBLE) / 1000000.0")} AS avg_sec,
+       |  CAST(sum(CASE WHEN dt_us <= 3600000000 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS within_1h
+       |FROM d GROUP BY 1""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "ev16_time_to_convert" -> QueryDef(ev16TimeToConvert _, ev16Oracle),
     "ev15_value_quantiles" -> QueryDef(ev15ValueQuantiles _, ev15Oracle),
     "ev14_growth" -> QueryDef(ev14Growth _, ev14Oracle),
     "ev13_top_paths" -> QueryDef(ev13TopPaths _, ev13Oracle),

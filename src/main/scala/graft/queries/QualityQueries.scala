@@ -216,7 +216,45 @@ object QualityQueries {
        |FROM trades""".stripMargin
   }
 
+  // ---- S16: gap -> backfill work queue ----
+
+  /** The w1 gaps sliced into bounded (start, end) fetch windows —
+    * the cursor pairs S7's backfill loop consumes. */
+  def s16BackfillPlan(s: SparkSession, dir: String): DataFrame =
+    DataQuality.gapRepairPlan(w1Gaps(s, dir))
+
+  val s16Oracle: String =
+    s"""WITH ${OracleCtes.enriched},
+       |sampled AS (
+       |  SELECT ep FROM enriched WHERE CAST(trade_id AS BIGINT) % 97 = 0
+       |),
+       |sorted AS (
+       |  SELECT ep AS gap_start, lead(ep) OVER (ORDER BY ep) AS gap_end
+       |  FROM sampled
+       |),
+       |gaps AS (
+       |  SELECT gap_start, gap_end,
+       |    CAST(floor((gap_end - gap_start) / 3600.0) AS BIGINT)
+       |      AS gap_hours
+       |  FROM sorted
+       |  WHERE gap_end IS NOT NULL
+       |    AND CAST(floor((gap_end - gap_start) / 3600.0) AS BIGINT) > 4
+       |  ORDER BY gap_hours DESC, gap_start ASC
+       |  LIMIT 100
+       |),
+       |plan AS (
+       |  SELECT gap_start, gap_end, gap_hours,
+       |    unnest(generate_series(0, (gap_end - gap_start - 1) // 21600))
+       |      AS slice_idx
+       |  FROM gaps
+       |)
+       |SELECT gap_start, gap_end, gap_hours, slice_idx,
+       |  gap_start + slice_idx * 21600 AS slice_start,
+       |  least(gap_start + (slice_idx + 1) * 21600, gap_end) AS slice_end
+       |FROM plan""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "s16_backfill_plan" -> QueryDef(s16BackfillPlan _, s16Oracle),
     "a10_quality_metrics" -> QueryDef(a10Quality _, a10Oracle),
     "a18_quality_sketch" -> QueryDef(a18QualitySketch _, None),
     "a11_coverage_stats" -> QueryDef(a11Coverage _, a11Oracle),

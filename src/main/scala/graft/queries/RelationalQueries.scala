@@ -174,9 +174,40 @@ object RelationalQueries {
        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
   }
 
+  /** CUBE over the same pair (q6's lattice completion): all four
+    * grouping sets in ONE Expand + hash-aggregate pass — the
+    * cross-dimension totals ROLLUP's hierarchy omits (here the
+    * per-linestatus-across-flags marginals, gid=2). Same
+    * 'ALL'-for-subtotal and composed-GROUPING-bit contract as q6. */
+  def q7Cube(s: SparkSession, dir: String): DataFrame =
+    li(s, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        Parity.dsum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n_rows"),
+        grouping_id().cast("int").as("gid"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("n_rows"), col("gid"))
+
+  val q7CubeOracle: String = {
+    import Parity._
+    s"""SELECT
+       |  coalesce(l_returnflag, 'ALL') AS returnflag,
+       |  coalesce(l_linestatus, 'ALL') AS linestatus,
+       |  ${duckDsum("l_quantity")} AS sum_qty,
+       |  count(*) AS n_rows,
+       |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT)
+       |    AS gid
+       |FROM lineitem
+       |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q1_agg" -> QueryDef(q1Agg _, q1AggOracle),
     "q6_rollup" -> QueryDef(q6Rollup _, q6RollupOracle),
+    "q7_cube" -> QueryDef(q7Cube _, q7CubeOracle),
     "f1_filter_project" -> QueryDef(f1Filter _, f1FilterOracle),
     "o1_topk" -> QueryDef(o1TopK _, o1TopKOracle),
     "j2_broadcast_join" -> QueryDef(j2BroadcastJoin _, j2BroadcastJoinOracle),

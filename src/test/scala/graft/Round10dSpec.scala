@@ -109,6 +109,47 @@ class Round10dSpec extends AnyFunSuite {
     assert(v(0) >= 0) // sign convention
   }
 
+  // ---- Gap repair plan (s16) ----
+
+  test("gapRepairPlan slices a gap into clipped 6h fetch windows") {
+    val gaps = Seq((1000L, 1000L + 15L * 3600L, 15L))
+      .toDF("gap_start", "gap_end", "gap_hours")
+    val got = graft.operators.DataQuality.gapRepairPlan(gaps)
+      .orderBy("slice_idx")
+      .collect().map(r => (r.getAs[Long]("slice_idx"),
+        r.getAs[Long]("slice_start"), r.getAs[Long]("slice_end")))
+    // 15h gap / 6h slices -> 3 slices, last clipped to 3h
+    assert(got.length == 3)
+    assert(got(0) == ((0L, 1000L, 1000L + 21600L)))
+    assert(got(1) == ((1L, 1000L + 21600L, 1000L + 43200L)))
+    assert(got(2) == ((2L, 1000L + 43200L, 1000L + 54000L)))
+    // slices tile the gap exactly: contiguous, full coverage
+    assert(got.sliding(2).forall { case Array(a, b) => a._3 == b._2 })
+  }
+
+  test("gapRepairPlan: exact-multiple gap gets no empty tail slice") {
+    val gaps = Seq((0L, 43200L, 12L)).toDF("gap_start", "gap_end", "gap_hours")
+    val got = graft.operators.DataQuality.gapRepairPlan(gaps).count()
+    assert(got == 2L) // 12h / 6h = exactly 2, not 3
+  }
+
+  // ---- Funnel transition latency (ev16) ----
+
+  test("funnelTransitionStats computes per-pair latency from chain frames") {
+    val chain = Seq(
+      (1L, Some(100L), Some(150L), Some(400L)),
+      (2L, Some(10L), Some(9000000000L), None),
+      (3L, Some(5L), None, None))
+      .toDF("user_id", "t1_us", "t2_us", "t3_us")
+    val got = graft.operators.EventsAnalytics
+      .funnelTransitionStats(chain, Seq("a", "b", "c"))
+      .collect().map(r => r.getAs[String]("transition") ->
+        ((r.getAs[Long]("n_converted"), r.getAs[Long]("min_us"),
+          r.getAs[Long]("within_1h")))).toMap
+    assert(got("a->b") == ((2L, 50L, 1L))) // user2's 9000s > 1h
+    assert(got("b->c") == ((1L, 250L, 1L)))
+  }
+
   test("bucketIdx covers the synthetic 7..66 DTE ladder into 4 buckets") {
     val got = (7 to 66).map(d => (d, d)).toDF("dte", "d")
       .select(TermPca.bucketIdx(col("dte")).as("b"))
