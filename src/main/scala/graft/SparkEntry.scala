@@ -12,7 +12,8 @@ object SparkEntry {
       LlmQueries.defs ++ CoverageQueries.defs ++ EgarchQueries.defs ++
       SystemQueries.defs ++ MultimodalQueries.defs ++ ScaleQueries.defs ++
       EventsQueries.defs ++ CurationQueries.defs ++ RetrievalQueries.defs ++
-      VolQueries.defs ++ QuantQueries.defs
+      VolQueries.defs ++ QuantQueries.defs ++ MicroQueries.defs ++
+      CorpusQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

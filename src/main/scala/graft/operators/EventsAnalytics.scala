@@ -650,4 +650,67 @@ object EventsAnalytics {
           / sum(col("n_users")).over(wAll).cast("double"))
       .select("active_days", "n_users", "users_at_least", "frac_at_least")
   }
+
+  /** Kaplan–Meier survival curve over user lifetimes — the
+    * product-limit estimator every retention team runs and the
+    * reference (a point-in-time collector) cannot express: duration =
+    * last−first active day; a user is an observed churn if their last
+    * activity precedes the corpus end by more than `censorDays`
+    * (otherwise right-censored). At each distinct duration t:
+    * n_risk = users with duration ≥ t, and
+    * S(t) = Π_{s≤t} (1 − churned_s / n_risk_s).
+    *
+    * Shape: ONE user-keyed exchange collapses the corpus to (user,
+    * d0, d1); the corpus-end scalar is a one-row broadcast; everything
+    * after runs on the duration histogram — a day-range-sized table
+    * where singleton-partition windows are a deliberate,
+    * cardinality-bounded choice (the W1 months-table contract).
+    *
+    * Exactness: risk/churn counts are integers; the survival product
+    * runs as exp(Σ ln(1−d/n)) with each ln term 9-dp-quantized to
+    * DECIMAL (order-free window sum — NOT a double cumulative sum,
+    * whose association order differs between Spark's running frame
+    * and DuckDB's segment tree); a zero factor (everyone at risk
+    * churns) forces S = 0 from that row on instead of ln(0). */
+  def kaplanMeier(events: DataFrame, censorDays: Int = 7,
+      userCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
+    val epochDay = floor(unix_micros(col(tsCol)) / lit(86400000000L))
+    val perUser = events
+      .select(col(userCol).as("u"), epochDay.as("day"))
+      .groupBy(col("u"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val endRow = perUser.agg(max(col("d1")).as("end_day"))
+    val byDur = perUser
+      .crossJoin(broadcast(endRow))
+      .withColumn("duration", col("d1") - col("d0"))
+      .withColumn("churned", col("d1") < col("end_day") - censorDays)
+      .groupBy(col("duration"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        count(when(col("churned"), 1)).as("n_churned"),
+        count(when(!col("churned"), 1)).as("n_censored"))
+    val wPrior = Window.orderBy(col("duration"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy(col("duration"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    byDur
+      .withColumn("n_risk",
+        sum(col("n_total")).over(wAll)
+          - coalesce(sum(col("n_total")).over(wPrior), lit(0L)))
+      .withColumn("factor",
+        lit(1.0) - col("n_churned").cast("double")
+          / col("n_risk").cast("double"))
+      .withColumn("lnf_dec", when(col("factor") > 0, log(col("factor")))
+        .cast(org.apache.spark.sql.types.DataTypes
+          .createDecimalType(28, 9)))
+      .withColumn("hit_zero",
+        max(when(col("factor") === 0, 1).otherwise(0)).over(wCum))
+      .withColumn("km_survival",
+        when(col("hit_zero") === 1, lit(0.0)).otherwise(
+          graft.util.Parity.roundTo(
+            exp(sum(col("lnf_dec")).over(wCum).cast("double")), 9)))
+      .select("duration", "n_risk", "n_churned", "n_censored",
+        "km_survival")
+  }
 }

@@ -201,4 +201,51 @@ object Greeks {
           col("theta_pnl"))
       .withColumn("residual_pnl", col("option_pnl") - col("explained_pnl"))
   }
+
+  /** A33: gamma-exposure (GEX) profile by strike — the dealer-gamma
+    * map options desks read for pin/flip levels: per (underlying,
+    * strike), Σ γ·size·S²·1% signed by option side (calls +, puts −,
+    * the standard dealer-short-put convention), volume-weighted
+    * (the tape carries traded size, not open interest — documented
+    * proxy), plus the cumulative profile in strike order and the
+    * sign-flip flag (the "gamma flip" strike).
+    *
+    * Shape: one (underlying, strike)-keyed hash aggregate over the
+    * greeks tape (map-side partials), then windows over the
+    * strike-ladder-sized table (bounded: strikes per underlying).
+    * Exactness: γ is 12-dp-quantized per row (the ≤1-ulp erf/exp
+    * contract of m1); every sum AND the cumulative profile stay in
+    * DECIMAL — a double running sum would differ between Spark's
+    * running frame and DuckDB's segment tree — and only the final
+    * columns cast to double. */
+  def gammaExposure(greeks: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(28, 6)
+    val sign = when(col("option_type") === "C", 1.0).otherwise(-1.0)
+    val gex = Parity.roundTo(col("gamma"), 12) * col("amount") *
+      col("spot_price") * col("spot_price") * lit(0.01) * sign
+    val perStrike = greeks
+      .filter(col("gamma").isNotNull && col("spot_price") > 0)
+      .withColumn("_gex", gex)
+      .groupBy(col("underlying"), col("strike"))
+      .agg(
+        count(lit(1)).as("n_trades"),
+        sum(col("_gex").cast(dec)).as("_gd"),
+        sum(when(col("option_type") === "C", col("_gex"))
+          .cast(dec)).as("_gc"),
+        sum(when(col("option_type") === "P", col("_gex"))
+          .cast(dec)).as("_gp"))
+    val w = Window.partitionBy(col("underlying")).orderBy(col("strike"))
+    val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perStrike
+      .withColumn("_cum", sum(col("_gd")).over(wCum))
+      .withColumn("_prev", lag(col("_cum"), 1).over(w))
+      .select(
+        col("underlying"), col("strike"), col("n_trades"),
+        col("_gc").cast("double").as("gex_calls"),
+        col("_gp").cast("double").as("gex_puts"),
+        col("_gd").cast("double").as("gex_net"),
+        col("_cum").cast("double").as("cum_gex"),
+        (col("_prev").isNotNull &&
+          ((col("_cum") >= 0) =!= (col("_prev") >= 0))).as("is_flip"))
+  }
 }

@@ -56,7 +56,9 @@ object PricePath {
         col("m.peak").as("peak_close"))
   }
 
-  private def quantRet(daily: DataFrame): DataFrame = {
+  /** Daily simple returns quantized ONCE to DECIMAL(12,8) — the shared
+    * exactness gate for every consumer (cone, ACF, variance ratio). */
+  def quantRet(daily: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("symbol")).orderBy(col("day"))
     daily
       .withColumn("prev", lag(col("close"), 1).over(w))

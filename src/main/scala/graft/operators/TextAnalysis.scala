@@ -1021,4 +1021,87 @@ object TextAnalysis {
         col("total_padding").cast("double")
           / (col("bucket") * col("n_docs")).cast("double"))
   }
+
+  /** Collocation mining — top-k word bigrams by pointwise mutual
+    * information over the bigram event space (PMI = ln(c_xy·N /
+    * (c_x•·c_•y)) with marginals taken from the bigram table itself),
+    * gated by a minimum pair count so rare-pair PMI noise never
+    * surfaces. The standard collocation extractor (Church & Hanks
+    * 1990) a corpus team runs before tokenizer/stopword decisions.
+    *
+    * Shape: one corpus-sized pair explode → (w1,w2) hash aggregate;
+    * marginals are two aggregates OVER THE BIGRAM TABLE (Heaps-law
+    * bounded, not corpus-sized); the one-row total broadcasts; top-k
+    * is TakeOrderedAndProject (per-partition top-k + merge, no global
+    * sort). Counts < 2^26 keep every double product exact at any
+    * realistic corpus scale (c·N < 2^52).
+    *
+    * Exactness: integer counts; one ln per surviving pair,
+    * 9-dp-quantized; ties on the rounded PMI break on (w1, w2). */
+  def collocations(docs: DataFrame, minCount: Long = 5, k: Int = 50,
+      textCol: String = "text"): DataFrame = {
+    val base = graft.util.Caches.materialize(
+      docs.select(TextDedup.words(col(textCol)).as("_w"))
+        .filter(size(col("_w")) >= 2))
+    val pairs = base.select(explode(zip_with(
+      slice(col("_w"), lit(1), size(col("_w")) - 1),
+      slice(col("_w"), lit(2), size(col("_w")) - 1),
+      (a, b) => struct(a.as("w1"), b.as("w2")))).as("_p"))
+      .select(col("_p.w1").as("w1"), col("_p.w2").as("w2"))
+    val bigc = graft.util.Caches.materialize(
+      pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy")))
+    val left = bigc.groupBy(col("w1")).agg(sum(col("c_xy")).as("c_x"))
+    val right = bigc.groupBy(col("w2")).agg(sum(col("c_xy")).as("c_y"))
+    val total = bigc.agg(sum(col("c_xy")).as("n_pairs"))
+    val d = (c: Column) => c.cast("double")
+    bigc
+      .join(left, "w1").join(right, "w2")
+      .crossJoin(broadcast(total))
+      .filter(col("c_xy") >= minCount)
+      .withColumn("pmi", graft.util.Parity.roundTo(
+        log((d(col("c_xy")) * d(col("n_pairs")))
+          / (d(col("c_x")) * d(col("c_y")))), 9))
+      .select("w1", "w2", "c_xy", "c_x", "c_y", "pmi")
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
+  /** Per-source lexical diversity: vocabulary size, token count,
+    * Shannon entropy of the word distribution (nats), its normalized
+    * form H/ln(V), and the type-token ratio — the corpus-level
+    * diversity panel data teams read before fixing mixture weights
+    * (a low-entropy source is boilerplate; Shannon 1948 / Gopher's
+    * diversity signals).
+    *
+    * Shape: ONE (source, word)-keyed corpus aggregate with map-side
+    * partials, then a per-source reduce of the word-frequency table —
+    * Heaps-law bounded, exactly the scale contract of the BPE/Zipf
+    * operators. H = ln N − (Σ c·ln c)/N so the transcendental enters
+    * ONE order-free decimal sum (c·ln c terms, 6-dp grid); outputs
+    * on the 9-dp grid. */
+  def lexicalEntropy(docs: DataFrame, textCol: String = "text",
+      srcCol: String = "source"): DataFrame = {
+    val wc = docs
+      .select(col(srcCol), explode(TextDedup.words(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col(srcCol), col("word"))
+      .agg(count(lit(1)).as("c"))
+    val cd = col("c").cast("double")
+    val nd = col("n_tokens").cast("double")
+    wc.groupBy(col(srcCol))
+      .agg(
+        count(lit(1)).as("n_types"),
+        sum(col("c")).as("n_tokens"),
+        graft.util.Parity.dsum(cd * log(cd)).as("_s"))
+      .withColumn("entropy",
+        graft.util.Parity.roundTo(log(nd) - col("_s") / nd, 9))
+      .withColumn("norm_entropy",
+        graft.util.Parity.roundTo(
+          (log(nd) - col("_s") / nd)
+            / nullif(log(col("n_types").cast("double")), lit(0.0)), 9))
+      .withColumn("ttr",
+        col("n_types").cast("double") / nd)
+      .select(srcCol, "n_types", "n_tokens", "entropy", "norm_entropy",
+        "ttr")
+  }
 }

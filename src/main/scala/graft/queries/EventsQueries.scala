@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.EventsAnalytics
-import graft.util.Parity.{duckDavg, duckDsum}
+import graft.util.Parity.{duckDavg, duckDoubleLit, duckDsum, duckRoundTo}
 import graft.util.Tables
 
 /** Correctness entries for the behavioral-analytics operators over
@@ -566,7 +566,214 @@ object EventsQueries {
        |    AS BIGINT) AS within_1h
        |FROM d GROUP BY 1""".stripMargin
 
+  // ---- EV17: Kaplan–Meier user-lifetime survival ----
+
+  def ev17Survival(s: SparkSession, dir: String): DataFrame =
+    EventsAnalytics.kaplanMeier(events(s, dir))
+
+  /** Product-limit chain re-derived end to end: risk sets from the
+    * windowed counts, the survival product as exp over the 9-dp
+    * DECIMAL ln terms (order-free sum — a raw double cumulative sum
+    * would differ between Spark's running frame and DuckDB's segment
+    * tree), zero factors forcing S = 0 downstream. */
+  val ev17Oracle: String =
+    s"""WITH pu AS (
+       |  SELECT user_id AS u,
+       |    min(epoch_us(ts) // 86400000000) AS d0,
+       |    max(epoch_us(ts) // 86400000000) AS d1
+       |  FROM events GROUP BY 1
+       |),
+       |e AS (SELECT max(d1) AS end_day FROM pu),
+       |ud AS (
+       |  SELECT d1 - d0 AS duration, (d1 < end_day - 7) AS churned
+       |  FROM pu, e
+       |),
+       |bd AS (
+       |  SELECT duration, count(*) AS n_total,
+       |    count(CASE WHEN churned THEN 1 END) AS n_churned,
+       |    count(CASE WHEN NOT churned THEN 1 END) AS n_censored
+       |  FROM ud GROUP BY 1
+       |),
+       |r AS (
+       |  SELECT *,
+       |    CAST(sum(n_total) OVER () AS BIGINT)
+       |      - coalesce(CAST(sum(n_total) OVER (ORDER BY duration
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |          AS BIGINT), 0) AS n_risk
+       |  FROM bd
+       |),
+       |f AS (
+       |  SELECT *, 1.0 - CAST(n_churned AS DOUBLE)
+       |    / CAST(n_risk AS DOUBLE) AS factor
+       |  FROM r
+       |),
+       |g AS (
+       |  SELECT *,
+       |    CAST(CASE WHEN factor > 0 THEN ln(factor) END
+       |      AS DECIMAL(28,9)) AS lnf,
+       |    max(CASE WHEN factor = 0 THEN 1 ELSE 0 END) OVER cum
+       |      AS hit_zero
+       |  FROM f
+       |  WINDOW cum AS (ORDER BY duration
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |)
+       |SELECT duration, n_risk, n_churned, n_censored,
+       |  CASE WHEN hit_zero = 1 THEN 0.0
+       |       ELSE ${duckRoundTo(
+                "exp(CAST(sum(lnf) OVER (ORDER BY duration " +
+                  "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+                  "AS DOUBLE))", 9)} END AS km_survival
+       |FROM g""".stripMargin
+
+  // ---- EV18: Markov removal-effect attribution (echo+verify) ----
+
+  /** SQL re-derivation of the transition-count matrix — journeys
+    * truncate at the first conversion, START prefixes, non-converting
+    * journeys terminate in NULL. Integer counts, total (us, event_id)
+    * ordering: bit-deterministic. */
+  private val markovTcCte: String = {
+    import graft.operators.MarkovAttribution.{Channels, Conversion}
+    val inList = (Channels :+ Conversion).map(c => s"'$c'").mkString(", ")
+    s"""evs AS (
+       |  SELECT user_id, epoch_us(ts) AS us, event_id, event_type
+       |  FROM events WHERE event_type IN ($inList)
+       |),
+       |pc AS (
+       |  SELECT *, count(CASE WHEN event_type = '$Conversion' THEN 1 END)
+       |    OVER (PARTITION BY user_id ORDER BY us, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |    AS prior_conv
+       |  FROM evs
+       |),
+       |kept AS (SELECT * FROM pc WHERE prior_conv = 0),
+       |lagd AS (
+       |  SELECT *, lag(event_type) OVER (
+       |    PARTITION BY user_id ORDER BY us, event_id) AS prev
+       |  FROM kept
+       |),
+       |steps AS (
+       |  SELECT coalesce(prev, 'START') AS src,
+       |    CASE WHEN event_type = '$Conversion' THEN 'CONV'
+       |         ELSE event_type END AS dst
+       |  FROM lagd
+       |),
+       |term AS (
+       |  SELECT user_id, event_type AS last_type
+       |  FROM (
+       |    SELECT user_id, event_type,
+       |      row_number() OVER (PARTITION BY user_id
+       |        ORDER BY us DESC, event_id DESC) AS rn,
+       |      max(CASE WHEN event_type = '$Conversion' THEN 1 ELSE 0 END)
+       |        OVER (PARTITION BY user_id) AS has_conv
+       |    FROM kept
+       |  ) WHERE rn = 1 AND has_conv = 0
+       |),
+       |tr AS (
+       |  SELECT src, dst FROM steps
+       |  UNION ALL
+       |  SELECT last_type AS src, 'NULL' AS dst FROM term
+       |),
+       |tc AS (SELECT src, dst, count(*) AS c FROM tr GROUP BY 1, 2)"""
+      .stripMargin
+  }
+
+  /** Pinned-absorption gate: every scenario's absorption vector is
+    * echoed as literals and the oracle checks each transient state's
+    * linear-system residual against the SQL-derived counts, plus the
+    * echoed effects/shares for internal consistency. */
+  private def ev18Oracle(baseCvr: Double,
+      scens: Seq[(String, Map[String, Double])],
+      rows: Seq[(String, Double, Double, Double)]): String = {
+    val baseL = duckDoubleLit(baseCvr)
+    val pvRows = scens.flatMap { case (scen, p) =>
+      p.map { case (st, v) => s"('$scen', '$st', ${duckDoubleLit(v)})" }
+    }.mkString(",\n    ")
+    val valRows = rows.map { case (ch, cvr, eff, share) =>
+      s"('$ch', ${duckDoubleLit(cvr)}, ${duckDoubleLit(eff)}, " +
+        s"${duckDoubleLit(share)})"
+    }.mkString(",\n    ")
+    s"""WITH $markovTcCte,
+       |pv(scen, state, p) AS (VALUES
+       |    $pvRows),
+       |res AS (
+       |  SELECT pv.scen, pv.state, pv.p,
+       |    coalesce(sum(CASE WHEN tc.dst = 'CONV'
+       |                      THEN CAST(tc.c AS DOUBLE)
+       |                      ELSE CAST(tc.c AS DOUBLE)
+       |                           * coalesce(pt.p, 0.0) END), 0.0) AS lhs,
+       |    coalesce(CAST(sum(tc.c) AS DOUBLE), 0.0) AS row_sum
+       |  FROM pv
+       |  LEFT JOIN tc ON tc.src = pv.state
+       |  LEFT JOIN pv pt ON pt.scen = pv.scen AND pt.state = tc.dst
+       |  GROUP BY 1, 2, 3
+       |),
+       |okt AS (
+       |  SELECT scen, bool_and(abs(lhs - p * row_sum)
+       |    <= 1.0E-6 * greatest(row_sum, 1.0)) AS ok
+       |  FROM res GROUP BY 1
+       |),
+       |allok AS (SELECT bool_and(ok) AS rok FROM okt),
+       |vals(channel, removal_cvr, removal_effect, attribution_share)
+       |  AS (VALUES
+       |    $valRows),
+       |ss AS (
+       |  SELECT CAST(sum(CAST(attribution_share AS DECIMAL(28,9)))
+       |    AS DOUBLE) AS sh
+       |  FROM vals
+       |)
+       |SELECT v.channel, v.removal_cvr, v.removal_effect,
+       |  v.attribution_share, $baseL AS base_cvr,
+       |  (a.rok AND abs(s.sh - 1.0) < 1.0E-6
+       |    AND abs(v.removal_effect
+       |      - ($baseL - v.removal_cvr) / $baseL) < 1.0E-12) AS gate_ok
+       |FROM vals v, allok a, ss s""".stripMargin
+  }
+
+  def ev18Markov(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.MarkovAttribution
+    val channels = MarkovAttribution.Channels
+    val counts = MarkovAttribution.transitionCounts(events(s, dir))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val base = MarkovAttribution.absorption(counts, channels, None)
+    val baseCvr = base("START")
+    val scens = ("base", base) +: channels.map(ch =>
+      s"rm_$ch" -> MarkovAttribution.absorption(counts, channels, Some(ch)))
+    // driver-side mirror of the oracle's residual gate
+    def residOk(p: Map[String, Double]): Boolean =
+      p.keys.forall { st =>
+        val out = counts.collect { case ((`st`, d), c) => (d, c) }.toSeq
+        val rowSum = out.map(_._2).sum.toDouble
+        val lhs = out.map { case (d, c) =>
+          c.toDouble * (if (d == "CONV") 1.0 else p.getOrElse(d, 0.0))
+        }.sum
+        math.abs(lhs - p(st) * rowSum) <= 1e-6 * math.max(rowSum, 1.0)
+      }
+    val effects = channels.map { ch =>
+      val pr = scens.collectFirst { case (n, p) if n == s"rm_$ch" => p }
+        .get("START")
+      (ch, pr, if (baseCvr > 0) (baseCvr - pr) / baseCvr else 0.0)
+    }
+    val effSum = effects.map(_._3).sum
+    val rows = effects.map { case (ch, pr, eff) =>
+      (ch, pr, eff, if (effSum != 0) eff / effSum else 0.0)
+    }
+    val shareOk = math.abs(rows.map(r =>
+      BigDecimal(r._4).setScale(9, BigDecimal.RoundingMode.HALF_UP))
+      .sum.toDouble - 1.0) < 1e-6
+    val gateOk = scens.forall(s => residOk(s._2)) && shareOk
+    DynamicOracles.put("ev18_markov_attribution",
+      ev18Oracle(baseCvr, scens, rows))
+    rows.map { case (ch, pr, eff, share) =>
+      (ch, pr, eff, share, baseCvr, gateOk)
+    }.toDF("channel", "removal_cvr", "removal_effect",
+      "attribution_share", "base_cvr", "gate_ok")
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "ev18_markov_attribution" -> QueryDef(ev18Markov _, None),
+    "ev17_survival" -> QueryDef(ev17Survival _, ev17Oracle),
     "ev16_time_to_convert" -> QueryDef(ev16TimeToConvert _, ev16Oracle),
     "ev15_value_quantiles" -> QueryDef(ev15ValueQuantiles _, ev15Oracle),
     "ev14_growth" -> QueryDef(ev14Growth _, ev14Oracle),

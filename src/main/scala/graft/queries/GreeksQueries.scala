@@ -469,7 +469,53 @@ object GreeksQueries {
        |    AS residual_pnl
        |FROM aggd""".stripMargin
 
+  // ---- A33: gamma-exposure profile by strike ----
+
+  def a33GammaExposure(s: SparkSession, dir: String): DataFrame =
+    Greeks.gammaExposure(greeksDf(s, dir))
+
+  /** Full GEX chain re-derived on the shared greeks CTE: 12-dp γ
+    * grid, decimal per-strike sums, DECIMAL cumulative profile (the
+    * segment-tree-safe spelling) and the flip flag. */
+  val a33Oracle: String =
+    s"""WITH $greeksCte,
+       |gx AS (
+       |  SELECT underlying, strike, option_type,
+       |    ${duckRoundTo("gamma", 12)} * amount * spot_price
+       |      * spot_price * 0.01
+       |      * (CASE WHEN option_type = 'C' THEN 1.0 ELSE -1.0 END)
+       |      AS gex
+       |  FROM greeks_adj WHERE gamma IS NOT NULL AND spot_price > 0
+       |),
+       |ps AS (
+       |  SELECT underlying, strike, count(*) AS n_trades,
+       |    sum(CAST(gex AS DECIMAL(28,6))) AS gd,
+       |    sum(CAST(CASE WHEN option_type = 'C' THEN gex END
+       |      AS DECIMAL(28,6))) AS gc,
+       |    sum(CAST(CASE WHEN option_type = 'P' THEN gex END
+       |      AS DECIMAL(28,6))) AS gp
+       |  FROM gx GROUP BY 1, 2
+       |),
+       |c1 AS (
+       |  SELECT *, sum(gd) OVER (PARTITION BY underlying ORDER BY strike
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM ps
+       |),
+       |c2 AS (
+       |  SELECT *, lag(cum) OVER (PARTITION BY underlying
+       |    ORDER BY strike) AS prev
+       |  FROM c1
+       |)
+       |SELECT underlying, strike, n_trades,
+       |  CAST(gc AS DOUBLE) AS gex_calls,
+       |  CAST(gp AS DOUBLE) AS gex_puts,
+       |  CAST(gd AS DOUBLE) AS gex_net,
+       |  CAST(cum AS DOUBLE) AS cum_gex,
+       |  (prev IS NOT NULL AND ((cum >= 0) != (prev >= 0))) AS is_flip
+       |FROM c2""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "a33_gamma_exposure" -> QueryDef(a33GammaExposure _, a33Oracle),
     "m1_greeks" -> QueryDef(m1Greeks _, m1Oracle),
     "m19_hedged_pnl" -> QueryDef(m19HedgedPnl _, m19Oracle),
     "m23_pnl_attribution" -> QueryDef(m23PnlAttribution _, m23Oracle),

@@ -100,7 +100,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "llm_bm25_topk", "llm_dsir_select", "llm_retrieval_eval",
       "llm_kn_bigram", "llm_heaps_fit", "llm_bpe_encode",
       "m21_rn_density", "m22_calendar_arb", "llm_heavy_hitters",
-      "x7_zorder_layout", "llm_tfidf_cosine")
+      "x7_zorder_layout", "llm_tfidf_cosine", "ev17_survival",
+      "llm_colloc_pmi")
     val boundedPickBuild = Set("llm_ann_topk", "llm_ann_pq",
       "llm_ann_recall", "llm_ann_recall_curve", "llm_mrl_recall")
     for (name <- SparkEntry.queries.keys if !driverSide(name)) {
@@ -466,6 +467,34 @@ class PlanAuditSpec extends AnyFunSuite {
     for (name <- Seq("ev9_power_curve", "llm_zipf_fit")) {
       val scans = planOf(name).collect { case s: FileSourceScanExec => s }
       assert(scans.size <= 1, s"$name scans the fact table ${scans.size}x")
+    }
+  }
+
+  test("m28 triple barrier pairs via a hash/merge EQUI-join, tape scanned once") {
+    // the entry x future pairing must stay an exploded equi-join on
+    // (symbol, day) — a range self-join would plan BNLJ/cartesian and
+    // die at scale; the daily-close subtree is materialized so the
+    // events tape itself is read at most once
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    val plan = planOf("m28_triple_barrier")
+    val equi = plan.collect {
+      case j: SortMergeJoinExec => j.leftKeys.size
+      case j: ShuffledHashJoinExec => j.leftKeys.size
+      case j: BroadcastHashJoinExec => j.leftKeys.size
+    }
+    assert(equi.exists(_ >= 2), "m28 lost its (symbol, day) equi-join")
+    val scans = plan.collect { case s: FileSourceScanExec => s }
+    assert(scans.size <= 1, s"m28 scans the tape ${scans.size}x")
+  }
+
+  test("m25/m26/m27 microstructure windows are all symbol-partitioned") {
+    for (name <- Seq("m25_roll_spread", "m26_cs_spread",
+        "m27_variance_ratio")) {
+      val winds = planOf(name)
+        .collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+      assert(winds.nonEmpty, s"$name has no window")
+      assert(winds.forall(_.partitionSpec.nonEmpty),
+        s"$name runs an unpartitioned window")
     }
   }
 }
