@@ -46,7 +46,8 @@ object AsOfJoin {
   def asOf(
       leftDf: DataFrame, rightDf: DataFrame,
       key: String, leftTime: String, rightTime: String,
-      rightVal: String, asofCol: String): DataFrame = {
+      rightVal: String, asofCol: String,
+      matchEpochCol: Option[String] = None): DataFrame = {
     val ep = col("_ep")
     val day = col("_day")
 
@@ -103,11 +104,34 @@ object AsOfJoin {
       last(col("_dayLast"), ignoreNulls = true).over(carry))
       .select(col("_k"), day, col("_carry"))
 
+    val matched = coalesce(col("_sameday"), col("_carry"))
+    val extra = Seq(col(asofCol)) ++
+      matchEpochCol.map(n => col(n)).toSeq
     winned.filter(col("_isRight") === 0)
       .join(carryIn, Seq("_k", "_day"), "left")
-      .withColumn(asofCol,
-        coalesce(col("_sameday"), col("_carry")).getField("_rv"))
-      .select(leftDf.columns.map(c => col(s"_l_$c").as(c))
-        :+ col(asofCol): _*)
+      .withColumn(asofCol, matched.getField("_rv"))
+      .withColumns(matchEpochCol.map(n =>
+        n -> matched.getField("_rts")).toMap)
+      .select(leftDf.columns.map(c => col(s"_l_$c").as(c)) ++ extra: _*)
   }
+
+  /** As-of join with a freshness tolerance (pandas `merge_asof
+    * tolerance=`): a match older than `tolSec` is treated as stale —
+    * the value is nulled, but the raw age stays observable. Adds
+    * `asofCol` (fresh matches only), `asof_age_sec` (left − matched
+    * right time, floor seconds; null when no match at all) and
+    * `is_fresh`. Same distributed shape as [[asOf]] — the tolerance
+    * is a pure post-projection, no extra shuffle. */
+  def asOfTolerance(
+      leftDf: DataFrame, rightDf: DataFrame,
+      key: String, leftTime: String, rightTime: String,
+      rightVal: String, asofCol: String, tolSec: Long): DataFrame =
+    asOf(leftDf, rightDf, key, leftTime, rightTime, rightVal, asofCol,
+      matchEpochCol = Some("_match_us"))
+      .withColumn("asof_age_sec",
+        expr(s"(unix_micros($leftTime) - _match_us) div 1000000L"))
+      .withColumn("is_fresh",
+        col("_match_us").isNotNull && col("asof_age_sec") <= tolSec)
+      .withColumn(asofCol, when(col("is_fresh"), col(asofCol)))
+      .drop("_match_us")
 }

@@ -246,6 +246,55 @@ object Microstructure {
       .select("symbol", "n_points", "slope", "hurst")
   }
 
+  /** M31: realized higher moments — skewness and excess kurtosis of
+    * daily returns per symbol, the crash-risk panel (negative skew /
+    * fat tails) the vol estimators can't see. One symbol-keyed
+    * aggregate over the shared DECIMAL(12,8) returns; central moments
+    * close over four raw-moment sums on the driver-free double chain
+    * both engines spell identically.
+    *
+    * Exactness (the SmileFit pinned-scale contract): r² is re-rendered
+    * at DECIMAL(16,12) (positive → Spark's HALF_UP cast ≡ DuckDB
+    * round-then-cast), r³ = r·r² and r⁴ = r²·r² stay exact; the
+    * deep-scale sums (scale 20/24) are rendered at DECIMAL(28,16)
+    * before the double cast so their integer value fits 2⁵³ — raw
+    * scale-24 decimal→double conversion differs by 1 ulp between
+    * engines. */
+  def realizedMoments(ticks: DataFrame): DataFrame = {
+    val d16r = createDecimalType(16, 12)
+    val rets = PricePath.quantRet(PricePath.dailyCloses(ticks))
+      .withColumn("r2", (col("rq") * col("rq")).cast(d16r))
+      .withColumn("r3", col("rq") * col("r2"))
+      .withColumn("r4", col("r2") * col("r2"))
+    def render(c: Column): Column =
+      sum(c).cast(createDecimalType(28, 16)).cast("double")
+    val agg = rets.groupBy(col("symbol"))
+      .agg(
+        count(lit(1)).as("n_obs"),
+        render(col("rq")).as("s1"),
+        render(col("r2")).as("s2"),
+        render(col("r3")).as("s3"),
+        render(col("r4")).as("s4"))
+      .withColumn("nd", col("n_obs").cast("double"))
+      .withColumn("mean", col("s1") / col("nd"))
+    val m = col("mean")
+    agg
+      .withColumn("m2",
+        col("s2") / col("nd") - m * m)
+      .withColumn("m3",
+        col("s3") / col("nd") - lit(3.0) * m * (col("s2") / col("nd"))
+          + lit(2.0) * (m * m * m))
+      .withColumn("m4",
+        col("s4") / col("nd") - lit(4.0) * m * (col("s3") / col("nd"))
+          + lit(6.0) * (m * m) * (col("s2") / col("nd"))
+          - lit(3.0) * (m * m * m * m))
+      .withColumn("skewness",
+        col("m3") / nullif(col("m2") * sqrt(col("m2")), lit(0.0)))
+      .withColumn("ex_kurtosis",
+        col("m4") / nullif(col("m2") * col("m2"), lit(0.0)) - 3.0)
+      .select("symbol", "n_obs", "mean", "m2", "skewness", "ex_kurtosis")
+  }
+
   /** M28: triple-barrier labeling (López de Prado) — the standard
     * supervised-learning label generator for financial ML: every day
     * is an entry; the label is which barrier the path hits first

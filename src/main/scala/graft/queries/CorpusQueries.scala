@@ -150,7 +150,37 @@ object CorpusQueries {
        |SELECT w1, w2, c_xy, c_x, c_y, pmi FROM j
        |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin
 
+  // ---- llm_len_quantiles: per-source doc-length quantiles ----
+
+  /** Exact per-source p50/p90/p99 of document length via the
+    * distributed-selection scaffolding (a21/ev15's scale path — no
+    * per-key global sort). */
+  def lenQuantiles(s: SparkSession, dir: String): DataFrame =
+    graft.operators.DistributedSelection.quantiles(
+      Tables.load(s, dir, "documents").select("source", "n_chars"),
+      "source", "n_chars",
+      Seq((1, 2, "p50"), (9, 10, "p90"), (99, 100, "p99")))
+      .withColumnRenamed("n_trades", "n_docs")
+
+  val lenQuantilesOracle: String =
+    """WITH ranked AS (
+      |  SELECT source, n_chars,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY n_chars, doc_id) AS rn,
+      |    count(*) OVER (PARTITION BY source) AS n
+      |  FROM documents
+      |)
+      |SELECT source, max(n) AS n_docs,
+      |  max(CASE WHEN rn = (n * 1 + 1) // 2 THEN n_chars END) AS p50,
+      |  max(CASE WHEN rn = (n * 9 + 9) // 10 THEN n_chars END) AS p90,
+      |  max(CASE WHEN rn = (n * 99 + 99) // 100 THEN n_chars END) AS p99
+      |FROM ranked
+      |WHERE rn = (n * 1 + 1) // 2 OR rn = (n * 9 + 9) // 10
+      |   OR rn = (n * 99 + 99) // 100
+      |GROUP BY source""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "llm_len_quantiles" -> QueryDef(lenQuantiles _, lenQuantilesOracle),
     "llm_colloc_pmi" -> QueryDef(collocPmi _, collocPmiOracle),
     "llm_word_entropy" -> QueryDef(wordEntropy _, wordEntropyOracle),
     "llm_embed_pca" -> QueryDef(embedPca _, None))

@@ -268,6 +268,53 @@ object FeatureQueries {
        |FROM tl ASOF LEFT JOIN sd
        |  ON tl.underlying = sd.symbol AND sd.ts <= tl.ts""".stripMargin
 
+  // ---- J8: as-of with freshness tolerance (pandas merge_asof
+  // tolerance=; oracle = DuckDB ASOF + age CASE on the matched ts) ----
+
+  private val J8TolSec = 600L
+
+  def j8AsofTolerance(s: SparkSession, dir: String): DataFrame = {
+    val spot = SyntheticTrades.spotTicks(s, dir)
+      .select(col("symbol").as("underlying"), col("timestamp"),
+        col("close"))
+    AsOfJoin.asOfTolerance(
+      trades(s, dir).select("trade_id", "underlying", "timestamp"),
+      spot,
+      key = "underlying", leftTime = "timestamp", rightTime = "timestamp",
+      rightVal = "close", asofCol = "asof_spot", tolSec = J8TolSec)
+      .select(col("trade_id"), Parity.epochS(col("timestamp")).as("ep"),
+        col("underlying"), col("asof_spot"), col("asof_age_sec"),
+        col("is_fresh"))
+  }
+
+  val j8Oracle: String =
+    s"""WITH ${SyntheticTrades.tradesCte},
+       |${SyntheticTrades.spotCte},
+       |sd AS (
+       |  SELECT symbol, date_trunc('microseconds', "timestamp") AS ts,
+       |    max(close) AS close
+       |  FROM spot_ticks GROUP BY 1, 2
+       |),
+       |tl AS (
+       |  SELECT trade_id, underlying,
+       |    date_trunc('microseconds', "timestamp") AS ts,
+       |    ${duckEpochS("\"timestamp\"")} AS ep,
+       |    epoch_us(date_trunc('microseconds', "timestamp")) AS us
+       |  FROM trades
+       |),
+       |m AS (
+       |  SELECT tl.trade_id, tl.ep, tl.underlying, sd.close,
+       |    (tl.us - epoch_us(sd.ts)) // 1000000 AS asof_age_sec
+       |  FROM tl ASOF LEFT JOIN sd
+       |    ON tl.underlying = sd.symbol AND sd.ts <= tl.ts
+       |)
+       |SELECT trade_id, ep, underlying,
+       |  CASE WHEN coalesce(asof_age_sec <= $J8TolSec, FALSE)
+       |       THEN close END AS asof_spot,
+       |  asof_age_sec,
+       |  coalesce(asof_age_sec <= $J8TolSec, FALSE) AS is_fresh
+       |FROM m""".stripMargin
+
   // ---- J7: nearest-temporal spot lookup (bidirectional as-of;
   // oracle = two native DuckDB ASOF joins + the tie-backward CASE) ----
 
@@ -479,6 +526,7 @@ object FeatureQueries {
     "a17_spot_bars" -> QueryDef(a17SpotBars _, a17Oracle),
     "j2_spot_enrich" -> QueryDef(j2SpotEnrich _, j2Oracle),
     "j5_asof_spot" -> QueryDef(j5AsofSpot _, j5Oracle),
+    "j8_asof_tolerance" -> QueryDef(j8AsofTolerance _, j8Oracle),
     "j7_nearest_spot" -> QueryDef(j7NearestSpot _, j7Oracle),
     "a31_surface_grid" -> QueryDef(a31SurfaceGrid _, a31Oracle),
     "a8_moneyness_long" -> QueryDef(a8MoneynessLong _, a8Oracle),

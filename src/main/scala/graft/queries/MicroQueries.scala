@@ -306,7 +306,64 @@ object MicroQueries {
       .stripMargin
   }
 
+  // ---- M31: realized skewness / kurtosis ----
+
+  def m31SkewKurt(s: SparkSession, dir: String): DataFrame =
+    Microstructure.realizedMoments(ticks(s, dir))
+
+  /** Raw moments re-rendered exactly as the Spark side: r² at
+    * DECIMAL(16,12) via round-then-cast (≡ Spark's HALF_UP cast for
+    * the non-negative square), deep-scale sums rounded to 16 dp
+    * before the DECIMAL(28,16)→DOUBLE render. */
+  val m31Oracle: String =
+    s"""WITH $dailyCte,
+       |rets AS (
+       |  SELECT symbol, day,
+       |    CAST(close / lag(close) OVER (
+       |      PARTITION BY symbol ORDER BY day) - 1.0
+       |      AS DECIMAL(12,8)) AS rq
+       |  FROM daily
+       |  QUALIFY rq IS NOT NULL
+       |),
+       |t AS (
+       |  SELECT symbol, rq,
+       |    CAST(round(rq * rq, 12) AS DECIMAL(16,12)) AS r2
+       |  FROM rets
+       |),
+       |t2 AS (
+       |  SELECT symbol, rq, r2, rq * r2 AS r3, r2 * r2 AS r4 FROM t
+       |),
+       |a AS (
+       |  SELECT symbol, count(*) AS n_obs,
+       |    CAST(CAST(round(sum(rq), 16) AS DECIMAL(28,16)) AS DOUBLE)
+       |      AS s1,
+       |    CAST(CAST(round(sum(r2), 16) AS DECIMAL(28,16)) AS DOUBLE)
+       |      AS s2,
+       |    CAST(CAST(round(sum(r3), 16) AS DECIMAL(28,16)) AS DOUBLE)
+       |      AS s3,
+       |    CAST(CAST(round(sum(r4), 16) AS DECIMAL(28,16)) AS DOUBLE)
+       |      AS s4
+       |  FROM t2 GROUP BY 1
+       |),
+       |b AS (SELECT *, CAST(n_obs AS DOUBLE) AS nd FROM a),
+       |c AS (SELECT *, s1 / nd AS mean FROM b),
+       |d AS (
+       |  SELECT *,
+       |    s2 / nd - mean * mean AS m2,
+       |    s3 / nd - 3.0 * mean * (s2 / nd)
+       |      + 2.0 * (mean * mean * mean) AS m3,
+       |    s4 / nd - 4.0 * mean * (s3 / nd)
+       |      + 6.0 * (mean * mean) * (s2 / nd)
+       |      - 3.0 * (mean * mean * mean * mean) AS m4
+       |  FROM c
+       |)
+       |SELECT symbol, n_obs, mean, m2,
+       |  m3 / nullif(m2 * sqrt(m2), 0.0) AS skewness,
+       |  m4 / nullif(m2 * m2, 0.0) - 3.0 AS ex_kurtosis
+       |FROM d""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "m31_skew_kurt" -> QueryDef(m31SkewKurt _, m31Oracle),
     "m30_range_vol" -> QueryDef(m30RangeVol _, m30Oracle),
     "m29_hurst" -> QueryDef(m29Hurst _, m29Oracle),
     "m28_triple_barrier" -> QueryDef(m28TripleBarrier _, m28Oracle),

@@ -295,6 +295,47 @@ class Round11Spec extends AnyFunSuite {
     assert(first.getAs[Double]("pmi") >= top.last.getAs[Double]("pmi"))
   }
 
+  // ---- J8 as-of tolerance ----
+
+  test("asOfTolerance nulls stale matches but keeps the age observable") {
+    import graft.operators.AsOfJoin
+    val right = Seq(("K", 50L, 1.5))
+      .toDF("k", "sec", "v")
+      .select($"k", timestamp_seconds($"sec").as("rts"), $"v")
+    val left = Seq(("K", 10L, "early"), ("K", 100L, "fresh"),
+      ("K", 2000L, "stale"))
+      .toDF("k", "sec", "tag")
+      .select($"k", timestamp_seconds($"sec").as("lts"), $"tag")
+    val out = AsOfJoin.asOfTolerance(left, right, "k", "lts", "rts",
+      "v", "asof_v", tolSec = 600L)
+      .collect().map(r => r.getAs[String]("tag") -> r).toMap
+    // before any right row: no match at all
+    assert(out("early").isNullAt(out("early").fieldIndex("asof_v")))
+    assert(out("early").isNullAt(out("early").fieldIndex("asof_age_sec")))
+    assert(!out("early").getAs[Boolean]("is_fresh"))
+    // within tolerance
+    assert(out("fresh").getAs[Double]("asof_v") == 1.5)
+    assert(out("fresh").getAs[Long]("asof_age_sec") == 50L)
+    assert(out("fresh").getAs[Boolean]("is_fresh"))
+    // matched but stale: value nulled, age stays
+    assert(out("stale").isNullAt(out("stale").fieldIndex("asof_v")))
+    assert(out("stale").getAs[Long]("asof_age_sec") == 1950L)
+    assert(!out("stale").getAs[Boolean]("is_fresh"))
+  }
+
+  // ---- M31 higher moments ----
+
+  test("realized moments: exact skew 0 / kurtosis -2 on a ±10% flip-flop") {
+    val t = ticks(Seq(("X", 0L, 100.0), ("X", 1L, 110.0),
+      ("X", 2L, 99.0), ("X", 3L, 108.9), ("X", 4L, 98.01)))
+    val r = Microstructure.realizedMoments(t).head()
+    assert(r.getAs[Long]("n_obs") == 4L)
+    assert(math.abs(r.getAs[Double]("mean")) < 1e-12)
+    assert(math.abs(r.getAs[Double]("m2") - 0.01) < 1e-12)
+    assert(r.getAs[Double]("skewness") == 0.0)
+    assert(math.abs(r.getAs[Double]("ex_kurtosis") - -2.0) < 1e-9)
+  }
+
   // ---- A33 gamma exposure ----
 
   test("gamma exposure signs, cumulates and flags the flip strike") {
