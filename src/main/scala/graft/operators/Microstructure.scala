@@ -246,6 +246,37 @@ object Microstructure {
       .select("symbol", "n_points", "slope", "hurst")
   }
 
+  /** M32: downside-risk panel — Sortino ratio (mean over downside
+    * deviation), Omega ratio (gross gains over gross losses at a zero
+    * threshold) and win rate, per symbol. One symbol-keyed aggregate
+    * over the shared DECIMAL(12,8) returns; every sum is conditional
+    * decimal arithmetic (scale ≤ 16 — no deep-scale renders needed),
+    * ratios are single double divisions with nullif guards. */
+  def sortinoOmega(ticks: DataFrame): DataFrame = {
+    val rets = PricePath.quantRet(PricePath.dailyCloses(ticks))
+    rets.groupBy(col("symbol"))
+      .agg(
+        count(lit(1)).as("n_obs"),
+        d24(sum(col("rq"))).as("s1"),
+        d24(sum(when(col("rq") < 0, col("rq") * col("rq")))).as("dsq"),
+        d24(sum(when(col("rq") > 0, col("rq")))).as("gains"),
+        d24(sum(when(col("rq") < 0, -col("rq")))).as("losses"),
+        count(when(col("rq") > 0, 1)).as("n_wins"))
+      .withColumn("nd", col("n_obs").cast("double"))
+      .withColumn("mean_ret", col("s1") / col("nd"))
+      .withColumn("downside_dev",
+        sqrt(coalesce(col("dsq"), lit(0.0)) / col("nd")))
+      .withColumn("sortino",
+        col("mean_ret") / nullif(col("downside_dev"), lit(0.0)))
+      .withColumn("omega",
+        coalesce(col("gains"), lit(0.0))
+          / nullif(col("losses"), lit(0.0)))
+      .withColumn("win_rate",
+        col("n_wins").cast("double") / col("nd"))
+      .select("symbol", "n_obs", "mean_ret", "downside_dev", "sortino",
+        "omega", "win_rate")
+  }
+
   /** M31: realized higher moments — skewness and excess kurtosis of
     * daily returns per symbol, the crash-risk panel (negative skew /
     * fat tails) the vol estimators can't see. One symbol-keyed

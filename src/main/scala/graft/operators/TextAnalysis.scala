@@ -1022,6 +1022,40 @@ object TextAnalysis {
           / (col("bucket") * col("n_docs")).cast("double"))
   }
 
+  /** Train/val/test leakage audit — the check every split must pass
+    * before anyone trains: exact-content duplicates that straddle a
+    * split boundary leak evaluation answers into training. One
+    * content-hash × split-count aggregate (corpus shuffled ONCE, on
+    * the 32-byte hash), then a one-row reduce unpivoted into the
+    * three leak channels. `n_leaked_docs` counts eval-side documents
+    * whose normalized content also appears on the train (resp. val)
+    * side — the number of rows to drop to clean the split. */
+  def splitLeakage(docs: DataFrame, seed: Long, trainPct: Int,
+      valPct: Int, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val assigned = splitAssign(docs, seed, trainPct, valPct, idCol)
+      .select(col(idCol), col("split"))
+    val hashed = docs.select(col(idCol),
+      sha2(TextDedup.normText(col(textCol)), 256).as("text_hash"))
+    val perHash = hashed.join(assigned, idCol)
+      .groupBy(col("text_hash"))
+      .agg(
+        count(when(col("split") === "train", 1)).as("n_tr"),
+        count(when(col("split") === "val", 1)).as("n_va"),
+        count(when(col("split") === "test", 1)).as("n_te"))
+    perHash.agg(
+      count(when(col("n_tr") > 0 && col("n_te") > 0, 1)).as("h_tt"),
+      sum(when(col("n_tr") > 0, col("n_te")).otherwise(0L)).as("d_tt"),
+      count(when(col("n_tr") > 0 && col("n_va") > 0, 1)).as("h_tv"),
+      sum(when(col("n_tr") > 0, col("n_va")).otherwise(0L)).as("d_tv"),
+      count(when(col("n_va") > 0 && col("n_te") > 0, 1)).as("h_vt"),
+      sum(when(col("n_va") > 0, col("n_te")).otherwise(0L)).as("d_vt"))
+      .select(expr(
+        "stack(3, 'train->test', h_tt, d_tt, 'train->val', h_tv, d_tv, " +
+          "'val->test', h_vt, d_vt) as " +
+          "(channel, n_shared_hashes, n_leaked_docs)"))
+  }
+
   /** Collocation mining — top-k word bigrams by pointwise mutual
     * information over the bigram event space (PMI = ln(c_xy·N /
     * (c_x•·c_•y)) with marginals taken from the bigram table itself),

@@ -146,6 +146,35 @@ object VectorOps {
       .filter(col("rank") <= k)
   }
 
+  /** Leave-one-out kNN label audit over a bounded query set — the
+    * label-quality check a labeling pipeline runs: if a document's k
+    * nearest embedding neighbors vote a different label, the label
+    * (or the embedding) is suspect. Majority vote with deterministic
+    * ties (most votes, then smallest label). Same bounded-broadcast
+    * shape as [[annTopK]]; vote counting and the winner window run on
+    * the (queries × k)-sized top-k table. */
+  def knnLabelVote(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val topk = annTopK(corpus, queries, k, idCol, vecCol)
+    val votes = topk
+      .join(corpus.select(col(idCol).as("neighbor_id"),
+        col(labelCol).as("_nl")), "neighbor_id")
+      .groupBy(col("query_id"), col("_nl"))
+      .agg(count(lit(1)).as("n_votes"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("n_votes").desc, col("_nl"))
+    votes
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .join(queries.select(col(idCol).as("query_id"),
+        col(labelCol).as("true_label")), "query_id")
+      .select(col("query_id"), col("true_label"),
+        col("_nl").as("pred_label"), col("n_votes"),
+        (col("_nl") === col("true_label")).as("correct"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: same sign-LSH band
     * bucketing as [[bucketTop1]], emitting every candidate pair
     * at or above `threshold` (id_a < id_b). The dedup-flavored

@@ -1,7 +1,8 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{EmbedPca, TextAnalysis}
+import org.apache.spark.sql.functions.col
+import graft.operators.{EmbedPca, TextAnalysis, VectorOps}
 import graft.util.Parity._
 import graft.util.Tables
 
@@ -179,7 +180,49 @@ object CorpusQueries {
       |   OR rn = (n * 99 + 99) // 100
       |GROUP BY source""".stripMargin
 
+  // ---- llm_knn_label: leave-one-out kNN label audit ----
+
+  private val KnnQueries = 8
+  private val KnnK = 5
+
+  def knnLabel(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+    VectorOps.knnLabelVote(e, e.filter(col("vec_id") < KnnQueries), KnnK)
+  }
+
+  val knnLabelOracle: String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, embedding AS qv, label AS true_label
+       |  FROM embeddings WHERE vec_id < $KnnQueries
+       |),
+       |scored AS (
+       |  SELECT query_id, e.vec_id AS neighbor_id,
+       |    ${LlmQueries.duckCosine("qv", "e.embedding")} AS cos_sim
+       |  FROM embeddings e JOIN q ON e.vec_id <> q.query_id
+       |),
+       |topk AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos_sim DESC, neighbor_id) AS rank
+       |    FROM scored
+       |  ) WHERE rank <= $KnnK
+       |),
+       |votes AS (
+       |  SELECT t.query_id, e.label AS nl, count(*) AS n_votes
+       |  FROM topk t JOIN embeddings e ON e.vec_id = t.neighbor_id
+       |  GROUP BY 1, 2
+       |),
+       |win AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY n_votes DESC, nl) AS rn
+       |  FROM votes
+       |)
+       |SELECT w.query_id, q.true_label, w.nl AS pred_label, w.n_votes,
+       |  (w.nl = q.true_label) AS correct
+       |FROM win w JOIN q USING (query_id) WHERE rn = 1""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "llm_knn_label" -> QueryDef(knnLabel _, knnLabelOracle),
     "llm_len_quantiles" -> QueryDef(lenQuantiles _, lenQuantilesOracle),
     "llm_colloc_pmi" -> QueryDef(collocPmi _, collocPmiOracle),
     "llm_word_entropy" -> QueryDef(wordEntropy _, wordEntropyOracle),

@@ -243,6 +243,59 @@ object CurationQueries {
        |       ELSE 'test' END AS split
        |FROM p""".stripMargin
 
+  // ---- split-leakage audit (exact-dup contamination across splits) ----
+
+  def splitLeakage(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.splitLeakage(docs(s, dir), SplitSeed, TrainPct, ValPct)
+
+  val splitLeakageOracle: String =
+    s"""WITH k AS (
+       |  SELECT doc_id,
+       |    sha256('split:$SplitSeed:' || CAST(doc_id AS VARCHAR)) AS sha
+       |  FROM documents
+       |),
+       |sp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN CAST(${duckHex32("sha")} % 100 AS INT) < $TrainPct
+       |         THEN 'train'
+       |         WHEN CAST(${duckHex32("sha")} % 100 AS INT)
+       |           < ${TrainPct + ValPct} THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM k
+       |),
+       |hx AS (
+       |  SELECT doc_id,
+       |    sha256(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+       |      AS text_hash
+       |  FROM documents
+       |),
+       |ph AS (
+       |  SELECT text_hash,
+       |    count(CASE WHEN split = 'train' THEN 1 END) AS n_tr,
+       |    count(CASE WHEN split = 'val' THEN 1 END) AS n_va,
+       |    count(CASE WHEN split = 'test' THEN 1 END) AS n_te
+       |  FROM hx JOIN sp USING (doc_id) GROUP BY 1
+       |),
+       |sm AS (
+       |  SELECT
+       |    count(CASE WHEN n_tr > 0 AND n_te > 0 THEN 1 END) AS h_tt,
+       |    CAST(sum(CASE WHEN n_tr > 0 THEN n_te ELSE 0 END) AS BIGINT)
+       |      AS d_tt,
+       |    count(CASE WHEN n_tr > 0 AND n_va > 0 THEN 1 END) AS h_tv,
+       |    CAST(sum(CASE WHEN n_tr > 0 THEN n_va ELSE 0 END) AS BIGINT)
+       |      AS d_tv,
+       |    count(CASE WHEN n_va > 0 AND n_te > 0 THEN 1 END) AS h_vt,
+       |    CAST(sum(CASE WHEN n_va > 0 THEN n_te ELSE 0 END) AS BIGINT)
+       |      AS d_vt
+       |  FROM ph
+       |)
+       |SELECT 'train->test' AS channel, h_tt AS n_shared_hashes,
+       |  d_tt AS n_leaked_docs FROM sm
+       |UNION ALL
+       |SELECT 'train->val', h_tv, d_tv FROM sm
+       |UNION ALL
+       |SELECT 'val->test', h_vt, d_vt FROM sm""".stripMargin
+
   // ---- corpus-frequent span scrub (boilerplate removal) ----
 
   private val SpanN = 5
@@ -309,6 +362,7 @@ object CurationQueries {
     "llm_incr_dedup" -> QueryDef(incrDedup _, incrDedupOracle),
     "llm_corpus_shuffle" -> QueryDef(corpusShuffle _, corpusShuffleOracle),
     "llm_split_assign" -> QueryDef(splitAssign _, splitAssignOracle),
+    "llm_split_leakage" -> QueryDef(splitLeakage _, splitLeakageOracle),
     "llm_span_scrub" -> QueryDef(spanScrub _, spanScrubOracle),
     "llm_mix_weights" -> QueryDef(mixWeights _, mixWeightsOracle))
 }

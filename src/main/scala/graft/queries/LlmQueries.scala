@@ -1165,7 +1165,7 @@ object LlmQueries {
   private val AnnK = 5
 
   /** Engine-identical cosine: strict left fold of double products. */
-  private def duckCosine(a: String, b: String): String = {
+  private[queries] def duckCosine(a: String, b: String): String = {
     def d(x: String, y: String) =
       s"""list_reduce(list_transform(range(1, len($x) + 1),
          |      i -> $x[i]::DOUBLE * $y[i]::DOUBLE), (acc, v) -> acc + v)""".stripMargin

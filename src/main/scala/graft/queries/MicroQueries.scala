@@ -362,7 +362,47 @@ object MicroQueries {
        |  m4 / nullif(m2 * m2, 0.0) - 3.0 AS ex_kurtosis
        |FROM d""".stripMargin
 
+  // ---- M32: Sortino / Omega downside-risk panel ----
+
+  def m32Sortino(s: SparkSession, dir: String): DataFrame =
+    Microstructure.sortinoOmega(ticks(s, dir))
+
+  val m32Oracle: String = {
+    def d24(e: String) = s"CAST(CAST(($e) AS DECIMAL(24,16)) AS DOUBLE)"
+    s"""WITH $dailyCte,
+       |rets AS (
+       |  SELECT symbol, day,
+       |    CAST(close / lag(close) OVER (
+       |      PARTITION BY symbol ORDER BY day) - 1.0
+       |      AS DECIMAL(12,8)) AS rq
+       |  FROM daily
+       |  QUALIFY rq IS NOT NULL
+       |),
+       |a AS (
+       |  SELECT symbol, count(*) AS n_obs,
+       |    ${d24("sum(rq)")} AS s1,
+       |    ${d24("sum(CASE WHEN rq < 0 THEN rq * rq END)")} AS dsq,
+       |    ${d24("sum(CASE WHEN rq > 0 THEN rq END)")} AS gains,
+       |    ${d24("sum(CASE WHEN rq < 0 THEN -rq END)")} AS losses,
+       |    count(CASE WHEN rq > 0 THEN 1 END) AS n_wins
+       |  FROM rets GROUP BY 1
+       |),
+       |b AS (
+       |  SELECT *, CAST(n_obs AS DOUBLE) AS nd, s1 / CAST(n_obs AS DOUBLE)
+       |    AS mean_ret FROM a
+       |),
+       |c AS (
+       |  SELECT *, sqrt(coalesce(dsq, 0.0) / nd) AS downside_dev FROM b
+       |)
+       |SELECT symbol, n_obs, mean_ret, downside_dev,
+       |  mean_ret / nullif(downside_dev, 0.0) AS sortino,
+       |  coalesce(gains, 0.0) / nullif(losses, 0.0) AS omega,
+       |  CAST(n_wins AS DOUBLE) / nd AS win_rate
+       |FROM c""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "m32_sortino" -> QueryDef(m32Sortino _, m32Oracle),
     "m31_skew_kurt" -> QueryDef(m31SkewKurt _, m31Oracle),
     "m30_range_vol" -> QueryDef(m30RangeVol _, m30Oracle),
     "m29_hurst" -> QueryDef(m29Hurst _, m29Oracle),

@@ -103,7 +103,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "x7_zorder_layout", "llm_tfidf_cosine", "ev17_survival",
       "llm_colloc_pmi")
     val boundedPickBuild = Set("llm_ann_topk", "llm_ann_pq",
-      "llm_ann_recall", "llm_ann_recall_curve", "llm_mrl_recall")
+      "llm_ann_recall", "llm_ann_recall_curve", "llm_mrl_recall",
+      "llm_knn_label")
     for (name <- SparkEntry.queries.keys if !driverSide(name)) {
       val bnl = planOf(name).collect { case j: BroadcastNestedLoopJoinExec => j }
       assert(bnl.isEmpty || oneRowBuild(name) || boundedPickBuild(name),

@@ -336,6 +336,67 @@ class Round11Spec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("ex_kurtosis") - -2.0) < 1e-9)
   }
 
+  // ---- M32 Sortino / Omega ----
+
+  test("sortino/omega: symmetric flip-flop gives sortino 0, omega 1") {
+    val t = ticks(Seq(("X", 0L, 100.0), ("X", 1L, 110.0),
+      ("X", 2L, 99.0), ("X", 3L, 108.9), ("X", 4L, 98.01)))
+    val r = Microstructure.sortinoOmega(t).head()
+    assert(r.getAs[Long]("n_obs") == 4L)
+    assert(math.abs(r.getAs[Double]("mean_ret")) < 1e-12)
+    assert(math.abs(r.getAs[Double]("downside_dev")
+      - math.sqrt(0.02 / 4.0)) < 1e-12)
+    assert(math.abs(r.getAs[Double]("sortino")) < 1e-10)
+    assert(math.abs(r.getAs[Double]("omega") - 1.0) < 1e-10)
+    assert(r.getAs[Double]("win_rate") == 0.5)
+  }
+
+  // ---- split leakage ----
+
+  test("split leakage catches a planted train->test duplicate") {
+    import graft.operators.TextAnalysis
+    // find one train id and one test id under the audit's own seed
+    val probe = (0L until 200L).map(i => (i, s"probe $i", "s"))
+      .toDF("doc_id", "text", "source")
+    val splits = TextAnalysis.splitAssign(probe, 7L, 90, 5)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("split")).toMap
+    val trainId = splits.collectFirst { case (id, "train") => id }.get
+    val testId = splits.collectFirst { case (id, "test") => id }.get
+    val valId = splits.collectFirst { case (id, "val") => id }.get
+    val docs = Seq(
+      (trainId, "the shared leaked document", "s"),
+      (testId, "the shared LEAKED    document", "s"), // same normalized
+      (valId, "something else entirely", "s"))
+      .toDF("doc_id", "text", "source")
+    val rows = TextAnalysis.splitLeakage(docs, 7L, 90, 5)
+      .collect().map(r => r.getAs[String]("channel") ->
+        (r.getAs[Long]("n_shared_hashes"), r.getAs[Long]("n_leaked_docs")))
+      .toMap
+    assert(rows("train->test") == ((1L, 1L)))
+    assert(rows("train->val") == ((0L, 0L)))
+    assert(rows("val->test") == ((0L, 0L)))
+  }
+
+  // ---- kNN label vote ----
+
+  test("knn label vote recovers the cluster label, ties break low") {
+    import graft.operators.VectorOps
+    // two tight clusters along orthogonal axes
+    def v(x: Float, y: Float) = Array(x, y)
+    val rows = Seq(
+      (0L, v(1.0f, 0.01f), 1), // query: clearly in cluster 1
+      (1L, v(1.0f, 0.02f), 1), (2L, v(1.0f, 0.03f), 1),
+      (3L, v(0.99f, 0.01f), 1),
+      (4L, v(0.01f, 1.0f), 2), (5L, v(0.02f, 1.0f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val out = VectorOps.knnLabelVote(rows,
+      rows.filter($"vec_id" === 0L), k = 3).head()
+    assert(out.getAs[Int]("pred_label") == 1)
+    assert(out.getAs[Long]("n_votes") == 3L)
+    assert(out.getAs[Boolean]("correct"))
+  }
+
   // ---- A33 gamma exposure ----
 
   test("gamma exposure signs, cumulates and flags the flip strike") {
