@@ -1,0 +1,136 @@
+package graft
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+import org.apache.spark.sql.functions._
+
+import graft.operators.{MarkovAttribution, Microstructure}
+
+/** Property layer for the round-11 machinery: barrier-consistency of
+  * the triple-barrier labeler, monotonicity/range invariants of the
+  * Kaplan–Meier curve, translation invariance of the Roll estimator,
+  * scale invariance of the variance ratio, and the
+  * removal-can-only-hurt monotonicity of Markov attribution. */
+object Round11Props extends Properties("Round11") {
+  private lazy val spark = TestSpark.spark
+
+  private def ticksDf(closes: List[Double]) = {
+    import spark.implicits._
+    closes.zipWithIndex.map { case (c, d) => ("X", d.toLong, c) }
+      .toDF("symbol", "d", "close")
+      .select($"symbol", timestamp_seconds($"d" * 86400L).as("timestamp"),
+        $"close")
+  }
+
+  private val walkGen: Gen[List[Double]] = for {
+    n <- Gen.choose(5, 30)
+    steps <- Gen.listOfN(n, Gen.choose(-40, 40))
+  } yield steps.scanLeft(1000.0)((p, s) => (p * (1.0 + s / 1000.0))
+    .max(200.0)).map(x => math.rint(x * 100) / 100)
+
+  property("triple-barrier labels are consistent with the exit return") =
+    forAll(walkGen) { closes =>
+      val rows = Microstructure.tripleBarrier(ticksDf(closes)).collect()
+      rows.forall { r =>
+        val label = r.getAs[Int]("label")
+        val ret = r.getAs[Double]("exit_ret")
+        val k = r.getAs[Int]("days_to_exit")
+        val inRange = k >= 1 && k <= 10
+        val consistent = label match {
+          case 1 => ret >= 0.02
+          case -1 => ret <= -0.02
+          case _ => ret > -0.02 && ret < 0.02
+        }
+        inRange && consistent
+      }
+    }
+
+  private val lifetimesGen: Gen[List[(Long, List[Long])]] = for {
+    n <- Gen.choose(2, 12)
+    users <- Gen.listOfN(n, for {
+      d0 <- Gen.choose(0L, 30L)
+      span <- Gen.choose(0L, 25L)
+    } yield (d0, List(d0, d0 + span)))
+  } yield users.zipWithIndex.map { case ((_, ds), u) => (u.toLong, ds) }
+
+  property("kaplan–meier survival is in [0,1] and non-increasing") =
+    forAll(lifetimesGen) { users =>
+      import spark.implicits._
+      val ev = users.flatMap { case (u, ds) => ds.map(d => (u, d)) }
+        .toDF("user_id", "d")
+        .select($"user_id", timestamp_seconds($"d" * 86400L).as("ts"))
+      val rows = graft.operators.EventsAnalytics.kaplanMeier(ev)
+        .orderBy("duration").collect()
+      val s = rows.map(_.getAs[Double]("km_survival"))
+      val risks = rows.map(_.getAs[Long]("n_risk"))
+      s.forall(x => x >= 0.0 && x <= 1.0) &&
+        s.zip(s.drop(1)).forall { case (a, b) => b <= a + 1e-12 } &&
+        risks.zip(risks.drop(1)).forall { case (a, b) => b < a } &&
+        risks.head == users.size
+    }
+
+  property("roll spread is invariant under a constant price shift") =
+    forAll(walkGen) { closes =>
+      val base = Microstructure.rollSpread(ticksDf(closes)).collect()
+      val shifted = Microstructure
+        .rollSpread(ticksDf(closes.map(_ + 500.0))).collect()
+      base.length == shifted.length && base.zip(shifted).forall {
+        case (a, b) =>
+          math.abs(a.getAs[Double]("autocov")
+            - b.getAs[Double]("autocov")) < 1e-6
+      }
+    }
+
+  property("variance ratio is invariant under a constant price scale") =
+    forAll(walkGen) { closes =>
+      def vr(cs: List[Double]) = Microstructure.varianceRatio(ticksDf(cs))
+        .collect().map(r => r.getAs[Int]("q") ->
+          Option(r.getAs[java.lang.Double]("vr")).map(_.doubleValue)).toMap
+      val a = vr(closes); val b = vr(closes.map(_ * 4.0))
+      a.keySet == b.keySet && a.forall { case (q, va) =>
+        (va, b(q)) match {
+          case (Some(x), Some(y)) =>
+            (x.isNaN && y.isNaN) || math.abs(x - y) < 1e-4
+          case (None, None) => true
+          case _ => false
+        }
+      }
+    }
+
+  // ---- Markov attribution: removing a channel never helps ----
+
+  private val journeyGen: Gen[List[(Long, List[String])]] = {
+    val step = Gen.oneOf("view", "click", "signup", "error")
+    for {
+      n <- Gen.choose(2, 10)
+      users <- Gen.listOfN(n, for {
+        len <- Gen.choose(1, 5)
+        steps <- Gen.listOfN(len, step)
+        conv <- Gen.oneOf(true, false)
+      } yield steps ++ (if (conv) List("purchase") else Nil))
+    } yield users.zipWithIndex.map { case (js, u) => (u.toLong, js) }
+  }
+
+  property("markov removal effect: removal_cvr <= base_cvr, shares sum to 1") =
+    forAll(journeyGen) { users =>
+      import spark.implicits._
+      var eid = 0L
+      val ev = users.flatMap { case (u, js) =>
+        js.zipWithIndex.map { case (t, i) =>
+          eid += 1; (u, i.toLong, eid, t)
+        }
+      }.toDF("user_id", "sec", "event_id", "event_type")
+        .select($"user_id", timestamp_seconds($"sec").as("ts"),
+          $"event_id", $"event_type")
+      val counts = MarkovAttribution.transitionCounts(ev)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val base = MarkovAttribution
+        .absorption(counts, MarkovAttribution.Channels, None)("START")
+      val (_, rows) = MarkovAttribution.attribution(counts)
+      val monotone = rows.forall(_._2 <= base + 1e-9)
+      val shares = rows.map(_._4).sum
+      val sharesOk = shares == 0.0 || math.abs(shares - 1.0) < 1e-9
+      monotone && sharesOk
+    }
+}
