@@ -651,6 +651,53 @@ object EventsAnalytics {
       .select("active_days", "n_users", "users_at_least", "frac_at_least")
   }
 
+  /** EV19: cohort LTV curves — per signup cohort (first active day),
+    * the cumulative per-user value at each day offset: the
+    * lifetime-value panel every growth team reads next to ev3's
+    * retention triangle. Shape: one user-keyed exchange pins each
+    * user's cohort day; the (cohort, offset) aggregate is
+    * calendar-bounded; the cumulative runs as a DECIMAL window over
+    * the tiny cohort×offset grid (order-free — a double running sum
+    * would diverge between engines).
+    *
+    * Exactness: day/offset/user counts are integers; value sums ride
+    * DECIMAL(28,6) end to end (including the cumulative) and render
+    * to double once, 2^53-gated. `cum_value_per_user` divides by the
+    * cohort size — the standard per-capita LTV read. */
+  def cohortLtv(events: DataFrame, maxOffsetDays: Int = 14,
+      userCol: String = "user_id", tsCol: String = "ts",
+      valueCol: String = "value"): DataFrame = {
+    val dec = createDecimalType(28, 6)
+    val epochDay = floor(unix_micros(col(tsCol)) / lit(86400000000L))
+    val w0 = Window.partitionBy(col("u"))
+    val tagged = events
+      .select(col(userCol).as("u"), epochDay.as("day"),
+        col(valueCol).as("v"))
+      .withColumn("cohort", min(col("day")).over(w0))
+      .withColumn("off", col("day") - col("cohort"))
+      .filter(col("off") <= maxOffsetDays)
+    val cohortSizes = tagged.groupBy(col("cohort"))
+      .agg(count_distinct(col("u")).as("cohort_users"))
+    val grid = tagged.groupBy(col("cohort"), col("off"))
+      .agg(
+        count_distinct(col("u")).as("active_users"),
+        sum(col("v").cast(dec)).as("_val"))
+    val wCum = Window.partitionBy(col("cohort")).orderBy(col("off"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .withColumn("_cum", sum(col("_val")).over(wCum))
+      .join(cohortSizes, "cohort")
+      .select(
+        date_format(timestamp_seconds(col("cohort") * 86400L),
+          "yyyy-MM-dd").as("cohort_date"),
+        col("off").as("day_offset"),
+        col("cohort_users"), col("active_users"),
+        col("_val").cast("double").as("day_value"),
+        col("_cum").cast("double").as("cum_value"),
+        (col("_cum").cast("double")
+          / col("cohort_users").cast("double")).as("cum_value_per_user"))
+  }
+
   /** Kaplan–Meier survival curve over user lifetimes — the
     * product-limit estimator every retention team runs and the
     * reference (a point-in-time collector) cannot express: duration =

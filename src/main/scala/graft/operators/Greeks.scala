@@ -36,7 +36,8 @@ object Greeks {
       df: DataFrame,
       spotCol: String = "spot_price",
       ivCol: String = "iv",
-      r: Double = DefaultRiskFreeRate): DataFrame = {
+      r: Double = DefaultRiskFreeRate,
+      keepInternals: Boolean = false): DataFrame = {
     val spot = col(spotCol)
     val iv = col(ivCol)
     val out = df
@@ -74,8 +75,37 @@ object Greeks {
               + lit(r) * col("strike") * exp(-(lit(r) * col("T"))) * col("_cdfn2"))
           / lit(DaysPerYear))
       .withColumn("adjusted_delta", col("bs_delta") - col("price") / spot)
-    out.drop("_valid", "_sqrtT", "_d1", "_d2", "_x1", "_x2",
+    if (keepInternals) out
+    else out.drop("_valid", "_sqrtT", "_d1", "_d2", "_x1", "_x2",
       "_erf1", "_erf2", "_cdf1", "_cdf2", "_cdfn2", "_pdf1")
+  }
+
+  /** M33: second-order Greeks — vanna (∂Δ/∂σ), vomma (∂vega/∂σ, per
+    * 1% vol like vega) and charm (delta decay, per day like theta) —
+    * the cross-risks a vol desk hedges once delta/gamma/vega are
+    * flat. Same row-level chain as [[withGreeks]] (whose internals
+    * this reuses — one shared d1/d2/φ evaluation, no second erf),
+    * identical for calls and puts at q = 0. */
+  def secondOrderGreeks(
+      df: DataFrame,
+      spotCol: String = "spot_price",
+      ivCol: String = "iv",
+      r: Double = DefaultRiskFreeRate): DataFrame = {
+    val spot = col(spotCol)
+    val iv = col(ivCol)
+    val g = withGreeks(df, spotCol, ivCol, r, keepInternals = true)
+    g
+      .withColumn("vanna", -(col("_pdf1") * col("_d2")) / iv)
+      .withColumn("vomma",
+        spot * col("_pdf1") * col("_sqrtT") * col("_d1") * col("_d2")
+          / iv / 100.0)
+      .withColumn("charm",
+        -(col("_pdf1") * (lit(2.0 * r) * col("T")
+          - col("_d2") * iv * col("_sqrtT")))
+          / (lit(2.0) * col("T") * iv * col("_sqrtT"))
+          / lit(DaysPerYear))
+      .drop("_valid", "_sqrtT", "_d1", "_d2", "_x1", "_x2",
+        "_erf1", "_erf2", "_cdf1", "_cdf2", "_cdfn2", "_pdf1")
   }
 
   /** A14: position-weighted portfolio Greeks over valid rows + dollar

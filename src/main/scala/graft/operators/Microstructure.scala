@@ -277,6 +277,32 @@ object Microstructure {
         "omega", "win_rate")
   }
 
+  /** M34: drawdown spells — the islands-and-gaps dual of a26's
+    * single max drawdown: every run of days strictly under the
+    * running peak is a spell (a re-touch of the peak closes it);
+    * per symbol, the spell count, the longest time-under-water and
+    * the deepest trough. Two stacked per-symbol windows over the
+    * calendar-bounded daily table, then two tiny aggregates — all
+    * exact double compares/divisions, no grid. */
+  def drawdownSpells(ticks: DataFrame): DataFrame = {
+    val wCum = Window.partitionBy(col("symbol")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    PricePath.dailyCloses(ticks)
+      .withColumn("peak", max(col("close")).over(wCum))
+      .withColumn("spell", sum(
+        when(col("close") >= col("peak"), 1).otherwise(0)
+          .cast("long")).over(wCum))
+      .filter(col("close") < col("peak"))
+      .groupBy(col("symbol"), col("spell"))
+      .agg(count(lit(1)).as("dd_days"),
+        min(col("close") / col("peak") - 1.0).as("depth"))
+      .groupBy(col("symbol"))
+      .agg(
+        count(lit(1)).as("n_spells"),
+        max(col("dd_days")).as("max_dd_days"),
+        min(col("depth")).as("worst_depth"))
+  }
+
   /** M31: realized higher moments — skewness and excess kurtosis of
     * daily returns per symbol, the crash-risk panel (negative skew /
     * fat tails) the vol estimators can't see. One symbol-keyed

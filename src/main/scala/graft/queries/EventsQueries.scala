@@ -771,7 +771,50 @@ object EventsQueries {
       "attribution_share", "base_cvr", "gate_ok")
   }
 
+  // ---- EV19: cohort LTV curves ----
+
+  def ev19CohortLtv(s: SparkSession, dir: String): DataFrame =
+    EventsAnalytics.cohortLtv(events(s, dir))
+
+  /** Whole chain re-derived: per-user cohort pin, offset grid,
+    * DECIMAL value sums AND cumulative (segment-tree-safe), per-capita
+    * division on the rendered doubles. */
+  val ev19Oracle: String =
+    s"""WITH t AS (
+       |  SELECT user_id AS u, epoch_us(ts) // 86400000000 AS day,
+       |    value AS v
+       |  FROM events
+       |),
+       |c AS (SELECT *, min(day) OVER (PARTITION BY u) AS cohort FROM t),
+       |f AS (
+       |  SELECT *, day - cohort AS off FROM c
+       |  WHERE day - cohort <= 14
+       |),
+       |cs AS (
+       |  SELECT cohort, count(DISTINCT u) AS cohort_users
+       |  FROM f GROUP BY 1
+       |),
+       |g AS (
+       |  SELECT cohort, off, count(DISTINCT u) AS active_users,
+       |    sum(CAST(v AS DECIMAL(28,6))) AS val
+       |  FROM f GROUP BY 1, 2
+       |),
+       |cum AS (
+       |  SELECT *, sum(val) OVER (PARTITION BY cohort ORDER BY off
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumv
+       |  FROM g
+       |)
+       |SELECT strftime(make_timestamp(cohort * 86400000000), '%Y-%m-%d')
+       |    AS cohort_date,
+       |  off AS day_offset, cohort_users, active_users,
+       |  CAST(val AS DOUBLE) AS day_value,
+       |  CAST(cumv AS DOUBLE) AS cum_value,
+       |  CAST(cumv AS DOUBLE) / CAST(cohort_users AS DOUBLE)
+       |    AS cum_value_per_user
+       |FROM cum JOIN cs USING (cohort)""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "ev19_cohort_ltv" -> QueryDef(ev19CohortLtv _, ev19Oracle),
     "ev18_markov_attribution" -> QueryDef(ev18Markov _, None),
     "ev17_survival" -> QueryDef(ev17Survival _, ev17Oracle),
     "ev16_time_to_convert" -> QueryDef(ev16TimeToConvert _, ev16Oracle),

@@ -514,7 +514,33 @@ object GreeksQueries {
        |  (prev IS NOT NULL AND ((cum >= 0) != (prev >= 0))) AS is_flip
        |FROM c2""".stripMargin
 
+  // ---- M33: second-order greeks (vanna / vomma / charm) ----
+
+  def m33SecondOrder(s: SparkSession, dir: String): DataFrame =
+    Greeks.secondOrderGreeks(FeatureQueries.enrichedSpot(s, dir)).select(
+      col("trade_id"),
+      Parity.epochS(col("timestamp")).as("ep"),
+      col("option_type"),
+      Parity.roundTo(col("vanna"), 9).as("vanna"),
+      Parity.roundTo(col("vomma"), 9).as("vomma"),
+      Parity.roundTo(col("charm"), 9).as("charm"))
+
+  /** Same stage-by-stage CTE chain as m1 — vanna/vomma/charm are
+    * three extra projections over the shared d1/d2/φ columns. */
+  val m33Oracle: String =
+    s"""WITH $greeksCte
+       |SELECT trade_id, ep, option_type,
+       |  ${duckRoundTo("(-(pdf1 * d2)) / iv", 9)} AS vanna,
+       |  ${duckRoundTo(
+            "spot_price * pdf1 * sqrtT * d1 * d2 / iv / 100.0", 9)}
+       |    AS vomma,
+       |  ${duckRoundTo(
+            "(-(pdf1 * (0.04 * T - d2 * iv * sqrtT)))" +
+              " / (2.0 * T * iv * sqrtT) / 365.25", 9)} AS charm
+       |FROM greeks_adj""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "m33_second_order" -> QueryDef(m33SecondOrder _, m33Oracle),
     "a33_gamma_exposure" -> QueryDef(a33GammaExposure _, a33Oracle),
     "m1_greeks" -> QueryDef(m1Greeks _, m1Oracle),
     "m19_hedged_pnl" -> QueryDef(m19HedgedPnl _, m19Oracle),

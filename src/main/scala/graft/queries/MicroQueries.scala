@@ -401,7 +401,37 @@ object MicroQueries {
        |FROM c""".stripMargin
   }
 
+  // ---- M34: drawdown spells (time under water) ----
+
+  def m34DrawdownSpells(s: SparkSession, dir: String): DataFrame =
+    Microstructure.drawdownSpells(ticks(s, dir))
+
+  val m34Oracle: String =
+    s"""WITH $dailyCte,
+       |d AS (
+       |  SELECT symbol, day, close,
+       |    max(close) OVER (PARTITION BY symbol ORDER BY day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+       |  FROM daily
+       |),
+       |e AS (
+       |  SELECT *, CAST(sum(CASE WHEN close >= peak THEN 1 ELSE 0 END)
+       |    OVER (PARTITION BY symbol ORDER BY day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |    AS BIGINT) AS spell
+       |  FROM d
+       |),
+       |g AS (
+       |  SELECT symbol, spell, count(*) AS dd_days,
+       |    min(close / peak - 1.0) AS depth
+       |  FROM e WHERE close < peak GROUP BY 1, 2
+       |)
+       |SELECT symbol, count(*) AS n_spells, max(dd_days) AS max_dd_days,
+       |  min(depth) AS worst_depth
+       |FROM g GROUP BY 1""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "m34_drawdown_spells" -> QueryDef(m34DrawdownSpells _, m34Oracle),
     "m32_sortino" -> QueryDef(m32Sortino _, m32Oracle),
     "m31_skew_kurt" -> QueryDef(m31SkewKurt _, m31Oracle),
     "m30_range_vol" -> QueryDef(m30RangeVol _, m30Oracle),

@@ -204,7 +204,74 @@ object RelationalQueries {
        |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
   }
 
+  /** Q8: GROUPING SETS that neither ROLLUP nor CUBE can express — the
+    * two single-dimension marginals plus the grand total, WITHOUT the
+    * pair-level rows, in ONE Expand + hash-aggregate pass. Same
+    * 'ALL'/composed-GROUPING-bit contract as q6/q7. */
+  def q8GroupingSets(s: SparkSession, dir: String): DataFrame =
+    li(s, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        Parity.dsum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n_rows"),
+        grouping_id().cast("int").as("gid"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("n_rows"), col("gid"))
+
+  val q8GroupingSetsOracle: String = {
+    import Parity._
+    s"""SELECT
+       |  coalesce(l_returnflag, 'ALL') AS returnflag,
+       |  coalesce(l_linestatus, 'ALL') AS linestatus,
+       |  ${duckDsum("l_quantity")} AS sum_qty,
+       |  count(*) AS n_rows,
+       |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT)
+       |    AS gid
+       |FROM lineitem
+       |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())"""
+      .stripMargin
+  }
+
+  /** Q9: semi/anti-join audit — per market segment, how many
+    * customers have at least one order (LEFT SEMI) and how many have
+    * none (LEFT ANTI). Both probe sides shuffle on the join key; the
+    * per-segment rollup runs on the customers-sized results. */
+  def q9SemiAnti(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(s, dir, "customer")
+    val o = Tables.load(s, dir, "orders")
+    val base = c.groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+    val withOrders = c
+      .join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_with_orders"))
+    base.join(withOrders, Seq("c_mktsegment"), "left")
+      .select(
+        col("c_mktsegment").as("mktsegment"),
+        col("n_customers"),
+        coalesce(col("n_with_orders"), lit(0L)).as("n_with_orders"),
+        (col("n_customers") - coalesce(col("n_with_orders"), lit(0L)))
+          .as("n_without_orders"))
+  }
+
+  val q9SemiAntiOracle: String =
+    """SELECT c_mktsegment AS mktsegment,
+      |  count(*) AS n_customers,
+      |  count(CASE WHEN c_custkey IN (SELECT o_custkey FROM orders)
+      |        THEN 1 END) AS n_with_orders,
+      |  count(*) - count(CASE WHEN c_custkey IN
+      |        (SELECT o_custkey FROM orders) THEN 1 END)
+      |    AS n_without_orders
+      |FROM customer
+      |GROUP BY 1""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "q8_grouping_sets" -> QueryDef(q8GroupingSets _, q8GroupingSetsOracle),
+    "q9_semi_anti" -> QueryDef(q9SemiAnti _, q9SemiAntiOracle),
     "q1_agg" -> QueryDef(q1Agg _, q1AggOracle),
     "q6_rollup" -> QueryDef(q6Rollup _, q6RollupOracle),
     "q7_cube" -> QueryDef(q7Cube _, q7CubeOracle),

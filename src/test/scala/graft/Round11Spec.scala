@@ -141,6 +141,75 @@ class Round11Spec extends AnyFunSuite {
     assert(rows(15L) == ((1L, 0.0)))
   }
 
+  // ---- M34 drawdown spells ----
+
+  test("drawdown spells: count, longest and deepest match by hand") {
+    // path: 100 (peak), 90, 95, 101 (new peak), 98, 97, 99, 102
+    // spell 1 = {90, 95} (2 days, depth -0.10)
+    // spell 2 = {98, 97, 99} (3 days, depth 97/101-1)
+    val t = ticks(Seq(0L -> 100.0, 1L -> 90.0, 2L -> 95.0, 3L -> 101.0,
+      4L -> 98.0, 5L -> 97.0, 6L -> 99.0, 7L -> 102.0)
+      .map { case (d, c) => ("X", d, c) })
+    val r = Microstructure.drawdownSpells(t).head()
+    assert(r.getAs[Long]("n_spells") == 2L)
+    assert(r.getAs[Long]("max_dd_days") == 3L)
+    assert(math.abs(r.getAs[Double]("worst_depth") - (90.0 / 100.0 - 1.0))
+      < 1e-15)
+  }
+
+  // ---- M33 second-order greeks ----
+
+  test("second-order greeks match the closed form on one contract") {
+    import graft.operators.Greeks
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val exp = java.sql.Date.valueOf("2024-02-01")
+    val df = Seq(("1", ts, exp, "C", 10000.0, 0.6, 9500.0, 500.0))
+      .toDF("trade_id", "timestamp", "expiry", "option_type",
+        "strike", "iv", "spot_price", "price")
+    val r = Greeks.secondOrderGreeks(df).head()
+    val tYears = (java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
+      .getTime / 1000L - ts.getTime / 1000L) / 31557600.0
+    val sqrtT = math.sqrt(tYears)
+    val d1 = (math.log(9500.0 / 10000.0) + (0.02 + 0.6 * 0.6 / 2.0)
+      * tYears) / (0.6 * sqrtT)
+    val d2 = d1 - 0.6 * sqrtT
+    val pdf1 = math.exp(-(d1 * d1) / 2.0) / math.sqrt(2.0 * math.Pi)
+    val vanna = -(pdf1 * d2) / 0.6
+    val vomma = 9500.0 * pdf1 * sqrtT * d1 * d2 / 0.6 / 100.0
+    val charm = -(pdf1 * (0.04 * tYears - d2 * 0.6 * sqrtT)) /
+      (2.0 * tYears * 0.6 * sqrtT) / 365.25
+    assert(math.abs(r.getAs[Double]("vanna") - vanna) < 1e-9)
+    assert(math.abs(r.getAs[Double]("vomma") - vomma) < 1e-9)
+    assert(math.abs(r.getAs[Double]("charm") - charm) < 1e-9)
+    // OTM call: d2 < 0 so vanna must be positive
+    assert(r.getAs[Double]("vanna") > 0)
+  }
+
+  // ---- EV19 cohort LTV ----
+
+  test("cohort ltv accumulates value along the offset axis per cohort") {
+    import graft.operators.EventsAnalytics
+    // cohort day0: users 1,2; cohort day1: user 3
+    val ev = Seq(
+      (1L, 0L, 10.0), (2L, 0L, 5.0), (1L, 1L, 3.0), (3L, 1L, 7.0),
+      (3L, 2L, 1.0))
+      .toDF("user_id", "d", "value")
+      .select($"user_id", timestamp_seconds($"d" * 86400L).as("ts"),
+        $"value")
+    val rows = EventsAnalytics.cohortLtv(ev)
+      .collect().map(r => (r.getAs[String]("cohort_date"),
+        r.getAs[Long]("day_offset")) -> r).toMap
+    val c0 = rows.keys.map(_._1).min
+    val c1 = rows.keys.map(_._1).max
+    assert(rows((c0, 0L)).getAs[Double]("day_value") == 15.0)
+    assert(rows((c0, 0L)).getAs[Long]("cohort_users") == 2L)
+    assert(rows((c0, 1L)).getAs[Double]("cum_value") == 18.0)
+    assert(rows((c0, 1L)).getAs[Double]("cum_value_per_user") == 9.0)
+    assert(rows((c1, 0L)).getAs[Double]("day_value") == 7.0)
+    assert(rows((c1, 1L)).getAs[Double]("cum_value") == 8.0)
+    assert(rows((c1, 1L)).getAs[Long]("active_users") == 1L)
+  }
+
   // ---- lexical entropy ----
 
   test("lexical entropy matches the closed form on a tiny corpus") {
