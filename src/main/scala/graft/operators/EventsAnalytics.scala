@@ -361,6 +361,50 @@ object EventsAnalytics {
           .as("stickiness"))
   }
 
+  /** Sketch-merge rolling actives — the 100 TB path [[rollingActive]]
+    * cannot take: its exact WAU fans the collapsed (user, day) table
+    * out windowDays× and re-shuffles every user id per target day.
+    * Here the fan-out happens on PRE-AGGREGATED per-day HLL sketches
+    * (|days| rows of ~KB state, Datasketches HLL via
+    * `hll_sketch_agg`), and the rolling distinct is `hll_union_agg`
+    * over the windowDays sketches covering each target day — sketch
+    * build is the only pass over the fact data, and it is a
+    * fixed-memory mergeable partial aggregate. The exact DAU/WAU are
+    * kept alongside as the correctness gate (collapsed-table count +
+    * the rollingActive fan-out); a real 100 TB deployment drops the
+    * exact-WAU branch and keeps the sketch one. `est_ok` pins the
+    * estimate within `tol` of exact (default 5%; lgConfigK 12 gives
+    * ~1.6% RSE, so the bound has slack without being vacuous). */
+  def sketchRollingActive(events: DataFrame, windowDays: Int = 7,
+      tol: Double = 0.05, userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    val epochDay = floor(unix_micros(col(tsCol)) / lit(86400000000L))
+    val ud = graft.util.Caches.materialize(
+      events.select(col(userCol).as("u"), epochDay.as("day")).distinct())
+    // ud is distinct on (u, day): plain count IS the exact DAU
+    val daySk = graft.util.Caches.materialize(
+      ud.groupBy(col("day"))
+        .agg(count(col("u")).as("dau"), hll_sketch_agg(col("u")).as("sk")))
+    val wauEst = daySk
+      .select(col("sk"),
+        explode(sequence(col("day"), col("day") + (windowDays - 1)))
+          .as("t"))
+      .groupBy(col("t"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("wau_est"))
+    val wauExact = ud
+      .select(col("u"),
+        explode(sequence(col("day"), col("day") + (windowDays - 1)))
+          .as("te"))
+      .groupBy(col("te"))
+      .agg(countDistinct(col("u")).as("wau"))
+    daySk.select(col("day"), col("dau"))
+      .join(wauExact, col("te") === col("day"))
+      .join(wauEst, col("t") === col("day"))
+      .select(col("day"), col("dau"), col("wau"), col("wau_est"),
+        (abs(col("wau_est") - col("wau")) <= lit(tol) * col("wau"))
+          .as("est_ok"))
+  }
+
   /** First-order path transition matrix (the "what do users do next"
     * Markov roll-up behind sankey/flow dashboards): per user, events
     * ordered by (ts, event_id); each adjacent (event, next event)

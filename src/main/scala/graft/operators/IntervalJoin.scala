@@ -71,4 +71,47 @@ object IntervalJoin {
       .groupBy(col(keyCol), col("session_seq"))
       .agg(min(col(epCol)).as("start_ep"), max(col(epCol)).as("end_ep"))
   }
+
+  /** Interval×interval OVERLAP join (`l.start <= r.end AND r.start <=
+    * l.end`, inclusive epoch-second bounds) — the other classic range
+    * join Catalyst would plan as a key-only join with a theta
+    * post-filter, i.e. a per-key cartesian. Same bucketization cure
+    * as [[containmentJoin]], with one extra wrinkle: a pair of
+    * overlapping intervals shares EVERY bucket in the overlap span,
+    * so a naive equi-join on (key, bucket) emits the pair once per
+    * shared bucket. Rather than a dedup shuffle (`distinct` over the
+    * pair columns — a second exchange), each pair is claimed by the
+    * single canonical bucket `max(bucket(l.start), bucket(r.start))`:
+    * overlap implies `max(l.start, r.start) <= min(l.end, r.end)`,
+    * so that bucket lies inside both intervals' bucket ranges (the
+    * bucket fn is monotone), both sides emit it, and exactly one
+    * joined row survives the equality filter. Output: every column of
+    * both inputs (caller guarantees disjoint names apart from
+    * `keyCol`), exactly once per overlapping pair.
+    */
+  def overlapJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      lStartCol: String, lEndCol: String,
+      rStartCol: String, rEndCol: String,
+      bucketSec: Long = 86400L): DataFrame = {
+    // fixed internal names so `expr`/sequence never see caller input
+    val lb = left
+      .withColumn("_ls", col(lStartCol).cast("long"))
+      .withColumn("_le", col(lEndCol).cast("long"))
+      .withColumn("_lsb", expr(s"_ls div ${bucketSec}L"))
+      .withColumn("_bucket",
+        explode(sequence(col("_lsb"), expr(s"_le div ${bucketSec}L"))))
+      .drop("_ls", "_le")
+    val rb = right
+      .withColumn("_rs", col(rStartCol).cast("long"))
+      .withColumn("_re", col(rEndCol).cast("long"))
+      .withColumn("_rsb", expr(s"_rs div ${bucketSec}L"))
+      .withColumn("_bucket",
+        explode(sequence(col("_rsb"), expr(s"_re div ${bucketSec}L"))))
+      .drop("_rs", "_re")
+    lb.join(rb, Seq(keyCol, "_bucket"))
+      .filter(col(lStartCol) <= col(rEndCol) &&
+        col(rStartCol) <= col(lEndCol))
+      .filter(col("_bucket") === greatest(col("_lsb"), col("_rsb")))
+      .drop("_bucket", "_lsb", "_rsb")
+  }
 }

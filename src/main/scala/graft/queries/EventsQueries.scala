@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import graft.operators.EventsAnalytics
 import graft.util.Parity.{duckDavg, duckDoubleLit, duckDsum, duckRoundTo}
 import graft.util.Tables
@@ -813,7 +814,46 @@ object EventsQueries {
        |    AS cum_value_per_user
        |FROM cum JOIN cs USING (cohort)""".stripMargin
 
+  /** EV20: rolling actives by HLL sketch merge
+    * ([[EventsAnalytics.sketchRollingActive]]) — the sketch-partial
+    * scale path next to ev6's exact fan-out. Oracle: day/dau/wau are
+    * fully SQL-re-derived (same statement as ev6); the HLL estimate
+    * is implementation-specific by nature (Datasketches HLL_4,
+    * lgConfigK 12), so it is pinned as a VALUES literal the way a18
+    * pins its sketch scalars — but `est_ok` is RECOMPUTED in SQL from
+    * the pinned estimate and the independently-derived exact WAU, so
+    * the ±5% accuracy claim itself is oracle-verified, not echoed. */
+  def ev20SketchWau(s: SparkSession, dir: String): DataFrame = {
+    val out = graft.util.Caches.materialize(
+      EventsAnalytics.sketchRollingActive(events(s, dir)))
+    val est = out.select(col("day"), col("wau_est"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    DynamicOracles.put("ev20_sketch_wau", ev20Oracle(est))
+    out
+  }
+
+  private def ev20Oracle(est: Seq[(Long, Long)]): String = {
+    val values = est.map { case (d, e) => s"($d, $e)" }.mkString(", ")
+    s"""WITH ud AS (
+       |  SELECT DISTINCT user_id AS u,
+       |    epoch_us(ts) // 86400000000 AS day
+       |  FROM events
+       |),
+       |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1),
+       |wau AS (
+       |  SELECT d.day, count(DISTINCT u.u) AS wau
+       |  FROM dau d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+       |  GROUP BY 1
+       |),
+       |est(day, wau_est) AS (VALUES $values)
+       |SELECT d.day, d.dau, w.wau, e.wau_est,
+       |  abs(e.wau_est - w.wau) <= 0.05 * w.wau AS est_ok
+       |FROM dau d JOIN wau w ON w.day = d.day
+       |JOIN est e ON e.day = d.day""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "ev20_sketch_wau" -> QueryDef(ev20SketchWau _, None),
     "ev19_cohort_ltv" -> QueryDef(ev19CohortLtv _, ev19Oracle),
     "ev18_markov_attribution" -> QueryDef(ev18Markov _, None),
     "ev17_survival" -> QueryDef(ev17Survival _, ev17Oracle),

@@ -906,7 +906,74 @@ object SystemQueries {
        |  CAST(count(DISTINCT ep) AS BIGINT) AS n_epochs
        |FROM u GROUP BY 1""".stripMargin
 
+  /** S17: SCD1 changelog merge ([[graft.operators.CdcMerge]]) — the
+    * events tape split at its temporal midpoint into a base era and a
+    * change era; each era collapses latest-wins per user ('purchase'
+    * acting as the delete op), the base era's survivors form the
+    * snapshot, and the change era merges over it. The whole chain —
+    * split bound, both collapses, the full-outer apply, the status
+    * labels — is re-derived in the oracle. The midpoint bound rides a
+    * broadcast one-row aggregate (the a18 pattern), and both
+    * latest-wins collapses are `max_by` hash aggregates, not window
+    * sorts. */
+  def s17MergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.util.Tables.load(s, dir, "events")
+      .select(col("user_id").as("u"), col("event_id"),
+        when(col("event_type") === "purchase", "D").otherwise("U")
+          .as("op"),
+        col("value").as("v"), unix_micros(col("ts")).as("us"))
+    val bounds = ev.agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
+    // one materialization: the tagged tape feeds both era collapses
+    // (without it each of the four consumers re-scans events)
+    val tagged = graft.util.Caches.materialize(
+      ev.crossJoin(broadcast(bounds))
+        .withColumn("is_base",
+          col("us") < col("mn") + expr("(mx - mn) div 2")))
+    def latest(base: Boolean): DataFrame =
+      graft.operators.CdcMerge.latestState(
+        tagged.filter(col("is_base") === base),
+        "u", "op", "v", "us", "event_id")
+    val snapshot = latest(base = true).filter(col("op") === "U")
+      .select(col("u"), col("val"), col("us"))
+    graft.operators.CdcMerge.merge(snapshot, latest(base = false), "u")
+      .select(col("u").as("user_id"), col("val"), col("last_us"),
+        col("status"))
+  }
+
+  val s17Oracle: String = {
+    def eraCte(pred: String, tag: String): String =
+      s"""${tag}_rn AS (
+         |  SELECT *, row_number() OVER (PARTITION BY u
+         |    ORDER BY us DESC, event_id DESC) AS rn
+         |  FROM tag WHERE $pred
+         |),
+         |$tag AS (SELECT u, op, v, us FROM ${tag}_rn WHERE rn = 1)"""
+        .stripMargin
+    s"""WITH ev AS (
+       |  SELECT user_id AS u, event_id,
+       |    CASE WHEN event_type = 'purchase' THEN 'D' ELSE 'U' END AS op,
+       |    value AS v, epoch_us(ts) AS us
+       |  FROM events
+       |),
+       |b AS (SELECT min(us) AS mn, max(us) AS mx FROM ev),
+       |tag AS (
+       |  SELECT ev.*, us < mn + (mx - mn) // 2 AS is_base FROM ev, b
+       |),
+       |${eraCte("is_base", "base")},
+       |${eraCte("NOT is_base", "chg")},
+       |snap AS (SELECT u, v, us FROM base WHERE op = 'U')
+       |SELECT coalesce(s.u, c.u) AS user_id,
+       |  CASE WHEN c.op = 'U' THEN c.v ELSE s.v END AS val,
+       |  CASE WHEN c.op = 'U' THEN c.us ELSE s.us END AS last_us,
+       |  CASE WHEN c.op IS NULL THEN 'kept'
+       |    WHEN s.u IS NULL THEN 'inserted'
+       |    ELSE 'updated' END AS status
+       |FROM snap s FULL JOIN chg c ON c.u = s.u
+       |WHERE c.op IS NULL OR c.op = 'U'""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "s17_merge_upsert" -> QueryDef(s17MergeUpsert _, s17Oracle),
     "st13_stream_outer_join" -> QueryDef(st13StreamOuterJoin _, st13Oracle),
     "s15_schema_evolution" -> QueryDef(s15SchemaEvolution _, s15Oracle),
     "s14_jdbc_roundtrip" -> QueryDef(s14JdbcRoundtrip _, s14Oracle),

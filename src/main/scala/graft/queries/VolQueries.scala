@@ -280,6 +280,79 @@ object VolQueries {
        |  ON i.underlying = t.symbol
        |  AND t.ep BETWEEN i.start_ep AND i.end_ep""".stripMargin
 
+  /** J9: interval×interval OVERLAP join via the canonical-bucket
+    * dedup ([[graft.operators.IntervalJoin.overlapJoin]]) — call-side
+    * vs put-side activity sessions on the thinned tape, paired where
+    * the two sides were simultaneously active (two-sided-market
+    * windows), with the overlap span. The oracle states the plain
+    * theta overlap join; the Spark side is the bucketized equi-join
+    * that survives 100 TB without a per-key cartesian or a dedup
+    * shuffle. */
+  def j9OverlapJoin(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val t = trades(s, dir)
+      .filter(col("trade_id").cast("long") % 7 === 0)
+      .select(col("underlying").as("symbol"),
+        unix_timestamp(col("timestamp")).as("ep"), col("option_type"))
+    def side(ot: String, tag: String): DataFrame =
+      graft.operators.IntervalJoin.activityIntervals(
+        t.filter(col("option_type") === ot), "symbol", "ep", J6GapSec)
+        .select(col("symbol"), col("session_seq").as(s"${tag}_seq"),
+          col("start_ep").as(s"${tag}_start"),
+          col("end_ep").as(s"${tag}_end"))
+    graft.operators.IntervalJoin.overlapJoin(
+      side("C", "call"), side("P", "put"), "symbol",
+      "call_start", "call_end", "put_start", "put_end")
+      .select(col("symbol"), col("call_seq"), col("put_seq"),
+        col("call_start"), col("call_end"),
+        col("put_start"), col("put_end"),
+        greatest(col("call_start"), col("put_start")).as("ov_start"),
+        least(col("call_end"), col("put_end")).as("ov_end"),
+        (least(col("call_end"), col("put_end"))
+          - greatest(col("call_start"), col("put_start"))).as("ov_sec"))
+  }
+
+  val j9Oracle: String = {
+    def sideCte(ot: String, tag: String): String =
+      s"""${tag}_seq AS (
+         |  SELECT *, CASE WHEN lag(ep) OVER w IS NULL
+         |      OR ep - lag(ep) OVER w > $J6GapSec THEN 1 ELSE 0 END AS is_new
+         |  FROM sampled WHERE option_type = '$ot'
+         |  WINDOW w AS (PARTITION BY underlying ORDER BY ep)
+         |),
+         |${tag}_iv AS (
+         |  SELECT underlying,
+         |    CAST(sum(is_new) OVER (PARTITION BY underlying
+         |      ORDER BY ep ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         |      AS session_seq, ep
+         |  FROM ${tag}_seq
+         |),
+         |${tag}s AS (
+         |  SELECT underlying, session_seq, min(ep) AS ${tag}_start,
+         |    max(ep) AS ${tag}_end
+         |  FROM ${tag}_iv GROUP BY 1, 2
+         |)""".stripMargin
+    s"""WITH ${SyntheticTrades.tradesCte},
+       |sampled AS (
+       |  SELECT underlying, option_type,
+       |    ${duckEpochS("\"timestamp\"")} AS ep
+       |  FROM trades WHERE CAST(trade_id AS BIGINT) % 7 = 0
+       |),
+       |${sideCte("C", "call")},
+       |${sideCte("P", "put")}
+       |SELECT c.underlying AS symbol,
+       |  c.session_seq AS call_seq, p.session_seq AS put_seq,
+       |  c.call_start, c.call_end, p.put_start, p.put_end,
+       |  greatest(c.call_start, p.put_start) AS ov_start,
+       |  least(c.call_end, p.put_end) AS ov_end,
+       |  least(c.call_end, p.put_end)
+       |    - greatest(c.call_start, p.put_start) AS ov_sec
+       |FROM calls c JOIN puts p
+       |  ON p.underlying = c.underlying
+       |  AND c.call_start <= p.put_end AND p.put_start <= c.call_end"""
+      .stripMargin
+  }
+
   def a21SizeQuantiles(s: SparkSession, dir: String): DataFrame =
     OrderFlow.sizeQuantiles(trades(s, dir))
 
@@ -642,5 +715,6 @@ object VolQueries {
     "m9_iv_rv_spread" -> QueryDef(m9IvRvSpread _, m9Oracle),
     "a19_flow_imbalance" -> QueryDef(a19FlowImbalance _, a19Oracle),
     "a20_vwap" -> QueryDef(a20Vwap _, a20Oracle),
-    "j6_interval_join" -> QueryDef(j6IntervalJoin _, j6Oracle))
+    "j6_interval_join" -> QueryDef(j6IntervalJoin _, j6Oracle),
+    "j9_overlap_join" -> QueryDef(j9OverlapJoin _, j9Oracle))
 }

@@ -1,0 +1,116 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{CdcMerge, EventsAnalytics, IntervalJoin}
+
+/** Round-11 second wave: the interval-overlap join (j9), the
+  * HLL-sketch rolling actives (ev20), and the SCD1 changelog merge
+  * (s17). Known-answer + brute-force equivalence; the DuckDB oracles
+  * gate full-scale parity. */
+class Round11bSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---- J9 overlap join ----
+
+  private def iv(tag: String, rows: Seq[(String, Long, Long)]) =
+    rows.toDF("k", s"${tag}_s", s"${tag}_e")
+
+  test("overlap join emits each overlapping pair exactly once") {
+    val left = iv("l", Seq(("k", 0L, 10L), ("k", 100L, 200L)))
+    val right = iv("r", Seq(("k", 5L, 7L), ("k", 9L, 50L),
+      ("k", 300L, 400L)))
+    // bucketSec 5: the (0-10, 9-50) pair shares buckets 1 and 2 —
+    // the canonical-bucket filter must keep exactly one copy
+    val out = IntervalJoin.overlapJoin(left, right, "k",
+      "l_s", "l_e", "r_s", "r_e", bucketSec = 5L)
+      .select("l_s", "r_s").as[(Long, Long)].collect().sorted
+    assert(out.toSeq == Seq((0L, 5L), (0L, 9L)))
+  }
+
+  test("overlap join treats inclusive endpoint touch as overlap") {
+    val out = IntervalJoin.overlapJoin(
+      iv("l", Seq(("k", 0L, 10L))), iv("r", Seq(("k", 10L, 20L))),
+      "k", "l_s", "l_e", "r_s", "r_e", bucketSec = 3L)
+    assert(out.count() == 1L)
+  }
+
+  test("overlap join matches the brute-force theta join") {
+    val ls = (0 until 40).map { i =>
+      ("k" + i % 3, i * 13L % 97, i * 13L % 97 + i % 11)
+    }
+    val rs = (0 until 40).map { i =>
+      ("k" + i % 3, i * 29L % 101, i * 29L % 101 + i % 7)
+    }
+    val got = IntervalJoin.overlapJoin(iv("l", ls), iv("r", rs), "k",
+      "l_s", "l_e", "r_s", "r_e", bucketSec = 10L)
+      .select("k", "l_s", "l_e", "r_s", "r_e")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq.sorted
+    val want = (for {
+      (lk, lsv, le) <- ls; (rk, rsv, re) <- rs
+      if lk == rk && lsv <= re && rsv <= le
+    } yield (lk, lsv, le, rsv, re)).sorted
+    assert(got == want)
+  }
+
+  // ---- EV20 sketch rolling actives ----
+
+  test("sketch WAU: exact columns match brute force, estimate in bound") {
+    val rows = for {
+      u <- 1L to 40L; d <- 0L until 10L if (u + d) % 3 != 0
+    } yield (u, d)
+    val ev = rows.toDF("user_id", "d")
+      .select($"user_id", lit("view").as("event_type"),
+        timestamp_seconds($"d" * 86400L + $"user_id").as("ts"))
+    val out = EventsAnalytics.sketchRollingActive(ev, windowDays = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4))).sortBy(_._1)
+    val days = rows.map(_._2).distinct.sorted
+    assert(out.map(_._1).toSeq == days)
+    for ((day, dau, wau, est, ok) <- out) {
+      val dauWant = rows.count(_._2 == day)
+      val wauWant = rows.filter { case (_, d) =>
+        d >= day - 2 && d <= day
+      }.map(_._1).distinct.size
+      assert(dau == dauWant, s"dau day $day")
+      assert(wau == wauWant, s"wau day $day")
+      assert(ok, s"est_ok day $day")
+      assert(math.abs(est - wau) <= 0.05 * wau)
+    }
+  }
+
+  // ---- S17 CDC merge ----
+
+  private def chlog(rows: Seq[(Long, Long, String, Double, Long)]) =
+    rows.toDF("u", "event_id", "op", "v", "us")
+
+  test("latestState picks the lexicographically last change per key") {
+    val out = CdcMerge.latestState(chlog(Seq(
+      (1L, 1L, "U", 7.0, 10L), (1L, 2L, "U", 9.0, 20L),
+      (2L, 3L, "U", 1.0, 30L), (2L, 4L, "D", 2.0, 30L))),
+      "u", "op", "v", "us", "event_id")
+      .select("u", "op", "val").as[(Long, String, Double)]
+      .collect().sortBy(_._1)
+    // key 1: later us wins; key 2: same us, higher event_id wins
+    assert(out.toSeq == Seq((1L, "U", 9.0), (2L, "D", 2.0)))
+  }
+
+  test("merge applies upserts, deletes, and passthrough with statuses") {
+    val snap = Seq((1L, 1.0, 100L), (2L, 2.0, 100L), (3L, 3.0, 100L))
+      .toDF("u", "val", "us")
+    val chg = chlog(Seq(
+      (1L, 10L, "U", 10.0, 200L),  // update
+      (2L, 11L, "D", 0.0, 200L),   // delete
+      (4L, 12L, "U", 4.0, 200L),   // insert
+      (5L, 13L, "D", 0.0, 200L)))  // delete of absent key: no-op
+    val latest = CdcMerge.latestState(chg, "u", "op", "v", "us", "event_id")
+    val out = CdcMerge.merge(snap, latest, "u")
+      .select("u", "val", "last_us", "status")
+      .as[(Long, Double, Long, String)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, 10.0, 200L, "updated"),
+      (3L, 3.0, 100L, "kept"),
+      (4L, 4.0, 200L, "inserted")))
+  }
+}
