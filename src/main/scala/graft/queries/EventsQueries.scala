@@ -1,7 +1,8 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, count, countDistinct, lit,
+  session_window, unix_micros}
 import graft.operators.EventsAnalytics
 import graft.util.Parity.{duckDavg, duckDoubleLit, duckDsum, duckRoundTo}
 import graft.util.Tables
@@ -814,6 +815,50 @@ object EventsQueries {
        |    AS cum_value_per_user
        |FROM cum JOIN cs USING (cohort)""".stripMargin
 
+  /** EV21: NATIVE `session_window` batch aggregation — the
+    * Spark-first idiom next to ev1's manual islands-and-gaps
+    * sessionization (one hash-shuffle on user_id + the built-in
+    * merging-session aggregate; no lag window, no running sum, and
+    * the same operator works unchanged under `readStream`, see st6).
+    * Boundary semantics: per-event windows [ts, ts + gap) merge when
+    * they overlap OR exactly touch (merge condition start <= prev
+    * end, pinned in Round11bSpec), so a new session opens only when
+    * the gap STRICTLY exceeds gapDuration — identical to ev1's
+    * manual islands. The observable differences from ev1 are the
+    * window end (last_event + gap, not the last event) and the
+    * session key (window, not a per-user ordinal). */
+  def ev21SessionWindow(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$SessionGapSec seconds"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("event_type")).as("n_types"),
+        graft.util.Parity.dsum(col("value")).as("total_value"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        unix_micros(col("session_window.end")).as("session_end_us"),
+        col("n_events"), col("n_types"), col("total_value"))
+
+  val ev21Oracle: String =
+    s"""WITH $evCte,
+       |seq AS (
+       |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+       |      OR us - lag(us) OVER w > ${SessionGapSec}::BIGINT * 1000000
+       |    THEN 1 ELSE 0 END AS is_new
+       |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+       |),
+       |ses AS (
+       |  SELECT *, sum(is_new) OVER (PARTITION BY user_id
+       |      ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS grp
+       |  FROM seq
+       |)
+       |SELECT user_id, min(us) AS session_start_us,
+       |  max(us) + ${SessionGapSec}::BIGINT * 1000000 AS session_end_us,
+       |  count(*) AS n_events,
+       |  count(DISTINCT event_type) AS n_types,
+       |  ${duckDsum("value")} AS total_value
+       |FROM ses GROUP BY user_id, grp""".stripMargin
+
   /** EV20: rolling actives by HLL sketch merge
     * ([[EventsAnalytics.sketchRollingActive]]) — the sketch-partial
     * scale path next to ev6's exact fan-out. Oracle: day/dau/wau are
@@ -854,6 +899,7 @@ object EventsQueries {
 
   val defs: Map[String, QueryDef] = Map(
     "ev20_sketch_wau" -> QueryDef(ev20SketchWau _, None),
+    "ev21_session_window" -> QueryDef(ev21SessionWindow _, ev21Oracle),
     "ev19_cohort_ltv" -> QueryDef(ev19CohortLtv _, ev19Oracle),
     "ev18_markov_attribution" -> QueryDef(ev18Markov _, None),
     "ev17_survival" -> QueryDef(ev17Survival _, ev17Oracle),

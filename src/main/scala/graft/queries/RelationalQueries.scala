@@ -269,7 +269,39 @@ object RelationalQueries {
       |FROM customer
       |GROUP BY 1""".stripMargin
 
+  private val UnpivotMeasures =
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  /** Q10: UNPIVOT/melt — the wide→long inverse of a4's pivot, via the
+    * native `Dataset.unpivot` (planned as ONE Expand pass over a
+    * single scan: the 4× row fan-out happens in the operator, never
+    * as a 4-branch UNION re-reading the table, which is exactly what
+    * the oracle has to spell because ANSI SQL lacks the operator). */
+  def q10Unpivot(s: SparkSession, dir: String): DataFrame =
+    li(s, dir)
+      .select(col("l_returnflag") +:
+        UnpivotMeasures.map(m => col(m).cast("double").as(m)): _*)
+      .unpivot(Array(col("l_returnflag")),
+        UnpivotMeasures.map(col).toArray, "measure", "value")
+      .groupBy(col("l_returnflag"), col("measure"))
+      .agg(count(lit(1)).as("n"), Parity.dsum(col("value")).as("value_sum"))
+
+  val q10UnpivotOracle: String = {
+    val branches = UnpivotMeasures.map { m =>
+      s"""SELECT l_returnflag, '$m' AS measure,
+         |    CAST($m AS DOUBLE) AS value FROM lineitem"""
+        .stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH u AS (
+       |  $branches
+       |)
+       |SELECT l_returnflag, measure, count(*) AS n,
+       |  ${Parity.duckDsum("value")} AS value_sum
+       |FROM u GROUP BY 1, 2""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "q10_unpivot" -> QueryDef(q10Unpivot _, q10UnpivotOracle),
     "q8_grouping_sets" -> QueryDef(q8GroupingSets _, q8GroupingSetsOracle),
     "q9_semi_anti" -> QueryDef(q9SemiAnti _, q9SemiAntiOracle),
     "q1_agg" -> QueryDef(q1Agg _, q1AggOracle),

@@ -80,6 +80,28 @@ class Round11bSpec extends AnyFunSuite {
     }
   }
 
+  // ---- EV21 native session_window boundary ----
+
+  test("session_window MERGES sessions that exactly touch (gap == diff)") {
+    // An event landing exactly at prev + gap produces a window that
+    // TOUCHES the previous one ([0,100) then [100,200)) — and Spark's
+    // session merge treats touching as one session (merge condition
+    // start <= prev end), so the boundary semantics are STRICT > gap,
+    // identical to ev1's manual islands. This pins the > form the
+    // ev21 oracle states.
+    val ev = Seq((1L, 0L), (1L, 100L), (1L, 201L))
+      .toDF("user_id", "sec")
+      .select($"user_id", timestamp_seconds($"sec").as("ts"))
+    val out = ev.groupBy($"user_id", session_window($"ts", "100 seconds"))
+      .count()
+      .select(unix_timestamp($"session_window.start").as[Long],
+        unix_timestamp($"session_window.end").as[Long],
+        $"count".as[Long])
+      .collect().sortBy(_._1)
+    // 0 and 100 merge (touch); 201 is > gap past 100 -> new session
+    assert(out.toSeq == Seq((0L, 200L, 2L), (201L, 301L, 1L)))
+  }
+
   // ---- S17 CDC merge ----
 
   private def chlog(rows: Seq[(Long, Long, String, Double, Long)]) =
