@@ -162,4 +162,70 @@ object DistributedSelection {
           nullif(max(col("_n") - lo * 2).cast("double"), lit(0.0)))
           .as("trimmed_mean"))
   }
+
+  /** Exact global row_number under a TOTAL order (`orderCols` must be
+    * collision-free, e.g. end in a unique tiebreak) WITHOUT the
+    * single-partition `Window.orderBy(...)` — the two-level rewrite
+    * of the classic global-rank window (whose WindowExec moves every
+    * row into ONE task):
+    *
+    *  1. range-repartition on the sort order — each slice holds a
+    *     contiguous rank range, sized ~n/parts;
+    *  2. per-slice counts → prefix-sum offsets over the PARTS-row
+    *     subtotal table (the only unpartitioned window, and it rides
+    *     a frame bounded by `spark.sql.shuffle.partitions`, never by
+    *     the data);
+    *  3. broadcast the offsets back; row_number WITHIN each slice
+    *     (partitioned window, slice-bounded) + offset = global rank.
+    *
+    * Output: `df` plus `rankName` and `_gn` (the total row count,
+    * free off the subtotal table). Deterministic: the rank of a row
+    * under a total order is independent of where the range
+    * partitioner happens to cut. */
+  def globalRowNumber(df: DataFrame, rankName: String,
+      orderCols: Seq[Column]): DataFrame = {
+    val spark = df.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val ranged = graft.util.Caches.materialize(
+      df.repartitionByRange(parts, orderCols: _*)
+        .withColumn("_gpid", spark_partition_id()))
+    val subtot = ranged.groupBy(col("_gpid"))
+      .agg(count(lit(1)).as("_ptot"))
+    val wOff = Window.orderBy(col("_gpid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.orderBy(col("_gpid")).rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val offs = subtot
+      .withColumn("_goff", coalesce(sum(col("_ptot")).over(wOff), lit(0L)))
+      .withColumn("_gn", sum(col("_ptot")).over(wAll))
+      .select(col("_gpid"), col("_goff"), col("_gn"))
+    val wLoc = Window.partitionBy(col("_gpid")).orderBy(orderCols: _*)
+    ranged
+      .join(broadcast(offs), Seq("_gpid"))
+      .withColumn(rankName, row_number().over(wLoc) + col("_goff"))
+      .drop("_gpid", "_goff")
+  }
+
+  /** Exact distributed NTILE(buckets) under a total order — ANSI
+    * semantics (the first `n mod buckets` buckets take one extra
+    * row), computed from [[globalRowNumber]]'s rank and total count
+    * (`_gn`, carried on the broadcast offsets — never a second pass)
+    * as pure integer column math, so the result is bit-identical to
+    * the `ntile(b) OVER (ORDER BY ...)` it replaces at any scale.
+    * The ELSE branch's `div` never sees a zero divisor: when
+    * _gn < buckets the fat-bucket span covers every rank. */
+  def distributedNtile(df: DataFrame, outName: String, buckets: Int,
+      orderCols: Seq[Column]): DataFrame = {
+    val rankName = s"_rank_$outName"
+    globalRowNumber(df, rankName, orderCols)
+      .withColumn(outName, expr(
+        s"""CAST(CASE
+           | WHEN $rankName <= (_gn div $buckets + 1) * (_gn % $buckets)
+           | THEN ($rankName - 1) div (_gn div $buckets + 1) + 1
+           | ELSE _gn % $buckets
+           |   + ($rankName - 1 - (_gn div $buckets + 1) * (_gn % $buckets))
+           |     div (_gn div $buckets) + 1
+           |END AS INT)""".stripMargin))
+      .drop(rankName, "_gn")
+  }
 }

@@ -445,31 +445,39 @@ object EventsAnalytics {
     * f=1 ⇔ highest event count, m=1 ⇔ highest exact-decimal spend.
     *
     * Shape: ONE corpus-sized hash aggregate to the per-user table
-    * (map-side partials), then three global ntile windows over the
-    * USER table — dimension-sized, orders below the fact table; the
-    * final segment roll-up is ≤125 rows. The ntile sort is the one
-    * non-partitioned stage; it sorts users, never events (at 100 TB
-    * of events the user table is the ~GB dimension — range-partition
-    * sort, no single-task bottleneck).
+    * (map-side partials), then three DISTRIBUTED exact ntiles over
+    * the USER table ([[DistributedSelection.distributedNtile]]:
+    * range-repartition + slice-local row_number + broadcast offsets)
+    * — a `ntile(5) OVER (ORDER BY ...)` window would move every user
+    * into ONE task, the a21-class scale killer this round removed.
+    * The final segment roll-up is ≤125 rows.
     *
     * Exactness: day/count integers; monetary is an exact DECIMAL(28,6)
     * sum (deterministic order key and 2^53-gated double render). */
   def rfmSegments(events: DataFrame, userCol: String = "user_id",
       tsCol: String = "ts", valueCol: String = "value"): DataFrame = {
     val epochDay = floor(unix_micros(col(tsCol)) / lit(86400000000L))
-    val perUser = events
+    val perUser = graft.util.Caches.materialize(events
       .groupBy(col(userCol).as("u"))
       .agg(
         max(epochDay).as("last_day"),
         count(lit(1)).as("freq"),
-        sum(col(valueCol).cast(createDecimalType(28, 6))).as("monetary"))
-    val scored = perUser
-      .withColumn("r_score", ntile(5).over(
-        Window.orderBy(col("last_day").desc, col("u"))))
-      .withColumn("f_score", ntile(5).over(
-        Window.orderBy(col("freq").desc, col("u"))))
-      .withColumn("m_score", ntile(5).over(
-        Window.orderBy(col("monetary").desc, col("u"))))
+        sum(col(valueCol).cast(createDecimalType(28, 6))).as("monetary")))
+    // three independent 2-column branches off the ONE materialized
+    // user table (chaining the ntiles serially drags each range
+    // shuffle through the previous scores; branching keeps every
+    // shuffle row slim and the three sorts independent), zipped back
+    // by an equi-join on the user key
+    val scored = Seq(
+      ("r_score", "last_day"), ("f_score", "freq"),
+      ("m_score", "monetary"))
+      .map { case (name, metric) =>
+        DistributedSelection.distributedNtile(
+          perUser.select(col("u"), col(metric)), name, 5,
+          Seq(col(metric).desc, col("u").asc))
+          .select(col("u"), col(name))
+      }
+      .foldLeft(perUser)(_.join(_, Seq("u")))
     scored
       .groupBy(col("r_score"), col("f_score"), col("m_score"))
       .agg(

@@ -498,4 +498,51 @@ class PlanAuditSpec extends AnyFunSuite {
         s"$name runs an unpartitioned window")
     }
   }
+
+  test("unpartitioned windows ride only BOUNDED frames (allowlist)") {
+    // A WindowExec with an empty partitionSpec moves its whole input
+    // into ONE task. That is fine when the input is bounded by
+    // something other than the data volume — a calendar-day series, a
+    // top-k limit, an alphabet, the shuffle-partition count — and a
+    // genuine 100× scale killer otherwise (the a21/ev8 class this
+    // audit exists to keep extinct). Each allowlisted query names the
+    // bound its global window rides; anything else fails.
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    // traverse THROUGH materialization barriers: Caches.materialize
+    // hides upstream stages behind InMemoryTableScan, and a global
+    // window buried under a cache is no less global
+    def deepNodes(p: SparkPlan): Seq[SparkPlan] = {
+      val more = p match {
+        case a: AdaptiveSparkPlanExec => deepNodes(a.executedPlan)
+        case m: InMemoryTableScanExec => deepNodes(m.relation.cachedPlan)
+        case _ => Nil
+      }
+      Seq(p) ++ (p.children ++ p.subqueries).flatMap(deepNodes) ++ more
+    }
+    val bounded = Map(
+      "ev10_anomaly_days" -> "calendar-day series",
+      "ev12_cusum_days" -> "calendar-day series",
+      "ev17_survival" -> "distinct lifetime durations (≤ days)",
+      "ev8_rfm" -> "P-row slice-subtotal table (distributedNtile)",
+      "ev9_power_curve" -> "distinct active-day counts (≤ days)",
+      "llm_char_coverage" -> "distinct codepoints (alphabet)",
+      "llm_heaps_fit" -> "nBuckets-row bucket table",
+      "llm_heavy_hitters" -> "candidate table (≤ k·P rows)",
+      "llm_zipf_fit" -> "top-k vocabulary",
+      "m15_rolling_beta" -> "aligned calendar-day pair series",
+      "s16_backfill_plan" -> "15-min coverage buckets (calendar)",
+      "s2_page_continuity" -> "15-min page buckets (calendar)",
+      "w1_gap_analysis" -> "month-boundary stitch rows",
+      "w4_freq_inference" -> "15-min bar starts (calendar)")
+    for ((name, fn) <- SparkEntry.queries if !driverSide(name)) {
+      val df = fn(spark, dir)
+      val global = deepNodes(df.queryExecution.executedPlan)
+        .collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+      assert(global.isEmpty || bounded.contains(name),
+        s"$name plans an unpartitioned window over an undocumented frame")
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    }
+  }
 }
