@@ -133,4 +133,65 @@ object Round11Props extends Properties("Round11") {
       val sharesOk = shares == 0.0 || math.abs(shares - 1.0) < 1e-9
       monotone && sharesOk
     }
+
+  // ---- distributedNtile ≡ the ntile window it replaces ----
+
+  private val ntileGen: Gen[(List[Int], Int)] = for {
+    n <- Gen.choose(1, 60)
+    vals <- Gen.listOfN(n, Gen.choose(0, 8)) // heavy ties on purpose
+    b <- Gen.choose(1, 7) // includes buckets > n
+  } yield (vals, b)
+
+  property("distributedNtile is bit-identical to ntile OVER (ORDER BY)") =
+    forAll(ntileGen) { case (vals, buckets) =>
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("u", "m")
+      val want = df.withColumn("s",
+        ntile(buckets).over(Window.orderBy($"m".desc, $"u")))
+        .select($"u", $"s").as[(Long, Int)].collect().sortBy(_._1)
+      val got = graft.operators.DistributedSelection
+        .distributedNtile(df, "s", buckets, Seq($"m".desc, $"u".asc))
+        .select($"u", $"s").as[(Long, Int)].collect().sortBy(_._1)
+      spark.catalog.clearCache()
+      got.toSeq == want.toSeq
+    }
+
+  // ---- CdcMerge ≡ sequential changelog replay ----
+
+  private val cdcGen: Gen[(List[(Long, Double)], List[(Long, String, Double)])] =
+    for {
+      nSnap <- Gen.choose(0, 8)
+      snap <- Gen.listOfN(nSnap,
+        Gen.zip(Gen.choose(1L, 10L), Gen.choose(1, 99).map(_.toDouble)))
+      nChg <- Gen.choose(0, 15)
+      chg <- Gen.listOfN(nChg, for {
+        k <- Gen.choose(1L, 12L)
+        op <- Gen.oneOf("U", "D")
+        v <- Gen.choose(1, 99).map(_.toDouble)
+      } yield (k, op, v))
+    } yield (snap.distinctBy(_._1), chg)
+
+  property("CdcMerge equals a sequential replay of the changelog") =
+    forAll(cdcGen) { case (snap, chg) =>
+      import spark.implicits._
+      val snapDf = snap.map { case (k, v) => (k, v, 0L) }
+        .toDF("u", "val", "us")
+      val chgDf = chg.zipWithIndex
+        .map { case ((k, op, v), i) => (k, i.toLong, op, v, 100L + i) }
+        .toDF("u", "event_id", "op", "v", "us")
+      val latest = graft.operators.CdcMerge
+        .latestState(chgDf, "u", "op", "v", "us", "event_id")
+      val got = graft.operators.CdcMerge.merge(snapDf, latest, "u")
+        .select($"u", $"val").as[(Long, Double)].collect().sorted
+      // reference: replay changes in order over a mutable map
+      val state = scala.collection.mutable.Map(snap: _*)
+      chg.foreach {
+        case (k, "U", v) => state(k) = v
+        case (k, "D", _) => state.remove(k)
+        case _ => ()
+      }
+      got.toSeq == state.toSeq.sorted
+    }
 }
