@@ -499,6 +499,29 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("j9 overlap join is a (key, bucket) equi-join, never a theta join") {
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    val plan = planOf("j9_overlap_join")
+    val equi = plan.collect {
+      case j: SortMergeJoinExec => j.leftKeys.size
+      case j: ShuffledHashJoinExec => j.leftKeys.size
+      case j: BroadcastHashJoinExec => j.leftKeys.size
+    }
+    assert(equi.exists(_ >= 2),
+      "j9 lost its (symbol, bucket) equi-join")
+    assert(plan.collect { case c: CartesianProductExec => c }.isEmpty
+      && plan.collect { case b: BroadcastNestedLoopJoinExec => b }.isEmpty,
+      "j9 planned an all-pairs join")
+  }
+
+  test("s17 latest-wins collapse is a hash aggregate, not a window sort") {
+    // CdcMerge.latestState must stay max_by (mergeable partial agg);
+    // a row_number window would re-sort the whole changelog per key
+    val winds = planOf("s17_merge_upsert")
+      .collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(winds.isEmpty, "s17 plans a window sort")
+  }
+
   test("unpartitioned windows ride only BOUNDED frames (allowlist)") {
     // A WindowExec with an empty partitionSpec moves its whole input
     // into ONE task. That is fine when the input is bounded by
