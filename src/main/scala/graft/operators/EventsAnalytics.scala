@@ -438,6 +438,73 @@ object EventsAnalytics {
           byFrom.orderBy(col("n_transitions").desc, col("to_type"))))
   }
 
+  /** The Welch two-sample algebra over rendered doubles, as SHARED
+    * SQL text (the SpotCorr.betaExpr pattern): both engines evaluate
+    * the identical IEEE expression on identical decimal-rendered
+    * inputs (na/nb counts, ma/mb means, va/vb sample variances), so
+    * raw doubles hash-match — sqrt is correctly rounded, no
+    * transcendental anywhere. */
+  val welchTExpr: String =
+    "((ma - mb) / nullif(sqrt(va/na + vb/nb), 0.0))"
+  val welchDfExpr: String =
+    """(((va/na + vb/nb) * (va/na + vb/nb))
+      | / nullif((va/na)*(va/na)/(na - 1.0)
+      |          + (vb/nb)*(vb/nb)/(nb - 1.0), 0.0))""".stripMargin
+  /** Sample variance from 6-dp-quantized sums, tiny-negative clamped
+    * (CASE, not greatest: nulls stay null). */
+  def welchVarExpr(q: String, s: String, n: String): String = {
+    val v = s"(($q - $s*$s/$n) / nullif($n - 1.0, 0.0))"
+    s"(CASE WHEN $v < 0 THEN 0.0 ELSE $v END)"
+  }
+
+  /** EV22: deterministic A/B experiment read-out — the experiment-
+    * analysis pass a growth pipeline runs at full scale. Assignment
+    * is a pure per-row hash (the split-assign recipe: sha-bucket of
+    * the user key under a seed — stable as users arrive, no
+    * coordination); the per-user metric is an exact decimal spend
+    * sum; the panel is Welch's t on the two variant populations.
+    *
+    * Shape: ONE user-keyed hash aggregate (map-side partials) to the
+    * per-user metric, then ONE groupless aggregate with conditional
+    * decimal sums → a single row. No window, no join, two shuffles
+    * total (the second over partial one-row states). */
+  def abTest(events: DataFrame, seed: Long = 42L,
+      userCol: String = "user_id", valueCol: String = "value")
+      : DataFrame = {
+    val perUser = events
+      .groupBy(col(userCol).as("u"))
+      .agg(graft.util.Parity.dsum(col(valueCol)).as("mu"))
+      .withColumn("variant",
+        when(conv(substring(sha2(
+          concat(lit(s"ab:$seed:"), col("u").cast("string")), 256),
+          1, 8), 16, 10).cast("long") % 2 === 0, "A").otherwise("B"))
+    def cnt(v: String) =
+      count(when(col("variant") === v, lit(1)))
+    def dsumIf(v: String, c: Column) =
+      sum(when(col("variant") === v, c).cast(createDecimalType(28, 6)))
+        .cast("double")
+    perUser
+      .agg(
+        cnt("A").as("n_a"), cnt("B").as("n_b"),
+        dsumIf("A", col("mu")).as("_sa"),
+        dsumIf("B", col("mu")).as("_sb"),
+        dsumIf("A", col("mu") * col("mu")).as("_qa"),
+        dsumIf("B", col("mu") * col("mu")).as("_qb"))
+      .withColumn("na", col("n_a").cast("double"))
+      .withColumn("nb", col("n_b").cast("double"))
+      .withColumn("ma", expr("_sa / na"))
+      .withColumn("mb", expr("_sb / nb"))
+      .withColumn("va", expr(welchVarExpr("_qa", "_sa", "na")))
+      .withColumn("vb", expr(welchVarExpr("_qb", "_sb", "nb")))
+      .withColumn("t_stat", expr(welchTExpr))
+      .withColumn("df_welch", expr(welchDfExpr))
+      .select(col("n_a"), col("n_b"),
+        col("ma").as("mean_a"), col("mb").as("mean_b"),
+        col("va").as("var_a"), col("vb").as("var_b"),
+        col("t_stat"), col("df_welch"),
+        (abs(col("t_stat")) > 1.96).as("significant"))
+  }
+
   /** EV8: RFM segmentation — recency/frequency/monetary quintiles
     * per user, rolled up to segment counts. Scores are rank-based
     * (ntile(5) with a user-id tie-break, so the assignment is a pure

@@ -170,12 +170,11 @@ object CurationQueries {
   def corpusShuffle(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.corpusShuffle(docs(s, dir), ShuffleSeed, NShards)
 
-  /** DuckDB twin of `conv(substring(hex, 1, 8), 16, 10)`: per-char
-    * hex digit values summed with double powers of 16 (exact below
-    * 2^31; same spelling as LlmQueries' duckHash32). */
+  /** DuckDB twin of `conv(substring(hex, 1, 8), 16, 10)` — now the
+    * shared [[graft.util.Parity.duckHex32]] spelling (ev22 uses the
+    * same bucket assignment). */
   private def duckHex32(hexCol: String): String =
-    s"""CAST(list_sum([(strpos('0123456789abcdef', $hexCol[i]) - 1)
-       |      * (16.0 ** (8 - i)) for i in range(1, 9)]) AS BIGINT)""".stripMargin
+    graft.util.Parity.duckHex32(hexCol)
 
   val corpusShuffleOracle: String =
     s"""WITH k AS (

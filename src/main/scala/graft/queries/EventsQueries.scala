@@ -859,6 +859,53 @@ object EventsQueries {
        |  ${duckDsum("value")} AS total_value
        |FROM ses GROUP BY user_id, grp""".stripMargin
 
+  private val AbSeed = 42L
+
+  /** EV22: deterministic-assignment A/B read-out
+    * ([[EventsAnalytics.abTest]]). The whole chain — sha-bucket
+    * assignment, exact per-user metric, conditional decimal sums,
+    * Welch t and df — re-derives in SQL; the Welch algebra is SHARED
+    * expression text so the raw doubles hash-match. */
+  def ev22AbTest(s: SparkSession, dir: String): DataFrame =
+    EventsAnalytics.abTest(events(s, dir), AbSeed)
+
+  val ev22Oracle: String = {
+    import graft.util.Parity.duckHex32
+    import graft.operators.EventsAnalytics.{welchDfExpr, welchTExpr, welchVarExpr}
+    s"""WITH pu AS (
+       |  SELECT user_id AS u, ${duckDsum("value")} AS mu
+       |  FROM events GROUP BY 1
+       |),
+       |v AS (
+       |  SELECT mu,
+       |    CASE WHEN ${duckHex32("sha")} % 2 = 0 THEN 'A' ELSE 'B' END
+       |      AS variant
+       |  FROM (SELECT mu,
+       |    sha256('ab:$AbSeed:' || CAST(u AS VARCHAR)) AS sha FROM pu)
+       |),
+       |aggd AS (
+       |  SELECT
+       |    count(CASE WHEN variant = 'A' THEN 1 END) AS n_a,
+       |    count(CASE WHEN variant = 'B' THEN 1 END) AS n_b,
+       |    ${duckDsum("CASE WHEN variant = 'A' THEN mu END")} AS _sa,
+       |    ${duckDsum("CASE WHEN variant = 'B' THEN mu END")} AS _sb,
+       |    ${duckDsum("CASE WHEN variant = 'A' THEN mu*mu END")} AS _qa,
+       |    ${duckDsum("CASE WHEN variant = 'B' THEN mu*mu END")} AS _qb
+       |  FROM v
+       |),
+       |w AS (SELECT *, CAST(n_a AS DOUBLE) AS na,
+       |  CAST(n_b AS DOUBLE) AS nb FROM aggd),
+       |x AS (SELECT *, _sa / na AS ma, _sb / nb AS mb,
+       |  ${welchVarExpr("_qa", "_sa", "na")} AS va,
+       |  ${welchVarExpr("_qb", "_sb", "nb")} AS vb FROM w),
+       |y AS (SELECT *, $welchTExpr AS t_stat,
+       |  $welchDfExpr AS df_welch FROM x)
+       |SELECT n_a, n_b, ma AS mean_a, mb AS mean_b,
+       |  va AS var_a, vb AS var_b, t_stat, df_welch,
+       |  abs(t_stat) > 1.96 AS significant
+       |FROM y""".stripMargin
+  }
+
   /** EV20: rolling actives by HLL sketch merge
     * ([[EventsAnalytics.sketchRollingActive]]) — the sketch-partial
     * scale path next to ev6's exact fan-out. Oracle: day/dau/wau are
@@ -900,6 +947,7 @@ object EventsQueries {
   val defs: Map[String, QueryDef] = Map(
     "ev20_sketch_wau" -> QueryDef(ev20SketchWau _, None),
     "ev21_session_window" -> QueryDef(ev21SessionWindow _, ev21Oracle),
+    "ev22_ab_test" -> QueryDef(ev22AbTest _, ev22Oracle),
     "ev19_cohort_ltv" -> QueryDef(ev19CohortLtv _, ev19Oracle),
     "ev18_markov_attribution" -> QueryDef(ev18Markov _, None),
     "ev17_survival" -> QueryDef(ev17Survival _, ev17Oracle),

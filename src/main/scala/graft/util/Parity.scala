@@ -110,6 +110,14 @@ object Parity {
   def duckRoundTo(expr: String, n: Int): String =
     s"CAST(CAST(($expr) AS DECIMAL(28,$n)) AS DOUBLE)"
 
+  /** DuckDB: first 8 hex chars of a sha-hex column as BIGINT — the
+    * twin of Spark's `conv(substring(sha, 1, 8), 16, 10)`. 32 bits,
+    * so the 16.0**k double powers stay integer-exact (< 2^53). */
+  def duckHex32(hexCol: String): String =
+    s"""CAST(list_sum([(strpos('0123456789abcdef', $hexCol[i]) - 1)
+       |      * (16.0 ** (8 - i)) for i in range(1, 9)]) AS BIGINT)"""
+      .stripMargin
+
   /** DuckDB double literal that parses to the bit-identical IEEE
     * double: Java's toString is the shortest round-trip repr and the
     * string→double cast is correctly rounded. Used by the dynamic

@@ -102,6 +102,42 @@ class Round11bSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((0L, 200L, 2L), (201L, 301L, 1L)))
   }
 
+  // ---- EV22 A/B read-out ----
+
+  test("abTest Welch panel matches a hand-computed two-sample t") {
+    // craft users whose sha bucket is known only via the output
+    // counts; verify the algebra instead: reconstruct the variant
+    // split from the operator's own assignment and recompute t by hand
+    val ev = (1L to 12L).map(u => (u, (u * 7 % 13).toDouble))
+      .toDF("user_id", "value")
+      .withColumn("ts", timestamp_seconds(lit(0)))
+      .withColumn("event_type", lit("view"))
+    val r = graft.operators.EventsAnalytics.abTest(ev, seed = 7L).head()
+    val nA = r.getAs[Long]("n_a"); val nB = r.getAs[Long]("n_b")
+    assert(nA + nB == 12L && nA > 0 && nB > 0)
+    // recompute from the same assignment rule
+    val byVariant = (1L to 12L).groupBy { u =>
+      val sha = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s"ab:7:$u".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if (java.lang.Long.parseLong(sha.take(8), 16) % 2 == 0) "A" else "B"
+    }.view.mapValues(_.map(u => (u * 7 % 13).toDouble)).toMap
+    def stats(xs: Seq[Double]) = {
+      val n = xs.size.toDouble
+      val m = xs.sum / n
+      (n, m, xs.map(x => (x - m) * (x - m)).sum / (n - 1))
+    }
+    val (na, ma, va) = stats(byVariant("A"))
+    val (nb, mb, vb) = stats(byVariant("B"))
+    assert(nA == na.toLong && nB == nb.toLong)
+    assert(math.abs(r.getAs[Double]("mean_a") - ma) < 1e-9)
+    assert(math.abs(r.getAs[Double]("mean_b") - mb) < 1e-9)
+    assert(math.abs(r.getAs[Double]("var_a") - va) < 1e-9)
+    val t = (ma - mb) / math.sqrt(va / na + vb / nb)
+    assert(math.abs(r.getAs[Double]("t_stat") - t) < 1e-9)
+    assert(r.getAs[Boolean]("significant") == (math.abs(t) > 1.96))
+  }
+
   // ---- S17 CDC merge ----
 
   private def chlog(rows: Seq[(Long, Long, String, Double, Long)]) =
