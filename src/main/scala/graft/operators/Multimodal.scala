@@ -137,4 +137,67 @@ object Multimodal {
       }
     }
   }
+
+  final case class MediaHash(doc_id: Long, media_type: String, phash: Int)
+
+  /** Perceptual hash — dHash over a 16-point sample grid: byte value
+    * at position (i·len) div 16, bit i set when sample i > sample
+    * (i+1) mod 16. This is the real dHash recipe (downsample to a
+    * coarse grid, compare adjacent samples) applied to the opaque
+    * payload; grid SAMPLING is essential — a histogram-difference
+    * hash degenerates on text-like payloads, whose near-universal
+    * byte-frequency ordering gives every document the same bits (the
+    * first cut of this operator produced 41k "near-dup" pairs from
+    * 500 docs). Pure integer selection the oracle reproduces from the
+    * hex encoding. Empty payloads hash to 0. */
+  def perceptualHash(media: Dataset[MediaRow]): Dataset[MediaHash] = {
+    import media.sparkSession.implicits._
+    media.map { m =>
+      val len = m.content.length
+      var bits = 0
+      if (len > 0) {
+        val s = Array.tabulate(16)(i => m.content(i * len / 16) & 0xff)
+        var i = 0
+        while (i < 16) {
+          if (s(i) > s((i + 1) % 16)) bits |= (1 << i)
+          i += 1
+        }
+      }
+      MediaHash(m.doc_id, m.media_type, bits)
+    }
+  }
+
+  /** Banded near-dup pairs on the perceptual hash: candidates share
+    * the high or the low 8-bit band (two equi-joins on (media_type,
+    * band); the second join drops pairs the first already found, so
+    * no dedup shuffle), verified by full 16-bit Hamming distance —
+    * the image-dedup shape of the MinHash-LSH pipeline, with popcount
+    * of XOR as the verify. The usual LSH caveat applies: a band value
+    * shared by a large fraction of the corpus makes that band's join
+    * quadratic — at production scale, widen the hash, not the verify
+    * (same rule the text SimHash chunks follow). */
+  def phashPairs(hashes: DataFrame, maxHamming: Int = 2): DataFrame = {
+    def side(tag: String) = hashes.select(
+      col("media_type"), col("doc_id").as(s"doc_$tag"),
+      col("phash").as(s"h_$tag"),
+      expr("phash div 256").as(s"b0_$tag"),
+      (col("phash") % 256).as(s"b1_$tag"))
+    val l = side("a")
+    val r = side("b")
+    val pair = col("doc_a") < col("doc_b")
+    val j0 = l.join(r, l("media_type") === r("media_type")
+      && col("b0_a") === col("b0_b") && pair)
+      .select(l("media_type"), col("doc_a"), col("doc_b"),
+        col("h_a"), col("h_b"))
+    val j1 = l.join(r, l("media_type") === r("media_type")
+      && col("b1_a") === col("b1_b") && col("b0_a") =!= col("b0_b")
+      && pair)
+      .select(l("media_type"), col("doc_a"), col("doc_b"),
+        col("h_a"), col("h_b"))
+    j0.union(j1)
+      .withColumn("hamming", expr("bit_count(h_a ^ h_b)").cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("media_type"), col("doc_a"), col("doc_b"),
+        col("hamming"))
+  }
 }

@@ -144,7 +144,60 @@ object MultimodalQueries {
       |  coalesce(c.c, 0)::DOUBLE / greatest(1, g.len) AS share
       |FROM grid g LEFT JOIN cnt c USING (doc_id, bin)""".stripMargin
 
+  // ---- perceptual-hash near-dup pairs ----
+
+  private val PhashMaxHamming = 2
+
+  /** MM5: dHash near-dup pairs ([[Multimodal.perceptualHash]] +
+    * banded candidate join) — the image-dedup leg of the multimodal
+    * pipeline. The oracle recomputes the 16-bit grid-sample hash from
+    * the hex bytes, then states the pair set as a plain band-OR theta
+    * join with the same XOR-popcount verify. */
+  def mm5PhashNeardup(s: SparkSession, dir: String): DataFrame =
+    Multimodal.phashPairs(
+      Multimodal.perceptualHash(media(s, dir)).toDF(), PhashMaxHamming)
+
+  val mm5Oracle: String = {
+    // byte value at 0-based position p, from the hex encoding
+    def byteAt(p: String): String =
+      s"""((strpos('0123456789ABCDEF', substr(hx, 2 * ($p) + 1, 1)) - 1) * 16
+         | + strpos('0123456789ABCDEF', substr(hx, 2 * ($p) + 2, 1)) - 1)"""
+        .stripMargin
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+       |         WHEN doc_id % 3 = 1 THEN 'audio'
+       |         ELSE 'video' END AS media_type,
+       |    hex(encode(text)) AS hx, strlen(text) AS len
+       |  FROM documents
+       |),
+       |samp AS (
+       |  SELECT doc_id, media_type,
+       |    [${byteAt("(i * len) // 16")} for i in range(0, 16)] AS sl
+       |  FROM m WHERE len > 0
+       |),
+       |ph0 AS (
+       |  SELECT doc_id, media_type,
+       |    CAST(list_sum([CASE WHEN sl[i + 1] > sl[((i + 1) % 16) + 1]
+       |      THEN 2 ** i ELSE 0 END for i in range(0, 16)]) AS BIGINT)
+       |      AS h
+       |  FROM samp
+       |),
+       |ph AS (
+       |  SELECT * FROM ph0
+       |  UNION ALL
+       |  SELECT doc_id, media_type, 0 AS h FROM m WHERE len = 0
+       |)
+       |SELECT l.media_type, l.doc_id AS doc_a, r.doc_id AS doc_b,
+       |  CAST(bit_count(xor(l.h, r.h)) AS INT) AS hamming
+       |FROM ph l JOIN ph r
+       |  ON r.media_type = l.media_type AND l.doc_id < r.doc_id
+       |  AND ((l.h // 256) = (r.h // 256) OR (l.h % 256) = (r.h % 256))
+       |WHERE bit_count(xor(l.h, r.h)) <= $PhashMaxHamming""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "mm5_phash_neardup" -> QueryDef(mm5PhashNeardup _, mm5Oracle),
     "mm1_decode_stats" -> QueryDef(mm1DecodeStats _, mm1Oracle),
     "mm2_frame_sample" -> QueryDef(mm2FrameSample _, mm2Oracle),
     "mm3_features" -> QueryDef(mm3Features _, mm3Oracle),

@@ -102,6 +102,29 @@ class Round11bSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((0L, 200L, 2L), (201L, 301L, 1L)))
   }
 
+  // ---- MM5 perceptual-hash near-dup ----
+
+  test("phash pairs: identical payloads pair at hamming 0, exactly once") {
+    import graft.operators.Multimodal
+    val docs = Seq(
+      (3L, "abcdefghijklmnopqrstuvwxyz0123456789"),
+      (6L, "abcdefghijklmnopqrstuvwxyz0123456789"), // dup of 3 (image)
+      (9L, "ZZZZyyyyXXXXwwwwVVVVuuuuTTTTssssRRRR"), // different image
+      (1L, "abcdefghijklmnopqrstuvwxyz0123456789"), // audio: same bytes,
+      (4L, "abcdefghijklmnopqrstuvwxyz0123456789"), //   pairs within type
+      (2L, ""), (5L, "")) // empty video payloads: hash 0, pair at 0
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text"))
+    val hashes = Multimodal.perceptualHash(Multimodal.mediaFromDocs(docs))
+      .toDF()
+    val pairs = Multimodal.phashPairs(hashes, maxHamming = 0)
+      .select("media_type", "doc_a", "doc_b").as[(String, Long, Long)]
+      .collect().toSet
+    assert(pairs == Set(("image", 3L, 6L), ("audio", 1L, 4L),
+      ("video", 2L, 5L)))
+  }
+
   // ---- EV22 A/B read-out ----
 
   test("abTest Welch panel matches a hand-computed two-sample t") {
