@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.util.Parity
 
@@ -177,5 +178,76 @@ object OrderFlow {
       .withColumn("kyle_lambda", expr(SpotCorr.betaExpr))
       .withColumn("r2", expr(TextAnalysis.zipfR2Expr))
       .select("underlying", "day", "n_bars", "kyle_lambda", "r2")
+  }
+
+  /** M35: VPIN flow toxicity (Easley, López de Prado, O'Hara 2012) —
+    * volume-synchronized order imbalance: the tape is cut into
+    * equal-VOLUME buckets and the per-bucket |buy − sell| share,
+    * rolling-averaged, is the toxicity read. The hard part at scale
+    * is the running cumulative volume (inherently sequential per
+    * symbol); it runs as the W1 two-level stitch — within-(symbol,
+    * day) running sums (partition-bounded windows) plus a day-prefix
+    * offset over the calendar-bounded day table — never one global
+    * per-symbol ordered window over the tape.
+    *
+    * Exactness: volume is quantized once to integer micro-units
+    * (×1e6 through DECIMAL, the 6-dp contract), so every running
+    * sum, bucket id, and imbalance numerator is BIGINT math; the
+    * per-bucket imbalance is rendered as an integer ppb ratio
+    * (|b−s|·1e9 div (b+s), exact in both engines — |b−s| must stay
+    * below ~9.2e9 micro-units per bucket, i.e. bucketVol below ~9e3,
+    * a bound the ×1e9 render documents), and the rolling VPIN is a
+    * BIGINT window sum divided ONCE — a rolling average of doubles
+    * would ride DuckDB's segment-tree association and never
+    * hash-match. Simplification vs the paper: trades are not split
+    * across bucket boundaries — each trade lands in the bucket its
+    * cumulative START falls in (deterministic, and boundary error is
+    * one trade per bucket). The rolling window runs over the bucket
+    * table — volume-compressed ~(trades/bucket)× vs the tape, the
+    * same bounded-frame argument the bar-level windows make. */
+  def vpin(trades: DataFrame, bucketVol: Long = 1000L,
+      window: Int = 50): DataFrame = {
+    val d28 = org.apache.spark.sql.types.DataTypes.createDecimalType(28, 6)
+    val ep = unix_timestamp(col("timestamp"))
+    val t = trades.select(
+      col("underlying"),
+      ep.as("ep"),
+      col("trade_id").cast("long").as("tid"),
+      (col("amount").cast(d28) * 1000000).cast("long").as("vol_u"),
+      (col("direction") === "buy").as("is_buy"))
+      .withColumn("day", expr("ep div 86400L"))
+    val wDay = Window.partitionBy(col("underlying"), col("day"))
+      .orderBy(col("ep"), col("tid"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wOff = Window.partitionBy(col("underlying")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val dayTot = t.groupBy(col("underlying"), col("day"))
+      .agg(sum(col("vol_u")).as("_dtot"))
+      .withColumn("_doff", coalesce(sum(col("_dtot")).over(wOff), lit(0L)))
+      .select(col("underlying"), col("day"), col("_doff"))
+    val cum = t
+      .join(dayTot, Seq("underlying", "day"))
+      .withColumn("cum_prev",
+        col("_doff") + sum(col("vol_u")).over(wDay) - col("vol_u"))
+      .withColumn("bucket",
+        expr(s"cum_prev div ${bucketVol * 1000000L}"))
+    val buckets = cum
+      .groupBy(col("underlying"), col("bucket"))
+      .agg(
+        min(col("ep")).as("bucket_start_ep"),
+        count(lit(1)).as("n_trades"),
+        sum(when(col("is_buy"), col("vol_u")).otherwise(0L)).as("buy_u"),
+        sum(when(!col("is_buy"), col("vol_u")).otherwise(0L)).as("sell_u"))
+      .withColumn("oi_e9", expr(
+        "abs(buy_u - sell_u) * 1000000000L div nullif(buy_u + sell_u, 0L)"))
+    val wRoll = Window.partitionBy(col("underlying")).orderBy(col("bucket"))
+      .rowsBetween(-(window - 1).toLong, 0L)
+    buckets
+      .withColumn("vpin",
+        sum(col("oi_e9")).over(wRoll).cast("double")
+          / (count(col("oi_e9")).over(wRoll).cast("double") * 1.0e9))
+      .select(col("underlying"), col("bucket"), col("bucket_start_ep"),
+        col("n_trades"), col("buy_u"), col("sell_u"), col("oi_e9"),
+        col("vpin"))
   }
 }

@@ -678,6 +678,59 @@ object VolQueries {
       .stripMargin
   }
 
+  private val VpinBucketVol = 1000L
+  private val VpinWindow = 50
+
+  /** M35: VPIN flow toxicity ([[OrderFlow.vpin]]). The oracle
+    * restates the whole chain — micro-unit quantization, the running
+    * cumulative volume (a plain per-symbol ordered window at oracle
+    * scale; the Spark side is the two-level day stitch), start-bucket
+    * assignment, integer ppb imbalance, BIGINT rolling sum — in SQL.
+    */
+  def m35Vpin(s: SparkSession, dir: String): DataFrame =
+    OrderFlow.vpin(trades(s, dir), VpinBucketVol, VpinWindow)
+
+  val m35Oracle: String =
+    s"""WITH ${SyntheticTrades.tradesCte},
+       |t AS (
+       |  SELECT underlying, ${duckEpochS("\"timestamp\"")} AS ep,
+       |    CAST(trade_id AS BIGINT) AS tid,
+       |    CAST(CAST(amount AS DECIMAL(28,6)) * 1000000 AS BIGINT)
+       |      AS vol_u,
+       |    direction = 'buy' AS is_buy
+       |  FROM trades
+       |),
+       |c AS (
+       |  SELECT *,
+       |    CAST(sum(vol_u) OVER (PARTITION BY underlying
+       |      ORDER BY ep, tid ROWS UNBOUNDED PRECEDING) AS BIGINT)
+       |      - vol_u AS cum_prev
+       |  FROM t
+       |),
+       |b AS (
+       |  SELECT underlying,
+       |    cum_prev // ${VpinBucketVol * 1000000L} AS bucket,
+       |    min(ep) AS bucket_start_ep, count(*) AS n_trades,
+       |    CAST(sum(CASE WHEN is_buy THEN vol_u ELSE 0 END) AS BIGINT)
+       |      AS buy_u,
+       |    CAST(sum(CASE WHEN NOT is_buy THEN vol_u ELSE 0 END) AS BIGINT)
+       |      AS sell_u
+       |  FROM c GROUP BY 1, 2
+       |),
+       |o AS (
+       |  SELECT *, abs(buy_u - sell_u) * 1000000000
+       |    // nullif(buy_u + sell_u, 0) AS oi_e9
+       |  FROM b
+       |)
+       |SELECT underlying, bucket, bucket_start_ep, n_trades,
+       |  buy_u, sell_u, oi_e9,
+       |  CAST(sum(oi_e9) OVER w AS DOUBLE)
+       |    / (CAST(count(oi_e9) OVER w AS DOUBLE) * 1.0E9) AS vpin
+       |FROM o
+       |WINDOW w AS (PARTITION BY underlying ORDER BY bucket
+       |  ROWS BETWEEN ${VpinWindow - 1} PRECEDING AND CURRENT ROW)"""
+      .stripMargin
+
   def m18Amihud(s: SparkSession, dir: String): DataFrame =
     OrderFlow.amihudIlliq(trades(s, dir))
 
@@ -702,6 +755,7 @@ object VolQueries {
 
   val defs: Map[String, QueryDef] = Map(
     "m18_amihud" -> QueryDef(m18Amihud _, m18Oracle),
+    "m35_vpin" -> QueryDef(m35Vpin _, m35Oracle),
     "m17_kyle_lambda" -> QueryDef(m17KyleLambda _, m17Oracle),
     "a21_size_quantiles" -> QueryDef(a21SizeQuantiles _, a21Oracle),
     "a32_percentile_cont" -> QueryDef(a32PercentileCont _, a32Oracle),

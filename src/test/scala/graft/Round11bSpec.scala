@@ -102,6 +102,30 @@ class Round11bSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((0L, 200L, 2L), (201L, 301L, 1L)))
   }
 
+  // ---- M35 VPIN ----
+
+  test("vpin: volume buckets, ppb imbalance, rolling mean on hand data") {
+    import graft.operators.OrderFlow
+    // 6 trades of volume 500 -> buckets of 1000 micro-vol hold 2 trades
+    // (bucketVol=1000 => 1e9 micro; amount 500 => 5e8 micro each)
+    val rows = Seq(
+      (0L, "buy"), (1L, "buy"),   // bucket 0: all buy  -> oi 1e9
+      (2L, "buy"), (3L, "sell"),  // bucket 1: balanced -> oi 0
+      (4L, "sell"), (5L, "sell")) // bucket 2: all sell -> oi 1e9
+    val t = rows.map { case (i, d) => ("BTC", i, i.toString, 500.0, d) }
+      .toDF("underlying", "sec", "trade_id", "amount", "direction")
+      .select($"underlying", timestamp_seconds($"sec").as("timestamp"),
+        $"trade_id", $"amount", $"direction")
+    val out = OrderFlow.vpin(t, bucketVol = 1000L, window = 2)
+      .orderBy("bucket")
+      .select($"bucket".as[Long], $"oi_e9".as[Long], $"vpin".as[Double])
+      .collect().toSeq
+    assert(out.map(_._1) == Seq(0L, 1L, 2L))
+    assert(out.map(_._2) == Seq(1000000000L, 0L, 1000000000L))
+    // rolling window=2 means: [b0]=1.0, [b0,b1]=0.5, [b1,b2]=0.5
+    assert(out.map(_._3) == Seq(1.0, 0.5, 0.5))
+  }
+
   // ---- MM5 perceptual-hash near-dup ----
 
   test("phash pairs: identical payloads pair at hamming 0, exactly once") {
