@@ -39,7 +39,10 @@ object CdcMerge {
     * the outcome (kept / updated / inserted). */
   def merge(snapshot: DataFrame, latestChanges: DataFrame,
       keyCol: String): DataFrame = {
-    val s = snapshot.as("s")
+    // explicit presence flag: snapshot columns (val/us) may
+    // legitimately be null, so null-ness of a payload column cannot
+    // stand in for "the key existed in the snapshot"
+    val s = snapshot.withColumn("_s_present", lit(true)).as("s")
     val c = latestChanges.as("c")
     s.join(c, Seq(keyCol), "full_outer")
       // null-safe: keep rows with no change (op null) or an upsert
@@ -50,7 +53,7 @@ object CdcMerge {
         when(col("c.op") === "U", col("c.us")).otherwise(col("s.us"))
           .as("last_us"),
         when(col("c.op").isNull, "kept")
-          .when(col("s.us").isNull, "inserted")
+          .when(col("_s_present").isNull, "inserted")
           .otherwise("updated").as("status"))
   }
 }

@@ -156,7 +156,9 @@ object Multimodal {
       val len = m.content.length
       var bits = 0
       if (len > 0) {
-        val s = Array.tabulate(16)(i => m.content(i * len / 16) & 0xff)
+        // long arithmetic: i * len overflows Int for ~144 MB payloads
+        val s = Array.tabulate(16)(i =>
+          m.content((i.toLong * len / 16).toInt) & 0xff)
         var i = 0
         while (i < 16) {
           if (s(i) > s((i + 1) % 16)) bits |= (1 << i)
@@ -168,33 +170,44 @@ object Multimodal {
   }
 
   /** Banded near-dup pairs on the perceptual hash: candidates share
-    * the high or the low 8-bit band (two equi-joins on (media_type,
-    * band); the second join drops pairs the first already found, so
-    * no dedup shuffle), verified by full 16-bit Hamming distance —
-    * the image-dedup shape of the MinHash-LSH pipeline, with popcount
-    * of XOR as the verify. The usual LSH caveat applies: a band value
-    * shared by a large fraction of the corpus makes that band's join
-    * quadratic — at production scale, widen the hash, not the verify
-    * (same rule the text SimHash chunks follow). */
+    * one of THREE bands (6+5+5 bits — the pigeonhole rule
+    * floor(16/3) >= maxHamming+1 guarantees a pair within Hamming 2
+    * differs in at most 2 bands, so at least one band matches
+    * exactly; two 8-bit bands would silently drop pairs with one
+    * flipped bit in EACH band), verified by full 16-bit Hamming
+    * distance — the image-dedup shape of the MinHash-LSH pipeline,
+    * with popcount of XOR as the verify. Later joins exclude pairs an
+    * earlier band already found, so no dedup shuffle. The usual LSH
+    * caveat applies: a band value shared by a large fraction of the
+    * corpus makes that band's join quadratic — at production scale,
+    * widen the hash, not the verify (same rule the text SimHash
+    * chunks follow). */
   def phashPairs(hashes: DataFrame, maxHamming: Int = 2): DataFrame = {
-    def side(tag: String) = hashes.select(
+    require(maxHamming <= 2, "3 bands over 16 bits guarantee radius 2")
+    // one row per doc, consumed by both sides of three self-joins —
+    // without the barrier the hash map and its input scan re-run 6x
+    val banded = graft.util.Caches.materialize(hashes.select(
+      col("media_type"), col("doc_id"), col("phash"),
+      expr("phash div 1024").as("b0"),
+      (expr("phash div 32") % 32).as("b1"),
+      (col("phash") % 32).as("b2")))
+    def side(tag: String) = banded.select(
       col("media_type"), col("doc_id").as(s"doc_$tag"),
-      col("phash").as(s"h_$tag"),
-      expr("phash div 256").as(s"b0_$tag"),
-      (col("phash") % 256).as(s"b1_$tag"))
+      col("phash").as(s"h_$tag"), col("b0").as(s"b0_$tag"),
+      col("b1").as(s"b1_$tag"), col("b2").as(s"b2_$tag"))
     val l = side("a")
     val r = side("b")
     val pair = col("doc_a") < col("doc_b")
-    val j0 = l.join(r, l("media_type") === r("media_type")
-      && col("b0_a") === col("b0_b") && pair)
-      .select(l("media_type"), col("doc_a"), col("doc_b"),
-        col("h_a"), col("h_b"))
-    val j1 = l.join(r, l("media_type") === r("media_type")
-      && col("b1_a") === col("b1_b") && col("b0_a") =!= col("b0_b")
-      && pair)
-      .select(l("media_type"), col("doc_a"), col("doc_b"),
-        col("h_a"), col("h_b"))
-    j0.union(j1)
+    def bandJoin(b: String, excl: Seq[String]) =
+      l.join(r, l("media_type") === r("media_type")
+        && col(s"${b}_a") === col(s"${b}_b") && pair
+        && excl.map(e => col(s"${e}_a") =!= col(s"${e}_b"))
+          .foldLeft(lit(true))(_ && _))
+        .select(l("media_type"), col("doc_a"), col("doc_b"),
+          col("h_a"), col("h_b"))
+    bandJoin("b0", Nil)
+      .union(bandJoin("b1", Seq("b0")))
+      .union(bandJoin("b2", Seq("b0", "b1")))
       .withColumn("hamming", expr("bit_count(h_a ^ h_b)").cast("int"))
       .filter(col("hamming") <= maxHamming)
       .select(col("media_type"), col("doc_a"), col("doc_b"),

@@ -151,8 +151,11 @@ object MultimodalQueries {
   /** MM5: dHash near-dup pairs ([[Multimodal.perceptualHash]] +
     * banded candidate join) — the image-dedup leg of the multimodal
     * pipeline. The oracle recomputes the 16-bit grid-sample hash from
-    * the hex bytes, then states the pair set as a plain band-OR theta
-    * join with the same XOR-popcount verify. */
+    * the hex bytes and states the pair set WITHOUT any band
+    * condition — every same-type pair within Hamming 2. Because the
+    * 6+5+5 banding is guaranteed-recall (pigeonhole) it must only
+    * PRUNE, so the hash match doubles as a completeness gate: a pair
+    * the bands wrongly dropped would surface as an oracle mismatch. */
   def mm5PhashNeardup(s: SparkSession, dir: String): DataFrame =
     Multimodal.phashPairs(
       Multimodal.perceptualHash(media(s, dir)).toDF(), PhashMaxHamming)
@@ -192,7 +195,6 @@ object MultimodalQueries {
        |  CAST(bit_count(xor(l.h, r.h)) AS INT) AS hamming
        |FROM ph l JOIN ph r
        |  ON r.media_type = l.media_type AND l.doc_id < r.doc_id
-       |  AND ((l.h // 256) = (r.h // 256) OR (l.h % 256) = (r.h % 256))
        |WHERE bit_count(xor(l.h, r.h)) <= $PhashMaxHamming""".stripMargin
   }
 

@@ -149,6 +149,20 @@ class Round11bSpec extends AnyFunSuite {
       ("video", 2L, 5L)))
   }
 
+  test("phash banding finds pairs that differ across multiple bands") {
+    import graft.operators.Multimodal
+    // hamming(0x0000, 0x0401) = 2, with the flipped bits landing in
+    // DIFFERENT 8-bit halves — the two-band scheme this operator
+    // first shipped with silently dropped such pairs; the 6+5+5
+    // pigeonhole banding must emit them (b1 = 0 on both sides)
+    val hashes = Seq((1L, "image", 0x0000), (2L, "image", 0x0401))
+      .toDF("doc_id", "media_type", "phash")
+    val pairs = Multimodal.phashPairs(hashes, maxHamming = 2)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Int)]
+      .collect().toSeq
+    assert(pairs == Seq((1L, 2L, 2)))
+  }
+
   // ---- EV22 A/B read-out ----
 
   test("abTest Welch panel matches a hand-computed two-sample t") {
