@@ -66,5 +66,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         NgramHash32(args.head, n)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_arr_dot"),
+      new ExpressionInfo(classOf[ArrDot].getName, "graft_arr_dot"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_arr_dot takes (a, b) arguments")
+        ArrDot(args(0), args(1))
+      }))
   }
 }

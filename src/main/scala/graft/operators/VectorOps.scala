@@ -33,12 +33,13 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
-  /** Strict left-fold dot product of two float arrays, in doubles. */
+  /** Strict left-fold dot product of two float arrays, in doubles —
+    * the codegen'd [[graft.functions.VectorMath.arrDot]] kernel
+    * (bit-identical to the old `aggregate(zip_with(...))` fold, which
+    * as a higher-order function was CodegenFallback: an interpreted
+    * closure per element per row). */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, x) => acc + x)
+    graft.functions.VectorMath.arrDot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -37,6 +37,19 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(math.abs(iv.getDouble(0) - 0.7) < 1e-9)
       assert(iv.getDouble(1) ==
         graft.functions.ImpliedVol.bsCall(5e4, 5.2e4, 0.5, 0.05, 0.7))
+      // arr_dot: left-to-right fold parity with the HOF formulation,
+      // null on length mismatch (the zip_with contract)
+      val d = s2.sql(
+        """SELECT
+          |  graft_arr_dot(array(1.0f, 2.0f), array(3.0d, 4.0d)) AS dt,
+          |  graft_arr_dot(array(1.0f), array(1.0f, 2.0f)) AS mismatch,
+          |  graft_arr_dot(
+          |    array(1.0f, 2.0f),
+          |    aggregate(array(1), array(2.0f, 3.0f), (a, x) -> a)) AS mixed
+          |""".stripMargin).head()
+      assert(d.getDouble(0) == 11.0)
+      assert(d.isNullAt(1))
+      assert(d.getDouble(2) == 8.0)
       // non-literal n is rejected with a clear message
       val e = intercept[Exception](
         s2.sql("SELECT graft_ngram_hash32('x', length('ab'))").head())
