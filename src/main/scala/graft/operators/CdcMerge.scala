@@ -20,17 +20,31 @@ import org.apache.spark.sql.functions._
 object CdcMerge {
 
   /** Collapse a changelog to its latest state per key: one row per
-    * `keyCol` carrying `op`/`val`/`us` of the change with the highest
-    * (usCol, idCol) — a lexicographic `max_by`, no window sort. */
+    * `keyCol` carrying `op`/`val`/`us`/`eid` of the change with the
+    * highest (usCol, idCol) — a lexicographic `max_by`, no window
+    * sort. `eid` (the tiebreak id) rides along so collapsed states
+    * can be re-collapsed later under the SAME total order — the
+    * version column a streaming CDC apply needs. */
   def latestState(changes: DataFrame, keyCol: String, opCol: String,
       valCol: String, usCol: String, idCol: String): DataFrame =
     changes.groupBy(col(keyCol))
       .agg(max_by(
         struct(col(opCol).as("op"), col(valCol).as("val"),
-          col(usCol).as("us")),
+          col(usCol).as("us"), col(idCol).as("eid")),
         struct(col(usCol), col(idCol))).as("_last"))
       .select(col(keyCol), col("_last.op").as("op"),
-        col("_last.val").as("val"), col("_last.us").as("us"))
+        col("_last.val").as("val"), col("_last.us").as("us"),
+        col("_last.eid").as("eid"))
+
+  /** Version-guarded reduce of collapsed states (schema of
+    * [[latestState]]): latest (us, eid) wins per key. Commutative
+    * and associative — applying micro-batches in ANY order or
+    * grouping yields the same state, which is what makes a streaming
+    * CDC apply safe under file-arrival reordering. Tombstones ('D'
+    * rows) stay IN the state: dropping them would let a later-
+    * arriving but older 'U' resurrect a deleted key. */
+  def reduceStates(states: DataFrame, keyCol: String): DataFrame =
+    latestState(states, keyCol, "op", "val", "us", "eid")
 
   /** Apply a collapsed changelog (`keyCol`, op ∈ {'U','D'}, val, us)
     * to a snapshot (`keyCol`, val, us). Latest-wins semantics: a 'D'

@@ -916,7 +916,10 @@ object SystemQueries {
     * broadcast one-row aggregate (the a18 pattern), and both
     * latest-wins collapses are `max_by` hash aggregates, not window
     * sorts. */
-  def s17MergeUpsert(s: SparkSession, dir: String): DataFrame = {
+  /** Shared CDC era derivation for s17 (batch) and st14 (streaming):
+    * the events tape split at its temporal midpoint, returned as the
+    * materialized tagged frame (u, event_id, op, v, us, is_base). */
+  private def cdcTagged(s: SparkSession, dir: String): DataFrame = {
     val ev = graft.util.Tables.load(s, dir, "events")
       .select(col("user_id").as("u"), col("event_id"),
         when(col("event_type") === "purchase", "D").otherwise("U")
@@ -925,17 +928,75 @@ object SystemQueries {
     val bounds = ev.agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
     // one materialization: the tagged tape feeds both era collapses
     // (without it each of the four consumers re-scans events)
-    val tagged = graft.util.Caches.materialize(
+    graft.util.Caches.materialize(
       ev.crossJoin(broadcast(bounds))
         .withColumn("is_base",
-          col("us") < col("mn") + expr("(mx - mn) div 2")))
-    def latest(base: Boolean): DataFrame =
-      graft.operators.CdcMerge.latestState(
-        tagged.filter(col("is_base") === base),
-        "u", "op", "v", "us", "event_id")
-    val snapshot = latest(base = true).filter(col("op") === "U")
+          col("us") < col("mn") + expr("(mx - mn) div 2"))
+        .drop("mn", "mx"))
+  }
+
+  private def cdcSnapshot(tagged: DataFrame): DataFrame =
+    graft.operators.CdcMerge.latestState(
+      tagged.filter(col("is_base")), "u", "op", "v", "us", "event_id")
+      .filter(col("op") === "U")
       .select(col("u"), col("val"), col("us"))
-    graft.operators.CdcMerge.merge(snapshot, latest(base = false), "u")
+
+  def s17MergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val tagged = cdcTagged(s, dir)
+    val changes = graft.operators.CdcMerge.latestState(
+      tagged.filter(!col("is_base")), "u", "op", "v", "us", "event_id")
+    graft.operators.CdcMerge.merge(cdcSnapshot(tagged), changes, "u")
+      .select(col("u").as("user_id"), col("val"), col("last_us"),
+        col("status"))
+  }
+
+  /** ST14: STREAMING CDC apply — the change era arrives as parquet
+    * files in micro-batches (maxFilesPerTrigger=1); every batch
+    * collapses to its latest state and folds into an accumulating
+    * versioned state table via the version-guarded
+    * [[graft.operators.CdcMerge.reduceStates]]. Because that reduce
+    * is commutative/associative and tombstones persist, the final
+    * state is INDEPENDENT of how the files batch or in what order
+    * they arrive — which is why this entry can be gated by the SAME
+    * oracle as the batch merge (s17): any order-dependence bug
+    * surfaces as a hash mismatch. The final read applies the batch
+    * merge against the base-era snapshot to label statuses vs the
+    * ORIGINAL snapshot (a sequential label would call a key inserted
+    * in batch 0 and updated in batch 2 "updated"). */
+  def st14StreamCdc(s: SparkSession, dir: String): DataFrame = {
+    val src = graft.util.TempDirs.scoped("st14-src")
+    val ckpt = graft.util.TempDirs.scoped("st14-ckpt")
+    val stateRoot = graft.util.TempDirs.scoped("st14-state")
+    val tagged = cdcTagged(s, dir)
+    val chg = tagged.filter(!col("is_base"))
+      .select(col("u"), col("event_id"), col("op"), col("v"), col("us"))
+    // three files -> three micro-batches; the chunking key is
+    // arbitrary BY DESIGN (order-independence is the contract)
+    chg.repartition(3, pmod(col("event_id"), lit(3)))
+      .write.parquet(s"$src/pages")
+    val ss = streamSession(s)
+    val raw = ss.readStream.schema(chg.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$src/pages")
+    var lastVersion = -1L
+    val q = raw.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val bl = graft.operators.CdcMerge.latestState(
+          batch, "u", "op", "v", "us", "event_id")
+        val folded =
+          if (lastVersion < 0) bl
+          else graft.operators.CdcMerge.reduceStates(
+            bl.unionByName(
+              batch.sparkSession.read.parquet(s"$stateRoot/v=$lastVersion")),
+            "u")
+        folded.write.mode("overwrite").parquet(s"$stateRoot/v=$batchId")
+        lastVersion = batchId
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val finalState = org.apache.spark.sql.GraftBridge.bindTo(
+      ss.read.parquet(s"$stateRoot/v=$lastVersion"), s)
+    graft.operators.CdcMerge.merge(cdcSnapshot(tagged), finalState, "u")
       .select(col("u").as("user_id"), col("val"), col("last_us"),
         col("status"))
   }
@@ -974,6 +1035,7 @@ object SystemQueries {
 
   val defs: Map[String, QueryDef] = Map(
     "s17_merge_upsert" -> QueryDef(s17MergeUpsert _, s17Oracle),
+    "st14_stream_cdc" -> QueryDef(st14StreamCdc _, s17Oracle),
     "st13_stream_outer_join" -> QueryDef(st13StreamOuterJoin _, st13Oracle),
     "s15_schema_evolution" -> QueryDef(s15SchemaEvolution _, s15Oracle),
     "s14_jdbc_roundtrip" -> QueryDef(s14JdbcRoundtrip _, s14Oracle),

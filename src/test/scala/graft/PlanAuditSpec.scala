@@ -47,7 +47,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // would EXECUTE the whole stream/write just to audit a trivial
     // scan
     "st11_stream_merge", "s12_csv_corrupt", "s13_compaction",
-    "s14_jdbc_roundtrip", "st13_stream_outer_join", "s15_schema_evolution")
+    "s14_jdbc_roundtrip", "st13_stream_outer_join", "s15_schema_evolution",
+    "st14_stream_cdc")
 
   test("no registered query plans a cartesian product") {
     for (name <- SparkEntry.queries.keys if !driverSide(name)) {

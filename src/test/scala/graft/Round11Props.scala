@@ -173,6 +173,35 @@ object Round11Props extends Properties("Round11") {
       } yield (k, op, v))
     } yield (snap.distinctBy(_._1), chg)
 
+  property("reduceStates folds batches order-independently") =
+    forAll(cdcGen, Gen.choose(0L, 999L)) { case ((_, chg), permSeed) =>
+      import spark.implicits._
+      def df(rows: Seq[(Long, String, Double)], base: Int) =
+        rows.zipWithIndex.map { case ((k, op, v), i) =>
+          (k, (base + i).toLong, op, v, 100L + base + i)
+        }.toDF("u", "event_id", "op", "v", "us")
+      val whole = graft.operators.CdcMerge
+        .latestState(df(chg, 0), "u", "op", "v", "us", "event_id")
+        .as[(Long, String, Double, Long, Long)].collect().sorted
+      // split into 3 batches (keeping global event ids), fold in a
+      // seed-shuffled order via the version-guarded reduce
+      val batches = chg.zipWithIndex.groupBy(_._2 % 3).toSeq
+        .sortBy { case (g, _) => (g + permSeed) % 3 }
+        .map { case (_, rs) =>
+          rs.map { case ((k, op, v), i) =>
+            (k, i.toLong, op, v, 100L + i)
+          }.toDF("u", "event_id", "op", "v", "us")
+        }
+      val folded = batches
+        .map(b => graft.operators.CdcMerge
+          .latestState(b, "u", "op", "v", "us", "event_id"))
+        .reduceOption((a, b) => graft.operators.CdcMerge
+          .reduceStates(a.unionByName(b), "u"))
+      val got = folded.map(_.as[(Long, String, Double, Long, Long)]
+        .collect().sorted.toSeq).getOrElse(Seq.empty)
+      got == whole.toSeq
+    }
+
   property("CdcMerge equals a sequential replay of the changelog") =
     forAll(cdcGen) { case (snap, chg) =>
       import spark.implicits._
