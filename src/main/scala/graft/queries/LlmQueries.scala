@@ -124,6 +124,126 @@ object LlmQueries {
        |WHERE $hashJaccardSql >= $JaccardThreshold""".stripMargin
   }
 
+  /** 1-in-3 doc sample for the exact-truth audits: exact all-pairs
+    * similarity is candidate-bound by pairs sharing ANY token (~all
+    * pairs on this shared-vocabulary corpus — prefix filtering prunes
+    * posting ROWS, not pair coverage), so complete truth is priced
+    * quadratic and runs on a bounded sample, exactly like the ANN
+    * audit's bounded query set. 1-in-3 because near-dup pairs are
+    * rare (25 corpus-wide at sf0.01) and BOTH endpoints must land
+    * in-sample. */
+  private val RecallSampleMod = 3L
+
+  private def sampleHashed(s: SparkSession, dir: String): DataFrame =
+    hashedCorpus(s, dir, 2).filter(col("doc_id") % RecallSampleMod === 0)
+
+  /** LLM_PPJOIN: exact all-pairs Jaccard similarity join via prefix
+    * filtering ([[TextDedup.prefixJaccardPairs]] — SSJoin/PPJoin),
+    * over the deterministic 1-in-3 sample. The oracle deliberately
+    * states the NAIVE complete specification (uncapped posting
+    * self-join + jaccard filter, affordable at oracle scale): the
+    * hash match proves the prefix-filter pruning is lossless, not
+    * merely self-consistent. */
+  def ppjoin(s: SparkSession, dir: String): DataFrame =
+    TextDedup.prefixJaccardPairs(sampleHashed(s, dir),
+      thresholdNum = 3, thresholdDen = 10, tokensCol = "hs")
+
+  val ppjoinOracle: String =
+    s"""WITH ${hashedCte(2)},
+       |sp AS (SELECT doc_id, h FROM hashed
+       |       WHERE doc_id % $RecallSampleMod = 0),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM sp GROUP BY 1),
+       |common AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS cm
+       |  FROM sp a JOIN sp b USING (h)
+       |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+       |)
+       |SELECT id_a, id_b,
+       |  cm::DOUBLE / (x.sz + y.sz - cm) AS jaccard
+       |FROM common
+       |JOIN sizes x ON x.doc_id = id_a
+       |JOIN sizes y ON y.doc_id = id_b
+       |WHERE cm::DOUBLE / (x.sz + y.sz - cm) >= $JaccardThreshold"""
+      .stripMargin
+
+  /** MinHash-LSH recall audit — the text-dedup twin of
+    * `llm_ann_recall`: the sample's COMPLETE exact-Jaccard pair set
+    * (the ppjoin output) is ground truth; the full-corpus LSH
+    * pipeline's verified pairs, restricted to the sample, are the
+    * found set. Found ⊆ truth by construction (the pipeline verifies
+    * with the same exact Jaccard), so n_hit = n_found and the metric
+    * is pure RECALL — the pairs no band caught. */
+  def minhashRecall(s: SparkSession, dir: String): DataFrame = {
+    val truth = graft.util.Caches.materialize(
+      ppjoin(s, dir).select(col("id_a"), col("id_b")))
+    val found = graft.util.Caches.materialize(
+      minhashNearDups(s, dir)
+        .filter(col("id_a") % RecallSampleMod === 0
+          && col("id_b") % RecallSampleMod === 0)
+        .select(col("id_a"), col("id_b")))
+    val hit = truth.join(found, Seq("id_a", "id_b"), "left_semi")
+    truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(broadcast(found.agg(count(lit(1)).as("n_found"))))
+      .crossJoin(broadcast(hit.agg(count(lit(1)).as("n_hit"))))
+      .select(col("n_truth"), col("n_found"), col("n_hit"),
+        (col("n_hit").cast("double")
+          / nullif(col("n_truth").cast("double"), lit(0.0)))
+          .as("recall"))
+  }
+
+  val minhashRecallOracle: String = {
+    import graft.operators.TextDedup.{MinhashA, MinhashB, MinhashP}
+    val mins = (0 until MinhashK).map(i =>
+      s"min((${MinhashA(i)} * h + ${MinhashB(i)}) % $MinhashP) AS m$i")
+    val bandVals = (0 until MinhashK / 4).map(i =>
+      s"concat('$i', '|', m${4 * i}, '|', m${4 * i + 1}, '|', m${4 * i + 2}, '|', m${4 * i + 3})")
+    s"""WITH ${hashedCte(2)},
+       |hl AS (SELECT doc_id, list(h) AS hs FROM hashed GROUP BY doc_id),
+       |sp AS (SELECT doc_id, h FROM hashed
+       |       WHERE doc_id % $RecallSampleMod = 0),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM sp GROUP BY 1),
+       |common AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS cm
+       |  FROM sp a JOIN sp b USING (h)
+       |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+       |),
+       |truth AS (
+       |  SELECT id_a, id_b FROM common
+       |  JOIN sizes x ON x.doc_id = id_a
+       |  JOIN sizes y ON y.doc_id = id_b
+       |  WHERE cm::DOUBLE / (x.sz + y.sz - cm) >= $JaccardThreshold
+       |),
+       |mh AS (
+       |  SELECT doc_id, ${mins.mkString(",\n    ")}
+       |  FROM hashed GROUP BY doc_id
+       |),
+       |bands AS (
+       |  SELECT doc_id, unnest([${bandVals.mkString(", ")}]) AS band_val
+       |  FROM mh
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b USING (band_val)
+       |  WHERE a.doc_id < b.doc_id
+       |),
+       |found AS (
+       |  SELECT id_a, id_b FROM cand
+       |  JOIN hl x ON x.doc_id = id_a
+       |  JOIN hl y ON y.doc_id = id_b
+       |  WHERE $hashJaccardSql >= $JaccardThreshold
+       |    AND id_a % $RecallSampleMod = 0 AND id_b % $RecallSampleMod = 0
+       |),
+       |hit AS (SELECT id_a, id_b FROM truth
+       |        INTERSECT SELECT id_a, id_b FROM found)
+       |SELECT
+       |  (SELECT count(*) FROM truth) AS n_truth,
+       |  (SELECT count(*) FROM found) AS n_found,
+       |  (SELECT count(*) FROM hit) AS n_hit,
+       |  (SELECT count(*) FROM hit)::DOUBLE
+       |    / nullif((SELECT count(*) FROM truth)::DOUBLE, 0.0) AS recall"""
+      .stripMargin
+  }
+
   // ---- near-dup clusters (connected components over pair graph) ----
 
   def dedupClusters(s: SparkSession, dir: String): DataFrame =
@@ -2302,6 +2422,8 @@ object LlmQueries {
     "llm_quality_cut" -> QueryDef(qualityCut _, qualityCutOracle),
     "llm_dedup_exact" -> QueryDef(dedupExact _, dedupExactOracle),
     "llm_minhash_neardup" -> QueryDef(minhashNearDups _, minhashOracle),
+    "llm_minhash_recall" -> QueryDef(minhashRecall _, minhashRecallOracle),
+    "llm_ppjoin" -> QueryDef(ppjoin _, ppjoinOracle),
     "llm_dedup_clusters" -> QueryDef(dedupClusters _, dedupClustersOracle),
     "llm_ngram_jaccard" -> QueryDef(ngramJaccard _, ngramJaccardOracle),
     "llm_simhash" -> QueryDef(simhash _, simhashOracle),

@@ -300,7 +300,46 @@ object RelationalQueries {
        |FROM u GROUP BY 1, 2""".stripMargin
   }
 
+  /** Q11: set operators — INTERSECT / EXCEPT / UNION over the
+    * customer populations active in two adjacent order years.
+    * `Dataset.intersect`/`except` plan as aggregate-dedup +
+    * left-semi/anti equi-joins (shuffle-keyed, no sort), which is the
+    * shape the SQL operators compile to in any engine; the entry
+    * pins the Spark surface against the ANSI set semantics DuckDB
+    * states directly. */
+  def q11SetOps(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+    def custsIn(y: Int): DataFrame = o
+      .filter(year(col("o_orderdate")) === y)
+      .select(col("o_custkey"))
+    val a = custsIn(1995)
+    val b = custsIn(1996)
+    a.intersect(b).agg(count(lit(1)).as("n_both"))
+      .crossJoin(broadcast(
+        a.except(b).agg(count(lit(1)).as("n_only_1995"))))
+      .crossJoin(broadcast(
+        b.except(a).agg(count(lit(1)).as("n_only_1996"))))
+      .crossJoin(broadcast(
+        a.union(b).distinct().agg(count(lit(1)).as("n_either"))))
+  }
+
+  val q11SetOpsOracle: String =
+    """WITH a AS (SELECT o_custkey FROM orders
+      |           WHERE extract(year FROM o_orderdate) = 1995),
+      |b AS (SELECT o_custkey FROM orders
+      |      WHERE extract(year FROM o_orderdate) = 1996)
+      |SELECT
+      |  (SELECT count(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b))
+      |    AS n_both,
+      |  (SELECT count(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b))
+      |    AS n_only_1995,
+      |  (SELECT count(*) FROM (SELECT * FROM b EXCEPT SELECT * FROM a))
+      |    AS n_only_1996,
+      |  (SELECT count(*) FROM (SELECT * FROM a UNION SELECT * FROM b))
+      |    AS n_either""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "q11_set_ops" -> QueryDef(q11SetOps _, q11SetOpsOracle),
     "q10_unpivot" -> QueryDef(q10Unpivot _, q10UnpivotOracle),
     "q8_grouping_sets" -> QueryDef(q8GroupingSets _, q8GroupingSetsOracle),
     "q9_semi_anti" -> QueryDef(q9SemiAnti _, q9SemiAntiOracle),

@@ -173,6 +173,33 @@ object Round11Props extends Properties("Round11") {
       } yield (k, op, v))
     } yield (snap.distinctBy(_._1), chg)
 
+  private val corpusGen: Gen[List[List[Int]]] = for {
+    nDocs <- Gen.choose(2, 25)
+    docs <- Gen.listOfN(nDocs, for {
+      sz <- Gen.choose(1, 12)
+      toks <- Gen.listOfN(sz, Gen.choose(0, 20)) // heavy token sharing
+    } yield toks.distinct)
+  } yield docs.filter(_.nonEmpty)
+
+  property("prefix-filter Jaccard join is lossless vs brute force") =
+    forAll(corpusGen) { docs =>
+      import spark.implicits._
+      val df = docs.zipWithIndex.map { case (ts, i) => (i.toLong, ts) }
+        .toDF("doc_id", "hs")
+      val got = graft.operators.TextDedup
+        .prefixJaccardPairs(df, 3, 10, tokensCol = "hs")
+        .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+      val want = (for {
+        (a, i) <- docs.zipWithIndex; (b, j) <- docs.zipWithIndex
+        if i < j
+        inter = a.toSet.intersect(b.toSet).size
+        if inter * 10 >= 3 * (a.size + b.size - inter) &&
+          inter.toDouble / (a.size + b.size - inter) >= 0.3
+      } yield (i.toLong, j.toLong)).toSet
+      spark.catalog.clearCache()
+      got == want
+    }
+
   property("reduceStates folds batches order-independently") =
     forAll(cdcGen, Gen.choose(0L, 999L)) { case ((_, chg), permSeed) =>
       import spark.implicits._
