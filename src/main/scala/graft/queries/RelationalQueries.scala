@@ -309,9 +309,11 @@ object RelationalQueries {
     * states directly. */
   def q11SetOps(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.load(s, dir, "orders")
-    def custsIn(y: Int): DataFrame = o
+    // materialized: each population feeds four set-op branches — the
+    // plain plan re-scans orders 8x (caught by the scan audit)
+    def custsIn(y: Int): DataFrame = graft.util.Caches.materialize(o
       .filter(year(col("o_orderdate")) === y)
-      .select(col("o_custkey"))
+      .select(col("o_custkey")))
     val a = custsIn(1995)
     val b = custsIn(1996)
     a.intersect(b).agg(count(lit(1)).as("n_both"))
