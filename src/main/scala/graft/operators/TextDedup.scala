@@ -373,7 +373,14 @@ object TextDedup {
     * postings over the FULL (uncapped) index, so the jaccard is the
     * true set similarity. ceil(t·sz) runs as exact integer math
     * ((num·sz + den − 1) div den from the rational t = num/den) so
-    * prefix boundaries are engine-identical. */
+    * prefix boundaries are engine-identical.
+    *
+    * PRECONDITION (same as [[invertedIndexPairs]]): `tokensCol` holds
+    * DISTINCT tokens per doc — posting counts drive the prefix-length
+    * math and the verify divides a distinct-intersection by them, so
+    * duplicated tokens would both shrink prefixes below the
+    * completeness bound and mis-scale the jaccard. The hashed-corpus
+    * producers guarantee this (NgramHash32 dedupes per doc). */
   def prefixJaccardPairs(
       corpus: DataFrame,
       thresholdNum: Int = 3, thresholdDen: Int = 10,

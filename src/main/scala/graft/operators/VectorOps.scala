@@ -8,9 +8,12 @@ import org.apache.spark.sql.functions._
   * bucketed nearest-neighbour pass (the 100 TB path).
   *
   * Determinism note: the dot product is a strict left-to-right fold of
-  * per-element double products (`aggregate(zip_with(...))`), so an
-  * engine-independent oracle can reproduce the bits exactly — no
-  * reliance on any engine's internal reduction order.
+  * per-element double products (the codegen'd
+  * [[graft.functions.VectorMath.arrDot]] kernel — same accumulation
+  * order the old `aggregate(zip_with(...))` formulation had, compiled
+  * instead of interpreted), so an engine-independent oracle can
+  * reproduce the bits exactly — no reliance on any engine's internal
+  * reduction order.
   *
   * Scale design:
   *  - `annTopK` broadcasts the (small) query set, computes cosines

@@ -96,12 +96,35 @@ object LlmQueries {
        |  FROM (SELECT doc_id, sha256(shingle) AS sha FROM posting)
        |)""".stripMargin
 
-  val minhashOracle: String = {
+  /** MinHash signature/band SQL builders — ONE definition consumed by
+    * the minhash, cluster, and recall oracles (a drift between them
+    * would make an oracle gate a different pipeline than the one
+    * under test). */
+  private def minhashMinsSql: Seq[String] = {
     import graft.operators.TextDedup.{MinhashA, MinhashB, MinhashP}
-    val mins = (0 until MinhashK).map(i =>
+    (0 until MinhashK).map(i =>
       s"min((${MinhashA(i)} * h + ${MinhashB(i)}) % $MinhashP) AS m$i")
-    val bandVals = (0 until MinhashK / 4).map(i =>
+  }
+
+  private def minhashBandValsSql: Seq[String] =
+    (0 until MinhashK / 4).map(i =>
       s"concat('$i', '|', m${4 * i}, '|', m${4 * i + 1}, '|', m${4 * i + 2}, '|', m${4 * i + 3})")
+
+  /** Sampled exact-Jaccard pair CTEs (sp/sizes/common) — shared by
+    * the ppjoin and recall oracles. */
+  private def sampleJaccardCtes: String =
+    s"""sp AS (SELECT doc_id, h FROM hashed
+       |       WHERE doc_id % $RecallSampleMod = 0),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM sp GROUP BY 1),
+       |common AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS cm
+       |  FROM sp a JOIN sp b USING (h)
+       |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+       |)""".stripMargin
+
+  val minhashOracle: String = {
+    val mins = minhashMinsSql
+    val bandVals = minhashBandValsSql
     s"""WITH ${hashedCte(2)},
        |hl AS (SELECT doc_id, list(h) AS hs FROM hashed GROUP BY doc_id),
        |mh AS (
@@ -150,14 +173,7 @@ object LlmQueries {
 
   val ppjoinOracle: String =
     s"""WITH ${hashedCte(2)},
-       |sp AS (SELECT doc_id, h FROM hashed
-       |       WHERE doc_id % $RecallSampleMod = 0),
-       |sizes AS (SELECT doc_id, count(*) AS sz FROM sp GROUP BY 1),
-       |common AS (
-       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS cm
-       |  FROM sp a JOIN sp b USING (h)
-       |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
-       |)
+       |$sampleJaccardCtes
        |SELECT id_a, id_b,
        |  cm::DOUBLE / (x.sz + y.sz - cm) AS jaccard
        |FROM common
@@ -192,21 +208,11 @@ object LlmQueries {
   }
 
   val minhashRecallOracle: String = {
-    import graft.operators.TextDedup.{MinhashA, MinhashB, MinhashP}
-    val mins = (0 until MinhashK).map(i =>
-      s"min((${MinhashA(i)} * h + ${MinhashB(i)}) % $MinhashP) AS m$i")
-    val bandVals = (0 until MinhashK / 4).map(i =>
-      s"concat('$i', '|', m${4 * i}, '|', m${4 * i + 1}, '|', m${4 * i + 2}, '|', m${4 * i + 3})")
+    val mins = minhashMinsSql
+    val bandVals = minhashBandValsSql
     s"""WITH ${hashedCte(2)},
        |hl AS (SELECT doc_id, list(h) AS hs FROM hashed GROUP BY doc_id),
-       |sp AS (SELECT doc_id, h FROM hashed
-       |       WHERE doc_id % $RecallSampleMod = 0),
-       |sizes AS (SELECT doc_id, count(*) AS sz FROM sp GROUP BY 1),
-       |common AS (
-       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS cm
-       |  FROM sp a JOIN sp b USING (h)
-       |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
-       |),
+       |$sampleJaccardCtes,
        |truth AS (
        |  SELECT id_a, id_b FROM common
        |  JOIN sizes x ON x.doc_id = id_a
@@ -254,11 +260,8 @@ object LlmQueries {
     * Factored to end in a `cl` CTE so the canonical-pick oracle can
     * extend the same chain. */
   private val clusterCtes: String = {
-    import graft.operators.TextDedup.{MinhashA, MinhashB, MinhashP}
-    val mins = (0 until MinhashK).map(i =>
-      s"min((${MinhashA(i)} * h + ${MinhashB(i)}) % $MinhashP) AS m$i")
-    val bandVals = (0 until MinhashK / 4).map(i =>
-      s"concat('$i', '|', m${4 * i}, '|', m${4 * i + 1}, '|', m${4 * i + 2}, '|', m${4 * i + 3})")
+    val mins = minhashMinsSql
+    val bandVals = minhashBandValsSql
     s"""${hashedCte(2)},
        |hl AS (SELECT doc_id, list(h) AS hs FROM hashed GROUP BY doc_id),
        |mh AS (

@@ -906,19 +906,11 @@ object SystemQueries {
        |  CAST(count(DISTINCT ep) AS BIGINT) AS n_epochs
        |FROM u GROUP BY 1""".stripMargin
 
-  /** S17: SCD1 changelog merge ([[graft.operators.CdcMerge]]) — the
-    * events tape split at its temporal midpoint into a base era and a
-    * change era; each era collapses latest-wins per user ('purchase'
-    * acting as the delete op), the base era's survivors form the
-    * snapshot, and the change era merges over it. The whole chain —
-    * split bound, both collapses, the full-outer apply, the status
-    * labels — is re-derived in the oracle. The midpoint bound rides a
-    * broadcast one-row aggregate (the a18 pattern), and both
-    * latest-wins collapses are `max_by` hash aggregates, not window
-    * sorts. */
   /** Shared CDC era derivation for s17 (batch) and st14 (streaming):
-    * the events tape split at its temporal midpoint, returned as the
-    * materialized tagged frame (u, event_id, op, v, us, is_base). */
+    * the events tape split at its temporal midpoint ('purchase'
+    * acting as the delete op), returned as the materialized tagged
+    * frame (u, event_id, op, v, us, is_base). The midpoint bound
+    * rides a broadcast one-row aggregate (the a18 pattern). */
   private def cdcTagged(s: SparkSession, dir: String): DataFrame = {
     val ev = graft.util.Tables.load(s, dir, "events")
       .select(col("user_id").as("u"), col("event_id"),
@@ -941,6 +933,13 @@ object SystemQueries {
       .filter(col("op") === "U")
       .select(col("u"), col("val"), col("us"))
 
+  /** S17: SCD1 changelog merge ([[graft.operators.CdcMerge]]) — each
+    * era collapses latest-wins per user, the base era's survivors
+    * form the snapshot, and the change era merges over it. The whole
+    * chain — split bound, both collapses, the full-outer apply, the
+    * status labels — is re-derived in the oracle. Both latest-wins
+    * collapses are `max_by` hash aggregates, not window sorts
+    * (pinned in PlanAuditSpec). */
   def s17MergeUpsert(s: SparkSession, dir: String): DataFrame = {
     val tagged = cdcTagged(s, dir)
     val changes = graft.operators.CdcMerge.latestState(
@@ -994,8 +993,14 @@ object SystemQueries {
       }
       .start()
     try q.processAllAvailable() finally q.stop()
-    val finalState = org.apache.spark.sql.GraftBridge.bindTo(
-      ss.read.parquet(s"$stateRoot/v=$lastVersion"), s)
+    // zero micro-batches (empty change era) -> no state version was
+    // ever written; degrade to the no-changes merge, not a dead read
+    val finalState =
+      if (lastVersion < 0)
+        graft.operators.CdcMerge.latestState(
+          chg.limit(0), "u", "op", "v", "us", "event_id")
+      else org.apache.spark.sql.GraftBridge.bindTo(
+        ss.read.parquet(s"$stateRoot/v=$lastVersion"), s)
     graft.operators.CdcMerge.merge(cdcSnapshot(tagged), finalState, "u")
       .select(col("u").as("user_id"), col("val"), col("last_us"),
         col("status"))

@@ -102,8 +102,11 @@ class PlanAuditSpec extends AnyFunSuite {
       "llm_kn_bigram", "llm_heaps_fit", "llm_bpe_encode",
       "m21_rn_density", "m22_calendar_arb", "llm_heavy_hitters",
       "x7_zorder_layout", "llm_tfidf_cosine", "ev17_survival",
-      "llm_colloc_pmi", "s17_merge_upsert", "ev22_ab_test",
-      "q11_set_ops", "llm_minhash_recall")
+      "llm_colloc_pmi", "s17_merge_upsert",
+      // one-row count-aggregate cross joins (whether Spark plans them
+      // as BNLJ varies with cache/AQE state across runs — the build
+      // side is still asserted to be a groupless aggregate below)
+      "llm_minhash_recall", "q11_set_ops", "ev22_ab_test")
     val boundedPickBuild = Set("llm_ann_topk", "llm_ann_pq",
       "llm_ann_recall", "llm_ann_recall_curve", "llm_mrl_recall",
       "llm_knn_label")
