@@ -173,6 +173,31 @@ object Round11Props extends Properties("Round11") {
       } yield (k, op, v))
     } yield (snap.distinctBy(_._1), chg)
 
+  // ---- ArrDot ≡ the HOF fold it replaced (bit-level) ----
+
+  private val vecPairGen: Gen[(List[Float], List[Float])] = for {
+    n <- Gen.choose(0, 24)
+    sameLen <- Gen.frequency(4 -> true, 1 -> false)
+    m <- if (sameLen) Gen.const(n) else Gen.choose(0, 24)
+    a <- Gen.listOfN(n, Gen.choose(-1e6f, 1e6f))
+    b <- Gen.listOfN(m, Gen.choose(-1e6f, 1e6f))
+  } yield (a, b)
+
+  property("ArrDot is bit-identical to aggregate(zip_with(...))") =
+    forAll(vecPairGen) { case (a, b) =>
+      import spark.implicits._
+      val df = Seq((a.toArray, b.toArray)).toDF("a", "b")
+      val hof = aggregate(
+        zip_with($"a", $"b", (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+      val r = df.select(
+        graft.functions.VectorMath.arrDot($"a", $"b").as("k"),
+        hof.as("h")).head()
+      if (r.isNullAt(0) || r.isNullAt(1)) r.isNullAt(0) == r.isNullAt(1)
+      else java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1))
+    }
+
   private val corpusGen: Gen[List[List[Int]]] = for {
     nDocs <- Gen.choose(2, 25)
     docs <- Gen.listOfN(nDocs, for {
