@@ -125,4 +125,33 @@ object PricePath {
       .withColumn("acf", expr(SpotCorr.corrExpr))
       .select("symbol", "lag", "n_pairs", "acf")
   }
+
+  /** χ²(3) upper 5% critical value — the m36 reject threshold, a
+    * literal on both engines. */
+  val Chi2Crit95Df3 = 7.814727903251179
+
+  /** M36: Ljung–Box portmanteau test on the m14 ACF frame — the
+    * "are returns white noise" read, Q = n(n+2)·Σ ρ_k²/(n−k) with
+    * reject at the χ²(maxLag) 5% critical value. Because the lags
+    * are ROW lags, n_pairs at lag k IS n−k exactly (n recovered as
+    * n_pairs₁+1), so the whole statistic is a pivot + one fixed
+    * expression over the per-lag ACF rows — the term sum is spelled
+    * with explicit left-to-right association (t1 + t2 + t3), never a
+    * SQL aggregate over doubles whose order an engine could pick. */
+  def ljungBox(ticks: DataFrame, maxLag: Int = 3): DataFrame = {
+    val acf = returnAcf(ticks, maxLag)
+    val terms = (1 to maxLag).map(l =>
+      max(when(col("lag") === l,
+        col("acf") * col("acf") / col("n_pairs").cast("double")))
+        .as(s"_t$l"))
+    val np1 = max(when(col("lag") === 1, col("n_pairs"))).as("_np1")
+    acf.groupBy(col("symbol"))
+      .agg(np1, terms: _*)
+      .withColumn("n_obs", col("_np1") + 1)
+      .withColumn("q_lb",
+        col("n_obs").cast("double") * (col("n_obs").cast("double") + 2.0)
+          * expr((1 to maxLag).map(l => s"_t$l").mkString(" + ")))
+      .select(col("symbol"), col("n_obs"), col("q_lb"),
+        (col("q_lb") > Chi2Crit95Df3).as("reject_5pct"))
+  }
 }

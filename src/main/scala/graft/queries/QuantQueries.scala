@@ -226,7 +226,9 @@ object QuantQueries {
   def m14ReturnAcf(s: SparkSession, dir: String): DataFrame =
     PricePath.returnAcf(ticks(s, dir))
 
-  val m14Oracle: String = {
+  /** The m14 ACF derivation as a CTE chain ending in `acfd` —
+    * shared by the m14 gate and the m36 Ljung–Box built on it. */
+  private val acfCtes: String = {
     val lagSel = (1 to 3).map(l =>
       s"lag(rq, $l) OVER (PARTITION BY symbol ORDER BY day) AS rl_$l")
       .mkString(",\n    ")
@@ -234,7 +236,7 @@ object QuantQueries {
       s"""SELECT symbol, $l AS "lag", rq, rl_$l AS rl FROM lagd""")
       .mkString("\n  UNION ALL\n  ")
     def d24(e: String) = s"CAST(CAST(sum($e) AS DECIMAL(24,16)) AS DOUBLE)"
-    s"""WITH $retsCte,
+    s"""$retsCte,
        |lagd AS (
        |  SELECT symbol, day, rq,
        |    $lagSel
@@ -250,10 +252,42 @@ object QuantQueries {
        |    ${d24("rq * rq")} AS sxx, ${d24("rl * rl")} AS syy
        |  FROM long WHERE rl IS NOT NULL
        |  GROUP BY 1, 2
+       |),
+       |acfd AS (
+       |  SELECT symbol, "lag", n_pairs, ${SpotCorr.corrExpr} AS acf
+       |  FROM (SELECT *, CAST(n_pairs AS DOUBLE) AS nd FROM aggd)
+       |)""".stripMargin
+  }
+
+  val m14Oracle: String =
+    s"""WITH $acfCtes
+       |SELECT symbol, "lag", n_pairs, acf FROM acfd""".stripMargin
+
+  def m36LjungBox(s: SparkSession, dir: String): DataFrame =
+    PricePath.ljungBox(ticks(s, dir))
+
+  /** M36: the Ljung–Box statistic re-derived over the SAME acf chain
+    * the m14 gate verifies — pivot, explicit (t1 + t2 + t3)
+    * association, χ² literal via duckDoubleLit. */
+  val m36Oracle: String = {
+    val crit = graft.util.Parity.duckDoubleLit(PricePath.Chi2Crit95Df3)
+    val ts = (1 to 3).map(l =>
+      s"""    max(CASE WHEN "lag" = $l
+         |      THEN acf * acf / CAST(n_pairs AS DOUBLE) END) AS t$l"""
+        .stripMargin).mkString(",\n")
+    s"""WITH $acfCtes,
+       |pv AS (
+       |  SELECT symbol,
+       |    max(CASE WHEN "lag" = 1 THEN n_pairs END) AS np1,
+       |$ts
+       |  FROM acfd GROUP BY 1
        |)
-       |SELECT symbol, "lag", n_pairs, ${SpotCorr.corrExpr} AS acf
-       |FROM (SELECT *, CAST(n_pairs AS DOUBLE) AS nd FROM aggd)"""
-      .stripMargin
+       |SELECT symbol, np1 + 1 AS n_obs,
+       |  CAST(np1 + 1 AS DOUBLE) * (CAST(np1 + 1 AS DOUBLE) + 2.0)
+       |    * (t1 + t2 + t3) AS q_lb,
+       |  CAST(np1 + 1 AS DOUBLE) * (CAST(np1 + 1 AS DOUBLE) + 2.0)
+       |    * (t1 + t2 + t3) > $crit AS reject_5pct
+       |FROM pv""".stripMargin
   }
 
   // ---- A27: volume-concentration HHI ----
@@ -493,6 +527,7 @@ object QuantQueries {
     "a26_drawdown" -> QueryDef(a26Drawdown _, a26Oracle),
     "m13_vol_cone" -> QueryDef(m13VolCone _, m13Oracle),
     "m14_return_acf" -> QueryDef(m14ReturnAcf _, m14Oracle),
+    "m36_ljung_box" -> QueryDef(m36LjungBox _, m36Oracle),
     "a27_volume_hhi" -> QueryDef(a27VolumeHhi _, a27Oracle),
     "a28_parity_audit" -> QueryDef(a28ParityAudit _, a28Oracle))
 }

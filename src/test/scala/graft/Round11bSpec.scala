@@ -102,6 +102,23 @@ class Round11bSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((0L, 200L, 2L), (201L, 301L, 1L)))
   }
 
+  // ---- M36 Ljung–Box ----
+
+  test("ljung-box rejects a perfectly alternating return series") {
+    import graft.operators.PricePath
+    // closes alternate 100, 110 -> returns alternate sign, |acf1| ~ 1
+    val t = (0 until 40).map(d =>
+      ("X", d.toLong, if (d % 2 == 0) 100.0 else 110.0))
+      .toDF("symbol", "d", "close")
+      .select($"symbol", timestamp_seconds($"d" * 86400L).as("timestamp"),
+        $"close")
+    val r = PricePath.ljungBox(t).head()
+    val n = r.getAs[Long]("n_obs")
+    assert(n == 39L)
+    assert(r.getAs[Double]("q_lb") > PricePath.Chi2Crit95Df3)
+    assert(r.getAs[Boolean]("reject_5pct"))
+  }
+
   // ---- M35 VPIN ----
 
   test("vpin: volume buckets, ppb imbalance, rolling mean on hand data") {
