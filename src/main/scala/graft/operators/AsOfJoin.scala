@@ -128,8 +128,12 @@ object AsOfJoin {
       rightVal: String, asofCol: String, tolSec: Long): DataFrame =
     asOf(leftDf, rightDf, key, leftTime, rightTime, rightVal, asofCol,
       matchEpochCol = Some("_match_us"))
-      .withColumn("asof_age_sec",
-        expr(s"(unix_micros($leftTime) - _match_us) div 1000000L"))
+      // leftTime goes through col() (never spliced into SQL text), so
+      // names needing backticks work; the expr only sees the internal
+      // _age_us. Age ≥ 0 by asof construction, so `div` == floor-div.
+      .withColumn("_age_us", unix_micros(col(leftTime)) - col("_match_us"))
+      .withColumn("asof_age_sec", expr("_age_us div 1000000L"))
+      .drop("_age_us")
       .withColumn("is_fresh",
         col("_match_us").isNotNull && col("asof_age_sec") <= tolSec)
       .withColumn(asofCol, when(col("is_fresh"), col(asofCol)))

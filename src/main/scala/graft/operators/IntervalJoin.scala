@@ -32,22 +32,27 @@ object IntervalJoin {
     // of a double is implementation-defined around negative zeros.
     // Containment only needs the SAME monotone bucket fn on both
     // sides, which `div` is. The epochs land in fixed internal
-    // columns first so `expr` never sees a caller-supplied name.
+    // columns first so `expr` never sees a caller-supplied name; the
+    // __gij_ prefix is reserved and enforced against both inputs.
+    val clash = (points.columns ++ intervals.columns)
+      .filter(_.startsWith("__gij_"))
+    require(clash.isEmpty,
+      s"containmentJoin reserves the __gij_ column prefix; found: ${clash.mkString(", ")}")
     val iv = intervals
-      .withColumn("_s_ep", col(startCol).cast("long"))
-      .withColumn("_e_ep", col(endCol).cast("long"))
-      .withColumn("_bucket",
+      .withColumn("__gij_s_ep", col(startCol).cast("long"))
+      .withColumn("__gij_e_ep", col(endCol).cast("long"))
+      .withColumn("__gij_bucket",
         explode(sequence(
-          expr(s"_s_ep div ${bucketSec}L"),
-          expr(s"_e_ep div ${bucketSec}L"))))
-      .drop("_s_ep", "_e_ep")
+          expr(s"__gij_s_ep div ${bucketSec}L"),
+          expr(s"__gij_e_ep div ${bucketSec}L"))))
+      .drop("__gij_s_ep", "__gij_e_ep")
     val pt = points
-      .withColumn("_t_ep", col(tsCol).cast("long"))
-      .withColumn("_bucket", expr(s"_t_ep div ${bucketSec}L"))
-      .drop("_t_ep")
-    pt.join(iv, Seq(keyCol, "_bucket"))
+      .withColumn("__gij_t_ep", col(tsCol).cast("long"))
+      .withColumn("__gij_bucket", expr(s"__gij_t_ep div ${bucketSec}L"))
+      .drop("__gij_t_ep")
+    pt.join(iv, Seq(keyCol, "__gij_bucket"))
       .filter(col(tsCol).between(col(startCol), col(endCol)))
-      .drop("_bucket")
+      .drop("__gij_bucket")
   }
 
   /** Gap-based activity intervals from an event-time column: one row
@@ -88,30 +93,41 @@ object IntervalJoin {
     * joined row survives the equality filter. Output: every column of
     * both inputs (caller guarantees disjoint names apart from
     * `keyCol`), exactly once per overlapping pair.
+    *
+    * Internal scratch columns use a `__gij_` prefix and are rejected
+    * (fail-fast `require`) if either input already carries one — a
+    * caller column silently shadowing the bucket key would corrupt
+    * the join, so the reserved namespace is enforced, not just
+    * documented.
     */
   def overlapJoin(left: DataFrame, right: DataFrame, keyCol: String,
       lStartCol: String, lEndCol: String,
       rStartCol: String, rEndCol: String,
       bucketSec: Long = 86400L): DataFrame = {
-    // fixed internal names so `expr`/sequence never see caller input
+    // fixed internal names so `expr`/sequence never see caller input;
+    // the prefix is reserved and enforced against both inputs
+    val clash = (left.columns ++ right.columns).filter(_.startsWith("__gij_"))
+    require(clash.isEmpty,
+      s"overlapJoin reserves the __gij_ column prefix; found: ${clash.mkString(", ")}")
     val lb = left
-      .withColumn("_ls", col(lStartCol).cast("long"))
-      .withColumn("_le", col(lEndCol).cast("long"))
-      .withColumn("_lsb", expr(s"_ls div ${bucketSec}L"))
-      .withColumn("_bucket",
-        explode(sequence(col("_lsb"), expr(s"_le div ${bucketSec}L"))))
-      .drop("_ls", "_le")
+      .withColumn("__gij_ls", col(lStartCol).cast("long"))
+      .withColumn("__gij_le", col(lEndCol).cast("long"))
+      .withColumn("__gij_lsb", expr(s"__gij_ls div ${bucketSec}L"))
+      .withColumn("__gij_bucket",
+        explode(sequence(col("__gij_lsb"), expr(s"__gij_le div ${bucketSec}L"))))
+      .drop("__gij_ls", "__gij_le")
     val rb = right
-      .withColumn("_rs", col(rStartCol).cast("long"))
-      .withColumn("_re", col(rEndCol).cast("long"))
-      .withColumn("_rsb", expr(s"_rs div ${bucketSec}L"))
-      .withColumn("_bucket",
-        explode(sequence(col("_rsb"), expr(s"_re div ${bucketSec}L"))))
-      .drop("_rs", "_re")
-    lb.join(rb, Seq(keyCol, "_bucket"))
+      .withColumn("__gij_rs", col(rStartCol).cast("long"))
+      .withColumn("__gij_re", col(rEndCol).cast("long"))
+      .withColumn("__gij_rsb", expr(s"__gij_rs div ${bucketSec}L"))
+      .withColumn("__gij_bucket",
+        explode(sequence(col("__gij_rsb"), expr(s"__gij_re div ${bucketSec}L"))))
+      .drop("__gij_rs", "__gij_re")
+    lb.join(rb, Seq(keyCol, "__gij_bucket"))
       .filter(col(lStartCol) <= col(rEndCol) &&
         col(rStartCol) <= col(lEndCol))
-      .filter(col("_bucket") === greatest(col("_lsb"), col("_rsb")))
-      .drop("_bucket", "_lsb", "_rsb")
+      .filter(col("__gij_bucket") ===
+        greatest(col("__gij_lsb"), col("__gij_rsb")))
+      .drop("__gij_bucket", "__gij_lsb", "__gij_rsb")
   }
 }

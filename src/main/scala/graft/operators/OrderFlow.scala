@@ -194,9 +194,12 @@ object OrderFlow {
     * (×1e6 through DECIMAL, the 6-dp contract), so every running
     * sum, bucket id, and imbalance numerator is BIGINT math; the
     * per-bucket imbalance is rendered as an integer ppb ratio
-    * (|b−s|·1e9 div (b+s), exact in both engines — |b−s| must stay
-    * below ~9.2e9 micro-units per bucket, i.e. bucketVol below ~9e3,
-    * a bound the ×1e9 render documents), and the rolling VPIN is a
+    * (|b−s|·1e9 div (b+s), exact in both engines). The ×1e9 multiply
+    * runs in DECIMAL(20,0) — a pure BIGINT product would wrap once a
+    * bucket holds >~9.2e3 units (one whale trade lands whole in its
+    * start bucket, so bucketVol does NOT bound |b−s|); the quotient
+    * itself is ≤1e9 so the final `div` back to BIGINT is always
+    * exact. The rolling VPIN is a
     * BIGINT window sum divided ONCE — a rolling average of doubles
     * would ride DuckDB's segment-tree association and never
     * hash-match. Simplification vs the paper: trades are not split
@@ -239,7 +242,8 @@ object OrderFlow {
         sum(when(col("is_buy"), col("vol_u")).otherwise(0L)).as("buy_u"),
         sum(when(!col("is_buy"), col("vol_u")).otherwise(0L)).as("sell_u"))
       .withColumn("oi_e9", expr(
-        "abs(buy_u - sell_u) * 1000000000L div nullif(buy_u + sell_u, 0L)"))
+        "cast(abs(buy_u - sell_u) as decimal(20,0)) * 1000000000" +
+          " div nullif(buy_u + sell_u, 0L)"))
     val wRoll = Window.partitionBy(col("underlying")).orderBy(col("bucket"))
       .rowsBetween(-(window - 1).toLong, 0L)
     buckets

@@ -84,13 +84,20 @@ object LlmQueries {
     * single biggest repeated cost (the r9 BPE double-train lesson).
     * Driver-side rows, not a cached DataFrame — a cross-query cache
     * would not survive Verify's per-query cleanup — and the pair set
-    * is near-dup-sparse by construction (tens of rows per sf). */
+    * is near-dup-sparse by construction (tens of rows per sf). Keyed
+    * by (applicationId, dir): the pair set is a pure function of the
+    * data dir within one application, applicationId is process-unique
+    * (identity hashes are not — they can be reused after a session is
+    * GC'd and would serve stale rows on a rare collision), and any
+    * session of the same app reading the same dir computes the same
+    * set, so sharing across sessions is correct. Bounded: one entry
+    * per dir an application ever reads — Verify/Bench read one. */
   private val minhashPairsCache = scala.collection.concurrent.TrieMap
-    .empty[(Int, String), Array[(Long, Long, Double)]]
+    .empty[(String, String), Array[(Long, Long, Double)]]
 
   def minhashNearDups(s: SparkSession, dir: String): DataFrame = {
     val rows = minhashPairsCache.getOrElseUpdate(
-      (System.identityHashCode(s), dir),
+      (s.sparkContext.applicationId, dir),
       TextDedup.minhashNearDups(hashedCorpus(s, dir, 2),
         k = MinhashK, threshold = JaccardThreshold)
         .collect()

@@ -718,8 +718,8 @@ object VolQueries {
        |  FROM c GROUP BY 1, 2
        |),
        |o AS (
-       |  SELECT *, abs(buy_u - sell_u) * 1000000000
-       |    // nullif(buy_u + sell_u, 0) AS oi_e9
+       |  SELECT *, CAST(CAST(abs(buy_u - sell_u) AS HUGEINT) * 1000000000
+       |    // nullif(buy_u + sell_u, 0) AS BIGINT) AS oi_e9
        |  FROM b
        |)
        |SELECT underlying, bucket, bucket_start_ep, n_trades,
