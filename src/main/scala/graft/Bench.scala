@@ -88,6 +88,25 @@ object Bench {
     val loadEnd = loadavg()
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"n_queries":${results.size},"sf":"$sfDir","loadavg_start":$loadStart,"loadavg_end":$loadEnd}""")
+    // Second, COMPACT summary line, printed last on purpose: the round
+    // driver records only a fixed-size tail of this process's output,
+    // and the full per-query line above outgrew it rounds ago (231
+    // queries ≈ 15 KB) — the headline total was being truncated away.
+    // This line stays under ~1 KB so the tail always carries the total,
+    // the failure count, the slowest queries, and a per-family rollup.
+    def r3(v: Double): String = f"$v%.3f"
+    val slowest = results.sortBy(-_._2).take(12)
+      .map { case (k, v, _) => s""""$k":${r3(v)}""" }.mkString("{", ",", "}")
+    val famOf = (n: String) => {
+      val p = n.takeWhile(c => c.isLetter)
+      if (p.isEmpty) "other" else p
+    }
+    val families = results.groupBy(t => famOf(t._1)).toSeq
+      .map { case (f, rs) => (f, rs.map(_._2).sum) }
+      .sortBy(-_._2)
+      .map { case (f, s) => s""""$f":${r3(s)}""" }.mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","failed":$failed,"n_queries":${results.size},"sf":"$sfDir","loadavg_start":$loadStart,"loadavg_end":$loadEnd,"slowest":$slowest,"family_sec":$families}""")
     spark.stop()
   }
 }
