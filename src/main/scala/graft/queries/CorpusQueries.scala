@@ -221,7 +221,55 @@ object CorpusQueries {
        |  (w.nl = q.true_label) AS correct
        |FROM win w JOIN q USING (query_id) WHERE rn = 1""".stripMargin
 
+  // ---- llm_band_plan: LSH (bands × rows) parameter planner ----
+
+  private val BandPlanK = 12
+  private val BandPlanThrNum = 3
+  private val BandPlanThrDen = 10
+  private val BandPlanGrid = 20
+
+  def bandPlan(s: SparkSession, dir: String): DataFrame =
+    graft.operators.LshPlanner.bandPlan(
+      s, BandPlanK, BandPlanThrNum, BandPlanThrDen, BandPlanGrid)
+
+  val bandPlanOracle: String = {
+    val cfgRows = graft.operators.LshPlanner.configs(BandPlanK)
+      .map { case (b, r) => s"($b, $r)" }.mkString(", ")
+    val pBand = duckRoundTo("power(j, rows_per_band)", 9)
+    val pColl =
+      s"1.0 - ${duckRoundTo(s"power(1.0 - $pBand, bands)", 9)}"
+    s"""WITH cfg(bands, rows_per_band) AS (VALUES $cfgRows),
+       |pts AS (
+       |  SELECT bands, rows_per_band, CAST(ji AS INTEGER) AS j_i,
+       |    CAST(ji AS DOUBLE) / ${BandPlanGrid}.0 AS j
+       |  FROM cfg, range(1, $BandPlanGrid) t(ji)
+       |),
+       |p AS (
+       |  SELECT bands, rows_per_band, j_i, $pColl AS p_coll,
+       |    j_i * $BandPlanThrDen < ${BandPlanThrNum * BandPlanGrid}
+       |      AS below
+       |  FROM pts
+       |),
+       |scored AS (
+       |  SELECT bands, rows_per_band, count(*) AS n_grid,
+       |    ${duckDsum("CASE WHEN below THEN p_coll ELSE 0.0 END")}
+       |      AS fp_mass,
+       |    ${duckDsum(
+             "CASE WHEN NOT below THEN 1.0 - p_coll ELSE 0.0 END")}
+       |      AS fn_mass
+       |  FROM p GROUP BY 1, 2
+       |),
+       |tot AS (
+       |  SELECT *, fp_mass + fn_mass AS total_err FROM scored
+       |)
+       |SELECT bands, rows_per_band, n_grid, fp_mass, fn_mass,
+       |  total_err,
+       |  total_err = (SELECT min(total_err) FROM tot) AS is_optimal
+       |FROM tot""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "llm_band_plan" -> QueryDef(bandPlan _, bandPlanOracle),
     "llm_knn_label" -> QueryDef(knnLabel _, knnLabelOracle),
     "llm_len_quantiles" -> QueryDef(lenQuantiles _, lenQuantilesOracle),
     "llm_colloc_pmi" -> QueryDef(collocPmi _, collocPmiOracle),

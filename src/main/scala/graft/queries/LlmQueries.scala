@@ -149,10 +149,13 @@ object LlmQueries {
        |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
        |)""".stripMargin
 
-  val minhashOracle: String = {
+  /** CTE chain ending in `pr(id_a, id_b, jaccard)` — the verified
+    * MinHash near-dup pair set, shared by the pair oracle itself and
+    * the source-bridge matrix built over it. */
+  private val minhashPairsCtes: String = {
     val mins = minhashMinsSql
     val bandVals = minhashBandValsSql
-    s"""WITH ${hashedCte(2)},
+    s"""${hashedCte(2)},
        |hl AS (SELECT doc_id, list(h) AS hs FROM hashed GROUP BY doc_id),
        |mh AS (
        |  SELECT doc_id, ${mins.mkString(",\n    ")}
@@ -166,13 +169,56 @@ object LlmQueries {
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM bands a JOIN bands b USING (band_val)
        |  WHERE a.doc_id < b.doc_id
-       |)
-       |SELECT id_a, id_b, $hashJaccardSql AS jaccard
-       |FROM cand
-       |JOIN hl x ON x.doc_id = id_a
-       |JOIN hl y ON y.doc_id = id_b
-       |WHERE $hashJaccardSql >= $JaccardThreshold""".stripMargin
+       |),
+       |pr AS (
+       |  SELECT id_a, id_b, $hashJaccardSql AS jaccard
+       |  FROM cand
+       |  JOIN hl x ON x.doc_id = id_a
+       |  JOIN hl y ON y.doc_id = id_b
+       |  WHERE $hashJaccardSql >= $JaccardThreshold
+       |)""".stripMargin
   }
+
+  val minhashOracle: String =
+    s"""WITH $minhashPairsCtes
+       |SELECT id_a, id_b, jaccard FROM pr""".stripMargin
+
+  /** LLM_NEARDUP_SOURCES: which source pairs do near-duplicates
+    * bridge — the contamination matrix a curator reads before
+    * weighting sources (a near-dup that crosses sources means the
+    * sources share provenance; one inside a source is ordinary
+    * redundancy). Rides the memoized verified pair set; the join back
+    * to documents for the two source labels is two broadcast lookups
+    * of a pair table that is near-dup-sparse by construction. */
+  def neardupSources(s: SparkSession, dir: String): DataFrame = {
+    val src = docs(s, dir).select(col("doc_id"), col("source"))
+    minhashNearDups(s, dir)
+      .join(src.select(col("doc_id").as("id_a"), col("source").as("_sa")),
+        Seq("id_a"))
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("_sb")),
+        Seq("id_b"))
+      .select(
+        least(col("_sa"), col("_sb")).as("source_a"),
+        greatest(col("_sa"), col("_sb")).as("source_b"),
+        col("jaccard"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        (graft.util.Parity.dsum(col("jaccard")) / count(lit(1)))
+          .as("mean_jaccard"))
+  }
+
+  val neardupSourcesOracle: String =
+    s"""WITH $minhashPairsCtes,
+       |src AS (SELECT doc_id, source FROM documents)
+       |SELECT least(a.source, b.source) AS source_a,
+       |  greatest(a.source, b.source) AS source_b,
+       |  count(*) AS n_pairs,
+       |  ${graft.util.Parity.duckDsum("jaccard")} / count(*) AS mean_jaccard
+       |FROM pr
+       |JOIN src a ON a.doc_id = pr.id_a
+       |JOIN src b ON b.doc_id = pr.id_b
+       |GROUP BY 1, 2""".stripMargin
 
   /** 1-in-3 doc sample for the exact-truth audits: exact all-pairs
     * similarity is candidate-bound by pairs sharing ANY token (~all
@@ -2452,6 +2498,7 @@ object LlmQueries {
     "llm_quality_cut" -> QueryDef(qualityCut _, qualityCutOracle),
     "llm_dedup_exact" -> QueryDef(dedupExact _, dedupExactOracle),
     "llm_minhash_neardup" -> QueryDef(minhashNearDups _, minhashOracle),
+    "llm_neardup_sources" -> QueryDef(neardupSources _, neardupSourcesOracle),
     "llm_minhash_recall" -> QueryDef(minhashRecall _, minhashRecallOracle),
     "llm_ppjoin" -> QueryDef(ppjoin _, ppjoinOracle),
     "llm_dedup_clusters" -> QueryDef(dedupClusters _, dedupClustersOracle),

@@ -430,7 +430,92 @@ object MicroQueries {
        |  min(depth) AS worst_depth
        |FROM g GROUP BY 1""".stripMargin
 
+  // ---- M37: OU/AR(1) mean-reversion half-life ----
+
+  def m37OuHalflife(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TailDynamics.ouHalfLife(ticks(s, dir))
+
+  val m37Oracle: String = {
+    def d24(e: String) = s"CAST(CAST(($e) AS DECIMAL(24,10)) AS DOUBLE)"
+    val center = duckDoubleLit(graft.operators.TailDynamics.OuCenter)
+    s"""WITH $dailyCte,
+       |x AS (
+       |  SELECT symbol, day,
+       |    CAST(${duckRoundTo(s"ln(close) - $center", 5)}
+       |      AS DECIMAL(14,5)) AS xq
+       |  FROM daily
+       |),
+       |p AS (
+       |  SELECT symbol, xq,
+       |    lag(xq) OVER (PARTITION BY symbol ORDER BY day) AS xp
+       |  FROM x QUALIFY xp IS NOT NULL
+       |),
+       |a AS (
+       |  SELECT symbol, count(*) AS n_pairs,
+       |    ${d24("sum(xp)")} AS sx, ${d24("sum(xq)")} AS sy,
+       |    ${d24("sum(xp * xq)")} AS sxy, ${d24("sum(xp * xp)")} AS sxx
+       |  FROM p GROUP BY 1
+       |),
+       |r AS (
+       |  SELECT symbol, n_pairs,
+       |    (nd*sxy - sx*sy) / nullif(nd*sxx - sx*sx, 0.0) AS rho
+       |  FROM (SELECT *, CAST(n_pairs AS DOUBLE) AS nd FROM a)
+       |)
+       |SELECT symbol, n_pairs, rho,
+       |  CASE WHEN rho > 0.0 AND rho < 1.0
+       |    THEN ${duckRoundTo(s"${duckDoubleLit(-math.log(2.0))} / ln(rho)", 6)}
+       |  END AS half_life_days
+       |FROM r""".stripMargin
+  }
+
+  // ---- M38: Hill tail-index estimator ----
+
+  def m38HillTail(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TailDynamics.hillTail(ticks(s, dir))
+
+  val m38Oracle: String =
+    s"""WITH ${SyntheticTrades.spotCte},
+       |bars AS (
+       |  SELECT symbol, ep - ep % 900 AS bucket,
+       |    arg_max(close, "timestamp") AS close
+       |  FROM (SELECT *, ${duckEpochS("\"timestamp\"")} AS ep
+       |        FROM spot_ticks)
+       |  GROUP BY 1, 2
+       |),
+       |rets AS (
+       |  SELECT symbol,
+       |    CAST(abs(close / lag(close) OVER (
+       |      PARTITION BY symbol ORDER BY bucket) - 1.0)
+       |      AS DECIMAL(12,8)) AS aq
+       |  FROM bars QUALIFY aq IS NOT NULL AND aq > 0
+       |),
+       |ranked AS (
+       |  SELECT symbol, aq,
+       |    row_number() OVER (PARTITION BY symbol ORDER BY aq) AS rn,
+       |    count(*) OVER (PARTITION BY symbol) AS n
+       |  FROM rets
+       |),
+       |th AS (
+       |  SELECT symbol, max(n) AS n_returns,
+       |    max(CASE WHEN rn = (n * 9 + 9) // 10 THEN aq END) AS u
+       |  FROM ranked GROUP BY 1
+       |),
+       |exc AS (
+       |  SELECT r.symbol, t.n_returns, t.u,
+       |    ${duckRoundTo(
+             "ln(CAST(r.aq AS DOUBLE) / CAST(t.u AS DOUBLE))", 9)} AS lt
+       |  FROM rets r JOIN th t USING (symbol)
+       |  WHERE r.aq > t.u
+       |)
+       |SELECT symbol, max(n_returns) AS n_returns,
+       |  count(*) AS k_tail,
+       |  CAST(max(u) AS DOUBLE) AS u_threshold,
+       |  CAST(count(*) AS DOUBLE) / nullif(${duckDsum("lt")}, 0.0) AS alpha
+       |FROM exc GROUP BY symbol""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "m37_ou_halflife" -> QueryDef(m37OuHalflife _, m37Oracle),
+    "m38_hill_tail" -> QueryDef(m38HillTail _, m38Oracle),
     "m34_drawdown_spells" -> QueryDef(m34DrawdownSpells _, m34Oracle),
     "m32_sortino" -> QueryDef(m32Sortino _, m32Oracle),
     "m31_skew_kurt" -> QueryDef(m31SkewKurt _, m31Oracle),

@@ -906,6 +906,63 @@ object SystemQueries {
        |  CAST(count(DISTINCT ep) AS BIGINT) AS n_epochs
        |FROM u GROUP BY 1""".stripMargin
 
+  /** S18: dynamic-partition-overwrite re-ingest — the idempotent
+    * day-level correction pattern a 100 TB store lives by: the tape
+    * loads once day-partitioned, then ONE day re-ingests with
+    * corrected prices (×2 here) under
+    * `partitionOverwriteMode=dynamic`, which rewrites exactly the
+    * partitions present in the incoming frame and leaves every other
+    * day's files untouched (static mode would truncate the whole
+    * table first — the classic re-ingest footgun). The audit reads
+    * the store back per day; the oracle states the expected mixture
+    * (all other days original, the corrected day doubled), so a
+    * whole-table truncate OR a failure to rewrite the target day
+    * both break the hash. Partition-column types are pinned on
+    * read-back (directory inference yields INT). */
+  def s18DynamicOverwrite(s: SparkSession, dir: String): DataFrame = {
+    val lake = graft.util.TempDirs.scoped("s18-lake")
+    val t = SyntheticTrades.trades(s, dir)
+      .withColumn("_ep", unix_timestamp(col("timestamp")))
+      .withColumn("day", expr("_ep div 86400L"))
+      .select(col("trade_id"), col("underlying"), col("price"),
+        col("amount"), col("day"))
+    t.write.partitionBy("day").mode("overwrite").parquet(lake)
+    val d0 = t.agg(min(col("day")).as("_d0"))
+    val corrected = t
+      .join(broadcast(d0), col("day") === col("_d0"))
+      .drop("_d0")
+      .withColumn("price", col("price") * 2.0)
+    corrected.write.partitionBy("day").mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic").parquet(lake)
+    s.read.parquet(lake)
+      .withColumn("day", col("day").cast("long"))
+      .groupBy(col("day"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        dsum(col("price")).as("price_sum"),
+        dsum(col("amount")).as("amount_sum"))
+  }
+
+  val s18Oracle: String =
+    s"""WITH ${SyntheticTrades.tradesCte},
+       |t AS (
+       |  SELECT ${duckEpochS("\"timestamp\"")} // 86400 AS day,
+       |    price, amount
+       |  FROM trades
+       |),
+       |d0 AS (SELECT min(day) AS d0 FROM t),
+       |fin AS (
+       |  SELECT day, price, amount FROM t
+       |  WHERE day > (SELECT d0 FROM d0)
+       |  UNION ALL
+       |  SELECT day, price * 2.0 AS price, amount FROM t
+       |  WHERE day = (SELECT d0 FROM d0)
+       |)
+       |SELECT day, count(*) AS n_rows,
+       |  ${duckDsum("price")} AS price_sum,
+       |  ${duckDsum("amount")} AS amount_sum
+       |FROM fin GROUP BY 1""".stripMargin
+
   /** Shared CDC era derivation for s17 (batch) and st14 (streaming):
     * the events tape split at its temporal midpoint ('purchase'
     * acting as the delete op), returned as the materialized tagged
@@ -1039,6 +1096,7 @@ object SystemQueries {
   }
 
   val defs: Map[String, QueryDef] = Map(
+    "s18_dynamic_overwrite" -> QueryDef(s18DynamicOverwrite _, s18Oracle),
     "s17_merge_upsert" -> QueryDef(s17MergeUpsert _, s17Oracle),
     "st14_stream_cdc" -> QueryDef(st14StreamCdc _, s17Oracle),
     "st13_stream_outer_join" -> QueryDef(st13StreamOuterJoin _, st13Oracle),

@@ -1,0 +1,182 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{LshPlanner, TailDynamics}
+
+/** Round-12 wave: OU/AR(1) half-life (m37), the Hill tail estimator
+  * (m38), the LSH band planner (llm_band_plan), and the
+  * dynamic-partition-overwrite re-ingest (s18). Known-answer and
+  * statistical-recovery tests here; the DuckDB oracles gate
+  * full-scale parity. */
+class Round12Spec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(daySec: Long): Timestamp = new Timestamp(daySec * 1000L)
+
+  // ---- M37: OU half-life ----
+
+  test("ouHalfLife recovers the AR(1) coefficient of a synthetic series") {
+    // x_{t+1} = mu + rho (x_t - mu) + eps, exp'd into closes; one tick
+    // per day so daily close == the series
+    val rho = 0.7
+    val mu = math.log(12000.0)
+    val rng = new scala.util.Random(7)
+    var x = mu
+    val rows = (0 until 400).map { d =>
+      x = mu + rho * (x - mu) + 0.02 * rng.nextGaussian()
+      ("BTC", ts(d * 86400L + 10), math.exp(x))
+    }
+    val out = TailDynamics
+      .ouHalfLife(rows.toDF("symbol", "timestamp", "close"))
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_pairs") == 399L)
+    val rhoHat = r.getAs[Double]("rho")
+    assert(math.abs(rhoHat - rho) < 0.12, s"rhoHat=$rhoHat")
+    val hl = r.getAs[Double]("half_life_days")
+    val hlTrue = -math.log(2.0) / math.log(rho)
+    assert(math.abs(hl - hlTrue) / hlTrue < 0.5, s"hl=$hl true=$hlTrue")
+  }
+
+  test("ouHalfLife leaves half-life null when the series is explosive") {
+    // rho > 1 (trend): half-life must be null, rho still reported
+    val rows = (0 until 50).map { d =>
+      ("ETH", ts(d * 86400L), 100.0 * math.exp(0.05 * d))
+    }
+    val r = TailDynamics
+      .ouHalfLife(rows.toDF("symbol", "timestamp", "close"))
+      .collect().head
+    assert(r.getAs[Double]("rho") > 0.9)
+    assert(r.isNullAt(r.fieldIndex("half_life_days")))
+  }
+
+  // ---- M38: Hill tail index ----
+
+  test("hillTail recovers the tail index of Pareto returns") {
+    // |r| ~ Pareto(alpha): closes built so each bar return IS the
+    // sampled value; Hill on the top decile should land near alpha
+    val alpha = 3.0
+    val rng = new scala.util.Random(11)
+    val n = 4000
+    var price = 1000.0
+    val rows = Seq.newBuilder[(String, Timestamp, Double)]
+    rows += (("BTC", ts(0L), price))
+    (1 to n).foreach { i =>
+      val u = rng.nextDouble()
+      val r = 1e-4 * math.pow(1.0 - u, -1.0 / alpha) // Pareto tail
+      price *= (1.0 + r)
+      rows += (("BTC", ts(i * 900L), price))
+    }
+    val out = TailDynamics
+      .hillTail(rows.result().toDF("symbol", "timestamp", "close"))
+      .collect().head
+    val k = out.getAs[Long]("k_tail")
+    assert(k > 200 && k < 450, s"k=$k") // ~10% strict exceedances
+    val alphaHat = out.getAs[Double]("alpha")
+    assert(math.abs(alphaHat - alpha) < 0.6, s"alphaHat=$alphaHat")
+  }
+
+  test("hillTail threshold is the exact ceil(0.9 n) order statistic") {
+    // 20 distinct |returns| via constructed closes; u must equal the
+    // 18th smallest (rank ceil(0.9*20) = 18)
+    var price = 100.0
+    val rets = (1 to 20).map(i => i * 0.001)
+    val rows = Seq.newBuilder[(String, Timestamp, Double)]
+    rows += (("ETH", ts(0L), price))
+    rets.zipWithIndex.foreach { case (r, i) =>
+      price *= (1.0 + r)
+      rows += (("ETH", ts((i + 1) * 900L), price))
+    }
+    val out = TailDynamics
+      .hillTail(rows.result().toDF("symbol", "timestamp", "close"))
+      .collect().head
+    val sorted = rets.sorted
+    val uExpected = sorted(17) // rank 18, 1-indexed
+    assert(math.abs(out.getAs[Double]("u_threshold") - uExpected) < 1e-9)
+    assert(out.getAs[Long]("k_tail") == 2L) // strictly above rank 18
+  }
+
+  // ---- llm_band_plan: LSH S-curve planner ----
+
+  test("bandPlan matches a driver-side brute-force S-curve score") {
+    val k = 12; val thrNum = 3; val thrDen = 10; val grid = 20
+    val rows = LshPlanner.bandPlan(spark, k, thrNum, thrDen, grid)
+      .collect()
+    assert(rows.length == LshPlanner.configs(k).size)
+    def q9(x: Double) = BigDecimal(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def q6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = LshPlanner.configs(k).map { case (b, r) =>
+      val pts = (1 until grid).map { ji =>
+        val j = ji.toDouble / grid
+        val p = 1.0 - q9(math.pow(1.0 - q9(math.pow(j, r)), b))
+        (ji, p)
+      }
+      val fp = pts.collect { case (ji, p) if ji * thrDen < thrNum * grid => q6(p) }.sum
+      val fn = pts.collect { case (ji, p) if ji * thrDen >= thrNum * grid => q6(1.0 - p) }.sum
+      ((b, r), (fp, fn))
+    }.toMap
+    rows.foreach { row =>
+      val key = (row.getAs[Int]("bands"), row.getAs[Int]("rows_per_band"))
+      val (fp, fn) = expected(key)
+      assert(math.abs(row.getAs[Double]("fp_mass") - fp) < 1e-6, s"$key fp")
+      assert(math.abs(row.getAs[Double]("fn_mass") - fn) < 1e-6, s"$key fn")
+    }
+    // exactly the brute-force argmin carries the flag
+    val bestKey = expected.minBy { case (_, (fp, fn)) => fp + fn }._1
+    val flagged = rows.filter(_.getAs[Boolean]("is_optimal"))
+      .map(r => (r.getAs[Int]("bands"), r.getAs[Int]("rows_per_band")))
+    assert(flagged.contains(bestKey), s"flagged=${flagged.toSeq}")
+  }
+
+  test("bandPlan collision probability is monotone in j per config") {
+    val pts = LshPlanner.configs(12).toDF("bands", "rows_per_band")
+      .withColumn("j_i", explode(sequence(lit(1), lit(19))))
+      .withColumn("j", col("j_i").cast("double") / 20.0)
+      .withColumn("p", lit(1.0) -
+        pow(lit(1.0) - pow(col("j"), col("rows_per_band").cast("double")),
+          col("bands").cast("double")))
+      .select("bands", "rows_per_band", "j_i", "p")
+      .collect()
+      .groupBy(r => (r.getInt(0), r.getInt(1)))
+    pts.values.foreach { rs =>
+      val ordered = rs.sortBy(_.getInt(2)).map(_.getDouble(3))
+      assert(ordered.zip(ordered.tail).forall { case (a, b) => a <= b })
+    }
+  }
+
+  // ---- S18: dynamic partition overwrite ----
+
+  test("dynamic overwrite rewrites only the target partition") {
+    val lake = graft.util.TempDirs.scoped("r12-s18")
+    val t = Seq(
+      (1L, 10L, 1.0), (2L, 10L, 2.0),
+      (3L, 11L, 3.0), (4L, 12L, 4.0))
+      .toDF("id", "day", "price")
+    t.write.partitionBy("day").mode("overwrite").parquet(lake)
+    def files(day: Long) = {
+      val d = new java.io.File(s"$lake/day=$day")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified())).toSet
+    }
+    val before11 = files(11L); val before12 = files(12L)
+    Thread.sleep(1100) // mtime granularity
+    Seq((1L, 10L, 9.0), (2L, 10L, 9.0)).toDF("id", "day", "price")
+      .write.partitionBy("day").mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic").parquet(lake)
+    // untouched partitions: identical file names AND mtimes
+    assert(files(11L) == before11)
+    assert(files(12L) == before12)
+    val back = spark.read.parquet(lake)
+      .select(col("id"), col("day").cast("long"), col("price"))
+      .as[(Long, Long, Double)].collect().sorted.toSeq
+    assert(back == Seq((1L, 10L, 9.0), (2L, 10L, 9.0),
+      (3L, 11L, 3.0), (4L, 12L, 4.0)))
+  }
+}
