@@ -138,6 +138,62 @@ object Multimodal {
     }
   }
 
+  final case class VadStats(doc_id: Long, n_frames: Int, n_voiced: Int,
+      n_segments: Int, longest_voiced: Int)
+
+  /** Voice-activity detection over the stub codec's audio stream —
+    * the audio leg of the curation pipeline (keep docs with speech,
+    * measure silence). Samples are the payload bytes centered at 128;
+    * energy is the per-frame sum of squared samples (pure integer
+    * math); a frame is VOICED iff its energy STRICTLY exceeds the
+    * document's mean frame energy — spelled as the integer-exact
+    * cross-multiplication `energy·n_frames > total_energy`, so the
+    * adaptive threshold needs no float division and the oracle
+    * reproduces it bit-for-bit. Segments are maximal runs of voiced
+    * frames (islands-and-gaps). Trailing partial frames are ignored
+    * (n_frames = len div frameBytes on both engines); audio docs
+    * shorter than one frame drop. Per-doc DSP state lives inside the
+    * mapPartitions kernel — the codec seam, like [[decode]]. */
+  def vadSegments(media: Dataset[MediaRow],
+      frameBytes: Int = 64): Dataset[VadStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.filter(_.media_type == "audio").flatMap { m =>
+        val n = m.content.length / frameBytes
+        if (n == 0) Iterator.empty
+        else {
+          val energy = new Array[Long](n)
+          var f = 0
+          while (f < n) {
+            var e = 0L
+            var i = f * frameBytes
+            val end = i + frameBytes
+            while (i < end) {
+              val c = (m.content(i) & 0xff) - 128
+              e += c.toLong * c
+              i += 1
+            }
+            energy(f) = e
+            f += 1
+          }
+          val total = energy.sum
+          var voiced = 0; var segs = 0; var run = 0; var longest = 0
+          var k = 0
+          while (k < n) {
+            if (energy(k) * n > total) {
+              voiced += 1
+              run += 1
+              if (run == 1) segs += 1
+              if (run > longest) longest = run
+            } else run = 0
+            k += 1
+          }
+          Iterator.single(VadStats(m.doc_id, n, voiced, segs, longest))
+        }
+      }
+    }
+  }
+
   final case class MediaHash(doc_id: Long, media_type: String, phash: Int)
 
   /** Perceptual hash — dHash over a 16-point sample grid: byte value

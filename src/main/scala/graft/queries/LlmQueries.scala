@@ -208,6 +208,39 @@ object LlmQueries {
           .as("mean_jaccard"))
   }
 
+  /** LLM_NEARDUP_CURVE: threshold-sensitivity curve over the verified
+    * pair set — how many near-dup pairs survive at each candidate
+    * dedup threshold (cumulative: jaccard·100 ≥ thr_pct). The curve a
+    * curator reads to pick the dedup cut; flat = the near-dups are
+    * near-identical, steep = a threshold choice changes the corpus.
+    * Thresholds slice the observed range; a threshold no pair reaches
+    * drops its row on BOTH engines. The comparison is the identical
+    * double multiply-compare in both (the jaccard doubles themselves
+    * hash-match in llm_minhash_neardup). */
+  private val NeardupCurveThr = Seq(90, 95, 96, 97, 98, 99)
+
+  def neardupCurve(s: SparkSession, dir: String): DataFrame =
+    minhashNearDups(s, dir)
+      .withColumn("thr_pct",
+        explode(array(NeardupCurveThr.map(lit): _*)))
+      .filter(col("jaccard") * 100.0 >= col("thr_pct"))
+      .groupBy(col("thr_pct"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        (graft.util.Parity.dsum(col("jaccard")) / count(lit(1)))
+          .as("mean_jaccard"))
+
+  val neardupCurveOracle: String =
+    s"""WITH $minhashPairsCtes,
+       |thr AS (SELECT unnest([${NeardupCurveThr.mkString(", ")}])
+       |  AS thr_pct)
+       |SELECT thr_pct, count(*) AS n_pairs,
+       |  ${graft.util.Parity.duckDsum("jaccard")} / count(*)
+       |    AS mean_jaccard
+       |FROM pr, thr
+       |WHERE jaccard * 100.0 >= thr_pct
+       |GROUP BY 1""".stripMargin
+
   val neardupSourcesOracle: String =
     s"""WITH $minhashPairsCtes,
        |src AS (SELECT doc_id, source FROM documents)
@@ -2499,6 +2532,7 @@ object LlmQueries {
     "llm_dedup_exact" -> QueryDef(dedupExact _, dedupExactOracle),
     "llm_minhash_neardup" -> QueryDef(minhashNearDups _, minhashOracle),
     "llm_neardup_sources" -> QueryDef(neardupSources _, neardupSourcesOracle),
+    "llm_neardup_curve" -> QueryDef(neardupCurve _, neardupCurveOracle),
     "llm_minhash_recall" -> QueryDef(minhashRecall _, minhashRecallOracle),
     "llm_ppjoin" -> QueryDef(ppjoin _, ppjoinOracle),
     "llm_dedup_clusters" -> QueryDef(dedupClusters _, dedupClustersOracle),

@@ -198,7 +198,60 @@ object MultimodalQueries {
        |WHERE bit_count(xor(l.h, r.h)) <= $PhashMaxHamming""".stripMargin
   }
 
+  // ---- mm6: audio voice-activity segmentation ----
+
+  def mm6AudioVad(s: SparkSession, dir: String): DataFrame =
+    Multimodal.vadSegments(media(s, dir)).toDF()
+
+  val mm6Oracle: String = {
+    // byte value at 0-based position p, from the hex encoding
+    def byteAt(p: String): String =
+      s"""((strpos('0123456789ABCDEF', substr(hx, 2 * ($p) + 1, 1)) - 1) * 16
+         | + strpos('0123456789ABCDEF', substr(hx, 2 * ($p) + 2, 1)) - 1)"""
+        .stripMargin
+    val centered = s"(${byteAt("CAST(f AS BIGINT) * 64 + j")} - 128)"
+    s"""WITH au AS (
+       |  SELECT doc_id, hex(encode(text)) AS hx, strlen(text) AS len
+       |  FROM documents WHERE doc_id % 3 = 1 AND strlen(text) >= 64
+       |),
+       |fx AS (
+       |  SELECT doc_id, hx, unnest(range(0, len // 64)) AS f
+       |  FROM au
+       |),
+       |fr AS (
+       |  SELECT doc_id, CAST(f AS INTEGER) AS f,
+       |    CAST(list_sum([$centered * $centered
+       |      for j in range(0, 64)]) AS BIGINT) AS e
+       |  FROM fx
+       |),
+       |tot AS (
+       |  SELECT doc_id, count(*) AS n, CAST(sum(e) AS BIGINT) AS te
+       |  FROM fr GROUP BY 1
+       |),
+       |vo AS (
+       |  SELECT fr.doc_id, f,
+       |    f - row_number() OVER (PARTITION BY fr.doc_id ORDER BY f)
+       |      AS isl
+       |  FROM fr JOIN tot USING (doc_id)
+       |  WHERE e * n > te
+       |),
+       |seg AS (
+       |  SELECT doc_id, isl, count(*) AS run FROM vo GROUP BY 1, 2
+       |),
+       |per AS (
+       |  SELECT doc_id, count(*) AS n_segments,
+       |    sum(run) AS n_voiced, max(run) AS longest
+       |  FROM seg GROUP BY 1
+       |)
+       |SELECT t.doc_id, CAST(t.n AS INTEGER) AS n_frames,
+       |  CAST(coalesce(p.n_voiced, 0) AS INTEGER) AS n_voiced,
+       |  CAST(coalesce(p.n_segments, 0) AS INTEGER) AS n_segments,
+       |  CAST(coalesce(p.longest, 0) AS INTEGER) AS longest_voiced
+       |FROM tot t LEFT JOIN per p USING (doc_id)""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "mm6_audio_vad" -> QueryDef(mm6AudioVad _, mm6Oracle),
     "mm5_phash_neardup" -> QueryDef(mm5PhashNeardup _, mm5Oracle),
     "mm1_decode_stats" -> QueryDef(mm1DecodeStats _, mm1Oracle),
     "mm2_frame_sample" -> QueryDef(mm2FrameSample _, mm2Oracle),

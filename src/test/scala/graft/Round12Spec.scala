@@ -151,6 +151,56 @@ class Round12Spec extends AnyFunSuite {
     }
   }
 
+  // ---- MM6: audio VAD segmentation ----
+
+  test("vadSegments finds the planted loud runs") {
+    import graft.operators.Multimodal
+    import graft.operators.Multimodal.MediaRow
+    // 6 frames of 64 bytes: quiet = all 128 (energy 0), loud = all 0
+    // (energy 64*128^2). Pattern L Q L L Q Q -> voiced frames are the
+    // louds (mean energy = half the loud energy), segments = {0},{2,3}
+    val quiet = Array.fill(64)(128.toByte)
+    val loud = Array.fill(64)(0.toByte)
+    val bytes = Array(loud, quiet, loud, loud, quiet, quiet).flatten
+    val media = spark.createDataset(
+      Seq(MediaRow(1L, "audio", bytes),
+        MediaRow(2L, "image", bytes), // non-audio: ignored
+        MediaRow(3L, "audio", Array.fill(10)(5.toByte)))) // < 1 frame
+    val out = Multimodal.vadSegments(media).collect()
+    assert(out.length == 1)
+    val v = out.head
+    assert(v.doc_id == 1L && v.n_frames == 6 && v.n_voiced == 3 &&
+      v.n_segments == 2 && v.longest_voiced == 2)
+  }
+
+  test("vadSegments: uniform energy means zero voiced frames") {
+    import graft.operators.Multimodal
+    import graft.operators.Multimodal.MediaRow
+    val bytes = Array.fill(256)(77.toByte) // 4 identical frames
+    val v = Multimodal.vadSegments(
+      spark.createDataset(Seq(MediaRow(9L, "audio", bytes))))
+      .collect().head
+    assert(v.n_frames == 4 && v.n_voiced == 0 && v.n_segments == 0 &&
+      v.longest_voiced == 0)
+  }
+
+  // ---- llm_neardup_curve ----
+
+  test("neardup threshold curve is non-increasing in the threshold") {
+    val rows = graft.queries.LlmQueries
+      .neardupCurve(spark, "/root/testdata/sf0.001")
+      .orderBy(col("thr_pct"))
+      .collect()
+    assert(rows.nonEmpty)
+    val counts = rows.map(_.getAs[Long]("n_pairs"))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+    // every bucket's mean jaccard clears its own threshold
+    rows.foreach { r =>
+      assert(r.getAs[Double]("mean_jaccard") * 100.0 >=
+        r.getAs[Int]("thr_pct"))
+    }
+  }
+
   // ---- S18: dynamic partition overwrite ----
 
   test("dynamic overwrite rewrites only the target partition") {
