@@ -138,4 +138,46 @@ object RealizedVol {
       .select(col("underlying"), col("day_start"), col("bucket_start"),
         col("bar_rn"), col("r2"), col("ewma_var"), col("ewma_vol"))
   }
+
+  /** μ₁⁻² = π/2 — the bipower-variation scaling constant
+    * (E|Z| = √(2/π) for standard normal Z). */
+  val BipowerCoef: Double = math.Pi / 2.0
+
+  /** M39: Barndorff–Nielsen–Shephard jump panel per (underlying,
+    * day): realized variance rv = Σ r², bipower variation
+    * bv = (π/2)·Σ|r_i||r_{i−1}| over ADJACENT intraday bar returns
+    * (robust to jumps — a single jump inflates rv through r² but
+    * touches bv only via two |r|·|r| cross terms), and
+    * `jump_frac` = max(0, 1 − bv/rv), the relative jump contribution
+    * (Huang–Tauchen). No small-sample n/(n−1) correction —
+    * documented, matched by the oracle. Parity: each |r|·|r| product
+    * is 6-dp-quantized before the exact decimal sum; the π/2
+    * constant multiplies the SUM once (bit-identical literal both
+    * engines). Same two-exchange shape as [[dailyEstimators]]: bar
+    * aggregate, then a day-partitioned lag chain and one grouped
+    * aggregate. Days with <2 returns have bv = 0 and a null
+    * jump_frac (no adjacent pair to compare). */
+  def jumpTest(trades: DataFrame, intervalSec: Long = 900L)
+      : DataFrame = {
+    val byDay = Window
+      .partitionBy(col("underlying"), col("day_start"))
+      .orderBy(col("bucket_start"))
+    val c = col("close")
+    priceBars(trades, intervalSec)
+      .withColumn("day_start",
+        col("bucket_start") - col("bucket_start") % 86400L)
+      .withColumn("_r", log(c / lag(c, 1).over(byDay)))
+      .withColumn("_r2", Parity.roundTo(col("_r") * col("_r"), 6))
+      .withColumn("_bp",
+        Parity.roundTo(abs(col("_r")) * abs(lag(col("_r"), 1).over(byDay)), 6))
+      .groupBy(col("underlying"), col("day_start"))
+      .agg(
+        count(col("_r")).as("n_returns"),
+        coalesce(Parity.dsum(col("_r2")), lit(0.0)).as("rv_cc"),
+        (coalesce(Parity.dsum(col("_bp")), lit(0.0)) * lit(BipowerCoef))
+          .as("bv"))
+      .withColumn("jump_frac",
+        when(col("rv_cc") > 0.0 && col("n_returns") >= 2,
+          greatest(lit(0.0), lit(1.0) - col("bv") / col("rv_cc"))))
+  }
 }

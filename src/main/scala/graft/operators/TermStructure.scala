@@ -38,4 +38,57 @@ object TermStructure {
       .withColumn("slope", col("near_iv") - col("far_iv"))
       .withColumn("ratio", Parity.ratio(col("near_iv"), col("far_iv")))
   }
+
+  /** A34: Theil–Sen robust slope of the daily IV term curve per
+    * underlying — the median of all pairwise slopes
+    * (iv_b − iv_a)/(mid_b − mid_a) across DTE-bucket mean IVs, the
+    * outlier-robust companion to A7's two-point slope (one polluted
+    * bucket moves an OLS/two-point slope arbitrarily; the median
+    * slope has a 29% breakdown point).
+    *
+    * Exact Theil–Sen is O(n²) in points — here n is the BUCKET COUNT
+    * (≤ 6), so the pair fan-out is ≤ 15 per (underlying, day) BY
+    * CONSTRUCTION: the corpus collapses to the (underlying, day,
+    * bucket) mean-IV panel in one hash aggregate, and everything
+    * after (self-join on (underlying, day), slope, per-group median
+    * by row_number over ≤ 15 rows) is bounded by the calendar × 6,
+    * never by tape length. The median is the exact element at rank
+    * ceil(n/2) under slope order — tie-independent, identical
+    * selection both engines. */
+  def theilSenSlope(trades: DataFrame): DataFrame = {
+    val ep = unix_timestamp(col("timestamp"))
+    val dte = DteBuckets.dteExpr(col("timestamp"), col("expiry"))
+    val mid = DteBuckets.buckets.foldLeft(lit(null).cast("double")) {
+      case (acc, (lo, hi)) =>
+        when(col("dte").between(lo, hi), lit((lo + hi) / 2.0))
+          .otherwise(acc)
+    }
+    val m = trades
+      .filter(col("iv").isNotNull)
+      .withColumn("_ep", ep)
+      .withColumn("day", expr("_ep div 86400L"))
+      .withColumn("dte", dte)
+      .withColumn("mid", mid)
+      .filter(col("mid").isNotNull)
+      .groupBy(col("underlying"), col("day"), col("mid"))
+      .agg(Parity.davg(col("iv")).as("miv"))
+    val a = m.select(col("underlying"), col("day"),
+      col("mid").as("_ma"), col("miv").as("_va"))
+    val b = m.select(col("underlying"), col("day"),
+      col("mid").as("_mb"), col("miv").as("_vb"))
+    val pairs = a.join(b, Seq("underlying", "day"))
+      .filter(col("_ma") < col("_mb"))
+      .withColumn("slope",
+        (col("_vb") - col("_va")) / (col("_mb") - col("_ma")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("underlying"), col("day")).orderBy(col("slope"))
+    pairs
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("underlying"), col("day"))))
+      .filter(col("_rn") === expr("(_n + 1) div 2"))
+      .select(col("underlying"), col("day"),
+        col("_n").as("n_pairs"), col("slope").as("ts_slope"))
+  }
 }

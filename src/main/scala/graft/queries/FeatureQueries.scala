@@ -234,6 +234,48 @@ object FeatureQueries {
        |FROM agg
        |WHERE near_iv IS NOT NULL AND far_iv IS NOT NULL""".stripMargin
 
+  // ---- A34: Theil–Sen robust term-curve slope ----
+
+  def a34TheilSen(s: SparkSession, dir: String): DataFrame =
+    TermStructure.theilSenSlope(trades(s, dir))
+
+  /** Mirrors [[TermStructure.theilSenSlope]]: bucket-mid CASE over
+    * the shared DTE set (mid literals via duckDoubleLit so both
+    * engines fold identical doubles), exact-decimal mean IV panel,
+    * pairwise slopes via a bounded self-join (≤ 15 pairs per
+    * (underlying, day)), median = element at rank (n+1) div 2. */
+  val a34Oracle: String = {
+    val midCase = DteBuckets.buckets
+      .map { case (lo, hi) =>
+        s"WHEN dte BETWEEN $lo AND $hi THEN ${duckDoubleLit((lo + hi) / 2.0)}"
+      }
+      .mkString("CASE ", " ", " ELSE NULL END")
+    s"""WITH ${OracleCtes.enriched},
+       |m AS (
+       |  SELECT underlying, ep // 86400 AS day, mid,
+       |    ${duckDavg("iv")} AS miv
+       |  FROM (SELECT *, $midCase AS mid FROM enriched
+       |        WHERE iv IS NOT NULL)
+       |  WHERE mid IS NOT NULL
+       |  GROUP BY 1, 2, 3
+       |),
+       |p AS (
+       |  SELECT a.underlying, a.day,
+       |    (b.miv - a.miv) / (b.mid - a.mid) AS slope
+       |  FROM m a JOIN m b
+       |    ON b.underlying = a.underlying AND b.day = a.day
+       |    AND a.mid < b.mid
+       |),
+       |r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY underlying, day
+       |      ORDER BY slope) AS rn,
+       |    count(*) OVER (PARTITION BY underlying, day) AS n
+       |  FROM p
+       |)
+       |SELECT underlying, day, n AS n_pairs, slope AS ts_slope
+       |FROM r WHERE rn = (n + 1) // 2""".stripMargin
+  }
+
   // ---- J5: exact as-of spot lookup (beyond the reference's 15-min
   // bucket quantization; oracle = DuckDB's native ASOF LEFT JOIN) ----
 
@@ -532,5 +574,6 @@ object FeatureQueries {
     "a8_moneyness_long" -> QueryDef(a8MoneynessLong _, a8Oracle),
     "a9_moneyness_smile" -> QueryDef(a9MoneynessSmile _, a9Oracle),
     "a6_pcr_by_tenor" -> QueryDef(a6Pcr _, a6Oracle),
-    "a7_term_structure" -> QueryDef(a7TermStructure _, a7Oracle))
+    "a7_term_structure" -> QueryDef(a7TermStructure _, a7Oracle),
+    "a34_theil_sen" -> QueryDef(a34TheilSen _, a34Oracle))
 }

@@ -69,6 +69,41 @@ object VolQueries {
        |FROM rets GROUP BY 1, 2""".stripMargin
   }
 
+  def m39JumpTest(s: SparkSession, dir: String): DataFrame =
+    RealizedVol.jumpTest(trades(s, dir))
+
+  /** Mirrors [[RealizedVol.jumpTest]]: 6-dp-quantized r² and
+    * |r_i||r_{i−1}| terms, exact decimal sums, the π/2 constant
+    * multiplying the SUM once. */
+  val m39Oracle: String = {
+    val kbp = duckDoubleLit(RealizedVol.BipowerCoef)
+    val rvSum = duckDsum(duckRoundTo("r*r", 6))
+    val bpSum = duckDsum(duckRoundTo("abs(r)*abs(rp)", 6))
+    s"""WITH $pbCte,
+       |rets AS (
+       |  SELECT underlying, day_start, bucket_start,
+       |    ln(close / lag(close) OVER w) AS r
+       |  FROM pbd
+       |  WINDOW w AS (PARTITION BY underlying, day_start
+       |    ORDER BY bucket_start)
+       |),
+       |chain AS (
+       |  SELECT *, lag(r) OVER (PARTITION BY underlying, day_start
+       |    ORDER BY bucket_start) AS rp
+       |  FROM rets
+       |),
+       |a AS (
+       |  SELECT underlying, day_start, count(r) AS n_returns,
+       |    coalesce($rvSum, 0.0::DOUBLE) AS rv_cc,
+       |    coalesce($bpSum, 0.0::DOUBLE) * $kbp AS bv
+       |  FROM chain GROUP BY 1, 2
+       |)
+       |SELECT underlying, day_start, n_returns, rv_cc, bv,
+       |  CASE WHEN rv_cc > 0.0 AND n_returns >= 2 THEN
+       |    greatest(0.0, 1.0 - bv / rv_cc) END AS jump_frac
+       |FROM a""".stripMargin
+  }
+
   /** M9: daily implied-vs-realized spread — the volatility-risk-
     * premium read the reference's EGARCH spread (m6) approximates
     * per-bar, here stated at the daily horizon: mean traded IV minus
@@ -765,6 +800,7 @@ object VolQueries {
     "m10_smile_fit" -> QueryDef(m10SmileFit _, m10Oracle),
     "m11_realized_corr" -> QueryDef(m11RealizedCorr _, m11Oracle),
     "m7_realized_vol" -> QueryDef(m7RealizedVol _, m7Oracle),
+    "m39_jump_test" -> QueryDef(m39JumpTest _, m39Oracle),
     "m8_ewma_vol" -> QueryDef(m8EwmaVol _, m8Oracle),
     "m9_iv_rv_spread" -> QueryDef(m9IvRvSpread _, m9Oracle),
     "a19_flow_imbalance" -> QueryDef(a19FlowImbalance _, a19Oracle),

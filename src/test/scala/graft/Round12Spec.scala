@@ -151,6 +151,65 @@ class Round12Spec extends AnyFunSuite {
     }
   }
 
+  // ---- M39: BNS jump test ----
+
+  test("jumpTest flags the planted jump day, not the diffusive day") {
+    import graft.operators.RealizedVol
+    // bv ≈ rv only for DIFFUSIVE (Gaussian) returns — the μ1⁻² = π/2
+    // scaling is calibrated to E|Z|; a deterministic drift day would
+    // read bv/rv = π/2 by construction. Day 0: 96 Gaussian bars.
+    // Day 1: the same walk plus one 50% jump at bar 48.
+    val rng = new scala.util.Random(3)
+    def bars(day: Int, jumpAt: Int): Seq[(String, Timestamp, Double)] = {
+      var x = math.log(100.0)
+      (0 until 96).map { i =>
+        x += 0.01 * rng.nextGaussian()
+        if (i == jumpAt) x += math.log(1.5)
+        ("BTC", ts(day * 86400L + i * 900L), math.exp(x))
+      }
+    }
+    val trades = (bars(0, -1) ++ bars(1, 48))
+      .toDF("underlying", "timestamp", "price")
+    val out = RealizedVol.jumpTest(trades).collect()
+      .map(r => r.getAs[Long]("day_start") / 86400L ->
+        (r.getAs[Double]("rv_cc"), r.getAs[Double]("bv"),
+          r.getAs[Double]("jump_frac"))).toMap
+    val (rv0, bv0, jf0) = out(0L)
+    val (rv1, _, jf1) = out(1L)
+    assert(math.abs(rv0 - bv0) / rv0 < 0.35, s"diffusive day: rv=$rv0 bv=$bv0")
+    assert(jf0 < 0.35, s"diffusive day frac=$jf0")
+    assert(jf1 > 0.8, s"jump day frac=$jf1") // the jump dominates rv
+    assert(rv1 > rv0 * 5)
+  }
+
+  // ---- A34: Theil–Sen term-curve slope ----
+
+  test("theilSenSlope shrugs off a poisoned bucket (OLS would not)") {
+    import graft.operators.TermStructure
+    // 6 DTE buckets at mids 3.5..545; clean ivs on slope 0.001/day,
+    // the far bucket poisoned to iv=10 — the median pairwise slope
+    // must stay the clean 0.001
+    val mids = Seq((0, 7), (8, 14), (15, 30), (31, 60), (61, 90), (91, 999))
+    val day0 = java.time.LocalDate.of(2024, 1, 10)
+    val rows = mids.zipWithIndex.map { case ((lo, hi), i) =>
+      val mid = (lo + hi) / 2.0
+      val dte = math.round(mid).toInt.max(lo).min(hi)
+      val iv = if (i == 5) 10.0 else 0.2 + 0.001 * mid
+      ("BTC",
+        java.sql.Timestamp.valueOf(day0.atStartOfDay().plusHours(1)),
+        java.sql.Date.valueOf(day0.plusDays(dte.toLong)),
+        iv)
+    }
+    val out = TermStructure.theilSenSlope(
+        rows.toDF("underlying", "timestamp", "expiry", "iv"))
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_pairs") == 15L)
+    assert(math.abs(r.getAs[Double]("ts_slope") - 0.001) < 1e-9,
+      s"ts=${r.getAs[Double]("ts_slope")}")
+  }
+
   // ---- MM6: audio VAD segmentation ----
 
   test("vadSegments finds the planted loud runs") {
