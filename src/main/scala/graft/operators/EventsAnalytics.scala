@@ -505,6 +505,56 @@ object EventsAnalytics {
         (abs(col("t_stat")) > 1.96).as("significant"))
   }
 
+  /** EV24: difference-in-differences read-out — the causal companion
+    * to [[abTest]]'s cross-sectional Welch t: treatment is the same
+    * deterministic sha-bucket coin (prefix `did:`), the period splits
+    * at the tape's temporal midpoint (one-row broadcast bounds, the
+    * a18 pattern), the outcome is each user's exact-decimal spend per
+    * period, and DiD = (T̄post − T̄pre) − (C̄post − C̄pre) over cell
+    * means. Users active in only one period contribute only that cell
+    * (standard unbalanced panel — stated, and restated by the
+    * oracle). One corpus-sized aggregate to (user, period) totals;
+    * everything after is a groupless conditional-decimal-sum
+    * aggregate, so the whole panel is two exchanges. */
+  def didPanel(events: DataFrame, seed: Long = 42L,
+      userCol: String = "user_id", tsCol: String = "ts",
+      valueCol: String = "value"): DataFrame = {
+    val ev = events.select(col(userCol).as("u"),
+      col(valueCol).as("v"), unix_micros(col(tsCol)).as("us"))
+    val bounds = ev.agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
+    val cell = ev
+      .crossJoin(broadcast(bounds))
+      .withColumn("period",
+        when(col("us") < col("mn") + expr("(mx - mn) div 2"), "pre")
+          .otherwise("post"))
+      .groupBy(col("u"), col("period"))
+      .agg(graft.util.Parity.dsum(col("v")).as("uv"))
+      .withColumn("grp",
+        when(conv(substring(sha2(
+          concat(lit(s"did:$seed:"), col("u").cast("string")), 256),
+          1, 8), 16, 10).cast("long") % 2 === 0, "T").otherwise("C"))
+    def cnt(g: String, p: String) =
+      count(when(col("grp") === g && col("period") === p, lit(1)))
+    def dsumIf(g: String, p: String) =
+      sum(when(col("grp") === g && col("period") === p, col("uv"))
+        .cast(createDecimalType(28, 6))).cast("double")
+    cell
+      .agg(
+        cnt("T", "pre").as("n_t_pre"), cnt("T", "post").as("n_t_post"),
+        cnt("C", "pre").as("n_c_pre"), cnt("C", "post").as("n_c_post"),
+        dsumIf("T", "pre").as("_stp"), dsumIf("T", "post").as("_sto"),
+        dsumIf("C", "pre").as("_scp"), dsumIf("C", "post").as("_sco"))
+      .withColumn("mean_t_pre", expr("_stp / CAST(n_t_pre AS DOUBLE)"))
+      .withColumn("mean_t_post", expr("_sto / CAST(n_t_post AS DOUBLE)"))
+      .withColumn("mean_c_pre", expr("_scp / CAST(n_c_pre AS DOUBLE)"))
+      .withColumn("mean_c_post", expr("_sco / CAST(n_c_post AS DOUBLE)"))
+      .withColumn("did", expr(
+        "(mean_t_post - mean_t_pre) - (mean_c_post - mean_c_pre)"))
+      .select(col("n_t_pre"), col("n_t_post"), col("n_c_pre"),
+        col("n_c_post"), col("mean_t_pre"), col("mean_t_post"),
+        col("mean_c_pre"), col("mean_c_post"), col("did"))
+  }
+
   /** EV8: RFM segmentation — recency/frequency/monetary quintiles
     * per user, rolled up to segment counts. Scores are rank-based
     * (ntile(5) with a user-id tie-break, so the assignment is a pure

@@ -906,6 +906,65 @@ object EventsQueries {
        |FROM y""".stripMargin
   }
 
+  /** EV24: difference-in-differences panel
+    * ([[EventsAnalytics.didPanel]]) — the full chain (midpoint split,
+    * sha-bucket treatment coin, per-(user, period) decimal spend,
+    * four conditional cell sums, the DiD algebra) restated in SQL. */
+  def ev24Did(s: SparkSession, dir: String): DataFrame =
+    EventsAnalytics.didPanel(events(s, dir), AbSeed)
+
+  val ev24Oracle: String = {
+    import graft.util.Parity.duckHex32
+    s"""WITH $evCte,
+       |b AS (SELECT min(us) AS mn, max(us) AS mx FROM ev),
+       |cell AS (
+       |  SELECT user_id AS u,
+       |    CASE WHEN us < mn + (mx - mn) // 2 THEN 'pre'
+       |      ELSE 'post' END AS period,
+       |    ${duckDsum("value")} AS uv
+       |  FROM ev, b GROUP BY 1, 2
+       |),
+       |g AS (
+       |  SELECT uv, period,
+       |    CASE WHEN ${duckHex32("sha")} % 2 = 0 THEN 'T' ELSE 'C' END
+       |      AS grp
+       |  FROM (SELECT *,
+       |    sha256('did:$AbSeed:' || CAST(u AS VARCHAR)) AS sha FROM cell)
+       |),
+       |aggd AS (
+       |  SELECT
+       |    count(CASE WHEN grp = 'T' AND period = 'pre' THEN 1 END)
+       |      AS n_t_pre,
+       |    count(CASE WHEN grp = 'T' AND period = 'post' THEN 1 END)
+       |      AS n_t_post,
+       |    count(CASE WHEN grp = 'C' AND period = 'pre' THEN 1 END)
+       |      AS n_c_pre,
+       |    count(CASE WHEN grp = 'C' AND period = 'post' THEN 1 END)
+       |      AS n_c_post,
+       |    ${duckDsum("CASE WHEN grp = 'T' AND period = 'pre' THEN uv END")}
+       |      AS _stp,
+       |    ${duckDsum("CASE WHEN grp = 'T' AND period = 'post' THEN uv END")}
+       |      AS _sto,
+       |    ${duckDsum("CASE WHEN grp = 'C' AND period = 'pre' THEN uv END")}
+       |      AS _scp,
+       |    ${duckDsum("CASE WHEN grp = 'C' AND period = 'post' THEN uv END")}
+       |      AS _sco
+       |  FROM g
+       |),
+       |m AS (
+       |  SELECT *,
+       |    _stp / CAST(n_t_pre AS DOUBLE) AS mean_t_pre,
+       |    _sto / CAST(n_t_post AS DOUBLE) AS mean_t_post,
+       |    _scp / CAST(n_c_pre AS DOUBLE) AS mean_c_pre,
+       |    _sco / CAST(n_c_post AS DOUBLE) AS mean_c_post
+       |  FROM aggd
+       |)
+       |SELECT n_t_pre, n_t_post, n_c_pre, n_c_post,
+       |  mean_t_pre, mean_t_post, mean_c_pre, mean_c_post,
+       |  (mean_t_post - mean_t_pre) - (mean_c_post - mean_c_pre) AS did
+       |FROM m""".stripMargin
+  }
+
   /** EV20: rolling actives by HLL sketch merge
     * ([[EventsAnalytics.sketchRollingActive]]) — the sketch-partial
     * scale path next to ev6's exact fan-out. Oracle: day/dau/wau are
@@ -948,6 +1007,7 @@ object EventsQueries {
     "ev20_sketch_wau" -> QueryDef(ev20SketchWau _, None),
     "ev21_session_window" -> QueryDef(ev21SessionWindow _, ev21Oracle),
     "ev22_ab_test" -> QueryDef(ev22AbTest _, ev22Oracle),
+    "ev24_did" -> QueryDef(ev24Did _, ev24Oracle),
     "ev19_cohort_ltv" -> QueryDef(ev19CohortLtv _, ev19Oracle),
     "ev18_markov_attribution" -> QueryDef(ev18Markov _, None),
     "ev17_survival" -> QueryDef(ev17Survival _, ev17Oracle),

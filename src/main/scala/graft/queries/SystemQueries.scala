@@ -963,6 +963,53 @@ object SystemQueries {
        |  ${duckDsum("amount")} AS amount_sum
        |FROM fin GROUP BY 1""".stripMargin
 
+  /** S20: manifest-based snapshot reads / time travel
+    * ([[graft.sources.SnapshotStore]]) — the lakehouse contract a
+    * 100 TB store needs for reproducible reads: v1 loads the even
+    * trades, v2 appends the odd ones, v3 COMPACTS (replace-commit of
+    * the same logical rows). The audit reads ALL THREE versions after
+    * v3 exists and aggregates each: v1 must still show only the even
+    * half (old snapshots survive later commits), and v2 == v3
+    * logically (compaction changes layout, never content). The oracle
+    * states the three expected states straight from the tape, so a
+    * manifest that leaks new files into an old version, loses files,
+    * or double-counts after compaction breaks the hash. */
+  def s20SnapshotRead(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.SnapshotStore
+    val root = graft.util.TempDirs.scoped("s20-snap")
+    val t = SyntheticTrades.trades(s, dir)
+      .select(col("trade_id").cast("long").as("tid"), col("amount"))
+    SnapshotStore.commitReplace(t.filter(col("tid") % 2 === 0), root)
+    SnapshotStore.commitAppend(t.filter(col("tid") % 2 === 1), root)
+    SnapshotStore.commitReplace(
+      SnapshotStore.read(s, root).coalesce(2), root)
+    (1 to 3).map { v =>
+      SnapshotStore.read(s, root, Some(v))
+        .agg(count(lit(1)).as("n_rows"), dsum(col("amount")).as("amount_sum"))
+        .select(lit(v).as("version"), col("n_rows"), col("amount_sum"))
+    }.reduce(_.unionAll(_))
+  }
+
+  val s20Oracle: String =
+    s"""WITH ${SyntheticTrades.tradesCte},
+       |t AS (
+       |  SELECT CAST(trade_id AS BIGINT) AS tid, amount FROM trades
+       |),
+       |v1 AS (
+       |  SELECT 1 AS version, count(*) AS n_rows,
+       |    ${duckDsum("amount")} AS amount_sum
+       |  FROM t WHERE tid % 2 = 0
+       |),
+       |vall AS (
+       |  SELECT count(*) AS n_rows,
+       |    ${duckDsum("amount")} AS amount_sum
+       |  FROM t
+       |)
+       |SELECT * FROM v1
+       |UNION ALL SELECT 2 AS version, n_rows, amount_sum FROM vall
+       |UNION ALL SELECT 3 AS version, n_rows, amount_sum FROM vall"""
+      .stripMargin
+
   /** Shared CDC era derivation for s17 (batch) and st14 (streaming):
     * the events tape split at its temporal midpoint ('purchase'
     * acting as the delete op), returned as the materialized tagged
@@ -1097,6 +1144,7 @@ object SystemQueries {
 
   val defs: Map[String, QueryDef] = Map(
     "s18_dynamic_overwrite" -> QueryDef(s18DynamicOverwrite _, s18Oracle),
+    "s20_snapshot_read" -> QueryDef(s20SnapshotRead _, s20Oracle),
     "s17_merge_upsert" -> QueryDef(s17MergeUpsert _, s17Oracle),
     "st14_stream_cdc" -> QueryDef(st14StreamCdc _, s17Oracle),
     "st13_stream_outer_join" -> QueryDef(st13StreamOuterJoin _, st13Oracle),

@@ -210,6 +210,36 @@ class Round12Spec extends AnyFunSuite {
       s"ts=${r.getAs[Double]("ts_slope")}")
   }
 
+  // ---- EV24: difference-in-differences ----
+
+  test("didPanel recovers a planted treatment effect under a common trend") {
+    import graft.operators.EventsAnalytics
+    // replicate the operator's sha coin so the lift lands on the
+    // actual treatment group
+    def isTreated(u: Long): Boolean = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val hex = md.digest(s"did:42:$u".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % 2 == 0
+    }
+    val users = (1L to 40L)
+    val rows = users.flatMap { u =>
+      val lift = if (isTreated(u)) 7.0 else 0.0
+      Seq(
+        (u, new Timestamp(100L), 10.0),            // pre
+        (u, new Timestamp(1900L), 15.0 + lift))    // post: +5 trend
+    }
+    val ev = rows.toDF("user_id", "ts", "value")
+    val r = EventsAnalytics.didPanel(ev, 42L).collect().head
+    assert(r.getAs[Long]("n_t_pre") + r.getAs[Long]("n_c_pre") == 40L)
+    // common trend cancels; only the planted lift survives
+    assert(math.abs(r.getAs[Double]("did") - 7.0) < 1e-9,
+      s"did=${r.getAs[Double]("did")}")
+    assert(math.abs(
+      r.getAs[Double]("mean_c_post") - r.getAs[Double]("mean_c_pre")
+        - 5.0) < 1e-9)
+  }
+
   // ---- MM6: audio VAD segmentation ----
 
   test("vadSegments finds the planted loud runs") {
@@ -258,6 +288,31 @@ class Round12Spec extends AnyFunSuite {
       assert(r.getAs[Double]("mean_jaccard") * 100.0 >=
         r.getAs[Int]("thr_pct"))
     }
+  }
+
+  // ---- S20: snapshot store / time travel ----
+
+  test("snapshot store: old versions survive append and compaction") {
+    import graft.sources.SnapshotStore
+    val root = graft.util.TempDirs.scoped("r12-s20")
+    assert(SnapshotStore.latestVersion(root) == 0)
+    val v1 = SnapshotStore.commitReplace(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "x"), root)
+    val v2 = SnapshotStore.commitAppend(
+      Seq((3L, "c")).toDF("id", "x"), root)
+    // compaction: same logical rows, new layout
+    val v3 = SnapshotStore.commitReplace(
+      SnapshotStore.read(spark, root).coalesce(1), root)
+    assert((v1, v2, v3) == (1, 2, 3))
+    def ids(v: Int) = SnapshotStore.read(spark, root, Some(v))
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(ids(1) == Seq(1L, 2L))      // pre-append snapshot intact
+    assert(ids(2) == Seq(1L, 2L, 3L))
+    assert(ids(3) == Seq(1L, 2L, 3L))  // compaction preserved content
+    // a further append builds on the compacted file set
+    SnapshotStore.commitAppend(Seq((4L, "d")).toDF("id", "x"), root)
+    assert(ids(4) == Seq(1L, 2L, 3L, 4L))
+    assert(ids(2) == Seq(1L, 2L, 3L))  // still stable
   }
 
   // ---- S18: dynamic partition overwrite ----
