@@ -1657,18 +1657,94 @@ object LlmQueries {
     * constants (FP-order-dependent, not SQL-derivable) are echoed as
     * literals, the same echo+verify split the EGARCH and trained-ANN
     * gates use. */
+  /** Trained-model memo (the minhash-pair pattern): the 25-pass GD
+    * train is the registry's single slowest stage and both the
+    * classifier and calibration entries consume the SAME model —
+    * keyed by (applicationId, dir), O(feature-count) driver state. */
+  private val qualModelCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), graft.operators.QualityClassifier.Model]
+
+  private def trainedQualModel(s: SparkSession, dir: String)
+      : graft.operators.QualityClassifier.Model =
+    qualModelCache.getOrElseUpdate(
+      (s.sparkContext.applicationId, dir), {
+        val feats = graft.operators.QualityClassifier
+          .featureFrame(docs(s, dir), col("lang") === "en")
+        // 25 full-batch passes: each iteration is one aggregation job
+        // over the cached feature frame, so wall-clock is iteration
+        // count x job latency (data-size-independent until the cache
+        // outgrows memory). 25 is past the loss plateau on this
+        // corpus; the gate is exact at ANY count (it echoes whatever
+        // converged).
+        graft.operators.QualityClassifier.train(feats, iters = 25)
+      })
+
   def qualClassifier(s: SparkSession, dir: String): DataFrame = {
-    val feats = graft.operators.QualityClassifier
-      .featureFrame(docs(s, dir), col("lang") === "en")
-    // 25 full-batch passes: each iteration is one aggregation job over
-    // the cached feature frame, so wall-clock here is iteration count x
-    // job latency (data-size-independent until the cache outgrows
-    // memory). 25 is past the loss plateau on this corpus; the gate
-    // itself is exact at ANY count (it echoes whatever converged).
-    val m = graft.operators.QualityClassifier.train(feats, iters = 25)
+    val m = trainedQualModel(s, dir)
     DynamicOracles.put("llm_qual_classifier", qualClassifierOracle(m))
-    graft.operators.QualityClassifier.score(feats, m)
+    graft.operators.QualityClassifier.score(
+      graft.operators.QualityClassifier
+        .featureFrame(docs(s, dir), col("lang") === "en"), m)
   }
+
+  /** LLM_CALIBRATION: reliability curve of the trained quality
+    * classifier — ten probability bins over the 9-dp-quantized
+    * sigmoid, each with its count, positive count, mean predicted
+    * probability and empirical positive rate (the |mean_p − frac_pos|
+    * gap per bin is the ECE integrand). The training echo is shared
+    * with llm_qual_classifier through the model memo; the oracle
+    * re-derives features, margin, sigmoid, binning and every bin stat
+    * from the echoed constants in SQL. */
+  def calibration(s: SparkSession, dir: String): DataFrame = {
+    val m = trainedQualModel(s, dir)
+    DynamicOracles.put("llm_calibration", calibrationOracle(m))
+    val scored = graft.operators.QualityClassifier.score(
+      graft.operators.QualityClassifier
+        .featureFrame(docs(s, dir), col("lang") === "en"), m)
+    scored
+      .withColumn("p", graft.util.Parity.roundTo(
+        lit(1.0) / (lit(1.0) + exp(-col("margin"))), 9))
+      .withColumn("bin",
+        least(floor(col("p") * 10).cast("int"), lit(9)))
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        count(when(col("label"), lit(1))).as("n_pos"),
+        (graft.util.Parity.dsum(col("p")) / count(lit(1)))
+          .as("mean_p"))
+      .withColumn("frac_pos",
+        col("n_pos").cast("double") / col("n").cast("double"))
+      .withColumn("gap", abs(col("mean_p") - col("frac_pos")))
+  }
+
+  private def calibrationOracle(
+      m: graft.operators.QualityClassifier.Model): String =
+    s"""WITH $wrdsCte,
+       |scored AS (
+       |  SELECT doc_id, lang = 'en' AS label,
+       |    ${qualMarginSql(m)} AS margin
+       |  FROM wrds
+       |),
+       |pp AS (
+       |  SELECT label,
+       |    ${graft.util.Parity.duckRoundTo(
+             "1.0 / (1.0 + exp(-(margin)))", 9)} AS p
+       |  FROM scored
+       |),
+       |bb AS (
+       |  SELECT least(CAST(floor(p * 10) AS INT), 9) AS bin, label, p
+       |  FROM pp
+       |),
+       |a AS (
+       |  SELECT bin, count(*) AS n,
+       |    count(CASE WHEN label THEN 1 END) AS n_pos,
+       |    ${graft.util.Parity.duckDsum("p")} / count(*) AS mean_p
+       |  FROM bb GROUP BY 1
+       |)
+       |SELECT bin, n, n_pos, mean_p,
+       |  CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS frac_pos,
+       |  abs(mean_p - CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)) AS gap
+       |FROM a""".stripMargin
 
   /** The six quality-feature expressions over the `wrds` CTE, in
     * [[graft.operators.QualityClassifier.FeatureCols]] order — same
@@ -1705,22 +1781,27 @@ object LlmQueries {
     // echoed model would not round-trip. VARCHAR -> DOUBLE casting is
     // a correctly-rounded strtod, after which every +/-/* in the
     // margin chain is exact IEEE binary64 on both engines.
-    def d(x: Double) = graft.util.Parity.duckDoubleLit(x)
-    // bias + Σ ((f - mean)/std)*w in the exact left-to-right
-    // association QualityClassifier.marginCol folds with
-    val margin = m.features.zipWithIndex.foldLeft(d(m.bias)) {
-      case (acc, (f, j)) =>
-        s"$acc\n    + (((${qualFeatSql(f)}) - ${d(m.mean(j))})" +
-          s" / ${d(m.std(j))}) * ${d(m.weights(j))}"
-    }
     s"""WITH $wrdsCte,
        |scored AS (
        |  SELECT doc_id, lang = 'en' AS label,
-       |    $margin AS margin
+       |    ${qualMarginSql(m)} AS margin
        |  FROM wrds
        |)
        |SELECT doc_id, label, margin, margin > 0.0 AS pred
        |FROM scored""".stripMargin
+  }
+
+  /** bias + Σ ((f − mean)/std)·w in the exact left-to-right
+    * association QualityClassifier.marginCol folds with — shared by
+    * the classifier and calibration oracles. */
+  private def qualMarginSql(
+      m: graft.operators.QualityClassifier.Model): String = {
+    def d(x: Double) = graft.util.Parity.duckDoubleLit(x)
+    m.features.zipWithIndex.foldLeft(d(m.bias)) {
+      case (acc, (f, j)) =>
+        s"$acc\n    + (((${qualFeatSql(f)}) - ${d(m.mean(j))})" +
+          s" / ${d(m.std(j))}) * ${d(m.weights(j))}"
+    }
   }
 
   /** Cap on the per-query candidate set the re-rank gate pins: the
@@ -2567,6 +2648,7 @@ object LlmQueries {
     "llm_embed_clusters" -> QueryDef(embedClusters _, embedClustersOracle),
     "llm_semdedup" -> QueryDef(semDedup _, None),
     "llm_qual_classifier" -> QueryDef(qualClassifier _, None),
+    "llm_calibration" -> QueryDef(calibration _, None),
     "llm_strat_sample" -> QueryDef(stratSample _, stratSampleOracle),
     "llm_unigram_logprob" -> QueryDef(unigramLogprob _, unigramLogprobOracle),
     "llm_bigram_logprob" -> QueryDef(bigramLogprob _, bigramLogprobOracle),
