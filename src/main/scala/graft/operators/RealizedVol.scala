@@ -139,6 +139,50 @@ object RealizedVol {
         col("bar_rn"), col("r2"), col("ewma_var"), col("ewma_vol"))
   }
 
+  /** M40: vol-of-vol panel per underlying — the volatility-clustering
+    * read on top of [[dailyEstimators]]: the daily rv_vol series'
+    * count, mean, sample stddev and lag-1 autocorrelation (persistent
+    * vol ⇒ acf1 ≫ 0, the stylized fact EGARCH exists to model).
+    * Everything runs on the TINY (underlyings × days) daily table;
+    * the only corpus-sized work is m7's bar aggregate. Parity: rv_vol
+    * is quantized once to DECIMAL(10,6), all moment/cross sums are
+    * exact decimal gated through DECIMAL(24,12) (unscaled < 2^53 —
+    * the m37 lesson), and the Pearson algebra is the shared SpotCorr
+    * spelling on identical doubles. acf1 is null with < 3 days. */
+  def volOfVol(trades: DataFrame, intervalSec: Long = 900L): DataFrame = {
+    val d6 = org.apache.spark.sql.types.DataTypes.createDecimalType(10, 6)
+    val d24 = org.apache.spark.sql.types.DataTypes.createDecimalType(24, 12)
+    val w = Window.partitionBy(col("underlying")).orderBy(col("day_start"))
+    val dbl = (c: org.apache.spark.sql.Column) => c.cast(d24).cast("double")
+    dailyEstimators(trades, intervalSec)
+      .select(col("underlying"), col("day_start"),
+        Parity.roundTo(col("rv_vol"), 6).cast(d6).as("rq"))
+      .withColumn("rp", lag(col("rq"), 1).over(w))
+      .groupBy(col("underlying"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        dbl(sum(col("rq"))).as("_s"),
+        dbl(sum(col("rq") * col("rq"))).as("_s2"),
+        count(col("rp")).as("_np"),
+        dbl(sum(col("rp"))).as("_px"),
+        dbl(sum(when(col("rp").isNotNull, col("rq")))).as("_py"),
+        dbl(sum(col("rp") * col("rq"))).as("_pxy"),
+        dbl(sum(col("rp") * col("rp"))).as("_pxx"),
+        dbl(sum(when(col("rp").isNotNull, col("rq") * col("rq"))))
+          .as("_pyy"))
+      .withColumn("nd", col("n_days").cast("double"))
+      .withColumn("npd", col("_np").cast("double"))
+      .withColumn("mean_rv", expr("_s / nd"))
+      .withColumn("std_rv", expr(
+        "sqrt(CASE WHEN (_s2 - _s*_s/nd) / nullif(nd - 1.0, 0.0) < 0" +
+          " THEN 0.0 ELSE (_s2 - _s*_s/nd) / nullif(nd - 1.0, 0.0) END)"))
+      .withColumn("acf1_rv", when(col("_np") >= 2, expr(
+        "(npd*_pxy - _px*_py) / nullif(" +
+          "sqrt((npd*_pxx - _px*_px) * (npd*_pyy - _py*_py)), 0.0)")))
+      .select(col("underlying"), col("n_days"), col("mean_rv"),
+        col("std_rv"), col("acf1_rv"))
+  }
+
   /** μ₁⁻² = π/2 — the bipower-variation scaling constant
     * (E|Z| = √(2/π) for standard normal Z). */
   val BipowerCoef: Double = math.Pi / 2.0

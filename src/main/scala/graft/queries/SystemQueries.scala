@@ -1010,6 +1010,58 @@ object SystemQueries {
        |UNION ALL SELECT 3 AS version, n_rows, amount_sum FROM vall"""
       .stripMargin
 
+  /** ST15: STREAMING commits into the snapshot store — each
+    * micro-batch lands as one [[graft.sources.SnapshotStore]] append
+    * commit (`foreachBatch`), so the store's version history IS the
+    * stream's progress: any version replays the prefix of the stream
+    * it was committed at. The audit checks the batching-independent
+    * facts — the FINAL state equals the input exactly (count /
+    * distinct ids / decimal sum, stated by the oracle) and the
+    * per-version row counts are monotone non-decreasing — rather
+    * than the version COUNT, which is a function of file batching
+    * (maxFilesPerTrigger), not of content. */
+  def st15StreamSnapshot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.SnapshotStore
+    val root = graft.util.TempDirs.scoped("st15-snap")
+    val src = graft.util.TempDirs.scoped("st15-src")
+    val ckpt = graft.util.TempDirs.scoped("st15-ckpt")
+    val t = SyntheticTrades.trades(s, dir)
+      .filter(col("trade_id").cast("long") % 53 === 0)
+      .select(col("trade_id").cast("long").as("tid"), col("amount"))
+    t.repartition(3).write.parquet(s"$src/pages")
+    val ss = streamSession(s)
+    val raw = ss.readStream.schema(t.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$src/pages")
+    val q = raw.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) { SnapshotStore.commitAppend(batch, root); () }
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val vmax = SnapshotStore.latestVersion(root)
+    val counts = (1 to vmax).map(v =>
+      SnapshotStore.read(s, root, Some(v)).count())
+    val monotone = counts.zip(counts.drop(1)).forall { case (a, b) => a <= b }
+    SnapshotStore.read(s, root)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("tid")).as("unique_ids"),
+        dsum(col("amount")).as("amount_sum"))
+      .select(col("n_rows"), col("unique_ids"), col("amount_sum"),
+        lit(monotone).as("versions_monotone"))
+  }
+
+  val st15Oracle: String =
+    s"""WITH ${SyntheticTrades.tradesCte}
+       |SELECT count(*) AS n_rows,
+       |  count(DISTINCT CAST(trade_id AS BIGINT)) AS unique_ids,
+       |  ${duckDsum("amount")} AS amount_sum,
+       |  true AS versions_monotone
+       |FROM trades WHERE CAST(trade_id AS BIGINT) % 53 = 0""".stripMargin
+
   /** Shared CDC era derivation for s17 (batch) and st14 (streaming):
     * the events tape split at its temporal midpoint ('purchase'
     * acting as the delete op), returned as the materialized tagged
@@ -1145,6 +1197,7 @@ object SystemQueries {
   val defs: Map[String, QueryDef] = Map(
     "s18_dynamic_overwrite" -> QueryDef(s18DynamicOverwrite _, s18Oracle),
     "s20_snapshot_read" -> QueryDef(s20SnapshotRead _, s20Oracle),
+    "st15_stream_snapshot" -> QueryDef(st15StreamSnapshot _, st15Oracle),
     "s17_merge_upsert" -> QueryDef(s17MergeUpsert _, s17Oracle),
     "st14_stream_cdc" -> QueryDef(st14StreamCdc _, s17Oracle),
     "st13_stream_outer_join" -> QueryDef(st13StreamOuterJoin _, st13Oracle),

@@ -69,6 +69,58 @@ object VolQueries {
        |FROM rets GROUP BY 1, 2""".stripMargin
   }
 
+  def m40VolOfVol(s: SparkSession, dir: String): DataFrame =
+    RealizedVol.volOfVol(trades(s, dir))
+
+  /** Mirrors [[RealizedVol.volOfVol]]: the m7 rv chain, rv_vol
+    * 6-dp-quantized into DECIMAL(10,6), DECIMAL(24,12)-gated moment
+    * and lag-cross sums, shared Pearson spelling. */
+  val m40Oracle: String = {
+    val rvSum = duckDsum(duckRoundTo("r*r", 6))
+    def d24(e: String) = s"CAST(CAST(($e) AS DECIMAL(24,12)) AS DOUBLE)"
+    s"""WITH $pbCte,
+       |rets AS (
+       |  SELECT underlying, day_start,
+       |    ln(close / lag(close) OVER (
+       |      PARTITION BY underlying, day_start ORDER BY bucket_start)) AS r
+       |  FROM pbd
+       |),
+       |daily AS (
+       |  SELECT underlying, day_start,
+       |    CAST(${duckRoundTo(
+               s"sqrt(coalesce($rvSum, 0.0::DOUBLE))", 6)}
+       |      AS DECIMAL(10,6)) AS rq
+       |  FROM rets GROUP BY 1, 2
+       |),
+       |chain AS (
+       |  SELECT *, lag(rq) OVER (PARTITION BY underlying
+       |    ORDER BY day_start) AS rp
+       |  FROM daily
+       |),
+       |a AS (
+       |  SELECT underlying, count(*) AS n_days,
+       |    ${d24("sum(rq)")} AS _s, ${d24("sum(rq*rq)")} AS _s2,
+       |    count(rp) AS _np,
+       |    ${d24("sum(rp)")} AS _px,
+       |    ${d24("sum(CASE WHEN rp IS NOT NULL THEN rq END)")} AS _py,
+       |    ${d24("sum(rp*rq)")} AS _pxy,
+       |    ${d24("sum(rp*rp)")} AS _pxx,
+       |    ${d24("sum(CASE WHEN rp IS NOT NULL THEN rq*rq END)")} AS _pyy
+       |  FROM chain GROUP BY 1
+       |),
+       |b AS (SELECT *, CAST(n_days AS DOUBLE) AS nd,
+       |  CAST(_np AS DOUBLE) AS npd FROM a)
+       |SELECT underlying, n_days, _s / nd AS mean_rv,
+       |  sqrt(CASE WHEN (_s2 - _s*_s/nd) / nullif(nd - 1.0, 0.0) < 0
+       |    THEN 0.0 ELSE (_s2 - _s*_s/nd) / nullif(nd - 1.0, 0.0) END)
+       |    AS std_rv,
+       |  CASE WHEN _np >= 2 THEN
+       |    (npd*_pxy - _px*_py) / nullif(
+       |      sqrt((npd*_pxx - _px*_px) * (npd*_pyy - _py*_py)), 0.0)
+       |  END AS acf1_rv
+       |FROM b""".stripMargin
+  }
+
   def m39JumpTest(s: SparkSession, dir: String): DataFrame =
     RealizedVol.jumpTest(trades(s, dir))
 
@@ -801,6 +853,7 @@ object VolQueries {
     "m11_realized_corr" -> QueryDef(m11RealizedCorr _, m11Oracle),
     "m7_realized_vol" -> QueryDef(m7RealizedVol _, m7Oracle),
     "m39_jump_test" -> QueryDef(m39JumpTest _, m39Oracle),
+    "m40_vol_of_vol" -> QueryDef(m40VolOfVol _, m40Oracle),
     "m8_ewma_vol" -> QueryDef(m8EwmaVol _, m8Oracle),
     "m9_iv_rv_spread" -> QueryDef(m9IvRvSpread _, m9Oracle),
     "a19_flow_imbalance" -> QueryDef(a19FlowImbalance _, a19Oracle),
