@@ -411,6 +411,55 @@ object LlmQueries {
   val dedupClustersOracle: String =
     s"WITH RECURSIVE $clusterCtes\nSELECT doc_id, cluster_id, keep FROM cl"
 
+  /** LLM_DEDUP_REPORT: the dedup funnel in one row — raw corpus size,
+    * survivors after exact dedup (one per normalized-text hash),
+    * near-dup cluster membership/count, and the final survivor count
+    * after dropping non-canonical cluster members among the exact
+    * survivors. The attrition table a curator reads before shipping a
+    * corpus, derived from the SAME verified stages (exact hash
+    * groups, the memoized pair set's connected components) the
+    * individual entries gate. */
+  def dedupReport(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val exKeep = TextDedup.exactDedup(d)
+      .select(col("keep_id").as("doc_id"))
+    val cl = dedupClusters(s, dir)
+    val joined = exKeep.join(cl, Seq("doc_id"), "left")
+    val exact = joined.agg(
+      count(lit(1)).as("n_exact"),
+      count(when(!col("keep"), lit(1))).as("_n_dropped"))
+    val raw = d.agg(count(lit(1)).as("n_raw"))
+    val clStats = cl.agg(
+      count(lit(1)).as("n_neardup_members"),
+      countDistinct(col("cluster_id")).as("n_clusters"))
+    raw.crossJoin(broadcast(exact)).crossJoin(broadcast(clStats))
+      .withColumn("n_final", col("n_exact") - col("_n_dropped"))
+      .select(col("n_raw"), col("n_exact"), col("n_neardup_members"),
+        col("n_clusters"), col("n_final"))
+  }
+
+  val dedupReportOracle: String =
+    s"""WITH RECURSIVE $clusterCtes,
+       |ex AS (
+       |  SELECT min(doc_id) AS doc_id FROM (
+       |    SELECT doc_id,
+       |      sha256(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+       |        AS h
+       |    FROM documents
+       |  ) GROUP BY h
+       |),
+       |j AS (
+       |  SELECT e.doc_id, c.keep FROM ex e
+       |  LEFT JOIN cl c ON c.doc_id = e.doc_id
+       |)
+       |SELECT
+       |  (SELECT count(*) FROM documents) AS n_raw,
+       |  count(*) AS n_exact,
+       |  (SELECT count(*) FROM cl) AS n_neardup_members,
+       |  (SELECT count(DISTINCT cluster_id) FROM cl) AS n_clusters,
+       |  count(*) - count(CASE WHEN keep = false THEN 1 END) AS n_final
+       |FROM j""".stripMargin
+
   // ---- canonical doc per near-dup cluster ----
 
   /** Cluster canonicalization — after near-dup clustering, the
@@ -2617,6 +2666,7 @@ object LlmQueries {
     "llm_minhash_recall" -> QueryDef(minhashRecall _, minhashRecallOracle),
     "llm_ppjoin" -> QueryDef(ppjoin _, ppjoinOracle),
     "llm_dedup_clusters" -> QueryDef(dedupClusters _, dedupClustersOracle),
+    "llm_dedup_report" -> QueryDef(dedupReport _, dedupReportOracle),
     "llm_ngram_jaccard" -> QueryDef(ngramJaccard _, ngramJaccardOracle),
     "llm_simhash" -> QueryDef(simhash _, simhashOracle),
     "llm_simhash_pairs" -> QueryDef(simhashPairs _, simhashPairsOracle),

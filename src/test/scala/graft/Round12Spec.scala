@@ -290,6 +290,27 @@ class Round12Spec extends AnyFunSuite {
     }
   }
 
+  // ---- llm_dedup_report ----
+
+  test("dedup report funnel is consistent with its stage entries") {
+    val dir = "/root/testdata/sf0.001"
+    val r = graft.queries.LlmQueries.dedupReport(spark, dir)
+      .collect().head
+    val nRaw = r.getAs[Long]("n_raw")
+    val nExact = r.getAs[Long]("n_exact")
+    val nFinal = r.getAs[Long]("n_final")
+    // the funnel only ever shrinks
+    assert(nRaw >= nExact && nExact >= nFinal && nFinal > 0)
+    // stage counts match the standalone stage operators
+    val d = graft.util.Tables.load(spark, dir, "documents")
+    val docsN = d.count()
+    val exactN = graft.operators.TextDedup.exactDedup(d).count()
+    assert(nRaw == docsN && nExact == exactN)
+    // every cluster has >= 2 members (a singleton is not a near-dup)
+    assert(r.getAs[Long]("n_neardup_members") >=
+      2L * r.getAs[Long]("n_clusters"))
+  }
+
   // ---- S20: snapshot store / time travel ----
 
   test("snapshot store: old versions survive append and compaction") {
