@@ -555,6 +555,85 @@ object EventsAnalytics {
         col("mean_c_pre"), col("mean_c_post"), col("did"))
   }
 
+  /** EV25: CUPED variance reduction for the [[abTest]] experiment —
+    * the standard pre-experiment-covariate adjustment (Deng et al.,
+    * WSDM'13): with X = each user's PRE-period spend and Y = the
+    * POST-period outcome, θ = cov(X,Y)/var(X) pooled across arms,
+    * and the adjusted outcome Ŷ = Y − θ(X − X̄) has variance
+    * var(Y)(1 − ρ²) — the experiment reads out with the same point
+    * estimate but tighter error bars. Period split is [[didPanel]]'s
+    * temporal midpoint; assignment is [[abTest]]'s `ab:` sha coin, so
+    * this IS the ev22 experiment re-analyzed. Users missing a period
+    * contribute 0 to that period's spend (stated; restated in SQL).
+    *
+    * Everything reduces to one corpus-sized per-user aggregate and
+    * then ONE groupless conditional-decimal-sum aggregate (n, per-arm
+    * counts, Σx, Σy, Σxy, Σx², Σy², per-arm Σx/Σy) — two exchanges
+    * total, same shape as ev22/ev24. θ, the adjusted means
+    * (meanȲ_arm = (Σ_arm y − θ(Σ_arm x − n_arm·X̄))/n_arm), and the
+    * variance-reduction ratio ρ² = cov²/(var·var) are driver-free
+    * double algebra over the gated sums, spelled once and shared with
+    * the oracle. */
+  def cuped(events: DataFrame, seed: Long = 42L,
+      userCol: String = "user_id", tsCol: String = "ts",
+      valueCol: String = "value"): DataFrame = {
+    val ev = events.select(col(userCol).as("u"),
+      col(valueCol).as("v"), unix_micros(col(tsCol)).as("us"))
+    val bounds = ev.agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
+    def dgate(c: Column) =
+      sum(c.cast(createDecimalType(28, 6))).cast("double")
+    val perUser = ev
+      .crossJoin(broadcast(bounds))
+      .withColumn("_pre", col("us") < col("mn") + expr("(mx - mn) div 2"))
+      .groupBy(col("u"))
+      .agg(
+        coalesce(dgate(when(col("_pre"), col("v"))), lit(0.0)).as("x"),
+        coalesce(dgate(when(!col("_pre"), col("v"))), lit(0.0)).as("y"))
+      .withColumn("variant",
+        when(conv(substring(sha2(
+          concat(lit(s"ab:$seed:"), col("u").cast("string")), 256),
+          1, 8), 16, 10).cast("long") % 2 === 0, "A").otherwise("B"))
+    def dsumIf(v: String, c: Column) =
+      dgate(when(col("variant") === v, c))
+    perUser
+      .agg(
+        count(lit(1)).as("n_users"),
+        count(when(col("variant") === "A", lit(1))).as("n_a"),
+        count(when(col("variant") === "B", lit(1))).as("n_b"),
+        dgate(col("x")).as("sx"), dgate(col("y")).as("sy"),
+        dgate(col("x") * col("y")).as("sxy"),
+        dgate(col("x") * col("x")).as("sxx"),
+        dgate(col("y") * col("y")).as("syy"),
+        dsumIf("A", col("x")).as("sxa"), dsumIf("A", col("y")).as("sya"),
+        dsumIf("B", col("x")).as("sxb"), dsumIf("B", col("y")).as("syb"))
+      .withColumn("nd", col("n_users").cast("double"))
+      .withColumn("na", col("n_a").cast("double"))
+      .withColumn("nb", col("n_b").cast("double"))
+      .withColumn("vx", expr(cupedVxExpr))
+      .withColumn("vy", expr(cupedVyExpr))
+      .withColumn("cxy", expr(cupedCxyExpr))
+      .withColumn("theta", expr(cupedThetaExpr))
+      .withColumn("xbar", expr("sx / nd"))
+      .withColumn("mean_adj_a", expr(cupedAdjMeanExpr("sya", "sxa", "na")))
+      .withColumn("mean_adj_b", expr(cupedAdjMeanExpr("syb", "sxb", "nb")))
+      .withColumn("diff_raw", expr("syb / nb - sya / na"))
+      .withColumn("diff_cuped", expr("mean_adj_b - mean_adj_a"))
+      .withColumn("var_reduction", expr(cupedRhoSqExpr))
+      .select(col("n_a"), col("n_b"), col("theta"),
+        col("mean_adj_a"), col("mean_adj_b"), col("diff_raw"),
+        col("diff_cuped"), col("var_reduction"))
+  }
+
+  /** CUPED algebra over the gated sums — shared verbatim with the
+    * DuckDB oracle (nd/na/nb are double casts of the counts). */
+  val cupedVxExpr: String = "(nd*sxx - sx*sx)"
+  val cupedVyExpr: String = "(nd*syy - sy*sy)"
+  val cupedCxyExpr: String = "(nd*sxy - sx*sy)"
+  val cupedThetaExpr: String = "cxy / nullif(vx, 0.0)"
+  val cupedRhoSqExpr: String = "cxy * cxy / nullif(vx * vy, 0.0)"
+  def cupedAdjMeanExpr(sy: String, sx: String, n: String): String =
+    s"($sy - theta * ($sx - $n * xbar)) / $n"
+
   /** EV8: RFM segmentation — recency/frequency/monetary quintiles
     * per user, rolled up to segment counts. Scores are rank-based
     * (ntile(5) with a user-id tie-break, so the assignment is a pure

@@ -1056,6 +1056,40 @@ object TextAnalysis {
           "(channel, n_shared_hashes, n_leaked_docs)"))
   }
 
+  /** N-gram novelty of the held-out splits vs train — the
+    * memorization-risk read next to [[splitLeakage]]'s exact-dup
+    * audit: for each of `val`/`test`, the fraction of its docs'
+    * DISTINCT word-n-gram hashes that never occur in ANY train doc
+    * (low novelty ⇒ the held-out loss is partly re-measuring
+    * memorized train text even when no doc is an exact dup). Input is
+    * the hashed corpus (doc_id, distinct hash32 array — the
+    * llm_dup_ngram_frac representation) joined to the deterministic
+    * [[splitAssign]] labels, so only 4-byte hashes cross the wire.
+    *
+    * Shape: one posting explode (materialized — it feeds both the
+    * train-set distinct and the eval probe), a hash-keyed DISTINCT
+    * over train postings, and a hash-keyed left join of the eval
+    * postings against it — all equi-shuffles on the hash; output is
+    * two rows. No corpus-sized collect, no cartesian. */
+  def ngramNovelty(hashed: DataFrame, splits: DataFrame,
+      idCol: String = "doc_id", hashesCol: String = "hs"): DataFrame = {
+    val posting = graft.util.Caches.materialize(
+      hashed.join(splits.select(col(idCol), col("split")), Seq(idCol))
+        .select(col(idCol), col("split"), explode(col(hashesCol)).as("_h")))
+    val trainSet = posting.filter(col("split") === "train")
+      .select(col("_h")).distinct()
+      .withColumn("_seen", lit(true))
+    posting.filter(col("split") =!= "train")
+      .join(trainSet, Seq("_h"), "left")
+      .groupBy(col("split"))
+      .agg(
+        countDistinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_ngrams"),
+        count(when(col("_seen").isNull, lit(1))).as("n_novel"),
+        (count(when(col("_seen").isNull, lit(1))).cast("double") /
+          count(lit(1))).as("novelty_rate"))
+  }
+
   /** Collocation mining — top-k word bigrams by pointwise mutual
     * information over the bigram event space (PMI = ln(c_xy·N /
     * (c_x•·c_•y)) with marginals taken from the bigram table itself),

@@ -218,9 +218,10 @@ object CurationQueries {
 
   // ---- deterministic train/val/test split ----
 
-  private val SplitSeed = 7L
-  private val TrainPct = 90
-  private val ValPct = 5
+  // shared with LlmQueries' novelty probe so "the split" is ONE split
+  private[queries] val SplitSeed = 7L
+  private[queries] val TrainPct = 90
+  private[queries] val ValPct = 5
 
   def splitAssign(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.splitAssign(docs(s, dir), SplitSeed, TrainPct, ValPct)

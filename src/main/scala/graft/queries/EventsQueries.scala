@@ -965,6 +965,66 @@ object EventsQueries {
        |FROM m""".stripMargin
   }
 
+  /** EV25: CUPED variance-reduced read-out of the ev22 experiment
+    * ([[EventsAnalytics.cuped]]) — pre/post midpoint split, pooled
+    * θ = cov/var, per-arm adjusted means, ρ² variance reduction; the
+    * gated sums and the whole double algebra re-derive in SQL from
+    * the SAME shared expression strings. */
+  def ev25Cuped(s: SparkSession, dir: String): DataFrame =
+    EventsAnalytics.cuped(events(s, dir), AbSeed)
+
+  val ev25Oracle: String = {
+    import graft.util.Parity.duckHex32
+    import graft.operators.EventsAnalytics._
+    s"""WITH $evCte,
+       |b AS (SELECT min(us) AS mn, max(us) AS mx FROM ev),
+       |pu AS (
+       |  SELECT user_id AS u,
+       |    coalesce(${duckDsum(
+             "CASE WHEN us < mn + (mx - mn) // 2 THEN value END")},
+       |      0.0::DOUBLE) AS x,
+       |    coalesce(${duckDsum(
+             "CASE WHEN NOT (us < mn + (mx - mn) // 2) THEN value END")},
+       |      0.0::DOUBLE) AS y
+       |  FROM ev, b GROUP BY 1
+       |),
+       |v AS (
+       |  SELECT x, y,
+       |    CASE WHEN ${duckHex32("sha")} % 2 = 0 THEN 'A' ELSE 'B' END
+       |      AS variant
+       |  FROM (SELECT x, y,
+       |    sha256('ab:$AbSeed:' || CAST(u AS VARCHAR)) AS sha FROM pu)
+       |),
+       |aggd AS (
+       |  SELECT count(*) AS n_users,
+       |    count(CASE WHEN variant = 'A' THEN 1 END) AS n_a,
+       |    count(CASE WHEN variant = 'B' THEN 1 END) AS n_b,
+       |    ${duckDsum("x")} AS sx, ${duckDsum("y")} AS sy,
+       |    ${duckDsum("x * y")} AS sxy,
+       |    ${duckDsum("x * x")} AS sxx,
+       |    ${duckDsum("y * y")} AS syy,
+       |    ${duckDsum("CASE WHEN variant = 'A' THEN x END")} AS sxa,
+       |    ${duckDsum("CASE WHEN variant = 'A' THEN y END")} AS sya,
+       |    ${duckDsum("CASE WHEN variant = 'B' THEN x END")} AS sxb,
+       |    ${duckDsum("CASE WHEN variant = 'B' THEN y END")} AS syb
+       |  FROM v
+       |),
+       |w AS (SELECT *, CAST(n_users AS DOUBLE) AS nd,
+       |  CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb FROM aggd),
+       |w2 AS (SELECT *, $cupedVxExpr AS vx, $cupedVyExpr AS vy,
+       |  $cupedCxyExpr AS cxy FROM w),
+       |w3 AS (SELECT *, $cupedThetaExpr AS theta, sx / nd AS xbar
+       |  FROM w2)
+       |SELECT n_a, n_b, theta,
+       |  ${cupedAdjMeanExpr("sya", "sxa", "na")} AS mean_adj_a,
+       |  ${cupedAdjMeanExpr("syb", "sxb", "nb")} AS mean_adj_b,
+       |  syb / nb - sya / na AS diff_raw,
+       |  (${cupedAdjMeanExpr("syb", "sxb", "nb")})
+       |    - (${cupedAdjMeanExpr("sya", "sxa", "na")}) AS diff_cuped,
+       |  $cupedRhoSqExpr AS var_reduction
+       |FROM w3""".stripMargin
+  }
+
   /** EV20: rolling actives by HLL sketch merge
     * ([[EventsAnalytics.sketchRollingActive]]) — the sketch-partial
     * scale path next to ev6's exact fan-out. Oracle: day/dau/wau are
@@ -1008,6 +1068,7 @@ object EventsQueries {
     "ev21_session_window" -> QueryDef(ev21SessionWindow _, ev21Oracle),
     "ev22_ab_test" -> QueryDef(ev22AbTest _, ev22Oracle),
     "ev24_did" -> QueryDef(ev24Did _, ev24Oracle),
+    "ev25_cuped" -> QueryDef(ev25Cuped _, ev25Oracle),
     "ev19_cohort_ltv" -> QueryDef(ev19CohortLtv _, ev19Oracle),
     "ev18_markov_attribution" -> QueryDef(ev18Markov _, None),
     "ev17_survival" -> QueryDef(ev17Survival _, ev17Oracle),

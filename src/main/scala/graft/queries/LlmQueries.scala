@@ -2247,6 +2247,51 @@ object LlmQueries {
        |FROM hashed JOIN dfreq USING (h)
        |GROUP BY doc_id""".stripMargin
 
+  // ---- held-out n-gram novelty vs train ----
+
+  /** LLM_NGRAM_NOVELTY: per held-out split (val/test), the share of
+    * its distinct doc n-gram hashes unseen in ANY train doc — the
+    * memorization-risk read on the llm_split_assign split (same seed
+    * and percents, so "the split" is one split). */
+  def ngramNovelty(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.ngramNovelty(
+      hashedCorpus(s, dir, DupNgramN),
+      TextAnalysis.splitAssign(docs(s, dir), CurationQueries.SplitSeed,
+        CurationQueries.TrainPct, CurationQueries.ValPct))
+
+  val ngramNoveltyOracle: String = {
+    import graft.util.Parity.duckHex32
+    val (seed, tr, va) = (CurationQueries.SplitSeed,
+      CurationQueries.TrainPct, CurationQueries.ValPct)
+    s"""WITH ${hashedCte(DupNgramN)},
+       |k AS (
+       |  SELECT doc_id,
+       |    sha256('split:$seed:' || CAST(doc_id AS VARCHAR)) AS sha
+       |  FROM documents
+       |),
+       |sp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN pct < $tr THEN 'train'
+       |         WHEN pct < ${tr + va} THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM (SELECT doc_id, CAST(${duckHex32("sha")} % 100 AS INT)
+       |          AS pct FROM k)
+       |),
+       |post AS (
+       |  SELECT h.doc_id, s.split, h.h
+       |  FROM hashed h JOIN sp s USING (doc_id)
+       |),
+       |tr AS (SELECT DISTINCT h FROM post WHERE split = 'train')
+       |SELECT p.split, count(DISTINCT p.doc_id) AS n_docs,
+       |  count(*) AS n_ngrams,
+       |  count(CASE WHEN t.h IS NULL THEN 1 END) AS n_novel,
+       |  count(CASE WHEN t.h IS NULL THEN 1 END)::DOUBLE / count(*)
+       |    AS novelty_rate
+       |FROM post p LEFT JOIN tr t ON p.h = t.h
+       |WHERE p.split <> 'train'
+       |GROUP BY 1""".stripMargin
+  }
+
   // ---- sliding context-window chunking ----
 
   private val ChunkTokens = 32L
@@ -2655,6 +2700,7 @@ object LlmQueries {
     "llm_dataset_card" -> QueryDef(datasetCard _, datasetCardOracle),
     "llm_topk_ngrams" -> QueryDef(topkNgrams _, topkNgramsOracle),
     "llm_dup_ngram_frac" -> QueryDef(dupNgramFrac _, dupNgramFracOracle),
+    "llm_ngram_novelty" -> QueryDef(ngramNovelty _, ngramNoveltyOracle),
     "llm_lang_balance" -> QueryDef(langBalance _, langBalanceOracle),
     "llm_chunk_stride" -> QueryDef(chunkStride _, chunkStrideOracle),
     "llm_tfidf_topterms" -> QueryDef(tfidfTopTerms _, tfidfOracle),

@@ -635,6 +635,50 @@ object VolQueries {
        |FROM (SELECT *, CAST(n_days AS DOUBLE) AS nd FROM agg)""".stripMargin
   }
 
+  def m41LeadLag(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SpotCorr.leadLagCorr(
+      SyntheticTrades.spotTicks(s, dir))
+
+  /** 15-min bar closes, strict-adjacency returns via a bucket−1
+    * self-join (no window — missing buckets yield no return), the
+    * ±3-lag pair table from a lag dimension, then m11's exact
+    * decimal-sum Pearson per lag with the SAME shared corr algebra. */
+  val m41Oracle: String = {
+    import graft.operators.SpotCorr
+    s"""WITH ${SyntheticTrades.spotCte},
+       |bars AS (
+       |  SELECT symbol, ${duckEpochS("\"timestamp\"")} // 900 AS bucket,
+       |    arg_max(close, "timestamp") AS close
+       |  FROM spot_ticks GROUP BY 1, 2
+       |),
+       |rets AS (
+       |  SELECT a.symbol, a.bucket,
+       |    CAST(a.close / b.close - 1.0 AS DECIMAL(12,8)) AS rq
+       |  FROM bars a JOIN bars b
+       |    ON a.symbol = b.symbol AND b.bucket = a.bucket - 1
+       |),
+       |x AS (SELECT bucket, rq AS xq FROM rets WHERE symbol = 'BTC'),
+       |y AS (SELECT bucket, rq AS yq FROM rets WHERE symbol = 'ETH'),
+       |lags AS (SELECT unnest(range(-3, 4)) AS lag),
+       |pairs AS (
+       |  SELECT l.lag, x.xq, y.yq
+       |  FROM x JOIN lags l ON true
+       |  JOIN y ON y.bucket = x.bucket + l.lag
+       |),
+       |agg AS (
+       |  SELECT lag, count(*) AS n_pairs,
+       |    CAST(CAST(sum(xq) AS DECIMAL(24,16)) AS DOUBLE) AS sx,
+       |    CAST(CAST(sum(yq) AS DECIMAL(24,16)) AS DOUBLE) AS sy,
+       |    CAST(CAST(sum(xq * yq) AS DECIMAL(24,16)) AS DOUBLE) AS sxy,
+       |    CAST(CAST(sum(xq * xq) AS DECIMAL(24,16)) AS DOUBLE) AS sxx,
+       |    CAST(CAST(sum(yq * yq) AS DECIMAL(24,16)) AS DOUBLE) AS syy
+       |  FROM pairs GROUP BY 1
+       |)
+       |SELECT CAST(lag AS INT) AS lag, n_pairs,
+       |  ${SpotCorr.corrExpr} AS corr_lag
+       |FROM (SELECT *, CAST(n_pairs AS DOUBLE) AS nd FROM agg)""".stripMargin
+  }
+
   def a23MaxPain(s: SparkSession, dir: String): DataFrame =
     graft.operators.MaxPain.maxPain(trades(s, dir))
 
@@ -851,6 +895,7 @@ object VolQueries {
     "a24_mad_outliers" -> QueryDef(a24MadOutliers _, a24Oracle),
     "m10_smile_fit" -> QueryDef(m10SmileFit _, m10Oracle),
     "m11_realized_corr" -> QueryDef(m11RealizedCorr _, m11Oracle),
+    "m41_lead_lag" -> QueryDef(m41LeadLag _, m41Oracle),
     "m7_realized_vol" -> QueryDef(m7RealizedVol _, m7Oracle),
     "m39_jump_test" -> QueryDef(m39JumpTest _, m39Oracle),
     "m40_vol_of_vol" -> QueryDef(m40VolOfVol _, m40Oracle),

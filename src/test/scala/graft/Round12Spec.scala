@@ -364,4 +364,71 @@ class Round12Spec extends AnyFunSuite {
     assert(back == Seq((1L, 10L, 9.0), (2L, 10L, 9.0),
       (3L, 11L, 3.0), (4L, 12L, 4.0)))
   }
+
+  // ---- M41: lead-lag cross-correlogram ----
+
+  test("leadLagCorr peaks at the planted lead") {
+    // ETH's bar return at bucket b+1 EQUALS BTC's at b: the
+    // correlogram must read ~1.0 at lag +1 and stay small elsewhere.
+    val rng = new scala.util.Random(11)
+    val rets = Vector.fill(300)(0.01 * rng.nextGaussian())
+    def closes(shift: Int): Vector[Double] =
+      rets.drop(shift).scanLeft(100.0)((p, r) => p * (1.0 + r))
+    val btc = closes(1) // BTC sees return r_{t+1} at bar t
+    val eth = closes(0) // ETH sees it one bar later
+    val ticks =
+      btc.zipWithIndex.map { case (c, i) => ("BTC", ts(i * 900L), c) } ++
+      eth.zipWithIndex.map { case (c, i) => ("ETH", ts(i * 900L), c) }
+    val out = graft.operators.SpotCorr
+      .leadLagCorr(ticks.toDF("symbol", "timestamp", "close"))
+      .collect().map(r => r.getAs[Int]("lag") -> r.getAs[Double]("corr_lag"))
+      .toMap
+    assert(out.size == 7)
+    assert(out(1) > 0.98, s"corr at +1 = ${out(1)}")
+    assert(math.abs(out(0)) < 0.2 && math.abs(out(-1)) < 0.2,
+      s"off-peak: ${out(0)}, ${out(-1)}")
+  }
+
+  // ---- EV25: CUPED ----
+
+  test("cuped removes pre-period imbalance and reports the variance cut") {
+    // Post spend is EXACTLY 2x pre spend per user: theta -> 2, the
+    // adjusted outcome is constant (rho^2 -> 1), so the CUPED diff
+    // vanishes even though raw arm means differ by sampling noise.
+    val rng = new scala.util.Random(3)
+    val pre = ts(0L)
+    val post = ts(200000L) // past the midpoint of [0, 200000]
+    val rows = (1 to 400).flatMap { u =>
+      val a = 50.0 + 40.0 * rng.nextDouble()
+      Seq((u.toLong, "buy", pre, a), (u.toLong, "buy", post, 2.0 * a))
+    }
+    val ev = rows.toDF("user_id", "event_type", "ts", "value")
+    val r = graft.operators.EventsAnalytics.cuped(ev).collect().head
+    val theta = r.getAs[Double]("theta")
+    assert(math.abs(theta - 2.0) < 1e-3, s"theta=$theta")
+    assert(r.getAs[Double]("var_reduction") > 0.999)
+    val raw = math.abs(r.getAs[Double]("diff_raw"))
+    val adj = math.abs(r.getAs[Double]("diff_cuped"))
+    assert(raw > 0.0) // sampling imbalance exists
+    assert(adj < raw / 100.0, s"adj=$adj raw=$raw")
+  }
+
+  // ---- llm_ngram_novelty ----
+
+  test("ngramNovelty: verbatim reuse scores 0, fresh text scores 1") {
+    val trainText = (1 to 20).map(i => s"w$i").mkString(" ")
+    val freshText = (1 to 20).map(i => s"z$i").mkString(" ")
+    val docs = Seq(
+      (1L, trainText), (2L, trainText), (3L, freshText))
+      .toDF("doc_id", "text")
+    val hashed = docs.select(col("doc_id"),
+      graft.functions.TextHashColumns.ngramHashes(col("text"), 8).as("hs"))
+    val splits = Seq((1L, "train"), (2L, "val"), (3L, "test"))
+      .toDF("doc_id", "split")
+    val out = graft.operators.TextAnalysis.ngramNovelty(hashed, splits)
+      .collect().map(r => r.getAs[String]("split") ->
+        (r.getAs[Long]("n_novel"), r.getAs[Double]("novelty_rate"))).toMap
+    assert(out("val") == ((0L, 0.0)))
+    assert(out("test")._2 == 1.0)
+  }
 }
