@@ -634,6 +634,55 @@ object EventsAnalytics {
   def cupedAdjMeanExpr(sy: String, sx: String, n: String): String =
     s"($sy - theta * ($sx - $n * xbar)) / $n"
 
+  /** χ²(df=1) critical value at p = 0.001 — the SRM alarm level
+    * experimentation platforms standardize on (Fabijan et al.,
+    * KDD'19: a true 50/50 coin trips it one run in a thousand, while
+    * real assignment/logging bugs blow far past it). */
+  val SrmChi2Crit: Double = 10.827566170662733
+
+  /** Two-cell χ² goodness-of-fit against the designed 50/50 split:
+    * with E = (na+nb)/2, Σ(obs−E)²/E collapses to (na−nb)²/(na+nb).
+    * Shared text — pure double algebra on count casts. */
+  val srmChi2Expr: String = "((na - nb) * (na - nb)) / (na + nb)"
+
+  /** EV26: sample-ratio-mismatch guardrail for the [[abTest]]
+    * experiment — per segment (the event-type dimension), the χ²
+    * test of the observed A/B user split against the designed 50/50.
+    * SRM is the canonical "your experiment is broken" alarm: the
+    * assignment coin is fine by construction, so a tripped segment
+    * means users were LOGGED asymmetrically (lost exposures, bot
+    * filtering, triggering bugs) and every read-out over that segment
+    * is suspect. Per-segment rather than global because that is how
+    * the bias is localized in practice. The coin is ev22's exact sha
+    * bucket (same prefix and seed), so a user is in one arm across
+    * every entry of the family.
+    *
+    * Shape: one DISTINCT over (segment, user) — corpus-sized
+    * equi-shuffle with partial aggregation — then a segment-keyed
+    * conditional count. No window, no join. */
+  def srmCheck(events: DataFrame, seed: Long = 42L,
+      userCol: String = "user_id", segmentCol: String = "event_type")
+      : DataFrame = {
+    val su = events
+      .select(col(segmentCol).as("segment"), col(userCol).as("u"))
+      .distinct()
+      .withColumn("variant",
+        when(conv(substring(sha2(
+          concat(lit(s"ab:$seed:"), col("u").cast("string")), 256),
+          1, 8), 16, 10).cast("long") % 2 === 0, "A").otherwise("B"))
+    su.groupBy(col("segment"))
+      .agg(
+        count(when(col("variant") === "A", lit(1))).as("n_a"),
+        count(when(col("variant") === "B", lit(1))).as("n_b"))
+      .withColumn("na", col("n_a").cast("double"))
+      .withColumn("nb", col("n_b").cast("double"))
+      .withColumn("share_a", expr("na / (na + nb)"))
+      .withColumn("chi2_srm", expr(srmChi2Expr))
+      .withColumn("srm_flag", col("chi2_srm") > lit(SrmChi2Crit))
+      .select(col("segment"), col("n_a"), col("n_b"), col("share_a"),
+        col("chi2_srm"), col("srm_flag"))
+  }
+
   /** EV8: RFM segmentation — recency/frequency/monetary quintiles
     * per user, rolled up to segment counts. Scores are rank-based
     * (ntile(5) with a user-id tie-break, so the assignment is a pure

@@ -224,4 +224,136 @@ object RealizedVol {
         when(col("rv_cc") > 0.0 && col("n_returns") >= 2,
           greatest(lit(0.0), lit(1.0) - col("bv") / col("rv_cc"))))
   }
+
+  /** M42: realized semivariance per (underlying, day) —
+    * Barndorff-Nielsen, Kinnebrock & Shephard (2010): rv splits
+    * EXACTLY into the upside leg rsv⁺ = Σ r²·1{r>0} and the downside
+    * leg rsv⁻ = Σ r²·1{r<0} (zero returns contribute to neither leg
+    * and nothing to rv — the split is an identity on the quantized
+    * decimal sums, not an approximation), and the signed jump
+    * variation sjv = rsv⁺ − rsv⁻ isolates jump asymmetry — the
+    * downside leg is the one that forecasts (bad-news vol).
+    * `down_share` = rsv⁻/rv is null on zero-variance days.
+    *
+    * Same two-exchange shape and quantize-then-decimal-sum parity
+    * contract as [[dailyEstimators]]; the up/down split is a
+    * conditional sum inside the SAME aggregate, not a second pass. */
+  def semivariance(trades: DataFrame, intervalSec: Long = 900L)
+      : DataFrame = {
+    val byDay = Window
+      .partitionBy(col("underlying"), col("day_start"))
+      .orderBy(col("bucket_start"))
+    val c = col("close")
+    priceBars(trades, intervalSec)
+      .withColumn("day_start",
+        col("bucket_start") - col("bucket_start") % 86400L)
+      .withColumn("_r", log(c / lag(c, 1).over(byDay)))
+      .withColumn("_r2", Parity.roundTo(col("_r") * col("_r"), 6))
+      .groupBy(col("underlying"), col("day_start"))
+      .agg(
+        count(col("_r")).as("n_returns"),
+        coalesce(Parity.dsum(col("_r2")), lit(0.0)).as("rv_cc"),
+        coalesce(Parity.dsum(when(col("_r") > 0, col("_r2"))), lit(0.0))
+          .as("rsv_up"),
+        coalesce(Parity.dsum(when(col("_r") < 0, col("_r2"))), lit(0.0))
+          .as("rsv_down"))
+      .withColumn("signed_jump", col("rsv_up") - col("rsv_down"))
+      .withColumn("down_share",
+        col("rsv_down") / nullif(col("rv_cc"), lit(0.0)))
+  }
+
+  /** M44: overnight/intraday variance split per underlying — the
+    * classic French–Roll decomposition: the overnight return
+    * r_on = ln(open_d / close_{d−1}) carries news with no trading;
+    * the intraday return r_id = ln(close_d / open_d) carries trading.
+    * `overnight_share` = var_on/(var_on + var_id) reads how much of
+    * total variance accrues while the book is closed (for crypto:
+    * across the daily boundary). Sample variances come from
+    * DECIMAL(10,6)-quantized returns via DECIMAL(24,12)-gated moment
+    * sums (the m40 idiom) with the shared Welch variance spelling.
+    *
+    * Shape: ONE corpus-sized aggregate to daily open/close, then a
+    * days-sized lag window and a per-underlying aggregate. Days with
+    * no previous close contribute only the intraday leg (count
+    * asymmetry stated by n_on vs n_days, restated by the oracle). */
+  def overnightIntraday(trades: DataFrame): DataFrame = {
+    val d6 = org.apache.spark.sql.types.DataTypes.createDecimalType(10, 6)
+    val d24 = org.apache.spark.sql.types.DataTypes.createDecimalType(24, 12)
+    val ep = unix_timestamp(col("timestamp"))
+    val daily = trades
+      .filter(col("price") > 0)
+      .withColumn("day_start", ep - ep % 86400L)
+      .groupBy(col("underlying"), col("day_start"))
+      .agg(min_by(col("price"), col("timestamp")).as("open"),
+        max_by(col("price"), col("timestamp")).as("close"))
+    val w = Window.partitionBy(col("underlying")).orderBy(col("day_start"))
+    val dbl = (c: org.apache.spark.sql.Column) => c.cast(d24).cast("double")
+    daily
+      .withColumn("_pc", lag(col("close"), 1).over(w))
+      .withColumn("on_q",
+        Parity.roundTo(log(col("open") / col("_pc")), 6).cast(d6))
+      .withColumn("id_q",
+        Parity.roundTo(log(col("close") / col("open")), 6).cast(d6))
+      .groupBy(col("underlying"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        count(col("on_q")).as("n_on"),
+        dbl(sum(col("on_q"))).as("_so"),
+        dbl(sum(col("on_q") * col("on_q"))).as("_qo"),
+        dbl(sum(col("id_q"))).as("_si"),
+        dbl(sum(col("id_q") * col("id_q"))).as("_qi"))
+      .withColumn("no", col("n_on").cast("double"))
+      .withColumn("nd", col("n_days").cast("double"))
+      .withColumn("var_overnight",
+        expr(EventsAnalytics.welchVarExpr("_qo", "_so", "no")))
+      .withColumn("var_intraday",
+        expr(EventsAnalytics.welchVarExpr("_qi", "_si", "nd")))
+      .withColumn("overnight_share", expr(
+        "var_overnight / nullif(var_overnight + var_intraday, 0.0)"))
+      .select(col("underlying"), col("n_days"), col("n_on"),
+        col("var_overnight"), col("var_intraday"), col("overnight_share"))
+  }
+
+  /** M43: RV signature plot per underlying — realized variance as a
+    * function of the sampling interval (Andersen, Bollerslev, Diebold
+    * & Labys 2000). For a semimartingale price, RV is flat in the
+    * interval; microstructure noise bends it up at fine grids — the
+    * plot IS how a desk picks the m7 bar width.
+    *
+    * Scale shape: ONE corpus-sized aggregate builds the finest
+    * (min(intervals)) bar table; every coarser frequency re-derives
+    * from those bars — the coarse close is the close of the last
+    * non-empty fine bar (`max_by(close, fine_bucket)`), exact because
+    * the coarse bucket's last trade lives in its last non-empty fine
+    * bar. The fine-bar frame is materialized once and each coarser
+    * pass is bar-sized, so adding frequencies costs no extra corpus
+    * scans. Returns are m7's day-partitioned lag chain; r² terms are
+    * 6-dp-quantized before the exact decimal sum. */
+  def signaturePlot(trades: DataFrame,
+      intervals: Seq[Long] = Seq(60L, 300L, 900L, 3600L)): DataFrame = {
+    val fine = intervals.min
+    val bars = graft.util.Caches.materialize(
+      priceBars(trades, fine)
+        .select(col("underlying"), col("bucket_start").as("fb"),
+          col("close")))
+    val frames = intervals.map { iv =>
+      val byDay = Window
+        .partitionBy(col("underlying"),
+          (col("cb") - col("cb") % 86400L))
+        .orderBy(col("cb"))
+      bars
+        .groupBy(col("underlying"), (col("fb") - col("fb") % iv).as("cb"))
+        .agg(max_by(col("close"), col("fb")).as("close"))
+        .withColumn("_r", log(col("close") / lag(col("close"), 1).over(byDay)))
+        .withColumn("_r2", Parity.roundTo(col("_r") * col("_r"), 6))
+        .groupBy(col("underlying"))
+        .agg(
+          count(col("_r")).as("n_returns"),
+          coalesce(Parity.dsum(col("_r2")), lit(0.0)).as("rv"))
+        .withColumn("interval_sec", lit(iv))
+    }
+    frames.reduce(_.unionByName(_))
+      .select(col("underlying"), col("interval_sec"), col("n_returns"),
+        col("rv"))
+  }
 }

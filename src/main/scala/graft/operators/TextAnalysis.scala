@@ -1090,6 +1090,63 @@ object TextAnalysis {
           count(lit(1))).as("novelty_rate"))
   }
 
+  /** Unigram-distribution drift between train and each held-out
+    * split — the covariate-shift audit next to [[ngramNovelty]]'s
+    * memorization read: add-one-smoothed KL divergence in BOTH
+    * directions over the union vocabulary of (train, split). High
+    * KL(eval‖train) says the held-out loss is measured on text the
+    * model never saw the like of; both near zero says the split is
+    * distributionally clean. Terms are 6-dp-quantized before the
+    * exact decimal sum (the entropy-family contract: the value is a
+    * deterministic ≈, identical on both engines).
+    *
+    * Shape: ONE corpus-sized token shuffle collapses to the
+    * (split, word) count table (Heaps-bounded); each eval split is a
+    * vocab-sized full-outer join against the train counts plus a
+    * one-row totals broadcast. Output = one row per eval split. */
+  def klDrift(docs: DataFrame, splits: DataFrame,
+      evalSplits: Seq[String] = Seq("val", "test"),
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val counts = graft.util.Caches.materialize(
+      docs.join(splits.select(col(idCol), col("split")), Seq(idCol))
+        .select(col("split"),
+          explode(TextDedup.words(col(textCol))).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("split"), col("w"))
+        .agg(count(lit(1)).as("c")))
+    val train = counts.filter(col("split") === "train")
+      .select(col("w"), col("c").as("ct"))
+    val frames = evalSplits.map { sp =>
+      val ev = counts.filter(col("split") === sp)
+        .select(col("w"), col("c").as("ce"))
+      val u = ev.join(train, Seq("w"), "full_outer")
+        .select(coalesce(col("ce"), lit(0L)).as("ce"),
+          coalesce(col("ct"), lit(0L)).as("ct"))
+      val tots = u.agg(sum(col("ce")).as("ns"), sum(col("ct")).as("nt"),
+        count(lit(1)).as("v"))
+      u.crossJoin(broadcast(tots))
+        .withColumn("q", expr(klQExpr))
+        .withColumn("p", expr(klPExpr))
+        .select(col("v"), col("ns"), col("nt"),
+          graft.util.Parity.roundTo(
+            col("q") * log(col("q") / col("p")), 6).as("_tq"),
+          graft.util.Parity.roundTo(
+            col("p") * log(col("p") / col("q")), 6).as("_tp"))
+        .groupBy(col("v"), col("ns"), col("nt"))
+        .agg(graft.util.Parity.dsum(col("_tq")).as("kl_eval_train"),
+          graft.util.Parity.dsum(col("_tp")).as("kl_train_eval"))
+        .select(lit(sp).as("split"), col("v").as("n_vocab"),
+          col("ns").as("n_tokens_eval"), col("nt").as("n_tokens_train"),
+          col("kl_eval_train"), col("kl_train_eval"))
+    }
+    frames.reduce(_.unionByName(_))
+  }
+
+  /** Add-one smoothing over the union vocab — shared text with the
+    * oracle (long + double literal promotes identically). */
+  val klQExpr: String = "(ce + 1.0) / (ns + v)"
+  val klPExpr: String = "(ct + 1.0) / (nt + v)"
+
   /** Collocation mining — top-k word bigrams by pointwise mutual
     * information over the bigram event space (PMI = ln(c_xy·N /
     * (c_x•·c_•y)) with marginals taken from the bigram table itself),

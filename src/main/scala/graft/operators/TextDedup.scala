@@ -357,6 +357,47 @@ object TextDedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Asymmetric n-gram CONTAINMENT pairs — the sub-document dup read
+    * Jaccard misses: a short doc quoted whole inside a long one has
+    * tiny Jaccard (the union is long-doc-sized) but containment
+    * C(A,B) = |A∩B|/|A| ≈ 1. Emits, per candidate pair above the
+    * max-containment threshold, both directed containments plus the
+    * dominant direction (Broder's resemblance-vs-containment split,
+    * the dedup literature's standard pairing). Same inverted-index
+    * shape, candidates, and df cap as [[invertedIndexPairs]] — only
+    * the final similarity algebra differs, so the scale story
+    * (posting equi-joins, no all-pairs) is identical. */
+  def containmentPairs(
+      corpus: DataFrame,
+      idCol: String = "doc_id",
+      maxDf: Int = 20,
+      threshold: Double = 0.9,
+      tokensCol: String = "shingles"): DataFrame = {
+    val cachedCorpus = materialize(corpus)
+    val posting = cachedCorpus
+      .select(col(idCol), explode(col(tokensCol)).as("shingle"))
+    val rare = posting.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("_df"))
+      .filter(col("_df") <= maxDf)
+      .select(col("shingle"))
+    val pruned = materialize(posting.join(rare, "shingle"))
+    val sizes = pruned.groupBy(col(idCol)).agg(count(lit(1)).as("_sz"))
+    val common = pruned.select(col(idCol).as("id_a"), col("shingle"))
+      .join(pruned.select(col(idCol).as("id_b"), col("shingle")), "shingle")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("_common"))
+    common
+      .join(sizes.select(col(idCol).as("id_a"), col("_sz").as("_sz_a")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("_sz").as("_sz_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (col("_common").cast("double") / col("_sz_a")).as("contain_a_in_b"),
+        (col("_common").cast("double") / col("_sz_b")).as("contain_b_in_a"))
+      .withColumn("containment",
+        greatest(col("contain_a_in_b"), col("contain_b_in_a")))
+      .filter(col("containment") >= threshold)
+  }
+
   /** EXACT all-pairs Jaccard similarity join via PREFIX FILTERING
     * (SSJoin/PPJoin, Chaudhuri et al. 2006 / Xiao et al. 2008) — the
     * complete pair set at `threshold`, WITHOUT the df cap

@@ -256,6 +256,126 @@ object VectorOps {
     best
   }
 
+  /** TwoNN intrinsic-dimension estimate (Facco et al. 2017) — the
+    * embedding-health read before trusting ANN/clustering geometry:
+    * for each probe vector, the ratio μ = d₂/d₁ of its two nearest
+    * neighbors' distances is Pareto(id) under local uniformity, so
+    * the MLE is id = n / Σ ln μ. A LOW id versus the ambient
+    * dimension says the manifold is compressible (PCA/MRL truncation
+    * is safe); id collapsing toward 0 says the corpus is riddled
+    * with near-duplicates.
+    *
+    * Works on SQUARED distances (ln μ = ½ ln(q₂/q₁), so
+    * id = 2n / Σ ln(q₂/q₁)) — no sqrt anywhere, and the squared-L2
+    * expands to dot products so the codegen'd [[dot]] kernel carries
+    * the whole scan. Probes with q₁ ≤ 0 (exact dups of a corpus
+    * vector) are dropped — stated, and restated by the oracle. Same
+    * bounded-broadcast shape as [[annTopK]]: probes broadcast, one
+    * corpus pass, per-probe top-2 window; the ANN family is the
+    * shortlist path when the probe set itself must scale. ln ratios
+    * are 6-dp-quantized before the exact decimal sum. */
+  def intrinsicDim(corpus: DataFrame, queries: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("_qv")))
+    val qd = dot(col("_qv"), col("_qv")) -
+      lit(2.0) * dot(col("_qv"), col("_cv")) +
+      dot(col("_cv"), col("_cv"))
+    val scored = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
+      .join(q, col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), qd.as("_q"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("_q"), col("neighbor_id"))
+    scored
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= 2)
+      .groupBy(col("query_id"))
+      .agg(min(when(col("_rn") === 1, col("_q"))).as("q1"),
+        min(when(col("_rn") === 2, col("_q"))).as("q2"))
+      .filter(col("q1") > 0 && col("q2") > 0)
+      .withColumn("_lr",
+        graft.util.Parity.roundTo(log(col("q2") / col("q1")), 6))
+      .agg(count(lit(1)).as("n_probes"),
+        graft.util.Parity.dsum(col("_lr")).as("sum_log_ratio"))
+      .withColumn("id_twonn",
+        expr("2.0 * n_probes / nullif(sum_log_ratio, 0.0)"))
+  }
+
+  /** Cluster-quality panel over the [[kmeansCentroids]] clustering —
+    * the read a curator runs before trusting cluster-partitioned ops
+    * (SemDeDup, IVF): per NON-EMPTY cluster, the member count, the
+    * scatter S_c (mean member→centroid L2 distance), the distance to
+    * the nearest other non-empty centroid, and the Davies–Bouldin
+    * term max_{j≠c} (S_c+S_j)/M_cj (DB index = its mean; lower =
+    * tighter, better-separated clusters; null when only one cluster
+    * survives).
+    *
+    * Scale shape: training is [[kmeansCentroids]] (broadcast
+    * centroids, streaming reduce); the panel itself is ONE map pass
+    * (assignment + distance — the same left-to-right squared-L2 fold
+    * the quantizer uses, so the oracle's list_reduce recomputes it
+    * bit-identically) and one k-row aggregate; the k×k centroid
+    * geometry is driver math joined back as a literal table. Echo +
+    * verify gate: only the trained centroids are echoed — DuckDB
+    * re-derives assignment, scatter, and the DB terms from raw
+    * embeddings. Per-member distances are 6-dp-quantized before the
+    * exact decimal mean (the dsum contract); centroid-pair distances
+    * stay raw doubles (identical IEEE op sequence on identical
+    * echoed literals on both engines). */
+  def clusterMetrics(corpus: DataFrame, k: Int, iters: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      : (Array[Array[Double]], DataFrame) = {
+    val cents = kmeansCentroids(corpus, k, iters, idCol, vecCol)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(cents)
+    val assigned = corpus
+      .select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .map { case (_, v) =>
+        val c = nearestCentroid(v, bc.value)
+        val ct = bc.value(c)
+        var d = 0.0; var i = 0
+        while (i < ct.length) {
+          val diff = v(i) - ct(i); d += diff * diff; i += 1
+        }
+        (c, math.sqrt(d))
+      }
+      .toDF("cluster_id", "_d")
+    val per = assigned
+      .withColumn("_dq", graft.util.Parity.roundTo(col("_d"), 6))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        (graft.util.Parity.dsum(col("_dq")) / count(lit(1)))
+          .as("scatter"))
+    // k x k centroid geometry — driver-sized by construction
+    val centDist = spark.createDataFrame(
+      for {
+        ci <- cents.indices
+        cj <- cents.indices if ci != cj
+      } yield {
+        var d = 0.0; var i = 0
+        while (i < cents(ci).length) {
+          val diff = cents(ci)(i) - cents(cj)(i); d += diff * diff; i += 1
+        }
+        (ci, cj, math.sqrt(d))
+      }).toDF("ci", "cj", "m")
+    val other = per.select(col("cluster_id").as("cj"),
+      col("scatter").as("_sj"))
+    val terms = per
+      .join(broadcast(centDist), col("cluster_id") === col("ci"))
+      .join(other, "cj")
+      .groupBy(col("cluster_id"))
+      .agg(min(col("m")).as("min_sep"),
+        max((col("scatter") + col("_sj")) / col("m")).as("db_term"))
+    (cents,
+      per.join(terms, Seq("cluster_id"), "left")
+        .select(col("cluster_id"), col("n_members"), col("scatter"),
+          col("min_sep"), col("db_term")))
+  }
+
   /** Exact-cosine re-rank of a (query_id, neighbor_id) shortlist:
     * fetch both vectors by id, score, and keep the per-query top-k
     * by (cosine desc, neighbor id). This is the plain-SQL tail every

@@ -1025,6 +1025,42 @@ object EventsQueries {
        |FROM w3""".stripMargin
   }
 
+  /** EV26: sample-ratio-mismatch guardrail
+    * ([[EventsAnalytics.srmCheck]]) — per-segment χ² of the A/B user
+    * split against the designed 50/50, flagged at the p = 0.001
+    * platform-standard level; the χ² algebra and the critical value
+    * are SHARED text so the raw doubles hash-match. */
+  def ev26Srm(s: SparkSession, dir: String): DataFrame =
+    EventsAnalytics.srmCheck(events(s, dir), AbSeed)
+
+  val ev26Oracle: String = {
+    import graft.util.Parity.duckHex32
+    import graft.operators.EventsAnalytics.{srmChi2Expr, SrmChi2Crit}
+    s"""WITH su AS (
+       |  SELECT DISTINCT event_type AS segment, user_id AS u
+       |  FROM events
+       |),
+       |v AS (
+       |  SELECT segment,
+       |    CASE WHEN ${duckHex32("sha")} % 2 = 0 THEN 'A' ELSE 'B' END
+       |      AS variant
+       |  FROM (SELECT segment,
+       |    sha256('ab:$AbSeed:' || CAST(u AS VARCHAR)) AS sha FROM su)
+       |),
+       |a AS (
+       |  SELECT segment,
+       |    count(CASE WHEN variant = 'A' THEN 1 END) AS n_a,
+       |    count(CASE WHEN variant = 'B' THEN 1 END) AS n_b
+       |  FROM v GROUP BY 1
+       |),
+       |b AS (SELECT *, CAST(n_a AS DOUBLE) AS na,
+       |  CAST(n_b AS DOUBLE) AS nb FROM a)
+       |SELECT segment, n_a, n_b, na / (na + nb) AS share_a,
+       |  $srmChi2Expr AS chi2_srm,
+       |  ($srmChi2Expr) > ${duckDoubleLit(SrmChi2Crit)} AS srm_flag
+       |FROM b""".stripMargin
+  }
+
   /** EV20: rolling actives by HLL sketch merge
     * ([[EventsAnalytics.sketchRollingActive]]) — the sketch-partial
     * scale path next to ev6's exact fan-out. Oracle: day/dau/wau are
@@ -1069,6 +1105,7 @@ object EventsQueries {
     "ev22_ab_test" -> QueryDef(ev22AbTest _, ev22Oracle),
     "ev24_did" -> QueryDef(ev24Did _, ev24Oracle),
     "ev25_cuped" -> QueryDef(ev25Cuped _, ev25Oracle),
+    "ev26_srm" -> QueryDef(ev26Srm _, ev26Oracle),
     "ev19_cohort_ltv" -> QueryDef(ev19CohortLtv _, ev19Oracle),
     "ev18_markov_attribution" -> QueryDef(ev18Markov _, None),
     "ev17_survival" -> QueryDef(ev17Survival _, ev17Oracle),

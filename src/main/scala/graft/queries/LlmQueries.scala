@@ -528,6 +528,91 @@ object LlmQueries {
        |JOIN sizes y ON y.doc_id = id_b
        |WHERE cm::DOUBLE / (x.sz + y.sz - cm) >= $JaccardThreshold""".stripMargin
 
+  // ---- asymmetric n-gram containment ----
+
+  private val ContainThreshold = 0.5
+
+  /** LLM_CONTAINMENT: directed n-gram containment pairs
+    * ([[TextDedup.containmentPairs]]) — the sub-document dup read
+    * (short doc quoted whole inside a long one: Jaccard tiny,
+    * containment ≈ 1). Same inverted-index candidates and df cap as
+    * `llm_ngram_jaccard`; only the similarity algebra differs. */
+  def containment(s: SparkSession, dir: String): DataFrame =
+    TextDedup.containmentPairs(hashedCorpus(s, dir, NgramN),
+      maxDf = MaxDf, threshold = ContainThreshold, tokensCol = "hs")
+
+  val containmentOracle: String =
+    s"""WITH ${hashedCte(NgramN)},
+       |rare AS (
+       |  SELECT h FROM hashed GROUP BY 1 HAVING count(*) <= $MaxDf
+       |),
+       |pruned AS (SELECT doc_id, h FROM hashed JOIN rare USING (h)),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM pruned GROUP BY 1),
+       |common AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS cm
+       |  FROM pruned a JOIN pruned b USING (h)
+       |  WHERE a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT * FROM (
+       |  SELECT id_a, id_b,
+       |    cm::DOUBLE / x.sz AS contain_a_in_b,
+       |    cm::DOUBLE / y.sz AS contain_b_in_a,
+       |    greatest(cm::DOUBLE / x.sz, cm::DOUBLE / y.sz) AS containment
+       |  FROM common
+       |  JOIN sizes x ON x.doc_id = id_a
+       |  JOIN sizes y ON y.doc_id = id_b
+       |) WHERE containment >= $ContainThreshold""".stripMargin
+
+  // ---- TwoNN intrinsic dimension ----
+
+  private val TwoNnProbes = 64
+
+  /** LLM_INTRINSIC_DIM: TwoNN intrinsic-dimension MLE over the
+    * embedding corpus ([[VectorOps.intrinsicDim]]) — probes are the
+    * bounded lowest-id set (the ANN-family recipe), the whole squared-
+    * distance scan runs on the codegen'd dot kernel, and DuckDB
+    * re-derives probe top-2s, the q₁>0 drop rule, and the quantized
+    * ln-ratio sum from raw embeddings. */
+  def intrinsicDim(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    VectorOps.intrinsicDim(e, e.filter(col("vec_id") < TwoNnProbes))
+  }
+
+  val intrinsicDimOracle: String = {
+    import graft.util.Parity.{duckDsum, duckRoundTo}
+    def fold(x: String, y: String) =
+      s"""list_reduce(list_transform(range(1, len($x) + 1),
+         |      i -> $x[i]::DOUBLE * $y[i]::DOUBLE), (acc, v) -> acc + v)"""
+        .stripMargin
+    val qd = s"${fold("qv", "qv")} - 2.0 * ${fold("qv", "e.embedding")}" +
+      s" + ${fold("e.embedding", "e.embedding")}"
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+       |  WHERE vec_id < $TwoNnProbes
+       |),
+       |scored AS (
+       |  SELECT query_id, e.vec_id AS neighbor_id, $qd AS qd
+       |  FROM embeddings e JOIN q ON e.vec_id <> q.query_id
+       |),
+       |nn AS (
+       |  SELECT query_id,
+       |    min(CASE WHEN rn = 1 THEN qd END) AS q1,
+       |    min(CASE WHEN rn = 2 THEN qd END) AS q2
+       |  FROM (SELECT *, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY qd, neighbor_id) AS rn
+       |    FROM scored)
+       |  WHERE rn <= 2 GROUP BY 1
+       |),
+       |f AS (
+       |  SELECT ${duckRoundTo("ln(q2 / q1)", 6)} AS lr
+       |  FROM nn WHERE q1 > 0 AND q2 > 0
+       |)
+       |SELECT count(*) AS n_probes, ${duckDsum("lr")} AS sum_log_ratio,
+       |  2.0 * count(*) / nullif(${duckDsum("lr")}, 0.0) AS id_twonn
+       |FROM f""".stripMargin
+  }
+
   // ---- SimHash ----
 
   def simhash(s: SparkSession, dir: String): DataFrame = {
@@ -1698,6 +1783,73 @@ object LlmQueries {
          |FROM assigned a LEFT JOIN dups d ON d.vec_id = a.vec_id""".stripMargin
     }
 
+  /** LLM_CLUSTER_METRICS: cluster-quality panel over the SemDeDup
+    * k-means clustering ([[VectorOps.clusterMetrics]]) — per-cluster
+    * size, scatter, nearest-centroid separation, and Davies–Bouldin
+    * term. Echo+verify: DuckDB re-derives assignment (same squared-L2
+    * fold, lowest-index ties), the 6-dp-quantized scatter means, and
+    * the k×k DB geometry from the echoed centroids. */
+  def clusterMetrics(s: SparkSession, dir: String): DataFrame = {
+    val (cents, out) =
+      VectorOps.clusterMetrics(emb(s, dir), SemDedupClusters)
+    DynamicOracles.put("llm_cluster_metrics", clusterMetricsOracle(cents))
+    out
+  }
+
+  private def clusterMetricsOracle(cents: Array[Array[Double]]): String =
+    if (cents.isEmpty)
+      """SELECT CAST(NULL AS INT) AS cluster_id,
+        |  CAST(NULL AS BIGINT) AS n_members,
+        |  CAST(NULL AS DOUBLE) AS scatter,
+        |  CAST(NULL AS DOUBLE) AS min_sep, CAST(NULL AS DOUBLE) AS db_term
+        |WHERE false""".stripMargin
+    else {
+      val values = cents.zipWithIndex.map { case (v, c) =>
+        s"($c, [${v.map(graft.util.Parity.duckDoubleLit).mkString(", ")}])"
+      }.mkString(",\n    ")
+      import graft.util.Parity.{duckDsum, duckRoundTo}
+      s"""WITH cents(c, cv) AS (VALUES $values),
+         |dists AS (
+         |  SELECT e.vec_id, c.c,
+         |    list_reduce(list_transform(range(1, len(e.embedding) + 1),
+         |      i -> (e.embedding[i]::DOUBLE - c.cv[i])
+         |           * (e.embedding[i]::DOUBLE - c.cv[i])),
+         |      (acc, x) -> acc + x) AS d
+         |  FROM embeddings e CROSS JOIN cents c
+         |),
+         |assigned AS (
+         |  SELECT vec_id, CAST(c AS INT) AS cluster_id, d FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY d, c) AS rn
+         |    FROM dists
+         |  ) WHERE rn = 1
+         |),
+         |per AS (
+         |  SELECT cluster_id, count(*) AS n_members,
+         |    ${duckDsum(duckRoundTo("sqrt(d)", 6))} / count(*) AS scatter
+         |  FROM assigned GROUP BY 1
+         |),
+         |cd AS (
+         |  SELECT CAST(a.c AS INT) AS ci, CAST(b.c AS INT) AS cj,
+         |    sqrt(list_reduce(list_transform(range(1, len(a.cv) + 1),
+         |      i -> (a.cv[i] - b.cv[i]) * (a.cv[i] - b.cv[i])),
+         |      (acc, x) -> acc + x)) AS m
+         |  FROM cents a JOIN cents b ON a.c <> b.c
+         |),
+         |terms AS (
+         |  SELECT p.cluster_id, min(cd.m) AS min_sep,
+         |    max((p.scatter + q.scatter) / cd.m) AS db_term
+         |  FROM per p
+         |  JOIN cd ON cd.ci = p.cluster_id
+         |  JOIN per q ON q.cluster_id = cd.cj
+         |  GROUP BY 1
+         |)
+         |SELECT p.cluster_id, p.n_members, p.scatter,
+         |  t.min_sep, t.db_term
+         |FROM per p LEFT JOIN terms t ON t.cluster_id = p.cluster_id"""
+        .stripMargin
+    }
+
   // ---- trainable quality/domain classifier ----
 
   /** Trained-classifier gate ([[graft.operators.QualityClassifier]]):
@@ -2292,6 +2444,74 @@ object LlmQueries {
        |GROUP BY 1""".stripMargin
   }
 
+  // ---- train/held-out unigram KL drift ----
+
+  /** LLM_KL_DRIFT: add-one-smoothed unigram KL between train and each
+    * held-out split in both directions ([[TextAnalysis.klDrift]]) —
+    * the covariate-shift audit on the same deterministic split as
+    * `llm_ngram_novelty`. */
+  def klDrift(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.klDrift(docs(s, dir),
+      TextAnalysis.splitAssign(docs(s, dir), CurationQueries.SplitSeed,
+        CurationQueries.TrainPct, CurationQueries.ValPct))
+
+  val klDriftOracle: String = {
+    import graft.util.Parity.{duckDsum, duckHex32, duckRoundTo}
+    import graft.operators.TextAnalysis.{klPExpr, klQExpr}
+    val (seed, tr, va) = (CurationQueries.SplitSeed,
+      CurationQueries.TrainPct, CurationQueries.ValPct)
+    def block(sp: String) =
+      s"""u_$sp AS (
+         |  SELECT coalesce(e.c, 0) AS ce, coalesce(t.c, 0) AS ct
+         |  FROM (SELECT w, c FROM counts WHERE split = '$sp') e
+         |  FULL OUTER JOIN
+         |    (SELECT w, c FROM counts WHERE split = 'train') t USING (w)
+         |),
+         |tot_$sp AS (
+         |  SELECT sum(ce) AS ns, sum(ct) AS nt, count(*) AS v FROM u_$sp
+         |),
+         |term_$sp AS (
+         |  SELECT v, ns, nt,
+         |    ${duckRoundTo("q * ln(q / p)", 6)} AS tq,
+         |    ${duckRoundTo("p * ln(p / q)", 6)} AS tp
+         |  FROM (SELECT *, $klQExpr AS q, $klPExpr AS p
+         |        FROM u_$sp, tot_$sp)
+         |),
+         |kl_$sp AS (
+         |  SELECT '$sp' AS split, v AS n_vocab,
+         |    CAST(ns AS BIGINT) AS n_tokens_eval,
+         |    CAST(nt AS BIGINT) AS n_tokens_train,
+         |    ${duckDsum("tq")} AS kl_eval_train,
+         |    ${duckDsum("tp")} AS kl_train_eval
+         |  FROM term_$sp GROUP BY 1, 2, 3, 4
+         |)""".stripMargin
+    s"""WITH $wrdsCte,
+       |k AS (
+       |  SELECT doc_id,
+       |    sha256('split:$seed:' || CAST(doc_id AS VARCHAR)) AS sha
+       |  FROM documents
+       |),
+       |sp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN pct < $tr THEN 'train'
+       |         WHEN pct < ${tr + va} THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM (SELECT doc_id, CAST(${duckHex32("sha")} % 100 AS INT)
+       |          AS pct FROM k)
+       |),
+       |tok AS (
+       |  SELECT s.split, unnest(wr.w) AS word
+       |  FROM wrds wr JOIN sp s USING (doc_id)
+       |),
+       |counts AS (
+       |  SELECT split, word AS w, count(*) AS c FROM tok
+       |  WHERE len(word) > 0 GROUP BY 1, 2
+       |),
+       |${block("val")},
+       |${block("test")}
+       |SELECT * FROM kl_val UNION ALL SELECT * FROM kl_test""".stripMargin
+  }
+
   // ---- sliding context-window chunking ----
 
   private val ChunkTokens = 32L
@@ -2701,6 +2921,7 @@ object LlmQueries {
     "llm_topk_ngrams" -> QueryDef(topkNgrams _, topkNgramsOracle),
     "llm_dup_ngram_frac" -> QueryDef(dupNgramFrac _, dupNgramFracOracle),
     "llm_ngram_novelty" -> QueryDef(ngramNovelty _, ngramNoveltyOracle),
+    "llm_kl_drift" -> QueryDef(klDrift _, klDriftOracle),
     "llm_lang_balance" -> QueryDef(langBalance _, langBalanceOracle),
     "llm_chunk_stride" -> QueryDef(chunkStride _, chunkStrideOracle),
     "llm_tfidf_topterms" -> QueryDef(tfidfTopTerms _, tfidfOracle),
@@ -2714,6 +2935,8 @@ object LlmQueries {
     "llm_dedup_clusters" -> QueryDef(dedupClusters _, dedupClustersOracle),
     "llm_dedup_report" -> QueryDef(dedupReport _, dedupReportOracle),
     "llm_ngram_jaccard" -> QueryDef(ngramJaccard _, ngramJaccardOracle),
+    "llm_containment" -> QueryDef(containment _, containmentOracle),
+    "llm_intrinsic_dim" -> QueryDef(intrinsicDim _, intrinsicDimOracle),
     "llm_simhash" -> QueryDef(simhash _, simhashOracle),
     "llm_simhash_pairs" -> QueryDef(simhashPairs _, simhashPairsOracle),
     "llm_fingerprint" -> QueryDef(fingerprint _, fingerprintOracle),
@@ -2743,6 +2966,7 @@ object LlmQueries {
     "llm_curation_e2e" -> QueryDef(curationE2e _, curationE2eOracle),
     "llm_embed_clusters" -> QueryDef(embedClusters _, embedClustersOracle),
     "llm_semdedup" -> QueryDef(semDedup _, None),
+    "llm_cluster_metrics" -> QueryDef(clusterMetrics _, None),
     "llm_qual_classifier" -> QueryDef(qualClassifier _, None),
     "llm_calibration" -> QueryDef(calibration _, None),
     "llm_strat_sample" -> QueryDef(stratSample _, stratSampleOracle),

@@ -1010,6 +1010,49 @@ object SystemQueries {
        |UNION ALL SELECT 3 AS version, n_rows, amount_sum FROM vall"""
       .stripMargin
 
+  /** S21: manifest-level data skipping — the [[graft.sources.SnapshotStore]]
+    * stats sidecar in action. Two stats-commits land the events table
+    * range-partitioned on `event_id` (tight per-file [min, max]);
+    * the read resolves a mid-range predicate AGAINST THE SIDECAR
+    * first, so only overlapping files reach the parquet scan, then
+    * applies the row predicate on top. The oracle states the
+    * semantic contract — the pruned read equals a plain filtered
+    * read — while `SnapshotSpec`/`Round12Spec` pin that skipping
+    * actually dropped files. Driver-side work is file-count-sized
+    * metadata plus one 1-row bounds aggregate. */
+  def s21ManifestPrune(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.SnapshotStore
+    val root = graft.util.TempDirs.scoped("s21-prune")
+    val ev = graft.util.Tables.load(s, dir, "events")
+      .select(col("event_id"), col("value"))
+    SnapshotStore.commitAppendWithStats(
+      ev.filter(col("event_id") % 2 === 0), root, "event_id")
+    SnapshotStore.commitAppendWithStats(
+      ev.filter(col("event_id") % 2 === 1), root, "event_id")
+    val b = ev.agg(min(col("event_id")).as("mn"),
+      max(col("event_id")).as("mx")).head()
+    val (mn, mx) = (b.getAs[Long]("mn"), b.getAs[Long]("mx"))
+    val lo = mn + (mx - mn) / 4
+    val hi = mn + (mx - mn) / 2
+    SnapshotStore.readPruned(s, root, "event_id", lo, hi)
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("event_id")).as("n_ids"),
+        dsum(col("value")).as("value_sum"))
+  }
+
+  val s21Oracle: String =
+    s"""WITH b AS (
+       |  SELECT min(event_id) AS mn, max(event_id) AS mx FROM events
+       |),
+       |f AS (
+       |  SELECT event_id, value FROM events, b
+       |  WHERE event_id >= mn + (mx - mn) // 4
+       |    AND event_id <= mn + (mx - mn) // 2
+       |)
+       |SELECT count(*) AS n_rows, count(DISTINCT event_id) AS n_ids,
+       |  ${duckDsum("value")} AS value_sum
+       |FROM f""".stripMargin
+
   /** ST15: STREAMING commits into the snapshot store — each
     * micro-batch lands as one [[graft.sources.SnapshotStore]] append
     * commit (`foreachBatch`), so the store's version history IS the
@@ -1197,6 +1240,7 @@ object SystemQueries {
   val defs: Map[String, QueryDef] = Map(
     "s18_dynamic_overwrite" -> QueryDef(s18DynamicOverwrite _, s18Oracle),
     "s20_snapshot_read" -> QueryDef(s20SnapshotRead _, s20Oracle),
+    "s21_manifest_prune" -> QueryDef(s21ManifestPrune _, s21Oracle),
     "st15_stream_snapshot" -> QueryDef(st15StreamSnapshot _, st15Oracle),
     "s17_merge_upsert" -> QueryDef(s17MergeUpsert _, s17Oracle),
     "st14_stream_cdc" -> QueryDef(st14StreamCdc _, s17Oracle),

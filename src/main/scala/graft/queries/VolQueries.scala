@@ -156,6 +156,124 @@ object VolQueries {
        |FROM a""".stripMargin
   }
 
+  def m42Semivariance(s: SparkSession, dir: String): DataFrame =
+    RealizedVol.semivariance(trades(s, dir))
+
+  /** Mirrors [[RealizedVol.semivariance]]: m7's day-partitioned lag
+    * chain, 6-dp-quantized r², conditional decimal sums for the
+    * up/down legs inside ONE aggregate. */
+  val m42Oracle: String = {
+    val rvSum = duckDsum(duckRoundTo("r*r", 6))
+    val upSum = duckDsum(s"CASE WHEN r > 0 THEN ${duckRoundTo("r*r", 6)} END")
+    val dnSum = duckDsum(s"CASE WHEN r < 0 THEN ${duckRoundTo("r*r", 6)} END")
+    s"""WITH $pbCte,
+       |rets AS (
+       |  SELECT underlying, day_start,
+       |    ln(close / lag(close) OVER (
+       |      PARTITION BY underlying, day_start ORDER BY bucket_start)) AS r
+       |  FROM pbd
+       |),
+       |a AS (
+       |  SELECT underlying, day_start, count(r) AS n_returns,
+       |    coalesce($rvSum, 0.0::DOUBLE) AS rv_cc,
+       |    coalesce($upSum, 0.0::DOUBLE) AS rsv_up,
+       |    coalesce($dnSum, 0.0::DOUBLE) AS rsv_down
+       |  FROM rets GROUP BY 1, 2
+       |)
+       |SELECT underlying, day_start, n_returns, rv_cc, rsv_up, rsv_down,
+       |  rsv_up - rsv_down AS signed_jump,
+       |  rsv_down / nullif(rv_cc, 0.0) AS down_share
+       |FROM a""".stripMargin
+  }
+
+  private val SignatureIntervals = Seq(60L, 300L, 900L, 3600L)
+
+  def m43SignaturePlot(s: SparkSession, dir: String): DataFrame =
+    RealizedVol.signaturePlot(trades(s, dir), SignatureIntervals)
+
+  /** Mirrors [[RealizedVol.signaturePlot]]: ONE fine-bar (60 s) CTE,
+    * coarse closes re-derived per interval as the close of the last
+    * non-empty fine bar, m7's day-partitioned lag chain per
+    * (underlying, interval), quantized exact sums. The interval
+    * dimension is a 4-row unnest — the Spark side is the equivalent
+    * union of four bar-sized projections. */
+  val m43Oracle: String = {
+    val ivList = SignatureIntervals.mkString("[", ", ", "]")
+    s"""WITH ${SyntheticTrades.tradesCte},
+       |fine AS (
+       |  SELECT underlying, ep - ep % ${SignatureIntervals.min} AS fb,
+       |    arg_max(price, "timestamp") AS close
+       |  FROM (SELECT *, ${duckEpochS("\"timestamp\"")} AS ep FROM trades)
+       |  WHERE price > 0
+       |  GROUP BY 1, 2
+       |),
+       |ivs AS (SELECT CAST(unnest($ivList) AS BIGINT) AS interval_sec),
+       |coarse AS (
+       |  SELECT underlying, interval_sec,
+       |    fb - fb % interval_sec AS cb,
+       |    arg_max(close, fb) AS close
+       |  FROM fine, ivs
+       |  GROUP BY 1, 2, 3
+       |),
+       |rets AS (
+       |  SELECT underlying, interval_sec,
+       |    ln(close / lag(close) OVER (
+       |      PARTITION BY underlying, interval_sec, cb - cb % 86400
+       |      ORDER BY cb)) AS r
+       |  FROM coarse
+       |)
+       |SELECT underlying, interval_sec, count(r) AS n_returns,
+       |  coalesce(${duckDsum(duckRoundTo("r*r", 6))}, 0.0::DOUBLE) AS rv
+       |FROM rets GROUP BY 1, 2""".stripMargin
+  }
+
+  def m44OvernightIntraday(s: SparkSession, dir: String): DataFrame =
+    RealizedVol.overnightIntraday(trades(s, dir))
+
+  /** Mirrors [[RealizedVol.overnightIntraday]]: daily open/close
+    * aggregate, lag chain, DECIMAL(10,6)-quantized legs,
+    * DECIMAL(24,12)-gated moment sums, shared Welch variance text. */
+  val m44Oracle: String = {
+    import graft.operators.EventsAnalytics.welchVarExpr
+    def d24(e: String) = s"CAST(CAST(($e) AS DECIMAL(24,12)) AS DOUBLE)"
+    s"""WITH ${SyntheticTrades.tradesCte},
+       |daily AS (
+       |  SELECT underlying, ep - ep % 86400 AS day_start,
+       |    arg_min(price, "timestamp") AS open,
+       |    arg_max(price, "timestamp") AS close
+       |  FROM (SELECT *, ${duckEpochS("\"timestamp\"")} AS ep FROM trades)
+       |  WHERE price > 0
+       |  GROUP BY 1, 2
+       |),
+       |rets AS (
+       |  SELECT *, lag(close) OVER (
+       |    PARTITION BY underlying ORDER BY day_start) AS pc
+       |  FROM daily
+       |),
+       |q AS (
+       |  SELECT underlying,
+       |    CAST(${duckRoundTo("ln(open / pc)", 6)} AS DECIMAL(10,6))
+       |      AS on_q,
+       |    CAST(${duckRoundTo("ln(close / open)", 6)} AS DECIMAL(10,6))
+       |      AS id_q
+       |  FROM rets
+       |),
+       |a AS (
+       |  SELECT underlying, count(*) AS n_days, count(on_q) AS n_on,
+       |    ${d24("sum(on_q)")} AS _so, ${d24("sum(on_q*on_q)")} AS _qo,
+       |    ${d24("sum(id_q)")} AS _si, ${d24("sum(id_q*id_q)")} AS _qi
+       |  FROM q GROUP BY 1
+       |),
+       |b AS (SELECT *, CAST(n_on AS DOUBLE) AS no,
+       |  CAST(n_days AS DOUBLE) AS nd FROM a),
+       |c AS (SELECT *, ${welchVarExpr("_qo", "_so", "no")} AS var_overnight,
+       |  ${welchVarExpr("_qi", "_si", "nd")} AS var_intraday FROM b)
+       |SELECT underlying, n_days, n_on, var_overnight, var_intraday,
+       |  var_overnight / nullif(var_overnight + var_intraday, 0.0)
+       |    AS overnight_share
+       |FROM c""".stripMargin
+  }
+
   /** M9: daily implied-vs-realized spread — the volatility-risk-
     * premium read the reference's EGARCH spread (m6) approximates
     * per-bar, here stated at the daily horizon: mean traded IV minus
@@ -898,6 +1016,10 @@ object VolQueries {
     "m41_lead_lag" -> QueryDef(m41LeadLag _, m41Oracle),
     "m7_realized_vol" -> QueryDef(m7RealizedVol _, m7Oracle),
     "m39_jump_test" -> QueryDef(m39JumpTest _, m39Oracle),
+    "m42_semivariance" -> QueryDef(m42Semivariance _, m42Oracle),
+    "m43_signature_plot" -> QueryDef(m43SignaturePlot _, m43Oracle),
+    "m44_overnight_intraday" ->
+      QueryDef(m44OvernightIntraday _, m44Oracle),
     "m40_vol_of_vol" -> QueryDef(m40VolOfVol _, m40Oracle),
     "m8_ewma_vol" -> QueryDef(m8EwmaVol _, m8Oracle),
     "m9_iv_rv_spread" -> QueryDef(m9IvRvSpread _, m9Oracle),

@@ -5,6 +5,7 @@ import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, input_file_name, max, min}
 
 /** Manifest-based snapshot isolation over plain parquet — the
   * time-travel core of a lakehouse table format (Delta/Iceberg's
@@ -83,6 +84,11 @@ object SnapshotStore {
     val fresh = writeData(df, root, v)
     val base = if (prev == 0) Seq.empty else filesAt(root, prev)
     writeManifest(root, v, base ++ fresh)
+    // stats travel with their surviving files; the fresh files simply
+    // have no lines (never skipped). A replace-commit drops all stats
+    // with the files they described.
+    val prior = statsAt(root, prev)
+    if (prior.nonEmpty) writeStats(root, v, prior)
     v
   }
 
@@ -100,5 +106,97 @@ object SnapshotStore {
       version: Option[Int] = None): DataFrame = {
     val v = version.getOrElse(latestVersion(root))
     spark.read.parquet(filesAt(root, v): _*)
+  }
+
+  // ---- per-file min/max stats: manifest-level data skipping ----
+
+  private def statsFile(root: String, v: Int) =
+    new File(manifestDir(root), s"v$v.stats")
+
+  /** Per-file [min, max] of the stat column at version `v` — lines
+    * `path<TAB>min<TAB>max`. Files committed without stats simply
+    * have no line (and are never skipped). */
+  private def statsAt(root: String, v: Int): Map[String, (Long, Long)] = {
+    val f = statsFile(root, v)
+    if (!f.isFile) Map.empty
+    else new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+      .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+      .map { line =>
+        val Array(p, mn, mx) = line.split("\t")
+        p -> (mn.toLong, mx.toLong)
+      }.toMap
+  }
+
+  private def writeStats(root: String, v: Int,
+      stats: Map[String, (Long, Long)]): Unit = {
+    val tmp = Paths.get(manifestDir(root).getPath, s".v$v.stats.tmp")
+    Files.write(tmp,
+      stats.toSeq.sortBy(_._1)
+        .map { case (p, (mn, mx)) => s"$p\t$mn\t$mx" }
+        .mkString("\n").getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, statsFile(root, v).toPath,
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Append commit that also records per-file min/max of `statCol`
+    * (an integral column) in a `v<N>.stats` sidecar — the
+    * manifest-level data-skipping index every real table format
+    * carries. The incoming frame is range-partitioned on the stat
+    * column before the write so files hold tight, mostly-disjoint
+    * ranges (the x7 z-order lesson at file granularity: stats only
+    * skip when the layout clusters). Stats for the fresh files come
+    * from ONE distributed pass over them (a production impl reads the
+    * parquet footers instead — same information, zero extra IO);
+    * previous versions' stats lines carry forward untouched, so every
+    * surviving file keeps its index. */
+  def commitAppendWithStats(df: DataFrame, root: String,
+      statCol: String, nFiles: Int = 8): Int = {
+    val prev = latestVersion(root)
+    val v = prev + 1
+    val spark = df.sparkSession
+    val fresh =
+      writeData(df.repartitionByRange(nFiles, col(statCol)), root, v)
+    val freshStats = spark.read.parquet(fresh: _*)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col(statCol)).cast("long").as("mn"),
+        max(col(statCol)).cast("long").as("mx"))
+      .collect()
+      .map { r =>
+        // input_file_name is a file:// URI; manifests hold plain paths
+        val p = new java.net.URI(r.getAs[String]("f")).getPath
+        (p, (r.getAs[Long]("mn"), r.getAs[Long]("mx")))
+      }
+      .toMap
+    val base = if (prev == 0) Seq.empty else filesAt(root, prev)
+    writeManifest(root, v, base ++ fresh)
+    writeStats(root, v, statsAt(root, prev) ++ freshStats)
+    v
+  }
+
+  /** The manifest's file list at `v` split by the skipping decision
+    * for `[lo, hi]` on the stat column: (kept, skipped). A file is
+    * skipped ONLY when its recorded [min, max] provably misses the
+    * range; files without stats are conservatively kept. Driver-side
+    * metadata — file-count-sized, no data IO. */
+  def pruneFiles(root: String, lo: Long, hi: Long,
+      version: Option[Int] = None): (Seq[String], Seq[String]) = {
+    val v = version.getOrElse(latestVersion(root))
+    val stats = statsAt(root, v)
+    filesAt(root, v).partition { f =>
+      stats.get(f).forall { case (mn, mx) => mx >= lo && mn <= hi }
+    }
+  }
+
+  /** Range read with manifest-level file skipping: only files whose
+    * [min, max] overlaps `[lo, hi]` reach the parquet scan (the
+    * row-level predicate still applies on top — stats bound files,
+    * they don't filter rows). Semantically identical to
+    * `read(...).filter(lo <= statCol <= hi)` whenever commits wrote
+    * truthful stats. */
+  def readPruned(spark: SparkSession, root: String, statCol: String,
+      lo: Long, hi: Long, version: Option[Int] = None): DataFrame = {
+    val (kept, _) = pruneFiles(root, lo, hi, version)
+    spark.read.parquet(kept: _*)
+      .filter(col(statCol) >= lo && col(statCol) <= hi)
   }
 }

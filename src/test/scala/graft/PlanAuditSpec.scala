@@ -107,10 +107,11 @@ class PlanAuditSpec extends AnyFunSuite {
       // as BNLJ varies with cache/AQE state across runs — the build
       // side is still asserted to be a groupless aggregate below)
       "llm_minhash_recall", "q11_set_ops", "ev22_ab_test",
-      "llm_band_plan", "ev24_did", "ev25_cuped", "llm_dedup_report")
+      "llm_band_plan", "ev24_did", "ev25_cuped", "llm_dedup_report",
+      "llm_kl_drift")
     val boundedPickBuild = Set("llm_ann_topk", "llm_ann_pq",
       "llm_ann_recall", "llm_ann_recall_curve", "llm_mrl_recall",
-      "llm_knn_label")
+      "llm_knn_label", "llm_intrinsic_dim")
     for (name <- SparkEntry.queries.keys if !driverSide(name)) {
       val bnl = planOf(name).collect { case j: BroadcastNestedLoopJoinExec => j }
       assert(bnl.isEmpty || oneRowBuild(name) || boundedPickBuild(name),

@@ -415,6 +415,227 @@ class Round12Spec extends AnyFunSuite {
 
   // ---- llm_ngram_novelty ----
 
+  // ---- M42: realized semivariance ----
+
+  test("semivariance splits rv exactly and flags the jump side") {
+    // 30 small alternating returns plus ONE +8% jump bar: the up leg
+    // must carry the jump (signed_jump > 0) and the two legs must
+    // recompose rv exactly (the sums are quantized decimals).
+    var p = 100.0
+    val closes = (0 until 30).map { i =>
+      p *= (if (i == 15) 1.08 else if (i % 2 == 0) 1.001 else 0.999)
+      p
+    }
+    val rows = closes.zipWithIndex.map { case (c, i) =>
+      ("BTC", ts(i * 900L), c)
+    }
+    val r = graft.operators.RealizedVol
+      .semivariance(rows.toDF("underlying", "timestamp", "price"))
+      .collect().head
+    val rv = r.getAs[Double]("rv_cc")
+    val up = r.getAs[Double]("rsv_up")
+    val dn = r.getAs[Double]("rsv_down")
+    assert(up + dn == rv, s"split not exact: $up + $dn != $rv")
+    assert(r.getAs[Double]("signed_jump") > 0.004,
+      s"jump leg: ${r.getAs[Double]("signed_jump")}")
+    assert(dn > 0.0 && r.getAs[Double]("down_share") < 0.2)
+  }
+
+  // ---- M43: signature plot ----
+
+  test("signaturePlot scales rv linearly in the interval under pure drift") {
+    // Constant log-return per 60s tick: returns are perfectly
+    // autocorrelated, so RV at interval k*60 is ~k x RV at 60 (the
+    // anti-flat signature a drifting series produces). Deterministic
+    // up to the 6-dp term quantization.
+    val rows = (0 until 1000).map { i =>
+      ("BTC", ts(i * 60L), 100.0 * math.exp(0.001 * i))
+    }
+    val out = graft.operators.RealizedVol
+      .signaturePlot(rows.toDF("underlying", "timestamp", "price"))
+      .collect()
+      .map(r => r.getAs[Long]("interval_sec") ->
+        (r.getAs[Long]("n_returns"), r.getAs[Double]("rv"))).toMap
+    assert(out.keySet == Set(60L, 300L, 900L, 3600L))
+    val (n60, rv60) = out(60L)
+    val (n300, rv300) = out(300L)
+    assert(n60 == 999L && n300 == 199L)
+    val ratio = rv300 / rv60
+    assert(math.abs(ratio - 199.0 * 25.0 / 999.0) < 0.05, s"ratio=$ratio")
+    // n_returns strictly decreases with the interval
+    assert(out(300L)._1 > out(900L)._1 && out(900L)._1 > out(3600L)._1)
+  }
+
+  // ---- M44: overnight/intraday split ----
+
+  test("overnightIntraday attributes gap-only variance to the overnight leg") {
+    // close == open every day (flat intraday), but the open gaps
+    // alternate +/-10% versus the previous close: all variance must
+    // land on the overnight leg.
+    val rows = (0 until 40).flatMap { d =>
+      val o = 100.0 * math.exp(if (d % 2 == 0) 0.0 else 0.1)
+      Seq(("BTC", ts(d * 86400L + 10), o),
+        ("BTC", ts(d * 86400L + 7200), o))
+    }
+    val r = graft.operators.RealizedVol
+      .overnightIntraday(rows.toDF("underlying", "timestamp", "price"))
+      .collect().head
+    assert(r.getAs[Long]("n_days") == 40L && r.getAs[Long]("n_on") == 39L)
+    assert(r.getAs[Double]("var_intraday") == 0.0)
+    assert(r.getAs[Double]("var_overnight") > 0.005)
+    assert(r.getAs[Double]("overnight_share") == 1.0)
+  }
+
+  // ---- llm_kl_drift ----
+
+  test("klDrift reads 0 on an identical split and large on a disjoint one") {
+    val docs = (
+      (1 to 10).map(i => (i.toLong, "a b c")) ++
+        Seq((11L, "a b c"), (12L, "a b c")) ++
+        Seq((13L, "x y z"), (14L, "x y z"))
+    ).toDF("doc_id", "text")
+    val splits = (
+      (1 to 10).map(i => (i.toLong, "train")) ++
+        Seq((11L, "val"), (12L, "val"), (13L, "test"), (14L, "test"))
+    ).toDF("doc_id", "split")
+    val out = graft.operators.TextAnalysis.klDrift(docs, splits)
+      .collect()
+      .map(r => r.getAs[String]("split") ->
+        (r.getAs[Double]("kl_eval_train"),
+          r.getAs[Double]("kl_train_eval"))).toMap
+    // same distribution + smoothing: exactly equal smoothed masses
+    assert(out("val")._1 == 0.0 && out("val")._2 == 0.0)
+    // disjoint vocab: both directions far from zero
+    assert(out("test")._1 > 0.3 && out("test")._2 > 0.3)
+  }
+
+  // ---- S21: manifest-level data skipping ----
+
+  test("manifest pruning drops files but never rows; no-stats files stay") {
+    import graft.sources.SnapshotStore
+    val root = graft.util.TempDirs.scoped("r12-prune")
+    val df = (1L to 4000L).map(i => (i, i * 2.0)).toDF("k", "v")
+    SnapshotStore.commitAppendWithStats(df, root, "k", nFiles = 8)
+    val (kept, skipped) = SnapshotStore.pruneFiles(root, 1000L, 1500L)
+    assert(skipped.nonEmpty, "range-partitioned commit must skip files")
+    assert(kept.nonEmpty)
+    val pruned = SnapshotStore
+      .readPruned(spark, root, "k", 1000L, 1500L).collect()
+    assert(pruned.length == 501)
+    assert(pruned.map(_.getAs[Double]("v")).sum
+      == (1000L to 1500L).map(_ * 2.0).sum)
+    // a commit WITHOUT stats is conservatively kept even out of range
+    SnapshotStore.commitAppend(
+      Seq((9999L, 1.0)).toDF("k", "v").coalesce(1), root)
+    val (k2, s2) = SnapshotStore.pruneFiles(root, 1000L, 1500L)
+    assert(k2.size == kept.size + 1 && s2.size == skipped.size)
+    assert(SnapshotStore
+      .readPruned(spark, root, "k", 1000L, 1500L).count() == 501L)
+  }
+
+  // ---- llm_containment: asymmetric n-gram containment ----
+
+  test("containmentPairs finds the quoted-whole doc Jaccard misses") {
+    val short = (1 to 12).map(i => s"w$i").mkString(" ")
+    val long = short + " " + (1 to 30).map(i => s"x$i").mkString(" ")
+    val other = (1 to 20).map(i => s"z$i").mkString(" ")
+    val docs = Seq((1L, short), (2L, long), (3L, other))
+      .toDF("doc_id", "text")
+    val hashed = docs.select(col("doc_id"),
+      graft.functions.TextHashColumns.ngramHashes(col("text"), 3).as("hs"))
+    val rows = graft.operators.TextDedup
+      .containmentPairs(hashed, maxDf = 20, threshold = 0.9,
+        tokensCol = "hs")
+      .collect()
+    // exactly the (short ⊂ long) pair; direction must read A-in-B
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[Long]("id_a") == 1L && r.getAs[Long]("id_b") == 2L)
+    assert(r.getAs[Double]("contain_a_in_b") == 1.0)
+    assert(r.getAs[Double]("contain_b_in_a") < 0.5)
+    // the symmetric Jaccard on the same pair is BELOW the threshold —
+    // this is the case the entry exists for
+    val j = graft.operators.TextDedup
+      .invertedIndexPairs(hashed, maxDf = 20, threshold = 0.0,
+        tokensCol = "hs")
+      .filter(col("id_a") === 1L && col("id_b") === 2L)
+      .collect().head.getAs[Double]("jaccard")
+    assert(j < 0.9)
+  }
+
+  // ---- llm_intrinsic_dim: TwoNN ----
+
+  test("intrinsicDim recovers ~2 on a planted 2-manifold, drops dups") {
+    val rng = new scala.util.Random(5)
+    val base = (1L to 400L).map { id =>
+      val v = new Array[Float](8)
+      v(0) = rng.nextFloat(); v(1) = rng.nextFloat()
+      (id, v)
+    }
+    // an exact dup of probe 1: its q1 = 0, so that probe must drop
+    val withDup = base :+ (401L, base.head._2.clone())
+    val e = withDup.toDF("vec_id", "embedding")
+    val r = graft.operators.VectorOps
+      .intrinsicDim(e, e.filter(col("vec_id") < 64L))
+      .collect().head
+    assert(r.getAs[Long]("n_probes") == 62L)
+    val id = r.getAs[Double]("id_twonn")
+    assert(id > 1.4 && id < 2.8, s"id_twonn=$id")
+  }
+
+  // ---- llm_cluster_metrics: Davies-Bouldin panel ----
+
+  test("clusterMetrics separates planted blobs with low DB terms") {
+    // Two tight blobs around (1,0,0,0) and (0,1,0,0); ids 1 and 2 are
+    // one per blob so the lowest-id k-means seeds start separated.
+    def v(base: Array[Float], j: Float) =
+      base.zipWithIndex.map { case (b, i) => b + (if (i == 2) j else 0f) }
+    val a = Array(1f, 0f, 0f, 0f)
+    val b = Array(0f, 1f, 0f, 0f)
+    val rows = (0 until 40).map { i =>
+      val id = i + 1L
+      val blob = if (id % 2 == 1) a else b
+      (id, v(blob, 0.01f * (i % 5)))
+    }
+    val (cents, out) = graft.operators.VectorOps
+      .clusterMetrics(rows.toDF("vec_id", "embedding"), k = 2)
+    assert(cents.length == 2)
+    val rs = out.collect()
+    assert(rs.length == 2)
+    assert(rs.forall(_.getAs[Long]("n_members") == 20L))
+    // blob radius ~0.02 vs separation ~sqrt(2): DB terms tiny
+    assert(rs.forall(_.getAs[Double]("scatter") < 0.05))
+    assert(rs.forall(r => math.abs(r.getAs[Double]("min_sep")
+      - math.sqrt(2.0)) < 0.1))
+    assert(rs.forall(_.getAs[Double]("db_term") < 0.1))
+  }
+
+  // ---- EV26: sample-ratio mismatch ----
+
+  test("srmCheck flags only the segment with a corrupted arm") {
+    // Segment "ok" logs every user; segment "bad" silently drops all
+    // B-arm users (the classic one-sided logging bug). The coin is
+    // recomputed test-side with the same sha recipe.
+    def coinA(u: Long): Boolean = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val hex = md.digest(s"ab:42:$u".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16) % 2 == 0
+    }
+    val users = (1L to 800L)
+    val rows =
+      users.map(u => (u, "ok", ts(u), 1.0)) ++
+        users.filter(coinA).map(u => (u, "bad", ts(u), 1.0))
+    val out = graft.operators.EventsAnalytics
+      .srmCheck(rows.toDF("user_id", "event_type", "ts", "value"))
+      .collect()
+      .map(r => r.getAs[String]("segment") ->
+        (r.getAs[Long]("n_b"), r.getAs[Double]("share_a"),
+          r.getAs[Boolean]("srm_flag"))).toMap
+    assert(!out("ok")._3, s"ok segment flagged: ${out("ok")}")
+    assert(out("bad")._1 == 0L && out("bad")._2 == 1.0 && out("bad")._3)
+  }
+
   test("ngramNovelty: verbatim reuse scores 0, fresh text scores 1") {
     val trainText = (1 to 20).map(i => s"w$i").mkString(" ")
     val freshText = (1 to 20).map(i => s"z$i").mkString(" ")
