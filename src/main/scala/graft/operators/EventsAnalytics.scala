@@ -645,6 +645,47 @@ object EventsAnalytics {
     * Shared text — pure double algebra on count casts. */
   val srmChi2Expr: String = "((na - nb) * (na - nb)) / (na + nb)"
 
+  /** EV27: quantile treatment effects — the distributional read
+    * [[abTest]]'s mean-based Welch t misses: a treatment can move the
+    * p90 spender while leaving the mean flat (or vice versa). Per
+    * arm, EXACT rank-selected spend quantiles (p25/p50/p75/p90 — the
+    * element at ceil(q·n) under value order, so both engines pick the
+    * identical element), then per-quantile lifts B − A.
+    *
+    * Scale shape: the per-user decimal spend aggregate (ev22's), then
+    * [[DistributedSelection.quantiles]] — the a21 scale path
+    * (frequency table + range-partitioned prefix sums; no per-arm
+    * global sort), then ONE groupless conditional aggregate pivots
+    * the two-row panel. No join anywhere. */
+  def quantileLift(events: DataFrame, seed: Long = 42L,
+      userCol: String = "user_id", valueCol: String = "value")
+      : DataFrame = {
+    val perUser = events
+      .groupBy(col(userCol).as("u"))
+      .agg(graft.util.Parity.dsum(col(valueCol)).as("mu"))
+      .withColumn("variant",
+        when(conv(substring(sha2(
+          concat(lit(s"ab:$seed:"), col("u").cast("string")), 256),
+          1, 8), 16, 10).cast("long") % 2 === 0, "A").otherwise("B"))
+    val qs = Seq((1, 4, "p25"), (1, 2, "p50"), (3, 4, "p75"),
+      (9, 10, "p90"))
+    val panel = DistributedSelection.quantiles(
+      perUser.select(col("variant"), col("mu")), "variant", "mu", qs)
+    def side(v: String, c: String) =
+      max(when(col("variant") === v, col(c)))
+    val names = qs.map(_._3)
+    panel
+      .agg(side("A", "n_trades").as("n_a"),
+        side("B", "n_trades").as("n_b") +:
+          names.flatMap(n => Seq(side("A", n).as(s"${n}_a"),
+            side("B", n).as(s"${n}_b"))): _*)
+      .withColumns(names.map(n => s"lift_$n" ->
+        (col(s"${n}_b") - col(s"${n}_a"))).toMap)
+      .select(col("n_a") +: col("n_b") +:
+        names.flatMap(n => Seq(col(s"${n}_a"), col(s"${n}_b"),
+          col(s"lift_$n"))): _*)
+  }
+
   /** EV26: sample-ratio-mismatch guardrail for the [[abTest]]
     * experiment — per segment (the event-type dimension), the χ²
     * test of the observed A/B user split against the designed 50/50.

@@ -1061,6 +1061,65 @@ object EventsQueries {
        |FROM b""".stripMargin
   }
 
+  /** EV27: quantile treatment effects
+    * ([[EventsAnalytics.quantileLift]]) — per-arm exact rank-selected
+    * spend quantiles plus B−A lifts; the oracle restates the
+    * ceil-rank element picks over a per-variant rank window (the a21
+    * spelling) and the same conditional pivot. */
+  def ev27QuantileLift(s: SparkSession, dir: String): DataFrame =
+    EventsAnalytics.quantileLift(events(s, dir), AbSeed)
+
+  val ev27Oracle: String = {
+    import graft.util.Parity.duckHex32
+    val picks = Seq(("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4),
+      ("p90", 9, 10))
+    def rank(a: Int, b: Int) = s"(n * $a + ${b - 1}) // $b"
+    val sel = picks.map { case (nm, a, b) =>
+      s"max(CASE WHEN rn = ${rank(a, b)} THEN mu END) AS $nm"
+    }.mkString(",\n    ")
+    val hitAny = picks.map { case (_, a, b) => s"rn = ${rank(a, b)}" }
+      .mkString(" OR ")
+    def sideCols(nm: String) =
+      s"""max(CASE WHEN variant = 'A' THEN $nm END) AS ${nm}_a,
+         |  max(CASE WHEN variant = 'B' THEN $nm END) AS ${nm}_b""".stripMargin
+    val lifts = picks.map { case (nm, _, _) =>
+      s"${nm}_b - ${nm}_a AS lift_$nm" }.mkString(",\n  ")
+    val outCols = picks.map { case (nm, _, _) =>
+      s"${nm}_a, ${nm}_b, lift_$nm" }.mkString(", ")
+    s"""WITH pu AS (
+       |  SELECT user_id AS u, ${duckDsum("value")} AS mu
+       |  FROM events GROUP BY 1
+       |),
+       |v AS (
+       |  SELECT mu,
+       |    CASE WHEN ${duckHex32("sha")} % 2 = 0 THEN 'A' ELSE 'B' END
+       |      AS variant
+       |  FROM (SELECT mu,
+       |    sha256('ab:$AbSeed:' || CAST(u AS VARCHAR)) AS sha FROM pu)
+       |),
+       |ranked AS (
+       |  SELECT variant, mu,
+       |    row_number() OVER (PARTITION BY variant ORDER BY mu) AS rn,
+       |    count(*) OVER (PARTITION BY variant) AS n
+       |  FROM v
+       |),
+       |sel AS (
+       |  SELECT variant, max(n) AS nn,
+       |    $sel
+       |  FROM ranked WHERE $hitAny GROUP BY 1
+       |),
+       |piv AS (
+       |  SELECT
+       |    max(CASE WHEN variant = 'A' THEN nn END) AS n_a,
+       |    max(CASE WHEN variant = 'B' THEN nn END) AS n_b,
+       |    ${picks.map { case (nm, _, _) => sideCols(nm) }
+               .mkString(",\n  ")}
+       |  FROM sel
+       |)
+       |SELECT n_a, n_b, $outCols FROM (SELECT *, $lifts FROM piv)"""
+      .stripMargin
+  }
+
   /** EV20: rolling actives by HLL sketch merge
     * ([[EventsAnalytics.sketchRollingActive]]) — the sketch-partial
     * scale path next to ev6's exact fan-out. Oracle: day/dau/wau are
@@ -1106,6 +1165,7 @@ object EventsQueries {
     "ev24_did" -> QueryDef(ev24Did _, ev24Oracle),
     "ev25_cuped" -> QueryDef(ev25Cuped _, ev25Oracle),
     "ev26_srm" -> QueryDef(ev26Srm _, ev26Oracle),
+    "ev27_quantile_lift" -> QueryDef(ev27QuantileLift _, ev27Oracle),
     "ev19_cohort_ltv" -> QueryDef(ev19CohortLtv _, ev19Oracle),
     "ev18_markov_attribution" -> QueryDef(ev18Markov _, None),
     "ev17_survival" -> QueryDef(ev17Survival _, ev17Oracle),

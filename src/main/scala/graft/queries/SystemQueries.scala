@@ -1053,6 +1053,48 @@ object SystemQueries {
        |  ${duckDsum("value")} AS value_sum
        |FROM f""".stripMargin
 
+  /** S22: named tags over snapshot versions — the Iceberg/Delta "tag"
+    * primitive on [[graft.sources.SnapshotStore]]: `baseline` is
+    * tagged at v1, the table then grows (append) AND is compacted
+    * (replace), and reading the tag must return v1 byte-identical —
+    * tags pin manifests, manifests pin files, and replace commits
+    * never delete data files. `release` tags the compacted head. The
+    * oracle restates both snapshots' contents from the base table. */
+  def s22SnapshotTag(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.SnapshotStore
+    val root = graft.util.TempDirs.scoped("s22-tag")
+    val t = SyntheticTrades.trades(s, dir)
+      .select(col("trade_id").cast("long").as("tid"), col("amount"))
+    SnapshotStore.commitReplace(t.filter(col("tid") % 3 === 0), root)
+    SnapshotStore.tag(root, "baseline")
+    SnapshotStore.commitAppend(t.filter(col("tid") % 3 =!= 0), root)
+    SnapshotStore.commitReplace(
+      SnapshotStore.read(s, root).coalesce(2), root)
+    SnapshotStore.tag(root, "release")
+    Seq("baseline", "release").map { tg =>
+      SnapshotStore.readTag(s, root, tg)
+        .agg(count(lit(1)).as("n_rows"), dsum(col("amount")).as("amount_sum"))
+        .select(lit(tg).as("tag"), col("n_rows"), col("amount_sum"))
+    }.reduce(_.unionAll(_))
+  }
+
+  val s22Oracle: String =
+    s"""WITH ${SyntheticTrades.tradesCte},
+       |t AS (
+       |  SELECT CAST(trade_id AS BIGINT) AS tid, amount FROM trades
+       |),
+       |base AS (
+       |  SELECT 'baseline' AS tag, count(*) AS n_rows,
+       |    ${duckDsum("amount")} AS amount_sum
+       |  FROM t WHERE tid % 3 = 0
+       |),
+       |rel AS (
+       |  SELECT 'release' AS tag, count(*) AS n_rows,
+       |    ${duckDsum("amount")} AS amount_sum
+       |  FROM t
+       |)
+       |SELECT * FROM base UNION ALL SELECT * FROM rel""".stripMargin
+
   /** ST15: STREAMING commits into the snapshot store — each
     * micro-batch lands as one [[graft.sources.SnapshotStore]] append
     * commit (`foreachBatch`), so the store's version history IS the
@@ -1241,6 +1283,7 @@ object SystemQueries {
     "s18_dynamic_overwrite" -> QueryDef(s18DynamicOverwrite _, s18Oracle),
     "s20_snapshot_read" -> QueryDef(s20SnapshotRead _, s20Oracle),
     "s21_manifest_prune" -> QueryDef(s21ManifestPrune _, s21Oracle),
+    "s22_snapshot_tag" -> QueryDef(s22SnapshotTag _, s22Oracle),
     "st15_stream_snapshot" -> QueryDef(st15StreamSnapshot _, st15Oracle),
     "s17_merge_upsert" -> QueryDef(s17MergeUpsert _, s17Oracle),
     "st14_stream_cdc" -> QueryDef(st14StreamCdc _, s17Oracle),

@@ -108,6 +108,48 @@ object SnapshotStore {
     spark.read.parquet(filesAt(root, v): _*)
   }
 
+  // ---- named tags over versions ----
+
+  private def tagsFile(root: String) = new File(manifestDir(root), "tags.list")
+
+  /** All tags: name → version. */
+  def tags(root: String): Map[String, Int] = {
+    val f = tagsFile(root)
+    if (!f.isFile) Map.empty
+    else new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+      .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+      .map { l => val Array(n, v) = l.split("\t"); n -> v.toInt }
+      .toMap
+  }
+
+  /** Tag a version (default: latest) with a stable name — the
+    * Iceberg/Delta "tag" primitive: tags pin manifests and manifests
+    * pin files, so a tagged snapshot stays byte-identical through any
+    * later commit INCLUDING compaction (replace commits never delete
+    * data files). Re-tagging a name moves it (latest write wins);
+    * the tag file is rewritten via tmp + atomic rename like the
+    * manifests. Returns the tagged version. */
+  def tag(root: String, name: String, version: Option[Int] = None): Int = {
+    require(name.nonEmpty && !name.contains("\t") && !name.contains("\n"),
+      s"bad tag name: '$name'")
+    val v = version.getOrElse(latestVersion(root))
+    require(manifestFile(root, v).isFile, s"no manifest for version $v")
+    val all = tags(root) + (name -> v)
+    val tmp = Paths.get(manifestDir(root).getPath, ".tags.list.tmp")
+    Files.write(tmp,
+      all.toSeq.sortBy(_._1).map { case (n, tv) => s"$n\t$tv" }
+        .mkString("\n").getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, tagsFile(root).toPath, StandardCopyOption.ATOMIC_MOVE)
+    v
+  }
+
+  /** Read the snapshot a tag points at. */
+  def readTag(spark: SparkSession, root: String, name: String): DataFrame = {
+    val v = tags(root).getOrElse(name,
+      throw new IllegalArgumentException(s"unknown tag: $name"))
+    read(spark, root, Some(v))
+  }
+
   // ---- per-file min/max stats: manifest-level data skipping ----
 
   private def statsFile(root: String, v: Int) =

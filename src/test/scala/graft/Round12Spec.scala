@@ -466,6 +466,59 @@ class Round12Spec extends AnyFunSuite {
     assert(out(300L)._1 > out(900L)._1 && out(900L)._1 > out(3600L)._1)
   }
 
+  // ---- EV27: quantile treatment effects ----
+
+  test("quantileLift reads a planted tail-only treatment") {
+    // Both arms share the same median spend; the treatment arm's top
+    // decile spends 10x. The mean moves, but the QTE panel localizes
+    // it: p50 lift ~0, p90 lift large. Arms come from the real coin,
+    // so the planted effect is applied by recomputing it test-side.
+    def coinA(u: Long): Boolean = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val hex = md.digest(s"ab:42:$u".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16) % 2 == 0
+    }
+    // boost 20% of the arm so the p90 rank lands INSIDE the boosted
+    // mass (a 10% boost puts ceil(.9 n) exactly on the boundary)
+    val rows = (1L to 2000L).map { u =>
+      val base = 10.0 + (u % 7).toDouble
+      val v = if (!coinA(u) && u % 5 == 0) base * 10.0 else base
+      (u, "buy", ts(u), v)
+    }
+    val r = graft.operators.EventsAnalytics
+      .quantileLift(rows.toDF("user_id", "event_type", "ts", "value"))
+      .collect().head
+    assert(r.getAs[Long]("n_a") + r.getAs[Long]("n_b") == 2000L)
+    assert(math.abs(r.getAs[Double]("lift_p50")) <= 2.0,
+      s"p50 lift ${r.getAs[Double]("lift_p50")}")
+    assert(r.getAs[Double]("lift_p90") > 50.0,
+      s"p90 lift ${r.getAs[Double]("lift_p90")}")
+  }
+
+  // ---- S22: snapshot tags ----
+
+  test("tags pin versions through compaction; re-tagging moves") {
+    import graft.sources.SnapshotStore
+    val root = graft.util.TempDirs.scoped("r12-tag")
+    SnapshotStore.commitReplace(
+      Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v").coalesce(1), root)
+    SnapshotStore.tag(root, "t")
+    SnapshotStore.commitAppend(
+      Seq((3L, 3.0)).toDF("k", "v").coalesce(1), root)
+    SnapshotStore.commitReplace(
+      SnapshotStore.read(spark, root).coalesce(1), root)
+    // the tag still reads the 2-row v1 snapshot after compaction
+    assert(SnapshotStore.readTag(spark, root, "t").count() == 2L)
+    // re-tagging the same name moves it to the requested version
+    SnapshotStore.tag(root, "t", Some(3))
+    assert(SnapshotStore.readTag(spark, root, "t").count() == 3L)
+    assert(SnapshotStore.tags(root) == Map("t" -> 3))
+    intercept[IllegalArgumentException] {
+      SnapshotStore.readTag(spark, root, "nope")
+    }
+  }
+
   // ---- M44: overnight/intraday split ----
 
   test("overnightIntraday attributes gap-only variance to the overnight leg") {
