@@ -230,7 +230,8 @@ object RealizedVol {
     * EXACTLY into the upside leg rsv⁺ = Σ r²·1{r>0} and the downside
     * leg rsv⁻ = Σ r²·1{r<0} (zero returns contribute to neither leg
     * and nothing to rv — the split is an identity on the quantized
-    * decimal sums, not an approximation), and the signed jump
+    * decimal sums; the three double renderings can differ by a few
+    * ulps), and the signed jump
     * variation sjv = rsv⁺ − rsv⁻ isolates jump asymmetry — the
     * downside leg is the one that forecasts (bad-news vol).
     * `down_share` = rsv⁻/rv is null on zero-variance days.

@@ -1095,6 +1095,47 @@ object SystemQueries {
        |)
        |SELECT * FROM base UNION ALL SELECT * FROM rel""".stripMargin
 
+  /** S23: incremental small-file compaction — the OPTIMIZE pass a
+    * streaming-ingested lakehouse table needs: a 12-file tiny commit
+    * plus a 2-file healthy commit, then
+    * [[graft.sources.SnapshotStore.compactSmall]] merges ONLY the
+    * sub-8 KiB files and carries the 2 large files by path. The
+    * oracle states the readers' contract — the compacted head is
+    * content-identical to the base table (file counts are a function
+    * of the write plan and sf, so they are pinned by the controlled
+    * `Round12Spec` store, not hash-gated here); a `did_merge` flag
+    * gates that compaction actually rewrote the manifest whenever
+    * tiny files existed (the tiny commit is non-empty at every
+    * shipped sf). */
+  def s23CompactSmall(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.SnapshotStore
+    val root = graft.util.TempDirs.scoped("s23-compact")
+    val t = SyntheticTrades.trades(s, dir)
+      .select(col("trade_id").cast("long").as("tid"), col("amount"))
+    SnapshotStore.commitAppend(
+      t.filter(col("tid") % 1000 === 0).repartition(12), root)
+    SnapshotStore.commitAppend(
+      t.filter(col("tid") % 1000 =!= 0).repartition(2), root)
+    val (v, nMerged, nCarried) =
+      SnapshotStore.compactSmall(s, root, minBytes = 8L * 1024)
+    SnapshotStore.read(s, root, Some(v))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("tid")).as("n_ids"),
+        dsum(col("amount")).as("amount_sum"))
+      .select(lit(nMerged > 0 && nCarried > 0 && v == 3).as("did_merge"),
+        col("n_rows"), col("n_ids"), col("amount_sum"))
+  }
+
+  val s23Oracle: String =
+    s"""WITH ${SyntheticTrades.tradesCte},
+       |t AS (
+       |  SELECT CAST(trade_id AS BIGINT) AS tid, amount FROM trades
+       |)
+       |SELECT true AS did_merge,
+       |  count(*) AS n_rows, count(DISTINCT tid) AS n_ids,
+       |  ${duckDsum("amount")} AS amount_sum
+       |FROM t""".stripMargin
+
   /** ST15: STREAMING commits into the snapshot store — each
     * micro-batch lands as one [[graft.sources.SnapshotStore]] append
     * commit (`foreachBatch`), so the store's version history IS the
@@ -1284,6 +1325,7 @@ object SystemQueries {
     "s20_snapshot_read" -> QueryDef(s20SnapshotRead _, s20Oracle),
     "s21_manifest_prune" -> QueryDef(s21ManifestPrune _, s21Oracle),
     "s22_snapshot_tag" -> QueryDef(s22SnapshotTag _, s22Oracle),
+    "s23_compact_small" -> QueryDef(s23CompactSmall _, s23Oracle),
     "st15_stream_snapshot" -> QueryDef(st15StreamSnapshot _, st15Oracle),
     "s17_merge_upsert" -> QueryDef(s17MergeUpsert _, s17Oracle),
     "st14_stream_cdc" -> QueryDef(st14StreamCdc _, s17Oracle),

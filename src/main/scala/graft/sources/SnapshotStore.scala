@@ -108,6 +108,37 @@ object SnapshotStore {
     spark.read.parquet(filesAt(root, v): _*)
   }
 
+  /** Incremental small-file compaction — the real-world OPTIMIZE:
+    * data files below `minBytes` are read, merged into `targetFiles`
+    * fresh files, and the new manifest lists the merged output PLUS
+    * the untouched large files, carried over by path (NOT rewritten —
+    * at 100 TB, re-copying the healthy gigabyte files is exactly the
+    * cost incremental compaction exists to avoid). Nothing is
+    * deleted, so every older version (and every tag) keeps reading
+    * its original files. Stats lines survive for carried-over files;
+    * the merged files start stats-less (conservatively never
+    * skipped) until a stats commit re-indexes them. No-op (returns
+    * the current version) when nothing is small enough.
+    * Returns (version, nSmallMerged, nCarried). */
+  def compactSmall(spark: SparkSession, root: String, minBytes: Long,
+      targetFiles: Int = 1): (Int, Int, Int) = {
+    val prev = latestVersion(root)
+    val files = filesAt(root, prev)
+    val (small, big) =
+      files.partition(f => new File(f).length() < minBytes)
+    if (small.isEmpty) (prev, 0, big.size)
+    else {
+      val v = prev + 1
+      val merged = writeData(
+        spark.read.parquet(small: _*).coalesce(targetFiles), root, v)
+      writeManifest(root, v, big ++ merged)
+      val bigSet = big.toSet
+      val carried = statsAt(root, prev).filter { case (p, _) => bigSet(p) }
+      if (carried.nonEmpty) writeStats(root, v, carried)
+      (v, small.size, big.size)
+    }
+  }
+
   // ---- named tags over versions ----
 
   private def tagsFile(root: String) = new File(manifestDir(root), "tags.list")

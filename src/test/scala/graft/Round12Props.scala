@@ -112,4 +112,89 @@ object Round12Props extends Properties("Round12") {
       val (v2, s2, l2) = vadOf(levels.reverse)
       v1 == v0 && v2 == v0 && s2 == s0 && l2 == l0
     }
+
+  // Semivariance: the up/down legs recompose rv — exactly at the
+  // decimal-sum level; the three sums render to double independently,
+  // so the recomposition is tight to a few ulps, never more.
+  property("semivariance legs recompose rv to the ulp") =
+    forAll(walkGen) { closes =>
+      import spark.implicits._
+      val trades = closes.zipWithIndex
+        .map { case (c, i) => ("X", i.toLong, c) }
+        .toDF("underlying", "i", "price")
+        .select($"underlying",
+          timestamp_seconds($"i" * 900L).as("timestamp"), $"price")
+      graft.operators.RealizedVol.semivariance(trades).collect()
+        .forall { r =>
+          val rv = r.getAs[Double]("rv_cc")
+          val s = r.getAs[Double]("rsv_up") + r.getAs[Double]("rsv_down")
+          val split = math.abs(s - rv) <= 4 * math.ulp(math.max(rv, s))
+          val share = r.fieldIndex("down_share")
+          split && (r.isNullAt(share) ||
+            (r.getDouble(share) >= 0.0 && r.getDouble(share) <= 1.0))
+        }
+    }
+
+  // TwoNN: bit-identical under a power-of-two rescale — float
+  // multiplication by 2^k is exact, squared distances scale by
+  // exactly 2^2k, so every q2/q1 ratio (and the ln-ratio sum) is
+  // unchanged down to the last bit.
+  private val vecsGen: Gen[List[(Long, List[Int])]] = for {
+    n <- Gen.choose(6, 16)
+    vs <- Gen.listOfN(n, Gen.listOfN(4, Gen.choose(-50, 50)))
+  } yield vs.zipWithIndex.map { case (v, i) => ((i + 1).toLong, v) }
+
+  property("intrinsicDim invariant under power-of-two rescale") =
+    forAll(vecsGen, Gen.oneOf(0.25f, 0.5f, 2.0f, 4.0f)) { (vecs, s) =>
+      import spark.implicits._
+      def run(scale: Float): (Long, Option[Double]) = {
+        val e = vecs
+          .map { case (id, v) =>
+            (id, v.map(x => x * 0.1f * scale).toArray) }
+          .toDF("vec_id", "embedding")
+        val r = graft.operators.VectorOps
+          .intrinsicDim(e, e.filter(col("vec_id") <= 4L))
+          .collect().head
+        (r.getAs[Long]("n_probes"),
+          if (r.isNullAt(r.fieldIndex("id_twonn"))) None
+          else Some(r.getAs[Double]("id_twonn")))
+      }
+      run(1.0f) == run(s)
+    }
+
+  // Containment dominates Jaccard on every candidate pair, and both
+  // directed containments live in (0, 1].
+  private val docsGen: Gen[List[String]] = for {
+    n <- Gen.choose(2, 5)
+    ds <- Gen.listOfN(n, Gen.listOfN(8, Gen.oneOf(
+      "alpha", "beta", "gamma", "delta", "eps")).map(_.mkString(" ")))
+  } yield ds
+
+  property("containment >= jaccard, both directions in (0,1]") =
+    forAll(docsGen) { texts =>
+      import spark.implicits._
+      val hashed = texts.zipWithIndex
+        .map { case (t, i) => ((i + 1).toLong, t) }
+        .toDF("doc_id", "text")
+        .select(col("doc_id"),
+          graft.functions.TextHashColumns
+            .ngramHashes(col("text"), 3).as("hs"))
+      val cont = graft.operators.TextDedup
+        .containmentPairs(hashed, maxDf = 100, threshold = 0.0,
+          tokensCol = "hs")
+        .collect()
+        .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+          (r.getAs[Double]("contain_a_in_b"),
+            r.getAs[Double]("contain_b_in_a"),
+            r.getAs[Double]("containment"))).toMap
+      val jac = graft.operators.TextDedup
+        .invertedIndexPairs(hashed, maxDf = 100, threshold = 0.0,
+          tokensCol = "hs")
+        .collect()
+        .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+          r.getAs[Double]("jaccard")).toMap
+      cont.keySet == jac.keySet && cont.forall { case (k, (ab, ba, mx)) =>
+        ab > 0 && ab <= 1 && ba > 0 && ba <= 1 && mx >= jac(k)
+      }
+    }
 }
