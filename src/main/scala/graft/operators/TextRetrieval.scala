@@ -82,6 +82,66 @@ object TextRetrieval {
       .filter(col("rank") <= k)
   }
 
+  /** Plain TF-IDF query ranking — the lexical second voice for rank
+    * fusion: score(q, d) = Σ_t tf(t, d)·ln(N/df(t)) over the query's
+    * terms. No BM25 length normalization or tf saturation, so its
+    * failure modes differ from BM25's — exactly what makes fusing
+    * the two lists worth more than either alone. Same one-scan
+    * postings shape (and the same materialized tf subtree, which the
+    * cache manager shares) as [[bm25TopK]]. */
+  def tfidfTopK(docs: DataFrame, queryTerms: DataFrame, k: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val tf = graft.util.Caches.materialize(
+      docs.select(col(idCol),
+        explode(TextDedup.words(col(textCol))).as("word"))
+        .groupBy(col(idCol), col("word"))
+        .agg(count(lit(1)).as("tf")))
+    val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("_n"))
+    val qdist = queryTerms.select(col("term")).distinct()
+    val post = graft.util.Caches.materialize(
+      tf.join(broadcast(qdist), col("word") === col("term")).drop("term"))
+    val dfreq = post.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col(idCol).asc)
+    post
+      .join(dfreq, "word")
+      .crossJoin(broadcast(stats))
+      .withColumn("_idf", graft.util.Parity.roundTo(
+        log(col("_n").cast("double") / col("df")), 6))
+      .withColumn("_s", col("tf") * col("_idf"))
+      .join(broadcast(queryTerms), col("word") === col("term"))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(graft.util.Parity.dsum(col("_s")).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of two
+    * rankings: RRF(d) = Σ_lists 1/(c + rank_list(d)) over the lists
+    * that retrieved d, re-ranked per query. The standard zero-tuning
+    * ensemble — fused lists beat either input because rank (not
+    * score) is the unit, so incompatible score scales never matter.
+    * Pure rank arithmetic on two k-bounded lists: the join is
+    * (query, doc)-keyed over ≤ 2k rows per query, nothing
+    * corpus-sized. */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int, c: Double = 60.0,
+      idCol: String = "doc_id"): DataFrame = {
+    val ra = a.select(col("query_id"), col(idCol), col("rank").as("rank_a"))
+    val rb = b.select(col("query_id"), col(idCol), col("rank").as("rank_b"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col(idCol).asc)
+    ra.join(rb, Seq("query_id", idCol), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(c) + col("rank_a")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(c) + col("rank_b")), lit(0.0)))
+      .withColumn("fused_rank", row_number().over(w))
+      .filter(col("fused_rank") <= k)
+      .select(col("query_id"), col(idCol),
+        col("rank_a").as("rank_bm25"), col("rank_b").as("rank_tfidf"),
+        col("rrf"), col("fused_rank"))
+  }
+
   /** TF-IDF cosine document-pair similarity through a df-pruned
     * inverted index — the weighted complement of the MinHash/Jaccard
     * family: near-boilerplate docs score by how RARE their shared

@@ -411,6 +411,100 @@ object FeatureQueries {
        |       ELSE fts - us END AS delta_us
        |FROM b JOIN f ON f.trade_id = b.trade_id""".stripMargin
 
+  // ---- A35: butterfly arbitrage audit (strike convexity) ----
+
+  /** A35: butterfly-arbitrage audit — the strike-axis companion to
+    * m22's calendar check: a call price curve must be CONVEX in
+    * strike, so for consecutive strikes k1<k2<k3 the mid price must
+    * satisfy c2 ≤ ((k3−k2)·c1 + (k2−k1)·c3)/(k3−k1) (the general
+    * unequal-spacing butterfly). Violations are free money — and on
+    * real tapes, stale-quote detectors. Per (underlying, expiry,
+    * option_type): strike count, triple count, violation count, and
+    * the worst positive gap.
+    *
+    * Shape: last traded price per (underlying, expiry, type, strike)
+    * is one bounded-group window (the m22 last-quote recipe with the
+    * numeric trade_id tie-break), then lag/lead over strike inside
+    * (underlying, expiry, type) — groups bounded by the strike grid
+    * (17 here), never corpus-sized. Convexity algebra is identical
+    * IEEE text both engines; the violation gap stays a raw double. */
+  def a35ButterflyArb(s: SparkSession, dir: String): DataFrame =
+    butterflyArb(trades(s, dir))
+
+  /** Core audit over any trades-shaped frame (underlying, expiry,
+    * option_type, strike, price, timestamp, trade_id). */
+  def butterflyArb(tradesDf: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = tradesDf
+      .withColumn("ep", Parity.epochS(col("timestamp")))
+      .withColumn("tidn", col("trade_id").cast("long"))
+    val wLast = Window
+      .partitionBy(col("underlying"), col("expiry"), col("option_type"),
+        col("strike"))
+      .orderBy(col("ep").desc, col("tidn").desc)
+    val last = t
+      .withColumn("rn", row_number().over(wLast)).filter(col("rn") === 1)
+      .select(col("underlying"), col("expiry"), col("option_type"),
+        col("strike"), col("price"))
+    val wK = Window
+      .partitionBy(col("underlying"), col("expiry"), col("option_type"))
+      .orderBy(col("strike"))
+    last
+      .withColumn("k1", lag(col("strike"), 1).over(wK))
+      .withColumn("c1", lag(col("price"), 1).over(wK))
+      .withColumn("k3", lead(col("strike"), 1).over(wK))
+      .withColumn("c3", lead(col("price"), 1).over(wK))
+      .withColumn("_interp", expr(butterflyInterpExpr))
+      .withColumn("_gap", col("price") - col("_interp"))
+      .groupBy(col("underlying"), col("expiry"), col("option_type"))
+      .agg(
+        count(lit(1)).as("n_strikes"),
+        count(col("_interp")).as("n_triples"),
+        count(when(col("_gap") > 0, lit(1))).as("n_violations"),
+        max(when(col("_gap") > 0, col("_gap"))).as("worst_gap"))
+      .select(col("underlying"),
+        date_format(col("expiry"), "yyyy-MM-dd").as("expiry"),
+        col("option_type"), col("n_strikes"), col("n_triples"),
+        col("n_violations"), col("worst_gap"))
+  }
+
+  /** Unequal-spacing butterfly bound — shared text (k1/k3 = lag/lead
+    * strikes, c1/c3 their prices, strike/price the middle leg). */
+  val butterflyInterpExpr: String =
+    "((k3 - strike) * c1 + (strike - k1) * c3) / (k3 - k1)"
+
+  val a35Oracle: String =
+    s"""WITH ${SyntheticTrades.tradesCte},
+       |lastq AS (
+       |  SELECT underlying, expiry, option_type, strike, price
+       |  FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY underlying, expiry, option_type, strike
+       |      ORDER BY ${duckEpochS("\"timestamp\"")} DESC,
+       |        CAST(trade_id AS BIGINT) DESC) AS rn
+       |    FROM trades
+       |  ) WHERE rn = 1
+       |),
+       |tri AS (
+       |  SELECT *,
+       |    lag(strike) OVER w AS k1, lag(price) OVER w AS c1,
+       |    lead(strike) OVER w AS k3, lead(price) OVER w AS c3
+       |  FROM lastq
+       |  WINDOW w AS (PARTITION BY underlying, expiry, option_type
+       |    ORDER BY strike)
+       |),
+       |g AS (
+       |  SELECT *, price - ($butterflyInterpExpr) AS gap,
+       |    $butterflyInterpExpr AS interp
+       |  FROM tri
+       |)
+       |SELECT underlying, strftime(expiry, '%Y-%m-%d') AS expiry,
+       |  option_type, count(*) AS n_strikes,
+       |  count(interp) AS n_triples,
+       |  count(CASE WHEN gap > 0 THEN 1 END) AS n_violations,
+       |  max(CASE WHEN gap > 0 THEN gap END) AS worst_gap
+       |FROM g GROUP BY 1, 2, 3""".stripMargin
+
   // ---- A31: IV surface grid (DTE x moneyness) with fill ----
 
   def a31SurfaceGrid(s: SparkSession, dir: String): DataFrame =
@@ -575,5 +669,6 @@ object FeatureQueries {
     "a9_moneyness_smile" -> QueryDef(a9MoneynessSmile _, a9Oracle),
     "a6_pcr_by_tenor" -> QueryDef(a6Pcr _, a6Oracle),
     "a7_term_structure" -> QueryDef(a7TermStructure _, a7Oracle),
-    "a34_theil_sen" -> QueryDef(a34TheilSen _, a34Oracle))
+    "a34_theil_sen" -> QueryDef(a34TheilSen _, a34Oracle),
+    "a35_butterfly_arb" -> QueryDef(a35ButterflyArb _, a35Oracle))
 }

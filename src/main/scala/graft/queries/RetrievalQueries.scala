@@ -107,6 +107,66 @@ object RetrievalQueries {
 
   val bm25Oracle: String = s"WITH $bm25Ctes\n$bm25TopSelect"
 
+  // ---- reciprocal-rank fusion of BM25 and TF-IDF rankings ----
+
+  /** LLM_RANK_FUSION: RRF (c = 60) over the BM25 and plain TF-IDF
+    * top-k lists for the SAME query set — the zero-tuning retrieval
+    * ensemble. The oracle re-derives BOTH rankings from the corpus
+    * (the shared bm25 CTE chain plus a tf·ln(N/df) scorer) and the
+    * fusion arithmetic. */
+  def rankFusion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = docs(s, dir)
+    val q = Bm25Queries.toDF("query_id", "term")
+    TextRetrieval.rrfFuse(
+      TextRetrieval.bm25TopK(d, q, Bm25K, Bm25K1, Bm25B),
+      TextRetrieval.tfidfTopK(d, q, Bm25K), Bm25K)
+  }
+
+  val rankFusionOracle: String =
+    s"""WITH $bm25Ctes,
+       |bmrank AS (
+       |  $bm25TopSelect
+       |),
+       |tterm AS (
+       |  SELECT qt.query_id, p.doc_id,
+       |    p.tf * ${Parity.duckRoundTo(
+             "ln(CAST(n AS DOUBLE) / df)", 6)} AS s
+       |  FROM post p
+       |  JOIN dfq USING (word)
+       |  JOIN qt ON qt.term = p.word
+       |  CROSS JOIN stats
+       |),
+       |tagg AS (
+       |  SELECT query_id, doc_id, ${Parity.duckDsum("s")} AS score
+       |  FROM tterm GROUP BY 1, 2
+       |),
+       |trank AS (
+       |  SELECT query_id, doc_id, rank FROM (
+       |    SELECT *, CAST(row_number() OVER (
+       |      PARTITION BY query_id ORDER BY score DESC, doc_id
+       |    ) AS INT) AS rank
+       |    FROM tagg
+       |  ) WHERE rank <= $Bm25K
+       |),
+       |f AS (
+       |  SELECT coalesce(b.query_id, t.query_id) AS query_id,
+       |    coalesce(b.doc_id, t.doc_id) AS doc_id,
+       |    b.rank AS rank_bm25, t.rank AS rank_tfidf,
+       |    coalesce(1.0 / (60.0 + b.rank), 0.0)
+       |      + coalesce(1.0 / (60.0 + t.rank), 0.0) AS rrf
+       |  FROM bmrank b
+       |  FULL OUTER JOIN trank t
+       |    ON b.query_id = t.query_id AND b.doc_id = t.doc_id
+       |)
+       |SELECT query_id, doc_id, rank_bm25, rank_tfidf, rrf, fused_rank
+       |FROM (
+       |  SELECT *, CAST(row_number() OVER (
+       |    PARTITION BY query_id ORDER BY rrf DESC, doc_id
+       |  ) AS INT) AS fused_rank
+       |  FROM f
+       |) WHERE fused_rank <= $Bm25K""".stripMargin
+
   // ---- retrieval evaluation (MRR / precision@k / NDCG@k) ----
 
   /** Relevance floor: a doc is relevant to a query iff EVERY query
@@ -322,6 +382,7 @@ object RetrievalQueries {
 
   val defs: Map[String, QueryDef] = Map(
     "llm_bm25_topk" -> QueryDef(bm25TopK _, bm25Oracle),
+    "llm_rank_fusion" -> QueryDef(rankFusion _, rankFusionOracle),
     "llm_retrieval_eval" -> QueryDef(retrievalEval _, retrievalEvalOracle),
     "llm_dsir_select" -> QueryDef(dsirSelect _, dsirOracle),
     "llm_tfidf_cosine" -> QueryDef(tfidfCosine _, tfidfCosineOracle))
