@@ -645,6 +645,40 @@ object EventsAnalytics {
     * Shared text — pure double algebra on count casts. */
   val srmChi2Expr: String = "((na - nb) * (na - nb)) / (na + nb)"
 
+  /** z_{0.975} and z_{0.80} — the standard 5%-two-sided / 80%-power
+    * normal quantiles every experimentation platform bakes into its
+    * MDE formula. Spelled as full-precision literals shared with the
+    * oracle text. */
+  val Z975: Double = 1.959963984540054
+  val Z80: Double = 0.8416212335729143
+
+  /** MDE algebra over [[abTest]]'s output columns — shared text. */
+  val mdeSeExpr: String =
+    "sqrt(var_a / CAST(n_a AS DOUBLE) + var_b / CAST(n_b AS DOUBLE))"
+  val mdeAbsExpr: String = s"(($Z975 + $Z80) * se_diff)"
+
+  /** EV28: post-hoc minimum-detectable-effect read-out of the
+    * [[abTest]] experiment — the "was this experiment even capable of
+    * seeing the effect we care about?" check that should accompany
+    * every non-significant result: with the realized per-arm sizes
+    * and variances, MDE_abs = (z_{1−α/2} + z_{power})·SE is the
+    * smallest true lift the test would flag at 5%/80%; `powered`
+    * says whether the OBSERVED lift clears it. Pure double algebra
+    * over ev22's already-gated Welch sums — no new scan shape. */
+  def mdeReadout(events: DataFrame, seed: Long = 42L,
+      userCol: String = "user_id", valueCol: String = "value")
+      : DataFrame =
+    abTest(events, seed, userCol, valueCol)
+      .withColumn("se_diff", expr(mdeSeExpr))
+      .withColumn("observed_diff", expr("mean_b - mean_a"))
+      .withColumn("mde_abs", expr(mdeAbsExpr))
+      .withColumn("mde_rel", expr("mde_abs / nullif(mean_a, 0.0)"))
+      .withColumn("powered", expr("abs(observed_diff) >= mde_abs"))
+      .select(col("n_a"), col("n_b"), col("mean_a"), col("mean_b"),
+        col("var_a"), col("var_b"), col("se_diff"),
+        col("observed_diff"), col("mde_abs"), col("mde_rel"),
+        col("powered"))
+
   /** EV27: quantile treatment effects — the distributional read
     * [[abTest]]'s mean-based Welch t misses: a treatment can move the
     * p90 spender while leaving the mean flat (or vice versa). Per

@@ -315,6 +315,49 @@ object RealizedVol {
         col("var_overnight"), col("var_intraday"), col("overnight_share"))
   }
 
+  /** M45: historical VaR / Expected Shortfall per underlying over the
+    * daily close-to-close return series — the desk risk read on top
+    * of the m7 family. Rank-based definitions so both engines pick
+    * identical elements: VaR_q = the return at rank ceil(q·n) under
+    * (return, day) order; ES_q = the exact decimal mean of the
+    * returns at ranks 1..ceil(q·n) (the tail AT OR BELOW the VaR
+    * element by rank, not by value — deterministic under ties).
+    * Returns are 6-dp-quantized at birth (the ln contract), so every
+    * later comparison and mean is engine-identical.
+    *
+    * Shape: one corpus-sized aggregate to daily closes; the rank
+    * window runs on the (underlyings × days) daily table —
+    * calendar-bounded, so the per-key sort is bounded by the
+    * retention window, never by data volume (the a21 distributed
+    * selection is the path if the grain ever becomes per-trade). */
+  def varEs(trades: DataFrame, qs: Seq[(Int, Int, String)] =
+      Seq((1, 20, "95"), (1, 100, "99"))): DataFrame = {
+    val w = Window.partitionBy(col("underlying")).orderBy(col("day_start"))
+    val byRet = Window.partitionBy(col("underlying"))
+      .orderBy(col("rq"), col("day_start"))
+    val ep = unix_timestamp(col("timestamp"))
+    val rets = trades
+      .filter(col("price") > 0)
+      .withColumn("day_start", ep - ep % 86400L)
+      .groupBy(col("underlying"), col("day_start"))
+      .agg(max_by(col("price"), col("timestamp")).as("close"))
+      .withColumn("_r", log(col("close") / lag(col("close"), 1).over(w)))
+      .filter(col("_r").isNotNull)
+      .withColumn("rq", Parity.roundTo(col("_r"), 6))
+      .withColumn("rn", row_number().over(byRet))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("underlying"))))
+    val aggs = qs.flatMap { case (a, b, name) =>
+      val cut = expr(s"(n * $a + ${b - 1}) div $b")
+      Seq(
+        max(when(col("rn") === cut, col("rq"))).as(s"var_$name"),
+        (Parity.dsum(when(col("rn") <= cut, col("rq")))
+          / max(when(col("rn") === cut, col("rn"))).cast("double"))
+          .as(s"es_$name"))
+    }
+    rets.groupBy(col("underlying"))
+      .agg(max(col("n")).as("n_returns"), aggs: _*)
+  }
+
   /** M43: RV signature plot per underlying — realized variance as a
     * function of the sampling interval (Andersen, Bollerslev, Diebold
     * & Labys 2000). For a semimartingale price, RV is flat in the

@@ -1120,6 +1120,27 @@ object EventsQueries {
       .stripMargin
   }
 
+  /** EV28: post-hoc MDE read-out ([[EventsAnalytics.mdeReadout]]) —
+    * the oracle wraps the full ev22 derivation as a subquery and
+    * applies the SAME shared MDE algebra text. */
+  def ev28Mde(s: SparkSession, dir: String): DataFrame =
+    EventsAnalytics.mdeReadout(events(s, dir), AbSeed)
+
+  val ev28Oracle: String = {
+    import graft.operators.EventsAnalytics.{mdeAbsExpr, mdeSeExpr}
+    s"""SELECT n_a, n_b, mean_a, mean_b, var_a, var_b, se_diff,
+       |  mean_b - mean_a AS observed_diff, mde_abs,
+       |  mde_abs / nullif(mean_a, 0.0) AS mde_rel,
+       |  abs(mean_b - mean_a) >= mde_abs AS powered
+       |FROM (
+       |  SELECT *, $mdeAbsExpr AS mde_abs FROM (
+       |    SELECT *, $mdeSeExpr AS se_diff FROM (
+       |      $ev22Oracle
+       |    )
+       |  )
+       |)""".stripMargin
+  }
+
   /** EV20: rolling actives by HLL sketch merge
     * ([[EventsAnalytics.sketchRollingActive]]) — the sketch-partial
     * scale path next to ev6's exact fan-out. Oracle: day/dau/wau are
@@ -1166,6 +1187,7 @@ object EventsQueries {
     "ev25_cuped" -> QueryDef(ev25Cuped _, ev25Oracle),
     "ev26_srm" -> QueryDef(ev26Srm _, ev26Oracle),
     "ev27_quantile_lift" -> QueryDef(ev27QuantileLift _, ev27Oracle),
+    "ev28_mde" -> QueryDef(ev28Mde _, ev28Oracle),
     "ev19_cohort_ltv" -> QueryDef(ev19CohortLtv _, ev19Oracle),
     "ev18_markov_attribution" -> QueryDef(ev18Markov _, None),
     "ev17_survival" -> QueryDef(ev17Survival _, ev17Oracle),

@@ -274,6 +274,48 @@ object VolQueries {
        |FROM c""".stripMargin
   }
 
+  def m45VarEs(s: SparkSession, dir: String): DataFrame =
+    RealizedVol.varEs(trades(s, dir))
+
+  /** Mirrors [[RealizedVol.varEs]]: daily closes, 6-dp-quantized
+    * returns, the ceil-rank element pick and the rank-tail exact
+    * decimal mean, restated per quantile. */
+  val m45Oracle: String = {
+    def cut(a: Int, b: Int) = s"(n * $a + ${b - 1}) // $b"
+    def cols(a: Int, b: Int, nm: String) =
+      s"""max(CASE WHEN rn = ${cut(a, b)} THEN rq END) AS var_$nm,
+         |  ${duckDsum(s"CASE WHEN rn <= ${cut(a, b)} THEN rq END")}
+         |    / CAST((max(n) * $a + ${b - 1}) // $b AS DOUBLE) AS es_$nm"""
+        .stripMargin
+    s"""WITH ${SyntheticTrades.tradesCte},
+       |daily AS (
+       |  SELECT underlying, ep - ep % 86400 AS day_start,
+       |    arg_max(price, "timestamp") AS close
+       |  FROM (SELECT *, ${duckEpochS("\"timestamp\"")} AS ep FROM trades)
+       |  WHERE price > 0
+       |  GROUP BY 1, 2
+       |),
+       |rets AS (
+       |  SELECT underlying, day_start,
+       |    ${duckRoundTo(
+             """ln(close / lag(close) OVER (
+               |      PARTITION BY underlying ORDER BY day_start))""".stripMargin,
+             6)} AS rq
+       |  FROM daily
+       |),
+       |rk AS (
+       |  SELECT underlying, day_start, rq,
+       |    row_number() OVER (PARTITION BY underlying
+       |      ORDER BY rq, day_start) AS rn,
+       |    count(*) OVER (PARTITION BY underlying) AS n
+       |  FROM rets WHERE rq IS NOT NULL
+       |)
+       |SELECT underlying, max(n) AS n_returns,
+       |  ${cols(1, 20, "95")},
+       |  ${cols(1, 100, "99")}
+       |FROM rk GROUP BY 1""".stripMargin
+  }
+
   /** M9: daily implied-vs-realized spread — the volatility-risk-
     * premium read the reference's EGARCH spread (m6) approximates
     * per-bar, here stated at the daily horizon: mean traded IV minus
@@ -1020,6 +1062,7 @@ object VolQueries {
     "m43_signature_plot" -> QueryDef(m43SignaturePlot _, m43Oracle),
     "m44_overnight_intraday" ->
       QueryDef(m44OvernightIntraday _, m44Oracle),
+    "m45_var_es" -> QueryDef(m45VarEs _, m45Oracle),
     "m40_vol_of_vol" -> QueryDef(m40VolOfVol _, m40Oracle),
     "m8_ewma_vol" -> QueryDef(m8EwmaVol _, m8Oracle),
     "m9_iv_rv_spread" -> QueryDef(m9IvRvSpread _, m9Oracle),

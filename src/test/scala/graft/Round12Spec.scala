@@ -522,6 +522,99 @@ class Round12Spec extends AnyFunSuite {
     }
   }
 
+  // ---- M45: historical VaR / ES ----
+
+  test("varEs picks the planted tail exactly") {
+    // 100 daily returns: five distinct crash days, the rest +0.001.
+    // At q=5%: rank ceil(.05*100)=5 -> var_95 = -0.01 (the mildest
+    // crash), es_95 = mean of the five crashes = -0.03. At q=1%:
+    // rank 1 -> var_99 = es_99 = -0.05.
+    val crashes = Map(10 -> -0.05, 30 -> -0.04, 50 -> -0.03,
+      70 -> -0.02, 90 -> -0.01)
+    var p = 1000.0
+    val rows = (0 to 100).map { d =>
+      if (d > 0) p *= math.exp(crashes.getOrElse(d, 0.001))
+      ("BTC", ts(d * 86400L + 10), p)
+    }
+    val r = graft.operators.RealizedVol
+      .varEs(rows.toDF("underlying", "timestamp", "price"))
+      .collect().head
+    assert(r.getAs[Long]("n_returns") == 100L)
+    assert(r.getAs[Double]("var_95") == -0.01)
+    assert(math.abs(r.getAs[Double]("es_95") - (-0.03)) < 1e-12)
+    assert(r.getAs[Double]("var_99") == -0.05)
+    assert(r.getAs[Double]("es_99") == -0.05)
+  }
+
+  // ---- EV28: post-hoc MDE ----
+
+  test("mdeReadout wires the MDE algebra and flags a huge lift as powered") {
+    def coinA(u: Long): Boolean = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val hex = md.digest(s"ab:42:$u".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16) % 2 == 0
+    }
+    val rows = (1L to 2000L).map { u =>
+      val v = 10.0 + (u % 5) + (if (coinA(u)) 0.0 else 50.0)
+      (u, "buy", ts(u), v)
+    }
+    val r = graft.operators.EventsAnalytics
+      .mdeReadout(rows.toDF("user_id", "event_type", "ts", "value"))
+      .collect().head
+    val se = r.getAs[Double]("se_diff")
+    val mde = r.getAs[Double]("mde_abs")
+    // identity: mde = (z975 + z80) * se, se rebuilt from the outputs
+    import graft.operators.EventsAnalytics.{Z80, Z975}
+    val seCheck = math.sqrt(
+      r.getAs[Double]("var_a") / r.getAs[Long]("n_a") +
+        r.getAs[Double]("var_b") / r.getAs[Long]("n_b"))
+    assert(se == seCheck && mde == (Z975 + Z80) * se)
+    assert(r.getAs[Double]("observed_diff") > 49.0)
+    assert(mde < 1.0 && r.getAs[Boolean]("powered"))
+  }
+
+  // ---- A35: butterfly arbitrage ----
+
+  test("butterflyArb flags exactly the planted convexity break") {
+    // Convex price curve over 5 strikes, then the middle strike's
+    // last trade is repriced ABOVE the interpolation line — exactly
+    // one violation with a known gap.
+    val expiry = java.sql.Date.valueOf("2026-09-25")
+    def row(id: Long, k: Double, p: Double, at: Long) =
+      (id.toString, "BTC", expiry, "C", k, p, ts(at))
+    val convex = Seq(
+      row(1, 100.0, 50.0, 10), row(2, 110.0, 41.0, 10),
+      row(3, 120.0, 33.0, 10), row(4, 130.0, 26.0, 10),
+      row(5, 140.0, 20.0, 10),
+      // strike 120 re-trades LATER at 40.0 > (41+26)/2 = 33.5
+      row(6, 120.0, 40.0, 99))
+    val df = convex.toDF("trade_id", "underlying", "expiry",
+      "option_type", "strike", "price", "timestamp")
+    val r = graft.queries.FeatureQueries.butterflyArb(df).collect().head
+    assert(r.getAs[Long]("n_strikes") == 5L)
+    assert(r.getAs[Long]("n_triples") == 3L)
+    assert(r.getAs[Long]("n_violations") == 1L)
+    assert(math.abs(r.getAs[Double]("worst_gap") - 6.5) < 1e-9)
+  }
+
+  // ---- llm_rank_fusion ----
+
+  test("rrfFuse ranks the doc both lists agree on first") {
+    val a = Seq((0, 1L, 1), (0, 2L, 2))
+      .toDF("query_id", "doc_id", "rank")
+    val b = Seq((0, 2L, 1), (0, 3L, 2))
+      .toDF("query_id", "doc_id", "rank")
+    val out = graft.operators.TextRetrieval.rrfFuse(a, b, k = 10)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("fused_rank"), r.getAs[Double]("rrf"))).toMap
+    // d2 appears in both lists (1/62 + 1/61) and must lead
+    assert(out(2L)._1 == 1 && out(1L)._1 == 2 && out(3L)._1 == 3)
+    assert(math.abs(out(2L)._2 - (1.0 / 62 + 1.0 / 61)) < 1e-12)
+    assert(out(1L)._2 == 1.0 / 61 && out(3L)._2 == 1.0 / 62)
+  }
+
   // ---- S23: incremental small-file compaction ----
 
   test("compactSmall merges tiny files, carries big ones, keeps history") {
