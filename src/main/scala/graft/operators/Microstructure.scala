@@ -352,6 +352,42 @@ object Microstructure {
       .select("symbol", "n_obs", "mean", "m2", "skewness", "ex_kurtosis")
   }
 
+  /** Φ⁻¹(0.05) and Φ⁻¹(0.01) — the left-tail normal quantiles of the
+    * standard VaR confidence levels, full-precision literals shared
+    * with the oracle text. */
+  val Z05: Double = -1.6448536269514722
+  val Z01: Double = -2.3263478740408408
+
+  /** The Cornish–Fisher expansion of a quantile under skew s and
+    * excess kurtosis k: z_cf = z + (z²−1)s/6 + (z³−3z)k/24 −
+    * (2z³−5z)s²/36 — shared text over [[realizedMoments]]'s output
+    * columns. The z literal goes through a string→DOUBLE cast (valid
+    * in BOTH engines): a bare 17-digit literal parses as DECIMAL in
+    * DuckDB and z³ then overflows the 38-digit scale. */
+  def cfVarExpr(z: Double): String = {
+    val zl = graft.util.Parity.duckDoubleLit(z)
+    s"""(mean + sqrt(m2) * ($zl
+       | + ($zl * $zl - 1.0) * skewness / 6.0
+       | + ($zl * $zl * $zl - 3.0 * $zl) * ex_kurtosis / 24.0
+       | - (2.0 * $zl * $zl * $zl - 5.0 * $zl)
+       |   * skewness * skewness / 36.0))""".stripMargin
+  }
+
+  /** M46: Cornish–Fisher modified VaR per symbol — the parametric
+    * companion to the rank-based historical VaR (m45): expand the
+    * normal quantile with the realized skew and excess kurtosis
+    * (Cornish–Fisher), so fat left tails and negative skew push the
+    * VaR level further out than the plain mean + σ·z Gaussian read.
+    * Runs entirely on [[realizedMoments]]'s gated moment panel — no
+    * new scan shape, pure shared-text double algebra. */
+  def cornishFisherVar(ticks: DataFrame): DataFrame =
+    realizedMoments(ticks)
+      .withColumn("cf_var_95", expr(cfVarExpr(Z05)))
+      .withColumn("cf_var_99", expr(cfVarExpr(Z01)))
+      .select(col("symbol"), col("n_obs"), col("mean"), col("m2"),
+        col("skewness"), col("ex_kurtosis"), col("cf_var_95"),
+        col("cf_var_99"))
+
   /** M28: triple-barrier labeling (López de Prado) — the standard
     * supervised-learning label generator for financial ML: every day
     * is an entry; the label is which barrier the path hits first

@@ -362,6 +362,25 @@ object MicroQueries {
        |  m4 / nullif(m2 * m2, 0.0) - 3.0 AS ex_kurtosis
        |FROM d""".stripMargin
 
+  // ---- M46: Cornish-Fisher modified VaR ----
+
+  /** M46: Cornish–Fisher modified VaR
+    * ([[Microstructure.cornishFisherVar]]) — the oracle wraps the
+    * full m31 moment derivation as a subquery and applies the SAME
+    * shared expansion text at both confidence levels. */
+  def m46CornishFisher(s: SparkSession, dir: String): DataFrame =
+    Microstructure.cornishFisherVar(ticks(s, dir))
+
+  val m46Oracle: String = {
+    import graft.operators.Microstructure.{cfVarExpr, Z01, Z05}
+    s"""SELECT symbol, n_obs, mean, m2, skewness, ex_kurtosis,
+       |  ${cfVarExpr(Z05)} AS cf_var_95,
+       |  ${cfVarExpr(Z01)} AS cf_var_99
+       |FROM (
+       |  $m31Oracle
+       |)""".stripMargin
+  }
+
   // ---- M32: Sortino / Omega downside-risk panel ----
 
   def m32Sortino(s: SparkSession, dir: String): DataFrame =
@@ -519,6 +538,7 @@ object MicroQueries {
     "m34_drawdown_spells" -> QueryDef(m34DrawdownSpells _, m34Oracle),
     "m32_sortino" -> QueryDef(m32Sortino _, m32Oracle),
     "m31_skew_kurt" -> QueryDef(m31SkewKurt _, m31Oracle),
+    "m46_cornish_fisher" -> QueryDef(m46CornishFisher _, m46Oracle),
     "m30_range_vol" -> QueryDef(m30RangeVol _, m30Oracle),
     "m29_hurst" -> QueryDef(m29Hurst _, m29Oracle),
     "m28_triple_barrier" -> QueryDef(m28TripleBarrier _, m28Oracle),

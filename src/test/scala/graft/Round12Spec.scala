@@ -546,6 +546,32 @@ class Round12Spec extends AnyFunSuite {
     assert(r.getAs[Double]("es_99") == -0.05)
   }
 
+  // ---- M46: Cornish-Fisher modified VaR ----
+
+  test("cornishFisherVar matches the expansion and reacts to skew") {
+    import graft.operators.Microstructure.{Z01, Z05}
+    // mostly small gains, occasional crashes: negative skew
+    var p = 1000.0
+    val rows = (0 until 200).map { d =>
+      p *= (if (d % 20 == 19) 0.95 else 1.005)
+      ("BTC", ts(d * 86400L + 5), p)
+    }
+    val r = graft.operators.Microstructure
+      .cornishFisherVar(rows.toDF("symbol", "timestamp", "close"))
+      .collect().head
+    val (mean, m2) = (r.getAs[Double]("mean"), r.getAs[Double]("m2"))
+    val (s, k) = (r.getAs[Double]("skewness"),
+      r.getAs[Double]("ex_kurtosis"))
+    assert(s < -1.0, s"expected negative skew, got $s")
+    def cf(z: Double) = mean + math.sqrt(m2) * (z +
+      (z * z - 1.0) * s / 6.0 + (z * z * z - 3.0 * z) * k / 24.0 -
+      (2.0 * z * z * z - 5.0 * z) * s * s / 36.0)
+    assert(math.abs(r.getAs[Double]("cf_var_95") - cf(Z05)) < 1e-12)
+    assert(math.abs(r.getAs[Double]("cf_var_99") - cf(Z01)) < 1e-12)
+    // negative skew pushes the 95% level below the Gaussian read
+    assert(r.getAs[Double]("cf_var_95") < mean + math.sqrt(m2) * Z05)
+  }
+
   // ---- EV28: post-hoc MDE ----
 
   test("mdeReadout wires the MDE algebra and flags a huge lift as powered") {
