@@ -720,6 +720,69 @@ object EventsAnalytics {
           col(s"lift_$n"))): _*)
   }
 
+  /** EV29: per-segment Welch panel with HOLM step-down correction —
+    * the companion guardrail to [[srmCheck]]: run the experiment
+    * read-out per segment and twenty segments WILL produce a
+    * nominally-significant one by chance; Holm (1979) controls the
+    * family-wise error exactly without Bonferroni's full
+    * conservatism. Per segment: ev22's Welch t over the per-(segment,
+    * user) exact decimal spend; the two-sided normal-approximation
+    * p = 1 − erf(|t|/√2) uses the SAME A&S erf both engines spell
+    * op-for-op (9-dp-quantized before ranking — the transcendental
+    * contract); holm_p = running max over the p-ascending rank of
+    * min(1, (m−i+1)·p); reject iff holm_p ≤ α.
+    *
+    * Shape: one (segment, user)-keyed aggregate (corpus-sized
+    * equi-shuffle), one segment-keyed aggregate, then rank/running-max
+    * windows over the SEGMENT panel — segments-count rows, driver-free
+    * (the zipf global-window precedent: tiny, bounded tables may rank
+    * globally). */
+  def holmPanel(events: DataFrame, seed: Long = 42L,
+      alpha: Double = 0.05, userCol: String = "user_id",
+      segmentCol: String = "event_type", valueCol: String = "value")
+      : DataFrame = {
+    val perUser = events
+      .groupBy(col(segmentCol).as("segment"), col(userCol).as("u"))
+      .agg(graft.util.Parity.dsum(col(valueCol)).as("mu"))
+      .withColumn("variant",
+        when(conv(substring(sha2(
+          concat(lit(s"ab:$seed:"), col("u").cast("string")), 256),
+          1, 8), 16, 10).cast("long") % 2 === 0, "A").otherwise("B"))
+    def cnt(v: String) = count(when(col("variant") === v, lit(1)))
+    def dsumIf(v: String, c: Column) =
+      sum(when(col("variant") === v, c).cast(createDecimalType(28, 6)))
+        .cast("double")
+    val wRank = Window.orderBy(col("p_two"), col("segment"))
+    val wRun = wRank.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    perUser
+      .groupBy(col("segment"))
+      .agg(
+        cnt("A").as("n_a"), cnt("B").as("n_b"),
+        dsumIf("A", col("mu")).as("_sa"),
+        dsumIf("B", col("mu")).as("_sb"),
+        dsumIf("A", col("mu") * col("mu")).as("_qa"),
+        dsumIf("B", col("mu") * col("mu")).as("_qb"))
+      .withColumn("na", col("n_a").cast("double"))
+      .withColumn("nb", col("n_b").cast("double"))
+      .withColumn("ma", expr("_sa / na"))
+      .withColumn("mb", expr("_sb / nb"))
+      .withColumn("va", expr(welchVarExpr("_qa", "_sa", "na")))
+      .withColumn("vb", expr(welchVarExpr("_qb", "_sb", "nb")))
+      .withColumn("t_stat", expr(welchTExpr))
+      .withColumn("p_two", graft.util.Parity.roundTo(
+        lit(1.0) - graft.functions.GraftColumns.erf(
+          abs(col("t_stat")) / sqrt(lit(2.0))), 9))
+      .withColumn("m", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("rank_p", row_number().over(wRank))
+      .withColumn("_raw", least(lit(1.0),
+        (col("m") - col("rank_p") + 1).cast("double") * col("p_two")))
+      .withColumn("holm_p", max(col("_raw")).over(wRun))
+      .withColumn("reject", col("holm_p") <= alpha)
+      .select(col("segment"), col("n_a"), col("n_b"), col("t_stat"),
+        col("p_two"), col("rank_p"), col("holm_p"), col("reject"))
+  }
+
   /** EV26: sample-ratio-mismatch guardrail for the [[abTest]]
     * experiment — per segment (the event-type dimension), the χ²
     * test of the observed A/B user split against the designed 50/50.

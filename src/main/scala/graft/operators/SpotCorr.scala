@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -116,6 +116,40 @@ object SpotCorr {
       .withColumn("corr_btc_eth", expr(corrExpr))
       .withColumn("beta_eth_on_btc", expr(betaExpr))
       .select("n_days", "corr_btc_eth", "beta_eth_on_btc")
+  }
+
+  /** Sided beta algebra over the conditional sums — shared text. */
+  def sideBetaExpr(t: String): String =
+    s"""((CAST(n_$t AS DOUBLE) * sxy_$t - sx_$t * sy_$t)
+       | / nullif(CAST(n_$t AS DOUBLE) * sxx_$t - sx_$t * sx_$t, 0.0))"""
+      .stripMargin
+
+  /** M47: downside/upside beta split (Ang, Chen & Xing 2006) — the
+    * beta of ETH on BTC conditioned on the SIGN of the BTC return:
+    * β⁻ (BTC down days) is what a hedger actually pays for; β⁺ − β⁻
+    * asymmetry is the crash-co-movement premium the unconditional
+    * m11 beta averages away. Same [[alignedReturns]] head (one bar
+    * aggregate + a days-sized join), conditional decimal sums for
+    * both sides inside ONE groupless aggregate, the sided beta
+    * algebra shared text. Zero-return days belong to neither side
+    * (stated; restated by the oracle). */
+  def downsideBeta(ticks: DataFrame): DataFrame = {
+    def side(tag: String, cond: Column) = Seq(
+      count(when(cond, lit(1))).as(s"n_$tag"),
+      sum(when(cond, col("xq"))).cast("double").as(s"sx_$tag"),
+      sum(when(cond, col("yq"))).cast("double").as(s"sy_$tag"),
+      sum(when(cond, col("xq") * col("yq"))).cast("double")
+        .as(s"sxy_$tag"),
+      sum(when(cond, col("xq") * col("xq"))).cast("double")
+        .as(s"sxx_$tag"))
+    val aggs = side("dn", col("xq") < 0) ++ side("up", col("xq") > 0)
+    alignedReturns(ticks)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("beta_down", expr(sideBetaExpr("dn")))
+      .withColumn("beta_up", expr(sideBetaExpr("up")))
+      .withColumn("beta_asym", expr("beta_down - beta_up"))
+      .select(col("n_dn"), col("n_up"), col("beta_down"),
+        col("beta_up"), col("beta_asym"))
   }
 
   /** M41: lead-lag cross-correlogram — corr(BTC return at bucket b,

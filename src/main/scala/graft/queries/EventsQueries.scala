@@ -1141,6 +1141,67 @@ object EventsQueries {
        |)""".stripMargin
   }
 
+  /** EV29: per-segment Welch panel with Holm step-down
+    * ([[EventsAnalytics.holmPanel]]) — the multiple-testing guardrail;
+    * the oracle re-derives the per-segment Welch chain, the shared
+    * A&S erf p-values, and the rank/running-max Holm arithmetic. */
+  def ev29Holm(s: SparkSession, dir: String): DataFrame =
+    EventsAnalytics.holmPanel(events(s, dir), AbSeed)
+
+  val ev29Oracle: String = {
+    import graft.util.Parity.{duckHex32, duckRoundTo}
+    import graft.operators.EventsAnalytics.{welchTExpr, welchVarExpr}
+    import graft.functions.GraftMath.duckErf
+    s"""WITH pu AS (
+       |  SELECT event_type AS segment, user_id AS u,
+       |    ${duckDsum("value")} AS mu
+       |  FROM events GROUP BY 1, 2
+       |),
+       |v AS (
+       |  SELECT segment, mu,
+       |    CASE WHEN ${duckHex32("sha")} % 2 = 0 THEN 'A' ELSE 'B' END
+       |      AS variant
+       |  FROM (SELECT segment, mu,
+       |    sha256('ab:$AbSeed:' || CAST(u AS VARCHAR)) AS sha FROM pu)
+       |),
+       |aggd AS (
+       |  SELECT segment,
+       |    count(CASE WHEN variant = 'A' THEN 1 END) AS n_a,
+       |    count(CASE WHEN variant = 'B' THEN 1 END) AS n_b,
+       |    ${duckDsum("CASE WHEN variant = 'A' THEN mu END")} AS _sa,
+       |    ${duckDsum("CASE WHEN variant = 'B' THEN mu END")} AS _sb,
+       |    ${duckDsum("CASE WHEN variant = 'A' THEN mu*mu END")} AS _qa,
+       |    ${duckDsum("CASE WHEN variant = 'B' THEN mu*mu END")} AS _qb
+       |  FROM v GROUP BY 1
+       |),
+       |w AS (SELECT *, CAST(n_a AS DOUBLE) AS na,
+       |  CAST(n_b AS DOUBLE) AS nb FROM aggd),
+       |x AS (SELECT *, _sa / na AS ma, _sb / nb AS mb,
+       |  ${welchVarExpr("_qa", "_sa", "na")} AS va,
+       |  ${welchVarExpr("_qb", "_sb", "nb")} AS vb FROM w),
+       |y AS (SELECT *, $welchTExpr AS t_stat FROM x),
+       |z AS (SELECT *, abs(t_stat) / sqrt(2.0) AS zarg FROM y),
+       |p AS (SELECT *,
+       |  ${duckRoundTo(s"1.0 - ${duckErf("zarg")}", 9)} AS p_two
+       |  FROM z),
+       |r AS (
+       |  SELECT *, CAST(row_number() OVER (ORDER BY p_two, segment)
+       |    AS INT) AS rank_p, count(*) OVER () AS m
+       |  FROM p
+       |),
+       |h AS (
+       |  SELECT *, max(least(1.0,
+       |      CAST(m - rank_p + 1 AS DOUBLE) * p_two))
+       |    OVER (ORDER BY p_two, segment
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |    AS holm_p
+       |  FROM r
+       |)
+       |SELECT segment, n_a, n_b, t_stat, p_two, rank_p, holm_p,
+       |  holm_p <= 0.05 AS reject
+       |FROM h""".stripMargin
+  }
+
   /** EV20: rolling actives by HLL sketch merge
     * ([[EventsAnalytics.sketchRollingActive]]) — the sketch-partial
     * scale path next to ev6's exact fan-out. Oracle: day/dau/wau are
@@ -1188,6 +1249,7 @@ object EventsQueries {
     "ev26_srm" -> QueryDef(ev26Srm _, ev26Oracle),
     "ev27_quantile_lift" -> QueryDef(ev27QuantileLift _, ev27Oracle),
     "ev28_mde" -> QueryDef(ev28Mde _, ev28Oracle),
+    "ev29_holm" -> QueryDef(ev29Holm _, ev29Oracle),
     "ev19_cohort_ltv" -> QueryDef(ev19CohortLtv _, ev19Oracle),
     "ev18_markov_attribution" -> QueryDef(ev18Markov _, None),
     "ev17_survival" -> QueryDef(ev17Survival _, ev17Oracle),

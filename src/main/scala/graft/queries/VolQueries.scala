@@ -274,6 +274,55 @@ object VolQueries {
        |FROM c""".stripMargin
   }
 
+  def m47DownsideBeta(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SpotCorr.downsideBeta(
+      SyntheticTrades.spotTicks(s, dir))
+
+  /** Mirrors [[graft.operators.SpotCorr.downsideBeta]]: the m11
+    * aligned-return chain, sign-conditional decimal sums, shared
+    * sided beta text. */
+  val m47Oracle: String = {
+    import graft.operators.SpotCorr
+    def d24(e: String) = s"CAST(CAST(($e) AS DECIMAL(24,16)) AS DOUBLE)"
+    def side(tag: String, cond: String) =
+      s"""count(CASE WHEN $cond THEN 1 END) AS n_$tag,
+         |    ${d24(s"sum(CASE WHEN $cond THEN xq END)")} AS sx_$tag,
+         |    ${d24(s"sum(CASE WHEN $cond THEN yq END)")} AS sy_$tag,
+         |    ${d24(s"sum(CASE WHEN $cond THEN xq * yq END)")} AS sxy_$tag,
+         |    ${d24(s"sum(CASE WHEN $cond THEN xq * xq END)")} AS sxx_$tag"""
+        .stripMargin
+    s"""WITH ${SyntheticTrades.spotCte},
+       |daily AS (
+       |  SELECT symbol, ${duckEpochS("\"timestamp\"")} // 86400 AS day,
+       |    arg_max(close, "timestamp") AS close
+       |  FROM spot_ticks GROUP BY 1, 2
+       |),
+       |rets AS (
+       |  SELECT symbol, day, close,
+       |    lag(close) OVER (PARTITION BY symbol ORDER BY day) AS prev
+       |  FROM daily
+       |),
+       |j AS (
+       |  SELECT b.day,
+       |    CAST(b.close / b.prev - 1.0 AS DECIMAL(12,8)) AS xq,
+       |    CAST(e.close / e.prev - 1.0 AS DECIMAL(12,8)) AS yq
+       |  FROM rets b JOIN rets e USING (day)
+       |  WHERE b.symbol = 'BTC' AND e.symbol = 'ETH'
+       |    AND b.prev IS NOT NULL AND e.prev IS NOT NULL
+       |),
+       |a AS (
+       |  SELECT ${side("dn", "xq < 0")},
+       |    ${side("up", "xq > 0")}
+       |  FROM j
+       |)
+       |SELECT n_dn, n_up,
+       |  ${SpotCorr.sideBetaExpr("dn")} AS beta_down,
+       |  ${SpotCorr.sideBetaExpr("up")} AS beta_up,
+       |  (${SpotCorr.sideBetaExpr("dn")})
+       |    - (${SpotCorr.sideBetaExpr("up")}) AS beta_asym
+       |FROM a""".stripMargin
+  }
+
   def m45VarEs(s: SparkSession, dir: String): DataFrame =
     RealizedVol.varEs(trades(s, dir))
 
@@ -1063,6 +1112,7 @@ object VolQueries {
     "m44_overnight_intraday" ->
       QueryDef(m44OvernightIntraday _, m44Oracle),
     "m45_var_es" -> QueryDef(m45VarEs _, m45Oracle),
+    "m47_downside_beta" -> QueryDef(m47DownsideBeta _, m47Oracle),
     "m40_vol_of_vol" -> QueryDef(m40VolOfVol _, m40Oracle),
     "m8_ewma_vol" -> QueryDef(m8EwmaVol _, m8Oracle),
     "m9_iv_rv_spread" -> QueryDef(m9IvRvSpread _, m9Oracle),

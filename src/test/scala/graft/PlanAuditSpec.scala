@@ -560,6 +560,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "llm_heaps_fit" -> "nBuckets-row bucket table",
       "llm_heavy_hitters" -> "candidate table (≤ k·P rows)",
       "llm_zipf_fit" -> "top-k vocabulary",
+      "ev29_holm" -> "segment panel (one row per event_type)",
       "m15_rolling_beta" -> "aligned calendar-day pair series",
       "s16_backfill_plan" -> "15-min coverage buckets (calendar)",
       "s2_page_continuity" -> "15-min page buckets (calendar)",

@@ -546,6 +546,58 @@ class Round12Spec extends AnyFunSuite {
     assert(r.getAs[Double]("es_99") == -0.05)
   }
 
+  // ---- M47: downside/upside beta ----
+
+  test("downsideBeta recovers the planted sided slopes") {
+    // ETH moves 2x BTC on BTC down days, 0.5x on up days.
+    val rng = new scala.util.Random(9)
+    var (b, e) = (10000.0, 700.0)
+    val rows = scala.collection.mutable.Buffer(
+      ("BTC", ts(5L), b), ("ETH", ts(5L), e))
+    (1 until 300).foreach { d =>
+      val rb = (if (d % 2 == 0) 1 else -1) * (0.005 + 0.01 * rng.nextDouble())
+      val re = if (rb < 0) 2.0 * rb else 0.5 * rb
+      b *= (1.0 + rb); e *= (1.0 + re)
+      rows += (("BTC", ts(d * 86400L + 5), b))
+      rows += (("ETH", ts(d * 86400L + 5), e))
+    }
+    val r = graft.operators.SpotCorr
+      .downsideBeta(rows.toSeq.toDF("symbol", "timestamp", "close"))
+      .collect().head
+    assert(math.abs(r.getAs[Double]("beta_down") - 2.0) < 0.01)
+    assert(math.abs(r.getAs[Double]("beta_up") - 0.5) < 0.01)
+    assert(r.getAs[Double]("beta_asym") > 1.4)
+  }
+
+  // ---- EV29: Holm step-down panel ----
+
+  test("holmPanel rejects only the planted segment; holm_p monotone") {
+    def coinA(u: Long): Boolean = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val hex = md.digest(s"ab:42:$u".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16) % 2 == 0
+    }
+    val rows = (1L to 1500L).flatMap { u =>
+      val base = 10.0 + (u % 7)
+      Seq(
+        (u, "lift", ts(u), if (coinA(u)) base else base + 100.0),
+        (u, "null1", ts(u), base),
+        (u, "null2", ts(u), base + (u % 3)))
+    }
+    val out = graft.operators.EventsAnalytics
+      .holmPanel(rows.toDF("user_id", "event_type", "ts", "value"))
+      .collect()
+      .sortBy(_.getAs[Int]("rank_p"))
+    assert(out.length == 3)
+    assert(out.head.getAs[String]("segment") == "lift" &&
+      out.head.getAs[Boolean]("reject"))
+    assert(out.tail.forall(!_.getAs[Boolean]("reject")))
+    // step-down adjustment is monotone in the p rank
+    val hp = out.map(_.getAs[Double]("holm_p"))
+    assert(hp.zip(hp.tail).forall { case (a, c) => a <= c })
+  }
+
   // ---- M46: Cornish-Fisher modified VaR ----
 
   test("cornishFisherVar matches the expansion and reacts to skew") {
