@@ -94,7 +94,10 @@ object Bench {
     // queries ≈ 15 KB) — the headline total was being truncated away.
     // This line stays under ~1 KB so the tail always carries the total,
     // the failure count, the slowest queries, and a per-family rollup.
-    def r3(v: Double): String = f"$v%.3f"
+    // Locale-pinned: f"$v%.3f" uses the JVM default locale, which can
+    // emit comma decimal separators and break the JSON line.
+    def r3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val slowest = results.sortBy(-_._2).take(12)
       .map { case (k, v, _) => s""""$k":${r3(v)}""" }.mkString("{", ",", "}")
     val famOf = (n: String) => {

@@ -94,8 +94,11 @@ object TailDynamics {
     * distributed selection), exceedances are STRICTLY above u, and
     * alpha = k / Σ ln(x_i/u) over the k exceedances (alpha ≈ 2-4 for
     * fat-tailed returns; smaller = fatter). Output: symbol,
-    * n_returns, k_tail, u_threshold, alpha (null when no strict
-    * exceedances survive, e.g. a fully degenerate tail). */
+    * n_returns, k_tail, u_threshold, alpha. Symbols with zero strict
+    * exceedances (e.g. a fully degenerate tail where every |r| equals
+    * the threshold) are omitted from the output entirely — the
+    * `aq > u` filter precedes the groupBy, so no null-alpha row is
+    * ever produced. */
   def hillTail(ticks: DataFrame, intervalSec: Long = 900L,
       tailNum: Int = 9, tailDen: Int = 10): DataFrame = {
     val ep = unix_timestamp(col("timestamp"))

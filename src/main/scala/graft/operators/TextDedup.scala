@@ -357,6 +357,84 @@ object TextDedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Exact substring dedup — the canonical LLM-curation technique of
+    * Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    * Models Better"): REMOVE from every document each maximal span
+    * whose ≥k-token substrings also appear in some OTHER document,
+    * not just measure the duplication rate. The paper builds a
+    * corpus-wide suffix array (sequential, memory-bound); the
+    * distributed equivalent here is sorted k-gram postings:
+    *
+    *  1. positional k-grams: one posting (doc, pos, gram) per token
+    *     position — corpus-linear, no all-pairs;
+    *  2. duplicated grams: groupBy gram HAVING countDistinct(doc) ≥ 2
+    *     (one shuffle keyed by gram; map-side partial aggregation);
+    *  3. flagged starts: postings semi-joined to the duplicated-gram
+    *     set (second shuffle on the same key);
+    *  4. coverage: per doc, the union of [p, p+k) over flagged starts
+    *     p — adjacent/overlapping flagged windows merge into maximal
+    *     removed spans exactly as in the paper (a span of m ≥ k
+    *     shared tokens yields starts s..s+m−k whose union is
+    *     precisely the span);
+    *  5. survivors: tokens at uncovered positions, rejoined — all
+    *     per-doc HOF work (no shuffle), O(tokens × flagged-starts)
+    *     worst case per doc.
+    *
+    * Grams are raw normalized strings so an independent SQL engine
+    * can re-derive the pipeline bit-exactly; at 100 TB the join key
+    * becomes a 128-bit hash (shuffle bytes drop ~k×, collision odds
+    * are negligible, and a collision only over-removes one window).
+    * Occurrences are removed from BOTH sides of a duplicate (all
+    * copies), matching the paper; within-doc-only repeats are NOT
+    * removed (the cross-doc rule this engine's curation layer wants).
+    *
+    * Output: (idCol, n_tokens, n_dup_starts, n_removed, cleaned) with
+    * cleaned = the surviving tokens rejoined with single spaces
+    * (normalized text, byte-exact — pinned by spec on planted spans).
+    * Docs shorter than k tokens pass through untouched. */
+  def exactSubstrDedup(
+      docs: DataFrame,
+      k: Int = 8,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    // tokens + positional grams staged per the HOF contract, then
+    // materialized: the frame feeds the posting explode AND the final
+    // survivor pass (two branches — without the barrier the word
+    // split and gram build run twice)
+    val staged = materialize(
+      docs.select(col(idCol), words(col(textCol)).as("_w"))
+        .select(col(idCol), col("_w"),
+          rawWordShingles(col("_w"), k).as("_g")))
+    val posGram = staged
+      .select(col(idCol), posexplode(col("_g")).as(Seq("_p0", "g")))
+      .select(col(idCol), (col("_p0") + 1).as("p"), col("g"))
+    val dupGrams = posGram.groupBy(col("g"))
+      .agg(countDistinct(col(idCol)).as("_nd"))
+      .filter(col("_nd") >= 2)
+      .select(col("g"))
+    // flagged starts per doc, sorted — bounded by the doc's own token
+    // count (a per-doc executor-side array, never driver rows)
+    val starts = posGram.join(dupGrams, "g")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_set(col("p"))).as("_s"))
+    staged.join(starts, Seq(idCol), "left")
+      .select(col(idCol), col("_w"),
+        coalesce(col("_s"), array().cast("array<int>")).as("_s"))
+      .withColumn("_kept",
+        filter(
+          sequence(lit(1), size(col("_w"))),
+          i => !exists(col("_s"), s => s <= i && i < s + lit(k))))
+      .select(
+        col(idCol),
+        size(col("_w")).cast("long").as("n_tokens"),
+        size(col("_s")).cast("long").as("n_dup_starts"),
+        (size(col("_w")) - size(col("_kept"))).cast("long")
+          .as("n_removed"),
+        concat_ws(" ",
+          transform(col("_kept"), i => element_at(col("_w"), i)))
+          .as("cleaned"))
+  }
+
   /** Asymmetric n-gram CONTAINMENT pairs — the sub-document dup read
     * Jaccard misses: a short doc quoted whole inside a long one has
     * tiny Jaccard (the union is long-doc-sized) but containment

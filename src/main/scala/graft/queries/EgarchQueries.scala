@@ -60,6 +60,7 @@ object EgarchQueries {
       auto: Boolean): DataFrame = {
     val out = graft.util.Caches.materialize(
       Egarch.fitPerGroup(bars(s, dir), auto = auto).toDF())
+    // bounded-collect(one fitted-parameter row per underlying)
     val rows = out.collect().sortBy(_.getString(0))
     val sql =
       if (rows.isEmpty) emptyM3Oracle
@@ -118,6 +119,7 @@ object EgarchQueries {
   def m5Forecast(s: SparkSession, dir: String): DataFrame = {
     val out = graft.util.Caches.materialize(
       Egarch.forecastPerGroup(bars(s, dir), horizon = 5).toDF())
+    // bounded-collect(underlyings x horizon=5 forecast rows)
     val rows = out.collect().sortBy(r => (r.getString(0), r.getInt(1)))
     val sql =
       if (rows.isEmpty) emptyM5Oracle
@@ -155,6 +157,8 @@ object EgarchQueries {
     val fitted = out
       .select(col("underlying"), col("bucket_start"),
         col("cond_vol"), col("residual"))
+      // bounded-collect(underlyings x 15-min calendar buckets: the
+      // spread series is time-bounded, not corpus-proportional)
       .as[(String, Long, Double, Double)].collect()
       .sortBy(r => (r._1, r._2)).toSeq
     DynamicOracles.put("m6_egarch_spread", m6Oracle(fitted))

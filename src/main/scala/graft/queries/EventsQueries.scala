@@ -735,6 +735,9 @@ object EventsQueries {
     import s.implicits._
     import graft.operators.MarkovAttribution
     val channels = MarkovAttribution.Channels
+    // bounded-collect((channels+2)^2: the transition matrix has one
+    // row per ordered channel/absorbing-state pair, independent of
+    // corpus size)
     val counts = MarkovAttribution.transitionCounts(events(s, dir))
       .collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
@@ -1214,6 +1217,8 @@ object EventsQueries {
   def ev20SketchWau(s: SparkSession, dir: String): DataFrame = {
     val out = graft.util.Caches.materialize(
       EventsAnalytics.sketchRollingActive(events(s, dir)))
+    // bounded-collect(calendar days: one (day, estimate) row per
+    // distinct day in the window — time-bounded, not corpus-bounded)
     val est = out.select(col("day"), col("wau_est"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     DynamicOracles.put("ev20_sketch_wau", ev20Oracle(est))

@@ -206,6 +206,8 @@ object GreeksQueries {
         col("option_type"), col("iv"), col("spot_price"), col("strike"),
         col("T"), col("target_px"), col("solved_iv"))
     val cached = graft.util.Caches.materialize(priced)
+    // bounded-collect(IvPanelRows: the panel is .limit(IvPanelRows)
+    // rows by construction — never corpus-proportional)
     val pins = cached.select(col("trade_id"), col("solved_iv")).collect()
       .map(row => row.getString(0) -> row.getDouble(1))
     DynamicOracles.put("m20_implied_vol", m20Oracle(pins))

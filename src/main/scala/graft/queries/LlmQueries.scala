@@ -77,36 +77,21 @@ object LlmQueries {
   private val MinhashK = 12
   private val JaccardThreshold = 0.3
 
-  /** Driver-side memo of the LSH pair set, keyed by (session, dir):
-    * four registry entries consume it (neardup, clusters, canonical
-    * pick via clusters, the recall audit), and re-running the whole
-    * signature/band/verify pipeline per consumer was the registry's
-    * single biggest repeated cost (the r9 BPE double-train lesson).
-    * Driver-side rows, not a cached DataFrame — a cross-query cache
-    * would not survive Verify's per-query cleanup — and the pair set
-    * is near-dup-sparse by construction (tens of rows per sf). Keyed
-    * by (applicationId, dir): the pair set is a pure function of the
-    * data dir within one application, applicationId is process-unique
-    * (identity hashes are not — they can be reused after a session is
-    * GC'd and would serve stale rows on a rare collision), and any
-    * session of the same app reading the same dir computes the same
-    * set, so sharing across sessions is correct. Bounded: one entry
-    * per dir an application ever reads — Verify/Bench read one. */
-  private val minhashPairsCache = scala.collection.concurrent.TrieMap
-    .empty[(String, String), Array[(Long, Long, Double)]]
-
-  def minhashNearDups(s: SparkSession, dir: String): DataFrame = {
-    val rows = minhashPairsCache.getOrElseUpdate(
-      (s.sparkContext.applicationId, dir),
+  /** Parquet side-table memo of the LSH pair set
+    * ([[graft.util.FrameMemo]]): four registry entries consume it
+    * (neardup, clusters, canonical pick via clusters, the recall
+    * audit), and re-running the whole signature/band/verify pipeline
+    * per consumer was the registry's single biggest repeated cost
+    * (the r9 BPE double-train lesson). At a web-scale dup rate the
+    * pair set is corpus-proportional, so a driver-rows memo is an
+    * OOM at 100 TB — the side-table costs one distributed write and
+    * the driver holds only the path. */
+  def minhashNearDups(s: SparkSession, dir: String): DataFrame =
+    graft.util.FrameMemo.cached(s, dir, "minhash_pairs") {
       TextDedup.minhashNearDups(hashedCorpus(s, dir, 2),
         k = MinhashK, threshold = JaccardThreshold)
-        .collect()
-        .map(r => (r.getLong(r.fieldIndex("id_a")),
-          r.getLong(r.fieldIndex("id_b")),
-          r.getDouble(r.fieldIndex("jaccard")))))
-    import s.implicits._
-    rows.toSeq.toDF("id_a", "id_b", "jaccard")
-  }
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+    }.select(col("id_a"), col("id_b"), col("jaccard"))
 
   /** Hash-set Jaccard (mirrors the Spark hash corpus exactly). */
   private val hashJaccardSql =
@@ -2032,6 +2017,9 @@ object LlmQueries {
     import s.implicits._
     require(GateCap >= k, s"GateCap $GateCap must cover k=$k")
     val capped = VectorOps.exactRerank(shortlist, corpus, queries, GateCap)
+    // bounded-collect(n_queries x GateCap: the exact-rerank gate caps
+    // the per-query candidate list at GateCap before anything reaches
+    // the driver)
     val ids = capped.select(col("query_id").cast("long"),
         col("neighbor_id").cast("long"))
       .as[(Long, Long)].collect().sorted.toSeq
@@ -2398,6 +2386,57 @@ object LlmQueries {
        |    <= 0.5 AS dup_ok
        |FROM hashed JOIN dfreq USING (h)
        |GROUP BY doc_id""".stripMargin
+
+  // ---- exact substring dedup (Lee et al. 2022) ----
+
+  /** LLM_SUBSTR_DEDUP: cross-doc repeated ≥k-token substring REMOVAL
+    * ([[TextDedup.exactSubstrDedup]]) — the ExactSubstr technique of
+    * Lee et al. 2022, next to the `llm_dup_ngram_frac` rate it
+    * complements. k rides [[DupNgramN]] so the removal operates on
+    * the exact n-gram space the duplication-rate entry measures.
+    * Survivor text is exported as its sha256 (byte-exact gate without
+    * shipping full texts through the comparator; the planted-span
+    * spec pins the actual bytes). */
+  def substrDedup(s: SparkSession, dir: String): DataFrame =
+    TextDedup.exactSubstrDedup(docs(s, dir), k = DupNgramN)
+      .select(col("doc_id"), col("n_tokens"), col("n_dup_starts"),
+        col("n_removed"), sha2(col("cleaned"), 256).as("cleaned_sha"))
+
+  val substrDedupOracle: String = {
+    val k = DupNgramN
+    s"""WITH $wrdsCte,
+       |kg0 AS (
+       |  SELECT doc_id,
+       |    unnest([{'p': i, 'g': array_to_string(w[i:i+${k - 1}], ' ')}
+       |            for i in range(1, len(w)-${k - 2})]) AS u
+       |  FROM wrds WHERE len(w) >= $k
+       |),
+       |kg AS (SELECT doc_id, u.p AS p, u.g AS g FROM kg0),
+       |dup AS (SELECT g FROM kg GROUP BY g
+       |        HAVING count(DISTINCT doc_id) >= 2),
+       |st AS (
+       |  SELECT doc_id, list_sort(list(DISTINCT p)) AS s
+       |  FROM kg JOIN dup USING (g) GROUP BY doc_id
+       |),
+       |base AS (
+       |  SELECT wrds.doc_id, wrds.w, coalesce(st.s, []) AS s
+       |  FROM wrds LEFT JOIN st USING (doc_id)
+       |),
+       |clean AS (
+       |  SELECT doc_id, len(w) AS n_tokens, len(s) AS n_dup_starts,
+       |    [w[i] for i in range(1, len(w)+1)
+       |     if len(list_filter(s, x -> x <= i AND i < x + $k)) = 0]
+       |      AS kept
+       |  FROM base
+       |)
+       |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(n_dup_starts AS BIGINT) AS n_dup_starts,
+       |  CAST(n_tokens - len(kept) AS BIGINT) AS n_removed,
+       |  -- DuckDB array_to_string([]) is NULL (not ''): coalesce so a
+       |  -- fully-removed doc hashes the empty string like Spark
+       |  sha256(coalesce(array_to_string(kept, ' '), '')) AS cleaned_sha
+       |FROM clean""".stripMargin
+  }
 
   // ---- held-out n-gram novelty vs train ----
 
@@ -2920,6 +2959,7 @@ object LlmQueries {
     "llm_dataset_card" -> QueryDef(datasetCard _, datasetCardOracle),
     "llm_topk_ngrams" -> QueryDef(topkNgrams _, topkNgramsOracle),
     "llm_dup_ngram_frac" -> QueryDef(dupNgramFrac _, dupNgramFracOracle),
+    "llm_substr_dedup" -> QueryDef(substrDedup _, substrDedupOracle),
     "llm_ngram_novelty" -> QueryDef(ngramNovelty _, ngramNoveltyOracle),
     "llm_kl_drift" -> QueryDef(klDrift _, klDriftOracle),
     "llm_lang_balance" -> QueryDef(langBalance _, langBalanceOracle),

@@ -50,11 +50,30 @@ object RetrievalQueries {
     2 -> "window", 2 -> "agg",
     3 -> "merge", 3 -> "batch", 3 -> "spark")
 
-  def bm25TopK(s: SparkSession, dir: String): DataFrame = {
+  /** Memoized BM25 ranked list ([[graft.util.FrameMemo]]): three
+    * entries ride the same retrieval pass (`llm_bm25_topk`,
+    * `llm_rank_fusion`, `llm_retrieval_eval`) — the full
+    * tokenize/tf/df/score pipeline runs ONCE per (app, dir) and the
+    * consumers read the parquet side-table. */
+  private def bm25Ranked(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    TextRetrieval.bm25TopK(docs(s, dir),
-      Bm25Queries.toDF("query_id", "term"), Bm25K, Bm25K1, Bm25B)
+    graft.util.FrameMemo.cached(s, dir, "bm25_topk") {
+      TextRetrieval.bm25TopK(docs(s, dir),
+        Bm25Queries.toDF("query_id", "term"), Bm25K, Bm25K1, Bm25B)
+    }
   }
+
+  /** Memoized tf·idf ranked list — `llm_rank_fusion`'s second leg. */
+  private def tfidfRanked(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.util.FrameMemo.cached(s, dir, "tfidf_topk") {
+      TextRetrieval.tfidfTopK(docs(s, dir),
+        Bm25Queries.toDF("query_id", "term"), Bm25K)
+    }
+  }
+
+  def bm25TopK(s: SparkSession, dir: String): DataFrame =
+    bm25Ranked(s, dir)
 
   /** CTE prefix shared by the BM25 oracle and the retrieval-eval
     * oracle: tokenization through the per-(query, doc) score `agg`. */
@@ -114,14 +133,8 @@ object RetrievalQueries {
     * ensemble. The oracle re-derives BOTH rankings from the corpus
     * (the shared bm25 CTE chain plus a tf·ln(N/df) scorer) and the
     * fusion arithmetic. */
-  def rankFusion(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val d = docs(s, dir)
-    val q = Bm25Queries.toDF("query_id", "term")
-    TextRetrieval.rrfFuse(
-      TextRetrieval.bm25TopK(d, q, Bm25K, Bm25K1, Bm25B),
-      TextRetrieval.tfidfTopK(d, q, Bm25K), Bm25K)
-  }
+  def rankFusion(s: SparkSession, dir: String): DataFrame =
+    TextRetrieval.rrfFuse(bm25Ranked(s, dir), tfidfRanked(s, dir), Bm25K)
 
   val rankFusionOracle: String =
     s"""WITH $bm25Ctes,
@@ -186,7 +199,7 @@ object RetrievalQueries {
     import org.apache.spark.sql.functions._
     val d = docs(s, dir)
     val qt = Bm25Queries.toDF("query_id", "term")
-    val top = TextRetrieval.bm25TopK(d, qt, Bm25K, Bm25K1, Bm25B)
+    val top = bm25Ranked(s, dir)
     val dtf = d.select(col("doc_id"),
         explode(graft.operators.TextDedup.words(col("text"))).as("word"))
       .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("_tf"))

@@ -30,6 +30,11 @@ object SystemQueries {
       unix_millis(col("timestamp")).as("ts_ms"),
       col("price"), col("amount"), col("direction"),
       col("iv"), col("index_price"), col("mark_price"))
+      // bounded-collect(REST fixture harness: this SIMULATES the
+      // external paged HTTP source, which is driver-side by nature —
+      // the fixture stands in for the remote API, not for a table
+      // scan; production backfill streams pages, it never holds the
+      // corpus)
       .collect()
       .map(r => RawTrade(
         r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3),
@@ -1053,6 +1058,71 @@ object SystemQueries {
        |  ${duckDsum("value")} AS value_sum
        |FROM f""".stripMargin
 
+  /** S24: copy-on-write row-level DELETE on the snapshot store
+    * ([[graft.sources.SnapshotStore.deleteRows]]) — the takedown /
+    * right-to-be-forgotten commit. Two stats-commits land the events
+    * table range-partitioned on `event_id`; the delete targets
+    * clicks inside the middle quartile range, pruning the rewrite
+    * candidate set against the v2 stats sidecar first. The audit
+    * reads the PRE-delete version (must still contain every deleted
+    * row — time travel is unchanged) and the post-delete head (must
+    * contain none), and re-derives both states from the base table
+    * in SQL. `advanced` pins that the delete actually moved the
+    * version (there are matching rows at every SF). File-level
+    * behavior — only hit files rewritten, survivors carried BY PATH —
+    * is pinned by `Round13Spec`. */
+  def s24RowDelete(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.SnapshotStore
+    val root = graft.util.TempDirs.scoped("s24-del")
+    val ev = graft.util.Tables.load(s, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    SnapshotStore.commitAppendWithStats(
+      ev.filter(col("event_id") % 2 === 0), root, "event_id")
+    SnapshotStore.commitAppendWithStats(
+      ev.filter(col("event_id") % 2 === 1), root, "event_id")
+    val b = ev.agg(min(col("event_id")).as("mn"),
+      max(col("event_id")).as("mx")).head()
+    val (mn, mx) = (b.getAs[Long]("mn"), b.getAs[Long]("mx"))
+    val lo = mn + (mx - mn) / 4
+    val hi = mn + (mx - mn) / 2
+    val pred = col("event_id") >= lo && col("event_id") <= hi &&
+      col("event_type") === "click"
+    val (v3, _, _) = SnapshotStore.deleteRows(s, root, pred,
+      pruneRange = Some((lo, hi)))
+    Seq("pre_delete" -> 2, "post_delete" -> v3).map { case (phase, v) =>
+      SnapshotStore.read(s, root, Some(v))
+        .agg(count(lit(1)).as("n_rows"),
+          dsum(col("value")).as("value_sum"),
+          count(when(pred, 1)).as("n_matching"))
+        .select(lit(phase).as("phase"), col("n_rows"),
+          col("value_sum"), col("n_matching"),
+          lit(v3 == 3).as("advanced"))
+    }.reduce(_.unionAll(_))
+  }
+
+  val s24Oracle: String =
+    s"""WITH b AS (
+       |  SELECT min(event_id) AS mn, max(event_id) AS mx FROM events
+       |),
+       |m AS (
+       |  SELECT value,
+       |    (event_id >= mn + (mx - mn) // 4
+       |     AND event_id <= mn + (mx - mn) // 2
+       |     AND event_type = 'click') AS del
+       |  FROM events, b
+       |),
+       |adv AS (SELECT count(CASE WHEN del THEN 1 END) > 0 AS a FROM m)
+       |SELECT 'pre_delete' AS phase, count(*) AS n_rows,
+       |  ${duckDsum("value")} AS value_sum,
+       |  count(CASE WHEN del THEN 1 END) AS n_matching,
+       |  (SELECT a FROM adv) AS advanced
+       |FROM m
+       |UNION ALL
+       |SELECT 'post_delete' AS phase, count(*) AS n_rows,
+       |  ${duckDsum("value")} AS value_sum,
+       |  CAST(0 AS BIGINT) AS n_matching, (SELECT a FROM adv) AS advanced
+       |FROM m WHERE NOT del""".stripMargin
+
   /** S22: named tags over snapshot versions — the Iceberg/Delta "tag"
     * primitive on [[graft.sources.SnapshotStore]]: `baseline` is
     * tagged at v1, the table then grows (append) AND is compacted
@@ -1336,6 +1406,7 @@ object SystemQueries {
     "s13_compaction" -> QueryDef(s13Compaction _, s13Oracle),
     "s12_csv_corrupt" -> QueryDef(s12CsvCorrupt _, s12Oracle),
     "st11_stream_merge" -> QueryDef(st11StreamMerge _, st11Oracle),
+    "s24_row_delete" -> QueryDef(s24RowDelete _, s24Oracle),
     "s7_backfill_roundtrip" -> QueryDef(s7Backfill _, s7Oracle),
     "st9_stream_vwap" -> QueryDef(st9StreamVwap _, st9Oracle),
     "st10_stream_topk" -> QueryDef(st10StreamTopk _, st10Oracle),

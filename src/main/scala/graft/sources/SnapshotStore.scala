@@ -4,16 +4,17 @@ import java.io.File
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit, max, min, not}
 
 /** Manifest-based snapshot isolation over plain parquet — the
   * time-travel core of a lakehouse table format (Delta/Iceberg's
   * essential mechanism) built from two primitives Spark already has:
   * immutable data files and an explicit file list per version.
   *
-  *  - data files live under `<root>/data/c<N>/part-*.parquet` and are
-  *    NEVER mutated or deleted by a commit;
+  *  - data files live under `<root>/data/c<N>-<token>/part-*.parquet`
+  *    (token commit-unique) and are NEVER mutated or deleted by a
+  *    commit;
   *  - version N's manifest `<root>/_manifests/v<N>.list` is the
   *    newline-separated list of data files visible at N, written with
   *    a tmp-file + atomic-rename so a reader can never observe a
@@ -30,9 +31,29 @@ import org.apache.spark.sql.functions.{col, input_file_name, max, min}
   * the manifest is file-count-sized (KBs per commit), the data path
   * is ordinary distributed parquet IO, and version resolution is
   * driver-side metadata — the same asymmetry the real table formats
-  * rely on. Single-writer by design (the driver serializes commits);
-  * multi-writer CAS is a metastore concern, out of scope here. */
+  * rely on.
+  *
+  * Concurrency: optimistic, Iceberg-style. Data files are written
+  * FIRST under a commit-unique directory (never colliding), and the
+  * versioned manifest is published LAST via an atomic
+  * create-fail-if-exists (hard link) — the single serialization
+  * point. Two committers that both read version N race to publish
+  * N+1; exactly one link creation succeeds, the loser gets a
+  * retryable [[CommitConflictException]] and must re-read the new
+  * latest and re-resolve (its orphaned data directory is unreferenced
+  * by any manifest — ordinary orphan-file maintenance, the price
+  * every optimistic table format pays). Without the CAS a silent
+  * manifest overwrite LOSES the first commit — unacceptable at any
+  * scale, catastrophic at 100 TB. */
 object SnapshotStore {
+
+  /** A concurrent committer published this version first. Retryable:
+    * re-read [[latestVersion]], re-resolve the base file set, commit
+    * again. */
+  final class CommitConflictException(root: String, version: Int)
+    extends RuntimeException(
+      s"version $version under $root was committed concurrently; " +
+        "re-read the latest version and retry")
 
   private def manifestDir(root: String) = new File(root, "_manifests")
 
@@ -50,27 +71,42 @@ object SnapshotStore {
         .foldLeft(0)(math.max)
   }
 
-  private def filesAt(root: String, v: Int): Seq[String] = {
+  private[graft] def filesAt(root: String, v: Int): Seq[String] = {
     val f = manifestFile(root, v)
     require(f.isFile, s"no manifest for version $v under $root")
     new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
       .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
   }
 
-  private def writeManifest(root: String, v: Int,
+  /** Publish version `v`'s manifest — the commit's serialization
+    * point. `Files.createLink` is atomic create-fail-if-exists (an
+    * ATOMIC_MOVE rename would silently OVERWRITE an existing v<N>
+    * manifest on POSIX, losing the concurrent commit), so exactly one
+    * of two racing committers wins; the loser's tmp file is removed
+    * and [[CommitConflictException]] tells it to retry. */
+  private[graft] def writeManifest(root: String, v: Int,
       files: Seq[String]): Unit = {
     val dir = manifestDir(root)
     dir.mkdirs()
-    val tmp = Paths.get(dir.getPath, s".v$v.list.tmp")
+    val tmp = Paths.get(dir.getPath, s".v$v.list.tmp-${commitToken()}")
     Files.write(tmp,
       files.mkString("\n").getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, manifestFile(root, v).toPath,
-      StandardCopyOption.ATOMIC_MOVE)
+    try Files.createLink(manifestFile(root, v).toPath, tmp)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new CommitConflictException(root, v)
+    } finally Files.deleteIfExists(tmp)
   }
 
-  private def writeData(df: DataFrame, root: String, v: Int)
+  /** Commit-unique suffix so two optimistic committers never collide
+    * on a data directory (the loser's dir becomes an orphan, cleaned
+    * by maintenance — never by a commit). */
+  private def commitToken(): String =
+    java.util.UUID.randomUUID().toString.take(8)
+
+  private[graft] def writeData(df: DataFrame, root: String, v: Int)
       : Seq[String] = {
-    val dir = new File(new File(root, "data"), s"c$v")
+    val dir = new File(new File(root, "data"), s"c$v-${commitToken()}")
     df.write.parquet(dir.getPath)
     dir.listFiles().filter(_.getName.endsWith(".parquet"))
       .map(_.getPath).toSeq.sorted
@@ -136,6 +172,62 @@ object SnapshotStore {
       val carried = statsAt(root, prev).filter { case (p, _) => bigSet(p) }
       if (carried.nonEmpty) writeStats(root, v, carried)
       (v, small.size, big.size)
+    }
+  }
+
+  /** Copy-on-write row-level DELETE — the takedown / right-to-be-
+    * forgotten commit a real training-data store hits first. Only
+    * files that actually CONTAIN matching rows are rewritten; every
+    * other file is carried into the new manifest BY PATH (at 100 TB,
+    * rewriting healthy files for a targeted delete is the whole cost
+    * this exists to avoid). Old versions keep listing the original
+    * files, so pre-delete snapshots still read the deleted rows —
+    * time travel is unchanged; a GDPR-grade physical purge is the
+    * separate maintenance step that expires old manifests and
+    * orphaned files.
+    *
+    * Candidate pruning is two-layered: `pruneRange` (when given)
+    * resolves against the v<N>.stats sidecar first — driver-side,
+    * file-count-sized, no IO — then ONE distributed probe pass finds
+    * which surviving candidates really hold matching rows
+    * (`input_file_name` distinct — output bounded by file count, not
+    * row count). Rewritten survivors = `NOT coalesce(pred, false)`:
+    * SQL DELETE semantics remove only rows where the predicate is
+    * TRUE — null-predicate rows are kept, which a bare `!pred` filter
+    * would silently drop. Stats lines are carried for untouched
+    * files; rewritten files restart stats-less (conservatively never
+    * skipped) until a stats commit re-indexes them.
+    *
+    * Returns (newVersion, nRewritten, nCarried); no-op (current
+    * version, 0, fileCount) when nothing matches. */
+  def deleteRows(spark: SparkSession, root: String, predicate: Column,
+      pruneRange: Option[(Long, Long)] = None): (Int, Int, Int) = {
+    val prev = latestVersion(root)
+    val all = filesAt(root, prev)
+    val candidates = pruneRange match {
+      case Some((lo, hi)) => pruneFiles(root, lo, hi, Some(prev))._1
+      case None => all
+    }
+    val hit: Set[String] =
+      if (candidates.isEmpty) Set.empty
+      else spark.read.parquet(candidates: _*)
+        .filter(predicate)
+        .select(input_file_name().as("f")).distinct()
+        .collect()
+        .map(r => new java.net.URI(r.getString(0)).getPath).toSet
+    if (hit.isEmpty) (prev, 0, all.size)
+    else {
+      val v = prev + 1
+      val keep = all.filterNot(hit)
+      val fresh = writeData(
+        spark.read.parquet(hit.toSeq.sorted: _*)
+          .filter(not(coalesce(predicate, lit(false)))),
+        root, v)
+      writeManifest(root, v, keep ++ fresh)
+      val keepSet = keep.toSet
+      val carried = statsAt(root, prev).filter { case (p, _) => keepSet(p) }
+      if (carried.nonEmpty) writeStats(root, v, carried)
+      (v, hit.size, keep.size)
     }
   }
 

@@ -576,4 +576,31 @@ class PlanAuditSpec extends AnyFunSuite {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
   }
+
+  test("driver-side audit: every .collect() in queries/ documents a bound") {
+    // Source-level twin of the plan audits above: a corpus-
+    // proportional `.collect()` is a driver OOM at 100 TB no matter
+    // what the executed plan looks like (round 12's LSH pair-set memo
+    // was exactly that — it is now a parquet side-table). Contract:
+    // each `.collect(` in the query layer must carry a
+    // `bounded-collect(<bound>)` annotation within the 8 preceding
+    // lines naming WHY the materialized set is O(1)-in-corpus
+    // (a literal limit, a calendar bound, a per-group row, a fixture
+    // harness). A new unannotated collect — bounded or not — fails
+    // here until its bound is written down next to it.
+    val qdir = new java.io.File("src/main/scala/graft/queries")
+    assert(qdir.isDirectory, s"missing ${qdir.getAbsolutePath}")
+    for (f <- qdir.listFiles().toSeq if f.getName.endsWith(".scala")) {
+      val lines = scala.io.Source.fromFile(f, "UTF-8").getLines().toVector
+      // `.collect()` exactly: the zero-arg Dataset materializer.
+      // (`Backfill.collect(pager, ...)` is the ingest driver loop, a
+      // different method that never holds a Dataset.)
+      for (i <- lines.indices if lines(i).contains(".collect()")) {
+        val window = lines.slice(math.max(0, i - 8), i + 1)
+        assert(window.exists(_.contains("bounded-collect(")),
+          s"${f.getName}:${i + 1} has a .collect() without a " +
+            "bounded-collect(<bound>) annotation in the preceding 8 lines")
+      }
+    }
+  }
 }
