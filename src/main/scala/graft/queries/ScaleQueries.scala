@@ -299,6 +299,84 @@ object ScaleQueries {
        |FROM summl""".stripMargin
   }
 
+  /** x8: Hilbert vs Z-order vs linear layout at a NON-quadrant file
+    * split (fileShift=11 — half-quadrant files, the realistic case
+    * where files are sized to bytes, not to aligned code widths).
+    * Z-order's half-quadrant files are two disjoint squares whose
+    * footers span both; Hilbert files stay connected, so the stripe
+    * replay hits half as many of them. The per-level walk SQL is
+    * shared verbatim between the Spark plan and this oracle
+    * ([[graft.operators.HilbertLayout.stepSql]]). */
+  def x8HilbertLayout(s: SparkSession, dir: String): DataFrame =
+    graft.operators.HilbertLayout.audit(
+      SyntheticTrades.trades(s, dir),
+      dim1 = unix_timestamp(col("timestamp")),
+      dim2 = col("strike"))
+
+  val x8Oracle: String = {
+    import graft.operators.HilbertLayout.duckHilbertCtes
+    import graft.operators.ZOrderLayout.duckMorton
+    val bits = 8
+    val cells = 1L << bits
+    val shift = 11
+    val (lo1, hi1) = (cells / 4, cells * 3 / 4 - 1)
+    val (lo2, hi2) = (cells / 2 - cells / 64, cells / 2 + cells / 64 - 1)
+    val inBox = s"b1 BETWEEN $lo1 AND $hi1 AND b2 BETWEEN $lo2 AND $hi2"
+    val hit = s"f_mn1 <= $hi1 AND f_mx1 >= $lo1 " +
+      s"AND f_mn2 <= $hi2 AND f_mx2 >= $lo2"
+    def fileCte(name: String, key: String) =
+      s"""$name AS (
+         |  SELECT $key AS f, min(b1) AS f_mn1, max(b1) AS f_mx1,
+         |    min(b2) AS f_mn2, max(b2) AS f_mx2, count(*) AS f_rows,
+         |    CAST(sum(CASE WHEN $inBox THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS f_box
+         |  FROM coded GROUP BY 1
+         |)""".stripMargin
+    def summary(src: String, label: String) =
+      s"""SELECT '$label' AS layout, count(*) AS n_files,
+         |  CAST(sum(CASE WHEN $hit THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS files_hit,
+         |  CAST(sum(f_rows) AS BIGINT) AS n_rows,
+         |  CAST(sum(f_box) AS BIGINT) AS box_rows,
+         |  CAST(sum(CASE WHEN $hit THEN f_rows ELSE 0 END) AS BIGINT)
+         |    AS rows_scanned,
+         |  CAST(sum(CASE WHEN $hit THEN f_rows ELSE 0 END) AS DOUBLE)
+         |    / sum(f_rows) AS scan_frac
+         |FROM $src""".stripMargin
+    s"""WITH ${SyntheticTrades.tradesCte},
+       |base AS (
+       |  SELECT ${duckEpochS("\"timestamp\"")} AS v1,
+       |    CAST(strike AS BIGINT) AS v2
+       |  FROM trades
+       |),
+       |st AS (
+       |  SELECT min(v1) AS mn1, max(v1) AS mx1,
+       |    min(v2) AS mn2, max(v2) AS mx2
+       |  FROM base
+       |),
+       |q AS (
+       |  SELECT (v1 - mn1) * $cells // (mx1 - mn1 + 1) AS b1,
+       |    (v2 - mn2) * $cells // (mx2 - mn2 + 1) AS b2
+       |  FROM base, st
+       |),
+       |${duckHilbertCtes("q", bits)},
+       |coded AS (
+       |  SELECT b1, b2,
+       |    hd >> $shift AS f_h,
+       |    ${duckMorton("b1", "b2", bits)} >> $shift AS f_z,
+       |    (b1 * $cells + b2) >> $shift AS f_lin
+       |  FROM h$bits
+       |),
+       |${fileCte("hf", "f_h")},
+       |${fileCte("zf", "f_z")},
+       |${fileCte("lf", "f_lin")}
+       |${summary("hf", "hilbert")}
+       |UNION ALL
+       |${summary("zf", "zorder")}
+       |UNION ALL
+       |${summary("lf", "linear")}""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "x1_salted_agg" -> QueryDef(x1SaltedDailyVolume _, x1Oracle),
     "x2_bucketed_join" -> QueryDef(x2BucketedJoin _, x2Oracle),
@@ -306,5 +384,6 @@ object ScaleQueries {
     "x4_skew_join_total" -> QueryDef(x4SkewJoinTotal _, skewTotalOracle),
     "x5_skew_window_direct" -> QueryDef(x5SkewWindowDirect _, skewTotalOracle),
     "x6_bloom_join" -> QueryDef(x6BloomJoin _, x6Oracle),
-    "x7_zorder_layout" -> QueryDef(x7ZorderLayout _, x7Oracle))
+    "x7_zorder_layout" -> QueryDef(x7ZorderLayout _, x7Oracle),
+    "x8_hilbert_layout" -> QueryDef(x8HilbertLayout _, x8Oracle))
 }

@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.HilbertLayout
+
+/** Round-13 second wave: Hilbert-curve layout. The space-filling-curve
+  * property itself is pinned here (bijection + unit-step adjacency on
+  * the FULL bits=4 grid — any per-level rewrite slip breaks one of
+  * the two); x8's DuckDB oracle gates the full-scale audit parity. */
+class Round13bSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("hilbert code is a bijection with unit-step adjacency (bits=4)") {
+    val n = 16
+    val grid = (for (x <- 0 until n; y <- 0 until n) yield (x.toLong, y.toLong))
+      .toDF("b1", "b2")
+    val coded = HilbertLayout.withHilbert(grid, "d", bits = 4)
+      .select("b1", "b2", "d").collect()
+      .map(r => (r.getLong(2), (r.getLong(0), r.getLong(1))))
+    assert(coded.length == n * n)
+    val byD = coded.toMap
+    assert(byD.size == n * n, "codes must be distinct (bijection)")
+    assert(byD.keys.min == 0L && byD.keys.max == (n * n - 1).toLong)
+    (0L until (n * n - 1).toLong).foreach { d =>
+      val (x1, y1) = byD(d); val (x2, y2) = byD(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"curve must step to a grid neighbor at d=$d")
+    }
+  }
+
+  test("hilbert spark walk matches the generated DuckDB SQL spelling " +
+    "(same stepSql text evaluated by Spark SQL over the CTE chain)") {
+    // evaluate the ORACLE's own CTE chain in Spark SQL — both engines
+    // parse the identical text, so this pins the shared spelling
+    val n = 16
+    (for (x <- 0 until n; y <- 0 until n) yield (x.toLong, y.toLong))
+      .toDF("b1", "b2").createOrReplaceTempView("hil_q")
+    val viaSql = spark.sql(
+      s"WITH ${HilbertLayout.duckHilbertCtes("hil_q", 4)} " +
+        "SELECT b1, b2, hd FROM h4")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val viaCols = HilbertLayout.withHilbert(
+      spark.table("hil_q"), "d", bits = 4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(viaSql == viaCols)
+  }
+
+  test("audit: hilbert never hits more files than zorder on the stripe, " +
+    "and both beat linear") {
+    val df = SyntheticGrid.points(spark, 20000)
+    val rows = HilbertLayout.audit(df, col("v1"), col("v2"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(5)))).toMap
+    val (hHit, hScan) = rows("hilbert")
+    val (zHit, zScan) = rows("zorder")
+    val (lHit, _) = rows("linear")
+    assert(hHit <= zHit, s"hilbert files_hit $hHit > zorder $zHit")
+    assert(hScan <= zScan)
+    assert(zHit < lHit, "both curves must beat the linear layout")
+  }
+}
+
+/** Deterministic pseudo-random 2-D points (LCG over a seed column —
+  * no Math.random, reproducible). */
+object SyntheticGrid {
+  def points(spark: org.apache.spark.sql.SparkSession, n: Int)
+      : org.apache.spark.sql.DataFrame =
+    spark.range(n.toLong).select(
+      pmod(col("id") * 48271L + 7L, lit(1000003L)).as("v1"),
+      pmod(col("id") * 69621L + 13L, lit(999983L)).as("v2"))
+}
