@@ -1216,6 +1216,60 @@ object SystemQueries {
     * per-version row counts are monotone non-decreasing — rather
     * than the version COUNT, which is a function of file batching
     * (maxFilesPerTrigger), not of content. */
+  /** §2.9 CEP: streaming funnel conversions — ev2's greedy
+    * view→click→purchase chain detected by per-user state
+    * ([[StreamingIngest.funnelConversions]]: watermark-ordered buffer
+    * replay + event-time timeouts), emitted at completion. The oracle
+    * is the batch greedy chain restricted to events the stream-end
+    * watermark covers: wm_ms = max(us) div 1000 − 24 h, an event is
+    * processed iff us ≤ wm_ms·1000, and a conversion exists iff its
+    * t3 (hence t1, t2) clears that cutoff — conversions completing in
+    * the final day are still buffered when the tape ends, exactly as
+    * the operator contract states. */
+  def st16StreamFunnel(s: SparkSession, dir: String): DataFrame =
+    boundedStream(s, "st16",
+      graft.util.Tables.load(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_type")),
+      "st16_funnel")(raw =>
+      StreamingIngest.funnelConversions(raw,
+        Seq("view", "click", "purchase"), windowSec = 2L * 86400L).toDF())
+
+  val st16Oracle: String = {
+    val winUs = 2L * 86400L * 1000000L
+    val delayMs = 24L * 3600L * 1000L
+    s"""WITH sev AS (
+       |  SELECT user_id, epoch_us(ts) AS us, event_type
+       |  FROM events
+       |  WHERE event_type IN ('view', 'click', 'purchase')
+       |),
+       |wm AS (
+       |  SELECT (max(us) // 1000 - $delayMs) * 1000 AS cut FROM sev
+       |),
+       |cev AS (
+       |  SELECT user_id, us, event_type FROM sev, wm WHERE us <= cut
+       |),
+       |t1 AS (
+       |  SELECT user_id, min(us) AS t1_us FROM cev
+       |  WHERE event_type = 'view' GROUP BY 1
+       |),
+       |t2 AS (
+       |  SELECT cev.user_id, min(us) AS t2_us
+       |  FROM cev JOIN t1 USING (user_id)
+       |  WHERE event_type = 'click'
+       |    AND us > t1_us AND us <= t1_us + ${winUs}::BIGINT
+       |  GROUP BY 1
+       |),
+       |t3 AS (
+       |  SELECT cev.user_id, min(us) AS t3_us
+       |  FROM cev JOIN t2 USING (user_id) JOIN t1 USING (user_id)
+       |  WHERE event_type = 'purchase'
+       |    AND us > t2_us AND us <= t1_us + ${winUs}::BIGINT
+       |  GROUP BY 1
+       |)
+       |SELECT t1.user_id, t1_us, t2_us, t3_us
+       |FROM t3 JOIN t2 USING (user_id) JOIN t1 USING (user_id)""".stripMargin
+  }
+
   def st15StreamSnapshot(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.sources.SnapshotStore
@@ -1396,6 +1450,7 @@ object SystemQueries {
     "s21_manifest_prune" -> QueryDef(s21ManifestPrune _, s21Oracle),
     "s22_snapshot_tag" -> QueryDef(s22SnapshotTag _, s22Oracle),
     "s23_compact_small" -> QueryDef(s23CompactSmall _, s23Oracle),
+    "st16_stream_funnel" -> QueryDef(st16StreamFunnel _, st16Oracle),
     "st15_stream_snapshot" -> QueryDef(st15StreamSnapshot _, st15Oracle),
     "s17_merge_upsert" -> QueryDef(s17MergeUpsert _, s17Oracle),
     "st14_stream_cdc" -> QueryDef(st14StreamCdc _, s17Oracle),

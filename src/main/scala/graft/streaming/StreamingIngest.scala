@@ -266,6 +266,95 @@ object StreamingIngest {
       }
   }
 
+  final case class FunnelConv(user_id: Long, t1_us: Long, t2_us: Long,
+      t3_us: Long)
+
+  /** Per-user CEP state: greedy step times so far (-1 = unmatched)
+    * plus the pending buffer of (epoch-µs, step-index) events newer
+    * than the watermark. The buffer is bounded by the watermark
+    * horizon — every event older than it is processed and dropped on
+    * the next watermark advance, so state size is (events/user within
+    * `watermark`), not the stream's history. */
+  final case class CepState(times: Seq[Long], pending: Seq[(Long, Int)])
+
+  /** In-order greedy chain advance — the pure core of the streaming
+    * funnel, shared with Round13bSpec's property test against the
+    * batch greedy reference. Processing events in (us, step) order
+    * makes "first qualifying match" = "min qualifying time", which is
+    * exactly ev2's t1/t2/t3 semantics: t1 = min step-0 time, t(i) =
+    * min step-i time in (t(i-1), t1 + winUs]. Returns the updated
+    * times and whether the LAST step was matched during this call
+    * (the emission edge — at most once per key over the stream's
+    * lifetime, since a completed chain ignores further events). */
+  private[graft] def advanceChain(times: Array[Long], winUs: Long,
+      ordered: Iterator[(Long, Int)]): (Array[Long], Boolean) = {
+    val n = times.length
+    val t = times.clone()
+    var completedNow = false
+    for ((us, i) <- ordered if t(n - 1) < 0) {
+      if (i == 0) { if (t(0) < 0) t(0) = us }
+      else if (t(i - 1) >= 0 && t(i) < 0 && us > t(i - 1)
+          && us <= t(0) + winUs) {
+        t(i) = us
+        if (i == n - 1) completedNow = true
+      }
+    }
+    (t, completedNow)
+  }
+
+  /** §2.9 CEP: streaming funnel conversions (the windowFunnel analog
+    * ev2 computes in batch), detected AS THE STREAM ARRIVES via
+    * `flatMapGroupsWithState` + event-time timeouts. Events buffer in
+    * per-user state until the watermark passes them, are then replayed
+    * in event-time order through [[advanceChain]] (so arbitrary
+    * arrival order within the watermark horizon cannot corrupt the
+    * greedy chain — unlike a process-on-arrival CEP), and a
+    * conversion row is emitted the moment the final step matches.
+    * Late events beyond the watermark stay buffered until a later
+    * advance covers them; events newer than the stream-end watermark
+    * are never finalized — the oracle states the same cutoff.
+    * Scale: state per user = chain times + the in-horizon buffer;
+    * keys partition by user_id hash, no global ordering anywhere. */
+  def funnelConversions(events: DataFrame, steps: Seq[String],
+      windowSec: Long, watermark: String = "24 hours")
+      : Dataset[FunnelConv] = {
+    require(steps.length == 3, "FunnelConv emission is 3-step")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val winUs = windowSec * 1000000L
+    val stepIdx = steps.zipWithIndex.toMap
+    val n = steps.length
+    events
+      .where(col("event_type").isin(steps: _*))
+      .select(col("user_id").cast("long").as("user_id"), col("ts"),
+        unix_micros(col("ts")).as("us"),
+        col("event_type").cast("string").as("event_type"))
+      .withWatermark("ts", watermark)
+      .as[(Long, Timestamp, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[CepState, FunnelConv](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[(Long, Timestamp, Long, String)],
+            state: GroupState[CepState]) =>
+          val st = state.getOption
+            .getOrElse(CepState(Seq.fill(n)(-1L), Nil))
+          val pending = (st.pending.iterator ++
+            rows.map(r => (r._3, stepIdx(r._4)))).toVector.sorted
+          val wm = state.getCurrentWatermarkMs()
+          val (ready, rest) = pending.partition(_._1 <= wm * 1000L)
+          val (times, completed) =
+            advanceChain(st.times.toArray, winUs, ready.iterator)
+          state.update(CepState(times.toSeq, rest))
+          // wake up when the watermark can cover the oldest pending
+          // event (clamped: timeouts must sit beyond the watermark)
+          if (rest.nonEmpty)
+            state.setTimeoutTimestamp(math.max(rest.head._1 / 1000L, wm + 1))
+          if (completed)
+            Iterator.single(FunnelConv(user, times(0), times(1), times(2)))
+          else Iterator.empty
+      }
+  }
+
   /** Streaming corpus curation — the incremental twin of the batch
     * curation funnel (llm_dedup_exact + llm_quality_score): documents
     * arrive as files, are content-hash deduped WITHIN the re-delivery

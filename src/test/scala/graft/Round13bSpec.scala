@@ -47,6 +47,47 @@ class Round13bSpec extends AnyFunSuite {
     assert(viaSql == viaCols)
   }
 
+  test("advanceChain under arbitrary invocation splits equals the batch " +
+    "greedy chain (property, 500 random tapes)") {
+    import graft.streaming.StreamingIngest.advanceChain
+    val winUs = 100L
+    val rnd = new scala.util.Random(13)
+    // batch reference: t1 = min step0; t(i) = min step-i in (t(i-1), t1+W]
+    def reference(evs: Seq[(Long, Int)]): Array[Long] = {
+      val t = Array.fill(3)(-1L)
+      val s0 = evs.filter(_._2 == 0).map(_._1)
+      if (s0.nonEmpty) t(0) = s0.min
+      for (i <- 1 until 3; if t(i - 1) >= 0) {
+        val c = evs.filter(e => e._2 == i && e._1 > t(i - 1)
+          && e._1 <= t(0) + winUs).map(_._1)
+        if (c.nonEmpty) t(i) = c.min
+      }
+      t
+    }
+    for (_ <- 1 to 500) {
+      val evs = Seq.fill(rnd.nextInt(30) + 1)(
+        (rnd.nextInt(300).toLong, rnd.nextInt(3)))
+      val sorted = evs.sorted
+      // split the SORTED tape at random points — the watermark-replay
+      // contract: each invocation sees an in-order chunk
+      var times = Array.fill(3)(-1L)
+      var emissions = 0
+      var rest = sorted
+      while (rest.nonEmpty) {
+        val k = rnd.nextInt(rest.length) + 1
+        val (chunk, r2) = rest.splitAt(k)
+        val (t2, completed) = advanceChain(times, winUs, chunk.iterator)
+        times = t2; rest = r2
+        if (completed) emissions += 1
+      }
+      val ref = reference(evs)
+      assert(times.toSeq == ref.toSeq,
+        s"chain mismatch on tape $sorted: got ${times.toSeq}, ref ${ref.toSeq}")
+      assert(emissions == (if (ref(2) >= 0) 1 else 0),
+        "exactly one emission per completed chain")
+    }
+  }
+
   test("audit: hilbert never hits more files than zorder on the stripe, " +
     "and both beat linear") {
     val df = SyntheticGrid.points(spark, 20000)
