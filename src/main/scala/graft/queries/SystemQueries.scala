@@ -1123,6 +1123,45 @@ object SystemQueries {
        |  CAST(0 AS BIGINT) AS n_matching, (SELECT a FROM adv) AS advanced
        |FROM m WHERE NOT del""".stripMargin
 
+  /** S25: row-level changelog between snapshot versions
+    * ([[graft.sources.SnapshotStore.snapshotDiff]]) — v1 appends the
+    * even-id half, a copy-on-write delete then drops the click rows
+    * with id % 14 = 0 (REWRITING every hit file's survivors into
+    * fresh files), and v3 appends the odd-id half. The v1→v3 diff
+    * must surface ONLY the true adds (odd half) and removes (deleted
+    * clicks): carried files cancel by path without being read, and
+    * the rewrite's survivor rows cancel in the signed multiset
+    * aggregate. Round13bSpec additionally pins that no carried file
+    * path appears in the diff's scan. */
+  def s25SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.SnapshotStore
+    val root = graft.util.TempDirs.scoped("s25-diff")
+    val ev = graft.util.Tables.load(s, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    val v1 = SnapshotStore.commitAppend(
+      ev.filter(col("event_id") % 2 === 0), root)
+    SnapshotStore.deleteRows(s, root,
+      col("event_type") === "click" && col("event_id") % 14 === 0)
+    val v3 = SnapshotStore.commitAppend(
+      ev.filter(col("event_id") % 2 === 1), root)
+    SnapshotStore.snapshotDiff(s, root, v1, v3)
+      .groupBy(col("change"), col("event_type"))
+      .agg(sum(col("n")).as("n_rows"), dsum(col("value")).as("value_sum"))
+  }
+
+  val s25Oracle: String =
+    s"""SELECT 'removed' AS change, event_type,
+       |  count(*) AS n_rows, ${duckDsum("value")} AS value_sum
+       |FROM events
+       |WHERE event_id % 2 = 0 AND event_type = 'click'
+       |  AND event_id % 14 = 0
+       |GROUP BY 2
+       |UNION ALL
+       |SELECT 'added' AS change, event_type,
+       |  count(*) AS n_rows, ${duckDsum("value")} AS value_sum
+       |FROM events WHERE event_id % 2 = 1
+       |GROUP BY 2""".stripMargin
+
   /** S22: named tags over snapshot versions — the Iceberg/Delta "tag"
     * primitive on [[graft.sources.SnapshotStore]]: `baseline` is
     * tagged at v1, the table then grows (append) AND is compacted
@@ -1462,6 +1501,7 @@ object SystemQueries {
     "s12_csv_corrupt" -> QueryDef(s12CsvCorrupt _, s12Oracle),
     "st11_stream_merge" -> QueryDef(st11StreamMerge _, st11Oracle),
     "s24_row_delete" -> QueryDef(s24RowDelete _, s24Oracle),
+    "s25_snapshot_diff" -> QueryDef(s25SnapshotDiff _, s25Oracle),
     "s7_backfill_roundtrip" -> QueryDef(s7Backfill _, s7Oracle),
     "st9_stream_vwap" -> QueryDef(st9StreamVwap _, st9Oracle),
     "st10_stream_topk" -> QueryDef(st10StreamTopk _, st10Oracle),

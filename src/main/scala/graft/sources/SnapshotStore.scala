@@ -364,4 +364,45 @@ object SnapshotStore {
     spark.read.parquet(kept: _*)
       .filter(col(statCol) >= lo && col(statCol) <= hi)
   }
+
+  /** Row-level changelog between two versions (the Iceberg
+    * `create_changelog_view` / Delta CDF-from-snapshots primitive),
+    * computed from the manifests ALONE: files carried by path between
+    * the versions cancel by identity and are NEVER read, so the scan
+    * is delta-proportional — after an append + a copy-on-write delete
+    * on a 100 TB table, the diff reads the appended and rewritten
+    * files, not the table. Survivor rows that a rewrite copied into
+    * fresh files also sit in the dropped originals, so they cancel in
+    * the signed multiset aggregate (one shuffle keyed by the full
+    * row, no join) and only true adds/removes surface. Emits the
+    * table's columns plus `change` ∈ {added, removed} and the
+    * multiplicity `n`. */
+  def snapshotDiff(spark: SparkSession, root: String, v1: Int, v2: Int)
+      : DataFrame = {
+    import org.apache.spark.sql.functions.{abs => fabs, sum => fsum, _}
+    val s1 = filesAt(root, v1).toSet
+    val s2 = filesAt(root, v2).toSet
+    val onlyOld = (s1 -- s2).toSeq.sorted
+    val onlyNew = (s2 -- s1).toSeq.sorted
+    val probe = (onlyOld ++ onlyNew ++ s1 ++ s2).head
+    val schema = spark.read.parquet(probe).schema
+    val cols = schema.fieldNames.toSeq
+    def side(fs: Seq[String], w: Long): DataFrame = {
+      val base = if (fs.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.parquet(fs: _*)
+      // normalize column order — unionAll is positional and a rewrite
+      // commit may have serialized columns in a different order
+      base.select(cols.map(col): _*).withColumn("__sd_w", lit(w))
+    }
+    side(onlyOld, -1L).unionAll(side(onlyNew, 1L))
+      .groupBy(cols.map(col): _*)
+      .agg(fsum(col("__sd_w")).as("__sd_delta"))
+      .where(col("__sd_delta") =!= 0L)
+      .select(cols.map(col) :+
+        when(col("__sd_delta") > 0, "added").otherwise("removed")
+          .as("change") :+
+        fabs(col("__sd_delta")).as("n"): _*)
+  }
 }

@@ -88,6 +88,41 @@ class Round13bSpec extends AnyFunSuite {
     }
   }
 
+  test("snapshotDiff reads only delta files and cancels rewrite survivors") {
+    import graft.sources.SnapshotStore
+    val root = graft.util.TempDirs.scoped("r13b-diff")
+    val base = (1L to 200L).map(i =>
+      (i, if (i % 3 == 0) "click" else "view", i * 1.5))
+      .toDF("event_id", "event_type", "value")
+    // partition by type: the view-only files must survive the delete
+    // untouched (carried by path), the click files get rewritten
+    val v1 = SnapshotStore.commitAppend(
+      base.filter($"event_id" <= 100).repartition(4, $"event_type"), root)
+    // copy-on-write delete: click ids 1..100 divisible by 6
+    SnapshotStore.deleteRows(spark, root,
+      $"event_type" === "click" && $"event_id" % 6 === 0)
+    val v3 = SnapshotStore.commitAppend(
+      base.filter($"event_id" > 100).repartition(2), root)
+    val diff = SnapshotStore.snapshotDiff(spark, root, v1, v3)
+    // carried files (v1 files untouched by the delete) must not be read
+    val carried = SnapshotStore.filesAt(root, v1).toSet
+      .intersect(SnapshotStore.filesAt(root, v3).toSet)
+    assert(carried.nonEmpty, "construction must carry some v1 files")
+    val scanned = diff.inputFiles.map(p => new java.net.URI(p).getPath).toSet
+    assert(scanned.intersect(carried).isEmpty,
+      "diff must never scan carried-by-path files")
+    val rows = diff.collect()
+    val added = rows.filter(_.getAs[String]("change") == "added")
+      .map(_.getAs[Long]("event_id")).sorted
+    val removed = rows.filter(_.getAs[String]("change") == "removed")
+      .map(_.getAs[Long]("event_id")).sorted
+    assert(added.toSeq == (101L to 200L),
+      "added = exactly the appended half (survivor rewrites cancel)")
+    assert(removed.toSeq == (6L to 100L by 6L).filter(_ % 3 == 0),
+      "removed = exactly the deleted clicks")
+    assert(rows.forall(_.getAs[Long]("n") == 1L))
+  }
+
   test("audit: hilbert never hits more files than zorder on the stripe, " +
     "and both beat linear") {
     val df = SyntheticGrid.points(spark, 20000)
