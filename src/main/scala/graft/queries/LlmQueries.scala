@@ -168,6 +168,26 @@ object LlmQueries {
     s"""WITH $minhashPairsCtes
        |SELECT id_a, id_b, jaccard FROM pr""".stripMargin
 
+  /** LLM_DUP_PAGERANK: PageRank centrality over the verified near-dup
+    * graph ([[graft.operators.GraphRank]]) — rank concentrates in the
+    * big duplicate communities, giving a canonical-pick tiebreaker
+    * and a "which cluster dominates the corpus" read-out. Rides the
+    * memoized pair set (no signature recompute); integer fixed-point
+    * arithmetic makes the 5-iteration result bit-identical across
+    * engines and partitionings, so the oracle unrolls the same
+    * recurrence over the same pair CTEs. */
+  def dupPagerank(s: SparkSession, dir: String): DataFrame =
+    graft.operators.GraphRank.pagerankInt(
+      docs(s, dir).select(col("doc_id")),
+      minhashNearDups(s, dir).select(col("id_a"), col("id_b")),
+      iters = 5, scale = 1000000000000L)
+
+  val dupPagerankOracle: String =
+    s"""WITH $minhashPairsCtes,
+       |nodes AS (SELECT doc_id FROM documents),
+       |${graft.operators.GraphRank.duckPagerankCtes(5, 1000000000000L)}
+       |SELECT doc_id, deg, rank_scaled FROM ranked""".stripMargin
+
   /** LLM_NEARDUP_SOURCES: which source pairs do near-duplicates
     * bridge — the contamination matrix a curator reads before
     * weighting sources (a near-dup that crosses sources means the
@@ -2968,6 +2988,7 @@ object LlmQueries {
     "llm_quality_cut" -> QueryDef(qualityCut _, qualityCutOracle),
     "llm_dedup_exact" -> QueryDef(dedupExact _, dedupExactOracle),
     "llm_minhash_neardup" -> QueryDef(minhashNearDups _, minhashOracle),
+    "llm_dup_pagerank" -> QueryDef(dupPagerank _, dupPagerankOracle),
     "llm_neardup_sources" -> QueryDef(neardupSources _, neardupSourcesOracle),
     "llm_neardup_curve" -> QueryDef(neardupCurve _, neardupCurveOracle),
     "llm_minhash_recall" -> QueryDef(minhashRecall _, minhashRecallOracle),
