@@ -284,6 +284,39 @@ object TextAnalysis {
       .withColumn("keep_rate", ratePct)
       .filter(col("sample_bucket") < col("keep_rate"))
 
+  /** Efraimidis–Spirakis weighted sampling WITHOUT replacement
+    * (A-Res, "Weighted random sampling with a reservoir", IPL 2006):
+    * each row draws a deterministic uniform u from a seeded sha256 of
+    * its id, gets the key ln(u)/w (order-equivalent to the paper's
+    * u^(1/w) — larger weight ⇒ stochastically larger key), and the
+    * global top-k by key IS an exact weighted-without-replacement
+    * sample. Seeding by (seed, id) makes the draw a pure function —
+    * reproducible across engines, partitionings and reruns, the same
+    * contract as [[corpusShuffle]].
+    *
+    * Engine parity: u = (h32+1)/2^32 ∈ (0,1] is exact integer→double
+    * arithmetic; ln and the divide are within-1-ulp ops whose
+    * residual divergence the 9-dp key quantization absorbs, and equal
+    * quantized keys tie-break by id. Scale shape: one map-side key
+    * projection + TakeOrderedAndProject (per-partition top-k, k-row
+    * driver merge) — no global sort, no shuffle of the corpus. */
+  def weightedSample(docs: DataFrame, k: Int, seed: Long,
+      weightCol: String = "n_chars", idCol: String = "doc_id")
+      : DataFrame = {
+    val sha = sha2(
+      concat(lit(s"wsamp:$seed:"), col(idCol).cast("string")), 256)
+    val h = conv(substring(sha, 1, 8), 16, 10).cast("long")
+    val u = (h + lit(1L)).cast("double") / lit(4294967296.0)
+    val key = graft.util.Parity.roundTo(
+      log(u) / col(weightCol).cast("double"), 9)
+    docs
+      .filter(col(weightCol) > 0)
+      .select(col(idCol), col("source"), col(weightCol).as("weight"),
+        key.as("samp_key"))
+      .orderBy(col("samp_key").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Sequence packing with document splitting: documents are laid
     * out as one concatenated token stream per group (deterministic
     * order by id), and bins are the consecutive `budget`-token

@@ -1367,6 +1367,30 @@ object LlmQueries {
        |SELECT doc_id, source, sample_bucket, keep_rate
        |FROM b WHERE sample_bucket < keep_rate""".stripMargin
 
+  /** LLM_WEIGHTED_SAMPLE: Efraimidis–Spirakis A-Res weighted sampling
+    * without replacement ([[TextAnalysis.weightedSample]]), weights =
+    * n_chars — the char-budget-proportional doc sampler a mixture
+    * executor draws with. Deterministic seeded-sha draws, so the
+    * oracle replays the identical keys. */
+  def weightedSample(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.weightedSample(docs(s, dir), k = 200, seed = 42L)
+
+  val weightedSampleOracle: String =
+    s"""WITH hw AS (
+       |  SELECT doc_id, source, n_chars,
+       |    sha256(concat('wsamp:42:', CAST(doc_id AS VARCHAR))) AS sha
+       |  FROM documents WHERE n_chars > 0
+       |),
+       |ky AS (
+       |  SELECT doc_id, source, n_chars AS weight,
+       |    ${graft.util.Parity.duckRoundTo(
+             s"ln(($duckHash32 + 1) / 4294967296.0) / n_chars", 9)}
+       |      AS samp_key
+       |  FROM hw
+       |)
+       |SELECT doc_id, source, weight, samp_key FROM ky
+       |ORDER BY samp_key DESC, doc_id LIMIT 200""".stripMargin
+
   // ---- unigram log-probability (perplexity-filter proxy) ----
 
   def unigramLogprob(s: SparkSession, dir: String): DataFrame =
@@ -3031,6 +3055,7 @@ object LlmQueries {
     "llm_qual_classifier" -> QueryDef(qualClassifier _, None),
     "llm_calibration" -> QueryDef(calibration _, None),
     "llm_strat_sample" -> QueryDef(stratSample _, stratSampleOracle),
+    "llm_weighted_sample" -> QueryDef(weightedSample _, weightedSampleOracle),
     "llm_unigram_logprob" -> QueryDef(unigramLogprob _, unigramLogprobOracle),
     "llm_bigram_logprob" -> QueryDef(bigramLogprob _, bigramLogprobOracle),
     "llm_perplexity_cut" -> QueryDef(perplexityCut _, perplexityCutOracle),
