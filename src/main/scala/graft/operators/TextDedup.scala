@@ -664,6 +664,49 @@ object TextDedup {
         (coalesce(col("n_overlap"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Bloom-gated decontamination — the 100 TB shape of
+    * [[decontaminate]]: when the benchmark n-gram set is too large to
+    * broadcast EXACTLY (billions of n-grams across dozens of eval
+    * suites), a fixed-bits Bloom filter of it still broadcasts, the
+    * corpus postings are prefiltered MAP-SIDE by `might_contain`
+    * (no false negatives, tunable false positives), and only the
+    * surviving sliver pays the exact equi-join — shuffle volume is
+    * (true overlaps + fp·corpus), not the corpus. Output is the exact
+    * decontamination verdict, bit-identical to [[decontaminate]]
+    * (false positives die in the verify join), so the same oracle
+    * gates both; the Bloom stage is pinned by plan audit in
+    * Round13bSpec. Uses the optimizer's own BloomFilterAggregate /
+    * BloomFilterMightContain expressions (SPARK-32268) via
+    * [[org.apache.spark.sql.GraftBridge]]. */
+  def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String = "doc_id", tokensCol: String = "hs",
+      estimatedItems: Long = 1L << 16, numBits: Long = 1L << 20)
+      : DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    // snapshot, not persist: the bench subtree also appears inside
+    // llm_decontaminate's plan (cache-manager rewrite gotcha)
+    val bench = graft.util.Caches.snapshot(
+      benchmark.select(explode(col(tokensCol)).as("_bh")).distinct())
+    // scalar subquery, not a broadcast-join column: might_contain
+    // requires a constant/subquery Bloom, and the subquery result is
+    // broadcast to every task exactly like the optimizer's own
+    // injected runtime filters
+    val bloom = GraftBridge.scalarSubquery(bench.agg(
+      GraftBridge.bloomAgg(col("_bh"), estimatedItems, numBits).as("_bf")))
+    val candidates = corpus
+      .select(col(idCol), explode(col(tokensCol)).as("_bh"))
+      .where(GraftBridge.bloomMightContain(bloom, col("_bh")))
+    val overlaps = candidates
+      .join(bench.hint("shuffle_hash"), "_bh")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_overlap"))
+    corpus.select(col(idCol))
+      .join(overlaps, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** SimHash near-dup pairs: candidate pairs share at least one of the
     * four 15-bit chunks of the 60-bit simhash (pigeonhole: any pair at
     * Hamming distance <= 3 must agree on >= 1 chunk), verified by exact

@@ -1275,6 +1275,18 @@ object LlmQueries {
       corpus.filter(col("doc_id") < BenchmarkIds))
   }
 
+  /** LLM_DECON_BLOOM: the Bloom-gated decontamination plan
+    * ([[TextDedup.decontaminateBloom]]) — same exact verdict as
+    * llm_decontaminate (so the same oracle gates it), but the
+    * benchmark membership test is a broadcast fixed-bits Bloom
+    * prefilter + exact verify join, the shape that survives a
+    * benchmark set too large to broadcast exactly. */
+  def deconBloom(s: SparkSession, dir: String): DataFrame = {
+    val corpus = hashedCorpus(s, dir, DecontamN)
+    TextDedup.decontaminateBloom(corpus,
+      corpus.filter(col("doc_id") < BenchmarkIds))
+  }
+
   val decontaminateOracle: String =
     s"""WITH ${hashedCte(DecontamN)},
        |bench AS (
@@ -3048,6 +3060,7 @@ object LlmQueries {
     "llm_ann_recall_curve" -> QueryDef(annIvfRecallCurve _, None),
     "llm_heavy_hitters" -> QueryDef(heavyHitters _, heavyHittersOracle),
     "llm_decontaminate" -> QueryDef(decontaminate _, decontaminateOracle),
+    "llm_decon_bloom" -> QueryDef(deconBloom _, decontaminateOracle),
     "llm_curation_e2e" -> QueryDef(curationE2e _, curationE2eOracle),
     "llm_embed_clusters" -> QueryDef(embedClusters _, embedClustersOracle),
     "llm_semdedup" -> QueryDef(semDedup _, None),

@@ -62,6 +62,30 @@ object GraftBridge {
     * Leaves whose estimate is already at or below `cap` — every
     * honestly-sized table — are returned untouched, real row counts
     * and column stats are preserved either way. */
+  /** Bloom-filter aggregate / membership probe — the expressions the
+    * optimizer injects for runtime join filtering (SPARK-32268),
+    * exposed for explicit use: `bloom_filter_agg` is not in the SQL
+    * function registry, so a library-level Bloom prefilter (e.g.
+    * benchmark-n-gram decontamination where the exact set is too big
+    * to broadcast but the fixed-bits filter is not) has to build the
+    * expression directly. Input must be LongType. */
+  def bloomAgg(c: Column, estimatedItems: Long, numBits: Long): Column =
+    column(new catalyst.expressions.aggregate.BloomFilterAggregate(
+      expression(c),
+      catalyst.expressions.Literal(estimatedItems),
+      catalyst.expressions.Literal(numBits)).toAggregateExpression())
+
+  def bloomMightContain(bloom: Column, value: Column): Column =
+    column(catalyst.expressions.BloomFilterMightContain(
+      expression(bloom), expression(value)))
+
+  /** One-row one-column frame as a scalar subquery expression —
+    * `might_contain` requires its Bloom argument to be a constant or
+    * scalar subquery, not a join output. */
+  def scalarSubquery(df: DataFrame): Column =
+    column(catalyst.expressions.ScalarSubquery(
+      df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed))
+
   def capLeafStats(df: DataFrame, cap: BigInt): DataFrame =
     df.asInstanceOf[classic.Dataset[Row]].queryExecution.logical match {
       case lr: execution.LogicalRDD if lr.stats.sizeInBytes > cap =>

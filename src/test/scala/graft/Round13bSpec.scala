@@ -88,6 +88,34 @@ class Round13bSpec extends AnyFunSuite {
     }
   }
 
+  test("bloom-gated decontamination: exact-equal to the broadcast-exact " +
+    "plan, and the Bloom probe is in the physical plan") {
+    import graft.operators.TextDedup
+    val docs = (1L to 120L).map { i =>
+      // odd ids share the bench vocabulary, even ids are disjoint
+      val pre = if (i % 2 == 1) "w" else "z"
+      val words = (0 until 20).map(j => s"$pre${(i * 7 + j * 3) % 40}")
+      (i, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val corpus = docs.select(col("doc_id"),
+      graft.functions.TextHashColumns.ngramHashes(col("text"), 3).as("hs"))
+      .where(size(col("hs")) > 0)
+    val bench = corpus.filter($"doc_id" <= 10 && $"doc_id" % 2 === 1)
+    val exact = TextDedup.decontaminate(corpus, bench)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .sortBy(_._1)
+    val bloomed = TextDedup.decontaminateBloom(corpus, bench)
+    val plan = bloomed.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      "physical plan must carry the Bloom membership probe")
+    val got = bloomed.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1)
+    assert(got.toSeq == exact.toSeq,
+      "bloom prefilter + exact verify must equal the exact plan")
+    assert(exact.exists(_._3) && exact.exists(!_._3),
+      "fixture must exercise both verdicts")
+  }
+
   test("det4 Leibniz text evaluates to the true determinant") {
     import graft.operators.HarRv
     // integer matrix, known det: computed against numpy offline = 30
