@@ -278,9 +278,15 @@ object LlmQueries {
     * self-join + jaccard filter, affordable at oracle scale): the
     * hash match proves the prefix-filter pruning is lossless, not
     * merely self-consistent. */
+  /** Parquet side-table memo ([[graft.util.FrameMemo]]): the exact
+    * all-pairs output is BOTH this entry's result and the recall
+    * audit's ground truth — one pass instead of two (the prefix-filter
+    * join is the registry's most expensive single pipeline). */
   def ppjoin(s: SparkSession, dir: String): DataFrame =
-    TextDedup.prefixJaccardPairs(sampleHashed(s, dir),
-      thresholdNum = 3, thresholdDen = 10, tokensCol = "hs")
+    graft.util.FrameMemo.cached(s, dir, "ppjoin_pairs") {
+      TextDedup.prefixJaccardPairs(sampleHashed(s, dir),
+        thresholdNum = 3, thresholdDen = 10, tokensCol = "hs")
+    }
 
   val ppjoinOracle: String =
     s"""WITH ${hashedCte(2)},
@@ -301,13 +307,13 @@ object LlmQueries {
     * with the same exact Jaccard), so n_hit = n_found and the metric
     * is pure RECALL — the pairs no band caught. */
   def minhashRecall(s: SparkSession, dir: String): DataFrame = {
-    val truth = graft.util.Caches.materialize(
-      ppjoin(s, dir).select(col("id_a"), col("id_b")))
-    val found = graft.util.Caches.materialize(
-      minhashNearDups(s, dir)
-        .filter(col("id_a") % RecallSampleMod === 0
-          && col("id_b") % RecallSampleMod === 0)
-        .select(col("id_a"), col("id_b")))
+    // both inputs are FrameMemo parquet side-tables — multi-branch
+    // reuse costs a re-read of a tiny file, no persist needed
+    val truth = ppjoin(s, dir).select(col("id_a"), col("id_b"))
+    val found = minhashNearDups(s, dir)
+      .filter(col("id_a") % RecallSampleMod === 0
+        && col("id_b") % RecallSampleMod === 0)
+      .select(col("id_a"), col("id_b"))
     val hit = truth.join(found, Seq("id_a", "id_b"), "left_semi")
     truth.agg(count(lit(1)).as("n_truth"))
       .crossJoin(broadcast(found.agg(count(lit(1)).as("n_found"))))

@@ -96,6 +96,34 @@ object VolQueries {
        |${HarRv.duckTail}""".stripMargin
   }
 
+  /** M49: local-level Kalman filter over daily log closes
+    * ([[graft.operators.KalmanLevel]]) — the state-space trend/noise
+    * split, run as a per-underlying higher-order fold (a recurrence
+    * is sequential in time; the panel is calendar-bounded). The
+    * oracle replays the IDENTICAL fold via list_reduce — pure
+    * +,−,*,/ inside the loop, so the state matches bit-for-bit with
+    * only the ln() input quantized. */
+  def m49Kalman(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{log => flog, max_by}
+    val daily = RealizedVol.priceBars(trades(s, dir))
+      .withColumn("day_start",
+        col("bucket_start") - col("bucket_start") % 86400L)
+      .groupBy(col("underlying"), col("day_start"))
+      .agg(max_by(col("close"), col("bucket_start")).as("dclose"))
+      .select(col("underlying"), col("day_start"),
+        roundTo(flog(col("dclose")), 6).as("y"))
+    graft.operators.KalmanLevel.fit(daily)
+  }
+
+  val m49Oracle: String =
+    s"""WITH $pbCte,
+       |kdy AS (
+       |  SELECT underlying, day_start,
+       |    ${duckRoundTo("ln(arg_max(close, bucket_start))", 6)} AS y
+       |  FROM pbd GROUP BY 1, 2
+       |),
+       |${graft.operators.KalmanLevel.duckTail}""".stripMargin
+
   def m40VolOfVol(s: SparkSession, dir: String): DataFrame =
     RealizedVol.volOfVol(trades(s, dir))
 
@@ -1134,6 +1162,7 @@ object VolQueries {
     "m41_lead_lag" -> QueryDef(m41LeadLag _, m41Oracle),
     "m7_realized_vol" -> QueryDef(m7RealizedVol _, m7Oracle),
     "m48_har_rv" -> QueryDef(m48HarRv _, m48Oracle),
+    "m49_kalman_level" -> QueryDef(m49Kalman _, m49Oracle),
     "m39_jump_test" -> QueryDef(m39JumpTest _, m39Oracle),
     "m42_semivariance" -> QueryDef(m42Semivariance _, m42Oracle),
     "m43_signature_plot" -> QueryDef(m43SignaturePlot _, m43Oracle),

@@ -158,6 +158,27 @@ class Round13bSpec extends AnyFunSuite {
     }
   }
 
+  test("Kalman local-level fold equals an independent Scala filter") {
+    import graft.operators.KalmanLevel
+    val ys = Seq(3.2, 3.5, 3.1, 3.8, 3.4, 3.6, 3.3)
+    val daily = ys.zipWithIndex
+      .map { case (y, i) => ("BTC", i.toLong * 86400L, y) }
+      .toDF("underlying", "day_start", "y")
+    val row = KalmanLevel.fit(daily).head()
+    val q = 1.0 / 8192.0; val r = 1.0 / 1024.0
+    var m = 0.0; var p = 1048576.0; var s = 0.0
+    for (y <- ys) {
+      val k = (p + q) / (p + q + r)
+      s = s + (y - m) * (y - m)
+      m = m + k * (y - m)
+      p = (1.0 - k) * (p + q)
+    }
+    assert(row.getAs[Long]("n_days") == ys.length.toLong)
+    assert(row.getAs[Double]("level") == m)
+    assert(row.getAs[Double]("p_var") == p)
+    assert(row.getAs[Double]("ssi") == s)
+  }
+
   test("snapshotDiff reads only delta files and cancels rewrite survivors") {
     import graft.sources.SnapshotStore
     val root = graft.util.TempDirs.scoped("r13b-diff")
