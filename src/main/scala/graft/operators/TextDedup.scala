@@ -405,16 +405,24 @@ object TextDedup {
       docs.select(col(idCol), words(col(textCol)).as("_w"))
         .select(col(idCol), col("_w"),
           rawWordShingles(col("_w"), k).as("_g")))
+    // grams join on their 60-bit sha hash, not the raw ≥k-token
+    // string: the k-gram text is ~50 bytes and crosses TWO shuffles
+    // (dup-gram aggregate + flag join) at one posting per token —
+    // the round-13 sf1 decade measured the raw-string spelling at 31×
+    // for 10× data, almost all of it shuffle bytes. 60-bit collisions
+    // are negligible (and a collision only over-removes one window);
+    // the oracle hashes identically so parity is unaffected.
     val posGram = staged
       .select(col(idCol), posexplode(col("_g")).as(Seq("_p0", "g")))
-      .select(col(idCol), (col("_p0") + 1).as("p"), col("g"))
-    val dupGrams = posGram.groupBy(col("g"))
+      .select(col(idCol), (col("_p0") + 1).as("p"),
+        wordHash60(col("g")).as("h"))
+    val dupGrams = posGram.groupBy(col("h"))
       .agg(countDistinct(col(idCol)).as("_nd"))
       .filter(col("_nd") >= 2)
-      .select(col("g"))
+      .select(col("h"))
     // flagged starts per doc, sorted — bounded by the doc's own token
     // count (a per-doc executor-side array, never driver rows)
-    val starts = posGram.join(dupGrams, "g")
+    val starts = posGram.join(dupGrams, "h")
       .groupBy(col(idCol))
       .agg(sort_array(collect_set(col("p"))).as("_s"))
     staged.join(starts, Seq(idCol), "left")

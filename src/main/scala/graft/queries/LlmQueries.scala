@@ -126,7 +126,7 @@ object LlmQueries {
     * the ppjoin and recall oracles. */
   private def sampleJaccardCtes: String =
     s"""sp AS (SELECT doc_id, h FROM hashed
-       |       WHERE doc_id % $RecallSampleMod = 0),
+       |       WHERE doc_id % ($sampleModSql) = 0),
        |sizes AS (SELECT doc_id, count(*) AS sz FROM sp GROUP BY 1),
        |common AS (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS cm
@@ -258,18 +258,37 @@ object LlmQueries {
        |JOIN src b ON b.doc_id = pr.id_b
        |GROUP BY 1, 2""".stripMargin
 
-  /** 1-in-3 doc sample for the exact-truth audits: exact all-pairs
+  /** Doc sample for the exact-truth audits: exact all-pairs
     * similarity is candidate-bound by pairs sharing ANY token (~all
     * pairs on this shared-vocabulary corpus — prefix filtering prunes
     * posting ROWS, not pair coverage), so complete truth is priced
-    * quadratic and runs on a bounded sample, exactly like the ANN
-    * audit's bounded query set. 1-in-3 because near-dup pairs are
-    * rare (25 corpus-wide at sf0.01) and BOTH endpoints must land
-    * in-sample. */
-  private val RecallSampleMod = 3L
+    * quadratic and must run on a sample whose SIZE IS CAPPED, not on
+    * a fixed fraction: a 1-in-k sample of a growing corpus grows
+    * linearly and its all-pairs truth quadratically (the round-13 sf1
+    * decade measured llm_ppjoin at 49× for 10× data under the old
+    * fixed 1-in-3). The modulus now scales with the corpus —
+    * max(3, ceil(n_docs/1700)) — capping the sample near ~1700 docs
+    * (≥1-in-3 at the driver's scales, so sf0.01/sf0.1 results are
+    * unchanged), which makes ground-truth cost CONSTANT at any corpus
+    * size, exactly like the ANN audit's bounded query set. The oracle
+    * derives the same modulus from count(*). */
+  private val sampleModCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), Long]
+
+  private def sampleMod(s: SparkSession, dir: String): Long =
+    sampleModCache.getOrElseUpdate(
+      (s.sparkContext.applicationId, dir),
+      // bounded-collect(single scalar: the corpus count sizes the
+      // truth-sample modulus; O(1) driver state)
+      math.max(3L, (docs(s, dir).count() + 1699L) / 1700L))
+
+  /** The identical modulus in DuckDB. */
+  private val sampleModSql =
+    "GREATEST(3, (SELECT (count(*) + 1699) // 1700 FROM documents))"
 
   private def sampleHashed(s: SparkSession, dir: String): DataFrame =
-    hashedCorpus(s, dir, 2).filter(col("doc_id") % RecallSampleMod === 0)
+    hashedCorpus(s, dir, 2)
+      .filter(col("doc_id") % sampleMod(s, dir) === 0)
 
   /** LLM_PPJOIN: exact all-pairs Jaccard similarity join via prefix
     * filtering ([[TextDedup.prefixJaccardPairs]] — SSJoin/PPJoin),
@@ -311,8 +330,8 @@ object LlmQueries {
     // reuse costs a re-read of a tiny file, no persist needed
     val truth = ppjoin(s, dir).select(col("id_a"), col("id_b"))
     val found = minhashNearDups(s, dir)
-      .filter(col("id_a") % RecallSampleMod === 0
-        && col("id_b") % RecallSampleMod === 0)
+      .filter(col("id_a") % sampleMod(s, dir) === 0
+        && col("id_b") % sampleMod(s, dir) === 0)
       .select(col("id_a"), col("id_b"))
     val hit = truth.join(found, Seq("id_a", "id_b"), "left_semi")
     truth.agg(count(lit(1)).as("n_truth"))
@@ -354,7 +373,7 @@ object LlmQueries {
        |  JOIN hl x ON x.doc_id = id_a
        |  JOIN hl y ON y.doc_id = id_b
        |  WHERE $hashJaccardSql >= $JaccardThreshold
-       |    AND id_a % $RecallSampleMod = 0 AND id_b % $RecallSampleMod = 0
+       |    AND id_a % ($sampleModSql) = 0 AND id_b % ($sampleModSql) = 0
        |),
        |hit AS (SELECT id_a, id_b FROM truth
        |        INTERSECT SELECT id_a, id_b FROM found)
@@ -2473,12 +2492,13 @@ object LlmQueries {
        |            for i in range(1, len(w)-${k - 2})]) AS u
        |  FROM wrds WHERE len(w) >= $k
        |),
-       |kg AS (SELECT doc_id, u.p AS p, u.g AS g FROM kg0),
-       |dup AS (SELECT g FROM kg GROUP BY g
+       |kgs AS (SELECT doc_id, u.p AS p, sha256(u.g) AS sha FROM kg0),
+       |kg AS (SELECT doc_id, p, $duckHash60 AS h FROM kgs),
+       |dup AS (SELECT h FROM kg GROUP BY h
        |        HAVING count(DISTINCT doc_id) >= 2),
        |st AS (
        |  SELECT doc_id, list_sort(list(DISTINCT p)) AS s
-       |  FROM kg JOIN dup USING (g) GROUP BY doc_id
+       |  FROM kg JOIN dup USING (h) GROUP BY doc_id
        |),
        |base AS (
        |  SELECT wrds.doc_id, wrds.w, coalesce(st.s, []) AS s

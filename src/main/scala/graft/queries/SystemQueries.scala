@@ -1162,6 +1162,42 @@ object SystemQueries {
        |FROM events WHERE event_id % 2 = 1
        |GROUP BY 2""".stripMargin
 
+  /** S26: ORC as a second columnar source/sink format — the same
+    * trades written as time-sorted ORC stripes and read back through
+    * a pushed-down predicate (string equality + numeric range BOTH
+    * reach the ORC reader — pinned by the plan assertion in
+    * Round13bSpec). The parquet-vs-ORC choice is then a layout
+    * decision, not a capability one; the oracle aggregates the same
+    * predicate over the base trades, so any pushdown-induced row loss
+    * breaks the hash. */
+  def s26OrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val root = graft.util.TempDirs.scoped("s26-orc")
+    SyntheticTrades.trades(s, dir)
+      .select(col("trade_id"), col("underlying"),
+        unix_timestamp(col("timestamp")).as("ep"),
+        col("price"), col("amount"))
+      .repartition(4)
+      .sortWithinPartitions(col("ep"))
+      .write.mode("overwrite").orc(root)
+    s.read.orc(root)
+      .where(col("underlying") === "BTC" && col("price") > 0.03)
+      .groupBy(col("underlying"))
+      .agg(count(lit(1)).as("n_trades"),
+        dsum(col("amount")).as("amount_sum"),
+        min(col("ep")).as("first_ep"),
+        max(col("ep")).as("last_ep"))
+  }
+
+  val s26Oracle: String =
+    s"""WITH ${SyntheticTrades.tradesCte}
+       |SELECT underlying, count(*) AS n_trades,
+       |  ${duckDsum("amount")} AS amount_sum,
+       |  min(${duckEpochS("\"timestamp\"")}) AS first_ep,
+       |  max(${duckEpochS("\"timestamp\"")}) AS last_ep
+       |FROM trades
+       |WHERE underlying = 'BTC' AND price > 0.03
+       |GROUP BY 1""".stripMargin
+
   /** S22: named tags over snapshot versions — the Iceberg/Delta "tag"
     * primitive on [[graft.sources.SnapshotStore]]: `baseline` is
     * tagged at v1, the table then grows (append) AND is compacted
@@ -1502,6 +1538,7 @@ object SystemQueries {
     "st11_stream_merge" -> QueryDef(st11StreamMerge _, st11Oracle),
     "s24_row_delete" -> QueryDef(s24RowDelete _, s24Oracle),
     "s25_snapshot_diff" -> QueryDef(s25SnapshotDiff _, s25Oracle),
+    "s26_orc_roundtrip" -> QueryDef(s26OrcRoundtrip _, s26Oracle),
     "s7_backfill_roundtrip" -> QueryDef(s7Backfill _, s7Oracle),
     "st9_stream_vwap" -> QueryDef(st9StreamVwap _, st9Oracle),
     "st10_stream_topk" -> QueryDef(st10StreamTopk _, st10Oracle),

@@ -158,6 +158,19 @@ class Round13bSpec extends AnyFunSuite {
     }
   }
 
+  test("ORC roundtrip pushes both predicates into the ORC scan") {
+    val df = graft.queries.SystemQueries.s26OrcRoundtrip(
+      spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("OrcScan") || plan.contains("Format: ORC") ||
+      plan.toLowerCase.contains("orc"), "must scan ORC")
+    assert(plan.contains("EqualTo(underlying,BTC)"),
+      s"string equality must reach PushedFilters")
+    assert(plan.contains("GreaterThan(price,0.03)"),
+      s"numeric range must reach PushedFilters")
+    assert(df.count() >= 1)
+  }
+
   test("Kalman local-level fold equals an independent Scala filter") {
     import graft.operators.KalmanLevel
     val ys = Seq(3.2, 3.5, 3.1, 3.8, 3.4, 3.6, 3.3)
