@@ -155,6 +155,79 @@ object HarRv {
       expr(r2Sql).as("r2"))
   }
 
+  /** Shared 2-var Mincer–Zarnowitz texts over the same moment
+    * columns: regress next-day vol y on the weekly accumulation w
+    * (the sum-parameterized naive forecast; β absorbs the 1/5).
+    * Closed-form slope/intercept/R² — evaluated verbatim by both
+    * engines, like [[betaSql]]. */
+  val mzBetaSql: String = "(nd * swy - sw * sy) / (nd * sww - sw * sw)"
+  val mzAlphaSql: String = s"(sy - ($mzBetaSql) * sw) / nd"
+  val mzR2Sql: String =
+    "((nd * swy - sw * sy) * (nd * swy - sw * sy)) " +
+      "/ ((nd * sww - sw * sw) * (nd * syy - sy * sy))"
+
+  /** MZ forecast evaluation per underlying (n_obs, mz_alpha, mz_beta,
+    * mz_r2) from the same daily frame as [[fit]] — an unbiased
+    * efficient forecast has α=0, β=1/5 in this sum parameterization;
+    * R² is the forecast's explanatory share. */
+  def mzEval(daily: DataFrame): DataFrame = {
+    def mom(a: String, b: String) = sum(col(a) * col(b)).cast("double")
+    regressionFrame(daily)
+      .groupBy(col("underlying"))
+      .agg(
+        count(lit(1)).as("n_obs"),
+        sum(col("w")).cast("double").as("sw"),
+        sum(col("y")).cast("double").as("sy"),
+        mom("w", "w").as("sww"), mom("w", "y").as("swy"),
+        mom("y", "y").as("syy"))
+      .where(col("n_obs") >= MinObs)
+      .withColumn("nd", col("n_obs").cast("double"))
+      .select(col("underlying"), col("n_obs"),
+        expr(mzAlphaSql).as("mz_alpha"),
+        expr(mzBetaSql).as("mz_beta"),
+        expr(mzR2Sql).as("mz_r2"))
+  }
+
+  /** DuckDB MZ tail over the same `rvd` CTE contract as [[duckTail]]. */
+  def duckMzTail: String =
+    s"""hrq AS (
+       |  SELECT underlying, day_start,
+       |    CAST(round(sqrt(rv_cc), 4) AS DECIMAL(16,4)) AS rq
+       |  FROM rvd
+       |),
+       |hwin AS (
+       |  SELECT underlying, day_start, rq AS d,
+       |    CAST(sum(rq) OVER (PARTITION BY underlying ORDER BY day_start
+       |      ROWS BETWEEN ${WeekDays - 1} PRECEDING AND CURRENT ROW)
+       |      AS DECIMAL(16,4)) AS w,
+       |    count(*) OVER (PARTITION BY underlying ORDER BY day_start
+       |      ROWS BETWEEN ${MonthDays - 1} PRECEDING AND CURRENT ROW)
+       |      AS c10,
+       |    lead(rq) OVER (PARTITION BY underlying ORDER BY day_start)
+       |      AS y
+       |  FROM hrq
+       |),
+       |hreg AS (
+       |  SELECT underlying, w, y FROM hwin
+       |  WHERE c10 = $MonthDays AND y IS NOT NULL
+       |),
+       |hmom AS (
+       |  SELECT underlying, count(*) AS n_obs,
+       |    CAST(sum(w) AS DOUBLE) AS sw, CAST(sum(y) AS DOUBLE) AS sy,
+       |    CAST(sum(w*w) AS DOUBLE) AS sww, CAST(sum(w*y) AS DOUBLE) AS swy,
+       |    CAST(sum(y*y) AS DOUBLE) AS syy
+       |  FROM hreg GROUP BY 1
+       |  HAVING count(*) >= $MinObs
+       |),
+       |hsolve AS (
+       |  SELECT *, CAST(n_obs AS DOUBLE) AS nd FROM hmom
+       |)
+       |SELECT underlying, n_obs,
+       |  $mzAlphaSql AS mz_alpha,
+       |  $mzBetaSql AS mz_beta,
+       |  $mzR2Sql AS mz_r2
+       |FROM hsolve""".stripMargin
+
   /** DuckDB tail: from a CTE `rvd(underlying, day_start, rv_cc)`,
     * the identical regression frame, moments, and shared-text solve.
     * Returns CTE list + final SELECT (no WITH). */

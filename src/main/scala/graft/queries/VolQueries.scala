@@ -124,6 +124,31 @@ object VolQueries {
        |),
        |${graft.operators.KalmanLevel.duckTail}""".stripMargin
 
+  /** M50: Mincer–Zarnowitz forecast evaluation — next-day realized
+    * vol regressed on the 5-day accumulation forecast (α=0, β=1/5 for
+    * an unbiased efficient forecast in the sum parameterization),
+    * from the same capped-decimal moment machinery as m48. */
+  def m50MzEval(s: SparkSession, dir: String): DataFrame =
+    HarRv.mzEval(RealizedVol.dailyEstimators(trades(s, dir))
+      .select(col("underlying"), col("day_start"), col("rv_cc")))
+
+  val m50Oracle: String = {
+    val rvSum = duckDsum(duckRoundTo("r*r", 6))
+    s"""WITH $pbCte,
+       |rets AS (
+       |  SELECT underlying, day_start, bucket_start,
+       |    ln(close / lag(close) OVER (
+       |      PARTITION BY underlying, day_start ORDER BY bucket_start)) AS r
+       |  FROM pbd
+       |),
+       |rvd AS (
+       |  SELECT underlying, day_start,
+       |    coalesce($rvSum, 0.0::DOUBLE) AS rv_cc
+       |  FROM rets GROUP BY 1, 2
+       |),
+       |${HarRv.duckMzTail}""".stripMargin
+  }
+
   def m40VolOfVol(s: SparkSession, dir: String): DataFrame =
     RealizedVol.volOfVol(trades(s, dir))
 
@@ -1163,6 +1188,7 @@ object VolQueries {
     "m7_realized_vol" -> QueryDef(m7RealizedVol _, m7Oracle),
     "m48_har_rv" -> QueryDef(m48HarRv _, m48Oracle),
     "m49_kalman_level" -> QueryDef(m49Kalman _, m49Oracle),
+    "m50_mz_eval" -> QueryDef(m50MzEval _, m50Oracle),
     "m39_jump_test" -> QueryDef(m39JumpTest _, m39Oracle),
     "m42_semivariance" -> QueryDef(m42Semivariance _, m42Oracle),
     "m43_signature_plot" -> QueryDef(m43SignaturePlot _, m43Oracle),

@@ -206,7 +206,8 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("top-k queries use TakeOrderedAndProject, not a global sort") {
-    for (name <- Seq("o1_topk", "s8_fetch_final", "w1_gap_analysis")) {
+    for (name <- Seq("o1_topk", "s8_fetch_final", "w1_gap_analysis",
+        "llm_weighted_sample")) {
       val topk = planOf(name)
         .collect { case t: TakeOrderedAndProjectExec => t }
       assert(topk.nonEmpty, s"$name lacks TakeOrderedAndProject")
