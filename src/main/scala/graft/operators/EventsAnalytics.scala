@@ -457,6 +457,169 @@ object EventsAnalytics {
     s"(CASE WHEN $v < 0 THEN 0.0 ELSE $v END)"
   }
 
+  /** Mixture variance of the mSPRT normal mixture — exact double. */
+  val MsprtTau2Sql = "CAST(1 AS DOUBLE)"
+
+  /** Shared mSPRT texts over per-look columns (delta, bigv): the
+    * mixture likelihood ratio Λ = sqrt(V/(V+τ²))·exp(Δ²τ²/(2V(V+τ²)))
+    * with the exp argument 6-dp-quantized (exp is the one 1-ulp libm
+    * op in the chain) and Λ itself quantized for the running min. */
+  def msprtQargSql(round6: String => String): String =
+    round6(s"(delta * delta * $MsprtTau2Sql) " +
+      s"/ (2.0 * bigv * (bigv + $MsprtTau2Sql))")
+
+  /** Λ text — ONE spelling for Spark `expr` and the DuckDB oracle. */
+  def msprtLamSql(round6: String => String): String =
+    round6(s"sqrt(bigv / (bigv + $MsprtTau2Sql)) " +
+      s"* exp(${msprtQargSql(round6)})")
+
+  /** Cumulative Poisson(1) CDF thresholds for the bootstrap weight
+    * inverse-CDF — computed once, embedded as shared literals. */
+  val PoissonCdf: Seq[Double] = {
+    val e = math.exp(-1.0)
+    val pk = Iterator.iterate((e, 0)) { case (p, k) =>
+      (p / (k + 1), k + 1) }.map(_._1).take(8).toSeq
+    pk.scanLeft(0.0)(_ + _).tail
+  }
+
+  /** Deterministic Poisson bootstrap CI for the B−A mean-spend lift
+    * (the production bootstrap: Chamandy et al., "Estimating
+    * uncertainty for massive data streams", Google 2012): every
+    * (user, replicate) draws a Poisson(1) weight from a seeded sha —
+    * ALL `nBoot` replicates are computed in ONE pass over the
+    * per-user frame (users × B rows, B the documented budget lever;
+    * no resampling shuffle of the raw data), each replicate's lift is
+    * a weighted-mean difference, and the CI is exact order statistics
+    * over the B-row replicate table (a bounded global sort,
+    * allowlisted). Deterministic: seeded-sha uniforms + a shared
+    * inverse-CDF threshold table, so the oracle replays the exact CI.
+    * Emits (n_users, delta_hat, ci_lo, ci_med, ci_hi) with delta_hat
+    * the full-sample lift. */
+  def bootstrapLift(events: DataFrame, seed: Long = 42L, nBoot: Int = 200,
+      userCol: String = "user_id", valueCol: String = "value")
+      : DataFrame = {
+    val perUser = events
+      .groupBy(col(userCol).as("u"))
+      .agg(graft.util.Parity.dsum(col(valueCol)).as("mu"))
+      .withColumn("variant",
+        when(conv(substring(sha2(
+          concat(lit(s"ab:$seed:"), col("u").cast("string")), 256),
+          1, 8), 16, 10).cast("long") % 2 === 0, "A").otherwise("B"))
+    val reps = perUser
+      .select(col("u"), col("variant"), col("mu"),
+        explode(sequence(lit(0), lit(nBoot - 1))).as("b"))
+      .withColumn("hu",
+        conv(substring(sha2(concat(lit(s"boot:$seed:"), col("b"),
+          lit(":"), col("u").cast("string")), 256), 1, 8), 16, 10)
+          .cast("long"))
+      .withColumn("uu",
+        (col("hu") + lit(1L)).cast("double") / lit(4294967296.0))
+      .withColumn("w", PoissonCdf.zipWithIndex.foldRight(
+          lit(PoissonCdf.length): Column) { case ((c, k), els) =>
+        when(col("uu") < lit(c), lit(k)).otherwise(els)
+      })
+    def msum(v: String, c: Column) =
+      sum(when(col("variant") === v, c).cast(createDecimalType(28, 6)))
+        .cast("double")
+    val lifts = reps.groupBy(col("b"))
+      .agg(
+        msum("A", col("w") * col("mu")).as("_swa"),
+        msum("B", col("w") * col("mu")).as("_swb"),
+        sum(when(col("variant") === "A", col("w"))).as("_na"),
+        sum(when(col("variant") === "B", col("w"))).as("_nb"))
+      .where(col("_na") > 0 && col("_nb") > 0)
+      .select(col("b"),
+        (col("_swb") / col("_nb").cast("double")
+          - col("_swa") / col("_na").cast("double")).as("delta_b"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("delta_b"), col("b"))))
+    val fullDelta = perUser.groupBy()
+      .agg(
+        msum("A", col("mu")).as("_sa"), msum("B", col("mu")).as("_sb"),
+        count(when(col("variant") === "A", lit(1))).as("_ca"),
+        count(when(col("variant") === "B", lit(1))).as("_cb"),
+        count(lit(1)).as("n_users"))
+      .select(col("n_users"),
+        (col("_sb") / col("_cb").cast("double")
+          - col("_sa") / col("_ca").cast("double")).as("delta_hat"))
+    val lo = nBoot / 40          // 2.5%
+    val hi = nBoot - nBoot / 40  // 97.5% (1-indexed rank)
+    // one groupless aggregate picks all three order statistics — a
+    // single one-row broadcast, not three filtered subplans
+    val ci = lifts.agg(
+      max(when(col("rk") === lo, col("delta_b"))).as("ci_lo"),
+      max(when(col("rk") === nBoot / 2, col("delta_b"))).as("ci_med"),
+      max(when(col("rk") === hi, col("delta_b"))).as("ci_hi"))
+    fullDelta.crossJoin(broadcast(ci))
+  }
+
+  /** Always-valid sequential A/B test — mSPRT (Johari, Koomen,
+    * Pekelis, Walsh 2017, "Peeking at A/B tests"): the fixed-horizon
+    * ev22 t-test is only valid at ONE pre-registered look; a metrics
+    * dashboard that is refreshed daily needs the always-valid p-value
+    * p_t = min(1, min_{k≤t} 1/Λ_k), which survives continuous
+    * monitoring. Looks are calendar days; at each look the metric is
+    * each ACTIVE user's cumulative spend (users enter at their first
+    * event), variants from the same seeded-sha coin as ev22.
+    *
+    * Shape: per-(user, day) decimal sums, a bounded (users × looks)
+    * grid via a broadcast day list (looks are calendar-bounded — 30
+    * here; never data-proportional), one decimal cumulative window
+    * per user, one aggregate per look, then per-look scalar algebra.
+    * Λ's inputs are exact (decimal sums / counts); the exp argument
+    * and Λ are 6-dp-quantized so the oracle replays bit-for-bit. */
+  def msprt(events: DataFrame, seed: Long = 42L,
+      userCol: String = "user_id", valueCol: String = "value",
+      tsCol: String = "ts"): DataFrame = {
+    val dayEp =
+      expr(s"(unix_micros($tsCol) div 86400000000L) * 86400L")
+        .as("day_ep")
+    val pud = events
+      .groupBy(col(userCol).as("u"), dayEp)
+      .agg(sum(col(valueCol).cast(createDecimalType(28, 6))).as("dv"))
+    val days = pud.select(col("day_ep")).distinct()
+    val users = pud.groupBy(col("u"))
+      .agg(min(col("day_ep")).as("first_day"))
+      .withColumn("variant",
+        when(conv(substring(sha2(
+          concat(lit(s"ab:$seed:"), col("u").cast("string")), 256),
+          1, 8), 16, 10).cast("long") % 2 === 0, "A").otherwise("B"))
+    val cum = users.crossJoin(broadcast(days))
+      .join(pud, Seq("u", "day_ep"), "left")
+      .where(col("day_ep") >= col("first_day"))
+      .withColumn("mu",
+        sum(coalesce(col("dv"), lit(0).cast(createDecimalType(28, 6))))
+          .over(Window.partitionBy(col("u")).orderBy(col("day_ep")))
+          .cast("double"))
+    def cnt(v: String) = count(when(col("variant") === v, lit(1)))
+    def dsumIf(v: String, c: Column) =
+      sum(when(col("variant") === v, c).cast(createDecimalType(28, 6)))
+        .cast("double")
+    val round6 = (t: String) => s"CAST(CAST(($t) AS DECIMAL(28,6)) AS DOUBLE)"
+    val looks = cum.groupBy(col("day_ep"))
+      .agg(
+        cnt("A").as("n_a"), cnt("B").as("n_b"),
+        dsumIf("A", col("mu")).as("_sa"),
+        dsumIf("B", col("mu")).as("_sb"),
+        dsumIf("A", col("mu") * col("mu")).as("_qa"),
+        dsumIf("B", col("mu") * col("mu")).as("_qb"))
+      .where(col("n_a") >= 2 && col("n_b") >= 2)
+      .withColumn("na", col("n_a").cast("double"))
+      .withColumn("nb", col("n_b").cast("double"))
+      .withColumn("delta", expr("_sb / nb - _sa / na"))
+      .withColumn("bigv",
+        expr(s"${welchVarExpr("_qa", "_sa", "na")} / na " +
+          s"+ ${welchVarExpr("_qb", "_sb", "nb")} / nb"))
+      .withColumn("lam", expr(msprtLamSql(round6)))
+    looks
+      .withColumn("p_always_valid",
+        min(expr("least(CAST(1 AS DOUBLE), 1.0 / lam)"))
+          .over(Window.orderBy(col("day_ep"))
+            .rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("day_ep"), col("n_a"), col("n_b"), col("delta"),
+        col("lam").as("lambda_mix"), col("p_always_valid"))
+  }
+
   /** EV22: deterministic A/B experiment read-out — the experiment-
     * analysis pass a growth pipeline runs at full scale. Assignment
     * is a pure per-row hash (the split-assign recipe: sha-bucket of

@@ -100,12 +100,18 @@ object HilbertLayout {
       .select(
         expr(s"(v1 - mn1) * ${cells}L div (mx1 - mn1 + 1)").as("b1"),
         expr(s"(v2 - mn2) * ${cells}L div (mx2 - mn2 + 1)").as("b2"))
-    val coded = withHilbert(quant, "h_code", bits)
-      .select(col("b1"), col("b2"),
-        shiftright(col("h_code"), fileShift).as("f_h"),
-        shiftright(ZOrderLayout.mortonCol(col("b1"), col("b2"), bits),
-          fileShift).as("f_z"),
-        shiftright(col("b1") * cells + col("b2"), fileShift).as("f_lin"))
+    // snapshot: three per-layout summaries re-read this frame — the
+    // barrier keeps the audit at ONE quantize+walk pass over the
+    // table instead of six scans (and stays out of the session cache
+    // manager, per the materialize-vs-snapshot contract)
+    val coded = graft.util.Caches.snapshot(
+      withHilbert(quant, "h_code", bits)
+        .select(col("b1"), col("b2"),
+          shiftright(col("h_code"), fileShift).as("f_h"),
+          shiftright(ZOrderLayout.mortonCol(col("b1"), col("b2"), bits),
+            fileShift).as("f_z"),
+          shiftright(col("b1") * cells + col("b2"), fileShift)
+            .as("f_lin")))
 
     val inBox = col("b1").between(lo1, hi1) && col("b2").between(lo2, hi2)
     def summarize(fileCol: String, name: String): DataFrame = {

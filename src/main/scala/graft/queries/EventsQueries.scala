@@ -909,6 +909,142 @@ object EventsQueries {
        |FROM y""".stripMargin
   }
 
+  /** EV30: always-valid sequential test (mSPRT,
+    * [[EventsAnalytics.msprt]]) — the daily-peeking companion to
+    * ev22's fixed-horizon t-test: per calendar-day look, cumulative
+    * per-active-user spend by variant, the mixture likelihood ratio
+    * Λ, and the running always-valid p. The oracle replays the full
+    * chain with the Λ text shared verbatim. */
+  def ev30Msprt(s: SparkSession, dir: String): DataFrame =
+    EventsAnalytics.msprt(events(s, dir), AbSeed)
+
+  val ev30Oracle: String = {
+    import graft.util.Parity.duckHex32
+    import graft.operators.EventsAnalytics.{msprtLamSql, welchVarExpr}
+    val r6 = (t: String) => s"CAST(CAST(($t) AS DECIMAL(28,6)) AS DOUBLE)"
+    s"""WITH pud AS (
+       |  SELECT user_id AS u,
+       |    (epoch_us(ts) // 86400000000) * 86400 AS day_ep,
+       |    sum(CAST(value AS DECIMAL(28,6))) AS dv
+       |  FROM events GROUP BY 1, 2
+       |),
+       |dys AS (SELECT DISTINCT day_ep FROM pud),
+       |usr0 AS (SELECT u, min(day_ep) AS first_day FROM pud GROUP BY 1),
+       |usr AS (
+       |  SELECT u, first_day,
+       |    CASE WHEN ${duckHex32("sha")} % 2 = 0 THEN 'A' ELSE 'B' END
+       |      AS variant
+       |  FROM (SELECT u, first_day,
+       |    sha256('ab:$AbSeed:' || CAST(u AS VARCHAR)) AS sha FROM usr0)
+       |),
+       |cum0 AS (
+       |  SELECT g.u, g.variant, g.day_ep,
+       |    CAST(sum(coalesce(p.dv, 0::DECIMAL(28,6))) OVER (
+       |      PARTITION BY g.u ORDER BY g.day_ep) AS DOUBLE) AS mu
+       |  FROM (SELECT u, first_day, variant, day_ep
+       |        FROM usr CROSS JOIN dys) g
+       |  LEFT JOIN pud p ON p.u = g.u AND p.day_ep = g.day_ep
+       |  WHERE g.day_ep >= g.first_day
+       |),
+       |looks AS (
+       |  SELECT day_ep,
+       |    count(CASE WHEN variant = 'A' THEN 1 END) AS n_a,
+       |    count(CASE WHEN variant = 'B' THEN 1 END) AS n_b,
+       |    ${duckDsum("CASE WHEN variant = 'A' THEN mu END")} AS _sa,
+       |    ${duckDsum("CASE WHEN variant = 'B' THEN mu END")} AS _sb,
+       |    ${duckDsum("CASE WHEN variant = 'A' THEN mu*mu END")} AS _qa,
+       |    ${duckDsum("CASE WHEN variant = 'B' THEN mu*mu END")} AS _qb
+       |  FROM cum0 GROUP BY 1
+       |),
+       |st1 AS (
+       |  SELECT *, CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb
+       |  FROM looks WHERE n_a >= 2 AND n_b >= 2
+       |),
+       |st2 AS (
+       |  SELECT *, _sb / nb - _sa / na AS delta,
+       |    ${welchVarExpr("_qa", "_sa", "na")} / na
+       |      + ${welchVarExpr("_qb", "_sb", "nb")} / nb AS bigv
+       |  FROM st1
+       |),
+       |st3 AS (SELECT *, ${msprtLamSql(r6)} AS lam FROM st2)
+       |SELECT day_ep, n_a, n_b, delta, lam AS lambda_mix,
+       |  min(least(CAST(1 AS DOUBLE), 1.0 / lam)) OVER (
+       |    ORDER BY day_ep ROWS UNBOUNDED PRECEDING) AS p_always_valid
+       |FROM st3""".stripMargin
+  }
+
+  /** EV31: deterministic Poisson-bootstrap CI for the B−A lift
+    * ([[EventsAnalytics.bootstrapLift]]) — all 200 replicates in one
+    * pass, weights from seeded-sha uniforms through a shared
+    * Poisson(1) inverse-CDF table, CI = exact order statistics of the
+    * replicate table. */
+  def ev31Bootstrap(s: SparkSession, dir: String): DataFrame =
+    EventsAnalytics.bootstrapLift(events(s, dir), AbSeed)
+
+  val ev31Oracle: String = {
+    import graft.util.Parity.{duckDoubleLit, duckHex32}
+    import graft.operators.EventsAnalytics.PoissonCdf
+    val nBoot = 200
+    val wCase = PoissonCdf.zipWithIndex
+      .map { case (c, k) => s"WHEN uu < ${duckDoubleLit(c)} THEN $k" }
+      .mkString("CASE ", " ", s" ELSE ${PoissonCdf.length} END")
+    s"""WITH pu AS (
+       |  SELECT user_id AS u, ${duckDsum("value")} AS mu
+       |  FROM events GROUP BY 1
+       |),
+       |v AS (
+       |  SELECT u, mu,
+       |    CASE WHEN ${duckHex32("sha")} % 2 = 0 THEN 'A' ELSE 'B' END
+       |      AS variant
+       |  FROM (SELECT u, mu,
+       |    sha256('ab:$AbSeed:' || CAST(u AS VARCHAR)) AS sha FROM pu)
+       |),
+       |reps AS (
+       |  SELECT u, variant, mu, bb.b AS b,
+       |    sha256('boot:$AbSeed:' || CAST(bb.b AS VARCHAR) || ':'
+       |      || CAST(u AS VARCHAR)) AS sha
+       |  FROM v CROSS JOIN (SELECT unnest(range(0, $nBoot)) AS b) bb
+       |),
+       |ww AS (
+       |  SELECT u, variant, mu, b, $wCase AS w
+       |  FROM (SELECT *, (${duckHex32("sha")} + 1) / 4294967296.0 AS uu
+       |        FROM reps)
+       |),
+       |lifts AS (
+       |  SELECT b,
+       |    ${duckDsum("CASE WHEN variant = 'A' THEN w * mu END")} AS _swa,
+       |    ${duckDsum("CASE WHEN variant = 'B' THEN w * mu END")} AS _swb,
+       |    CAST(sum(CASE WHEN variant = 'A' THEN w END) AS DOUBLE) AS _na,
+       |    CAST(sum(CASE WHEN variant = 'B' THEN w END) AS DOUBLE) AS _nb
+       |  FROM ww GROUP BY 1
+       |  HAVING sum(CASE WHEN variant = 'A' THEN w END) > 0
+       |     AND sum(CASE WHEN variant = 'B' THEN w END) > 0
+       |),
+       |dl AS (
+       |  SELECT b, _swb / _nb - _swa / _na AS delta_b FROM lifts
+       |),
+       |rk AS (
+       |  SELECT *, row_number() OVER (ORDER BY delta_b, b) AS rk FROM dl
+       |),
+       |fd AS (
+       |  SELECT count(*) AS n_users,
+       |    ${duckDsum("CASE WHEN variant = 'B' THEN mu END")}
+       |      / count(CASE WHEN variant = 'B' THEN 1 END)
+       |    - ${duckDsum("CASE WHEN variant = 'A' THEN mu END")}
+       |      / count(CASE WHEN variant = 'A' THEN 1 END) AS delta_hat
+       |  FROM v
+       |),
+       |ci AS (
+       |  SELECT max(CASE WHEN rk = ${nBoot / 40} THEN delta_b END) AS ci_lo,
+       |    max(CASE WHEN rk = ${nBoot / 2} THEN delta_b END) AS ci_med,
+       |    max(CASE WHEN rk = ${nBoot - nBoot / 40} THEN delta_b END)
+       |      AS ci_hi
+       |  FROM rk
+       |)
+       |SELECT n_users, delta_hat, ci_lo, ci_med, ci_hi
+       |FROM fd CROSS JOIN ci""".stripMargin
+  }
+
   /** EV24: difference-in-differences panel
     * ([[EventsAnalytics.didPanel]]) — the full chain (midpoint split,
     * sha-bucket treatment coin, per-(user, period) decimal spend,
@@ -1255,6 +1391,8 @@ object EventsQueries {
     "ev27_quantile_lift" -> QueryDef(ev27QuantileLift _, ev27Oracle),
     "ev28_mde" -> QueryDef(ev28Mde _, ev28Oracle),
     "ev29_holm" -> QueryDef(ev29Holm _, ev29Oracle),
+    "ev30_msprt" -> QueryDef(ev30Msprt _, ev30Oracle),
+    "ev31_bootstrap_ci" -> QueryDef(ev31Bootstrap _, ev31Oracle),
     "ev19_cohort_ltv" -> QueryDef(ev19CohortLtv _, ev19Oracle),
     "ev18_markov_attribution" -> QueryDef(ev18Markov _, None),
     "ev17_survival" -> QueryDef(ev17Survival _, ev17Oracle),

@@ -101,7 +101,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "llm_bm25_topk", "llm_dsir_select", "llm_retrieval_eval",
       "llm_kn_bigram", "llm_heaps_fit", "llm_bpe_encode",
       "m21_rn_density", "m22_calendar_arb", "llm_heavy_hitters",
-      "x7_zorder_layout", "llm_tfidf_cosine", "ev17_survival",
+      "x7_zorder_layout", "x8_hilbert_layout", "llm_tfidf_cosine",
+      "ev17_survival", "ev31_bootstrap_ci",
       "llm_colloc_pmi", "s17_merge_upsert",
       // one-row count-aggregate cross joins (whether Spark plans them
       // as BNLJ varies with cache/AQE state across runs — the build
@@ -112,9 +113,14 @@ class PlanAuditSpec extends AnyFunSuite {
     val boundedPickBuild = Set("llm_ann_topk", "llm_ann_pq",
       "llm_ann_recall", "llm_ann_recall_curve", "llm_mrl_recall",
       "llm_knn_label", "llm_intrinsic_dim")
+    // calendar-keyed DISTINCT builds (the mSPRT look grid): the
+    // broadcast side is an aggregate keyed by a day bucket — bounded
+    // by the calendar span, never by data volume
+    val calendarDistinctBuild = Set("ev30_msprt")
     for (name <- SparkEntry.queries.keys if !driverSide(name)) {
       val bnl = planOf(name).collect { case j: BroadcastNestedLoopJoinExec => j }
-      assert(bnl.isEmpty || oneRowBuild(name) || boundedPickBuild(name),
+      assert(bnl.isEmpty || oneRowBuild(name) || boundedPickBuild(name)
+          || calendarDistinctBuild(name),
         s"$name plans an unexpected BroadcastNestedLoopJoin")
       bnl.foreach { j =>
         val build = j.buildSide match {
@@ -144,7 +150,12 @@ class PlanAuditSpec extends AnyFunSuite {
           case _ => false
         }
         val hasBoundedPick = boundedPick(sub)
-        if (oneRowBuild(name))
+        if (calendarDistinctBuild(name))
+          assert(sub.exists {
+            case a: BaseAggregateExec => a.groupingExpressions.nonEmpty
+            case _ => false
+          }, s"$name BNLJ build side is not a keyed DISTINCT")
+        else if (oneRowBuild(name))
           assert(hasGlobalAgg,
             s"$name BNLJ build side is not a one-row global aggregate")
         else
@@ -566,7 +577,9 @@ class PlanAuditSpec extends AnyFunSuite {
       "s16_backfill_plan" -> "15-min coverage buckets (calendar)",
       "s2_page_continuity" -> "15-min page buckets (calendar)",
       "w1_gap_analysis" -> "month-boundary stitch rows",
-      "w4_freq_inference" -> "15-min bar starts (calendar)")
+      "w4_freq_inference" -> "15-min bar starts (calendar)",
+      "ev30_msprt" -> "calendar-day look series (running p-min)",
+      "ev31_bootstrap_ci" -> "B-row bootstrap replicate table")
     for ((name, fn) <- SparkEntry.queries if !driverSide(name)) {
       val df = fn(spark, dir)
       val global = deepNodes(df.queryExecution.executedPlan)
