@@ -194,6 +194,51 @@ object Multimodal {
     }
   }
 
+  final case class FrameHist(doc_id: Long, frame_idx: Int,
+      bins: Array[Long])
+
+  /** Per-frame 16-bin high-nibble histograms over EVERY frame — the
+    * feature stage scene segmentation consumes. Pure integer math
+    * (the mm3 recipe applied per frame slice), so the oracle
+    * recomputes it from the hex payload exactly. */
+  def frameHistograms(media: Dataset[MediaRow]): Dataset[FrameHist] = {
+    import media.sparkSession.implicits._
+    sampleFrames(media, everyN = 1).map { f =>
+      val bins = Array.fill(16)(0L)
+      f.frame_bytes.foreach(b => bins((b & 0xf0) >> 4) += 1)
+      FrameHist(f.doc_id, f.frame_idx, bins)
+    }
+  }
+
+  /** Scene-cut detection per video — the keyframe-selection primitive
+    * a VLM-training pipeline runs before sampling frames: consecutive
+    * frames whose 16-bin histogram L1 distance exceeds frame_size/
+    * `denom` mark a cut; scenes = cuts + 1. The histogram lag rides a
+    * per-video window (videos are independent — no global ordering),
+    * the L1 is a codegen'd zip_with/aggregate fold over two 16-long
+    * arrays, and every quantity is an exact integer, so the DuckDB
+    * oracle replays the cut set bit-for-bit from the hex payload.
+    * Emits (doc_id, n_frames, n_cuts, n_scenes, total_l1). */
+  def sceneCuts(media: Dataset[MediaRow], denom: Int = 4): DataFrame = {
+    val fh = frameHistograms(media).toDF()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    fh
+      .withColumn("pbins", lag(col("bins"), 1).over(w))
+      .withColumn("fs",
+        expr("aggregate(bins, 0L, (a, x0) -> a + x0)"))
+      .withColumn("l1", when(col("pbins").isNull, lit(null)).otherwise(
+        expr("aggregate(zip_with(bins, pbins, (x, y) -> abs(x - y)), " +
+          "0L, (a, x0) -> a + x0)")))
+      .withColumn("is_cut", expr(s"l1 > (fs div $denom)"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_frames"),
+        count(when(col("is_cut"), 1)).as("n_cuts"),
+        (count(when(col("is_cut"), 1)) + lit(1L)).as("n_scenes"),
+        coalesce(sum(col("l1")), lit(0L)).as("total_l1"))
+  }
+
   final case class MediaHash(doc_id: Long, media_type: String, phash: Int)
 
   /** Perceptual hash — dHash over a 16-point sample grid: byte value

@@ -144,6 +144,70 @@ object MultimodalQueries {
       |  coalesce(c.c, 0)::DOUBLE / greatest(1, g.len) AS share
       |FROM grid g LEFT JOIN cnt c USING (doc_id, bin)""".stripMargin
 
+  /** MM7: per-video scene-cut detection
+    * ([[Multimodal.sceneCuts]]) — consecutive-frame histogram L1
+    * above frame_size/4 marks a cut. The oracle re-derives every
+    * frame's 16-bin nibble histogram from the hex payload, replays
+    * the L1 lag and the integer threshold, and must match the cut
+    * set exactly. */
+  def mm7SceneCuts(s: SparkSession, dir: String): DataFrame =
+    Multimodal.sceneCuts(media(s, dir), denom = 4)
+
+  val mm7Oracle: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |         WHEN doc_id % 3 = 1 THEN 'audio'
+      |         ELSE 'video' END AS media_type,
+      |    hex(encode(text)) AS hx, strlen(text) AS len
+      |  FROM documents
+      |),
+      |v AS (
+      |  SELECT doc_id, hx, len, 8 + len % 8 AS nf,
+      |    len // (8 + len % 8) AS fs
+      |  FROM m WHERE media_type = 'video'
+      |),
+      |fr AS (
+      |  SELECT doc_id, hx, fs, nf,
+      |    unnest(range(0, nf)) AS f
+      |  FROM v
+      |),
+      |pos AS (
+      |  SELECT doc_id, fs, f,
+      |    unnest(range(0, fs)) AS i
+      |  FROM fr
+      |),
+      |nib AS (
+      |  SELECT p.doc_id, p.fs, p.f,
+      |    strpos('0123456789ABCDEF',
+      |      substr(v.hx, 2 * (p.f * p.fs + p.i) + 1, 1)) - 1 AS bin
+      |  FROM pos p JOIN v USING (doc_id)
+      |),
+      |cnt AS (
+      |  SELECT doc_id, f, bin, count(*) AS c FROM nib GROUP BY 1, 2, 3
+      |),
+      |grid AS (
+      |  SELECT fr.doc_id, fr.fs, fr.f, b.bin,
+      |    coalesce(c.c, 0) AS c
+      |  FROM fr CROSS JOIN (SELECT unnest(range(0, 16)) AS bin) b
+      |  LEFT JOIN cnt c ON c.doc_id = fr.doc_id AND c.f = fr.f
+      |    AND c.bin = b.bin
+      |),
+      |l1 AS (
+      |  SELECT a.doc_id, a.f, a.fs,
+      |    CAST(sum(abs(a.c - p.c)) AS BIGINT) AS d
+      |  FROM grid a JOIN grid p
+      |    ON p.doc_id = a.doc_id AND p.f = a.f - 1 AND p.bin = a.bin
+      |  WHERE a.f >= 1
+      |  GROUP BY 1, 2, 3
+      |)
+      |SELECT v.doc_id, CAST(v.nf AS BIGINT) AS n_frames,
+      |  count(CASE WHEN l1.d > l1.fs // 4 THEN 1 END) AS n_cuts,
+      |  count(CASE WHEN l1.d > l1.fs // 4 THEN 1 END) + 1 AS n_scenes,
+      |  CAST(coalesce(sum(l1.d), 0) AS BIGINT) AS total_l1
+      |FROM v LEFT JOIN l1 ON l1.doc_id = v.doc_id
+      |GROUP BY 1, 2""".stripMargin
+
   // ---- perceptual-hash near-dup pairs ----
 
   private val PhashMaxHamming = 2
@@ -252,6 +316,7 @@ object MultimodalQueries {
 
   val defs: Map[String, QueryDef] = Map(
     "mm6_audio_vad" -> QueryDef(mm6AudioVad _, mm6Oracle),
+    "mm7_scene_cuts" -> QueryDef(mm7SceneCuts _, mm7Oracle),
     "mm5_phash_neardup" -> QueryDef(mm5PhashNeardup _, mm5Oracle),
     "mm1_decode_stats" -> QueryDef(mm1DecodeStats _, mm1Oracle),
     "mm2_frame_sample" -> QueryDef(mm2FrameSample _, mm2Oracle),

@@ -1123,6 +1123,60 @@ object SystemQueries {
        |  CAST(0 AS BIGINT) AS n_matching, (SELECT a FROM adv) AS advanced
        |FROM m WHERE NOT del""".stripMargin
 
+  /** §2.9 + J5: stream-stream AS-OF join
+    * ([[StreamingIngest.asofSpotStream]]) — trades pair with the
+    * latest 15-min spot tick at or before them as BOTH streams
+    * arrive; Structured Streaming has no native as-of, so the two
+    * sides ride one type-tagged keyed stream through the
+    * watermark-ordered replay state machine. The oracle is DuckDB's
+    * native ASOF JOIN over the watermark-covered prefix (cutoff =
+    * max µs over BOTH sides div 1000 − 30 min, the union stream's
+    * watermark). */
+  def st17StreamAsof(s: SparkSession, dir: String): DataFrame = {
+    val t = SyntheticTrades.trades(s, dir)
+    val tradeSide = t
+      .filter(col("trade_id").cast("long") % 31 === 0)
+      .select(col("underlying"), col("timestamp").as("ts"),
+        lit(1).as("side"), col("trade_id").cast("long").as("id"),
+        lit(0.0).as("px"))
+    val ep = unix_timestamp(col("timestamp"))
+    val spotSide = t
+      .where(col("index_price").isNotNull)
+      .withColumn("bs", ep - ep % 900)
+      .groupBy(col("underlying"), col("bs"))
+      .agg(max_by(col("index_price"), col("timestamp")).as("px"))
+      .select(col("underlying"), timestamp_seconds(col("bs")).as("ts"),
+        lit(0).as("side"), lit(0L).as("id"), col("px"))
+    boundedStream(s, "st17", tradeSide.unionAll(spotSide),
+      "st17_asof")(raw => StreamingIngest.asofSpotStream(raw).toDF())
+  }
+
+  val st17Oracle: String =
+    s"""WITH ${SyntheticTrades.tradesCte},
+       |tr AS (
+       |  SELECT underlying, CAST(trade_id AS BIGINT) AS trade_id,
+       |    epoch_us("timestamp") AS us
+       |  FROM trades WHERE CAST(trade_id AS BIGINT) % 31 = 0
+       |),
+       |sp AS (
+       |  SELECT underlying, (ep - ep % 900) * 1000000 AS us,
+       |    arg_max(index_price, "timestamp") AS px
+       |  FROM (SELECT *, ${duckEpochS("\"timestamp\"")} AS ep FROM trades
+       |        WHERE index_price IS NOT NULL)
+       |  GROUP BY 1, 2
+       |),
+       |wm AS (
+       |  SELECT ((max(us) // 1000) - 1800000) * 1000 AS cut
+       |  FROM (SELECT us FROM tr UNION ALL SELECT us FROM sp)
+       |),
+       |trc AS (SELECT tr.* FROM tr, wm WHERE us <= cut),
+       |spc AS (SELECT sp.* FROM sp, wm WHERE us <= cut)
+       |SELECT trc.trade_id, trc.us AS trade_us,
+       |  spc.us AS spot_us, spc.px AS spot_price
+       |FROM trc ASOF JOIN spc
+       |  ON trc.underlying = spc.underlying AND trc.us >= spc.us"""
+      .stripMargin
+
   /** S25: row-level changelog between snapshot versions
     * ([[graft.sources.SnapshotStore.snapshotDiff]]) — v1 appends the
     * even-id half, a copy-on-write delete then drops the click rows
@@ -1526,6 +1580,7 @@ object SystemQueries {
     "s22_snapshot_tag" -> QueryDef(s22SnapshotTag _, s22Oracle),
     "s23_compact_small" -> QueryDef(s23CompactSmall _, s23Oracle),
     "st16_stream_funnel" -> QueryDef(st16StreamFunnel _, st16Oracle),
+    "st17_stream_asof" -> QueryDef(st17StreamAsof _, st17Oracle),
     "st15_stream_snapshot" -> QueryDef(st15StreamSnapshot _, st15Oracle),
     "s17_merge_upsert" -> QueryDef(s17MergeUpsert _, s17Oracle),
     "st14_stream_cdc" -> QueryDef(st14StreamCdc _, s17Oracle),

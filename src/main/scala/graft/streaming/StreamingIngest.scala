@@ -355,6 +355,64 @@ object StreamingIngest {
       }
   }
 
+  final case class AsofHit(trade_id: Long, trade_us: Long,
+      spot_us: Long, spot_price: Double)
+
+  /** Per-key stream-stream AS-OF state: the last spot tick the
+    * watermark has finalized, plus the in-horizon pending buffer of
+    * (µs, side, id, px) rows from BOTH streams. */
+  final case class AsofState(spotUs: Long, spot: Double,
+      pending: Seq[(Long, Int, Long, Double)])
+
+  /** Stream-stream AS-OF join — the operator Structured Streaming
+    * does not ship (stream-stream joins are equi/range only): each
+    * trade must pair with the LATEST spot tick at or before it.
+    * Both streams arrive as ONE type-tagged keyed stream (side 0 =
+    * spot, 1 = trade); per key, rows buffer in state until the
+    * watermark passes them, then replay in (time, side) order — spot
+    * rows advance the last-tick register, trade rows emit against it.
+    * Same watermark-ordered-replay machinery as the CEP funnel
+    * (st16), so arrival order within the horizon cannot corrupt the
+    * as-of pairing; trades before the first finalized tick are
+    * dropped (inner as-of), and rows newer than the stream-end
+    * watermark stay pending — the oracle (DuckDB's native ASOF JOIN
+    * over the watermark-covered prefix) states the same cutoff.
+    * State per key = one register + the in-horizon buffer. */
+  def asofSpotStream(tagged: DataFrame, watermark: String = "30 minutes")
+      : Dataset[AsofHit] = {
+    val spark = tagged.sparkSession
+    import spark.implicits._
+    tagged
+      .select(col("underlying").cast("string").as("underlying"),
+        col("ts"), unix_micros(col("ts")).as("us"),
+        col("side").cast("int").as("side"),
+        col("id").cast("long").as("id"),
+        col("px").cast("double").as("px"))
+      .withWatermark("ts", watermark)
+      .as[(String, Timestamp, Long, Int, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[AsofState, AsofHit](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_, rows: Iterator[(String, Timestamp, Long, Int, Long, Double)],
+            state: GroupState[AsofState]) =>
+          val st = state.getOption.getOrElse(AsofState(-1L, 0.0, Nil))
+          val pending = (st.pending.iterator ++
+            rows.map(r => (r._3, r._4, r._5, r._6))).toVector.sorted
+          val wm = state.getCurrentWatermarkMs()
+          val (ready, rest) = pending.partition(_._1 <= wm * 1000L)
+          var sUs = st.spotUs; var sPx = st.spot
+          val out = Vector.newBuilder[AsofHit]
+          for ((us, side, id, px) <- ready) {
+            if (side == 0) { sUs = us; sPx = px }
+            else if (sUs >= 0) out += AsofHit(id, us, sUs, sPx)
+          }
+          state.update(AsofState(sUs, sPx, rest))
+          if (rest.nonEmpty)
+            state.setTimeoutTimestamp(math.max(rest.head._1 / 1000L, wm + 1))
+          out.result().iterator
+      }
+  }
+
   /** Streaming corpus curation — the incremental twin of the batch
     * curation funnel (llm_dedup_exact + llm_quality_score): documents
     * arrive as files, are content-hash deduped WITHIN the re-delivery
