@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -20,6 +20,52 @@ import org.apache.spark.sql.functions._
   * global window is exact and fine.
   */
 object DataQuality {
+
+  /** Declarative data-contract checks (the dbt-tests / Deequ
+    * "expectations" layer): each check is ONE aggregate (or one
+    * anti-join count) over its table, emitted as a uniform
+    * (check_name, table_name, n_rows, n_violations, passed) row — the
+    * shape a warehouse gate consumes. Referential integrity uses a
+    * left-anti join on the key (broadcast-able when the parent's key
+    * set fits, shuffle otherwise — Catalyst's choice); everything
+    * else is a conditional count inside the table's own scan. Scale:
+    * one pass per table + one join; checks over the same table fuse
+    * into one aggregate where listed together. */
+  def expectations(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    def row(check: Column, table: Column, rows: Column, bad: Column) =
+      Seq(check, table, rows, bad, (bad === 0L).as("passed"))
+    val liChecks = lineitem.agg(
+      count(lit(1)).as("n"),
+      count(when(col("l_orderkey").isNull, 1)).as("null_ok"),
+      count(when(!col("l_quantity").between(1, 50), 1)).as("range_qty"))
+    val liNull = liChecks.select(row(lit("not_null:l_orderkey"),
+      lit("lineitem"), col("n"), col("null_ok")): _*)
+    val liRange = liChecks.select(row(lit("range:l_quantity[1,50]"),
+      lit("lineitem"), col("n"), col("range_qty")): _*)
+    val oChecks = orders.agg(
+      count(lit(1)).as("n"),
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("dups"),
+      count(when(!col("o_orderstatus").isin("O", "F", "P"), 1))
+        .as("bad_status"),
+      count(when(col("o_totalprice") < 0, 1)).as("neg_price"))
+    val oUnique = oChecks.select(row(lit("unique:o_orderkey"),
+      lit("orders"), col("n"), col("dups")): _*)
+    val oStatus = oChecks.select(row(lit("accepted:o_orderstatus"),
+      lit("orders"), col("n"), col("bad_status")): _*)
+    val oPrice = oChecks.select(row(lit("non_negative:o_totalprice"),
+      lit("orders"), col("n"), col("neg_price")): _*)
+    val orphans = lineitem.select(col("l_orderkey"))
+      .join(orders.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("orphans"))
+      .crossJoin(broadcast(lineitem.agg(count(lit(1)).as("n"))))
+      .select(row(lit("ref:l_orderkey->o_orderkey"), lit("lineitem"),
+        col("n"), col("orphans")): _*)
+    val cols = Seq("check_name", "table_name", "n_rows",
+      "n_violations", "passed")
+    Seq(liNull, liRange, oUnique, oStatus, oPrice, orphans)
+      .map(_.toDF(cols: _*)).reduce(_.unionAll(_))
+  }
 
   /** A10: one-row table metrics + derived rates. */
   def qualityMetrics(trades: DataFrame): DataFrame = {

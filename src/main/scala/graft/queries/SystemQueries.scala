@@ -1252,6 +1252,57 @@ object SystemQueries {
        |WHERE underlying = 'BTC' AND price > 0.03
        |GROUP BY 1""".stripMargin
 
+  /** S27: declarative data-contract checks
+    * ([[graft.operators.DataQuality.expectations]]) — the dbt/Deequ
+    * expectations layer over the warehouse tables: not-null,
+    * uniqueness, accepted values, numeric range, and referential
+    * integrity, each one aggregate (checks on a table fuse into one
+    * scan). The oracle restates every check in SQL. */
+  def s27Expectations(s: SparkSession, dir: String): DataFrame =
+    graft.operators.DataQuality.expectations(
+      graft.util.Tables.load(s, dir, "lineitem"),
+      graft.util.Tables.load(s, dir, "orders"))
+
+  val s27Oracle: String =
+    s"""WITH li AS (
+       |  SELECT count(*) AS n,
+       |    count(CASE WHEN l_orderkey IS NULL THEN 1 END) AS null_ok,
+       |    count(CASE WHEN NOT (l_quantity BETWEEN 1 AND 50) THEN 1 END)
+       |      AS range_qty
+       |  FROM lineitem
+       |),
+       |o AS (
+       |  SELECT count(*) AS n,
+       |    count(*) - count(DISTINCT o_orderkey) AS dups,
+       |    count(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1
+       |      END) AS bad_status,
+       |    count(CASE WHEN o_totalprice < 0 THEN 1 END) AS neg_price
+       |  FROM orders
+       |),
+       |orph AS (
+       |  SELECT (SELECT count(*) FROM lineitem) AS n,
+       |    count(*) AS orphans
+       |  FROM lineitem l ANTI JOIN orders r
+       |    ON l.l_orderkey = r.o_orderkey
+       |)
+       |SELECT 'not_null:l_orderkey' AS check_name,
+       |  'lineitem' AS table_name, n AS n_rows,
+       |  null_ok AS n_violations, null_ok = 0 AS passed FROM li
+       |UNION ALL
+       |SELECT 'range:l_quantity[1,50]', 'lineitem', n, range_qty,
+       |  range_qty = 0 FROM li
+       |UNION ALL
+       |SELECT 'unique:o_orderkey', 'orders', n, dups, dups = 0 FROM o
+       |UNION ALL
+       |SELECT 'accepted:o_orderstatus', 'orders', n, bad_status,
+       |  bad_status = 0 FROM o
+       |UNION ALL
+       |SELECT 'non_negative:o_totalprice', 'orders', n, neg_price,
+       |  neg_price = 0 FROM o
+       |UNION ALL
+       |SELECT 'ref:l_orderkey->o_orderkey', 'lineitem', n, orphans,
+       |  orphans = 0 FROM orph""".stripMargin
+
   /** S22: named tags over snapshot versions — the Iceberg/Delta "tag"
     * primitive on [[graft.sources.SnapshotStore]]: `baseline` is
     * tagged at v1, the table then grows (append) AND is compacted
@@ -1594,6 +1645,7 @@ object SystemQueries {
     "s24_row_delete" -> QueryDef(s24RowDelete _, s24Oracle),
     "s25_snapshot_diff" -> QueryDef(s25SnapshotDiff _, s25Oracle),
     "s26_orc_roundtrip" -> QueryDef(s26OrcRoundtrip _, s26Oracle),
+    "s27_expectations" -> QueryDef(s27Expectations _, s27Oracle),
     "s7_backfill_roundtrip" -> QueryDef(s7Backfill _, s7Oracle),
     "st9_stream_vwap" -> QueryDef(st9StreamVwap _, st9Oracle),
     "st10_stream_topk" -> QueryDef(st10StreamTopk _, st10Oracle),

@@ -402,9 +402,13 @@ object StreamingIngest {
           val (ready, rest) = pending.partition(_._1 <= wm * 1000L)
           var sUs = st.spotUs; var sPx = st.spot
           val out = Vector.newBuilder[AsofHit]
+          // guards for data later than the watermark contract allows
+          // (the harness can't produce it; a production source can):
+          // the register only advances forward, and a trade older
+          // than the register is dropped rather than mispaired
           for ((us, side, id, px) <- ready) {
-            if (side == 0) { sUs = us; sPx = px }
-            else if (sUs >= 0) out += AsofHit(id, us, sUs, sPx)
+            if (side == 0) { if (us >= sUs) { sUs = us; sPx = px } }
+            else if (sUs >= 0 && sUs <= us) out += AsofHit(id, us, sUs, sPx)
           }
           state.update(AsofState(sUs, sPx, rest))
           if (rest.nonEmpty)
