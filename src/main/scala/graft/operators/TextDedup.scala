@@ -316,6 +316,44 @@ object TextDedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Incremental MinHash near-dup probe — the production contract for
+    * a GROWING corpus: an arriving batch is banded and probed against
+    * the EXISTING corpus's band index; old×old pairs are never
+    * re-examined (that work was done when those docs arrived), so the
+    * per-batch cost is batch-proportional, not corpus-proportional —
+    * the near-dup twin of [[incrementalDedup]]'s exact-hash probe.
+    * At 100 TB the old side's (band_val, id) index is a persisted
+    * table maintained across batches; here it is rebuilt per call
+    * (the probe JOIN is the contract under test). Emits
+    * (id_new, id_old, jaccard ≥ threshold). */
+  def minhashProbe(newDocs: DataFrame, oldDocs: DataFrame,
+      idCol: String = "doc_id", k: Int = 12,
+      threshold: Double = 0.5): DataFrame = {
+    val newH = materialize(newDocs)
+    val oldH = materialize(oldDocs)
+    def explodeBands(df: DataFrame) = {
+      val sigd = df.select(col(idCol),
+        graft.functions.TextHashColumns.minhashSigs(col("hs"),
+          MinhashA.take(k), MinhashB.take(k), MinhashP).as("_sig"))
+      val sigCols = (0 until k).map(s => element_at(col("_sig"), s + 1))
+      sigd.select(col(idCol),
+        explode(array(bands(sigCols): _*)).as("band_val"))
+    }
+    val candidates = explodeBands(newH)
+      .select(col(idCol).as("id_new"), col("band_val"))
+      .join(explodeBands(oldH)
+        .select(col(idCol).as("id_old"), col("band_val")), "band_val")
+      .select(col("id_new"), col("id_old")).distinct()
+    candidates
+      .join(newH.select(col(idCol).as("id_new"), col("hs").as("_ha")),
+        "id_new")
+      .join(oldH.select(col(idCol).as("id_old"), col("hs").as("_hb")),
+        "id_old")
+      .select(col("id_new"), col("id_old"),
+        jaccard(col("_ha"), col("_hb")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** n-gram Jaccard near-dups via an inverted index: explode shingles,
     * drop "stop-shingles" whose document frequency exceeds `maxDf`
     * (stopword removal for shingles — it both bounds the posting-list

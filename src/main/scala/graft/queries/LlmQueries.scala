@@ -168,6 +168,49 @@ object LlmQueries {
     s"""WITH $minhashPairsCtes
        |SELECT id_a, id_b, jaccard FROM pr""".stripMargin
 
+  /** LLM_INCR_NEARDUP: incremental near-dup probe
+    * ([[TextDedup.minhashProbe]]) — the arriving batch (ids ≡ 7
+    * mod 10, ~10% of the corpus) banded and probed against the
+    * EXISTING corpus's band index; batch-proportional, never
+    * corpus×corpus. Same k/threshold as the full pipeline, so the
+    * oracle reuses the shared signature/band builders with the
+    * new×old split stated in SQL. */
+  def incrNeardup(s: SparkSession, dir: String): DataFrame = {
+    val corpus = hashedCorpus(s, dir, 2)
+    TextDedup.minhashProbe(
+      corpus.filter(col("doc_id") % 10 === 7),
+      corpus.filter(col("doc_id") % 10 =!= 7),
+      k = MinhashK, threshold = JaccardThreshold)
+  }
+
+  val incrNeardupOracle: String = {
+    val mins = minhashMinsSql
+    val bandVals = minhashBandValsSql
+    val hj = """len(list_intersect(x.hs, y.hs))::DOUBLE
+      |    / (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs)))"""
+      .stripMargin
+    s"""WITH ${hashedCte(2)},
+       |hl AS (SELECT doc_id, list(h) AS hs FROM hashed GROUP BY doc_id),
+       |mh AS (
+       |  SELECT doc_id, ${mins.mkString(",\n    ")}
+       |  FROM hashed GROUP BY doc_id
+       |),
+       |bands AS (
+       |  SELECT doc_id, unnest([${bandVals.mkString(", ")}]) AS band_val
+       |  FROM mh
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_old
+       |  FROM bands a JOIN bands b USING (band_val)
+       |  WHERE a.doc_id % 10 = 7 AND b.doc_id % 10 <> 7
+       |)
+       |SELECT id_new, id_old, $hj AS jaccard
+       |FROM cand
+       |JOIN hl x ON x.doc_id = id_new
+       |JOIN hl y ON y.doc_id = id_old
+       |WHERE $hj >= $JaccardThreshold""".stripMargin
+  }
+
   /** LLM_DUP_PAGERANK: PageRank centrality over the verified near-dup
     * graph ([[graft.operators.GraphRank]]) — rank concentrates in the
     * big duplicate communities, giving a canonical-pick tiebreaker
@@ -3051,6 +3094,7 @@ object LlmQueries {
     "llm_dedup_exact" -> QueryDef(dedupExact _, dedupExactOracle),
     "llm_minhash_neardup" -> QueryDef(minhashNearDups _, minhashOracle),
     "llm_dup_pagerank" -> QueryDef(dupPagerank _, dupPagerankOracle),
+    "llm_incr_neardup" -> QueryDef(incrNeardup _, incrNeardupOracle),
     "llm_neardup_sources" -> QueryDef(neardupSources _, neardupSourcesOracle),
     "llm_neardup_curve" -> QueryDef(neardupCurve _, neardupCurveOracle),
     "llm_minhash_recall" -> QueryDef(minhashRecall _, minhashRecallOracle),
