@@ -533,6 +533,16 @@ object EventsAnalytics {
           - col("_swa") / col("_na").cast("double")).as("delta_b"))
       .withColumn("rk", row_number().over(
         Window.orderBy(col("delta_b"), col("b"))))
+      // surviving-replicate count (a replicate whose arm got all-zero
+      // weights is filtered above): the CI rank cutoffs must be
+      // percentiles of the SURVIVORS, not of the nBoot literal — with
+      // fixed cutoffs a single dropped replicate silently nulls ci_hi.
+      // The window is bounded by nBoot (≤200 rows), never
+      // data-proportional.
+      .withColumn("nl", count(lit(1)).over(
+        Window.orderBy(col("delta_b"), col("b"))
+          .rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
     val fullDelta = perUser.groupBy()
       .agg(
         msum("A", col("mu")).as("_sa"), msum("B", col("mu")).as("_sb"),
@@ -542,14 +552,18 @@ object EventsAnalytics {
       .select(col("n_users"),
         (col("_sb") / col("_cb").cast("double")
           - col("_sa") / col("_ca").cast("double")).as("delta_hat"))
-    val lo = nBoot / 40          // 2.5%
-    val hi = nBoot - nBoot / 40  // 97.5% (1-indexed rank)
+    // percentile ranks over the SURVIVING replicates (nl): 2.5% /
+    // median / 97.5%, 1-indexed — reduces to 5/100/195 when all 200
+    // survive, so the common case is unchanged
+    val rkLo = greatest(lit(1L), floor(col("nl") / 40))
+    val rkMed = greatest(lit(1L), floor(col("nl") / 2))
+    val rkHi = col("nl") - floor(col("nl") / 40)
     // one groupless aggregate picks all three order statistics — a
     // single one-row broadcast, not three filtered subplans
     val ci = lifts.agg(
-      max(when(col("rk") === lo, col("delta_b"))).as("ci_lo"),
-      max(when(col("rk") === nBoot / 2, col("delta_b"))).as("ci_med"),
-      max(when(col("rk") === hi, col("delta_b"))).as("ci_hi"))
+      max(when(col("rk") === rkLo, col("delta_b"))).as("ci_lo"),
+      max(when(col("rk") === rkMed, col("delta_b"))).as("ci_med"),
+      max(when(col("rk") === rkHi, col("delta_b"))).as("ci_hi"))
     fullDelta.crossJoin(broadcast(ci))
   }
 

@@ -93,8 +93,12 @@ object HarRv {
 
   /** Shared beta/r² expression texts over the moment columns. */
   val detA: String = det4(A)
+  // Cramer denominator guarded with nullif: an exactly-collinear
+  // series (detA = 0) must yield NULL in BOTH engines — Spark's
+  // non-ANSI x/0 is NULL but DuckDB's IEEE division is Inf/NaN,
+  // which would hash-mismatch on degenerate input.
   val betaSql: IndexedSeq[String] =
-    (0 to 3).map(i => s"${det4(withCol(i))} / $detA")
+    (0 to 3).map(i => s"${det4(withCol(i))} / nullif($detA, 0.0)")
   val r2Sql: String = {
     val sse = s"syy - ((${betaSql(0)}) * sy + (${betaSql(1)}) * sdy " +
       s"+ (${betaSql(2)}) * swy + (${betaSql(3)}) * smy)"
@@ -160,11 +164,14 @@ object HarRv {
     * (the sum-parameterized naive forecast; β absorbs the 1/5).
     * Closed-form slope/intercept/R² — evaluated verbatim by both
     * engines, like [[betaSql]]. */
-  val mzBetaSql: String = "(nd * swy - sw * sy) / (nd * sww - sw * sw)"
+  // Denominators guarded like betaSql's: a constant-w or constant-y
+  // series must be NULL in both engines, not Inf/NaN in DuckDB.
+  val mzBetaSql: String =
+    "(nd * swy - sw * sy) / nullif(nd * sww - sw * sw, 0.0)"
   val mzAlphaSql: String = s"(sy - ($mzBetaSql) * sw) / nd"
   val mzR2Sql: String =
     "((nd * swy - sw * sy) * (nd * swy - sw * sy)) " +
-      "/ ((nd * sww - sw * sw) * (nd * syy - sy * sy))"
+      "/ nullif((nd * sww - sw * sw) * (nd * syy - sy * sy), 0.0)"
 
   /** MZ forecast evaluation per underlying (n_obs, mz_alpha, mz_beta,
     * mz_r2) from the same daily frame as [[fit]] — an unbiased

@@ -1024,7 +1024,8 @@ object EventsQueries {
        |  SELECT b, _swb / _nb - _swa / _na AS delta_b FROM lifts
        |),
        |rk AS (
-       |  SELECT *, row_number() OVER (ORDER BY delta_b, b) AS rk FROM dl
+       |  SELECT *, row_number() OVER (ORDER BY delta_b, b) AS rk,
+       |    count(*) OVER () AS nl FROM dl
        |),
        |fd AS (
        |  SELECT count(*) AS n_users,
@@ -1035,10 +1036,12 @@ object EventsQueries {
        |  FROM v
        |),
        |ci AS (
-       |  SELECT max(CASE WHEN rk = ${nBoot / 40} THEN delta_b END) AS ci_lo,
-       |    max(CASE WHEN rk = ${nBoot / 2} THEN delta_b END) AS ci_med,
-       |    max(CASE WHEN rk = ${nBoot - nBoot / 40} THEN delta_b END)
-       |      AS ci_hi
+       |  SELECT
+       |    max(CASE WHEN rk = greatest(1, nl // 40) THEN delta_b END)
+       |      AS ci_lo,
+       |    max(CASE WHEN rk = greatest(1, nl // 2) THEN delta_b END)
+       |      AS ci_med,
+       |    max(CASE WHEN rk = nl - nl // 40 THEN delta_b END) AS ci_hi
        |  FROM rk
        |)
        |SELECT n_users, delta_hat, ci_lo, ci_med, ci_hi

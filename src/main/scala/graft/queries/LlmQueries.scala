@@ -17,6 +17,16 @@ import graft.util.Tables
   * — so hash_match verifies values, not just shapes. */
 object LlmQueries {
 
+  /** Force-build this object's [[graft.util.FrameMemo]] side-tables
+    * (the LSH pair set and the PPJoin exact truth). Memos are
+    * first-consumer-pays; the bench calls this in its warmup so the
+    * build cost is reported as its own metric instead of being
+    * charged to whichever query alphabetically runs first. */
+  def warmMemos(s: SparkSession, dir: String): Unit = {
+    minhashNearDups(s, dir)
+    ppjoin(s, dir)
+  }
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
@@ -315,12 +325,17 @@ object LlmQueries {
     * unchanged), which makes ground-truth cost CONSTANT at any corpus
     * size, exactly like the ANN audit's bounded query set. The oracle
     * derives the same modulus from count(*). */
+  // keyed like FrameMemo: the dir fingerprint invalidates the cached
+  // modulus if the data under dir is regenerated within one
+  // application (a stale modulus would silently disagree with the
+  // oracle's live count(*))
   private val sampleModCache = scala.collection.concurrent.TrieMap
-    .empty[(String, String), Long]
+    .empty[(String, String, String), Long]
 
   private def sampleMod(s: SparkSession, dir: String): Long =
     sampleModCache.getOrElseUpdate(
-      (s.sparkContext.applicationId, dir),
+      (s.sparkContext.applicationId, dir,
+        graft.util.FrameMemo.dirFingerprint(dir)),
       // bounded-collect(single scalar: the corpus count sizes the
       // truth-sample modulus; O(1) driver state)
       math.max(3L, (docs(s, dir).count() + 1699L) / 1700L))

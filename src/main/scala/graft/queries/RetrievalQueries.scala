@@ -13,6 +13,14 @@ import graft.util.{Parity, Tables}
   * hash_match verifies values end to end. */
 object RetrievalQueries {
 
+  /** Force-build this object's [[graft.util.FrameMemo]] side-tables
+    * (the BM25 and tf·idf ranked lists) — see
+    * [[LlmQueries.warmMemos]] for why the bench pre-pays them. */
+  def warmMemos(s: SparkSession, dir: String): Unit = {
+    bm25Ranked(s, dir)
+    tfidfRanked(s, dir)
+  }
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 

@@ -1144,7 +1144,12 @@ object SystemQueries {
       .where(col("index_price").isNotNull)
       .withColumn("bs", ep - ep % 900)
       .groupBy(col("underlying"), col("bs"))
-      .agg(max_by(col("index_price"), col("timestamp")).as("px"))
+      // lexicographic struct-max, not max_by(px, ts): two ticks
+      // sharing the bucket-max timestamp would make a bare max_by /
+      // arg_max pick engine-nondeterministically — the composite key
+      // breaks the tie on price identically in Spark and DuckDB
+      .agg(max(struct(col("timestamp"), col("index_price")))
+        .getField("index_price").as("px"))
       .select(col("underlying"), timestamp_seconds(col("bs")).as("ts"),
         lit(0).as("side"), lit(0L).as("id"), col("px"))
     boundedStream(s, "st17", tradeSide.unionAll(spotSide),
@@ -1160,7 +1165,7 @@ object SystemQueries {
        |),
        |sp AS (
        |  SELECT underlying, (ep - ep % 900) * 1000000 AS us,
-       |    arg_max(index_price, "timestamp") AS px
+       |    (max({'t': "timestamp", 'p': index_price})).p AS px
        |  FROM (SELECT *, ${duckEpochS("\"timestamp\"")} AS ep FROM trades
        |        WHERE index_price IS NOT NULL)
        |  GROUP BY 1, 2

@@ -384,7 +384,19 @@ object SnapshotStore {
     val s2 = filesAt(root, v2).toSet
     val onlyOld = (s1 -- s2).toSeq.sorted
     val onlyNew = (s2 -- s1).toSeq.sorted
-    val probe = (onlyOld ++ onlyNew ++ s1 ++ s2).head
+    val allFiles = onlyOld ++ onlyNew ++ s1 ++ s2
+    // both versions file-less (e.g. two empty initial commits): the
+    // diff is empty by definition, and there is no data file to probe
+    // a table schema from — return the degenerate (change, n) frame
+    // instead of dereferencing .head
+    if (allFiles.isEmpty) {
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("change", StringType),
+          StructField("n", LongType))))
+    }
+    val probe = allFiles.head
     val schema = spark.read.parquet(probe).schema
     val cols = schema.fieldNames.toSeq
     def side(fs: Seq[String], w: Long): DataFrame = {

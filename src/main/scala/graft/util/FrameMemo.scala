@@ -10,29 +10,56 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * corpus-proportional result (a web-scale dup-pair set) would OOM
   * the driver; here the driver holds only the path (O(1)).
   *
-  * Keyed by (applicationId, dir, name): the memoized frame is a pure
-  * function of the data dir within one application; applicationId is
+  * Keyed by (applicationId, dir, dirFingerprint, name): the memoized
+  * frame is a pure function of the data under dir; applicationId is
   * process-unique (session identity hashes are not — they can be
   * reused after a GC and would serve stale frames on a rare
-  * collision), so any session of the same app computes the same
-  * frame and sharing across sessions is correct. Bounded: one entry
-  * per (dir, name) an application ever touches. On a cluster the
-  * same pattern targets a job-scoped path on the shared filesystem
-  * (java.io.tmpdir here; local mode has no HDFS). */
+  * collision), and the fingerprint — filesystem metadata of the files
+  * under dir, no data read — invalidates the memo if the data under
+  * dir is REGENERATED within one application (same path, new bytes),
+  * which would otherwise silently serve a stale frame that disagrees
+  * with the oracle's live scan. Bounded: one entry per (dir, version,
+  * name) an application ever touches. On a cluster the same pattern
+  * targets a job-scoped path on the shared filesystem (java.io.tmpdir
+  * here; local mode has no HDFS). */
 object FrameMemo {
 
   private val memo = scala.collection.concurrent.TrieMap
-    .empty[(String, String, String), String]
+    .empty[(String, String, String, String), String]
 
-  /** Return the memoized frame for (app, dir, name), building and
-    * writing it on first use. Column order/types round-trip through
-    * parquet unchanged. */
+  /** Cheap dataset fingerprint: relative path + length + mtime of
+    * every regular file under dir, digested in sorted order — pure
+    * filesystem metadata, no data bytes read, so it is O(#files) on
+    * the driver and safe to recompute per call. */
+  def dirFingerprint(dir: String): String = {
+    import java.nio.file.{Files, Paths}
+    try {
+      val root = Paths.get(dir)
+      if (!Files.exists(root)) "absent"
+      else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val st = Files.walk(root)
+        try st.filter(p => Files.isRegularFile(p)).sorted().forEach { p =>
+          md.update((root.relativize(p).toString + "|" + Files.size(p) +
+            "|" + Files.getLastModifiedTime(p).toMillis + "\n")
+            .getBytes("UTF-8"))
+        } finally st.close()
+        md.digest().map(b => f"$b%02x").mkString
+      }
+    } catch { case _: java.io.IOException => "unreadable" }
+  }
+
+  /** Return the memoized frame for (app, dir-version, name), building
+    * and writing it on first use. Column order/types round-trip
+    * through parquet unchanged. */
   def cached(s: SparkSession, dir: String, name: String)
       (build: => DataFrame): DataFrame = {
+    val fp = dirFingerprint(dir)
     val path = memo.getOrElseUpdate(
-      (s.sparkContext.applicationId, dir, name), {
+      (s.sparkContext.applicationId, dir, fp, name), {
         val key = java.util.UUID.nameUUIDFromBytes(
-          s"${s.sparkContext.applicationId}|$dir|$name".getBytes("UTF-8"))
+          s"${s.sparkContext.applicationId}|$dir|$fp|$name"
+            .getBytes("UTF-8"))
         val out = new java.io.File(
           System.getProperty("java.io.tmpdir"),
           s"graft_memo_${name}_$key").getAbsolutePath

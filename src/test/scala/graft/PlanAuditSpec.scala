@@ -109,7 +109,10 @@ class PlanAuditSpec extends AnyFunSuite {
       // side is still asserted to be a groupless aggregate below)
       "llm_minhash_recall", "q11_set_ops", "ev22_ab_test",
       "llm_band_plan", "ev24_did", "ev25_cuped", "llm_dedup_report",
-      "llm_kl_drift", "llm_rank_fusion")
+      "llm_kl_drift", "llm_rank_fusion",
+      // referential-integrity denominator: crossJoin(broadcast(
+      // lineitem.agg(count))) — one groupless row by construction
+      "s27_expectations")
     val boundedPickBuild = Set("llm_ann_topk", "llm_ann_pq",
       "llm_ann_recall", "llm_ann_recall_curve", "llm_mrl_recall",
       "llm_knn_label", "llm_intrinsic_dim")
