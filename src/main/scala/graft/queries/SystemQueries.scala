@@ -1629,7 +1629,141 @@ object SystemQueries {
        |WHERE c.op IS NULL OR c.op = 'U'""".stripMargin
   }
 
+  /** S28: snapshot retention / VACUUM
+    * ([[graft.sources.SnapshotStore.expireVersions]]) — the
+    * maintenance step [[graft.sources.SnapshotStore.deleteRows]]'s
+    * scaladoc defers the physical purge to. v1 commits the even-id
+    * half and is TAGGED; v2 appends the odd half (untagged); v3 is a
+    * full rewrite dropping clicks. `expireVersions(keepLast = 1)`
+    * must expire exactly v2, keep v1 alive through its tag, delete
+    * v2's fresh data files from disk (no surviving manifest lists
+    * them), and make reads of v2 fail loudly. The audit re-reads the
+    * tagged snapshot and the head AFTER the purge and re-derives both
+    * states from the base table; the boolean columns pin the
+    * expire/fail/purge mechanics. */
+  def s28ExpireSnapshots(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.SnapshotStore
+    val root = graft.util.TempDirs.scoped("s28-expire")
+    val ev = graft.util.Tables.load(s, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    SnapshotStore.commitAppend(ev.filter(col("event_id") % 2 === 0), root)
+    SnapshotStore.tag(root, "audit", Some(1))
+    SnapshotStore.commitAppend(ev.filter(col("event_id") % 2 === 1), root)
+    SnapshotStore.commitReplace(
+      SnapshotStore.read(s, root).filter(col("event_type") =!= "click"),
+      root)
+    val res = SnapshotStore.expireVersions(root, keepLast = 1)
+    val expiredFails =
+      try { SnapshotStore.read(s, root, Some(2)); false }
+      catch { case _: IllegalArgumentException => true }
+    // physical purge proof: the parquet files on disk are EXACTLY the
+    // union of the surviving manifests (driver-side file listing —
+    // file-count-sized metadata, like the manifests themselves)
+    val referenced = res.survivors
+      .flatMap(SnapshotStore.filesAt(root, _)).toSet
+    val onDisk = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(root, "data"))
+        .filter(_.getName.endsWith(".parquet")).map(_.getPath).toSet
+    }
+    val mech = lit(expiredFails).as("expired_fails") ::
+      lit(onDisk == referenced && res.deletedFiles > 0)
+        .as("orphans_purged") ::
+      lit(res.expired == Seq(2)).as("expired_v2") :: Nil
+    Seq("tagged_v1" -> SnapshotStore.readTag(s, root, "audit"),
+        "head" -> SnapshotStore.read(s, root)).map { case (phase, df) =>
+      df.agg(count(lit(1)).as("n_rows"), dsum(col("value")).as("value_sum"))
+        .select(lit(phase).as("phase") +: col("n_rows") +:
+          col("value_sum") +: mech: _*)
+    }.reduce(_.unionAll(_))
+  }
+
+  val s28Oracle: String =
+    s"""SELECT 'tagged_v1' AS phase, count(*) AS n_rows,
+       |  ${duckDsum("value")} AS value_sum,
+       |  true AS expired_fails, true AS orphans_purged,
+       |  true AS expired_v2
+       |FROM events WHERE event_id % 2 = 0
+       |UNION ALL
+       |SELECT 'head' AS phase, count(*) AS n_rows,
+       |  ${duckDsum("value")} AS value_sum,
+       |  true AS expired_fails, true AS orphans_purged,
+       |  true AS expired_v2
+       |FROM events WHERE event_type <> 'click'""".stripMargin
+
+  /** S29: MERGE INTO the snapshot store
+    * ([[graft.sources.SnapshotStore.commitMerge]]) — s17's SCD1
+    * collapse COMMITTED as a snapshot version instead of computed
+    * batch-side, closing the lakehouse write surface (append /
+    * replace / delete / compact / merge). v1 commits the base-era
+    * survivors; the change-era raw changelog merges in under the CAS
+    * guard (concurrent-commit path exercised end-to-end in
+    * `SnapshotSpec`). The audit reads BOTH versions after the merge:
+    * v1 must still show the pre-merge rows (manifests pin files),
+    * the head must equal the full-outer merge the s17 oracle chain
+    * re-derives in SQL. */
+  def s29SnapshotMerge(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.SnapshotStore
+    val root = graft.util.TempDirs.scoped("s29-merge")
+    val tagged = cdcTagged(s, dir)
+    SnapshotStore.commitAppend(cdcSnapshot(tagged), root)
+    val chg = tagged.filter(!col("is_base"))
+      .select(col("u"), col("event_id"), col("op"), col("v"), col("us"))
+    val v2 = SnapshotStore.commitMerge(s, root, chg,
+      "u", "op", "v", "us", "event_id")
+    Seq("pre_merge" -> 1, "post_merge" -> 2).map { case (phase, v) =>
+      SnapshotStore.read(s, root, Some(v))
+        .agg(count(lit(1)).as("n_rows"), dsum(col("val")).as("val_sum"),
+          max(col("us")).as("us_max"))
+        .select(lit(phase).as("phase"), col("n_rows"), col("val_sum"),
+          col("us_max"), lit(v2 == 2).as("advanced"))
+    }.reduce(_.unionAll(_))
+  }
+
+  val s29Oracle: String = {
+    def eraCte(pred: String, tag: String): String =
+      s"""${tag}_rn AS (
+         |  SELECT *, row_number() OVER (PARTITION BY u
+         |    ORDER BY us DESC, event_id DESC) AS rn
+         |  FROM tag WHERE $pred
+         |),
+         |$tag AS (SELECT u, op, v, us FROM ${tag}_rn WHERE rn = 1)"""
+        .stripMargin
+    s"""WITH ev AS (
+       |  SELECT user_id AS u, event_id,
+       |    CASE WHEN event_type = 'purchase' THEN 'D' ELSE 'U' END AS op,
+       |    value AS v, epoch_us(ts) AS us
+       |  FROM events
+       |),
+       |b AS (SELECT min(us) AS mn, max(us) AS mx FROM ev),
+       |tag AS (
+       |  SELECT ev.*, us < mn + (mx - mn) // 2 AS is_base FROM ev, b
+       |),
+       |${eraCte("is_base", "base")},
+       |${eraCte("NOT is_base", "chg")},
+       |snap AS (SELECT u, v, us FROM base WHERE op = 'U'),
+       |merged AS (
+       |  SELECT coalesce(s.u, c.u) AS u,
+       |    CASE WHEN c.op = 'U' THEN c.v ELSE s.v END AS val,
+       |    CASE WHEN c.op = 'U' THEN c.us ELSE s.us END AS us
+       |  FROM snap s FULL JOIN chg c ON c.u = s.u
+       |  WHERE c.op IS NULL OR c.op = 'U'
+       |)
+       |SELECT 'pre_merge' AS phase, count(*) AS n_rows,
+       |  ${duckDsum("v")} AS val_sum, max(us) AS us_max,
+       |  true AS advanced
+       |FROM snap
+       |UNION ALL
+       |SELECT 'post_merge' AS phase, count(*) AS n_rows,
+       |  ${duckDsum("val")} AS val_sum, max(us) AS us_max,
+       |  true AS advanced
+       |FROM merged""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "s28_expire_snapshots" -> QueryDef(s28ExpireSnapshots _, s28Oracle),
+    "s29_snapshot_merge" -> QueryDef(s29SnapshotMerge _, s29Oracle),
     "s18_dynamic_overwrite" -> QueryDef(s18DynamicOverwrite _, s18Oracle),
     "s20_snapshot_read" -> QueryDef(s20SnapshotRead _, s20Oracle),
     "s21_manifest_prune" -> QueryDef(s21ManifestPrune _, s21Oracle),

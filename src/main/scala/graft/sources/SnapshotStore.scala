@@ -231,6 +231,125 @@ object SnapshotStore {
     }
   }
 
+  /** MERGE INTO — the lakehouse upsert commit that closes the write
+    * surface (append / replace / delete / compact / merge). Reads the
+    * snapshot at the CURRENT latest version (file list pinned at call
+    * time), applies an SCD1 latest-wins changelog via
+    * [[graft.operators.CdcMerge]] ('U' upserts, 'D' deletes, untouched
+    * rows carry), and publishes the merged state as a replace-commit
+    * under the SAME CAS guard as every other commit: the target
+    * version number is pinned BEFORE the (slow) distributed write, so
+    * a concurrent commit that lands in between makes the manifest
+    * link fail with [[CommitConflictException]] — which is exactly
+    * right, because this merge was computed against a base that is no
+    * longer the head (a lost-update otherwise). Retry = re-read, re-
+    * merge, re-commit. Pre-merge versions keep reading the old rows
+    * (their manifests pin the original files).
+    *
+    * Contract: the stored table's schema is (`keyCol`, val, us) — the
+    * shape [[graft.operators.CdcMerge.merge]] applies changes to;
+    * `changes` is a raw changelog with (`keyCol`, `opCol`, `valCol`,
+    * `usCol`, `idCol`), collapsed latest-wins per key before the
+    * apply. Returns the new version. */
+  def commitMerge(spark: SparkSession, root: String, changes: DataFrame,
+      keyCol: String, opCol: String, valCol: String, usCol: String,
+      idCol: String): Int = {
+    val prev = latestVersion(root)
+    require(prev >= 1, s"no snapshot to merge into under $root")
+    val base = read(spark, root, Some(prev))
+      .select(col(keyCol), col("val"), col("us"))
+    val latest = graft.operators.CdcMerge.latestState(
+      changes, keyCol, opCol, valCol, usCol, idCol)
+    val merged = graft.operators.CdcMerge.merge(base, latest, keyCol)
+      .select(col(keyCol), col("val"), col("last_us").as("us"))
+    val v = prev + 1
+    writeManifest(root, v, writeData(merged, root, v))
+    v
+  }
+
+  /** All committed version numbers, ascending (empty when none). */
+  def versions(root: String): Seq[Int] = {
+    val d = manifestDir(root)
+    if (!d.isDirectory) Seq.empty
+    else d.listFiles().map(_.getName)
+      .collect { case s if s.matches("v\\d+\\.list") =>
+        s.stripPrefix("v").stripSuffix(".list").toInt }
+      .toSeq.sorted
+  }
+
+  /** What [[expireVersions]] did: which versions were expired /
+    * survive, and how many orphaned data files (and bytes) were
+    * physically deleted. */
+  final case class ExpireResult(expired: Seq[Int], survivors: Seq[Int],
+      deletedFiles: Int, deletedBytes: Long)
+
+  /** Snapshot retention — the VACUUM / expire-snapshots maintenance
+    * step [[deleteRows]]' contract defers to. Without it a 100 TB
+    * store grows without bound and takedown-deleted rows remain
+    * readable through old versions forever, defeating the delete.
+    *
+    *  - keeps the `keepLast` most recent versions (≥ 1 — the head is
+    *    never expirable) plus every TAGGED version, matching the tag
+    *    contract: tags pin manifests regardless of age;
+    *  - expired versions lose their manifest and stats sidecar, so a
+    *    later `read(root, Some(v))` fails loudly ("no manifest for
+    *    version v") instead of returning silently-wrong data;
+    *  - data files referenced by NO surviving manifest are physically
+    *    deleted — the GDPR-grade purge. `orphanGraceMs` is the
+    *    Iceberg remove-orphan-files age guard: an optimistic
+    *    committer writes data files FIRST and publishes its manifest
+    *    LAST, so an unreferenced-but-young file may be an in-flight
+    *    commit, not garbage. Production passes a grace comfortably
+    *    above the longest in-flight commit (hours); 0 purges
+    *    everything unreferenced and is only safe when no commit is
+    *    concurrent with the vacuum.
+    *
+    * Driver-side metadata work is manifest-count × file-count sized
+    * (KBs); the deletes are per-file filesystem calls — on a real
+    * object store these fan out to a distributed delete, the listing
+    * stays metadata. Loser-commit orphan directories (CAS losers)
+    * are swept by the same unreferenced-file rule. */
+  def expireVersions(root: String, keepLast: Int,
+      orphanGraceMs: Long = 0L): ExpireResult = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val all = versions(root)
+    if (all.isEmpty) return ExpireResult(Nil, Nil, 0, 0L)
+    val tagged = tags(root).values.toSet
+    val survive = (all.takeRight(keepLast).toSet ++
+      all.filter(tagged)).toSeq.sorted
+    val expired = all.filterNot(survive.toSet)
+    val referenced = survive.flatMap(filesAt(root, _)).toSet
+    expired.foreach { v =>
+      Files.deleteIfExists(manifestFile(root, v).toPath)
+      Files.deleteIfExists(statsFile(root, v).toPath)
+    }
+    // physical purge: every data file no surviving manifest lists,
+    // old enough to provably not belong to an in-flight commit
+    val cutoff = System.currentTimeMillis() - orphanGraceMs
+    var nDel = 0
+    var bytes = 0L
+    val dataDir = new File(root, "data")
+    def sweep(f: File): Unit =
+      if (f.isDirectory) {
+        f.listFiles().foreach(sweep)
+        // a dir left with no data files is an empty husk (markers
+        // like _SUCCESS/.crc included) — remove it with its residue
+        val left = f.listFiles()
+        if (left.forall(c => !c.isDirectory &&
+            !c.getName.endsWith(".parquet"))) {
+          left.foreach(c => Files.deleteIfExists(c.toPath))
+          if (f.listFiles().isEmpty) Files.deleteIfExists(f.toPath)
+        }
+      } else if (f.getName.endsWith(".parquet") &&
+          !referenced(f.getPath) && f.lastModified() <= cutoff) {
+        bytes += f.length()
+        nDel += 1
+        Files.deleteIfExists(f.toPath)
+      }
+    if (dataDir.isDirectory) dataDir.listFiles().foreach(sweep)
+    ExpireResult(expired, survive, nDel, bytes)
+  }
+
   // ---- named tags over versions ----
 
   private def tagsFile(root: String) = new File(manifestDir(root), "tags.list")
