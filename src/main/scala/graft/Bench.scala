@@ -141,8 +141,13 @@ object Bench {
     // "[info] " prefixes and appends a "[success]" line after ours,
     // so a last-line json.loads fails. A plain file sidesteps log
     // framing entirely: pure JSON, no prefix, no trailing lines.
+    // The path is env-overridable (and the default is gitignored) so
+    // a bench run never dirties the working tree and concurrent runs
+    // can target distinct artifact paths.
+    val summaryPath =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_SUMMARY", "bench_summary.json")
     try {
-      val w = new java.io.PrintWriter("bench_summary.json", "UTF-8")
+      val w = new java.io.PrintWriter(summaryPath, "UTF-8")
       try w.println(compact) finally w.close()
     } catch { case _: java.io.IOException => () }
     spark.stop()

@@ -32,20 +32,25 @@ object TradesApi {
 
   private val outFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
 
+  private def check(ok: Boolean, msg: => String): Unit =
+    if (!ok) throw new graft.QueryError(msg)
+
   /** F2 fail-fast validation (`api.py:29-64`): ≥1 of start/end/limit,
-    * no empty strings, start<=end, limit>=0. */
+    * no empty strings, start<=end, limit>=0. Violations raise the
+    * typed [[graft.QueryError]] (reference `exceptions.py` QueryError)
+    * so a library consumer can branch on the error class. */
   def validateFetchParams(p: FetchParams): Unit = {
-    require(p.start.isDefined || p.end.isDefined || p.limit.isDefined,
+    check(p.start.isDefined || p.end.isDefined || p.limit.isDefined,
       "At least one of start, end, or limit is required " +
         "(unbounded full-table fetch refused)")
     Seq("start" -> p.start, "end" -> p.end, "underlying" -> p.underlying,
         "option_type" -> p.optionType, "expiry" -> p.expiry)
       .foreach { case (n, v) =>
-        v.foreach(s => require(s.trim.nonEmpty, s"$n must be non-empty"))
+        v.foreach(s => check(s.trim.nonEmpty, s"$n must be non-empty"))
       }
-    p.limit.foreach(l => require(l >= 0, s"limit must be >= 0, got $l"))
+    p.limit.foreach(l => check(l >= 0, s"limit must be >= 0, got $l"))
     for (s <- p.start; e <- p.end)
-      require(!parseTs(s, isEnd = false).isAfter(parseTs(e, isEnd = false)),
+      check(!parseTs(s, isEnd = false).isAfter(parseTs(e, isEnd = false)),
         s"start ($s) must be <= end ($e)")
   }
 
@@ -59,7 +64,7 @@ object TradesApi {
         try LocalDate.parse(t)
         catch {
           case _: java.time.DateTimeException =>
-            throw new IllegalArgumentException(s"Unparseable timestamp: $s")
+            throw new graft.QueryError(s"Unparseable timestamp: $s")
         }
       (if (isEnd) d.plusDays(1) else d).atStartOfDay()
     } else {
@@ -71,7 +76,7 @@ object TradesApi {
           try Some(LocalDateTime.parse(norm, DateTimeFormatter.ofPattern(p)))
           catch { case _: java.time.DateTimeException => None })
         .collectFirst { case Some(dt) => dt }
-        .getOrElse(throw new IllegalArgumentException(
+        .getOrElse(throw new graft.QueryError(
           s"Unparseable timestamp: $s"))
     }
   }

@@ -1652,10 +1652,13 @@ object SystemQueries {
     SnapshotStore.commitReplace(
       SnapshotStore.read(s, root).filter(col("event_type") =!= "click"),
       root)
-    val res = SnapshotStore.expireVersions(root, keepLast = 1)
+    // grace 0 is safe and EXPLICIT here: the store is query-local and
+    // quiesced — no commit is concurrent with this vacuum
+    val res = SnapshotStore.expireVersions(root, keepLast = 1,
+      orphanGraceMs = 0L)
     val expiredFails =
       try { SnapshotStore.read(s, root, Some(2)); false }
-      catch { case _: IllegalArgumentException => true }
+      catch { case _: graft.QueryError => true }
     // physical purge proof: the parquet files on disk are EXACTLY the
     // union of the surviving manifests (driver-side file listing —
     // file-count-sized metadata, like the manifests themselves)

@@ -166,7 +166,7 @@ object Backfill {
       def field(name: String): Long =
         s""""$name":\\s*(-?\\d+)""".r.findFirstMatchIn(s)
           .map(_.group(1).toLong)
-          .getOrElse(throw new IllegalStateException(s"bad checkpoint: $s"))
+          .getOrElse(throw new graft.IngestError(s"bad checkpoint: $s"))
       Some(Checkpoint(field("last_end_ts"), field("batch_number").toInt,
         field("total_collected"), field("pagination_warnings").toInt))
     }

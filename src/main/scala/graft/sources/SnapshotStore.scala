@@ -49,9 +49,10 @@ object SnapshotStore {
 
   /** A concurrent committer published this version first. Retryable:
     * re-read [[latestVersion]], re-resolve the base file set, commit
-    * again. */
+    * again. Part of the [[graft.GraftException]] hierarchy — the one
+    * subtype a caller should catch-and-retry rather than propagate. */
   final class CommitConflictException(root: String, version: Int)
-    extends RuntimeException(
+    extends graft.GraftException(
       s"version $version under $root was committed concurrently; " +
         "re-read the latest version and retry")
 
@@ -73,7 +74,8 @@ object SnapshotStore {
 
   private[graft] def filesAt(root: String, v: Int): Seq[String] = {
     val f = manifestFile(root, v)
-    require(f.isFile, s"no manifest for version $v under $root")
+    if (!f.isFile)
+      throw new graft.QueryError(s"no manifest for version $v under $root")
     new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
       .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
   }
@@ -283,6 +285,13 @@ object SnapshotStore {
   final case class ExpireResult(expired: Seq[Int], survivors: Seq[Int],
       deletedFiles: Int, deletedBytes: Long)
 
+  /** Default orphan grace: 6 hours — comfortably above any realistic
+    * in-flight commit, matching Iceberg's remove-orphan-files stance
+    * that the DEFAULT must be safe on a live table. Pass 0 explicitly
+    * only for a quiesced table (tests, single-writer maintenance
+    * windows). */
+  val DefaultOrphanGraceMs: Long = 6L * 3600 * 1000
+
   /** Snapshot retention — the VACUUM / expire-snapshots maintenance
     * step [[deleteRows]]' contract defers to. Without it a 100 TB
     * store grows without bound and takedown-deleted rows remain
@@ -299,18 +308,38 @@ object SnapshotStore {
     *    Iceberg remove-orphan-files age guard: an optimistic
     *    committer writes data files FIRST and publishes its manifest
     *    LAST, so an unreferenced-but-young file may be an in-flight
-    *    commit, not garbage. Production passes a grace comfortably
-    *    above the longest in-flight commit (hours); 0 purges
-    *    everything unreferenced and is only safe when no commit is
+    *    commit, not garbage. The default is a conservative
+    *    [[DefaultOrphanGraceMs]]; 0 purges everything unreferenced
+    *    and must be passed EXPLICITLY, only when no commit is
     *    concurrent with the vacuum.
+    *
+    * The referenced-file set is RE-LISTED from the live manifests
+    * immediately before the physical delete loop: a commit that
+    * publishes its manifest at any point before the sweep protects
+    * its files regardless of grace, shrinking the race window from
+    * "whole vacuum duration" to the instant between the re-list and
+    * each delete. Grace remains the only guard for a commit still
+    * between its data write and its manifest publish at sweep time —
+    * the same residual window Iceberg accepts.
     *
     * Driver-side metadata work is manifest-count × file-count sized
     * (KBs); the deletes are per-file filesystem calls — on a real
     * object store these fan out to a distributed delete, the listing
     * stays metadata. Loser-commit orphan directories (CAS losers)
-    * are swept by the same unreferenced-file rule. */
+    * are swept by the same unreferenced-file rule, and the husk
+    * cleanup (marker files, emptied directories) honors the same
+    * age cutoff so a just-created output directory of an in-flight
+    * commit is never yanked from under it. */
   def expireVersions(root: String, keepLast: Int,
-      orphanGraceMs: Long = 0L): ExpireResult = {
+      orphanGraceMs: Long = DefaultOrphanGraceMs): ExpireResult =
+    expireVersionsImpl(root, keepLast, orphanGraceMs, () => ())
+
+  /** [[expireVersions]] with a test seam: `beforeSweep` runs between
+    * manifest expiry and the physical sweep, where a concurrent
+    * commit is hardest to protect — Round15Spec commits there and
+    * proves the re-list keeps its files under a 0-grace vacuum. */
+  private[graft] def expireVersionsImpl(root: String, keepLast: Int,
+      orphanGraceMs: Long, beforeSweep: () => Unit): ExpireResult = {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
     val all = versions(root)
     if (all.isEmpty) return ExpireResult(Nil, Nil, 0, 0L)
@@ -318,13 +347,17 @@ object SnapshotStore {
     val survive = (all.takeRight(keepLast).toSet ++
       all.filter(tagged)).toSeq.sorted
     val expired = all.filterNot(survive.toSet)
-    val referenced = survive.flatMap(filesAt(root, _)).toSet
     expired.foreach { v =>
       Files.deleteIfExists(manifestFile(root, v).toPath)
       Files.deleteIfExists(statsFile(root, v).toPath)
     }
-    // physical purge: every data file no surviving manifest lists,
-    // old enough to provably not belong to an in-flight commit
+    beforeSweep()
+    // physical purge: every data file no LIVE manifest lists, old
+    // enough to provably not belong to an in-flight commit. The
+    // manifest list is re-read HERE — not reused from the expiry
+    // phase — so any manifest published since then (a concurrent
+    // commit) pins its files without depending on grace.
+    val referenced = versions(root).flatMap(filesAt(root, _)).toSet
     val cutoff = System.currentTimeMillis() - orphanGraceMs
     var nDel = 0
     var bytes = 0L
@@ -333,10 +366,15 @@ object SnapshotStore {
       if (f.isDirectory) {
         f.listFiles().foreach(sweep)
         // a dir left with no data files is an empty husk (markers
-        // like _SUCCESS/.crc included) — remove it with its residue
+        // like _SUCCESS/.crc included) — remove it with its residue,
+        // but only once BOTH the residue and the directory itself
+        // clear the age cutoff: a fresh marker-only directory is an
+        // in-flight write's output, not garbage
         val left = f.listFiles()
         if (left.forall(c => !c.isDirectory &&
-            !c.getName.endsWith(".parquet"))) {
+            !c.getName.endsWith(".parquet") &&
+            c.lastModified() <= cutoff) &&
+            f.lastModified() <= cutoff) {
           left.foreach(c => Files.deleteIfExists(c.toPath))
           if (f.listFiles().isEmpty) Files.deleteIfExists(f.toPath)
         }
@@ -388,7 +426,7 @@ object SnapshotStore {
   /** Read the snapshot a tag points at. */
   def readTag(spark: SparkSession, root: String, name: String): DataFrame = {
     val v = tags(root).getOrElse(name,
-      throw new IllegalArgumentException(s"unknown tag: $name"))
+      throw new graft.QueryError(s"unknown tag: $name"))
     read(spark, root, Some(v))
   }
 

@@ -27,12 +27,22 @@ object FrameMemo {
   private val memo = scala.collection.concurrent.TrieMap
     .empty[(String, String, String, String), String]
 
-  /** Cheap dataset fingerprint: relative path + length + mtime of
-    * every regular file under dir, digested in sorted order — pure
+  /** Cheap dataset fingerprint: relative path + length + full-
+    * precision mtime + filesystem fileKey (inode on POSIX — changes
+    * whenever a file is rewritten, even within the same mtime tick)
+    * of every regular file under dir, digested in sorted order — pure
     * filesystem metadata, no data bytes read, so it is O(#files) on
-    * the driver and safe to recompute per call. */
+    * the driver and safe to recompute per call. Millisecond mtimes
+    * alone are too coarse: an in-place regeneration with identical
+    * names and sizes inside one clock tick would keep the fingerprint
+    * unchanged and silently serve a stale memo; the nanosecond
+    * instant plus the fileKey each independently break that tie.
+    * Any traversal failure (including the UncheckedIOException a
+    * mid-walk deletion surfaces as) degrades to the "unreadable"
+    * sentinel — a distinct key that never aliases a healthy one. */
   def dirFingerprint(dir: String): String = {
     import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.BasicFileAttributes
     try {
       val root = Paths.get(dir)
       if (!Files.exists(root)) "absent"
@@ -40,13 +50,17 @@ object FrameMemo {
         val md = java.security.MessageDigest.getInstance("MD5")
         val st = Files.walk(root)
         try st.filter(p => Files.isRegularFile(p)).sorted().forEach { p =>
-          md.update((root.relativize(p).toString + "|" + Files.size(p) +
-            "|" + Files.getLastModifiedTime(p).toMillis + "\n")
+          val attrs = Files.readAttributes(p, classOf[BasicFileAttributes])
+          val key = Option(attrs.fileKey()).map(_.toString).getOrElse("-")
+          md.update((root.relativize(p).toString + "|" + attrs.size() +
+            "|" + attrs.lastModifiedTime().toInstant + "|" + key + "\n")
             .getBytes("UTF-8"))
         } finally st.close()
         md.digest().map(b => f"$b%02x").mkString
       }
-    } catch { case _: java.io.IOException => "unreadable" }
+    } catch {
+      case scala.util.control.NonFatal(_) => "unreadable"
+    }
   }
 
   /** Return the memoized frame for (app, dir-version, name), building

@@ -34,7 +34,8 @@ class Round14Spec extends AnyFunSuite {
     val headBefore = SnapshotStore.read(spark, root)
       .collect().map(_.toSeq).toSet
 
-    val res = SnapshotStore.expireVersions(root, keepLast = 1)
+    val res = SnapshotStore.expireVersions(root, keepLast = 1,
+      orphanGraceMs = 0L)
     assert(res.expired == Seq(2), s"exactly v2 expires: $res")
     assert(res.survivors == Seq(1, 3))
     assert(res.deletedFiles > 0, "v2's fresh files are orphaned and purged")
@@ -45,7 +46,7 @@ class Round14Spec extends AnyFunSuite {
     assert(SnapshotStore.read(spark, root)
       .collect().map(_.toSeq).toSet == headBefore)
     // expired reads fail loudly — no silent wrong answers
-    intercept[IllegalArgumentException] {
+    intercept[graft.QueryError] {
       SnapshotStore.read(spark, root, Some(2))
     }
     // physical purge: disk holds EXACTLY the surviving manifests' files
@@ -61,7 +62,8 @@ class Round14Spec extends AnyFunSuite {
     SnapshotStore.commitAppend(df, root)                 // v1
     SnapshotStore.commitAppend(df.limit(3), root)        // v2
     // keepLast = 1 with no tags: v1 expires, head survives
-    val res = SnapshotStore.expireVersions(root, keepLast = 1)
+    val res = SnapshotStore.expireVersions(root, keepLast = 1,
+      orphanGraceMs = 0L)
     assert(res.expired == Seq(1) && res.survivors == Seq(2))
     assert(SnapshotStore.read(spark, root).count() == 13)
     // empty root: clean no-op
@@ -82,8 +84,11 @@ class Round14Spec extends AnyFunSuite {
     assert(graced.deletedFiles == 0)
     assert(inflight.forall(p => new java.io.File(p).isFile),
       "in-flight files survive a graced vacuum")
-    // grace 0 (quiesced table) purges them
-    val hard = SnapshotStore.expireVersions(root, keepLast = 1)
+    // grace 0 (quiesced table) purges them — and must be EXPLICIT:
+    // the default grace is conservative, so a default-args vacuum on
+    // a live table can never delete an in-flight commit's fresh files
+    val hard = SnapshotStore.expireVersions(root, keepLast = 1,
+      orphanGraceMs = 0L)
     assert(hard.deletedFiles == inflight.size)
     assert(inflight.forall(p => !new java.io.File(p).isFile))
   }

@@ -29,35 +29,44 @@ class TradesApiSpec extends AnyFunSuite {
         "strike", "amount", "expiry")
   }
 
-  // ---- F2 fail-fast validation ----
+  // ---- F2 fail-fast validation: every violation raises the typed
+  // QueryError (reference exceptions.py), catchable via the
+  // GraftException root ----
   test("unbounded fetch refused") {
-    intercept[IllegalArgumentException] {
+    intercept[QueryError] {
       TradesApi.fetch(trades, FetchParams(underlying = Some("BTC")))
     }
   }
-  test("malformed date-only input raises IllegalArgumentException") {
-    intercept[IllegalArgumentException] {
+  test("malformed date-only input raises QueryError") {
+    intercept[QueryError] {
       TradesApi.fetch(trades, FetchParams(start = Some("2024-13-01"),
         limit = Some(10)))
     }
   }
 
   test("empty-string params refused") {
-    intercept[IllegalArgumentException] {
+    intercept[QueryError] {
       TradesApi.fetch(trades, FetchParams(underlying = Some("  "),
         limit = Some(10)))
     }
   }
   test("start after end refused") {
-    intercept[IllegalArgumentException] {
+    intercept[QueryError] {
       TradesApi.fetch(trades, FetchParams(
         start = Some("2024-02-01"), end = Some("2024-01-01")))
     }
   }
   test("negative limit refused") {
-    intercept[IllegalArgumentException] {
+    intercept[QueryError] {
       TradesApi.fetch(trades, FetchParams(limit = Some(-1)))
     }
+  }
+  test("validation errors are catchable at the GraftException root") {
+    val e = intercept[GraftException] {
+      TradesApi.fetch(trades, FetchParams(limit = Some(-7)))
+    }
+    assert(e.isInstanceOf[QueryError])
+    assert(e.getMessage.contains("limit must be >= 0"))
   }
 
   // ---- F3 normalization ----
