@@ -1764,7 +1764,79 @@ object SystemQueries {
        |FROM merged""".stripMargin
   }
 
+  /** S30: MERGE INTO a snapshotted store of the trades table's OWN
+    * schema ([[graft.sources.SnapshotStore.commitMergeRows]]) — the
+    * ReplacingMergeTree late-correction story completed at the
+    * lakehouse layer: v1 commits the `tid % 11` slice of the trades
+    * fact table; a correction changelog then re-prices `tid % 33`
+    * (seq 10) and `tid % 55` (seq 20 — later wins where both apply),
+    * busts `tid % 22` ('D', seq 30 — wins over any reprice), and
+    * inserts the previously-absent `tid % 11 = 5` slice, all in ONE
+    * merge commit. The audit reads BOTH versions after the merge:
+    * v1 must still show the pre-merge rows byte-identically
+    * (manifests pin files), and the head must equal the MERGE result
+    * the oracle re-derives in SQL (CASE-priced survivors + inserts). */
+  def s30MergeTrades(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.SnapshotStore
+    val root = graft.util.TempDirs.scoped("s30-merge-rows")
+    val t = SyntheticTrades.trades(s, dir).select(
+      col("trade_id").cast("long").as("tid"), col("underlying"),
+      col("price"), col("amount"), unix_micros(col("timestamp")).as("us"))
+    val base = t.filter(col("tid") % 11 === 0)
+    SnapshotStore.commitAppend(base, root)
+    def chg(src: DataFrame, op: String, seq: Int): DataFrame =
+      src.withColumn("op", lit(op)).withColumn("seq", lit(seq))
+    val changes =
+      chg(base.filter(col("tid") % 33 === 0)
+          .withColumn("price", col("price") * 2), "U", 10)
+        .unionByName(chg(base.filter(col("tid") % 55 === 0)
+          .withColumn("price", col("price") * 3), "U", 20))
+        .unionByName(chg(base.filter(col("tid") % 22 === 0), "D", 30))
+        .unionByName(chg(t.filter(col("tid") % 11 === 5), "U", 10))
+    val v2 = SnapshotStore.commitMergeRows(s, root, changes,
+      "tid", "op", "seq", "tid")
+    Seq("pre_merge" -> 1, "post_merge" -> 2).map { case (phase, v) =>
+      SnapshotStore.read(s, root, Some(v))
+        .agg(count(lit(1)).as("n_rows"), dsum(col("price")).as("price_sum"),
+          dsum(col("amount")).as("amount_sum"), max(col("us")).as("us_max"))
+        .select(lit(phase).as("phase"), col("n_rows"), col("price_sum"),
+          col("amount_sum"), col("us_max"), lit(v2 == 2).as("advanced"))
+    }.reduce(_.unionAll(_))
+  }
+
+  val s30Oracle: String =
+    s"""WITH ${SyntheticTrades.tradesCte},
+       |t AS (
+       |  SELECT CAST(trade_id AS BIGINT) AS tid, underlying, price,
+       |    amount, epoch_us("timestamp") AS us
+       |  FROM trades
+       |),
+       |base AS (SELECT * FROM t WHERE tid % 11 = 0),
+       |final AS (
+       |  SELECT tid, underlying,
+       |    CASE WHEN tid % 55 = 0 THEN price * 3
+       |         WHEN tid % 33 = 0 THEN price * 2
+       |         ELSE price END AS price,
+       |    amount, us
+       |  FROM base WHERE tid % 22 <> 0
+       |  UNION ALL
+       |  SELECT tid, underlying, price, amount, us FROM t
+       |  WHERE tid % 11 = 5
+       |)
+       |SELECT 'pre_merge' AS phase, count(*) AS n_rows,
+       |  ${duckDsum("price")} AS price_sum,
+       |  ${duckDsum("amount")} AS amount_sum,
+       |  max(us) AS us_max, true AS advanced
+       |FROM base
+       |UNION ALL
+       |SELECT 'post_merge' AS phase, count(*) AS n_rows,
+       |  ${duckDsum("price")} AS price_sum,
+       |  ${duckDsum("amount")} AS amount_sum,
+       |  max(us) AS us_max, true AS advanced
+       |FROM final""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "s30_merge_trades" -> QueryDef(s30MergeTrades _, s30Oracle),
     "s28_expire_snapshots" -> QueryDef(s28ExpireSnapshots _, s28Oracle),
     "s29_snapshot_merge" -> QueryDef(s29SnapshotMerge _, s29Oracle),
     "s18_dynamic_overwrite" -> QueryDef(s18DynamicOverwrite _, s18Oracle),

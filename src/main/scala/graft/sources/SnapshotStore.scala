@@ -5,7 +5,7 @@ import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit, max, min, not}
+import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit, max, max_by, min, not, struct}
 
 /** Manifest-based snapshot isolation over plain parquet — the
   * time-travel core of a lakehouse table format (Delta/Iceberg's
@@ -252,7 +252,9 @@ object SnapshotStore {
     * shape [[graft.operators.CdcMerge.merge]] applies changes to;
     * `changes` is a raw changelog with (`keyCol`, `opCol`, `valCol`,
     * `usCol`, `idCol`), collapsed latest-wins per key before the
-    * apply. Returns the new version. */
+    * apply. Returns the new version. For a store of ANY schema use
+    * [[commitMergeRows]]; this single-value variant predates it and
+    * stays for the CdcMerge-status-label path (s29). */
   def commitMerge(spark: SparkSession, root: String, changes: DataFrame,
       keyCol: String, opCol: String, valCol: String, usCol: String,
       idCol: String): Int = {
@@ -264,6 +266,51 @@ object SnapshotStore {
       changes, keyCol, opCol, valCol, usCol, idCol)
     val merged = graft.operators.CdcMerge.merge(base, latest, keyCol)
       .select(col(keyCol), col("val"), col("last_us").as("us"))
+    val v = prev + 1
+    writeManifest(root, v, writeData(merged, root, v))
+    v
+  }
+
+  /** MERGE INTO for a snapshotted table of ARBITRARY schema — the
+    * general upsert [[commitMerge]]'s blessed (key, val, us) triple
+    * can't express: the reference's ReplacingMergeTree story (late
+    * trade corrections upserted by trade_id) completed at the
+    * lakehouse layer. `changes` carries the FULL target schema plus
+    * `opCol` ('U' upsert-whole-row / 'D' delete) and the
+    * (`seqCol`, `idCol`) ordering pair; per key the latest change
+    * wins (ONE `max_by` hash aggregate — never a window sort), then
+    * the apply is MERGE INTO semantics: matched+D deletes,
+    * matched+U replaces the whole row, unmatched+U inserts.
+    *
+    * Scale shape: the collapse shuffles only the changelog (small);
+    * the apply is ONE equi-keyed anti-join of base against the
+    * collapsed keys (broadcast when the changelog is small — the
+    * typical late-correction batch — so the 100 TB base never
+    * shuffles) plus a union with the upserts. Same CAS discipline as
+    * every commit: the target version pins BEFORE the distributed
+    * write, a concurrent commit makes the manifest link throw
+    * [[CommitConflictException]], retry = re-read + re-merge.
+    * Pre-merge versions keep reading the original files. */
+  def commitMergeRows(spark: SparkSession, root: String,
+      changes: DataFrame, keyCol: String, opCol: String, seqCol: String,
+      idCol: String): Int = {
+    val prev = latestVersion(root)
+    require(prev >= 1, s"no snapshot to merge into under $root")
+    val base = read(spark, root, Some(prev))
+    val cols = base.columns.toSeq
+    require(cols.contains(keyCol), s"key column $keyCol not in table")
+    val payload = cols.filterNot(_ == keyCol) :+ opCol
+    val latest = changes
+      .groupBy(col(keyCol))
+      .agg(max_by(struct(payload.map(col): _*),
+        struct(col(seqCol), col(idCol))).as("__mr"))
+      .select(col(keyCol) +: payload.map(c => col(s"__mr.$c").as(c)): _*)
+    val upserts = latest.filter(col(opCol) === "U")
+      .select(cols.map(col): _*)
+    val merged = base
+      .join(latest.select(col(keyCol)), Seq(keyCol), "left_anti")
+      .unionByName(upserts)
+      .select(cols.map(col): _*)
     val v = prev + 1
     writeManifest(root, v, writeData(merged, root, v))
     v

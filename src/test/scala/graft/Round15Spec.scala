@@ -57,6 +57,32 @@ class Round15Spec extends AnyFunSuite {
     assert(SnapshotStore.DefaultOrphanGraceMs >= 3600L * 1000)
   }
 
+  test("commitMergeRows merges an arbitrary-schema table: latest-wins, delete, insert, time travel") {
+    import spark.implicits._
+    val root = graft.util.TempDirs.scoped("r15-mergerows")
+    SnapshotStore.commitAppend(
+      Seq((1L, "a", 10.0, 100L), (2L, "b", 20.0, 100L),
+        (3L, "c", 30.0, 100L))
+        .toDF("k", "tag", "px", "us"), root)
+    val changes = Seq(
+      (2L, "b", 21.0, 200L, "U", 1, 1L),  // reprice k=2
+      (2L, "b2", 22.0, 300L, "U", 2, 2L), // later change wins whole-row
+      (3L, "c", 0.0, 250L, "D", 3, 3L),   // bust k=3
+      (4L, "d", 40.0, 260L, "U", 1, 4L))  // insert k=4
+      .toDF("k", "tag", "px", "us", "op", "seq", "eid")
+    val v = SnapshotStore.commitMergeRows(spark, root, changes,
+      "k", "op", "seq", "eid")
+    assert(v == 2)
+    val head = SnapshotStore.read(spark, root)
+      .as[(Long, String, Double, Long)].collect().sortBy(_._1).toSeq
+    assert(head == Seq((1L, "a", 10.0, 100L), (2L, "b2", 22.0, 300L),
+      (4L, "d", 40.0, 260L)))
+    // time travel: the pre-merge snapshot still reads the old rows
+    assert(SnapshotStore.read(spark, root, Some(1)).count() == 3)
+    assert(SnapshotStore.read(spark, root, Some(1))
+      .filter(col("k") === 3L).count() == 1)
+  }
+
   test("typed exceptions: QueryError / IngestError / conflict all share the GraftException root") {
     val root = graft.util.TempDirs.scoped("r15-exc")
     val q = intercept[GraftException] {
