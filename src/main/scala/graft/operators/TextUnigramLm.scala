@@ -1,0 +1,193 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed unigram-LM (SentencePiece-style) tokenizer training —
+  * the OTHER tokenizer family real pipelines compare BPE against
+  * (Kudo 2018): pieces carry probabilities, a word's tokenization is
+  * the max-likelihood segmentation (Viterbi over the piece lattice),
+  * and training is hard-EM over the corpus:
+  *
+  *  - E-step: Viterbi-segment every DISTINCT word under the current
+  *    model and accumulate frequency-weighted piece counts — one
+  *    map-only fold over the Heaps-law-bounded word-frequency table
+  *    (like [[TextBpe]], never the raw token stream) plus one hash
+  *    aggregate;
+  *  - M-step: piece log-prob = ln(count / total) over the pieces the
+  *    E-step actually used; the piece inventory is pruned to the
+  *    target size after the first E-step (by count, ties by piece)
+  *    and only ever SHRINKS to used pieces afterwards, which keeps
+  *    every word's current segmentation available and hard-EM's
+  *    likelihood ascent intact;
+  *  - single characters stay in the model for the whole run (unused
+  *    ones at the [[MinLpMicro]] floor) so every word always has a
+  *    finite-cost fallback lattice path — segmentation never fails,
+  *    it just scores badly.
+  *
+  * All model arithmetic is INTEGER micro-nats: log-probs quantize to
+  * `floor(ln(p) * 1e6 + 0.5)` once per M-step (driver-side over the
+  * vocab-sized count table) and the Viterbi DP then adds/compares
+  * BIGINTs only — exact, associative, and bit-identical in any engine,
+  * which is what lets a SQL oracle re-derive the full E-step (the DP,
+  * the segment counts, the corpus log-likelihood) from the pinned
+  * model with zero floating-point hazard.
+  *
+  * Scale shape (100 TB): one corpus-sized shuffle builds the word
+  * table; each iteration is a map-only fold over it (per-row DP,
+  * O(len × [[MaxPieceLen]])), one hash aggregate for counts, and a
+  * vocab-sized driver collect for the M-step — driver state is
+  * O(vocab), never O(corpus). Tie-breaks are total: best candidate by
+  * (score DESC, piece-length DESC), prune by (count DESC, piece ASC).
+  */
+object TextUnigramLm {
+
+  /** Longest candidate piece. DP cost per word is len × this. */
+  val MaxPieceLen = 4
+
+  /** Integer-micro-nat floor standing in for -inf: one use costs more
+    * than any real path (corpus log-liks are ~1e6-1e9 micro-nats),
+    * yet 20 uses still cannot underflow a BIGINT. */
+  val MinLpMicro: Long = -100000000000L
+
+  /** Seed inventory: every single char plus the top multis by
+    * substring count. */
+  val SeedMultis = 600
+
+  /** Post-prune inventory: multis kept after the first E-step. */
+  val TargetMultis = 200
+
+  /** Hard-EM iterations (E-steps run). */
+  val Iterations = 4
+
+  final case class Piece(piece: String, lp_micro: Long)
+  final case class IterStat(iter: Int, loglik_micro: Long)
+
+  /** Corpus word-frequency table (the Heaps-bounded training set). */
+  def wordFreq(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(explode(TextDedup.words(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+
+  /** floor(ln(c/t)·1e6 + 0.5) — the micro-nat quantizer. Spelled the
+    * same way in the SQL oracle's refit column. */
+  def quantLn(c: Long, t: Long): Long =
+    math.floor(math.log(c.toDouble / t.toDouble) * 1e6 + 0.5).toLong
+
+  /** Viterbi best-segmentation DP as ONE fold expression over the
+    * word's positions: the accumulator holds, per prefix length, the
+    * best struct (o = -score for min-ordering, k2 = -pieceLen for the
+    * longer-piece tie-break, sc = score in micro-nats, sg = the
+    * space-joined segmentation). Candidate k extends the best prefix
+    * ending k chars back by the piece word[i-k+1 .. i]; `array_min`
+    * over the candidate structs IS the (score DESC, len DESC) argmax.
+    * Returns the final struct for the whole word. Mirrored verbatim
+    * by the DuckDB oracle's `list_reduce` fold — every operation is
+    * BIGINT arithmetic or string concat, so the two engines agree
+    * bit-for-bit. */
+  def viterbiBest(word: Column, model: Map[String, Long]): Column = {
+    val m = typedLit(model)
+    val init = array(struct(lit(0L).as("o"), lit(0L).as("k2"),
+      lit(0L).as("sc"), lit("").as("sg")))
+    val dp = aggregate(
+      sequence(lit(1), length(word)),
+      init,
+      (acc: Column, i: Column) => {
+        val cands = (1 to MaxPieceLen).map { k =>
+          // CaseWhen evaluates lazily: the element_at/substr below
+          // only run when k <= i, so indices stay in bounds under ANSI
+          when(lit(k) <= i, {
+            val prev = element_at(acc, i - lit(k) + 1)
+            val piece = word.substr(i - lit(k) + 1, lit(k))
+            val lp = coalesce(try_element_at(m, piece), lit(MinLpMicro))
+            val sc = prev.getField("sc") + lp
+            val sg = concat(prev.getField("sg"),
+              when(i === lit(k), lit("")).otherwise(lit(" ")), piece)
+            struct((-sc).as("o"), lit(-k.toLong).as("k2"),
+              sc.as("sc"), sg.as("sg"))
+          })
+        }
+        concat(acc, array(array_min(
+          filter(array(cands: _*), c => c.isNotNull))))
+      })
+    element_at(dp, length(word) + 1)
+  }
+
+  /** One E-step: the word table with the Viterbi result attached —
+    * `score_micro` (path log-lik) and `pieces` (the segmentation). */
+  def segment(words: DataFrame, model: Map[String, Long]): DataFrame = {
+    val f = viterbiBest(col("word"), model)
+    words.withColumn("f", f)
+      .select(col("word"), col("freq"),
+        col("f").getField("sc").as("score_micro"),
+        split(col("f").getField("sg"), " ").as("pieces"))
+  }
+
+  /** Frequency-weighted piece counts of a segmented word table — one
+    * hash aggregate, vocab-sized output. */
+  def pieceCounts(segmented: DataFrame): DataFrame =
+    segmented
+      .select(col("freq"), explode(col("pieces")).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+
+  /** All substrings of length 1..[[MaxPieceLen]] — the seed pass. */
+  private def allSubstrings(w: Column): Column =
+    flatten(transform(sequence(lit(1), length(w)), i =>
+      transform(sequence(lit(0),
+          least(lit(MaxPieceLen - 1), length(w) - i)), k =>
+        w.substr(i, k + 1))))
+
+  /** M-step on the driver over the vocab-sized count table: keep the
+    * used singles + top `targetMultis` used multis, assign quantized
+    * log-probs; every seed single stays (floor prob when unused). */
+  private def mstep(counts: Seq[(String, Long)], singles: Set[String],
+      targetMultis: Int): Map[String, Long] = {
+    val used = counts.filter(_._2 > 0)
+    val multis = used.filter(_._1.length > 1)
+      .sortBy { case (p, c) => (-c, p) }.take(targetMultis)
+    val kept = multis ++ used.filter(_._1.length == 1)
+    val total = kept.map(_._2).sum
+    val fitted = kept.map { case (p, c) => p -> quantLn(c, total) }.toMap
+    singles.filterNot(fitted.contains).map(_ -> MinLpMicro).toMap ++ fitted
+  }
+
+  /** Train the unigram LM. Returns (final model, per-iteration
+    * log-lik stats, the FINAL segmented word table under that model —
+    * the artifact both entries and the oracle verify against). */
+  def train(docs: DataFrame, textCol: String = "text")
+      : (Map[String, Long], Seq[IterStat], DataFrame) = {
+    val words = graft.util.Caches.snapshot(wordFreq(docs, textCol))
+    // snapshot, not materialize: two bounded collects read this, and
+    // localCheckpoint stays invisible to the session cache manager
+    // (a persisted subtree would rewrite other queries' pinned plans)
+    val seed = graft.util.Caches.snapshot(
+      words.select(col("freq"), explode(allSubstrings(col("word")))
+        .as("piece"))
+        .groupBy(col("piece")).agg(sum(col("freq")).as("cnt")))
+    // bounded-collect(alphabet): distinct single characters
+    val singleRows = seed.filter(length(col("piece")) === 1)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // bounded-collect(SeedMultis): top-k via TakeOrderedAndProject
+    val multiRows = seed.filter(length(col("piece")) > 1)
+      .orderBy(col("cnt").desc, col("piece")).limit(SeedMultis)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val singles = singleRows.map(_._1).toSet
+    var model = mstep(singleRows ++ multiRows, singles, SeedMultis)
+    val stats = scala.collection.mutable.ArrayBuffer.empty[IterStat]
+    var segmented: DataFrame = null
+    for (t <- 1 to Iterations) {
+      segmented = graft.util.Caches.snapshot(segment(words, model))
+      val ll = segmented
+        .agg(sum(col("freq") * col("score_micro")).cast("long"))
+        .head().getLong(0)
+      stats += IterStat(t, ll)
+      if (t < Iterations) {
+        // bounded-collect(vocab): piece counts are model-sized
+        val cnts = pieceCounts(segmented).collect()
+          .map(r => (r.getString(0), r.getLong(1))).toSeq
+        model = mstep(cnts, singles, TargetMultis)
+      }
+    }
+    (model, stats.toSeq, segmented)
+  }
+}

@@ -1261,6 +1261,282 @@ object LlmQueries {
        |    AS chars_per_token
        |FROM agg""".stripMargin
 
+  // ---- unigram-LM (SentencePiece) tokenizer ----
+
+  import graft.operators.TextUnigramLm
+
+  /** Train-once cache, mirroring [[bpeCache]]: only the DRIVER-SIDE
+    * model (piece → micro-nat log-prob) and the per-iteration
+    * likelihood stats are cached — each entry rebuilds its cheap
+    * DataFrame side (one Viterbi fold over the Heaps-bounded word
+    * table) from the cached model, because cached DataFrames would
+    * not survive Verify's per-query cache cleanup. */
+  private val unigramCache = scala.collection.concurrent.TrieMap
+    .empty[(Int, String),
+      (Map[String, Long], Seq[TextUnigramLm.IterStat])]
+
+  private def trainedUnigram(s: SparkSession, dir: String)
+      : (Map[String, Long], Seq[TextUnigramLm.IterStat]) =
+    unigramCache.getOrElseUpdate((System.identityHashCode(s), dir), {
+      val (m, st, _) = TextUnigramLm.train(docs(s, dir))
+      (m, st)
+    })
+
+  /** Shared word-frequency CTE (the same symbolization as the Spark
+    * side's [[TextUnigramLm.wordFreq]]). */
+  private val unigramWfCte =
+    """wf AS (
+      |  SELECT word, count(*) AS c
+      |  FROM (SELECT unnest(w) AS word FROM wrds)
+      |  WHERE len(word) > 0 GROUP BY 1
+      |)""".stripMargin
+
+  /** The pinned model as VALUES + a piece → lp map, usable inside
+    * the Viterbi lambda. */
+  private def unigramModelCtes(model: Map[String, Long]): String = {
+    def esc(x: String) = x.replace("'", "''")
+    val values = model.toSeq.sortBy(_._1)
+      .map { case (p, lp) => s"('${esc(p)}', ${lp}::BIGINT)" }
+      .mkString(",\n    ")
+    s"""pinned(piece, lp) AS (VALUES
+       |    $values),
+       |mdl AS (SELECT map(list(piece ORDER BY piece),
+       |  list(lp ORDER BY piece)) AS m FROM pinned)""".stripMargin
+  }
+
+  /** DuckDB mirror of [[TextUnigramLm.viterbiBest]]: the same DP as a
+    * `list_reduce` fold — the accumulator holds per prefix length the
+    * best struct (o = -score, k2 = -pieceLen, sc, sg); candidates are
+    * a list comprehension over piece lengths and `list_sort(...)[1]`
+    * is the (score DESC, len DESC) argmax. Every operation is BIGINT
+    * arithmetic or string concat, so the engines agree bit-for-bit. */
+  /** NOTE: this fragment is interpolated into CTE strings that are
+    * themselves stripMargin'd, so no generated line may begin with
+    * whitespace + `|` (a leading `||` concat operator would be eaten
+    * as a margin) — string concatenation is spelled `concat(...)`. */
+  private def duckViterbi(wordExpr: String): String = {
+    val ml = TextUnigramLm.MaxPieceLen
+    val lp = s"coalesce(m[$wordExpr[(x[1].o - k + 1)::INT:(x[1].o)::INT]][1], " +
+      s"(${TextUnigramLm.MinLpMicro})::BIGINT)"
+    s"""list_reduce(
+       |    list_concat(
+       |      [[{'o': 0::BIGINT, 'k2': 0::BIGINT, 'sc': 0::BIGINT, 'sg': ''}]],
+       |      [[{'o': i::BIGINT, 'k2': 0::BIGINT, 'sc': 0::BIGINT, 'sg': ''}]
+       |       for i in range(1, len($wordExpr)+1)]),
+       |    (acc, x) -> list_append(acc,
+       |      (list_sort(
+       |        [{'o': -(acc[x[1].o - k + 1].sc + $lp),
+       |          'k2': (-k)::BIGINT,
+       |          'sc': acc[x[1].o - k + 1].sc + $lp,
+       |          'sg': concat(acc[x[1].o - k + 1].sg,
+       |            (CASE WHEN x[1].o = k THEN '' ELSE ' ' END),
+       |            $wordExpr[(x[1].o - k + 1)::INT:(x[1].o)::INT])}
+       |         for k in range(1, least(x[1].o, $ml)+1)]))[1]
+       |    ))""".stripMargin
+  }
+
+  /** vit/fin CTE pair: the DP per distinct word and its final cell. */
+  private val unigramVitCtes: String =
+    s"""vit AS (
+       |  SELECT word, c, ${duckViterbi("word")} AS dp FROM wf, mdl
+       |),
+       |fin AS (SELECT word, c, dp[len(word) + 1] AS f FROM vit)"""
+      .stripMargin
+
+  /** Unigram-LM training ([[TextUnigramLm.train]]), gated with the
+    * echo+verify pattern: the learned model (piece, lp_micro) is
+    * pinned, and the oracle re-derives the ENTIRE final E-step from
+    * it in SQL — the Viterbi segmentation of every distinct word
+    * (integer micro-nat DP, bit-exact across engines), the
+    * frequency-weighted piece counts, the corpus log-likelihood, and
+    * the refit log-prob `floor(ln(cnt/total)·1e6 + 0.5)` each piece
+    * would get from those counts (the M-step machinery). A drift in
+    * the word pipeline, the DP, the tie-breaks, or the count
+    * aggregation hash-mismatches. `monotone_ll` pins hard-EM's
+    * likelihood ascent over the post-prune iterations (the oracle
+    * expects true; iteration 1 runs under the seed model before the
+    * prune, where the guarantee does not apply). */
+  def unigramTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (model, stats) = trainedUnigram(s, dir)
+    val seg = graft.util.Caches.snapshot(TextUnigramLm.segment(
+      TextUnigramLm.wordFreq(docs(s, dir)), model))
+    val cnts = TextUnigramLm.pieceCounts(seg)
+    val ll = seg
+      .agg(sum(col("freq") * col("score_micro")).cast("long")
+        .as("loglik_micro"))
+    val tt = cnts.agg(sum(col("cnt")).cast("long").as("t"))
+    val post = stats.drop(1).map(_.loglik_micro)
+    val monotone = post.zip(post.drop(1)).forall { case (a, b) => a <= b }
+    val modelDf = model.toSeq.sortBy(_._1).toDF("piece", "lp_micro")
+    DynamicOracles.put("llm_unigram_train", unigramTrainOracle(model))
+    modelDf.join(cnts, Seq("piece"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      .crossJoin(broadcast(tt))
+      .withColumn("refit_lp_micro",
+        when(col("cnt") > 0,
+          floor(log(col("cnt").cast("double") / col("t").cast("double"))
+            * lit(1e6) + lit(0.5)).cast("long")))
+      .crossJoin(broadcast(ll))
+      .select(col("piece"), col("lp_micro"), col("cnt"),
+        col("refit_lp_micro"), col("loglik_micro"),
+        lit(monotone).as("monotone_ll"),
+        lit(TextUnigramLm.Iterations).as("n_iters"))
+  }
+
+  private def unigramTrainOracle(model: Map[String, Long]): String =
+    s"""WITH $wrdsCte,
+       |$unigramWfCte,
+       |${unigramModelCtes(model)},
+       |$unigramVitCtes,
+       |tot AS (
+       |  SELECT CAST(sum(c * f.sc) AS BIGINT) AS loglik_micro FROM fin
+       |),
+       |pc AS (
+       |  SELECT c, unnest(string_split(f.sg, ' ')) AS piece FROM fin
+       |),
+       |cnts AS (
+       |  SELECT piece, CAST(sum(c) AS BIGINT) AS cnt FROM pc GROUP BY 1
+       |),
+       |tt AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM cnts)
+       |SELECT p.piece, p.lp AS lp_micro,
+       |  coalesce(c.cnt, 0::BIGINT) AS cnt,
+       |  CASE WHEN c.cnt IS NOT NULL THEN
+       |    CAST(floor(ln(c.cnt::DOUBLE / tt.t::DOUBLE) * 1000000.0 + 0.5)
+       |      AS BIGINT)
+       |  ELSE NULL END AS refit_lp_micro,
+       |  tot.loglik_micro, true AS monotone_ll,
+       |  CAST(${TextUnigramLm.Iterations} AS INT) AS n_iters
+       |FROM pinned p LEFT JOIN cnts c ON c.piece = p.piece, tot, tt"""
+      .stripMargin
+
+  private val UnigramTopWords = 200
+
+  /** The trained unigram tokenizer applied to the vocabulary, gated
+    * on the top-[[UnigramTopWords]] words by (freq DESC, word): the
+    * oracle re-runs the WHOLE Viterbi fold in SQL given only the
+    * pinned model, so n_tokens, the tokenization string, and the
+    * path score are all independently recomputed — nothing about the
+    * segmentation is echoed. `corpus_tokens` widens the verified
+    * domain to the full vocabulary (Σ freq × n_tokens, exact BIGINT
+    * on both engines). */
+  def unigramEncode(s: SparkSession, dir: String): DataFrame = {
+    val (model, _) = trainedUnigram(s, dir)
+    val seg = graft.util.Caches.snapshot(TextUnigramLm.segment(
+      TextUnigramLm.wordFreq(docs(s, dir)), model))
+    val tot = seg
+      .agg(sum(col("freq") * size(col("pieces"))).cast("long")
+        .as("corpus_tokens"))
+    DynamicOracles.put("llm_unigram_encode", unigramEncodeOracle(model))
+    seg.select(col("word"), col("freq"),
+        size(col("pieces")).as("n_tokens"),
+        concat_ws(" ", col("pieces")).as("tokens"), col("score_micro"))
+      .orderBy(col("freq").desc, col("word")).limit(UnigramTopWords)
+      .crossJoin(broadcast(tot))
+  }
+
+  private def unigramEncodeOracle(model: Map[String, Long]): String =
+    s"""WITH $wrdsCte,
+       |$unigramWfCte,
+       |${unigramModelCtes(model)},
+       |$unigramVitCtes,
+       |tot AS (
+       |  SELECT CAST(sum(c * len(string_split(f.sg, ' '))) AS BIGINT)
+       |    AS corpus_tokens
+       |  FROM fin
+       |),
+       |topw AS (
+       |  SELECT word, c, CAST(len(string_split(f.sg, ' ')) AS INT)
+       |      AS n_tokens,
+       |    f.sg AS tokens, f.sc AS score_micro
+       |  FROM fin ORDER BY c DESC, word LIMIT $UnigramTopWords
+       |)
+       |SELECT t.word, t.c AS freq, t.n_tokens, t.tokens, t.score_micro,
+       |  tot.corpus_tokens
+       |FROM topw t CROSS JOIN tot""".stripMargin
+
+  /** Side-by-side tokenizer audit — the comparison the fertility
+    * entry had nothing to compare BPE against: corpus tokens,
+    * fertility (tokens per whitespace word) and chars-per-token for
+    * the trained BPE, the trained unigram LM, and the whitespace
+    * baseline, each re-derived by the oracle from its pinned model
+    * alone (the BPE nested-merge fold and the unigram Viterbi fold
+    * both re-run in SQL; integer sums, one exact double division at
+    * the end). BPE counts include its end-of-word sentinel token —
+    * the same convention as llm_bpe_encode's corpus_tokens. */
+  def tokCompare(s: SparkSession, dir: String): DataFrame = {
+    val merges = trainedMerges(s, dir)
+    val (model, _) = trainedUnigram(s, dir)
+    val d = docs(s, dir)
+    val words = TextUnigramLm.wordFreq(d)
+    val wsT = words.agg(sum(col("freq")).cast("long").as("ws_tokens"))
+    val chars = d
+      .select(length(TextDedup.normText(col("text"))).as("len_nt"))
+      .agg(sum(col("len_nt")).cast("long").as("chars_norm"))
+    val b = TextBpe.encodeWords(d, merges)
+      .agg(sum(col("freq") * col("n_tokens")).cast("long")
+        .as("corpus_tokens"))
+    val u = TextUnigramLm.segment(words, model)
+      .agg(sum(col("freq") * size(col("pieces"))).cast("long")
+        .as("corpus_tokens"))
+    val w = words
+      .agg(sum(col("freq")).cast("long").as("corpus_tokens"))
+    def row(family: String, toks: DataFrame): DataFrame =
+      toks.crossJoin(broadcast(wsT)).crossJoin(broadcast(chars))
+        .select(lit(family).as("family"), col("corpus_tokens"),
+          col("ws_tokens"), col("chars_norm"),
+          (col("corpus_tokens").cast("double") /
+            col("ws_tokens").cast("double")).as("fertility"),
+          (col("chars_norm").cast("double") /
+            col("corpus_tokens").cast("double")).as("chars_per_token"))
+    DynamicOracles.put("llm_tok_compare", tokCompareOracle(merges, model))
+    row("bpe", b).unionAll(row("unigram", u)).unionAll(row("whitespace", w))
+  }
+
+  private def tokCompareOracle(
+      merges: Seq[graft.operators.TextBpe.Merge],
+      model: Map[String, Long]): String = {
+    val syms =
+      s"""list_concat([word[i:i] for i in range(1, len(word) + 1)],
+         |      ['${graft.operators.TextBpe.EndToken}'])""".stripMargin
+    s"""WITH $wrdsCte,
+       |$unigramWfCte,
+       |${unigramModelCtes(model)},
+       |$unigramVitCtes,
+       |btok AS (
+       |  SELECT c, ${duckBpeTokens(merges, syms)} AS tokens FROM wf
+       |),
+       |b AS (
+       |  SELECT CAST(sum(c * len(string_split(tokens, ' '))) AS BIGINT)
+       |    AS toks
+       |  FROM btok
+       |),
+       |u AS (
+       |  SELECT CAST(sum(c * len(string_split(f.sg, ' '))) AS BIGINT)
+       |    AS toks
+       |  FROM fin
+       |),
+       |w AS (SELECT CAST(sum(c) AS BIGINT) AS toks FROM wf),
+       |ch AS (
+       |  SELECT CAST(sum(len(nt)) AS BIGINT) AS chars_norm FROM norm
+       |)
+       |SELECT 'bpe' AS family, b.toks AS corpus_tokens,
+       |  w.toks AS ws_tokens, ch.chars_norm,
+       |  b.toks::DOUBLE / w.toks::DOUBLE AS fertility,
+       |  ch.chars_norm::DOUBLE / b.toks::DOUBLE AS chars_per_token
+       |FROM b, w, ch
+       |UNION ALL
+       |SELECT 'unigram', u.toks, w.toks, ch.chars_norm,
+       |  u.toks::DOUBLE / w.toks::DOUBLE,
+       |  ch.chars_norm::DOUBLE / u.toks::DOUBLE
+       |FROM u, w, ch
+       |UNION ALL
+       |SELECT 'whitespace', w.toks, w.toks, ch.chars_norm,
+       |  1.0::DOUBLE,
+       |  ch.chars_norm::DOUBLE / w.toks::DOUBLE
+       |FROM w, ch""".stripMargin
+  }
+
   // ---- language ID ----
 
   def langId(s: SparkSession, dir: String): DataFrame =
@@ -3131,6 +3407,9 @@ object LlmQueries {
     "llm_source_overlap" -> QueryDef(sourceOverlap _, sourceOverlapOracle),
     "llm_bpe_train" -> QueryDef(bpeTrain _, None),
     "llm_bpe_encode" -> QueryDef(bpeEncode _, None),
+    "llm_unigram_train" -> QueryDef(unigramTrain _, None),
+    "llm_unigram_encode" -> QueryDef(unigramEncode _, None),
+    "llm_tok_compare" -> QueryDef(tokCompare _, None),
     "llm_repetition" -> QueryDef(repetition _, repetitionOracle),
     "llm_source_stats" -> QueryDef(sourceStats _, sourceStatsOracle),
     "llm_lang_id" -> QueryDef(langId _, langIdOracle),
