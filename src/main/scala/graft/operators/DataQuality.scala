@@ -67,6 +67,34 @@ object DataQuality {
       .map(_.toDF(cols: _*)).reduce(_.unionAll(_))
   }
 
+  /** Expectations quarantine split — dbt's `--store-failures` /
+    * Deequ's row-level mode on top of [[expectations]]' report-only
+    * checks: ONE pass tags every row with the named checks it
+    * violates (an array built by a codegen'd filter over the check
+    * columns — no per-check scan), then the frame splits into the
+    * clean rows (no violations — safe to publish) and the quarantine
+    * rows carrying a deterministic comma-joined `violated_checks`
+    * label in check-declaration order. A null check result counts as
+    * a violation (a row the contract cannot vouch for must not reach
+    * the clean table). At 100 TB this is one scan + two filtered
+    * writes; the tag array is bounded by the check count. */
+  def quarantineSplit(df: DataFrame, checks: Seq[(String, Column)])
+      : (DataFrame, DataFrame) = {
+    val viol = filter(
+      array(checks.map { case (name, ok) =>
+        when(!coalesce(ok, lit(false)), lit(name))
+      }: _*),
+      c => c.isNotNull)
+    val tagged = df.withColumn("__viol", viol)
+    val clean = tagged.filter(size(col("__viol")) === 0).drop("__viol")
+    // semicolon-joined: check names conventionally carry commas
+    // (range:x[1,30]), which a comma join would make unsplittable
+    val quarantine = tagged.filter(size(col("__viol")) > 0)
+      .withColumn("violated_checks", concat_ws(";", col("__viol")))
+      .drop("__viol")
+    (clean, quarantine)
+  }
+
   /** A10: one-row table metrics + derived rates. */
   def qualityMetrics(trades: DataFrame): DataFrame = {
     val ep = unix_timestamp(col("timestamp"))

@@ -1835,8 +1835,147 @@ object SystemQueries {
        |  max(us) AS us_max, true AS advanced
        |FROM final""".stripMargin
 
+  /** S31: expectations quarantine sink
+    * ([[graft.operators.DataQuality.quarantineSplit]]) — s27 reports
+    * violations; real pipelines ALSO route the failing rows to a
+    * quarantine table (dbt `--store-failures`). Two row-level checks
+    * with natural violations in the data (quantity ≤ 30, returnflag
+    * ∈ {A, N}) tag each lineitem row in ONE pass; the clean rows and
+    * the quarantine rows (with their violated_checks label) each
+    * land as a snapshot commit, and the audit aggregates FROM THE
+    * COMMITTED STORES — so a row lost or misrouted between the split
+    * and the sink breaks the hash, not just a report. The oracle
+    * restates the split per check, including the rows that violate
+    * BOTH checks (counted under each). */
+  def s31Quarantine(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.SnapshotStore
+    val cleanRoot = graft.util.TempDirs.scoped("s31-clean")
+    val quarRoot = graft.util.TempDirs.scoped("s31-quarantine")
+    val li = graft.util.Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+    val checks = Seq(
+      "range:l_quantity[1,30]" -> col("l_quantity").between(1, 30),
+      "accepted:l_returnflag[A,N]" -> col("l_returnflag").isin("A", "N"))
+    val (clean, quarantine) =
+      graft.operators.DataQuality.quarantineSplit(li, checks)
+    val vC = SnapshotStore.commitAppend(clean, cleanRoot)
+    val vQ = SnapshotStore.commitAppend(quarantine, quarRoot)
+    val committed = vC == 1 && vQ == 1
+    val cleanDf = SnapshotStore.read(s, cleanRoot)
+    val quarDf = SnapshotStore.read(s, quarRoot)
+    def summarize(df: DataFrame, phase: String, check: String) =
+      df.agg(count(lit(1)).as("n_rows"),
+          dsum(col("l_quantity")).as("qty_sum"))
+        .select(lit(phase).as("phase"), lit(check).as("check_name"),
+          col("n_rows"), col("qty_sum"),
+          lit(committed).as("committed"))
+    summarize(cleanDf, "clean", "-")
+      .unionAll(summarize(quarDf, "quarantine", "total"))
+      .unionAll(checks.map { case (name, _) =>
+        summarize(quarDf.filter(
+          array_contains(split(col("violated_checks"), ";"), name)),
+          "quarantine", name)
+      }.reduce(_.unionAll(_)))
+  }
+
+  val s31Oracle: String =
+    s"""WITH tagged AS (
+       |  SELECT l_quantity,
+       |    NOT (l_quantity BETWEEN 1 AND 30) AS v_range,
+       |    l_returnflag NOT IN ('A', 'N') AS v_acc
+       |  FROM lineitem
+       |)
+       |SELECT 'clean' AS phase, '-' AS check_name, count(*) AS n_rows,
+       |  ${duckDsum("l_quantity")} AS qty_sum, true AS committed
+       |FROM tagged WHERE NOT v_range AND NOT v_acc
+       |UNION ALL
+       |SELECT 'quarantine', 'total', count(*),
+       |  ${duckDsum("l_quantity")}, true
+       |FROM tagged WHERE v_range OR v_acc
+       |UNION ALL
+       |SELECT 'quarantine', 'range:l_quantity[1,30]', count(*),
+       |  ${duckDsum("l_quantity")}, true
+       |FROM tagged WHERE v_range
+       |UNION ALL
+       |SELECT 'quarantine', 'accepted:l_returnflag[A,N]', count(*),
+       |  ${duckDsum("l_quantity")}, true
+       |FROM tagged WHERE v_acc""".stripMargin
+
+  /** ST18: snapshot retention UNDER the streaming ingest loop — the
+    * maintenance companion to st15 and the operational proof for the
+    * round-15 vacuum-race fix: every second micro-batch commit the
+    * foreachBatch loop compacts the head (replace commit) and runs
+    * `expireVersions(keepLast = 2)`, with one final pass after the
+    * stream drains. Grace 0 is safe and EXPLICIT here because
+    * foreachBatch serializes commits with the vacuum (single-writer
+    * maintenance window); the tagged `baseline` (v1) must survive
+    * every vacuum. The audit pins the batching-independent facts:
+    * the final state equals the input exactly, versions stay bounded
+    * at keepLast + tags, the vacuums physically purged orphaned
+    * files, and the baseline tag still reads a non-empty subset of
+    * the input. */
+  def st18StreamVacuum(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.SnapshotStore
+    val root = graft.util.TempDirs.scoped("st18-snap")
+    val src = graft.util.TempDirs.scoped("st18-src")
+    val ckpt = graft.util.TempDirs.scoped("st18-ckpt")
+    val t = SyntheticTrades.trades(s, dir)
+      .filter(col("trade_id").cast("long") % 41 === 0)
+      .select(col("trade_id").cast("long").as("tid"), col("amount"))
+    t.repartition(4).write.parquet(s"$src/pages")
+    val ss = streamSession(s)
+    val raw = ss.readStream.schema(t.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$src/pages")
+    var purged = 0L
+    var nCommits = 0
+    def maintain(): Unit = {
+      SnapshotStore.commitReplace(
+        SnapshotStore.read(s, root).coalesce(2), root)
+      val res = SnapshotStore.expireVersions(root, keepLast = 2,
+        orphanGraceMs = 0L)
+      purged += res.deletedFiles
+    }
+    val q = raw.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val v = SnapshotStore.commitAppend(batch, root)
+          if (v == 1) SnapshotStore.tag(root, "baseline", Some(1))
+          nCommits += 1
+          if (nCommits % 2 == 0) maintain()
+        }
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    maintain()
+    val bounded = SnapshotStore.versions(root).size <= 3
+    val baseline = SnapshotStore.readTag(s, root, "baseline")
+    val baselineIntact =
+      baseline.count() > 0 && baseline.exceptAll(t).count() == 0
+    SnapshotStore.read(s, root)
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("tid")).as("unique_ids"),
+        dsum(col("amount")).as("amount_sum"))
+      .select(col("n_rows"), col("unique_ids"), col("amount_sum"),
+        lit(bounded).as("versions_bounded"),
+        lit(purged > 0).as("orphans_purged"),
+        lit(baselineIntact).as("baseline_intact"))
+  }
+
+  val st18Oracle: String =
+    s"""WITH ${SyntheticTrades.tradesCte}
+       |SELECT count(*) AS n_rows,
+       |  count(DISTINCT CAST(trade_id AS BIGINT)) AS unique_ids,
+       |  ${duckDsum("amount")} AS amount_sum,
+       |  true AS versions_bounded, true AS orphans_purged,
+       |  true AS baseline_intact
+       |FROM trades WHERE CAST(trade_id AS BIGINT) % 41 = 0""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
     "s30_merge_trades" -> QueryDef(s30MergeTrades _, s30Oracle),
+    "s31_quarantine" -> QueryDef(s31Quarantine _, s31Oracle),
+    "st18_stream_vacuum" -> QueryDef(st18StreamVacuum _, st18Oracle),
     "s28_expire_snapshots" -> QueryDef(s28ExpireSnapshots _, s28Oracle),
     "s29_snapshot_merge" -> QueryDef(s29SnapshotMerge _, s29Oracle),
     "s18_dynamic_overwrite" -> QueryDef(s18DynamicOverwrite _, s18Oracle),

@@ -83,6 +83,29 @@ class Round15Spec extends AnyFunSuite {
       .filter(col("k") === 3L).count() == 1)
   }
 
+  test("quarantineSplit routes violating rows with labels; nulls never reach the clean table") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 5.0, "A"),                    // clean
+      (2L, 40.0, "A"),                   // range violation
+      (3L, 5.0, "R"),                    // accepted violation
+      (4L, 40.0, "R"))                   // both
+      .toDF("k", "qty", "flag")
+      .unionByName(Seq((5L, Option.empty[Double], Option("A")))
+        .toDF("k", "qty", "flag"))       // null qty: not vouchable → quarantine
+    val (clean, quar) = graft.operators.DataQuality.quarantineSplit(df,
+      Seq("range:qty[1,30]" -> col("qty").between(1, 30),
+        "accepted:flag[A,N]" -> col("flag").isin("A", "N")))
+    assert(clean.select("k").as[Long].collect().toSet == Set(1L))
+    val labels = quar.select(col("k"), col("violated_checks"))
+      .as[(Long, String)].collect().toMap
+    assert(labels == Map(
+      2L -> "range:qty[1,30]",
+      3L -> "accepted:flag[A,N]",
+      4L -> "range:qty[1,30];accepted:flag[A,N]",
+      5L -> "range:qty[1,30]"))
+  }
+
   test("typed exceptions: QueryError / IngestError / conflict all share the GraftException root") {
     val root = graft.util.TempDirs.scoped("r15-exc")
     val q = intercept[GraftException] {
