@@ -85,10 +85,14 @@ object SchemaIntrospector {
     (missing ++ extra ++ mismatches).toSeq
   }
 
-  /** S10 against the live catalog (`system.columns` analog). */
+  /** S10 against the live catalog (`system.columns` analog). A
+    * missing table raises the typed [[graft.SchemaError]] (reference
+    * `exceptions.py` SchemaError) — diffing against nothing would
+    * report every column as missing, which is a different claim. */
   def diffCatalog(spark: SparkSession, spec: SchemaSpec): Seq[SchemaDiff] = {
-    require(spark.catalog.tableExists(spec.qualified),
-      s"table ${spec.qualified} does not exist")
+    if (!spark.catalog.tableExists(spec.qualified))
+      throw new graft.SchemaError(
+        s"table ${spec.qualified} does not exist")
     diff(spec, spark.table(spec.qualified).schema)
   }
 
