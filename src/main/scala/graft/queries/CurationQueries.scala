@@ -356,7 +356,94 @@ object CurationQueries {
        |  coalesce(a.cleaned, '') AS cleaned_text
        |FROM wrds w LEFT JOIN agg a USING (doc_id)""".stripMargin
 
+  /** Multi-pattern blocklist audit via Aho–Corasick — one pass over
+    * each document regardless of pattern count; the oracle runs the
+    * docs × patterns cross join the automaton replaces (equal counts
+    * because every pattern is borderless; see
+    * [[graft.operators.BlocklistScan]]). */
+  def blocklistAc(s: SparkSession, dir: String): DataFrame =
+    graft.operators.BlocklistScan.audit(s, docs(s, dir))
+
+  val blocklistAcOracle: String =
+    graft.operators.BlocklistScan.duckAudit
+
+  /** Blocked entity resolution (record linkage): fuzzy-match entity
+    * names within blocking keys via edit distance — the Fellegi–
+    * Sunter blocking pattern every large-scale data-integration
+    * pipeline runs. ALL-pairs edit distance is O(n²) and dead at
+    * 100 TB; blocking on (4-char prefix, name length) bounds
+    * candidates to within-block pairs, and a block-width cap (4096,
+    * same hygiene as MarketBasket's basket cap) bounds the worst
+    * block quadratic at ~8M pairs — a single task's work. The
+    * equi-join on the block key is the only shuffle; Spark's
+    * codegen'd `levenshtein` (identical full-edit-distance semantics
+    * to DuckDB's) runs inside the join's whole-stage pipeline.
+    * Production variants refine with multi-pass blocking (several
+    * keys, union) or string-LSH; the one-key skeleton here is the
+    * verifiable core. */
+  def erBlocking(s: SparkSession, dir: String): DataFrame = {
+    val p = graft.util.Caches.snapshot(
+      Tables.load(s, dir, "part").select(col("p_partkey"), col("p_name")))
+    // two blocking passes: a single key MISSES matches whose edit sits
+    // inside it ("cold ring"/"old ring" differ in the prefix), so real
+    // linkers run several keys and union candidates — recall compounds
+    // while cost stays sum-of-blocks, not all-pairs
+    def pass(blk: Column): DataFrame = {
+      val b = p.withColumn("blk", blk)
+      val width = b.groupBy(col("blk")).agg(count(lit(1)).as("bw"))
+      val kept = b.join(width.where(col("bw") <= 4096), "blk")
+        .select(col("blk"), col("p_partkey"), col("p_name"))
+      val l = kept.select(col("blk"), col("p_partkey").as("key_a"),
+        col("p_name").as("name_a"))
+      val r = kept.select(col("blk").as("blk_r"),
+        col("p_partkey").as("key_b"), col("p_name").as("name_b"))
+      l.join(r, col("blk") === col("blk_r") && col("key_a") < col("key_b"))
+        .select(col("key_a"), col("key_b"), col("name_a"), col("name_b"))
+    }
+    val prefixKey = concat(substring(col("p_name"), 1, 4), lit("#"),
+      length(col("p_name")).cast("string"))
+    val lastWordKey = regexp_extract(col("p_name"), "[^ ]+$", 0)
+    pass(prefixKey).unionAll(pass(lastWordKey))
+      .distinct()
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .where(col("dist").between(1, 2))
+      .groupBy(col("dist"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("key_a")).as("n_left"),
+        countDistinct(col("name_a"), col("name_b")).as("n_name_pairs"))
+  }
+
+  val erBlockingOracle: String = {
+    def passSql(blkExpr: String, t: String): String =
+      s"""$t AS (
+         |  SELECT p_partkey, p_name, $blkExpr AS blk FROM part),
+         |${t}w AS (SELECT blk FROM $t GROUP BY blk
+         |          HAVING count(*) <= 4096),
+         |${t}p AS (
+         |  SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+         |    a.p_name AS name_a, b.p_name AS name_b
+         |  FROM ($t a JOIN ${t}w USING (blk))
+         |  JOIN $t b ON a.blk = b.blk AND a.p_partkey < b.p_partkey)"""
+        .stripMargin
+    s"""WITH
+       |${passSql("concat(substr(p_name, 1, 4), '#', CAST(length(p_name) AS VARCHAR))", "ba")},
+       |${passSql("regexp_extract(p_name, '[^ ]+$$')", "bb")},
+       |cand AS (
+       |  SELECT DISTINCT key_a, key_b, name_a, name_b FROM
+       |    (SELECT * FROM bap UNION ALL SELECT * FROM bbp)),
+       |d AS (
+       |  SELECT levenshtein(name_a, name_b) AS dist, key_a,
+       |    name_a, name_b
+       |  FROM cand)
+       |SELECT dist, count(*) AS n_pairs,
+       |  count(DISTINCT key_a) AS n_left,
+       |  count(DISTINCT (name_a, name_b)) AS n_name_pairs
+       |FROM d WHERE dist BETWEEN 1 AND 2 GROUP BY dist""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "llm_er_blocking" -> QueryDef(erBlocking _, erBlockingOracle),
+    "llm_blocklist_ac" -> QueryDef(blocklistAc _, blocklistAcOracle),
     "pii1_scrub" -> QueryDef(pii1Scrub _, pii1Oracle),
     "pii2_source_rates" -> QueryDef(pii2SourceRates _, pii2Oracle),
     "llm_incr_dedup" -> QueryDef(incrDedup _, incrDedupOracle),

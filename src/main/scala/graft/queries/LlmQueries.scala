@@ -1468,7 +1468,11 @@ object LlmQueries {
     val merges = trainedMerges(s, dir)
     val (model, _) = trainedUnigram(s, dir)
     val d = docs(s, dir)
-    val words = TextUnigramLm.wordFreq(d)
+    // snapshot: five branches (ws total, unigram segment, whitespace
+    // count, plus the two fertility denominators) read the word table
+    // — without the barrier each branch re-scans the corpus
+    // (PlanAuditSpec registry-wide scan audit)
+    val words = graft.util.Caches.snapshot(TextUnigramLm.wordFreq(d))
     val wsT = words.agg(sum(col("freq")).cast("long").as("ws_tokens"))
     val chars = d
       .select(length(TextDedup.normText(col("text"))).as("len_nt"))

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.operators.MarketBasket
 import graft.util.{Parity, Tables}
 
 /** Relational operators over the TPC-H-ish tables: scans, filters,
@@ -340,7 +341,151 @@ object RelationalQueries {
       |  (SELECT count(*) FROM (SELECT * FROM a UNION SELECT * FROM b))
       |    AS n_either""".stripMargin
 
+  /** Correlated scalar subquery, decorrelated (TPC-H Q17 shape): per
+    * brand, revenue from lines whose quantity falls below a fifth of
+    * that PART's average quantity. The oracle keeps the textbook
+    * correlated spelling; the Spark plan is the decorrelation Catalyst
+    * would have to find anyway, written explicitly — ONE grouped
+    * aggregate over the fact builds the per-part cut, then an
+    * equi-join feeds the outer filter. At 100 TB this is the only
+    * shape that scales: the correlated form re-scans lineitem per
+    * outer row; the decorrelated form scans it exactly twice, and the
+    * per-part cut table is fact-key-grained so it shuffles, never
+    * broadcasts (part count grows with SF). */
+  def q12CorrSubquery(s: SparkSession, dir: String): DataFrame = {
+    val l = li(s, dir)
+    val part = Tables.load(s, dir, "part")
+    val cuts = l.groupBy(col("l_partkey").as("c_partkey"))
+      .agg((Parity.davg(col("l_quantity")) / lit(5.0)).as("qty_cut"))
+    l.join(cuts, col("l_partkey") === col("c_partkey"))
+      .where(col("l_quantity") < col("qty_cut"))
+      .join(part, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        Parity.dsum(col("l_extendedprice")).as("sum_below"),
+        count(lit(1)).as("n_below"))
+  }
+
+  val q12CorrSubqueryOracle: String = {
+    import Parity._
+    s"""SELECT p_brand,
+       |  ${duckDsum("l_extendedprice")} AS sum_below,
+       |  count(*) AS n_below
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE l_quantity < (
+       |  SELECT ${duckDavg("l2.l_quantity")} / 5.0
+       |  FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey)
+       |GROUP BY p_brand""".stripMargin
+  }
+
+  /** EXISTS + NOT EXISTS chain (TPC-H Q21 shape): suppliers whose
+    * line shipped late (>45 days after the order date) on multi-
+    * supplier orders where NO OTHER supplier was late. The oracle
+    * keeps the two correlated (NOT) EXISTS; the Spark plan replaces
+    * both with per-order grouped counts — `n_supp >= 2` IS the
+    * EXISTS(other supplier), `n_late == 1` IS the NOT EXISTS(other
+    * late supplier) given this line is late — so the whole chain
+    * costs two aggregates and two equi-joins on o_orderkey instead
+    * of two fact×fact correlated semi-joins. All four frames shuffle
+    * on the same key, so AQE coalesces them into one exchange reuse. */
+  def q13ExistsChain(s: SparkSession, dir: String): DataFrame = {
+    val l = li(s, dir)
+    val orders = Tables.load(s, dir, "orders")
+    val supp = Tables.load(s, dir, "supplier")
+    val late = l
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .where(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 45 DAYS"))
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val nSupp = l.groupBy(col("l_orderkey").as("ns_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"))
+    val nLate = late.groupBy(col("l_orderkey").as("nl_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("n_late"))
+    late
+      .join(nSupp, col("l_orderkey") === col("ns_orderkey"))
+      .where(col("n_supp") >= 2)
+      .join(nLate, col("l_orderkey") === col("nl_orderkey"))
+      .where(col("n_late") === 1)
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+  }
+
+  val q13ExistsChainOracle: String =
+    """SELECT s_name, count(*) AS numwait
+      |FROM supplier, lineitem l1, orders
+      |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      |  AND l1.l_shipdate > o_orderdate + INTERVAL 45 DAY
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey
+      |      AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM lineitem l3
+      |    WHERE l3.l_orderkey = l1.l_orderkey
+      |      AND l3.l_suppkey <> l1.l_suppkey
+      |      AND l3.l_shipdate > o_orderdate + INTERVAL 45 DAY)
+      |GROUP BY s_name""".stripMargin
+
+  /** Frequent item pairs + association rules (support / confidence /
+    * lift) over order baskets — see [[graft.operators.MarketBasket]]
+    * for the scale analysis (basket-width cap, data-derived min
+    * support, co-partitioned self-join). */
+  def q14FreqItemsets(s: SparkSession, dir: String): DataFrame =
+    MarketBasket.rules(li(s, dir))
+
+  val q14FreqItemsetsOracle: String =
+    """WITH b AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+      |           FROM lineitem),
+      |w AS (SELECT basket FROM b GROUP BY basket HAVING count(*) <= 1000),
+      |k AS (SELECT b.basket, b.item FROM b JOIN w USING (basket)),
+      |nb AS (SELECT count(DISTINCT basket) AS n_baskets FROM b),
+      |s AS (SELECT item, count(*) AS item_supp FROM b GROUP BY item),
+      |p AS (SELECT a.item AS item_a, c.item AS item_b, count(*) AS pair_supp
+      |      FROM k a JOIN k c ON a.basket = c.basket AND a.item < c.item
+      |      GROUP BY 1, 2)
+      |SELECT item_a, item_b, pair_supp,
+      |  sa.item_supp AS supp_a, sb.item_supp AS supp_b,
+      |  CAST(pair_supp AS DOUBLE) / CAST(sa.item_supp AS DOUBLE) AS conf_ab,
+      |  CAST(pair_supp AS DOUBLE) / CAST(sb.item_supp AS DOUBLE) AS conf_ba,
+      |  (CAST(pair_supp AS DOUBLE) * CAST(n_baskets AS DOUBLE)) /
+      |    (CAST(sa.item_supp AS DOUBLE) * CAST(sb.item_supp AS DOUBLE))
+      |    AS lift
+      |FROM p CROSS JOIN nb
+      |JOIN s sa ON p.item_a = sa.item
+      |JOIN s sb ON p.item_b = sb.item
+      |WHERE pair_supp >=
+      |  greatest(3, CAST(ceil(n_baskets / 5000.0) AS BIGINT))""".stripMargin
+
+  /** Item-item co-occurrence cosine top-k (item-based recommender
+    * neighborhood, Sarwar et al. 2001) — global top 200 via
+    * TakeOrderedAndProject. */
+  def q15ItemSimilarity(s: SparkSession, dir: String): DataFrame =
+    MarketBasket.similarity(li(s, dir), k = 200)
+
+  val q15ItemSimilarityOracle: String =
+    """WITH b AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+      |           FROM lineitem),
+      |w AS (SELECT basket FROM b GROUP BY basket HAVING count(*) <= 1000),
+      |k AS (SELECT b.basket, b.item FROM b JOIN w USING (basket)),
+      |s AS (SELECT item, count(*) AS item_supp FROM b GROUP BY item),
+      |p AS (SELECT a.item AS item_a, c.item AS item_b, count(*) AS pair_supp
+      |      FROM k a JOIN k c ON a.basket = c.basket AND a.item < c.item
+      |      GROUP BY 1, 2)
+      |SELECT item_a, item_b, pair_supp,
+      |  CAST(pair_supp AS DOUBLE) /
+      |    sqrt(CAST(sa.item_supp * sb.item_supp AS DOUBLE)) AS cosine
+      |FROM p
+      |JOIN s sa ON p.item_a = sa.item
+      |JOIN s sb ON p.item_b = sb.item
+      |ORDER BY cosine DESC, item_a, item_b
+      |LIMIT 200""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "q14_freq_itemsets" -> QueryDef(q14FreqItemsets _, q14FreqItemsetsOracle),
+    "q15_item_similarity" ->
+      QueryDef(q15ItemSimilarity _, q15ItemSimilarityOracle),
+    "q12_corr_subquery" -> QueryDef(q12CorrSubquery _, q12CorrSubqueryOracle),
+    "q13_exists_chain" -> QueryDef(q13ExistsChain _, q13ExistsChainOracle),
     "q11_set_ops" -> QueryDef(q11SetOps _, q11SetOpsOracle),
     "q10_unpivot" -> QueryDef(q10Unpivot _, q10UnpivotOracle),
     "q8_grouping_sets" -> QueryDef(q8GroupingSets _, q8GroupingSetsOracle),

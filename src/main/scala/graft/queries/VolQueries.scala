@@ -96,6 +96,32 @@ object VolQueries {
        |${HarRv.duckTail}""".stripMargin
   }
 
+  /** M51: Holt's linear (double exponential) smoothing over the same
+    * daily log-close panel as m49 ([[graft.operators.HoltLinear]]) —
+    * the trend-aware forecaster the local-level filter lacks, in the
+    * error-correction parameterization whose triangular state update
+    * stays bit-identical under DuckDB's in-order struct mutation. */
+  def m51Holt(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{log => flog, max_by}
+    val daily = RealizedVol.priceBars(trades(s, dir))
+      .withColumn("day_start",
+        col("bucket_start") - col("bucket_start") % 86400L)
+      .groupBy(col("underlying"), col("day_start"))
+      .agg(max_by(col("close"), col("bucket_start")).as("dclose"))
+      .select(col("underlying"), col("day_start"),
+        roundTo(flog(col("dclose")), 6).as("y"))
+    graft.operators.HoltLinear.fit(daily)
+  }
+
+  val m51Oracle: String =
+    s"""WITH $pbCte,
+       |hdy AS (
+       |  SELECT underlying, day_start,
+       |    ${duckRoundTo("ln(arg_max(close, bucket_start))", 6)} AS y
+       |  FROM pbd GROUP BY 1, 2
+       |),
+       |${graft.operators.HoltLinear.duckTail}""".stripMargin
+
   /** M49: local-level Kalman filter over daily log closes
     * ([[graft.operators.KalmanLevel]]) — the state-space trend/noise
     * split, run as a per-underlying higher-order fold (a recurrence
@@ -1188,6 +1214,7 @@ object VolQueries {
     "m7_realized_vol" -> QueryDef(m7RealizedVol _, m7Oracle),
     "m48_har_rv" -> QueryDef(m48HarRv _, m48Oracle),
     "m49_kalman_level" -> QueryDef(m49Kalman _, m49Oracle),
+    "m51_holt_linear" -> QueryDef(m51Holt _, m51Oracle),
     "m50_mz_eval" -> QueryDef(m50MzEval _, m50Oracle),
     "m39_jump_test" -> QueryDef(m39JumpTest _, m39Oracle),
     "m42_semivariance" -> QueryDef(m42Semivariance _, m42Oracle),

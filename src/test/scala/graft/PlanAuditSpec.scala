@@ -112,7 +112,17 @@ class PlanAuditSpec extends AnyFunSuite {
       "llm_kl_drift", "llm_rank_fusion",
       // referential-integrity denominator: crossJoin(broadcast(
       // lineitem.agg(count))) — one groupless row by construction
-      "s27_expectations")
+      "s27_expectations",
+      // basket-count denominator for the data-derived min support:
+      // crossJoin(broadcast(baskets.agg(countDistinct))) — one row
+      "q14_freq_itemsets",
+      // tokenizer audit: each family row crossJoins the one-row
+      // whitespace-total and corpus-chars groupless aggregates
+      "llm_tok_compare",
+      // unigram train/encode: top-words crossJoin the one-row
+      // corpus-token / likelihood totals (groupless sums over the
+      // segmented word table)
+      "llm_unigram_encode", "llm_unigram_train")
     val boundedPickBuild = Set("llm_ann_topk", "llm_ann_pq",
       "llm_ann_recall", "llm_ann_recall_curve", "llm_mrl_recall",
       "llm_knn_label", "llm_intrinsic_dim")

@@ -517,7 +517,9 @@ class Round12Spec extends AnyFunSuite {
     SnapshotStore.tag(root, "t", Some(3))
     assert(SnapshotStore.readTag(spark, root, "t").count() == 3L)
     assert(SnapshotStore.tags(root) == Map("t" -> 3))
-    intercept[IllegalArgumentException] {
+    // unknown tag raises the typed QueryError (round-15 exception
+    // hierarchy: snapshot tag/version resolution is API validation)
+    intercept[graft.QueryError] {
       SnapshotStore.readTag(spark, root, "nope")
     }
   }
