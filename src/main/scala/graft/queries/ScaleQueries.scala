@@ -377,7 +377,43 @@ object ScaleQueries {
        |${summary("lf", "linear")}""".stripMargin
   }
 
+  /** x9: per-file Bloom sidecar for point lookups
+    * ([[graft.sources.BloomIndex]]) — the skipping index zone maps
+    * can't provide when the probe key is uniformly distributed
+    * (every file's [min,max] straddles every probe). The oracle pins
+    * the lookup VALUES (present key found whole, absent key empty);
+    * Round15dSpec pins that the index actually pruned files and
+    * never loses a key. Driver-side work: one 1-row max aggregate
+    * for the probe key + the file-count-sized sidecar read. */
+  def x9FileBloomIndex(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{BloomIndex, SnapshotStore}
+    val root = graft.util.TempDirs.scoped("x9-bloom")
+    val ev = graft.util.Tables.load(s, dir, "events")
+      .select(col("event_id"), col("value"))
+    SnapshotStore.commitAppend(ev.repartition(12, col("event_id")), root)
+    BloomIndex.build(s, root, "event_id")
+    val mx = ev.agg(max(col("event_id"))).head.getLong(0)
+    def probe(name: String, key: Long): DataFrame = {
+      val (keep, total) = BloomIndex.survivors(s, root, "event_id", key)
+      BloomIndex.lookup(s, root, "event_id", key)
+        .agg(count(lit(1)).as("n_rows"), dsum(col("value")).as("value_sum"))
+        .select(lit(name).as("probe"), col("n_rows"), col("value_sum"),
+          lit(keep.size * 2 <= total).as("files_pruned"))
+    }
+    probe("present", mx).unionAll(probe("absent", mx + 1))
+  }
+
+  val x9Oracle: String =
+    s"""WITH mx AS (SELECT max(event_id) AS m FROM events)
+       |SELECT 'present' AS probe, count(*) AS n_rows,
+       |  ${duckDsum("value")} AS value_sum, true AS files_pruned
+       |FROM events, mx WHERE event_id = m
+       |UNION ALL
+       |SELECT 'absent', CAST(0 AS BIGINT), CAST(NULL AS DOUBLE), true"""
+      .stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "x9_file_bloom_index" -> QueryDef(x9FileBloomIndex _, x9Oracle),
     "x1_salted_agg" -> QueryDef(x1SaltedDailyVolume _, x1Oracle),
     "x2_bucketed_join" -> QueryDef(x2BucketedJoin _, x2Oracle),
     "x3_dpp_join" -> QueryDef(x3DppJoin _, x3Oracle),

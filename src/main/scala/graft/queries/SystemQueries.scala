@@ -1972,7 +1972,84 @@ object SystemQueries {
        |  true AS baseline_intact
        |FROM trades WHERE CAST(trade_id AS BIGINT) % 41 = 0""".stripMargin
 
+  /** S32: partition-spec evolution — v1 lands month-partitioned, v2
+    * lands (month, underlying)-partitioned, and the layout-aware read
+    * ([[graft.sources.SnapshotStore.readEvolved]]) unions both
+    * layouts by name WITHOUT rewriting v1's files to the new spec
+    * (the Iceberg contract: re-bucketing 100 TB is exactly what
+    * spec-per-commit avoids). Round15cSpec pins that a filter on the
+    * evolved column partition-prunes the commits that partition by
+    * it; the oracle pins that the evolved read loses/duplicates
+    * nothing. */
+  def s32PartitionEvolution(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.SnapshotStore
+    val root = graft.util.TempDirs.scoped("s32-pevo")
+    val t = SyntheticTrades.trades(s, dir)
+      .select(col("trade_id").cast("long").as("tid"), col("underlying"),
+        col("amount"), date_format(col("timestamp"), "yyyyMM").as("month"))
+    SnapshotStore.commitAppendPartitioned(
+      t.filter(col("tid") % 2 === 0), root, Seq("month"))
+    SnapshotStore.commitAppendPartitioned(
+      t.filter(col("tid") % 2 === 1), root, Seq("month", "underlying"))
+    SnapshotStore.readEvolved(s, root)
+      .groupBy(col("month"), col("underlying"))
+      .agg(count(lit(1)).as("n_rows"), dsum(col("amount")).as("amount_sum"))
+  }
+
+  val s32Oracle: String =
+    s"""WITH ${SyntheticTrades.tradesCte}
+       |SELECT strftime(timestamp, '%Y%m') AS month, underlying,
+       |  count(*) AS n_rows, ${duckDsum("amount")} AS amount_sum
+       |FROM trades GROUP BY 1, 2""".stripMargin
+
+  /** S33: incremental materialized-view maintenance
+    * ([[graft.operators.IncrementalMv]]): the per-underlying volume
+    * view built at v1, then kept fresh through a copy-on-write DELETE
+    * and an append using only [[graft.sources.SnapshotStore
+    * .snapshotDiff]]'s row-level changelog — carried files are never
+    * read, so the refresh is delta-proportional where a naive
+    * refresh re-scans the table. The oracle recomputes the view from
+    * scratch over the final row set; the DECIMAL-carried running sum
+    * makes incremental == recompute bit-for-bit. */
+  def s33IncrMv(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.SnapshotStore
+    import graft.operators.IncrementalMv
+    val root = graft.util.TempDirs.scoped("s33-mv")
+    val t = SyntheticTrades.trades(s, dir)
+      .select(col("trade_id").cast("long").as("tid"), col("underlying"),
+        col("amount"))
+    // v1: evens, spread over files so the delete rewrites a subset
+    SnapshotStore.commitAppend(
+      t.filter(col("tid") % 2 === 0).repartition(8, col("tid")), root)
+    val mv1 = IncrementalMv.build(
+      SnapshotStore.read(s, root, Some(1)), Seq("underlying"), "amount")
+    SnapshotStore.deleteRows(s, root, col("tid") % 10 === 0)
+    SnapshotStore.commitAppend(
+      t.filter(col("tid") % 2 === 1 && col("tid") % 3 === 0), root)
+    val diff = SnapshotStore.snapshotDiff(
+      s, root, 1, SnapshotStore.latestVersion(root))
+    IncrementalMv.render(
+      IncrementalMv.maintain(mv1, diff, Seq("underlying"), "amount"),
+      Seq("underlying"))
+  }
+
+  val s33Oracle: String =
+    s"""WITH ${SyntheticTrades.tradesCte},
+       |t AS (
+       |  SELECT CAST(trade_id AS BIGINT) AS tid, underlying, amount
+       |  FROM trades),
+       |fin AS (
+       |  SELECT * FROM t
+       |  WHERE (tid % 2 = 0 AND tid % 10 <> 0)
+       |     OR (tid % 2 = 1 AND tid % 3 = 0))
+       |SELECT underlying, count(*) AS n_rows,
+       |  ${duckDsum("amount")} AS amount_sum
+       |FROM fin GROUP BY underlying""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "s32_partition_evolution" ->
+      QueryDef(s32PartitionEvolution _, s32Oracle),
+    "s33_incr_mv" -> QueryDef(s33IncrMv _, s33Oracle),
     "s30_merge_trades" -> QueryDef(s30MergeTrades _, s30Oracle),
     "s31_quarantine" -> QueryDef(s31Quarantine _, s31Oracle),
     "st18_stream_vacuum" -> QueryDef(st18StreamVacuum _, st18Oracle),

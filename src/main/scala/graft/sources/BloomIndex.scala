@@ -1,0 +1,114 @@
+package graft.sources
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+import java.util.Base64
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-file Bloom-filter sidecar over a point-lookup key — the file-
+  * skipping index for needle queries the min/max stats sidecar
+  * (s21) cannot serve: a `trade_id` is uniformly distributed, so
+  * every file's [min, max] straddles every probe and zone maps prune
+  * NOTHING; a 2 KiB Bloom per file prunes almost everything
+  * (Iceberg/Delta ship exactly this as parquet bloom columns /
+  * data-skipping indexes).
+  *
+  * Scale shape: the index is file-count-sized metadata (MBits/8 bytes
+  * per file — ~2 KiB at the default), read on the DRIVER before
+  * planning, like the manifest itself. The build is one distributed
+  * pass over the snapshot: per (file, key) the K probe positions,
+  * collapsed per file with `collect_set` — bounded state because the
+  * set is capped by MBits, NOT by row count. Lookup hashes the probe
+  * key through the SAME Spark expressions (a 1-row job — the only
+  * way to guarantee bit-identical hashing with the build pass),
+  * keeps the files whose bitset covers all K positions, and scans
+  * only those.
+  *
+  * Guarantees: no false negatives EVER (a key's file always survives
+  * — Round15dSpec property-pins it); false positives cost one extra
+  * file scan and shrink with bits-per-key (default 16384 bits ≈ 19
+  * bits/key at 833 keys/file → ~1e-4). Size MBits ≥ ~10× expected
+  * distinct keys per file when row groups grow. */
+object BloomIndex {
+
+  val MBits = 1 << 14
+  val K = 7
+
+  private def bloomFile(root: String, v: Int, keyCol: String) =
+    new File(new File(root, "_manifests"), s"v$v.bloom.$keyCol")
+
+  /** The K probe positions of `key` via double hashing — Spark
+    * expressions so build and lookup share one hash codepath. */
+  private def posCols(key: Column): Seq[Column] = {
+    // reduce both hashes below MBits BEFORE combining — ANSI mode
+    // (Spark 4 default) throws on the wrapped h1 + i*h2 long add
+    val h1 = pmod(xxhash64(key), lit(MBits.toLong))
+    val h2 = pmod(xxhash64(key, lit(0x9E3779B9L)), lit(MBits.toLong - 1)) +
+      lit(1L) // never a zero step
+    (0 until K).map(i => pmod(h1 + lit(i.toLong) * h2, lit(MBits.toLong))
+      .cast("int"))
+  }
+
+  /** Build the sidecar for the CURRENT version's manifest. One
+    * distributed pass; driver state is files × MBits/8 bytes. */
+  def build(spark: SparkSession, root: String, keyCol: String): Int = {
+    val v = SnapshotStore.latestVersion(root)
+    val files = SnapshotStore.filesAt(root, v)
+    val perFile = spark.read.parquet(files: _*)
+      .select(input_file_name().as("f"), col(keyCol).as("k"))
+      .select(col("f"), explode(array(posCols(col("k")): _*)).as("pos"))
+      .groupBy(col("f"))
+      .agg(collect_set(col("pos")).as("ps"))
+      .collect()
+    val lines = perFile.map { r =>
+      val path = new java.net.URI(r.getString(0)).getPath
+      val bits = new Array[Byte](MBits / 8)
+      r.getSeq[Int](1).foreach(p => bits(p >> 3) = (bits(p >> 3) |
+        (1 << (p & 7))).toByte)
+      s"$path\t${Base64.getEncoder.encodeToString(bits)}"
+    }
+    Files.write(bloomFile(root, v, keyCol).toPath,
+      lines.sorted.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    v
+  }
+
+  /** Files of version `v` whose Bloom covers every probe position of
+    * `key`; files absent from the sidecar (e.g. appended after the
+    * build) are conservatively kept. */
+  def survivors(spark: SparkSession, root: String, keyCol: String,
+      key: Long, version: Option[Int] = None): (Seq[String], Int) = {
+    val v = version.getOrElse(SnapshotStore.latestVersion(root))
+    val files = SnapshotStore.filesAt(root, v)
+    val f = bloomFile(root, v, keyCol)
+    if (!f.isFile) return (files, files.size)
+    val blooms = new String(Files.readAllBytes(f.toPath),
+      StandardCharsets.UTF_8).split("\n").filter(_.nonEmpty).map { l =>
+        val Array(p, b) = l.split("\t")
+        p -> Base64.getDecoder.decode(b)
+      }.toMap
+    // probe positions through the SAME expression codepath as build
+    val ps = spark.range(1)
+      .select(posCols(lit(key)): _*).collect().head
+    val positions = (0 until K).map(ps.getInt)
+    val keep = files.filter { p =>
+      blooms.get(p).forall(bits =>
+        positions.forall(pos => (bits(pos >> 3) & (1 << (pos & 7))) != 0))
+    }
+    (keep, files.size)
+  }
+
+  /** Point lookup: scan only the surviving files. Returns a frame
+    * with the snapshot's schema even when nothing survives. */
+  def lookup(spark: SparkSession, root: String, keyCol: String,
+      key: Long, version: Option[Int] = None): DataFrame = {
+    val v = version.getOrElse(SnapshotStore.latestVersion(root))
+    val (keep, _) = survivors(spark, root, keyCol, key, Some(v))
+    val all = SnapshotStore.filesAt(root, v)
+    if (keep.isEmpty)
+      spark.read.parquet(all.head).limit(0).filter(col(keyCol) === key)
+    else spark.read.parquet(keep: _*).filter(col(keyCol) === key)
+  }
+}

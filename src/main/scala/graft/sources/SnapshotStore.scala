@@ -146,6 +146,82 @@ object SnapshotStore {
     spark.read.parquet(filesAt(root, v): _*)
   }
 
+  // ---- partition evolution (Iceberg-style spec-per-commit) ----
+
+  /** Append commit written under a PARTITION SPEC — the layout knob
+    * a long-lived table re-tunes as it grows (month-only early, then
+    * (month, underlying) once a month's volume outgrows one prune
+    * unit). The spec applies to THIS commit's files only; earlier
+    * commits keep their own layout — Iceberg's partition-spec
+    * evolution, where old files are NEVER rewritten to the new spec
+    * (rewriting 100 TB to re-bucket it is exactly what spec-per-
+    * commit avoids). The spec is recorded in a `_spec.list` marker
+    * inside the commit directory (self-describing — no shared
+    * mutable metadata file to race on), and the manifest lists the
+    * leaf parquet files as usual, so every other store operation
+    * (expire, tags, diff, stats carry) works unchanged. */
+  def commitAppendPartitioned(df: DataFrame, root: String,
+      spec: Seq[String]): Int = {
+    require(spec.nonEmpty, "partition spec must name at least one column")
+    val prev = latestVersion(root)
+    val v = prev + 1
+    val dir = new File(new File(root, "data"), s"c$v-${commitToken()}")
+    df.write.partitionBy(spec: _*).parquet(dir.getPath)
+    Files.write(new File(dir, "_spec.list").toPath,
+      spec.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    val fresh = leafParquet(dir)
+    val base = if (prev == 0) Seq.empty else filesAt(root, prev)
+    writeManifest(root, v, base ++ fresh)
+    val prior = statsAt(root, prev)
+    if (prior.nonEmpty) writeStats(root, v, prior)
+    v
+  }
+
+  private def leafParquet(dir: File): Seq[String] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    def rec(f: File): Unit =
+      if (f.isDirectory) f.listFiles().foreach(rec)
+      else if (f.getName.endsWith(".parquet")) buf += f.getPath
+    rec(dir)
+    buf.toSeq.sorted
+  }
+
+  /** Layout-aware snapshot read: manifest files are grouped by their
+    * commit directory and each group is read under its OWN basePath,
+    * so Hive-style partition directories resolve against the spec
+    * the commit was written with; groups union BY NAME (a column is
+    * data in one layout and a partition directory in another — both
+    * reads surface it). Filters on a partition column prune
+    * directories in the commits that partition by it and fall back
+    * to row filters in the ones that don't — the exact Iceberg
+    * read-side contract. Partition values are recovered as strings
+    * (no type inference) so the layout never changes a column's
+    * type; reads cast explicitly where needed. */
+  def readEvolved(spark: SparkSession, root: String,
+      version: Option[Int] = None): DataFrame = {
+    val v = version.getOrElse(latestVersion(root))
+    val dataDir = new File(root, "data").getCanonicalFile
+    val groups = filesAt(root, v).groupBy { p =>
+      var f = new File(p).getCanonicalFile
+      while (f.getParentFile != null && f.getParentFile != dataDir)
+        f = f.getParentFile
+      f.getName
+    }
+    val prevInfer =
+      spark.conf.get("spark.sql.sources.partitionColumnTypeInference.enabled")
+    spark.conf
+      .set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    try groups.toSeq.sortBy(_._1)
+      .map { case (cdir, fs) =>
+        spark.read
+          .option("basePath", new File(dataDir, cdir).getPath)
+          .parquet(fs.sorted: _*)
+      }
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+    finally spark.conf.set(
+      "spark.sql.sources.partitionColumnTypeInference.enabled", prevInfer)
+  }
+
   /** Incremental small-file compaction — the real-world OPTIMIZE:
     * data files below `minBytes` are read, merged into `targetFiles`
     * fresh files, and the new manifest lists the merged output PLUS
