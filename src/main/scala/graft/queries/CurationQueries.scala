@@ -441,7 +441,20 @@ object CurationQueries {
        |FROM d WHERE dist BETWEEN 1 AND 2 GROUP BY dist""".stripMargin
   }
 
+  /** Content-defined chunking audit ([[graft.operators.CdcChunking]]):
+    * Gear-hash CDC vs fixed-size chunking on a corpus with a planted
+    * shared passage behind varying prefixes — CDC's duplicate-chunk
+    * fraction is high (shift-resistant boundaries), fixed-size stays
+    * ~zero (one offset change slides every later block). */
+  def cdcChunks(s: SparkSession, dir: String): DataFrame =
+    graft.operators.CdcChunking.audit(docs(s, dir))
+
+  val cdcChunksOracle: String =
+    s"""WITH docs AS (SELECT doc_id, text FROM documents),
+       |${graft.operators.CdcChunking.duckAudit()}""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "llm_cdc_chunks" -> QueryDef(cdcChunks _, cdcChunksOracle),
     "llm_er_blocking" -> QueryDef(erBlocking _, erBlockingOracle),
     "llm_blocklist_ac" -> QueryDef(blocklistAc _, blocklistAcOracle),
     "pii1_scrub" -> QueryDef(pii1Scrub _, pii1Oracle),

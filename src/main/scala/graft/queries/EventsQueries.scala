@@ -1384,7 +1384,105 @@ object EventsQueries {
        |JOIN est e ON e.day = d.day""".stripMargin
   }
 
+  /** EV32: feature-store point-in-time training-set assembly — the
+    * leakage-safe join every ML platform's offline store runs: each
+    * label row (purchase) picks up, PER FEATURE TABLE, the latest
+    * value at-or-before ITS OWN timestamp via the as-of machinery
+    * (never a plain latest-value join, which leaks future data into
+    * training). Two chained as-of joins on the user key; the oracle
+    * is DuckDB's native chained ASOF LEFT JOIN. */
+  def ev32PitFeatures(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.unix_timestamp
+    val ev = events(s, dir)
+    val labels = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("value").as("label"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("value"))
+    val f1 = graft.operators.AsOfJoin.asOf(labels, views,
+      key = "user_id", leftTime = "ts", rightTime = "ts",
+      rightVal = "value", asofCol = "f_view")
+    val f2 = graft.operators.AsOfJoin.asOf(f1, clicks,
+      key = "user_id", leftTime = "ts", rightTime = "ts",
+      rightVal = "value", asofCol = "f_click")
+    f2.select(col("event_id"), col("user_id"),
+      unix_timestamp(col("ts")).as("label_ep"), col("label"),
+      col("f_view"), col("f_click"))
+  }
+
+  val ev32Oracle: String = {
+    import graft.util.Parity.duckEpochS
+    s"""WITH lb AS (
+       |  SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts,
+       |    ${duckEpochS("ts")} AS label_ep, value AS label
+       |  FROM events WHERE event_type = 'purchase'),
+       |vw AS (
+       |  SELECT user_id, date_trunc('microseconds', ts) AS ts,
+       |    max(value) AS v
+       |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+       |ck AS (
+       |  SELECT user_id, date_trunc('microseconds', ts) AS ts,
+       |    max(value) AS v
+       |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+       |SELECT lb.event_id, lb.user_id, lb.label_ep, lb.label,
+       |  vw.v AS f_view, ck.v AS f_click
+       |FROM lb
+       |ASOF LEFT JOIN vw ON lb.user_id = vw.user_id AND vw.ts <= lb.ts
+       |ASOF LEFT JOIN ck ON lb.user_id = ck.user_id AND ck.ts <= lb.ts"""
+      .stripMargin
+  }
+
+  /** EV33: leakage-safe feature scaling — the standardizer is FIT on
+    * the train split only (exact decimal moment sums -> the shared
+    * spelled-out stddev) and APPLIED to both splits; fitting on the
+    * full table is the classic train/serve leak this entry pins
+    * against. One grouped aggregate + one broadcast of the two-row
+    * stats frame; the one-hot columns are plain projections. */
+  def ev33TrainScale(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, when}
+    import graft.util.Parity
+    val ev = events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"),
+        when(col("user_id") % 10 < 8, "train").otherwise("val").as("split"))
+    val stats = ev.filter(col("split") === "train")
+      .agg(Parity.davg(col("value")).as("mu"),
+        Parity.dstddevSamp(col("value")).as("sd"))
+    ev.crossJoin(broadcast(stats))
+      .select(col("event_id"), col("split"),
+        ((col("value") - col("mu")) / col("sd")).as("z"),
+        when(col("event_type") === "view", 1L).otherwise(0L).as("oh_view"),
+        when(col("event_type") === "click", 1L).otherwise(0L)
+          .as("oh_click"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L)
+          .as("oh_purchase"))
+  }
+
+  val ev33Oracle: String = {
+    import graft.util.Parity.{duckDavg, duckStddevSamp}
+    s"""WITH sp AS (
+       |  SELECT event_id, event_type, value,
+       |    CASE WHEN user_id % 10 < 8 THEN 'train' ELSE 'val' END AS split
+       |  FROM events),
+       |st AS (
+       |  SELECT ${duckDavg("value")} AS mu,
+       |    ${duckStddevSamp("value")} AS sd
+       |  FROM sp WHERE split = 'train')
+       |SELECT event_id, split, (value - mu) / sd AS z,
+       |  CAST(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS BIGINT)
+       |    AS oh_view,
+       |  CAST(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS BIGINT)
+       |    AS oh_click,
+       |  CAST(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+       |    AS BIGINT) AS oh_purchase
+       |FROM sp CROSS JOIN st""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "ev32_pit_features" -> QueryDef(ev32PitFeatures _, ev32Oracle),
+    "ev33_train_scale" -> QueryDef(ev33TrainScale _, ev33Oracle),
     "ev20_sketch_wau" -> QueryDef(ev20SketchWau _, None),
     "ev21_session_window" -> QueryDef(ev21SessionWindow _, ev21Oracle),
     "ev22_ab_test" -> QueryDef(ev22AbTest _, ev22Oracle),

@@ -253,7 +253,21 @@ object QualityQueries {
        |  least(gap_start + (slice_idx + 1) * 21600, gap_end) AS slice_end
        |FROM plan""".stripMargin
 
+  /** W6: regular-grid gap fill + linear interpolation over the 15-min
+    * IV bars ([[graft.operators.GapFill]]) — the ClickHouse
+    * `WITH FILL STEP 900` / pandas `asfreq().interpolate()` analog
+    * the resampler (A2) stops short of: missing buckets materialize
+    * on the grid, carry the last observation forward, and interior
+    * gaps interpolate between their anchors. */
+  def w6GapFill(s: SparkSession, dir: String): DataFrame =
+    GapFill.fill(bars(s, dir), 900L)
+
+  val w6Oracle: String =
+    s"""WITH $barsCte,
+       |${GapFill.duckTail(900L)}""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "w6_gap_fill" -> QueryDef(w6GapFill _, w6Oracle),
     "s16_backfill_plan" -> QueryDef(s16BackfillPlan _, s16Oracle),
     "a10_quality_metrics" -> QueryDef(a10Quality _, a10Oracle),
     "a18_quality_sketch" -> QueryDef(a18QualitySketch _, None),

@@ -480,7 +480,47 @@ object RelationalQueries {
       |ORDER BY cosine DESC, item_a, item_b
       |LIMIT 200""".stripMargin
 
+  /** Max-over-aggregate with ties (TPC-H Q15 shape): suppliers whose
+    * quarterly revenue equals the maximum. The oracle keeps the
+    * scalar-subquery spelling; the Spark plan computes the revenue
+    * view ONCE (snapshot barrier — both the max and the filter branch
+    * read it) and joins the one-row max back — revenue is an exact
+    * decimal-gated sum, so the cross-engine equality compare is safe
+    * where a float sum would tie-break differently per run. */
+  def q16ViewMax(s: SparkSession, dir: String): DataFrame = {
+    val rev = graft.util.Caches.snapshot(
+      li(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(Parity.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("total_revenue")))
+    val top = rev.agg(max(col("total_revenue")).as("max_revenue"))
+    rev.join(broadcast(top),
+        col("total_revenue") === col("max_revenue"))
+      .join(broadcast(Tables.load(s, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+  }
+
+  val q16ViewMaxOracle: String = {
+    import Parity._
+    s"""WITH r AS (
+       |  SELECT l_suppkey,
+       |    ${duckDsum("l_extendedprice * (1 - l_discount)")}
+       |      AS total_revenue
+       |  FROM lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+       |  GROUP BY l_suppkey)
+       |SELECT s_suppkey, s_name, total_revenue
+       |FROM r JOIN supplier ON l_suppkey = s_suppkey
+       |WHERE total_revenue = (SELECT max(total_revenue) FROM r)"""
+      .stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "q16_view_max" -> QueryDef(q16ViewMax _, q16ViewMaxOracle),
     "q14_freq_itemsets" -> QueryDef(q14FreqItemsets _, q14FreqItemsetsOracle),
     "q15_item_similarity" ->
       QueryDef(q15ItemSimilarity _, q15ItemSimilarityOracle),

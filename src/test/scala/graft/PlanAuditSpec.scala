@@ -122,7 +122,10 @@ class PlanAuditSpec extends AnyFunSuite {
       // unigram train/encode: top-words crossJoin the one-row
       // corpus-token / likelihood totals (groupless sums over the
       // segmented word table)
-      "llm_unigram_encode", "llm_unigram_train")
+      "llm_unigram_encode", "llm_unigram_train",
+      // train-split scaler: crossJoin(broadcast(one-row mu/sd
+      // aggregate)) — the leakage-safe fit-on-train frame
+      "ev33_train_scale")
     val boundedPickBuild = Set("llm_ann_topk", "llm_ann_pq",
       "llm_ann_recall", "llm_ann_recall_curve", "llm_mrl_recall",
       "llm_knn_label", "llm_intrinsic_dim")
