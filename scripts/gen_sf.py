@@ -96,3 +96,88 @@ events = pa.table({
 })
 pq.write_table(events, f"{OUT}/events.parquet")
 print(f"events: {n_events} rows, {n_users} users")
+
+# ---- relational tables (round 15): the q-family additions
+# (itemsets/similarity self-joins, decorrelation shapes) need a
+# lineitem decade too. Dims copy sf0.1 where they are fixed-size
+# (region/nation); fact-ish tables scale by MULT with the same key
+# domains, value ranges and 1..7 lines-per-order shape as sf0.1. ----
+import shutil
+for t in ("region", "nation"):
+    shutil.copyfile(f"{BASE}/{t}.parquet", f"{OUT}/{t}.parquet")
+
+n_supp = 1000 * MULT
+supplier = pa.table({
+    "s_suppkey": pa.array(range(n_supp), pa.int64()),
+    "s_name": pa.array([f"Supplier#{i:09d}" for i in range(n_supp)]),
+    "s_nationkey": pa.array(rng.integers(0, 25, n_supp), pa.int32()),
+    "s_acctbal": pa.array(np.round(rng.uniform(-1000, 10000, n_supp), 2)),
+})
+pq.write_table(supplier, f"{OUT}/supplier.parquet")
+
+segs = [r[0] for r in con.execute(
+    f"SELECT DISTINCT c_mktsegment FROM '{BASE}/customer.parquet' "
+    f"ORDER BY 1").fetchall()]
+n_cust = 15000 * MULT
+customer = pa.table({
+    "c_custkey": pa.array(range(n_cust), pa.int64()),
+    "c_name": pa.array([f"Customer#{i:09d}" for i in range(n_cust)]),
+    "c_nationkey": pa.array(rng.integers(0, 25, n_cust), pa.int32()),
+    "c_acctbal": pa.array(np.round(rng.uniform(-1000, 10000, n_cust), 2)),
+    "c_mktsegment": pa.array(rng.choice(segs, n_cust)),
+})
+pq.write_table(customer, f"{OUT}/customer.parquet")
+
+names = [r[0] for r in con.execute(
+    f"SELECT DISTINCT p_name FROM '{BASE}/part.parquet' ORDER BY 1")
+    .fetchall()]
+types = [r[0] for r in con.execute(
+    f"SELECT DISTINCT p_type FROM '{BASE}/part.parquet' ORDER BY 1")
+    .fetchall()]
+n_part = 20000 * MULT
+part = pa.table({
+    "p_partkey": pa.array(range(n_part), pa.int64()),
+    "p_name": pa.array(rng.choice(names, n_part)),
+    "p_brand": pa.array([f"Brand#{b}" for b in rng.integers(0, 25, n_part)]),
+    "p_type": pa.array(rng.choice(types, n_part)),
+    "p_size": pa.array(rng.integers(1, 51, n_part), pa.int32()),
+    "p_retailprice": pa.array(np.round(rng.uniform(900, 1000, n_part), 2)),
+})
+pq.write_table(part, f"{OUT}/part.parquet")
+
+n_ord = 150000 * MULT
+day_ns = 86400 * 10**9
+od0 = np.datetime64("1995-01-01", "ns").astype(np.int64)
+odate = od0 + rng.integers(0, 2400, n_ord) * day_ns
+orders = pa.table({
+    "o_orderkey": pa.array(range(n_ord), pa.int64()),
+    "o_custkey": pa.array(rng.integers(0, n_cust, n_ord), pa.int64()),
+    "o_orderstatus": pa.array(rng.choice(["O", "P", "F"], n_ord)),
+    "o_totalprice": pa.array(np.round(rng.uniform(1000, 500000, n_ord), 2)),
+    "o_orderdate": pa.array(odate // 1000, pa.timestamp("us")),
+    "o_orderpriority": pa.array(rng.choice(
+        ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+        n_ord)),
+})
+pq.write_table(orders, f"{OUT}/orders.parquet")
+
+lines_per = rng.integers(1, 8, n_ord)
+l_ok = np.repeat(np.arange(n_ord, dtype=np.int64), lines_per)
+n_li = len(l_ok)
+l_ln = np.concatenate([np.arange(1, k + 1) for k in lines_per])
+l_ship = np.repeat(odate, lines_per) + rng.integers(1, 95, n_li) * day_ns
+lineitem = pa.table({
+    "l_orderkey": pa.array(l_ok),
+    "l_partkey": pa.array(rng.integers(0, n_part, n_li), pa.int64()),
+    "l_suppkey": pa.array(rng.integers(0, n_supp, n_li), pa.int64()),
+    "l_linenumber": pa.array(l_ln, pa.int32()),
+    "l_quantity": pa.array(np.round(rng.uniform(1, 50, n_li), 1)),
+    "l_extendedprice": pa.array(np.round(rng.uniform(900, 105000, n_li), 2)),
+    "l_discount": pa.array(np.round(rng.uniform(0, 0.1, n_li), 2)),
+    "l_tax": pa.array(np.round(rng.uniform(0, 0.08, n_li), 2)),
+    "l_returnflag": pa.array(rng.choice(["N", "A", "R"], n_li)),
+    "l_linestatus": pa.array(rng.choice(["O", "F"], n_li)),
+    "l_shipdate": pa.array(l_ship // 1000, pa.timestamp("us")),
+})
+pq.write_table(lineitem, f"{OUT}/lineitem.parquet")
+print(f"relational: {n_li} lineitem, {n_ord} orders, {n_part} parts")
