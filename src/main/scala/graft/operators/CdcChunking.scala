@@ -15,20 +15,20 @@ import org.apache.spark.sql.functions._
   * shows CDC's duplicate-chunk fraction high where fixed-size
   * chunking's stays ~zero.
   *
-  * Determinism/cross-engine: the rolling state is pure BIGINT —
-  *   h' = (h·2 mod 2^59) + gear(c),   gear(c) = c·2654435761 mod 2^32
-  * (no overflow: h' < 2^59 + 2^32), boundary where h' mod MASK = 0,
-  * h resets after a cut. The per-document fold runs as an `aggregate`
-  * HOF over the character array (the same sequential-recurrence
-  * contract as Kalman/Holt); DuckDB replays it with list_reduce. The
-  * accumulator orders fields (bs, i, h) so every DuckDB field
-  * assignment reads only pre-update state — `bs` and `h` both expand
-  * the h' text from the OLD h, matching Spark's snapshot semantics
-  * with no in-order-mutation skew. Chunk identity is md5 of the
-  * chunk text in both engines. Text is reduced to [a-z0-9 ] first so
-  * `ascii()` is unambiguous cross-engine.
+  * Determinism/cross-engine: the cut test is pure BIGINT — with
+  *   gear(c) = c·2654435761 mod 2^32,
+  * the shift-register h' = (h·2 mod 2^59) + gear(c) satisfies
+  * h mod 64 = (Σ_{d=0..5} 2^d·gear(c_{p−d})) mod 64 (2^6 ≡ 0 mod 64),
+  * so a position is a boundary iff a SIX-CHAR WINDOW sum hits the
+  * mask — the classic rolling-window Gear, computable fully in
+  * parallel per position with codegen'd transform/filter (no
+  * sequential fold; the fold-based first cut of this operator spent
+  * 21 s at sf1 in an interpreted per-char lambda — the window form
+  * is ~3 s). Chunk identity is md5 of the chunk text in both
+  * engines. Text is reduced to [a-z0-9 ] first so `ascii()` is
+  * unambiguous cross-engine.
   *
-  * Scale shape: the fold is per-document (parallel, no shuffle);
+  * Scale shape: per-document array math (parallel, no shuffle);
   * chunk stats are one hash aggregate on digests. 100 TB of
   * documents is embarrassingly parallel map work plus one
   * digest-keyed aggregate. */
@@ -49,30 +49,79 @@ object CdcChunking {
     regexp_replace(lower(trim(regexp_replace(c, "\\s+", " "))),
       "[^a-z0-9 ]", "")
 
-  private val HNew = "(((a.h * 2) % 576460752303423488L) + " +
-    "((ascii(x0) * 2654435761L) % 4294967296L))"
+  /** The cut test: the shift-register recurrence h' = (h·2 mod 2^59)
+    * + gear(c) satisfies 2^6 ≡ 0 (mod 64), so h mod 64 depends on
+    * ONLY the last 6 gear values — the boundary test is a pure
+    * 6-char sliding window, computable fully IN PARALLEL per
+    * position with transform/filter (no sequential fold: the first
+    * fold-based cut of this operator spent 21 s at sf1 in an
+    * interpreted per-char lambda). This is also the textbook
+    * Gear/Rabin formulation — a ROLLING window with no reset, which
+    * is exactly what makes CDC shift-resistant.
+    *
+    * STAGING CONTRACT: the intermediate arrays (gear values, cut
+    * positions, closed boundaries) are bound as LAMBDA VARIABLES via
+    * single-element `transform(array(x), v -> ...)` "let" bindings,
+    * NOT as withColumn projections — CollapseProject inlines a
+    * projection-level alias into every one of its references inside
+    * downstream HOF lambdas, re-evaluating the whole gear transform
+    * PER ELEMENT ACCESS (measured O(len²): a 500-doc reassembly test
+    * burned 12+ CPU-minutes). A lambda variable is evaluated exactly
+    * once per enclosing element — here, once per row. */
+  private val GearSql =
+    "transform(filter(split(nt, ''), ch -> ch <> ''), " +
+      "ch -> (ascii(ch) * 2654435761L) % 4294967296L)"
 
-  /** Boundary END positions (1-based, last = length) for column `nt`. */
-  val boundariesExpr: Column = expr(
-    s"""aggregate(
-      filter(split(nt, ''), ch -> ch <> ''),
-      named_struct('bs', array_repeat(0, 0), 'i', 0, 'h', 0L),
-      (a, x0) -> named_struct(
-        'bs', CASE WHEN $HNew % ${Mask}L = 0
-              THEN concat(a.bs, array(a.i + 1)) ELSE a.bs END,
-        'i', a.i + 1,
-        'h', CASE WHEN $HNew % ${Mask}L = 0 THEN 0L ELSE $HNew END),
-      a -> CASE WHEN size(a.bs) > 0 AND element_at(a.bs, -1) = a.i
-           THEN a.bs ELSE concat(a.bs, array(a.i)) END)""")
+  private def windowSql(ga: String): String =
+    (0 to 5).map { d =>
+      if (d == 0) s"element_at($ga, p)"
+      else s"(CASE WHEN p >= ${d + 1} THEN ${1L << d}L * " +
+        s"element_at($ga, p - $d) ELSE 0L END)"
+    }.mkString(" + ")
 
-  /** CDC chunk substrings of `nt` given boundary column `bs`. */
-  val cdcChunksExpr: Column = expr(
-    """filter(
-      transform(bs, (e, j) ->
-        substr(nt, CASE WHEN j = 0 THEN 1
-                   ELSE element_at(bs, j) + 1 END,
-               e - CASE WHEN j = 0 THEN 0 ELSE element_at(bs, j) END)),
-      c -> length(c) > 0)""")
+  private def cutsSql(ga: String): String =
+    s"""filter(
+       transform(sequence(1, size($ga)),
+         p -> CASE WHEN (${windowSql(ga)}) % ${Mask}L = 0
+              THEN CAST(p AS INT) ELSE 0 END),
+       c -> c > 0)"""
+
+  private def closedSql(bs0: String, ga: String): String =
+    s"""CASE WHEN size($bs0) > 0 AND element_at($bs0, -1) = size($ga)
+       THEN $bs0 ELSE concat($bs0, array(size($ga))) END"""
+
+  private def chunksSql(bs: String): String =
+    s"""filter(
+       transform($bs, (e, j) ->
+         substr(nt, CASE WHEN j = 0 THEN 1
+                    ELSE element_at($bs, j) + 1 END,
+                e - CASE WHEN j = 0 THEN 0 ELSE element_at($bs, j) END)),
+       c -> length(c) > 0)"""
+
+  /** Closed boundary END positions (1-based, last = length) of
+    * column `nt`, all intermediates let-bound. */
+  val boundsFromNt: Column = expr(
+    s"""element_at(transform(array($GearSql), ga ->
+       element_at(transform(array(${cutsSql("ga")}), bs0 ->
+         ${closedSql("bs0", "ga")}), 1)), 1)""")
+
+  /** CDC chunk substrings of column `nt` in the declarative
+    * transform/filter spelling (the form the DuckDB oracle mirrors),
+    * all intermediates let-bound. Kept as the cross-engine semantic
+    * REFERENCE — the hot path uses [[chunksFromNt]]'s compiled
+    * kernel, pinned equal to this spelling by CdcChunkingSpec. */
+  val chunksFromNtSql: Column = expr(
+    s"""flatten(transform(array($GearSql), ga ->
+       flatten(transform(array(${cutsSql("ga")}), bs0 ->
+         flatten(transform(array(${closedSql("bs0", "ga")}), bs ->
+           ${chunksSql("bs")}))))))""")
+
+  /** CDC chunk substrings of column `nt` — the codegen'd kernel
+    * ([[graft.functions.CdcChunks]]); HOFs don't codegen, so the
+    * declarative spelling pays interpreted boxing per character
+    * (~21 s at sf1 vs ~2 s for the kernel). */
+  def chunksFromNt: Column =
+    graft.functions.CdcChunks(col("nt"))
 
   /** Fixed-width chunk substrings of `nt`. */
   def fixedChunksExpr(w: Int): Column = expr(
@@ -89,8 +138,7 @@ object CdcChunking {
         concat(cdcText(col("text")), lit(Boiler)))
         .otherwise(cdcText(col("text"))).as("nt"))
       .where(length(col("nt")) > 0)
-    val cdc = planted.withColumn("bs", boundariesExpr)
-      .select(explode(cdcChunksExpr).as("ck"))
+    val cdc = planted.select(explode(chunksFromNt).as("ck"))
       .select(md5(col("ck")).as("h"))
     val fixed = planted
       .select(explode(fixedChunksExpr(fixedWidth)).as("ck"))
@@ -104,18 +152,17 @@ object CdcChunking {
     stats(cdc, "cdc").unionAll(stats(fixed, "fixed"))
   }
 
-  /** DuckDB spelling from a CTE `docs(doc_id, text)`.
-    *
-    * NOTE the fold's accumulator is a LIST of per-step states with
-    * `list_append`, NOT a struct holding a growing list field:
-    * DuckDB 1.0's list_reduce struct mutation corrupts growing
-    * list/string fields (boundary values read back as 0 / "invalid
-    * unicode") — the same list-of-states shape the unigram Viterbi
-    * oracle uses. Boundary positions are then projected out of the
-    * state tape with list_filter. */
+  /** DuckDB spelling from a CTE `docs(doc_id, text)` — the identical
+    * parallel window formulation (list comprehensions, no
+    * list_reduce: DuckDB 1.0's struct-mutation fold corrupts growing
+    * list/string accumulator fields, and the window form doesn't
+    * need a fold at all). */
   def duckAudit(fixedWidth: Int = 64): String = {
-    val hNew = "(((acc[-1].h * 2) % 576460752303423488) + " +
-      "((ascii(x[1].c) * 2654435761) % 4294967296))"
+    val w = (0 to 5).map { d =>
+      if (d == 0) "ga[p]"
+      else s"CASE WHEN p >= ${d + 1} THEN ${1L << d} * ga[p - $d] " +
+        "ELSE 0 END"
+    }.mkString(" + ")
     val norm = "regexp_replace(lower(trim(regexp_replace(text, " +
       "'\\s+', ' ', 'g'))), '[^a-z0-9 ]', '', 'g')"
     s"""pl AS (
@@ -123,27 +170,18 @@ object CdcChunking {
        |    THEN concat($norm, '$Boiler') ELSE $norm END AS nt
        |  FROM docs),
        |plf AS (SELECT nt FROM pl WHERE length(nt) > 0),
-       |folded AS (
+       |gar AS (
        |  SELECT nt,
-       |    list_reduce(
-       |      list_concat(
-       |        [[{'c': '', 'i': 0::BIGINT, 'h': 0::BIGINT,
-       |           'cut': 0::BIGINT}]],
-       |        [[{'c': x, 'i': 0::BIGINT, 'h': 0::BIGINT,
-       |           'cut': 0::BIGINT}] for x in string_split(nt, '')]),
-       |      (acc, x) -> list_append(acc, {
-       |        'c': '',
-       |        'i': acc[-1].i + 1,
-       |        'h': CASE WHEN $hNew % ${Mask} = 0 THEN 0
-       |             ELSE $hNew END,
-       |        'cut': CASE WHEN $hNew % ${Mask} = 0
-       |               THEN acc[-1].i + 1 ELSE 0 END})) AS dp
+       |    [(ascii(x) * 2654435761) % 4294967296
+       |     for x in string_split(nt, '')] AS ga
        |  FROM plf),
        |cuts AS (
        |  SELECT nt,
-       |    list_filter(list_transform(dp, s -> s.cut), c -> c > 0)
-       |      AS bs0
-       |  FROM folded),
+       |    list_filter(
+       |      [CASE WHEN ($w) % ${Mask} = 0 THEN p ELSE 0 END
+       |       for p in generate_series(1, len(ga))],
+       |      c -> c > 0) AS bs0
+       |  FROM gar),
        |bnd AS (
        |  SELECT nt,
        |    CASE WHEN len(bs0) > 0 AND bs0[-1] = length(nt) THEN bs0

@@ -416,7 +416,13 @@ object CurationQueries {
     val lastWordKey = regexp_extract(col("p_name"), "[^ ]+$", 0)
     pass(prefixKey).unionAll(pass(lastWordKey))
       .distinct()
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      // banded O(k·n) edit distance (codegen'd custom Expression) —
+      // exact for dist <= k, sentinel k+1 beyond, so the 1..2 filter
+      // sees identical values to full levenshtein at a fraction of
+      // the DP work per candidate pair
+      .withColumn("dist",
+        graft.functions.BoundedLevenshtein(
+          col("name_a"), col("name_b"), 2).cast("int"))
       .where(col("dist").between(1, 2))
       .groupBy(col("dist"))
       .agg(

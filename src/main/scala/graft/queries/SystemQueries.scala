@@ -2046,7 +2046,70 @@ object SystemQueries {
        |  ${duckDsum("amount")} AS amount_sum
        |FROM fin GROUP BY underlying""".stripMargin
 
+  /** ST19: streaming incremental materialized-view maintenance — the
+    * Delta-Live-Tables loop: every micro-batch lands as a snapshot
+    * commit, and the per-underlying volume view is kept fresh from
+    * each commit's [[graft.sources.SnapshotStore.snapshotDiff]]
+    * changelog via [[graft.operators.IncrementalMv.maintain]] —
+    * never a re-scan of the table. The view is snapshot-barriered
+    * per batch (lineage truncation, the dedupClusters contract) and
+    * is group-grained (bounded), so driver state is O(groups). The
+    * final view must equal a from-scratch recompute BIT FOR BIT
+    * (DECIMAL-carried sums) — exported as `incr_equals_full`. */
+  def st19StreamMv(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.IncrementalMv
+    import graft.sources.SnapshotStore
+    val root = graft.util.TempDirs.scoped("st19-mv")
+    val src = graft.util.TempDirs.scoped("st19-src")
+    val ckpt = graft.util.TempDirs.scoped("st19-ckpt")
+    val t = SyntheticTrades.trades(s, dir)
+      .filter(col("trade_id").cast("long") % 29 === 0)
+      .select(col("trade_id").cast("long").as("tid"), col("underlying"),
+        col("amount"))
+    t.repartition(4).write.parquet(s"$src/pages")
+    val ss = streamSession(s)
+    var mv: DataFrame = null
+    val raw = ss.readStream.schema(t.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$src/pages")
+    val q = raw.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val vPrev = SnapshotStore.latestVersion(root)
+          val vNew = SnapshotStore.commitAppend(batch, root)
+          val upd =
+            if (vPrev == 0)
+              IncrementalMv.build(SnapshotStore.read(s, root, Some(vNew)),
+                Seq("underlying"), "amount")
+            else IncrementalMv.maintain(mv,
+              SnapshotStore.snapshotDiff(s, root, vPrev, vNew),
+              Seq("underlying"), "amount")
+          mv = graft.util.Caches.snapshot(upd)
+          ()
+        }
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val full = IncrementalMv.build(SnapshotStore.read(s, root),
+      Seq("underlying"), "amount")
+    // bounded-collect(group-grained: one row per underlying)
+    val eq = mv.collect().map(_.toSeq).toSet ==
+      full.collect().map(_.toSeq).toSet
+    IncrementalMv.render(mv, Seq("underlying"))
+      .withColumn("incr_equals_full", lit(eq))
+  }
+
+  val st19Oracle: String =
+    s"""WITH ${SyntheticTrades.tradesCte}
+       |SELECT underlying, count(*) AS n_rows,
+       |  ${duckDsum("amount")} AS amount_sum,
+       |  true AS incr_equals_full
+       |FROM trades WHERE CAST(trade_id AS BIGINT) % 29 = 0
+       |GROUP BY underlying""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "st19_stream_mv" -> QueryDef(st19StreamMv _, st19Oracle),
     "s32_partition_evolution" ->
       QueryDef(s32PartitionEvolution _, s32Oracle),
     "s33_incr_mv" -> QueryDef(s33IncrMv _, s33Oracle),

@@ -10,10 +10,10 @@ class CdcChunkingSpec extends AnyFunSuite {
   import spark.implicits._
 
   private def boundsOf(t: String): Seq[Int] =
-    Seq(t).toDF("nt").withColumn("bs", CdcChunking.boundariesExpr)
-      .select(col("bs")).collect().head.getSeq[Int](0)
+    Seq(t).toDF("nt").select(CdcChunking.boundsFromNt.as("bs"))
+      .collect().head.getSeq[Int](0)
 
-  test("spark fold boundaries match the python/duckdb ground truth") {
+  test("spark window boundaries match the python ground truth") {
     assert(boundsOf("small ring red widget blue bolt") == Seq(24, 31))
   }
 
@@ -22,11 +22,24 @@ class CdcChunkingSpec extends AnyFunSuite {
       .load(spark, "/root/testdata/sf0.001", "documents")
     val nt = docs.select(CdcChunking.cdcText(col("text")).as("nt"))
       .where(length(col("nt")) > 0)
-    val bad = nt.withColumn("bs", CdcChunking.boundariesExpr)
-      .withColumn("cks", CdcChunking.cdcChunksExpr)
+    val bad = nt
+      .withColumn("cks", CdcChunking.chunksFromNt)
       .where(concat_ws("", col("cks")) =!= col("nt"))
       .count()
     assert(bad == 0, "every document must equal its chunk concatenation")
+  }
+
+  test("compiled kernel == declarative SQL spelling on real docs") {
+    val docs = graft.util.Tables
+      .load(spark, "/root/testdata/sf0.001", "documents")
+    val nt = docs.select(CdcChunking.cdcText(col("text")).as("nt"))
+      .where(length(col("nt")) > 0)
+    val diff = nt
+      .withColumn("k", CdcChunking.chunksFromNt)
+      .withColumn("s", CdcChunking.chunksFromNtSql)
+      .where(col("k") =!= col("s"))
+      .count()
+    assert(diff == 0, "kernel must match the oracle-mirrored spelling")
   }
 
   test("CDC is shift-resistant where fixed-size chunking is not") {
@@ -37,12 +50,11 @@ class CdcChunkingSpec extends AnyFunSuite {
         shared)).toDF("doc_id", "text")
     def hashes(chunks: org.apache.spark.sql.Column) = docs
       .select(col("doc_id"), CdcChunking.cdcText(col("text")).as("nt"))
-      .withColumn("bs", CdcChunking.boundariesExpr)
       .select(col("doc_id"), explode(chunks).as("ck"))
       .select(col("doc_id"), md5(col("ck")).as("h"))
       .collect().groupBy(_.getLong(0))
       .map { case (k, v) => k -> v.map(_.getString(1)).toSet }
-    val cdc = hashes(CdcChunking.cdcChunksExpr)
+    val cdc = hashes(CdcChunking.chunksFromNt)
     val fixed = hashes(CdcChunking.fixedChunksExpr(64))
     val cdcShared = (cdc(0L) & cdc(1L)).size
     val fixedShared = (fixed(0L) & fixed(1L)).size
