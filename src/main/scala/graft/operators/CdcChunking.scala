@@ -130,17 +130,66 @@ object CdcChunking {
         j -> substr(nt, j * $w + 1, $w)),
       c -> length(c) > 0)""")
 
-  /** Two-row chunking audit over (doc_id, text): CDC vs fixed-size
-    * duplicate-chunk fractions on the boilerplate-planted corpus. */
-  def audit(docs: DataFrame, fixedWidth: Int = 64): DataFrame = {
-    val planted = docs.select(
+  /** The boilerplate-planted corpus: (doc_id, nt). */
+  def planted(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
       when(col("doc_id") % 3 === 0,
         concat(cdcText(col("text")), lit(Boiler)))
         .otherwise(cdcText(col("text"))).as("nt"))
       .where(length(col("nt")) > 0)
-    val cdc = planted.select(explode(chunksFromNt).as("ck"))
+
+  /** Chunk-level near-dup detection — the Lee-et-al-style use of CDC:
+    * docs sharing ≥ `minShared` content-defined chunks are near-dups
+    * REGARDLESS of where the shared passage sits (the boilerplate
+    * rides behind different-length prefixes in every planted doc).
+    * One inverted index on chunk digests + a digest-keyed self-join;
+    * per-digest postings are capped at `dfCap` (a digest shared by d
+    * docs contributes d²/2 candidate pairs — the same quadratic
+    * hygiene as MarketBasket's basket cap; production systems switch
+    * to MinHash over the chunk set past that density). */
+  def nearDup(docs: DataFrame, minShared: Int = 2,
+      dfCap: Int = 4096): DataFrame = {
+    val ch = graft.util.Caches.snapshot(planted(docs)
+      .select(col("doc_id"), explode(chunksFromNt).as("ck"))
+      .select(col("doc_id"), md5(col("ck")).as("h"))
+      .distinct())
+    val dfc = ch.groupBy(col("h")).agg(count(lit(1)).as("dfc"))
+    val kept = ch.join(dfc.where(col("dfc") <= dfCap), "h")
+    val l = kept.select(col("h"), col("doc_id").as("id_a"))
+    val r = kept.select(col("h").as("h_r"), col("doc_id").as("id_b"))
+    l.join(r, col("h") === col("h_r") && col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .agg(
+        count(lit(1)).as("n_candidate_pairs"),
+        sum(when(col("shared") >= minShared, 1L).otherwise(0L))
+          .as("n_neardup_pairs"),
+        max(col("shared")).as("max_shared"))
+  }
+
+  /** DuckDB spelling of [[nearDup]] (append after [[duckChunkCtes]]). */
+  def duckNearDup(minShared: Int = 2, dfCap: Int = 4096): String =
+    s"""dd AS (SELECT DISTINCT doc_id, h FROM dchunks),
+       |dfc AS (SELECT h FROM dd GROUP BY h HAVING count(*) <= $dfCap),
+       |kept AS (SELECT dd.doc_id, dd.h FROM dd JOIN dfc USING (h)),
+       |prs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+       |  FROM kept a JOIN kept b
+       |    ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT count(*) AS n_candidate_pairs,
+       |  CAST(coalesce(sum(CASE WHEN shared >= $minShared
+       |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_neardup_pairs,
+       |  max(shared) AS max_shared
+       |FROM prs""".stripMargin
+
+  /** Two-row chunking audit over (doc_id, text): CDC vs fixed-size
+    * duplicate-chunk fractions on the boilerplate-planted corpus. */
+  def audit(docs: DataFrame, fixedWidth: Int = 64): DataFrame = {
+    val plantedDf = planted(docs).select(col("nt"))
+    val cdc = plantedDf.select(explode(chunksFromNt).as("ck"))
       .select(md5(col("ck")).as("h"))
-    val fixed = planted
+    val fixed = plantedDf
       .select(explode(fixedChunksExpr(fixedWidth)).as("ck"))
       .select(md5(col("ck")).as("h"))
     def stats(t: DataFrame, fam: String): DataFrame =
@@ -152,12 +201,14 @@ object CdcChunking {
     stats(cdc, "cdc").unionAll(stats(fixed, "fixed"))
   }
 
-  /** DuckDB spelling from a CTE `docs(doc_id, text)` — the identical
-    * parallel window formulation (list comprehensions, no
+  /** DuckDB chunk pipeline from a CTE `docs(doc_id, text)` — the
+    * identical parallel window formulation (list comprehensions, no
     * list_reduce: DuckDB 1.0's struct-mutation fold corrupts growing
     * list/string accumulator fields, and the window form doesn't
-    * need a fold at all). */
-  def duckAudit(fixedWidth: Int = 64): String = {
+    * need a fold at all). Ends with `dchunks(doc_id, h)` — one row
+    * per chunk occurrence — plus `plf(doc_id, nt)` for the
+    * fixed-size comparison. */
+  val duckChunkCtes: String = {
     val w = (0 to 5).map { d =>
       if (d == 0) "ga[p]"
       else s"CASE WHEN p >= ${d + 1} THEN ${1L << d} * ga[p - $d] " +
@@ -166,36 +217,41 @@ object CdcChunking {
     val norm = "regexp_replace(lower(trim(regexp_replace(text, " +
       "'\\s+', ' ', 'g'))), '[^a-z0-9 ]', '', 'g')"
     s"""pl AS (
-       |  SELECT CASE WHEN doc_id % 3 = 0
+       |  SELECT doc_id, CASE WHEN doc_id % 3 = 0
        |    THEN concat($norm, '$Boiler') ELSE $norm END AS nt
        |  FROM docs),
-       |plf AS (SELECT nt FROM pl WHERE length(nt) > 0),
+       |plf AS (SELECT doc_id, nt FROM pl WHERE length(nt) > 0),
        |gar AS (
-       |  SELECT nt,
+       |  SELECT doc_id, nt,
        |    [(ascii(x) * 2654435761) % 4294967296
        |     for x in string_split(nt, '')] AS ga
        |  FROM plf),
-       |cuts AS (
-       |  SELECT nt,
+       |cutsc AS (
+       |  SELECT doc_id, nt,
        |    list_filter(
        |      [CASE WHEN ($w) % ${Mask} = 0 THEN p ELSE 0 END
        |       for p in generate_series(1, len(ga))],
        |      c -> c > 0) AS bs0
        |  FROM gar),
        |bnd AS (
-       |  SELECT nt,
+       |  SELECT doc_id, nt,
        |    CASE WHEN len(bs0) > 0 AND bs0[-1] = length(nt) THEN bs0
        |         ELSE list_append(bs0, length(nt)::BIGINT) END AS bs
-       |  FROM cuts),
-       |cdc AS (
-       |  SELECT md5(ck) AS h FROM (
-       |    SELECT unnest(list_filter(
+       |  FROM cutsc),
+       |dchunks AS (
+       |  SELECT doc_id, md5(ck) AS h FROM (
+       |    SELECT doc_id, unnest(list_filter(
        |      [substr(nt,
        |         CASE WHEN j = 1 THEN 1 ELSE bs[j - 1] + 1 END,
        |         bs[j] - CASE WHEN j = 1 THEN 0 ELSE bs[j - 1] END)
        |       for j in generate_series(1, len(bs))],
        |      c -> length(c) > 0)) AS ck
-       |    FROM bnd)),
+       |    FROM bnd))""".stripMargin
+  }
+
+  def duckAudit(fixedWidth: Int = 64): String = {
+    s"""$duckChunkCtes,
+       |cdc AS (SELECT h FROM dchunks),
        |fixed AS (
        |  SELECT md5(ck) AS h FROM (
        |    SELECT unnest(list_filter(

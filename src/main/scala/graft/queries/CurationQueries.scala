@@ -470,7 +470,21 @@ object CurationQueries {
     s"""WITH docs AS (SELECT doc_id, text FROM documents),
        |${graft.operators.CdcChunking.duckAudit()}""".stripMargin
 
+  /** Chunk-level near-dup detection over the CDC digests
+    * ([[graft.operators.CdcChunking.nearDup]]): docs sharing ≥2
+    * content-defined chunks pair up regardless of passage offset —
+    * the Lee et al. 2022 use of chunking for corpus dedup, with
+    * df-capped postings bounding the quadratic pair expansion. */
+  def cdcNearDup(s: SparkSession, dir: String): DataFrame =
+    graft.operators.CdcChunking.nearDup(docs(s, dir))
+
+  val cdcNearDupOracle: String =
+    s"""WITH docs AS (SELECT doc_id, text FROM documents),
+       |${graft.operators.CdcChunking.duckChunkCtes},
+       |${graft.operators.CdcChunking.duckNearDup()}""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "llm_cdc_neardup" -> QueryDef(cdcNearDup _, cdcNearDupOracle),
     "llm_cdc_chunks" -> QueryDef(cdcChunks _, cdcChunksOracle),
     "llm_er_blocking" -> QueryDef(erBlocking _, erBlockingOracle),
     "llm_blocklist_ac" -> QueryDef(blocklistAc _, blocklistAcOracle),

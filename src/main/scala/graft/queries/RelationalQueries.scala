@@ -519,7 +519,50 @@ object RelationalQueries {
       .stripMargin
   }
 
+  /** Global-average scalar subquery + anti join (TPC-H Q22 shape):
+    * positive-balance customers above the average positive balance
+    * who have never ordered, grouped by a derived segment key. The
+    * oracle keeps the scalar subquery + NOT EXISTS; the Spark plan
+    * broadcasts the one-row average (exact decimal, so the threshold
+    * compare is engine-identical) and anti-joins orders on the
+    * customer key — at scale the anti join shuffles both sides once
+    * on c_custkey, and the average costs one map-side-combined pass. */
+  def q17AntiAvg(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_acctbal"), col("c_nationkey"))
+    val pos = cust.filter(col("c_acctbal") > 0.0)
+    val avgBal = pos.agg(Parity.davg(col("c_acctbal")).as("avg_bal"))
+    // "never ordered" is vacuous on this corpus (10 orders/customer);
+    // the Q22 anti-join pattern runs against a year window instead
+    val orders = Tables.load(s, dir, "orders")
+      .filter(year(col("o_orderdate")) === 1995)
+      .select(col("o_custkey"))
+    pos.crossJoin(broadcast(avgBal))
+      .where(col("c_acctbal") > col("avg_bal"))
+      .join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy((col("c_nationkey") % 5).as("cntry_grp"))
+      .agg(count(lit(1)).as("numcust"),
+        Parity.dsum(col("c_acctbal")).as("totacctbal"))
+  }
+
+  val q17AntiAvgOracle: String = {
+    import Parity._
+    s"""SELECT c_nationkey % 5 AS cntry_grp,
+       |  count(*) AS numcust,
+       |  ${duckDsum("c_acctbal")} AS totacctbal
+       |FROM customer
+       |WHERE c_acctbal > 0.0
+       |  AND c_acctbal > (
+       |    SELECT ${duckDavg("c_acctbal")} FROM customer
+       |    WHERE c_acctbal > 0.0)
+       |  AND NOT EXISTS (
+       |    SELECT 1 FROM orders WHERE o_custkey = c_custkey
+       |      AND extract(year FROM o_orderdate) = 1995)
+       |GROUP BY 1""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "q17_anti_avg" -> QueryDef(q17AntiAvg _, q17AntiAvgOracle),
     "q16_view_max" -> QueryDef(q16ViewMax _, q16ViewMaxOracle),
     "q14_freq_itemsets" -> QueryDef(q14FreqItemsets _, q14FreqItemsetsOracle),
     "q15_item_similarity" ->

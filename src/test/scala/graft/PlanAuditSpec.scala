@@ -125,7 +125,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "llm_unigram_encode", "llm_unigram_train",
       // train-split scaler: crossJoin(broadcast(one-row mu/sd
       // aggregate)) — the leakage-safe fit-on-train frame
-      "ev33_train_scale")
+      "ev33_train_scale",
+      // Q22 shape: crossJoin(broadcast(one-row average-balance
+      // aggregate)) ahead of the anti join
+      "q17_anti_avg")
     val boundedPickBuild = Set("llm_ann_topk", "llm_ann_pq",
       "llm_ann_recall", "llm_ann_recall_curve", "llm_mrl_recall",
       "llm_knn_label", "llm_intrinsic_dim")
