@@ -2108,7 +2108,45 @@ object SystemQueries {
        |FROM trades WHERE CAST(trade_id AS BIGINT) % 29 = 0
        |GROUP BY underlying""".stripMargin
 
+  /** S34: time travel by TIMESTAMP (`SELECT ... AS OF <ts>`) — the
+    * reader-facing face of the snapshot log: the visible version is
+    * the highest manifest published at or before the probe instant.
+    * Manifest publication times are pinned deterministically
+    * (stampManifest) so the entry doesn't depend on commit wall
+    * clocks; Round15fSpec covers the pre-table QueryError and the
+    * same-millisecond tie. */
+  def s34TimeTravel(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.SnapshotStore
+    val root = graft.util.TempDirs.scoped("s34-tt")
+    val t0 = 1700000000000L
+    val t = SyntheticTrades.trades(s, dir)
+      .filter(col("trade_id").cast("long") % 7 === 0)
+      .select(col("trade_id").cast("long").as("tid"), col("amount"))
+    SnapshotStore.commitAppend(t.filter(col("tid") % 2 === 0), root)
+    SnapshotStore.stampManifest(root, 1, t0)
+    SnapshotStore.commitAppend(t.filter(col("tid") % 2 === 1), root)
+    SnapshotStore.stampManifest(root, 2, t0 + 10000L)
+    def probe(phase: String, ts: Long): DataFrame =
+      SnapshotStore.readAsOf(s, root, ts)
+        .agg(count(lit(1)).as("n_rows"), dsum(col("amount")).as("amount_sum"))
+        .select(lit(phase).as("phase"), col("n_rows"), col("amount_sum"))
+    probe("mid", t0 + 5000L).unionAll(probe("late", t0 + 20000L))
+  }
+
+  val s34Oracle: String =
+    s"""WITH ${SyntheticTrades.tradesCte},
+       |t AS (
+       |  SELECT CAST(trade_id AS BIGINT) AS tid, amount FROM trades
+       |  WHERE CAST(trade_id AS BIGINT) % 7 = 0)
+       |SELECT 'mid' AS phase, count(*) AS n_rows,
+       |  ${duckDsum("amount")} AS amount_sum
+       |FROM t WHERE tid % 2 = 0
+       |UNION ALL
+       |SELECT 'late', count(*), ${duckDsum("amount")}
+       |FROM t""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "s34_time_travel" -> QueryDef(s34TimeTravel _, s34Oracle),
     "st19_stream_mv" -> QueryDef(st19StreamMv _, st19Oracle),
     "s32_partition_evolution" ->
       QueryDef(s32PartitionEvolution _, s32Oracle),

@@ -146,6 +146,39 @@ object SnapshotStore {
     spark.read.parquet(filesAt(root, v): _*)
   }
 
+  // ---- time travel by timestamp (AS OF) ----
+
+  /** Version visible at `tsMillis`: the HIGHEST version whose
+    * manifest was published at or before that instant (manifest
+    * mtime is the commit's publication time — the serialization
+    * point writeManifest links atomically). Ties (same-millisecond
+    * publications) resolve to the later version, matching "the state
+    * a reader at that wall-clock instant would have seen".
+    * Throws the typed [[graft.QueryError]] when the table did not
+    * exist yet. */
+  def versionAsOf(root: String, tsMillis: Long): Int = {
+    val vs = versions(root)
+      .filter(v => manifestFile(root, v).lastModified() <= tsMillis)
+    if (vs.isEmpty)
+      throw new graft.QueryError(
+        s"no snapshot of $root existed at epoch-ms $tsMillis")
+    vs.max
+  }
+
+  /** SELECT ... AS OF <timestamp>. */
+  def readAsOf(spark: SparkSession, root: String,
+      tsMillis: Long): DataFrame =
+    read(spark, root, Some(versionAsOf(root, tsMillis)))
+
+  /** Test/maintenance hook: pin a manifest's publication instant so
+    * time-travel reads are deterministic under test (two commits can
+    * otherwise land in the same millisecond). */
+  private[graft] def stampManifest(root: String, v: Int,
+      tsMillis: Long): Unit = {
+    val ok = manifestFile(root, v).setLastModified(tsMillis)
+    require(ok, s"could not stamp manifest v$v under $root")
+  }
+
   // ---- partition evolution (Iceberg-style spec-per-commit) ----
 
   /** Append commit written under a PARTITION SPEC — the layout knob
