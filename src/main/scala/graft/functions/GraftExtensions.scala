@@ -73,5 +73,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2, "graft_arr_dot takes (a, b) arguments")
         ArrDot(args(0), args(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bounded_levenshtein"),
+      new ExpressionInfo(classOf[BoundedLevenshtein].getName,
+        "graft_bounded_levenshtein"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "graft_bounded_levenshtein takes (a, b, k) arguments")
+        val k = args(2) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_bounded_levenshtein k must be an integer literal, " +
+              s"got $other")
+        }
+        new BoundedLevenshtein(args(0), args(1), k)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_cdc_chunks"),
+      new ExpressionInfo(classOf[CdcChunks].getName, "graft_cdc_chunks"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_cdc_chunks takes (text)")
+        new CdcChunks(args.head)
+      }))
   }
 }

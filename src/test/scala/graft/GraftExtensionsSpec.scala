@@ -55,6 +55,18 @@ class GraftExtensionsSpec extends AnyFunSuite {
         s2.sql("SELECT graft_ngram_hash32('x', length('ab'))").head())
       assert(e.getMessage.contains("integer literal") ||
         e.getMessage.contains("graft_ngram_hash32"))
+      // round-15 kernels: banded edit distance + CDC chunker
+      val k = s2.sql(
+        """SELECT graft_bounded_levenshtein('cold ring', 'old ring', 2)
+          |  AS d1,
+          |  graft_bounded_levenshtein('anvil', 'widget', 2) AS capped,
+          |  graft_cdc_chunks('small ring red widget blue bolt') AS cks
+          |""".stripMargin).head()
+      assert(k.getInt(0) == 1)
+      assert(k.getInt(1) == 3) // sentinel k+1
+      val cks = k.getSeq[String](2)
+      assert(cks.mkString == "small ring red widget blue bolt")
+      assert(cks.length == 2) // ground-truth cut at 24
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
