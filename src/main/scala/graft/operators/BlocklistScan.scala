@@ -95,7 +95,11 @@ object BlocklistScan {
       patterns: Seq[String] = Patterns): DataFrame = {
     import spark.implicits._
     val pats = patterns // avoid capturing `this`
-    val hits = docs.select(col("text").cast("string")).as[String]
+    // NULL text never reaches the automaton (t.length would NPE the
+    // task); the oracle's cross join drops NULLs the same way (a NULL
+    // count falls out of the FILTER/sum)
+    val hits = docs.select(col("text").cast("string"))
+      .where(col("text").isNotNull).as[String]
       .mapPartitions { texts =>
         val ac = new Automaton(pats)
         texts.flatMap { t =>

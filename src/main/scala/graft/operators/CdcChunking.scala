@@ -79,12 +79,17 @@ object CdcChunking {
         s"element_at($ga, p - $d) ELSE 0L END)"
     }.mkString(" + ")
 
+  // empty-gear guard: sequence(1, 0) defaults to step -1 and yields
+  // [1, 0], whose element_at(ga, 0) always throws — an empty nt must
+  // produce an empty cut list, not an error (callers also filter
+  // length(nt) > 0, but the expression is safe standalone)
   private def cutsSql(ga: String): String =
-    s"""filter(
+    s"""CASE WHEN size($ga) = 0 THEN CAST(array() AS ARRAY<INT>)
+       ELSE filter(
        transform(sequence(1, size($ga)),
          p -> CASE WHEN (${windowSql(ga)}) % ${Mask}L = 0
               THEN CAST(p AS INT) ELSE 0 END),
-       c -> c > 0)"""
+       c -> c > 0) END"""
 
   private def closedSql(bs0: String, ga: String): String =
     s"""CASE WHEN size($bs0) > 0 AND element_at($bs0, -1) = size($ga)
@@ -162,8 +167,10 @@ object CdcChunking {
       .agg(count(lit(1)).as("shared"))
       .agg(
         count(lit(1)).as("n_candidate_pairs"),
-        sum(when(col("shared") >= minShared, 1L).otherwise(0L))
-          .as("n_neardup_pairs"),
+        // coalesce matches the oracle on a zero-pair corpus: sum over
+        // an empty set is NULL in Spark, 0 after the oracle's coalesce
+        coalesce(sum(when(col("shared") >= minShared, 1L).otherwise(0L)),
+          lit(0L)).as("n_neardup_pairs"),
         max(col("shared")).as("max_shared"))
   }
 

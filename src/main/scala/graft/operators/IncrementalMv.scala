@@ -16,7 +16,7 @@ import org.apache.spark.sql.types.DecimalType
   * delta-proportional end to end.
   *
   * Exactness contract: the view's running sum is carried as
-  * DECIMAL(38,6) (exact, order-free), so the incrementally
+  * DECIMAL(28,6) (exact, order-free), so the incrementally
   * maintained view equals a from-scratch recompute BIT FOR BIT —
   * pinned by Round15cSpec. A double-typed running sum could not make
   * that promise (float addition is not associative); the view

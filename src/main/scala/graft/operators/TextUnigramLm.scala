@@ -137,14 +137,73 @@ object TextUnigramLm {
           least(lit(MaxPieceLen - 1), length(w) - i)), k =>
         w.substr(i, k + 1))))
 
+  /** Viterbi best score of `str` under `model` with piece `excl`
+    * barred from the lattice — the SentencePiece prune-loss "alternate
+    * path": what segmenting the piece's own string costs once the
+    * piece is gone. Pure integer micro-nat DP on the DRIVER (the
+    * model is vocab-sized; the strings are ≤ [[MaxPieceLen]] chars),
+    * and EXACTLY `viterbiBest(str, model - excl).sc` — the lattice's
+    * lookup-with-floor makes removing a piece from the map and
+    * barring it from candidates the same thing (UnigramLossSpec pins
+    * the equality against the Spark expression). */
+  def altScoreMicro(str: String, model: Map[String, Long],
+      excl: String): Long = {
+    val n = str.length
+    val best = Array.fill(n + 1)(Long.MinValue / 4)
+    best(0) = 0L
+    for (i <- 1 to n; k <- 1 to math.min(MaxPieceLen, i)) {
+      val piece = str.substring(i - k, i)
+      // the barred piece stays a CANDIDATE at the floor price — the
+      // lattice's lookup-with-floor never drops an edge, it reprices
+      // it (exactly viterbiBest's behavior once the piece leaves the
+      // map; dropping the edge instead diverges whenever the floored
+      // whole-piece path beats a path through floored singles)
+      val lp = if (piece == excl) MinLpMicro
+        else model.getOrElse(piece, MinLpMicro)
+      val cand = best(i - k) + lp
+      if (cand > best(i)) best(i) = cand
+    }
+    best(n)
+  }
+
+  /** Prune loss of a used multi piece: how many micro-nats the corpus
+    * log-lik loses if the piece is dropped and every one of its `cnt`
+    * occurrences re-segments through its best alternate path —
+    * SentencePiece's pruning criterion (Kudo 2018 §3.2's per-piece
+    * loss, with the piece's own string standing in for its occurrence
+    * contexts). Can be ≤ 0 when the alternate path scores at least
+    * as well — exactly the pieces to drop first. */
+  def pruneLossMicro(piece: String, cnt: Long,
+      model: Map[String, Long]): Long =
+    // getOrElse: the E-step can legitimately use a multi OUTSIDE the
+    // model — in a region whose singles are all floored, one floored
+    // unknown piece beats a path of several floored singles (score
+    // tie broken by piece length). Such a piece prices at the floor
+    // here, ranking it last — the loss criterion admits no new multis
+    // (SentencePiece prunes existing pieces; entry is the seed's job)
+    cnt * (model.getOrElse(piece, MinLpMicro)
+      - altScoreMicro(piece, model, piece))
+
   /** M-step on the driver over the vocab-sized count table: keep the
     * used singles + top `targetMultis` used multis, assign quantized
-    * log-probs; every seed single stays (floor prob when unused). */
+    * log-probs; every seed single stays (floor prob when unused).
+    * Multi ranking: by count (hard-EM baseline) or by PRUNE LOSS
+    * under `lossModel` (likelihood-loss pruning — Kudo's criterion:
+    * a frequent piece whose string re-segments almost as cheaply is
+    * worth less than a rarer piece with no good alternate). */
   private def mstep(counts: Seq[(String, Long)], singles: Set[String],
-      targetMultis: Int): Map[String, Long] = {
+      targetMultis: Int,
+      lossModel: Option[Map[String, Long]] = None): Map[String, Long] = {
     val used = counts.filter(_._2 > 0)
-    val multis = used.filter(_._1.length > 1)
-      .sortBy { case (p, c) => (-c, p) }.take(targetMultis)
+    val allMultis = used.filter(_._1.length > 1)
+    val multis = lossModel match {
+      case Some(m) => allMultis
+        .map { case (p, c) => (p, c, pruneLossMicro(p, c, m)) }
+        .sortBy { case (p, _, loss) => (-loss, p) }
+        .take(targetMultis).map { case (p, c, _) => (p, c) }
+      case None => allMultis.sortBy { case (p, c) => (-c, p) }
+        .take(targetMultis)
+    }
     val kept = multis ++ used.filter(_._1.length == 1)
     val total = kept.map(_._2).sum
     val fitted = kept.map { case (p, c) => p -> quantLn(c, total) }.toMap
@@ -153,8 +212,17 @@ object TextUnigramLm {
 
   /** Train the unigram LM. Returns (final model, per-iteration
     * log-lik stats, the FINAL segmented word table under that model —
-    * the artifact both entries and the oracle verify against). */
-  def train(docs: DataFrame, textCol: String = "text")
+    * the artifact both entries and the oracle verify against).
+    * `pruneByLoss = true` swaps the multi-piece ranking at every
+    * M-step from raw count to the prune LOSS (Kudo's criterion) —
+    * same vocab budget, same integer micro-nat contract, so the
+    * oracle machinery re-derives either model's E-step unchanged.
+    * The prune binds at the first TargetMultis cut; afterwards used
+    * pieces ⊆ model keeps the kept set stable and hard-EM's
+    * post-prune likelihood ascent holds under either ranking. */
+  def train(docs: DataFrame, textCol: String = "text",
+      pruneByLoss: Boolean = false,
+      targetMultis: Int = TargetMultis)
       : (Map[String, Long], Seq[IterStat], DataFrame) = {
     val words = graft.util.Caches.snapshot(wordFreq(docs, textCol))
     // snapshot, not materialize: two bounded collects read this, and
@@ -185,7 +253,8 @@ object TextUnigramLm {
         // bounded-collect(vocab): piece counts are model-sized
         val cnts = pieceCounts(segmented).collect()
           .map(r => (r.getString(0), r.getLong(1))).toSeq
-        model = mstep(cnts, singles, TargetMultis)
+        model = mstep(cnts, singles, targetMultis,
+          if (pruneByLoss) Some(model) else None)
       }
     }
     (model, stats.toSeq, segmented)

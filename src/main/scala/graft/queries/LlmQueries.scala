@@ -1000,11 +1000,17 @@ object LlmQueries {
     * initial pair table / a map-only fold chain for the encoded
     * vocab) from the cached merges — deterministic either way. */
   private val bpeCache = scala.collection.concurrent.TrieMap
-    .empty[(Int, String), Seq[graft.operators.TextBpe.Merge]]
+    .empty[(String, String, String), Seq[graft.operators.TextBpe.Merge]]
 
+  // keyed like trainedClassifier — (applicationId, dir, fingerprint):
+  // an identity hash is reusable after GC, and without the dir
+  // fingerprint an in-process regeneration of the data would be
+  // served a stale model the echo+verify oracle cannot catch
   private def trainedMerges(s: SparkSession, dir: String)
       : Seq[graft.operators.TextBpe.Merge] =
-    bpeCache.getOrElseUpdate((System.identityHashCode(s), dir),
+    bpeCache.getOrElseUpdate(
+      (s.sparkContext.applicationId, dir,
+        graft.util.FrameMemo.dirFingerprint(dir)),
       TextBpe.train(docs(s, dir), BpeMerges)._1)
 
   /** Distributed BPE merge learning ([[TextBpe.train]]), gated with
@@ -1272,12 +1278,15 @@ object LlmQueries {
     * table) from the cached model, because cached DataFrames would
     * not survive Verify's per-query cache cleanup. */
   private val unigramCache = scala.collection.concurrent.TrieMap
-    .empty[(Int, String),
+    .empty[(String, String, String),
       (Map[String, Long], Seq[TextUnigramLm.IterStat])]
 
+  // (applicationId, dir, fingerprint) key — see trainedMerges
   private def trainedUnigram(s: SparkSession, dir: String)
       : (Map[String, Long], Seq[TextUnigramLm.IterStat]) =
-    unigramCache.getOrElseUpdate((System.identityHashCode(s), dir), {
+    unigramCache.getOrElseUpdate(
+      (s.sparkContext.applicationId, dir,
+        graft.util.FrameMemo.dirFingerprint(dir)), {
       val (m, st, _) = TextUnigramLm.train(docs(s, dir))
       (m, st)
     })
@@ -1293,15 +1302,23 @@ object LlmQueries {
 
   /** The pinned model as VALUES + a piece → lp map, usable inside
     * the Viterbi lambda. */
-  private def unigramModelCtes(model: Map[String, Long]): String = {
+  private def unigramModelCtes(model: Map[String, Long]): String =
+    unigramModelCtesNamed(model, "pinned", "mdl")
+
+  /** [[unigramModelCtes]] with caller-chosen CTE names, so one oracle
+    * can pin TWO models side by side (the tokenizer-comparison and
+    * loss-prune entries). The map column is always `m` — only one
+    * model CTE is in scope per consumer. */
+  private def unigramModelCtesNamed(model: Map[String, Long],
+      pinnedName: String, mdlName: String): String = {
     def esc(x: String) = x.replace("'", "''")
     val values = model.toSeq.sortBy(_._1)
       .map { case (p, lp) => s"('${esc(p)}', ${lp}::BIGINT)" }
       .mkString(",\n    ")
-    s"""pinned(piece, lp) AS (VALUES
+    s"""$pinnedName(piece, lp) AS (VALUES
        |    $values),
-       |mdl AS (SELECT map(list(piece ORDER BY piece),
-       |  list(lp ORDER BY piece)) AS m FROM pinned)""".stripMargin
+       |$mdlName AS (SELECT map(list(piece ORDER BY piece),
+       |  list(lp ORDER BY piece)) AS m FROM $pinnedName)""".stripMargin
   }
 
   /** DuckDB mirror of [[TextUnigramLm.viterbiBest]]: the same DP as a
@@ -1314,10 +1331,23 @@ object LlmQueries {
     * themselves stripMargin'd, so no generated line may begin with
     * whitespace + `|` (a leading `||` concat operator would be eaten
     * as a margin) — string concatenation is spelled `concat(...)`. */
-  private def duckViterbi(wordExpr: String): String = {
+  private def duckViterbi(wordExpr: String): String =
+    duckViterbiEx(wordExpr, None)
+
+  /** [[duckViterbi]] with a barred piece: the lattice's lookup floors
+    * any candidate equal to `exclExpr` — the self-exclusion DP behind
+    * the prune-loss alternate path (identical to looking the piece up
+    * in a map it was removed from). */
+  private def duckViterbiEx(wordExpr: String,
+      exclExpr: Option[String]): String = {
     val ml = TextUnigramLm.MaxPieceLen
-    val lp = s"coalesce(m[$wordExpr[(x[1].o - k + 1)::INT:(x[1].o)::INT]][1], " +
-      s"(${TextUnigramLm.MinLpMicro})::BIGINT)"
+    val sub = s"$wordExpr[(x[1].o - k + 1)::INT:(x[1].o)::INT]"
+    val floor = s"(${TextUnigramLm.MinLpMicro})::BIGINT"
+    val look = s"coalesce(m[$sub][1], $floor)"
+    val lp = exclExpr match {
+      case Some(e) => s"(CASE WHEN $sub = $e THEN $floor ELSE $look END)"
+      case None => look
+    }
     s"""list_reduce(
        |    list_concat(
        |      [[{'o': 0::BIGINT, 'k2': 0::BIGINT, 'sc': 0::BIGINT, 'sg': ''}]],
@@ -1409,6 +1439,116 @@ object LlmQueries {
        |  CAST(${TextUnigramLm.Iterations} AS INT) AS n_iters
        |FROM pinned p LEFT JOIN cnts c ON c.piece = p.piece, tot, tt"""
       .stripMargin
+
+  /** Vocab budget where the pruning criterion actually BINDS: at the
+    * default 200 the used-multi set is smaller than the budget on the
+    * driver corpora and both rankings keep everything (measured at
+    * sf0.01: 36 used multis — identical models, a vacuous
+    * comparison). At 24 the cut is real and the two criteria pick
+    * different inventories. */
+  private val LossCompareMultis = 24
+
+  /** Train-once cache for the tight-budget model PAIR (count-pruned,
+    * loss-pruned), same key scheme as the other trainers. */
+  private val unigramLossCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String, String),
+      ((Map[String, Long], Seq[TextUnigramLm.IterStat]),
+        (Map[String, Long], Seq[TextUnigramLm.IterStat]))]
+
+  private def trainedUnigramPair(s: SparkSession, dir: String)
+      : ((Map[String, Long], Seq[TextUnigramLm.IterStat]),
+        (Map[String, Long], Seq[TextUnigramLm.IterStat])) =
+    unigramLossCache.getOrElseUpdate(
+      (s.sparkContext.applicationId, dir,
+        graft.util.FrameMemo.dirFingerprint(dir)), {
+      val (mc, stc, _) = TextUnigramLm.train(docs(s, dir),
+        pruneByLoss = false, targetMultis = LossCompareMultis)
+      val (ml, stl, _) = TextUnigramLm.train(docs(s, dir),
+        pruneByLoss = true, targetMultis = LossCompareMultis)
+      ((mc, stc), (ml, stl))
+    })
+
+  /** Likelihood-loss pruning vs count pruning (Kudo 2018 §3.2's
+    * criterion applied at the same vocab budget): the trainer run
+    * with `pruneByLoss = true` ranks multi pieces at every M-step by
+    * `cnt · (lp − altScore)` — what the corpus log-lik loses when the
+    * piece's occurrences re-segment through their best alternate
+    * path — instead of raw count. Gated echo+verify on BOTH models:
+    * per kept multi the oracle re-derives, from the pinned final
+    * loss model alone, the E-step piece counts (full Viterbi fold
+    * over the word table), the ALT score (the same DP over the
+    * piece's own string with the piece barred from its lattice —
+    * integer micro-nats, bit-exact), the loss, and both corpora
+    * log-liks; `loss_model_wins` is computed in SQL from the
+    * RE-DERIVED log-liks, so the ≥ relation is a measured cross-
+    * engine fact, not an echoed claim. Scale shape: the extra work
+    * over hard-EM is one driver-side vocab-sized loss ranking per
+    * M-step — O(vocab · MaxPieceLen²) integer ops, no new
+    * distributed stage. */
+  def unigramLossPrune(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ((hard, hardStats), (loss, lossStats)) = trainedUnigramPair(s, dir)
+    val seg = graft.util.Caches.snapshot(TextUnigramLm.segment(
+      TextUnigramLm.wordFreq(docs(s, dir)), loss))
+    // bounded-collect(vocab): final-model piece counts
+    val cnts = TextUnigramLm.pieceCounts(seg).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val llLoss = lossStats.last.loglik_micro
+    val llHard = hardStats.last.loglik_micro
+    val rows = loss.toSeq.filter(_._1.length > 1).sortBy(_._1)
+      .map { case (p, lp) =>
+        val cnt = cnts.getOrElse(p, 0L)
+        val alt = TextUnigramLm.altScoreMicro(p, loss, p)
+        (p, lp, cnt, alt, cnt * (lp - alt))
+      }
+    DynamicOracles.put("llm_unigram_lossprune",
+      unigramLossOracle(loss, hard))
+    rows.toDF("piece", "lp_micro", "cnt", "alt_micro", "loss_micro")
+      .withColumn("ll_loss_micro", lit(llLoss))
+      .withColumn("ll_count_micro", lit(llHard))
+      .withColumn("loss_model_wins", lit(llLoss >= llHard))
+  }
+
+  private def unigramLossOracle(lossModel: Map[String, Long],
+      hardModel: Map[String, Long]): String =
+    s"""WITH $wrdsCte,
+       |$unigramWfCte,
+       |${unigramModelCtesNamed(lossModel, "pinned", "mdl")},
+       |${unigramModelCtesNamed(hardModel, "pinnedc", "mdlc")},
+       |$unigramVitCtes,
+       |lll AS (SELECT CAST(sum(c * f.sc) AS BIGINT) AS ll FROM fin),
+       |pc AS (
+       |  SELECT c, unnest(string_split(f.sg, ' ')) AS piece FROM fin
+       |),
+       |cnts AS (
+       |  SELECT piece, CAST(sum(c) AS BIGINT) AS cnt FROM pc GROUP BY 1
+       |),
+       |vitc AS (
+       |  SELECT word, c, ${duckViterbi("word")} AS dp
+       |  FROM wf, mdlc
+       |),
+       |llc AS (
+       |  SELECT CAST(sum(c * dp[len(word) + 1].sc) AS BIGINT) AS ll
+       |  FROM vitc
+       |),
+       |alt AS (
+       |  SELECT p.piece,
+       |    ${duckViterbiEx("p.piece", Some("p.piece"))}
+       |      [len(p.piece) + 1].sc AS alt
+       |  FROM pinned p, mdl WHERE len(p.piece) > 1
+       |)
+       |SELECT p.piece, p.lp AS lp_micro,
+       |  coalesce(c.cnt, 0::BIGINT) AS cnt,
+       |  a.alt AS alt_micro,
+       |  CAST(coalesce(c.cnt, 0::BIGINT) * (p.lp - a.alt) AS BIGINT)
+       |    AS loss_micro,
+       |  lll.ll AS ll_loss_micro,
+       |  llc.ll AS ll_count_micro,
+       |  (lll.ll >= llc.ll) AS loss_model_wins
+       |FROM pinned p
+       |JOIN alt a ON a.piece = p.piece
+       |LEFT JOIN cnts c ON c.piece = p.piece, lll, llc
+       |WHERE len(p.piece) > 1""".stripMargin
 
   private val UnigramTopWords = 200
 
@@ -3413,6 +3553,7 @@ object LlmQueries {
     "llm_bpe_encode" -> QueryDef(bpeEncode _, None),
     "llm_unigram_train" -> QueryDef(unigramTrain _, None),
     "llm_unigram_encode" -> QueryDef(unigramEncode _, None),
+    "llm_unigram_lossprune" -> QueryDef(unigramLossPrune _, None),
     "llm_tok_compare" -> QueryDef(tokCompare _, None),
     "llm_repetition" -> QueryDef(repetition _, repetitionOracle),
     "llm_source_stats" -> QueryDef(sourceStats _, sourceStatsOracle),

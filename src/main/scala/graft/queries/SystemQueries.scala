@@ -1470,8 +1470,14 @@ object SystemQueries {
       .option("maxFilesPerTrigger", "1").parquet(s"$src/pages")
     val q = raw.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[
-          org.apache.spark.sql.Row], _: Long) =>
-        if (!batch.isEmpty) { SnapshotStore.commitAppend(batch, root); () }
+          org.apache.spark.sql.Row], batchId: Long) =>
+        // batchId-keyed writer token: a crash-replayed micro-batch
+        // (same batchId) finds its token in a live manifest and the
+        // commit no-ops — exactly-once into the store
+        if (!batch.isEmpty) {
+          SnapshotStore.commitAppend(batch, root, Some(s"st15:$batchId"))
+          ()
+        }
       }
       .option("checkpointLocation", ckpt)
       .start()
@@ -1937,9 +1943,14 @@ object SystemQueries {
     }
     val q = raw.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[
-          org.apache.spark.sql.Row], _: Long) =>
+          org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty) {
-          val v = SnapshotStore.commitAppend(batch, root)
+          // idempotent under re-delivery even though maintain() may
+          // move the head PAST this append: the token scan covers all
+          // live manifests, and keepLast=2 + the baseline tag keep the
+          // replay-eligible (most recent) commit's manifest alive
+          val v = SnapshotStore.commitAppend(batch, root,
+            Some(s"st18:$batchId"))
           if (v == 1) SnapshotStore.tag(root, "baseline", Some(1))
           nCommits += 1
           if (nCommits % 2 == 0) maintain()
@@ -2073,10 +2084,14 @@ object SystemQueries {
       .option("maxFilesPerTrigger", "1").parquet(s"$src/pages")
     val q = raw.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[
-          org.apache.spark.sql.Row], _: Long) =>
+          org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty) {
           val vPrev = SnapshotStore.latestVersion(root)
-          val vNew = SnapshotStore.commitAppend(batch, root)
+          // a replayed batch no-ops the commit (vNew == vPrev's head),
+          // so snapshotDiff(vPrev, vNew) is empty and the MV state is
+          // untouched — idempotent view maintenance for free
+          val vNew = SnapshotStore.commitAppend(batch, root,
+            Some(s"st19:$batchId"))
           val upd =
             if (vPrev == 0)
               IncrementalMv.build(SnapshotStore.read(s, root, Some(vNew)),
@@ -2145,7 +2160,137 @@ object SystemQueries {
        |SELECT 'late', count(*), ${duckDsum("amount")}
        |FROM t""".stripMargin
 
+  /** S35: the UNIFIED snapshot read planner
+    * ([[graft.sources.SnapshotRead]]) — one entry point composing
+    * manifest min/max pruning (s21), per-file Bloom skipping (x9),
+    * and the spec-aware evolved layout (s32), which previously were
+    * four non-composing reads. The store is partition-EVOLVED (v1
+    * tid-range-partitioned flat files + stats sidecar; v2 under a
+    * month partition spec) and Bloom-indexed on tid at the final
+    * version. Two probes: a RANGE over tid (stats sidecar prunes v1
+    * files whose [min,max] misses; v2's stats-less files are
+    * conservatively kept) and a POINT lookup (Bloom keeps ~1 file).
+    * The oracle pins both answers from the raw rows; Round16bSpec
+    * pins exact files-skipped counts from BOTH sidecars on a
+    * controlled store. Per-file key density is held bounded by
+    * sizing the file count with the data (a saturated Bloom skips
+    * nothing — at 100 TB files hold row-group-bounded keys, which is
+    * what the sizing mimics). */
+  def s35UnifiedRead(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{BloomIndex, SnapshotRead, SnapshotStore}
+    val root = graft.util.TempDirs.scoped("s35-uni")
+    val t = SyntheticTrades.trades(s, dir)
+      .select(col("trade_id").cast("long").as("tid"), col("amount"),
+        date_format(col("timestamp"), "yyyyMM").as("month"))
+    // bounded-collect(one row: max tid + row count size the store)
+    val bounds = t.agg(max(col("tid")).as("mx"), count(lit(1)).as("n"))
+      .collect().head
+    val maxTid = bounds.getLong(0)
+    val nFiles = math.max(8, (bounds.getLong(1) / 6000L).toInt + 1)
+    SnapshotStore.commitAppendWithStats(
+      t.filter(col("tid") % 2 === 0).select(col("tid"), col("amount")),
+      root, "tid", nFiles)
+    SnapshotStore.commitAppendPartitioned(
+      t.filter(col("tid") % 2 === 1).repartition(4, col("month")),
+      root, Seq("month"))
+    BloomIndex.build(s, root, "tid")
+    val hi = maxTid / 4
+    val rangePlan = SnapshotRead.plan(s, root, range = Some(("tid", 0L, hi)))
+    // the probe key: the smallest EVEN tid (lives in one v1 file)
+    // bounded-collect(one row: the probe key)
+    val key = t.filter(col("tid") % 2 === 0).agg(min(col("tid")))
+      .collect().head.getLong(0)
+    val pointPlan = SnapshotRead.plan(s, root, point = Some(("tid", key)))
+    def shape(phase: String, p: SnapshotRead.ScanPlan,
+        skipped: Boolean): DataFrame =
+      p.df.agg(count(lit(1)).as("n_rows"), dsum(col("amount"))
+          .as("amount_sum"))
+        .select(lit(phase).as("phase"), col("n_rows"), col("amount_sum"),
+          lit(skipped).as("files_skipped"))
+    shape("range", rangePlan, rangePlan.statsSkipped > 0)
+      .unionAll(shape("point", pointPlan, pointPlan.bloomSkipped > 0))
+  }
+
+  val s35Oracle: String =
+    s"""WITH ${SyntheticTrades.tradesCte},
+       |t AS (
+       |  SELECT CAST(trade_id AS BIGINT) AS tid, amount FROM trades),
+       |hi AS (SELECT max(tid) // 4 AS h FROM t),
+       |k AS (SELECT min(tid) AS key FROM t WHERE tid % 2 = 0)
+       |SELECT 'range' AS phase, count(*) AS n_rows,
+       |  ${duckDsum("amount")} AS amount_sum, true AS files_skipped
+       |FROM t, hi WHERE tid >= 0 AND tid <= h
+       |UNION ALL
+       |SELECT 'point', count(*), ${duckDsum("amount")}, true
+       |FROM t, k WHERE tid = key""".stripMargin
+
+  /** Warehouse for the SQL catalog face — ONE directory per JVM:
+    * Spark caches a catalog instance on first reference, so the
+    * warehouse it was initialized with must stay valid for the
+    * session's lifetime (a per-call temp dir would strand the cached
+    * catalog on the first call's path). */
+  private lazy val catalogWarehouse: String =
+    graft.util.TempDirs.scoped("graft-snap-wh")
+
+  /** S36: time travel in PURE SQL TEXT — the
+    * [[graft.sources.GraftCatalog]] DataSourceV2 face over the
+    * snapshot store, the spelling Delta/Iceberg users write:
+    * `VERSION AS OF <n>`, `VERSION AS OF '<tag>'` and
+    * `TIMESTAMP AS OF <t>` resolve through the catalog's loadTable
+    * overloads to EXACTLY the manifest's file list (Round16bSpec
+    * pins SQL-path inputFiles == Scala-API inputFiles). Store build
+    * is idempotent per JVM (versions 1-2 pinned; a re-run finds them
+    * committed), publication instants stamped deterministically. */
+  def s36SqlTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.SnapshotStore
+    val root = s"$catalogWarehouse/trades_tt"
+    val t0 = 1700000000000L
+    if (SnapshotStore.latestVersion(root) == 0) {
+      val t = SyntheticTrades.trades(s, dir)
+        .filter(col("trade_id").cast("long") % 11 === 0)
+        .select(col("trade_id").cast("long").as("tid"), col("amount"))
+      SnapshotStore.commitAppend(t.filter(col("tid") % 2 === 0), root)
+      SnapshotStore.stampManifest(root, 1, t0)
+      SnapshotStore.tag(root, "evens", Some(1))
+      SnapshotStore.commitAppend(t.filter(col("tid") % 2 === 1), root)
+      SnapshotStore.stampManifest(root, 2, t0 + 10000L)
+    }
+    s.conf.set("spark.sql.catalog.graft_snap",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_snap.warehouse", catalogWarehouse)
+    val dsumSql = "CAST(sum(CAST(amount AS DECIMAL(28,6))) AS DOUBLE)"
+    s.sql(
+      s"""SELECT 'v1' AS phase, count(*) AS n_rows, $dsumSql AS amount_sum
+         |FROM graft_snap.trades_tt VERSION AS OF 1
+         |UNION ALL
+         |SELECT 'tag', count(*), $dsumSql
+         |FROM graft_snap.trades_tt VERSION AS OF 'evens'
+         |UNION ALL
+         |SELECT 'asof', count(*), $dsumSql
+         |FROM graft_snap.trades_tt TIMESTAMP AS OF timestamp_millis(${t0 + 5000L})
+         |UNION ALL
+         |SELECT 'head', count(*), $dsumSql
+         |FROM graft_snap.trades_tt""".stripMargin)
+  }
+
+  val s36Oracle: String =
+    s"""WITH ${SyntheticTrades.tradesCte},
+       |t AS (
+       |  SELECT CAST(trade_id AS BIGINT) AS tid, amount FROM trades
+       |  WHERE CAST(trade_id AS BIGINT) % 11 = 0)
+       |SELECT 'v1' AS phase, count(*) AS n_rows,
+       |  ${duckDsum("amount")} AS amount_sum
+       |FROM t WHERE tid % 2 = 0
+       |UNION ALL
+       |SELECT 'tag', count(*), ${duckDsum("amount")} FROM t WHERE tid % 2 = 0
+       |UNION ALL
+       |SELECT 'asof', count(*), ${duckDsum("amount")} FROM t WHERE tid % 2 = 0
+       |UNION ALL
+       |SELECT 'head', count(*), ${duckDsum("amount")} FROM t""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "s35_unified_read" -> QueryDef(s35UnifiedRead _, s35Oracle),
+    "s36_sql_time_travel" -> QueryDef(s36SqlTimeTravel _, s36Oracle),
     "s34_time_travel" -> QueryDef(s34TimeTravel _, s34Oracle),
     "st19_stream_mv" -> QueryDef(st19StreamMv _, st19Oracle),
     "s32_partition_evolution" ->

@@ -82,8 +82,18 @@ object BloomIndex {
       key: Long, version: Option[Int] = None): (Seq[String], Int) = {
     val v = version.getOrElse(SnapshotStore.latestVersion(root))
     val files = SnapshotStore.filesAt(root, v)
+    (survivorsAmong(spark, root, keyCol, key, v, files), files.size)
+  }
+
+  /** [[survivors]] restricted to an explicit candidate list — the
+    * composable piece [[SnapshotRead]] stacks on top of stats
+    * pruning (a file already skipped by min/max never needs a Bloom
+    * probe). */
+  private[sources] def survivorsAmong(spark: SparkSession, root: String,
+      keyCol: String, key: Long, v: Int, files: Seq[String])
+      : Seq[String] = {
     val f = bloomFile(root, v, keyCol)
-    if (!f.isFile) return (files, files.size)
+    if (!f.isFile) return files
     val blooms = new String(Files.readAllBytes(f.toPath),
       StandardCharsets.UTF_8).split("\n").filter(_.nonEmpty).map { l =>
         val Array(p, b) = l.split("\t")
@@ -93,11 +103,10 @@ object BloomIndex {
     val ps = spark.range(1)
       .select(posCols(lit(key)): _*).collect().head
     val positions = (0 until K).map(ps.getInt)
-    val keep = files.filter { p =>
+    files.filter { p =>
       blooms.get(p).forall(bits =>
         positions.forall(pos => (bits(pos >> 3) & (1 << (pos & 7))) != 0))
     }
-    (keep, files.size)
   }
 
   /** Point lookup: scan only the surviving files. Returns a frame

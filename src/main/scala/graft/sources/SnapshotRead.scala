@@ -1,0 +1,96 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** ONE composable snapshot read planner — the entry point a 100 TB
+  * user expects instead of four parallel ones (`read` / `readPruned`
+  * / `readEvolved` / `BloomIndex.lookup`, which did not compose: a
+  * range predicate against a partition-evolved table got no stats
+  * pruning, and a Bloom point lookup was blind to evolved layouts).
+  *
+  * The plan applies, in order:
+  *   1. version resolution — explicit version, `TIMESTAMP AS OF`
+  *      (manifest-carried publication instants), or a named tag;
+  *   2. manifest min/max stats pruning for a range predicate
+  *      (`v<N>.stats` sidecar — driver-side, file-count-sized, no
+  *      IO; files without stats lines are conservatively kept);
+  *   3. per-file Bloom skipping for a point predicate (`v<N>.bloom.*`
+  *      sidecar) — probed only on the stats survivors, never on
+  *      files min/max already excluded;
+  *   4. the spec-aware evolved read: every surviving file resolves
+  *      against the partition spec ITS commit was written with
+  *      (Iceberg's read contract under partition evolution);
+  *   5. the row-level predicates on top (sidecars bound FILES, they
+  *      never filter rows).
+  *
+  * Both predicates address DATA columns; a column that is a partition
+  * directory in some commit's layout still surfaces (readEvolved
+  * recovers it as a string) but carries no sidecar lines there.
+  * Returns the pruning ledger alongside the frame so callers (and the
+  * plan audit) can pin skipped-file counts from BOTH sidecars. */
+object SnapshotRead {
+
+  /** The planned scan: `df` is the final filtered frame; the counts
+    * are the per-layer pruning ledger (`filesTotal` ≥ afterStats ≥
+    * afterBloom). */
+  final case class ScanPlan(version: Int, filesTotal: Int,
+      filesAfterStats: Int, filesAfterBloom: Int, df: DataFrame) {
+    def statsSkipped: Int = filesTotal - filesAfterStats
+    def bloomSkipped: Int = filesAfterStats - filesAfterBloom
+  }
+
+  /** Plan a snapshot read. At most one of `version` / `asOfMillis` /
+    * `tag` may be given (default: latest). `range` = (statCol, lo,
+    * hi) enables stats pruning + the row filter `lo <= c <= hi`;
+    * `point` = (keyCol, key) enables Bloom skipping + the row filter
+    * `c = key`. Both together express `range AND point`. */
+  def plan(spark: SparkSession, root: String,
+      version: Option[Int] = None,
+      asOfMillis: Option[Long] = None,
+      tag: Option[String] = None,
+      range: Option[(String, Long, Long)] = None,
+      point: Option[(String, Long)] = None): ScanPlan = {
+    require(Seq(version, asOfMillis, tag).count(_.isDefined) <= 1,
+      "give at most one of version / asOfMillis / tag")
+    val v = version
+      .orElse(asOfMillis.map(SnapshotStore.versionAsOf(root, _)))
+      .orElse(tag.map(t => SnapshotStore.tags(root).getOrElse(t,
+        throw new graft.QueryError(s"unknown tag: $t"))))
+      .getOrElse(SnapshotStore.latestVersion(root))
+    val all = SnapshotStore.filesAt(root, v)
+    val afterStats = range match {
+      case Some((_, lo, hi)) =>
+        val stats = SnapshotStore.statsAt(root, v)
+        all.filter(f => stats.get(f).forall { case (mn, mx) =>
+          mx >= lo && mn <= hi })
+      case None => all
+    }
+    val afterBloom = point match {
+      case Some((keyCol, key)) =>
+        BloomIndex.survivorsAmong(spark, root, keyCol, key, v, afterStats)
+      case None => afterStats
+    }
+    val base =
+      if (afterBloom.nonEmpty)
+        SnapshotStore.readFilesEvolved(spark, root, afterBloom)
+      else if (all.nonEmpty)
+        // schema-preserving empty frame when every file was skipped
+        SnapshotStore.readFilesEvolved(spark, root, all).limit(0)
+      else throw new graft.QueryError(s"version $v of $root lists no files")
+    val filtered = Seq(
+      range.map { case (c, lo, hi) => col(c) >= lo && col(c) <= hi },
+      point.map { case (c, k) => col(c) === k })
+      .flatten.foldLeft(base)(_.filter(_))
+    ScanPlan(v, all.size, afterStats.size, afterBloom.size, filtered)
+  }
+
+  /** The frame alone, for callers that don't need the ledger. */
+  def read(spark: SparkSession, root: String,
+      version: Option[Int] = None,
+      asOfMillis: Option[Long] = None,
+      tag: Option[String] = None,
+      range: Option[(String, Long, Long)] = None,
+      point: Option[(String, Long)] = None): DataFrame =
+    plan(spark, root, version, asOfMillis, tag, range, point).df
+}

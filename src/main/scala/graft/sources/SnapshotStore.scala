@@ -72,7 +72,7 @@ object SnapshotStore {
         .foldLeft(0)(math.max)
   }
 
-  private[graft] def filesAt(root: String, v: Int): Seq[String] = {
+  private def manifestLines(root: String, v: Int): Seq[String] = {
     val f = manifestFile(root, v)
     if (!f.isFile)
       throw new graft.QueryError(s"no manifest for version $v under $root")
@@ -80,25 +80,72 @@ object SnapshotStore {
       .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
   }
 
+  private[graft] def filesAt(root: String, v: Int): Seq[String] =
+    manifestLines(root, v).filterNot(_.startsWith("#"))
+
+  /** Commit metadata carried INSIDE the manifest as `#key<TAB>value`
+    * header lines — durable table metadata, unlike filesystem mtimes
+    * (a backup/restore or `cp -r` rewrites every mtime; Iceberg/Delta
+    * store the commit instant in the snapshot metadata for exactly
+    * this reason). Keys in use: `ts` (publication instant, epoch-ms)
+    * and `writer` (streaming idempotence token, see
+    * [[committedVersionFor]]). Legacy manifests without headers
+    * return an empty map and fall back to mtime-era behavior. */
+  private[graft] def manifestMeta(root: String, v: Int)
+      : Map[String, String] =
+    manifestLines(root, v).filter(_.startsWith("#"))
+      .flatMap { l =>
+        l.drop(1).split("\t", 2) match {
+          case Array(k, value) => Some(k -> value)
+          case _ => None
+        }
+      }.toMap
+
   /** Publish version `v`'s manifest — the commit's serialization
     * point. `Files.createLink` is atomic create-fail-if-exists (an
     * ATOMIC_MOVE rename would silently OVERWRITE an existing v<N>
     * manifest on POSIX, losing the concurrent commit), so exactly one
     * of two racing committers wins; the loser's tmp file is removed
-    * and [[CommitConflictException]] tells it to retry. */
+    * and [[CommitConflictException]] tells it to retry. Every commit
+    * stamps its publication instant (`#ts`) into the content so time
+    * travel survives mtime loss; `meta` adds further header lines
+    * (e.g. the streaming writer token). */
   private[graft] def writeManifest(root: String, v: Int,
-      files: Seq[String]): Unit = {
+      files: Seq[String], meta: Map[String, String] = Map.empty): Unit = {
     val dir = manifestDir(root)
     dir.mkdirs()
+    val withTs =
+      if (meta.contains("ts")) meta
+      else meta + ("ts" -> System.currentTimeMillis().toString)
+    val header = withTs.toSeq.sortBy(_._1)
+      .map { case (k, value) => s"#$k\t$value" }
     val tmp = Paths.get(dir.getPath, s".v$v.list.tmp-${commitToken()}")
     Files.write(tmp,
-      files.mkString("\n").getBytes(StandardCharsets.UTF_8))
+      (header ++ files).mkString("\n").getBytes(StandardCharsets.UTF_8))
     try Files.createLink(manifestFile(root, v).toPath, tmp)
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         throw new CommitConflictException(root, v)
     } finally Files.deleteIfExists(tmp)
   }
+
+  /** The live version whose manifest carries `writer == token`, if
+    * any — the replay check behind batchId-idempotent streaming
+    * commits. Structured Streaming re-delivers the last uncommitted
+    * micro-batch after a crash with the SAME batchId; a commit made
+    * with that token already in a live manifest must be a no-op
+    * (otherwise the replayed batch double-commits its rows — the
+    * [[graft.streaming.BatchSink]] contract, applied to the snapshot
+    * store). All live headers are scanned (newest first) rather than
+    * just the head: a foreachBatch body may compact or vacuum AFTER
+    * its append, so the token's manifest need not be the head.
+    * Driver-side metadata work, manifest-count-sized; vacuum bounds
+    * the manifest count in long-running loops, and a replayed batch
+    * is always among the most recent commits. */
+  private[graft] def committedVersionFor(root: String, token: String)
+      : Option[Int] =
+    versions(root).reverse.find(v =>
+      manifestMeta(root, v).get("writer").contains(token))
 
   /** Commit-unique suffix so two optimistic committers never collide
     * on a data directory (the loser's dir becomes an orphan, cleaned
@@ -115,29 +162,43 @@ object SnapshotStore {
   }
 
   /** Append commit: the new version sees every previous file plus the
-    * incoming frame's files. Returns the new version number. */
-  def commitAppend(df: DataFrame, root: String): Int = {
-    val prev = latestVersion(root)
-    val v = prev + 1
-    val fresh = writeData(df, root, v)
-    val base = if (prev == 0) Seq.empty else filesAt(root, prev)
-    writeManifest(root, v, base ++ fresh)
-    // stats travel with their surviving files; the fresh files simply
-    // have no lines (never skipped). A replace-commit drops all stats
-    // with the files they described.
-    val prior = statsAt(root, prev)
-    if (prior.nonEmpty) writeStats(root, v, prior)
-    v
-  }
+    * incoming frame's files. Returns the new version number.
+    *
+    * `writerToken` is the streaming-replay idempotence key (use
+    * `"<queryName>:<batchId>"` from a foreachBatch body): when a live
+    * manifest already carries it, the frame was committed by a
+    * previous delivery of the same micro-batch and this call returns
+    * that version WITHOUT writing — exactly-once into the store under
+    * Structured Streaming's at-least-once foreachBatch re-delivery. */
+  def commitAppend(df: DataFrame, root: String,
+      writerToken: Option[String] = None): Int =
+    writerToken.flatMap(committedVersionFor(root, _)).getOrElse {
+      val prev = latestVersion(root)
+      val v = prev + 1
+      val fresh = writeData(df, root, v)
+      val base = if (prev == 0) Seq.empty else filesAt(root, prev)
+      writeManifest(root, v, base ++ fresh,
+        writerToken.map("writer" -> _).toMap)
+      // stats travel with their surviving files; the fresh files simply
+      // have no lines (never skipped). A replace-commit drops all stats
+      // with the files they described.
+      val prior = statsAt(root, prev)
+      if (prior.nonEmpty) writeStats(root, v, prior)
+      v
+    }
 
   /** Replace commit (full rewrite / compaction): the new version sees
     * ONLY the incoming frame's files; older versions keep reading the
-    * files they always listed. Returns the new version number. */
-  def commitReplace(df: DataFrame, root: String): Int = {
-    val v = latestVersion(root) + 1
-    writeManifest(root, v, writeData(df, root, v))
-    v
-  }
+    * files they always listed. Returns the new version number.
+    * `writerToken` as in [[commitAppend]]. */
+  def commitReplace(df: DataFrame, root: String,
+      writerToken: Option[String] = None): Int =
+    writerToken.flatMap(committedVersionFor(root, _)).getOrElse {
+      val v = latestVersion(root) + 1
+      writeManifest(root, v, writeData(df, root, v),
+        writerToken.map("writer" -> _).toMap)
+      v
+    }
 
   /** Snapshot read at a version (defaults to latest). */
   def read(spark: SparkSession, root: String,
@@ -148,17 +209,25 @@ object SnapshotStore {
 
   // ---- time travel by timestamp (AS OF) ----
 
+  /** A manifest's publication instant: the `#ts` header the commit
+    * wrote into the manifest CONTENT (durable — survives
+    * backup/restore, `cp -r`, coarse-mtime filesystems), falling back
+    * to the file mtime only for legacy manifests written before
+    * headers existed. */
+  private def publishedAt(root: String, v: Int): Long =
+    manifestMeta(root, v).get("ts").map(_.toLong)
+      .getOrElse(manifestFile(root, v).lastModified())
+
   /** Version visible at `tsMillis`: the HIGHEST version whose
-    * manifest was published at or before that instant (manifest
-    * mtime is the commit's publication time — the serialization
-    * point writeManifest links atomically). Ties (same-millisecond
-    * publications) resolve to the later version, matching "the state
-    * a reader at that wall-clock instant would have seen".
-    * Throws the typed [[graft.QueryError]] when the table did not
-    * exist yet. */
+    * manifest was published at or before that instant (publication
+    * time = the `#ts` instant the commit stamped into the manifest at
+    * its serialization point; mtime only for legacy manifests). Ties
+    * (same-millisecond publications) resolve to the later version,
+    * matching "the state a reader at that wall-clock instant would
+    * have seen". Throws the typed [[graft.QueryError]] when the table
+    * did not exist yet. */
   def versionAsOf(root: String, tsMillis: Long): Int = {
-    val vs = versions(root)
-      .filter(v => manifestFile(root, v).lastModified() <= tsMillis)
+    val vs = versions(root).filter(publishedAt(root, _) <= tsMillis)
     if (vs.isEmpty)
       throw new graft.QueryError(
         s"no snapshot of $root existed at epoch-ms $tsMillis")
@@ -172,11 +241,22 @@ object SnapshotStore {
 
   /** Test/maintenance hook: pin a manifest's publication instant so
     * time-travel reads are deterministic under test (two commits can
-    * otherwise land in the same millisecond). */
+    * otherwise land in the same millisecond). Rewrites the `#ts`
+    * header IN the manifest content — the instant versionAsOf
+    * resolves from — via tmp + atomic replace (a maintenance
+    * overwrite of an already-published manifest, not a commit race,
+    * so ATOMIC_MOVE is correct here). */
   private[graft] def stampManifest(root: String, v: Int,
       tsMillis: Long): Unit = {
-    val ok = manifestFile(root, v).setLastModified(tsMillis)
-    require(ok, s"could not stamp manifest v$v under $root")
+    val meta = manifestMeta(root, v) + ("ts" -> tsMillis.toString)
+    val header = meta.toSeq.sortBy(_._1)
+      .map { case (k, value) => s"#$k\t$value" }
+    val tmp = Paths.get(manifestDir(root).getPath,
+      s".v$v.list.stamp-${commitToken()}")
+    Files.write(tmp, (header ++ filesAt(root, v))
+      .mkString("\n").getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, manifestFile(root, v).toPath,
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
   }
 
   // ---- partition evolution (Iceberg-style spec-per-commit) ----
@@ -231,28 +311,37 @@ object SnapshotStore {
     * (no type inference) so the layout never changes a column's
     * type; reads cast explicitly where needed. */
   def readEvolved(spark: SparkSession, root: String,
-      version: Option[Int] = None): DataFrame = {
-    val v = version.getOrElse(latestVersion(root))
+      version: Option[Int] = None): DataFrame =
+    readFilesEvolved(spark, root,
+      filesAt(root, version.getOrElse(latestVersion(root))))
+
+  /** [[readEvolved]] over an explicit file subset — the composable
+    * piece [[SnapshotRead]] stacks under stats/Bloom pruning: a
+    * pruned file list still resolves each survivor against the
+    * partition spec its commit was written with. */
+  private[sources] def readFilesEvolved(spark: SparkSession,
+      root: String, files: Seq[String]): DataFrame = {
     val dataDir = new File(root, "data").getCanonicalFile
-    val groups = filesAt(root, v).groupBy { p =>
+    val groups = files.groupBy { p =>
       var f = new File(p).getCanonicalFile
       while (f.getParentFile != null && f.getParentFile != dataDir)
         f = f.getParentFile
       f.getName
     }
-    val prevInfer =
-      spark.conf.get("spark.sql.sources.partitionColumnTypeInference.enabled")
-    spark.conf
+    // the no-type-inference setting lives on a CLONED session (own
+    // sessionState, shared SparkContext), so a concurrent query on the
+    // caller's session can never observe the flipped value or race a
+    // try/finally restore
+    val reader = spark.newSession()
+    reader.conf
       .set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
-    try groups.toSeq.sortBy(_._1)
+    groups.toSeq.sortBy(_._1)
       .map { case (cdir, fs) =>
-        spark.read
+        reader.read
           .option("basePath", new File(dataDir, cdir).getPath)
           .parquet(fs.sorted: _*)
       }
       .reduce(_.unionByName(_, allowMissingColumns = true))
-    finally spark.conf.set(
-      "spark.sql.sources.partitionColumnTypeInference.enabled", prevInfer)
   }
 
   /** Incremental small-file compaction — the real-world OPTIMIZE:
@@ -366,19 +455,21 @@ object SnapshotStore {
     * stays for the CdcMerge-status-label path (s29). */
   def commitMerge(spark: SparkSession, root: String, changes: DataFrame,
       keyCol: String, opCol: String, valCol: String, usCol: String,
-      idCol: String): Int = {
-    val prev = latestVersion(root)
-    require(prev >= 1, s"no snapshot to merge into under $root")
-    val base = read(spark, root, Some(prev))
-      .select(col(keyCol), col("val"), col("us"))
-    val latest = graft.operators.CdcMerge.latestState(
-      changes, keyCol, opCol, valCol, usCol, idCol)
-    val merged = graft.operators.CdcMerge.merge(base, latest, keyCol)
-      .select(col(keyCol), col("val"), col("last_us").as("us"))
-    val v = prev + 1
-    writeManifest(root, v, writeData(merged, root, v))
-    v
-  }
+      idCol: String, writerToken: Option[String] = None): Int =
+    writerToken.flatMap(committedVersionFor(root, _)).getOrElse {
+      val prev = latestVersion(root)
+      require(prev >= 1, s"no snapshot to merge into under $root")
+      val base = read(spark, root, Some(prev))
+        .select(col(keyCol), col("val"), col("us"))
+      val latest = graft.operators.CdcMerge.latestState(
+        changes, keyCol, opCol, valCol, usCol, idCol)
+      val merged = graft.operators.CdcMerge.merge(base, latest, keyCol)
+        .select(col(keyCol), col("val"), col("last_us").as("us"))
+      val v = prev + 1
+      writeManifest(root, v, writeData(merged, root, v),
+        writerToken.map("writer" -> _).toMap)
+      v
+    }
 
   /** MERGE INTO for a snapshotted table of ARBITRARY schema — the
     * general upsert [[commitMerge]]'s blessed (key, val, us) triple
@@ -402,28 +493,30 @@ object SnapshotStore {
     * Pre-merge versions keep reading the original files. */
   def commitMergeRows(spark: SparkSession, root: String,
       changes: DataFrame, keyCol: String, opCol: String, seqCol: String,
-      idCol: String): Int = {
-    val prev = latestVersion(root)
-    require(prev >= 1, s"no snapshot to merge into under $root")
-    val base = read(spark, root, Some(prev))
-    val cols = base.columns.toSeq
-    require(cols.contains(keyCol), s"key column $keyCol not in table")
-    val payload = cols.filterNot(_ == keyCol) :+ opCol
-    val latest = changes
-      .groupBy(col(keyCol))
-      .agg(max_by(struct(payload.map(col): _*),
-        struct(col(seqCol), col(idCol))).as("__mr"))
-      .select(col(keyCol) +: payload.map(c => col(s"__mr.$c").as(c)): _*)
-    val upserts = latest.filter(col(opCol) === "U")
-      .select(cols.map(col): _*)
-    val merged = base
-      .join(latest.select(col(keyCol)), Seq(keyCol), "left_anti")
-      .unionByName(upserts)
-      .select(cols.map(col): _*)
-    val v = prev + 1
-    writeManifest(root, v, writeData(merged, root, v))
-    v
-  }
+      idCol: String, writerToken: Option[String] = None): Int =
+    writerToken.flatMap(committedVersionFor(root, _)).getOrElse {
+      val prev = latestVersion(root)
+      require(prev >= 1, s"no snapshot to merge into under $root")
+      val base = read(spark, root, Some(prev))
+      val cols = base.columns.toSeq
+      require(cols.contains(keyCol), s"key column $keyCol not in table")
+      val payload = cols.filterNot(_ == keyCol) :+ opCol
+      val latest = changes
+        .groupBy(col(keyCol))
+        .agg(max_by(struct(payload.map(col): _*),
+          struct(col(seqCol), col(idCol))).as("__mr"))
+        .select(col(keyCol) +: payload.map(c => col(s"__mr.$c").as(c)): _*)
+      val upserts = latest.filter(col(opCol) === "U")
+        .select(cols.map(col): _*)
+      val merged = base
+        .join(latest.select(col(keyCol)), Seq(keyCol), "left_anti")
+        .unionByName(upserts)
+        .select(cols.map(col): _*)
+      val v = prev + 1
+      writeManifest(root, v, writeData(merged, root, v),
+        writerToken.map("writer" -> _).toMap)
+      v
+    }
 
   /** All committed version numbers, ascending (empty when none). */
   def versions(root: String): Seq[Int] = {
@@ -594,7 +687,8 @@ object SnapshotStore {
   /** Per-file [min, max] of the stat column at version `v` — lines
     * `path<TAB>min<TAB>max`. Files committed without stats simply
     * have no line (and are never skipped). */
-  private def statsAt(root: String, v: Int): Map[String, (Long, Long)] = {
+  private[sources] def statsAt(root: String, v: Int)
+      : Map[String, (Long, Long)] = {
     val f = statsFile(root, v)
     if (!f.isFile) Map.empty
     else new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
