@@ -561,7 +561,188 @@ object RelationalQueries {
        |GROUP BY 1""".stripMargin
   }
 
+  /** Correlated MIN over a dimension (TPC-H Q2 shape): the cheapest
+    * regional supplier per part. The testdata has no partsupp table,
+    * so the part-supplier offer list derives from lineitem (min unit
+    * price per (part, supplier) — min is order-free, so the double
+    * compare is engine-exact, unlike a float SUM). The oracle keeps
+    * the textbook correlated scalar-min subquery (re-correlating
+    * region+supplier INSIDE the subquery, Q2's signature); the Spark
+    * plan decorrelates to one per-part min aggregate joined back on
+    * (partkey, unit_cost = min_cost). The regional offer list feeds
+    * BOTH the min and the join-back — snapshot-barriered so the
+    * lineitem aggregate runs once. Dims broadcast; both big frames
+    * shuffle once on l_partkey. */
+  def q18MinCost(s: SparkSession, dir: String): DataFrame = {
+    val region = Tables.load(s, dir, "region").filter(col("r_name") === "ASIA")
+    val nation = Tables.load(s, dir, "nation")
+    val supp = Tables.load(s, dir, "supplier")
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"))
+    val offers = graft.util.Caches.snapshot(
+      li(s, dir)
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey")))
+    val minCost = offers.groupBy(col("l_partkey").as("mc_partkey"))
+      .agg(min(col("unit_cost")).as("min_cost"))
+    offers
+      .join(minCost, col("l_partkey") === col("mc_partkey") &&
+        col("unit_cost") === col("min_cost"))
+      .join(broadcast(Tables.load(s, dir, "part")
+          .filter(col("p_size") < 25)),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_partkey"), col("p_brand"), col("s_name"),
+        col("unit_cost"))
+      .orderBy(asc("unit_cost"), asc("p_partkey"), asc("s_name"))
+      .limit(100)
+  }
+
+  val q18MinCostOracle: String =
+    """WITH ps AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    min(l_extendedprice / l_quantity) AS unit_cost
+      |  FROM lineitem GROUP BY 1, 2)
+      |SELECT p_partkey, p_brand, s_name, ps.unit_cost
+      |FROM part, supplier, ps, nation, region
+      |WHERE p_partkey = ps.l_partkey AND s_suppkey = ps.l_suppkey
+      |  AND p_size < 25
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA'
+      |  AND ps.unit_cost = (
+      |    SELECT min(ps2.unit_cost)
+      |    FROM ps ps2, supplier s2, nation n2, region r2
+      |    WHERE ps2.l_partkey = p_partkey AND s2.s_suppkey = ps2.l_suppkey
+      |      AND s2.s_nationkey = n2.n_nationkey
+      |      AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'ASIA')
+      |ORDER BY unit_cost, p_partkey, s_name
+      |LIMIT 100""".stripMargin
+
+  /** Group share vs a global scalar (TPC-H Q11 shape): parts whose
+    * discounted revenue exceeds 0.1% of the corpus total. The oracle
+    * keeps the scalar HAVING subquery; the Spark plan broadcasts the
+    * one-row global total and filters — the fact table is read twice
+    * but shuffles only once per branch (per-part agg + groupless agg,
+    * both map-side combined). Both sums are decimal-gated, so the
+    * rendered doubles are identical and the > compare can only flip
+    * on a group landing within 1 ulp of the threshold — impossible
+    * for cent-grained money against an irrational-ish fraction. */
+  def q19GroupShare(s: SparkSession, dir: String): DataFrame = {
+    val px = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    val perPart = li(s, dir).groupBy(col("l_partkey"))
+      .agg(Parity.dsum(px).as("value"))
+    val cut = li(s, dir)
+      .agg((Parity.dsum(px) * lit(0.001)).as("cut"))
+    perPart.crossJoin(broadcast(cut))
+      .where(col("value") > col("cut"))
+      .select(col("l_partkey"), col("value"))
+  }
+
+  val q19GroupShareOracle: String = {
+    import Parity._
+    s"""SELECT l_partkey, ${duckDsum("l_extendedprice * (1 - l_discount)")}
+       |    AS value
+       |FROM lineitem
+       |GROUP BY l_partkey
+       |HAVING ${duckDsum("l_extendedprice * (1 - l_discount)")} > (
+       |  SELECT ${duckDsum("l_extendedprice * (1 - l_discount)")} * 0.001
+       |  FROM lineitem)""".stripMargin
+  }
+
+  /** IN over a HAVING subquery (TPC-H Q18 shape, "large volume
+    * customers"): orders whose total quantity exceeds 200, with their
+    * customer. The oracle keeps the textbook `o_orderkey IN (SELECT
+    * ... GROUP BY ... HAVING sum > 200)`; the Spark plan computes the
+    * per-order quantity aggregate ONCE and inner-joins it (the join
+    * IS the IN, and it also carries sum_qty into the output — the
+    * semi-join a naive rewrite would plan throws that column away and
+    * forces a second aggregate). The HAVING sum is decimal-gated:
+    * a float sum's partial-aggregation order varies per run, and a
+    * group within 1 ulp of 200 would flip membership between
+    * engines. customer joins on the shuffled key; orders arrive
+    * pre-filtered by the membership join so the customer join's
+    * probe side is tiny. */
+  def q20HavingIn(s: SparkSession, dir: String): DataFrame = {
+    val bigOrders = li(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(Parity.dsum(col("l_quantity")).as("sum_qty"))
+      .where(col("sum_qty") > 200.0)
+    Tables.load(s, dir, "orders")
+      .join(bigOrders, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.load(s, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_totalprice"), col("sum_qty"))
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      .limit(100)
+  }
+
+  val q20HavingInOracle: String = {
+    import Parity._
+    s"""SELECT c_name, c_custkey, o_orderkey, o_totalprice,
+       |  (SELECT ${duckDsum("l_quantity")} FROM lineitem
+       |   WHERE l_orderkey = o_orderkey) AS sum_qty
+       |FROM customer, orders
+       |WHERE o_orderkey IN (
+       |    SELECT l_orderkey FROM lineitem
+       |    GROUP BY l_orderkey
+       |    HAVING ${duckDsum("l_quantity")} > 200.0)
+       |  AND c_custkey = o_custkey
+       |ORDER BY o_totalprice DESC, o_orderkey
+       |LIMIT 100""".stripMargin
+  }
+
+  /** Nested IN + correlated aggregate (TPC-H Q20 shape): suppliers
+    * who shipped more than 50 units of some widget part, with how
+    * many such parts qualified. The oracle keeps the textbook nested
+    * chain — `s_suppkey IN (SELECT ... WHERE l_partkey IN (SELECT
+    * p_partkey ...) GROUP BY supp, part HAVING sum > 50)`; the Spark
+    * plan decorrelates inside-out: the part filter broadcasts into
+    * the lineitem scan (a semi-join the optimizer folds into the
+    * probe), ONE (suppkey, partkey) hash aggregate applies the
+    * HAVING, and the supplier join is a broadcast. The HAVING sum is
+    * decimal-gated against the knife-edge. Output is per-supplier
+    * qualifying-part counts (richer than the bare IN, same
+    * membership). */
+  def q21NestedExists(s: SparkSession, dir: String): DataFrame = {
+    val widgetParts = Tables.load(s, dir, "part")
+      .filter(col("p_name").like("%widget%"))
+      .select(col("p_partkey"))
+    val qual = li(s, dir)
+      .join(broadcast(widgetParts), col("l_partkey") === col("p_partkey"),
+        "left_semi")
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(Parity.dsum(col("l_quantity")).as("qty"))
+      .where(col("qty") > 50.0)
+    qual
+      .join(broadcast(Tables.load(s, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_suppkey"), col("s_name"))
+      .agg(count(lit(1)).as("n_qual_parts"),
+        Parity.dsum(col("qty")).as("total_qty"))
+  }
+
+  val q21NestedExistsOracle: String = {
+    import Parity._
+    s"""WITH q AS (
+       |  SELECT l_suppkey, l_partkey, ${duckDsum("l_quantity")} AS qty
+       |  FROM lineitem
+       |  WHERE l_partkey IN (
+       |    SELECT p_partkey FROM part WHERE p_name LIKE '%widget%')
+       |  GROUP BY l_suppkey, l_partkey
+       |  HAVING ${duckDsum("l_quantity")} > 50.0)
+       |SELECT s_suppkey, s_name, count(*) AS n_qual_parts,
+       |  ${duckDsum("qty")} AS total_qty
+       |FROM supplier JOIN q ON s_suppkey = l_suppkey
+       |GROUP BY 1, 2""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "q18_min_cost" -> QueryDef(q18MinCost _, q18MinCostOracle),
+    "q19_group_share" -> QueryDef(q19GroupShare _, q19GroupShareOracle),
+    "q20_having_in" -> QueryDef(q20HavingIn _, q20HavingInOracle),
+    "q21_nested_exists" -> QueryDef(q21NestedExists _, q21NestedExistsOracle),
     "q17_anti_avg" -> QueryDef(q17AntiAvg _, q17AntiAvgOracle),
     "q16_view_max" -> QueryDef(q16ViewMax _, q16ViewMaxOracle),
     "q14_freq_itemsets" -> QueryDef(q14FreqItemsets _, q14FreqItemsetsOracle),

@@ -116,6 +116,9 @@ class PlanAuditSpec extends AnyFunSuite {
       // basket-count denominator for the data-derived min support:
       // crossJoin(broadcast(baskets.agg(countDistinct))) — one row
       "q14_freq_itemsets",
+      // Q11-shape global threshold: crossJoin(broadcast(
+      // lineitem.agg(dsum × 0.001))) — one groupless row
+      "q19_group_share",
       // tokenizer audit: each family row crossJoins the one-row
       // whitespace-total and corpus-chars groupless aggregates
       "llm_tok_compare",
