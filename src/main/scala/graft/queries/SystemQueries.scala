@@ -2288,7 +2288,76 @@ object SystemQueries {
        |UNION ALL
        |SELECT 'head', count(*), ${duckDsum("amount")} FROM t""".stripMargin
 
+  /** S37: sidecar pruning THROUGH the SQL face — the closing piece of
+    * the unified-read story: a pure-SQL `WHERE tid = k` / range scan
+    * against the catalog plans the same pruned file set the Scala
+    * [[graft.sources.SnapshotRead]] planner produces, because the
+    * catalog's scan builder resolves pushed-down predicates against
+    * the stats (`#statcol` header) and Bloom sidecars BEFORE the
+    * parquet scan exists (`SupportsPushDownCatalystFilters`). The
+    * entry asserts the pruning actually happened (`files_skipped`
+    * from the PLANNED file count vs the manifest's) and the oracle
+    * pins both answers; Round16cSpec pins the exact planned-file
+    * counts against the SnapshotRead ledger. */
+  def s37SqlPrunedRead(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{BloomIndex, SnapshotStore}
+    val root = s"$catalogWarehouse/trades_px"
+    val t = SyntheticTrades.trades(s, dir)
+      .select(col("trade_id").cast("long").as("tid"), col("amount"))
+    // bounded-collect(one row: probe bounds + store sizing)
+    val b = t.agg(max(col("tid")).as("mx"), min(col("tid")).as("mn"),
+      count(lit(1)).as("n")).collect().head
+    if (SnapshotStore.latestVersion(root) == 0) {
+      // file count sized with the data so per-file key density stays
+      // bounded (a saturated Bloom skips nothing — see s35)
+      val nFiles = math.max(8, (b.getLong(2) / 6000L).toInt + 1)
+      SnapshotStore.commitAppendWithStats(t, root, "tid", nFiles)
+      BloomIndex.build(s, root, "tid")
+    }
+    s.conf.set("spark.sql.catalog.graft_snap",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_snap.warehouse", catalogWarehouse)
+    val hi = b.getLong(0) / 4
+    val key = b.getLong(1)
+    val total = SnapshotStore.filesAt(
+      root, SnapshotStore.latestVersion(root)).size
+    val dsumSql = "CAST(sum(CAST(amount AS DECIMAL(28,6))) AS DOUBLE)"
+    def q(pred: String): DataFrame = s.sql(
+      s"""SELECT count(*) AS n_rows, $dsumSql AS amount_sum
+         |FROM graft_snap.trades_px WHERE $pred""".stripMargin)
+    // planned-file count: the file index the V2 scan was BUILT over —
+    // pruning is a plan-time fact, not a row-count side effect
+    def planned(df: DataFrame): Int =
+      df.queryExecution.sparkPlan.collect {
+        case bs: org.apache.spark.sql.execution.datasources.v2
+            .BatchScanExec => bs.scan
+      }.collect {
+        case p: org.apache.spark.sql.execution.datasources.v2.parquet
+            .ParquetScan => p.fileIndex.inputFiles.length
+      }.sum
+    val rangeDf = q(s"tid >= 0 AND tid <= $hi")
+    val pointDf = q(s"tid = $key")
+    def shape(phase: String, df: DataFrame): DataFrame =
+      df.select(lit(phase).as("phase"), col("n_rows"), col("amount_sum"),
+        lit(planned(df) < total).as("files_skipped"))
+    shape("range", rangeDf).unionAll(shape("point", pointDf))
+  }
+
+  val s37Oracle: String =
+    s"""WITH ${SyntheticTrades.tradesCte},
+       |t AS (
+       |  SELECT CAST(trade_id AS BIGINT) AS tid, amount FROM trades),
+       |hi AS (SELECT max(tid) // 4 AS h FROM t),
+       |k AS (SELECT min(tid) AS key FROM t)
+       |SELECT 'range' AS phase, count(*) AS n_rows,
+       |  ${duckDsum("amount")} AS amount_sum, true AS files_skipped
+       |FROM t, hi WHERE tid >= 0 AND tid <= h
+       |UNION ALL
+       |SELECT 'point', count(*), ${duckDsum("amount")}, true
+       |FROM t, k WHERE tid = key""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "s37_sql_pruned_read" -> QueryDef(s37SqlPrunedRead _, s37Oracle),
     "s35_unified_read" -> QueryDef(s35UnifiedRead _, s35Oracle),
     "s36_sql_time_travel" -> QueryDef(s36SqlTimeTravel _, s36Oracle),
     "s34_time_travel" -> QueryDef(s34TimeTravel _, s34Oracle),

@@ -81,13 +81,8 @@ class GraftCatalog extends TableCatalog {
           "columns live in directory layouts; the SQL face cannot " +
           "flatten them — read it via SnapshotStore.readEvolved / " +
           "SnapshotRead.plan")
-    new GraftCatalog.SnapshotTable(ParquetTable(
-      s"$catalogName.${ident.toString}@v$v",
-      SparkSession.active,
-      new CaseInsensitiveStringMap(Collections.emptyMap()),
-      files.toIndexedSeq,
-      None,
-      classOf[ParquetFileFormat]))
+    new GraftCatalog.SnapshotTable(
+      s"$catalogName.${ident.toString}@v$v", root, v, files)
   }
 
   private def checkExists(ident: Identifier): String = {
@@ -154,15 +149,115 @@ object GraftCatalog {
     * version's back (the exact corruption the immutable-data-file
     * contract forbids). Narrowing the interface makes the analyzer
     * reject writes at plan time ("table does not support append"),
-    * not at runtime. */
-  private final class SnapshotTable(underlying: ParquetTable)
+    * not at runtime. Scans go through [[SnapshotScanBuilder]], which
+    * re-resolves the file list against the sidecar indexes at filter-
+    * pushdown time. */
+  private final class SnapshotTable(tableName: String, root: String,
+      v: Int, files: Seq[String])
       extends Table with SupportsRead {
-    override def name(): String = underlying.name
+    private[sources] def mk(fs: Seq[String]): ParquetTable =
+      ParquetTable(tableName, SparkSession.active,
+        new CaseInsensitiveStringMap(Collections.emptyMap()),
+        fs.toIndexedSeq, None, classOf[ParquetFileFormat])
+    override def name(): String = tableName
     override def schema(): org.apache.spark.sql.types.StructType =
-      underlying.schema
+      mk(files).schema
     override def capabilities(): java.util.Set[TableCapability] =
       java.util.Collections.singleton(TableCapability.BATCH_READ)
     override def newScanBuilder(options: CaseInsensitiveStringMap)
-        : ScanBuilder = underlying.newScanBuilder(options)
+        : ScanBuilder = new SnapshotScanBuilder(root, v, files, mk, options)
+  }
+
+  /** The piece that makes the SQL face plan like the Scala planner:
+    * Spark pushes the query's predicates into the scan builder
+    * (`SupportsPushDownCatalystFilters` — the optimizer's V2 pushdown
+    * entry point), and THIS builder resolves them against the
+    * manifest sidecars BEFORE the parquet scan exists — equality on a
+    * Bloom-indexed column keeps only covering files, bounds on the
+    * stats column (identified by the manifest's `#statcol` header)
+    * keep only [min,max]-overlapping files — then rebuilds the stock
+    * ParquetScanBuilder over the SURVIVORS and forwards the same
+    * predicates for ordinary row-group pushdown. A pure-SQL
+    * `WHERE tid = k` thus scans the same one-ish file the Scala
+    * `SnapshotRead.plan(point = ...)` scans, with zero extra syntax.
+    * Unsupported predicate shapes simply prune nothing (the full
+    * list survives) — correctness never depends on the pruning, only
+    * IO does. When everything is skipped, one file is kept so schema
+    * inference and the (now trivially empty) row filter still work. */
+  private final class SnapshotScanBuilder(root: String, v: Int,
+      all: Seq[String], mk: Seq[String] => ParquetTable,
+      options: CaseInsensitiveStringMap)
+      extends org.apache.spark.sql.internal.connector
+        .SupportsPushDownCatalystFilters
+      with org.apache.spark.sql.connector.read
+        .SupportsPushDownRequiredColumns {
+    import org.apache.spark.sql.catalyst.expressions._
+
+    private var inner = mk(all).newScanBuilder(options)
+
+    private def longOf(l: Literal): Option[Long] = l.dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType =>
+        Option(l.value).map(_.toString.toLong)
+      case _ => None
+    }
+
+    override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+      var lo = Map.empty[String, Long]
+      var hi = Map.empty[String, Long]
+      var eq = Map.empty[String, Long]
+      def tightenLo(c: String, x: Long): Unit =
+        lo += c -> math.max(x, lo.getOrElse(c, Long.MinValue))
+      def tightenHi(c: String, x: Long): Unit =
+        hi += c -> math.min(x, hi.getOrElse(c, Long.MaxValue))
+      filters.foreach {
+        case EqualTo(a: AttributeReference, l: Literal) =>
+          longOf(l).foreach { k => eq += a.name -> k
+            tightenLo(a.name, k); tightenHi(a.name, k) }
+        case EqualTo(l: Literal, a: AttributeReference) =>
+          longOf(l).foreach { k => eq += a.name -> k
+            tightenLo(a.name, k); tightenHi(a.name, k) }
+        case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
+          longOf(l).foreach(tightenLo(a.name, _))
+        case GreaterThan(a: AttributeReference, l: Literal) =>
+          longOf(l).foreach(k => tightenLo(a.name, k + 1))
+        case LessThanOrEqual(a: AttributeReference, l: Literal) =>
+          longOf(l).foreach(tightenHi(a.name, _))
+        case LessThan(a: AttributeReference, l: Literal) =>
+          longOf(l).foreach(k => tightenHi(a.name, k - 1))
+        case _ => // unsupported shape: prunes nothing
+      }
+      val spark = SparkSession.active
+      val statCol = SnapshotStore.manifestMeta(root, v).get("statcol")
+      val afterStats = statCol match {
+        case Some(c) if lo.contains(c) || hi.contains(c) =>
+          val (l, h) = (lo.getOrElse(c, Long.MinValue),
+            hi.getOrElse(c, Long.MaxValue))
+          val stats = SnapshotStore.statsAt(root, v)
+          all.filter(f => stats.get(f).forall { case (mn, mx) =>
+            mx >= l && mn <= h })
+        case _ => all
+      }
+      // Bloom probes only the stats survivors; absent sidecars no-op
+      val pruned = eq.foldLeft(afterStats) { case (fs, (c, k)) =>
+        BloomIndex.survivorsAmong(spark, root, c, k, v, fs)
+      }
+      if (pruned.size != all.size)
+        inner = mk(if (pruned.nonEmpty) pruned else all.take(1))
+          .newScanBuilder(options)
+      inner.pushFilters(filters)
+    }
+
+    override def pushedFilters()
+        : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+      inner.pushedFilters
+
+    override def pruneColumns(
+        requiredSchema: org.apache.spark.sql.types.StructType): Unit =
+      inner.pruneColumns(requiredSchema)
+
+    override def build(): org.apache.spark.sql.connector.read.Scan =
+      inner.build()
   }
 }

@@ -147,6 +147,14 @@ object SnapshotStore {
     versions(root).reverse.find(v =>
       manifestMeta(root, v).get("writer").contains(token))
 
+  /** Header keys that travel from a version to its successor the same
+    * way stats sidecar lines do — today just `statcol` (which column
+    * the stats sidecar indexes), so the SQL face's pushdown pruning
+    * keeps working after later appends carry the stats forward. */
+  private def carriedMeta(root: String, prev: Int): Map[String, String] =
+    if (prev == 0) Map.empty
+    else manifestMeta(root, prev).filter { case (k, _) => k == "statcol" }
+
   /** Commit-unique suffix so two optimistic committers never collide
     * on a data directory (the loser's dir becomes an orphan, cleaned
     * by maintenance — never by a commit). */
@@ -178,7 +186,7 @@ object SnapshotStore {
       val fresh = writeData(df, root, v)
       val base = if (prev == 0) Seq.empty else filesAt(root, prev)
       writeManifest(root, v, base ++ fresh,
-        writerToken.map("writer" -> _).toMap)
+        carriedMeta(root, prev) ++ writerToken.map("writer" -> _).toMap)
       // stats travel with their surviving files; the fresh files simply
       // have no lines (never skipped). A replace-commit drops all stats
       // with the files they described.
@@ -284,7 +292,7 @@ object SnapshotStore {
       spec.mkString("\n").getBytes(StandardCharsets.UTF_8))
     val fresh = leafParquet(dir)
     val base = if (prev == 0) Seq.empty else filesAt(root, prev)
-    writeManifest(root, v, base ++ fresh)
+    writeManifest(root, v, base ++ fresh, carriedMeta(root, prev))
     val prior = statsAt(root, prev)
     if (prior.nonEmpty) writeStats(root, v, prior)
     v
@@ -367,7 +375,7 @@ object SnapshotStore {
       val v = prev + 1
       val merged = writeData(
         spark.read.parquet(small: _*).coalesce(targetFiles), root, v)
-      writeManifest(root, v, big ++ merged)
+      writeManifest(root, v, big ++ merged, carriedMeta(root, prev))
       val bigSet = big.toSet
       val carried = statsAt(root, prev).filter { case (p, _) => bigSet(p) }
       if (carried.nonEmpty) writeStats(root, v, carried)
@@ -423,7 +431,7 @@ object SnapshotStore {
         spark.read.parquet(hit.toSeq.sorted: _*)
           .filter(not(coalesce(predicate, lit(false)))),
         root, v)
-      writeManifest(root, v, keep ++ fresh)
+      writeManifest(root, v, keep ++ fresh, carriedMeta(root, prev))
       val keepSet = keep.toSet
       val carried = statsAt(root, prev).filter { case (p, _) => keepSet(p) }
       if (carried.nonEmpty) writeStats(root, v, carried)
@@ -740,7 +748,9 @@ object SnapshotStore {
       }
       .toMap
     val base = if (prev == 0) Seq.empty else filesAt(root, prev)
-    writeManifest(root, v, base ++ fresh)
+    // record WHICH column the stats sidecar indexes — the SQL face's
+    // pushdown pruning needs the identity, not just the numbers
+    writeManifest(root, v, base ++ fresh, Map("statcol" -> statCol))
     writeStats(root, v, statsAt(root, prev) ++ freshStats)
     v
   }
