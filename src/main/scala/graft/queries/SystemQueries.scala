@@ -2288,6 +2288,85 @@ object SystemQueries {
        |UNION ALL
        |SELECT 'head', count(*), ${duckDsum("amount")} FROM t""".stripMargin
 
+  /** ST20: exactly-once through a REAL crash-replay — the operational
+    * proof for the batchId-idempotent snapshot commits that the spec
+    * can only simulate by re-invoking the body. The stream runs to
+    * completion, then the entry reproduces the crash window
+    * Structured Streaming's contract warns about: the last
+    * micro-batch committed to the SINK but its checkpoint commit
+    * marker never landed (here: the marker file is deleted). On
+    * restart from that checkpoint Spark RE-EXECUTES the batch with
+    * the SAME batchId — the re-delivered commit must find its writer
+    * token in a live manifest and no-op, or the store double-counts.
+    * The audit pins: final state equals the input exactly (count /
+    * distinct ids / decimal sum — the oracle's statement), version
+    * counts are monotone, and the replay published NO new version. */
+  def st20StreamRestart(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.SnapshotStore
+    val root = graft.util.TempDirs.scoped("st20-snap")
+    val src = graft.util.TempDirs.scoped("st20-src")
+    val ckpt = graft.util.TempDirs.scoped("st20-ckpt")
+    val t = SyntheticTrades.trades(s, dir)
+      .filter(col("trade_id").cast("long") % 67 === 0)
+      .select(col("trade_id").cast("long").as("tid"), col("amount"))
+    t.repartition(3).write.parquet(s"$src/pages")
+    val ss = streamSession(s)
+    def runOnce(): Unit = {
+      val raw = ss.readStream.schema(t.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$src/pages")
+      val q = raw.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], batchId: Long) =>
+          if (!batch.isEmpty) {
+            SnapshotStore.commitAppend(batch, root, Some(s"st20:$batchId"))
+            ()
+          }
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+      // stop() alone can leave the query momentarily registered on the
+      // checkpoint — the restart then trips Spark's concurrent-use
+      // guard; awaitTermination is the deregistration barrier
+      try q.processAllAvailable() finally { q.stop(); q.awaitTermination() }
+    }
+    runOnce()
+    val vAfterRun = SnapshotStore.latestVersion(root)
+    // reproduce the crash window: sink committed, checkpoint's commit
+    // marker for the LAST batch never landed
+    val commitDir = new java.io.File(ckpt, "commits")
+    val markers = commitDir.listFiles()
+      .filter(_.getName.matches("\\d+")).sortBy(_.getName.toInt)
+    require(markers.nonEmpty, "stream produced no committed batches")
+    require(markers.last.delete(), "could not remove the commit marker")
+    // the local ChecksumFileSystem shadows every marker with a .N.crc;
+    // a stale one makes the replay's commit-log write throw
+    // FileAlreadyExists ("multiple streaming queries"), so the crash
+    // simulation must drop both files the way a real crash would
+    // (neither would have been written)
+    new java.io.File(commitDir, s".${markers.last.getName}.crc").delete()
+    runOnce() // Spark re-executes the last batch with the SAME batchId
+    val vAfterReplay = SnapshotStore.latestVersion(root)
+    val counts = (1 to vAfterReplay).map(v =>
+      SnapshotStore.read(s, root, Some(v)).count())
+    val monotone = counts.zip(counts.drop(1)).forall { case (a, b) => a <= b }
+    SnapshotStore.read(s, root)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("tid")).as("unique_ids"),
+        dsum(col("amount")).as("amount_sum"))
+      .select(col("n_rows"), col("unique_ids"), col("amount_sum"),
+        lit(monotone).as("versions_monotone"),
+        lit(vAfterReplay == vAfterRun).as("replay_was_noop"))
+  }
+
+  val st20Oracle: String =
+    s"""WITH ${SyntheticTrades.tradesCte}
+       |SELECT count(*) AS n_rows,
+       |  count(DISTINCT CAST(trade_id AS BIGINT)) AS unique_ids,
+       |  ${duckDsum("amount")} AS amount_sum,
+       |  true AS versions_monotone, true AS replay_was_noop
+       |FROM trades WHERE CAST(trade_id AS BIGINT) % 67 = 0""".stripMargin
+
   /** S37: sidecar pruning THROUGH the SQL face — the closing piece of
     * the unified-read story: a pure-SQL `WHERE tid = k` / range scan
     * against the catalog plans the same pruned file set the Scala
@@ -2357,6 +2436,7 @@ object SystemQueries {
        |FROM t, k WHERE tid = key""".stripMargin
 
   val defs: Map[String, QueryDef] = Map(
+    "st20_stream_restart" -> QueryDef(st20StreamRestart _, st20Oracle),
     "s37_sql_pruned_read" -> QueryDef(s37SqlPrunedRead _, s37Oracle),
     "s35_unified_read" -> QueryDef(s35UnifiedRead _, s35Oracle),
     "s36_sql_time_travel" -> QueryDef(s36SqlTimeTravel _, s36Oracle),
