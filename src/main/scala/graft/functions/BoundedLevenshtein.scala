@@ -18,10 +18,55 @@ import org.apache.spark.unsafe.types.UTF8String
   * bottleneck. */
 object TextMath {
 
-  /** min(levenshtein(s, t), k+1), in O(k·min(n,m)) time. */
-  def boundedLev(sU: UTF8String, tU: UTF8String, k: Int): Int = {
-    val s = sU.toString
-    val t = tU.toString
+  /** min(levenshtein(s, t), k+1), in O(k·min(n,m)) time.
+    * ASCII inputs (numBytes == numChars — the fuzzy-join's lowercase
+    * part names always are) run the DP straight over the UTF8String
+    * bytes via `getByte` — ZERO allocation per candidate pair, where
+    * the first cut built two `String`s (decode + copy) per pair in
+    * the join's hot loop. Multi-byte inputs take the char-exact
+    * fallback (byte-level distance ≠ char-level there). */
+  def boundedLev(sU: UTF8String, tU: UTF8String, k: Int): Int =
+    if (sU.numBytes == sU.numChars && tU.numBytes == tU.numChars)
+      boundedLevAscii(sU, tU, k)
+    else boundedLevChars(sU.toString, tU.toString, k)
+
+  private def boundedLevAscii(s: UTF8String, t: UTF8String,
+      k: Int): Int = {
+    val n = s.numBytes
+    val m = t.numBytes
+    val inf = k + 1
+    if (Math.abs(n - m) > k) return inf
+    var prev = new Array[Int](m + 1)
+    var cur = new Array[Int](m + 1)
+    java.util.Arrays.fill(prev, inf)
+    var j = 0
+    while (j <= Math.min(m, k)) { prev(j) = j; j += 1 }
+    var i = 1
+    while (i <= n) {
+      java.util.Arrays.fill(cur, inf)
+      val lo = Math.max(1, i - k)
+      val hi = Math.min(m, i + k)
+      if (lo == 1 && i <= k) cur(0) = i
+      var best = cur(lo - 1)
+      j = lo
+      while (j <= hi) {
+        val cost = if (s.getByte(i - 1) == t.getByte(j - 1)) 0 else 1
+        var v = prev(j - 1) + cost
+        if (prev(j) + 1 < v) v = prev(j) + 1
+        if (cur(j - 1) + 1 < v) v = cur(j - 1) + 1
+        if (v > inf) v = inf
+        cur(j) = v
+        if (v < best) best = v
+        j += 1
+      }
+      if (best >= inf) return inf // whole band saturated — hopeless
+      val tmp = prev; prev = cur; cur = tmp
+      i += 1
+    }
+    Math.min(prev(m), inf)
+  }
+
+  private def boundedLevChars(s: String, t: String, k: Int): Int = {
     val n = s.length
     val m = t.length
     val inf = k + 1

@@ -35,6 +35,19 @@ class Round15eSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-byte input takes the char-exact path, not byte distance") {
+    // 'é' is 2 UTF-8 bytes: a byte-level DP would count 2 edits where
+    // the char-level distance is 1 — pins the ASCII fast path's guard
+    for (k <- 0 to 4) {
+      val got = TextMath.boundedLev(
+        UTF8String.fromString("café"), UTF8String.fromString("cafe"), k)
+      assert(got == math.min(1, k + 1), s"k=$k")
+      val mixed = TextMath.boundedLev(
+        UTF8String.fromString("éé"), UTF8String.fromString("ee"), k)
+      assert(mixed == math.min(2, k + 1), s"mixed k=$k")
+    }
+  }
+
   test("the expression agrees with Spark's levenshtein inside the bound") {
     val pairs = Seq(("cold ring", "old ring"), ("old rod", "red rod"),
       ("small gizmo", "small gizmo"), ("anvil", "widget"))
