@@ -282,21 +282,23 @@ object SnapshotStore {
     * leaf parquet files as usual, so every other store operation
     * (expire, tags, diff, stats carry) works unchanged. */
   def commitAppendPartitioned(df: DataFrame, root: String,
-      spec: Seq[String]): Int = {
-    require(spec.nonEmpty, "partition spec must name at least one column")
-    val prev = latestVersion(root)
-    val v = prev + 1
-    val dir = new File(new File(root, "data"), s"c$v-${commitToken()}")
-    df.write.partitionBy(spec: _*).parquet(dir.getPath)
-    Files.write(new File(dir, "_spec.list").toPath,
-      spec.mkString("\n").getBytes(StandardCharsets.UTF_8))
-    val fresh = leafParquet(dir)
-    val base = if (prev == 0) Seq.empty else filesAt(root, prev)
-    writeManifest(root, v, base ++ fresh, carriedMeta(root, prev))
-    val prior = statsAt(root, prev)
-    if (prior.nonEmpty) writeStats(root, v, prior)
-    v
-  }
+      spec: Seq[String], writerToken: Option[String] = None): Int =
+    writerToken.flatMap(committedVersionFor(root, _)).getOrElse {
+      require(spec.nonEmpty, "partition spec must name at least one column")
+      val prev = latestVersion(root)
+      val v = prev + 1
+      val dir = new File(new File(root, "data"), s"c$v-${commitToken()}")
+      df.write.partitionBy(spec: _*).parquet(dir.getPath)
+      Files.write(new File(dir, "_spec.list").toPath,
+        spec.mkString("\n").getBytes(StandardCharsets.UTF_8))
+      val fresh = leafParquet(dir)
+      val base = if (prev == 0) Seq.empty else filesAt(root, prev)
+      writeManifest(root, v, base ++ fresh,
+        carriedMeta(root, prev) ++ writerToken.map("writer" -> _).toMap)
+      val prior = statsAt(root, prev)
+      if (prior.nonEmpty) writeStats(root, v, prior)
+      v
+    }
 
   private def leafParquet(dir: File): Seq[String] = {
     val buf = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -730,30 +732,33 @@ object SnapshotStore {
     * previous versions' stats lines carry forward untouched, so every
     * surviving file keeps its index. */
   def commitAppendWithStats(df: DataFrame, root: String,
-      statCol: String, nFiles: Int = 8): Int = {
-    val prev = latestVersion(root)
-    val v = prev + 1
-    val spark = df.sparkSession
-    val fresh =
-      writeData(df.repartitionByRange(nFiles, col(statCol)), root, v)
-    val freshStats = spark.read.parquet(fresh: _*)
-      .groupBy(input_file_name().as("f"))
-      .agg(min(col(statCol)).cast("long").as("mn"),
-        max(col(statCol)).cast("long").as("mx"))
-      .collect()
-      .map { r =>
-        // input_file_name is a file:// URI; manifests hold plain paths
-        val p = new java.net.URI(r.getAs[String]("f")).getPath
-        (p, (r.getAs[Long]("mn"), r.getAs[Long]("mx")))
-      }
-      .toMap
-    val base = if (prev == 0) Seq.empty else filesAt(root, prev)
-    // record WHICH column the stats sidecar indexes — the SQL face's
-    // pushdown pruning needs the identity, not just the numbers
-    writeManifest(root, v, base ++ fresh, Map("statcol" -> statCol))
-    writeStats(root, v, statsAt(root, prev) ++ freshStats)
-    v
-  }
+      statCol: String, nFiles: Int = 8,
+      writerToken: Option[String] = None): Int =
+    writerToken.flatMap(committedVersionFor(root, _)).getOrElse {
+      val prev = latestVersion(root)
+      val v = prev + 1
+      val spark = df.sparkSession
+      val fresh =
+        writeData(df.repartitionByRange(nFiles, col(statCol)), root, v)
+      val freshStats = spark.read.parquet(fresh: _*)
+        .groupBy(input_file_name().as("f"))
+        .agg(min(col(statCol)).cast("long").as("mn"),
+          max(col(statCol)).cast("long").as("mx"))
+        .collect()
+        .map { r =>
+          // input_file_name is a file:// URI; manifests hold plain paths
+          val p = new java.net.URI(r.getAs[String]("f")).getPath
+          (p, (r.getAs[Long]("mn"), r.getAs[Long]("mx")))
+        }
+        .toMap
+      val base = if (prev == 0) Seq.empty else filesAt(root, prev)
+      // record WHICH column the stats sidecar indexes — the SQL face's
+      // pushdown pruning needs the identity, not just the numbers
+      writeManifest(root, v, base ++ fresh,
+        Map("statcol" -> statCol) ++ writerToken.map("writer" -> _).toMap)
+      writeStats(root, v, statsAt(root, prev) ++ freshStats)
+      v
+    }
 
   /** The manifest's file list at `v` split by the skipping decision
     * for `[lo, hi]` on the stat column: (kept, skipped). A file is

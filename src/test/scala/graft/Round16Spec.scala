@@ -51,6 +51,25 @@ class Round16Spec extends AnyFunSuite {
     assert(SnapshotStore.read(spark, root).count() == 1)
   }
 
+  test("partitioned and stats commits replay as no-ops too") {
+    val root = graft.util.TempDirs.scoped("r16-idem4")
+    val p = Seq((1L, "202601", 1.0), (2L, "202602", 2.0))
+      .toDF("tid", "month", "amount")
+    assert(SnapshotStore.commitAppendPartitioned(
+      p, root, Seq("month"), Some("pq:0")) == 1)
+    assert(SnapshotStore.commitAppendPartitioned(
+      p, root, Seq("month"), Some("pq:0")) == 1)
+    assert(SnapshotStore.latestVersion(root) == 1)
+    val root2 = graft.util.TempDirs.scoped("r16-idem5")
+    val t = Seq((1L, 1.0), (2L, 2.0)).toDF("tid", "amount")
+    assert(SnapshotStore.commitAppendWithStats(
+      t, root2, "tid", 2, Some("sq:0")) == 1)
+    assert(SnapshotStore.commitAppendWithStats(
+      t, root2, "tid", 2, Some("sq:0")) == 1)
+    assert(SnapshotStore.latestVersion(root2) == 1)
+    assert(SnapshotStore.read(spark, root2).count() == 2)
+  }
+
   test("commitMergeRows replay (same writer token) is a no-op") {
     val root = graft.util.TempDirs.scoped("r16-idem3")
     SnapshotStore.commitAppend(
