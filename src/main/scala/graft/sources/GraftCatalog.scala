@@ -206,18 +206,28 @@ object GraftCatalog {
     override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
       var lo = Map.empty[String, Long]
       var hi = Map.empty[String, Long]
-      var eq = Map.empty[String, Long]
+      // per column: the key SETS the predicate restricts it to (an
+      // equality is a 1-element set, an IN-list its values) — a file
+      // survives a set when it may contain ANY member
+      var keySets = Map.empty[String, Seq[Long]]
       def tightenLo(c: String, x: Long): Unit =
         lo += c -> math.max(x, lo.getOrElse(c, Long.MinValue))
       def tightenHi(c: String, x: Long): Unit =
         hi += c -> math.min(x, hi.getOrElse(c, Long.MaxValue))
+      def keySet(c: String, ks: Seq[Long]): Unit = {
+        keySets += c -> ks
+        tightenLo(c, ks.min); tightenHi(c, ks.max)
+      }
       filters.foreach {
         case EqualTo(a: AttributeReference, l: Literal) =>
-          longOf(l).foreach { k => eq += a.name -> k
-            tightenLo(a.name, k); tightenHi(a.name, k) }
+          longOf(l).foreach(k => keySet(a.name, Seq(k)))
         case EqualTo(l: Literal, a: AttributeReference) =>
-          longOf(l).foreach { k => eq += a.name -> k
-            tightenLo(a.name, k); tightenHi(a.name, k) }
+          longOf(l).foreach(k => keySet(a.name, Seq(k)))
+        case In(a: AttributeReference, vs)
+            if vs.nonEmpty && vs.size <= 64 &&
+              vs.forall(_.isInstanceOf[Literal]) =>
+          val ks = vs.flatMap(x => longOf(x.asInstanceOf[Literal]))
+          if (ks.size == vs.size) keySet(a.name, ks)
         case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
           longOf(l).foreach(tightenLo(a.name, _))
         case GreaterThan(a: AttributeReference, l: Literal) =>
@@ -239,9 +249,13 @@ object GraftCatalog {
             mx >= l && mn <= h })
         case _ => all
       }
-      // Bloom probes only the stats survivors; absent sidecars no-op
-      val pruned = eq.foldLeft(afterStats) { case (fs, (c, k)) =>
-        BloomIndex.survivorsAmong(spark, root, c, k, v, fs)
+      // Bloom probes only the stats survivors; absent sidecars no-op.
+      // A key SET keeps the union of per-key survivors (a file may
+      // serve any member).
+      val pruned = keySets.foldLeft(afterStats) { case (fs, (c, ks)) =>
+        val keep = ks.flatMap(k =>
+          BloomIndex.survivorsAmong(spark, root, c, k, v, fs)).toSet
+        fs.filter(keep)
       }
       if (pruned.size != all.size)
         inner = mk(if (pruned.nonEmpty) pruned else all.take(1))

@@ -61,6 +61,12 @@ class Round16cSpec extends AnyFunSuite {
     val odd = spark.sql("SELECT count(*) FROM g16c.t WHERE tid % 2 = 1")
     assert(plannedFiles(odd).size == 4)
     assert(odd.head.getLong(0) == 40L)
+
+    // IN-list: union of per-key Bloom survivors — 7 and 63 live in
+    // opposite range files, so exactly two files survive
+    val in = spark.sql("SELECT count(*) FROM g16c.t WHERE tid IN (7, 63)")
+    assert(plannedFiles(in).size == 2)
+    assert(in.head.getLong(0) == 2L)
   }
 
   test("statcol metadata survives later appends and maintenance") {
