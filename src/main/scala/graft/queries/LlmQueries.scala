@@ -2101,6 +2101,90 @@ object LlmQueries {
        |  FROM scored
        |) WHERE rank <= $AnnK""".stripMargin
 
+  /** Filtered (label-constrained) vector search — the retrieval
+    * pipeline's metadata-predicate + ANN combination, done the only
+    * way that is correct at scale: the predicate joins INTO the
+    * scoring (pre-filter — each query scores only vectors sharing its
+    * label), never applied to a global top-k afterwards. The entry
+    * MEASURES why: `post_hits` counts how many of the UNFILTERED
+    * top-k happen to satisfy the predicate — post-filtering
+    * under-returns whenever post_hits < k, which is the standard
+    * failure of filter-after-search. Exact brute-force scoring
+    * (queries broadcast, one corpus pass per variant); the oracle
+    * recomputes both rankings with the engine-identical fold cosine.
+    * At 100 TB the pre-filter rides the same partition pruning /
+    * index probe as any predicate — selectivity shrinks the scored
+    * set, it never inflates it. */
+  def annFiltered(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val q = broadcast(e.filter(col("vec_id") < AnnQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("_qv"),
+        col("label").as("_ql")))
+    val pre = e
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("_cv"),
+        col("label").as("_nl"))
+      .join(q, col("neighbor_id") =!= col("query_id") &&
+        col("_nl") === col("_ql"))
+      .select(col("query_id"),
+        col("neighbor_id"), VectorOps.cosine(col("_qv"), col("_cv"))
+          .as("cos_sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    val preTop = pre.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= AnnK)
+    val postHits = VectorOps
+      .annTopK(e, e.filter(col("vec_id") < AnnQueries), AnnK)
+      .join(e.select(col("vec_id").as("neighbor_id"),
+        col("label").as("_nl2")), "neighbor_id")
+      .join(q.select(col("query_id"), col("_ql")), "query_id")
+      .groupBy(col("query_id"))
+      .agg(sum(when(col("_nl2") === col("_ql"), 1L).otherwise(0L))
+        .as("post_hits"))
+    preTop.join(postHits, "query_id")
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"),
+        col("rank"), col("post_hits"))
+  }
+
+  val annFilteredOracle: String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, embedding AS qv, label AS ql
+       |  FROM embeddings WHERE vec_id < $AnnQueries
+       |),
+       |pre AS (
+       |  SELECT query_id, e.vec_id AS neighbor_id,
+       |    ${duckCosine("qv", "e.embedding")} AS cos_sim
+       |  FROM embeddings e JOIN q
+       |    ON e.vec_id <> q.query_id AND e.label = q.ql
+       |),
+       |prtop AS (
+       |  SELECT * FROM (
+       |    SELECT *, CAST(row_number() OVER (
+       |      PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+       |    ) AS INT) AS rank FROM pre
+       |  ) WHERE rank <= $AnnK
+       |),
+       |post AS (
+       |  SELECT query_id, e.vec_id AS nid, e.label AS nl, ql,
+       |    ${duckCosine("qv", "e.embedding")} AS cs
+       |  FROM embeddings e JOIN q ON e.vec_id <> q.query_id
+       |),
+       |postop AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY cs DESC, nid
+       |    ) AS rnk FROM post
+       |  ) WHERE rnk <= $AnnK
+       |),
+       |ph AS (
+       |  SELECT query_id,
+       |    CAST(sum(CASE WHEN nl = ql THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS post_hits
+       |  FROM postop GROUP BY 1
+       |)
+       |SELECT p.query_id, p.neighbor_id, p.cos_sim, p.rank, ph.post_hits
+       |FROM prtop p JOIN ph ON p.query_id = ph.query_id""".stripMargin
+
   // ---- MRL truncation: neighbor preservation audit ----
 
   private val MrlDim = 16
@@ -3559,6 +3643,7 @@ object LlmQueries {
     "llm_source_stats" -> QueryDef(sourceStats _, sourceStatsOracle),
     "llm_lang_id" -> QueryDef(langId _, langIdOracle),
     "llm_ann_topk" -> QueryDef(annTopK _, annTopKOracle),
+    "llm_ann_filtered" -> QueryDef(annFiltered _, annFilteredOracle),
     "llm_mrl_recall" -> QueryDef(mrlRecall _, mrlRecallOracle),
     "llm_ann_bucketed" -> QueryDef(annBucketed _, annBucketedOracle),
     "llm_embed_neardup" -> QueryDef(embedNearDups _, embedNearDupsOracle),

@@ -738,7 +738,42 @@ object RelationalQueries {
        |GROUP BY 1, 2""".stripMargin
   }
 
+  /** Outer-join count distribution (TPC-H Q13 shape, "customer
+    * distribution"): how many customers placed 0, 1, 2, ... qualifying
+    * orders — the double-aggregation shape where the FIRST aggregate's
+    * key is the join key and the SECOND groups on the first's VALUE.
+    * Q13's signature detail: the order filter lives in the JOIN
+    * condition, so customers whose every order is filtered out still
+    * appear with count 0 (a WHERE would drop them) — the Spark side
+    * pre-filters the right side of the left join, which is the same
+    * semantics. `count(o_orderkey)` counts non-null matches only.
+    * Scale shape: one shuffle on the join key, one tiny shuffle on the
+    * count value (cardinality = max orders per customer). */
+  def q22CustDist(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(s, dir, "customer").select(col("c_custkey"))
+    val ord = Tables.load(s, dir, "orders")
+      .filter(!col("o_orderpriority").like("%URGENT%"))
+      .select(col("o_custkey"), col("o_orderkey"))
+    cust.join(ord, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(desc("custdist"), desc("c_count"))
+  }
+
+  val q22CustDistOracle: String =
+    """SELECT c_count, count(*) AS custdist FROM (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders
+      |    ON c_custkey = o_custkey
+      |    AND o_orderpriority NOT LIKE '%URGENT%'
+      |  GROUP BY c_custkey)
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "q22_custdist" -> QueryDef(q22CustDist _, q22CustDistOracle),
     "q18_min_cost" -> QueryDef(q18MinCost _, q18MinCostOracle),
     "q19_group_share" -> QueryDef(q19GroupShare _, q19GroupShareOracle),
     "q20_having_in" -> QueryDef(q20HavingIn _, q20HavingInOracle),

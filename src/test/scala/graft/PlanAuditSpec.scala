@@ -134,7 +134,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "q17_anti_avg")
     val boundedPickBuild = Set("llm_ann_topk", "llm_ann_pq",
       "llm_ann_recall", "llm_ann_recall_curve", "llm_mrl_recall",
-      "llm_knn_label", "llm_intrinsic_dim")
+      "llm_knn_label", "llm_intrinsic_dim",
+      // filtered ANN: the same literal-bounded broadcast query set,
+      // scored twice (label-constrained + unfiltered for post_hits)
+      "llm_ann_filtered")
     // calendar-keyed DISTINCT builds (the mSPRT look grid): the
     // broadcast side is an aggregate keyed by a day bucket — bounded
     // by the calendar span, never by data volume
