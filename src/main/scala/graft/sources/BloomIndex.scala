@@ -21,11 +21,11 @@ import org.apache.spark.sql.functions._
   * planning, like the manifest itself. The build is one distributed
   * pass over the snapshot: per (file, key) the K probe positions,
   * collapsed per file with `collect_set` — bounded state because the
-  * set is capped by MBits, NOT by row count. Lookup hashes the probe
-  * key through the SAME Spark expressions (a 1-row job — the only
-  * way to guarantee bit-identical hashing with the build pass),
-  * keeps the files whose bitset covers all K positions, and scans
-  * only those.
+  * set is capped by MBits, NOT by row count. Lookup evaluates the
+  * SAME Catalyst hash expression on the driver (`XxHash64.eval` over
+  * literals — bit-identical with the build pass, zero jobs; parity
+  * property-pinned), keeps the files whose bitset covers all K
+  * positions, and scans only those.
   *
   * Guarantees: no false negatives EVER (a key's file always survives
   * — Round15dSpec property-pins it); false positives cost one extra
@@ -50,6 +50,41 @@ object BloomIndex {
       lit(1L) // never a zero step
     (0 until K).map(i => pmod(h1 + lit(i.toLong) * h2, lit(MBits.toLong))
       .cast("int"))
+  }
+
+  /** [[posCols]] for ONE key, evaluated on the driver through the
+    * SAME Catalyst expression the build pass runs (`XxHash64.eval`
+    * over literals) — bit-identical hashing with ZERO Spark jobs, so
+    * a probe inside query PLANNING (the catalog's `pushFilters`)
+    * costs arithmetic, not a scheduled job per key. Round17Props pins
+    * driver positions == expression-codepath positions. */
+  private[graft] def positions(key: Long): Seq[Int] = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    def pmodL(a: Long, n: Long): Long = { val r = a % n; if (r < 0) r + n else r }
+    val m = MBits.toLong
+    val h1 = pmodL(
+      XxHash64(Seq(Literal(key)), 42L).eval().asInstanceOf[Long], m)
+    val h2 = pmodL(
+      XxHash64(Seq(Literal(key), Literal(0x9E3779B9L)), 42L)
+        .eval().asInstanceOf[Long], m - 1L) + 1L
+    (0 until K).map(i => pmodL(h1 + i.toLong * h2, m).toInt)
+  }
+
+  /** Does `bits` cover every probe position of `key`? */
+  private[sources] def covers(bits: Array[Byte], key: Long): Boolean =
+    positions(key).forall(pos => (bits(pos >> 3) & (1 << (pos & 7))) != 0)
+
+  /** The whole sidecar for (`v`, `keyCol`), read ONCE: path → bitset.
+    * None when no sidecar exists (probes then keep every file). */
+  private[sources] def loadSidecar(root: String, v: Int, keyCol: String)
+      : Option[Map[String, Array[Byte]]] = {
+    val f = bloomFile(root, v, keyCol)
+    if (!f.isFile) None
+    else Some(new String(Files.readAllBytes(f.toPath),
+      StandardCharsets.UTF_8).split("\n").filter(_.nonEmpty).map { l =>
+        val Array(p, b) = l.split("\t")
+        p -> Base64.getDecoder.decode(b)
+      }.toMap)
   }
 
   /** Build the sidecar for the CURRENT version's manifest. One
@@ -82,32 +117,22 @@ object BloomIndex {
       key: Long, version: Option[Int] = None): (Seq[String], Int) = {
     val v = version.getOrElse(SnapshotStore.latestVersion(root))
     val files = SnapshotStore.filesAt(root, v)
-    (survivorsAmong(spark, root, keyCol, key, v, files), files.size)
+    (survivorsAmong(root, keyCol, key, v, files), files.size)
   }
 
   /** [[survivors]] restricted to an explicit candidate list — the
     * composable piece [[SnapshotRead]] stacks on top of stats
     * pruning (a file already skipped by min/max never needs a Bloom
-    * probe). */
-  private[sources] def survivorsAmong(spark: SparkSession, root: String,
+    * probe). One sidecar read, driver-side probe arithmetic, zero
+    * Spark jobs. */
+  private[sources] def survivorsAmong(root: String,
       keyCol: String, key: Long, v: Int, files: Seq[String])
-      : Seq[String] = {
-    val f = bloomFile(root, v, keyCol)
-    if (!f.isFile) return files
-    val blooms = new String(Files.readAllBytes(f.toPath),
-      StandardCharsets.UTF_8).split("\n").filter(_.nonEmpty).map { l =>
-        val Array(p, b) = l.split("\t")
-        p -> Base64.getDecoder.decode(b)
-      }.toMap
-    // probe positions through the SAME expression codepath as build
-    val ps = spark.range(1)
-      .select(posCols(lit(key)): _*).collect().head
-    val positions = (0 until K).map(ps.getInt)
-    files.filter { p =>
-      blooms.get(p).forall(bits =>
-        positions.forall(pos => (bits(pos >> 3) & (1 << (pos & 7))) != 0))
+      : Seq[String] =
+    loadSidecar(root, v, keyCol) match {
+      case None => files
+      case Some(blooms) =>
+        files.filter(p => blooms.get(p).forall(covers(_, key)))
     }
-  }
 
   /** Point lookup: scan only the surviving files. Returns a frame
     * with the snapshot's schema even when nothing survives. */

@@ -95,12 +95,21 @@ class GraftCatalog extends TableCatalog {
   override def loadTable(ident: Identifier): Table =
     tableAt(ident, SnapshotStore.latestVersion(checkExists(ident)))
 
-  /** `VERSION AS OF <v>` — an integer version or a tag name. */
+  /** `VERSION AS OF <v>` — an integer version or a tag name. An
+    * unknown tag is a VERSION error, not a missing table: the table
+    * exists (checkExists passed), so the diagnostic must name the
+    * actual problem — NoSuchTableException here would tell a user who
+    * typo'd a tag that a table they can SELECT from doesn't exist. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val root = checkExists(ident)
     val v = version.toIntOption.getOrElse(
       SnapshotStore.tags(root).getOrElse(version,
-        throw new NoSuchTableException(ident)))
+        throw new graft.QueryError(
+          s"unknown version/tag '$version' for table ${ident.toString}: " +
+            s"known tags ${SnapshotStore.tags(root).keys.toSeq.sorted
+              .mkString("[", ", ", "]")}, " +
+            s"versions ${SnapshotStore.versions(root).headOption.getOrElse(0)}" +
+            s"..${SnapshotStore.latestVersion(root)}")))
     tableAt(ident, v)
   }
 
@@ -238,7 +247,6 @@ object GraftCatalog {
           longOf(l).foreach(k => tightenHi(a.name, k - 1))
         case _ => // unsupported shape: prunes nothing
       }
-      val spark = SparkSession.active
       val statCol = SnapshotStore.manifestMeta(root, v).get("statcol")
       val afterStats = statCol match {
         case Some(c) if lo.contains(c) || hi.contains(c) =>
@@ -251,11 +259,16 @@ object GraftCatalog {
       }
       // Bloom probes only the stats survivors; absent sidecars no-op.
       // A key SET keeps the union of per-key survivors (a file may
-      // serve any member).
+      // serve any member). The sidecar is read ONCE per column and
+      // probe positions are driver-side arithmetic (BloomIndex
+      // .covers) — an N-key IN list costs one read + N·K bit tests
+      // inside pushFilters, never a Spark job at plan time.
       val pruned = keySets.foldLeft(afterStats) { case (fs, (c, ks)) =>
-        val keep = ks.flatMap(k =>
-          BloomIndex.survivorsAmong(spark, root, c, k, v, fs)).toSet
-        fs.filter(keep)
+        BloomIndex.loadSidecar(root, v, c) match {
+          case None => fs
+          case Some(blooms) => fs.filter(p =>
+            blooms.get(p).forall(bits => ks.exists(BloomIndex.covers(bits, _))))
+        }
       }
       if (pruned.size != all.size)
         inner = mk(if (pruned.nonEmpty) pruned else all.take(1))

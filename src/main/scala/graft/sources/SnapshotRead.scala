@@ -59,16 +59,23 @@ object SnapshotRead {
         throw new graft.QueryError(s"unknown tag: $t"))))
       .getOrElse(SnapshotStore.latestVersion(root))
     val all = SnapshotStore.filesAt(root, v)
+    // stats pruning applies ONLY when the range's column IS the column
+    // the sidecar indexes (the manifest's #statcol header) — bounds of
+    // a different column would prune files that still hold matching
+    // rows, silently dropping them. A range on any other column keeps
+    // every file (the row filter below still applies), mirroring the
+    // SQL catalog's conservative contract.
     val afterStats = range match {
-      case Some((_, lo, hi)) =>
+      case Some((c, lo, hi))
+          if SnapshotStore.statCols(root, v).contains(c) =>
         val stats = SnapshotStore.statsAt(root, v)
         all.filter(f => stats.get(f).forall { case (mn, mx) =>
           mx >= lo && mn <= hi })
-      case None => all
+      case _ => all
     }
     val afterBloom = point match {
       case Some((keyCol, key)) =>
-        BloomIndex.survivorsAmong(spark, root, keyCol, key, v, afterStats)
+        BloomIndex.survivorsAmong(root, keyCol, key, v, afterStats)
       case None => afterStats
     }
     val base =

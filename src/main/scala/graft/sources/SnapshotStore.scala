@@ -127,6 +127,38 @@ object SnapshotStore {
       case _: java.nio.file.FileAlreadyExistsException =>
         throw new CommitConflictException(root, v)
     } finally Files.deleteIfExists(tmp)
+    // after the link succeeded (and only then), record the writer
+    // token in the append-only token log — see [[committedVersionFor]]
+    withTs.get("writer").foreach { tok =>
+      Files.write(tokensLogFile(root).toPath,
+        s"$tok\t$v\n".getBytes(StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    }
+  }
+
+  private def tokensLogFile(root: String) =
+    new File(manifestDir(root), "tokens.log")
+
+  /** Every writer token ever committed, token → version (latest
+    * wins). The log is append-only and — unlike the manifests that
+    * also carry the token — SURVIVES [[expireVersions]], closing the
+    * fail-open replay window: without it, a vacuum that expires the
+    * manifest of a still-replay-eligible micro-batch would make the
+    * crash-replayed batch find no token and double-commit. Log size
+    * is one short line per tokened commit — manifest-count-scale
+    * metadata, read driver-side. */
+  private def tokenLog(root: String): Map[String, Int] = {
+    val f = tokensLogFile(root)
+    if (!f.isFile) Map.empty
+    else new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+      .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+      .flatMap { l =>
+        l.split("\t") match {
+          case Array(tok, v) => Some(tok -> v.toInt)
+          case _ => None
+        }
+      }.toMap
   }
 
   /** The live version whose manifest carries `writer == token`, if
@@ -138,7 +170,11 @@ object SnapshotStore {
     * [[graft.streaming.BatchSink]] contract, applied to the snapshot
     * store). All live headers are scanned (newest first) rather than
     * just the head: a foreachBatch body may compact or vacuum AFTER
-    * its append, so the token's manifest need not be the head.
+    * its append, so the token's manifest need not be the head. The
+    * append-only [[tokenLog]] backstops the manifests: it survives
+    * [[expireVersions]], so a token whose manifest was vacuumed away
+    * is STILL recognized and the replayed batch still no-ops — replay
+    * safety no longer depends on retention settings.
     * Driver-side metadata work, manifest-count-sized; vacuum bounds
     * the manifest count in long-running loops, and a replayed batch
     * is always among the most recent commits. */
@@ -146,6 +182,7 @@ object SnapshotStore {
       : Option[Int] =
     versions(root).reverse.find(v =>
       manifestMeta(root, v).get("writer").contains(token))
+      .orElse(tokenLog(root).get(token))
 
   /** Header keys that travel from a version to its successor the same
     * way stats sidecar lines do — today just `statcol` (which column
@@ -154,6 +191,27 @@ object SnapshotStore {
   private def carriedMeta(root: String, prev: Int): Map[String, String] =
     if (prev == 0) Map.empty
     else manifestMeta(root, prev).filter { case (k, _) => k == "statcol" }
+
+  /** Which columns version `v`'s stats sidecar indexes, as
+    * column → kind, parsed from the manifest's `#statcol` header.
+    * Header grammar: a comma-separated list of `name:kind` entries;
+    * a bare `name` (every manifest written before typed stats) is the
+    * legacy single Long column. Kinds in use: `long` (integral) and
+    * `ts` (timestamp, bounds stored as epoch-micros). EVERY consumer
+    * of the sidecar must resolve the pruned column through this map —
+    * pruning against bounds that index a DIFFERENT column silently
+    * drops rows, the one failure mode a reader can never have. */
+  private[graft] def statCols(root: String, v: Int): Map[String, String] =
+    manifestMeta(root, v).get("statcol") match {
+      case None => Map.empty
+      case Some(h) =>
+        h.split(",").toSeq.filter(_.nonEmpty).map { e =>
+          e.split(":", 2) match {
+            case Array(n, k) => n -> k
+            case Array(n) => n -> "long"
+          }
+        }.toMap
+    }
 
   /** Commit-unique suffix so two optimistic committers never collide
     * on a data directory (the loser's dir becomes an orphan, cleaned
@@ -341,8 +399,17 @@ object SnapshotStore {
     // the no-type-inference setting lives on a CLONED session (own
     // sessionState, shared SparkContext), so a concurrent query on the
     // caller's session can never observe the flipped value or race a
-    // try/finally restore
+    // try/finally restore. The clone starts from builder-time defaults,
+    // so the caller's RUNTIME conf (ANSI mode, timezone, registered
+    // catalogs set via spark.conf.set after startup) is carried over
+    // explicitly — otherwise an evolved read silently runs under stale
+    // configuration. Static/immutable entries are skipped.
     val reader = spark.newSession()
+    spark.conf.getAll.foreach { case (k, value) =>
+      if (reader.conf.isModifiable(k) &&
+          !reader.conf.getOption(k).contains(value))
+        reader.conf.set(k, value)
+    }
     reader.conf
       .set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
     groups.toSeq.sortBy(_._1)
