@@ -2435,7 +2435,89 @@ object SystemQueries {
        |SELECT 'point', count(*), ${duckDsum("amount")}, true
        |FROM t, k WHERE tid = key""".stripMargin
 
+  /** S38: per-column TYPED sidecar stats — the reference's headline
+    * time-range pruning (docs/adr/2025-12-10-schema-optimization.md:
+    * 189-193: 10-100× from seeking the time index) applied to the
+    * snapshot path, WITHOUT giving up a second index: one commit
+    * records per-file [min,max] for BOTH a timestamp column (bounds
+    * as epoch-micros) and a long column, and ONE read prunes on both
+    * at once. Probed through BOTH faces: the Scala planner
+    * (`SnapshotRead.plan(ranges = ...)`, ledger asserts files were
+    * skipped) and pure SQL text (pushed `ts >= timestamp_micros(...)`
+    * + `tid <= k` predicates resolve against the same `#statcol`
+    * name:kind header inside the catalog's scan builder; the planned
+    * V2 file index pins the skip). The oracle re-derives both answers
+    * from the raw rows with the same integer-division bounds.
+    * Round17bSpec pins exact per-kind ledgers on a controlled store. */
+  def s38TypedStats(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{SnapshotRead, SnapshotStore}
+    val root = s"$catalogWarehouse/trades_ty"
+    val t = SyntheticTrades.trades(s, dir)
+      .select(col("timestamp").as("ts"),
+        col("trade_id").cast("long").as("tid"), col("amount"))
+    // bounded-collect(one row: probe bounds + store sizing)
+    val b = t.agg(min(unix_micros(col("ts"))).as("mn"),
+      max(unix_micros(col("ts"))).as("mx"),
+      max(col("tid")).as("mt"), count(lit(1)).as("n")).collect().head
+    val (mn, mx, mt) = (b.getLong(0), b.getLong(1), b.getLong(2))
+    if (SnapshotStore.latestVersion(root) == 0) {
+      val nFiles = math.max(8, (b.getLong(3) / 6000L).toInt + 1)
+      SnapshotStore.commitAppendWithStatsMulti(t, root, Seq("ts", "tid"),
+        nFiles)
+    }
+    val lo = mn + (mx - mn) / 4
+    val hi = mn + (mx - mn) / 2
+    val tHi = mt / 3
+    val p = SnapshotRead.plan(s, root,
+      ranges = Seq(("ts", lo, hi), ("tid", 0L, tHi)))
+    s.conf.set("spark.sql.catalog.graft_snap",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_snap.warehouse", catalogWarehouse)
+    val dsumSql = "CAST(sum(CAST(amount AS DECIMAL(28,6))) AS DOUBLE)"
+    val sqlDf = s.sql(
+      s"""SELECT count(*) AS n_rows, $dsumSql AS amount_sum
+         |FROM graft_snap.trades_ty
+         |WHERE ts >= timestamp_micros(${lo}L)
+         |  AND ts <= timestamp_micros(${hi}L)
+         |  AND tid >= 0 AND tid <= $tHi""".stripMargin)
+    // planned-file count: the file index the V2 scan was BUILT over
+    def planned(df: DataFrame): Int =
+      df.queryExecution.sparkPlan.collect {
+        case bs: org.apache.spark.sql.execution.datasources.v2
+            .BatchScanExec => bs.scan
+      }.collect {
+        case q: org.apache.spark.sql.execution.datasources.v2.parquet
+            .ParquetScan => q.fileIndex.inputFiles.length
+      }.sum
+    val scalaDf = p.df
+      .agg(count(lit(1)).as("n_rows"), dsum(col("amount")).as("amount_sum"))
+      .select(lit("scala").as("phase"), col("n_rows"), col("amount_sum"),
+        lit(p.statsSkipped > 0).as("files_skipped"))
+    val sqlShaped = sqlDf
+      .select(lit("sql").as("phase"), col("n_rows"), col("amount_sum"),
+        lit(planned(sqlDf) < p.filesTotal).as("files_skipped"))
+    scalaDf.unionAll(sqlShaped)
+  }
+
+  val s38Oracle: String =
+    s"""WITH ${SyntheticTrades.tradesCte},
+       |t AS (
+       |  SELECT epoch_us("timestamp") AS em,
+       |    CAST(trade_id AS BIGINT) AS tid, amount FROM trades),
+       |b AS (SELECT min(em) AS mn, max(em) AS mx, max(tid) AS mt FROM t),
+       |f AS (
+       |  SELECT t.* FROM t, b
+       |  WHERE em >= mn + (mx - mn) // 4 AND em <= mn + (mx - mn) // 2
+       |    AND tid >= 0 AND tid <= mt // 3)
+       |SELECT 'scala' AS phase, count(*) AS n_rows,
+       |  ${duckDsum("amount")} AS amount_sum, true AS files_skipped
+       |FROM f
+       |UNION ALL
+       |SELECT 'sql', count(*), ${duckDsum("amount")}, true
+       |FROM f""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "s38_typed_stats" -> QueryDef(s38TypedStats _, s38Oracle),
     "st20_stream_restart" -> QueryDef(st20StreamRestart _, st20Oracle),
     "s37_sql_pruned_read" -> QueryDef(s37SqlPrunedRead _, s37Oracle),
     "s35_unified_read" -> QueryDef(s35UnifiedRead _, s35Oracle),

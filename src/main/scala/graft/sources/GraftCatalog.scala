@@ -10,6 +10,7 @@ import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
 
 /** The SQL-text face of the snapshot store — a DataSourceV2
   * [[TableCatalog]] so a pure-SQL user gets Delta/Iceberg-style time
@@ -161,16 +162,34 @@ object GraftCatalog {
     * not at runtime. Scans go through [[SnapshotScanBuilder]], which
     * re-resolves the file list against the sidecar indexes at filter-
     * pushdown time. */
+  /** Test seam: how many times a table's schema had to be INFERRED
+    * from data-file footers because the manifest pins no `#schema`
+    * header. Stores written by current commits always pin one, so
+    * `loadTable` + scans are zero-data-IO at plan time; only legacy
+    * manifests pay inference. */
+  private[graft] val footerInferences =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
   private final class SnapshotTable(tableName: String, root: String,
       v: Int, files: Seq[String])
       extends Table with SupportsRead {
+    // the pinned schema travels in manifest METADATA (#schema header,
+    // written at commit) — resolving it is a string parse, not IO over
+    // a 100 TB table's footers. Passed as the user-specified schema so
+    // the delegate ParquetTable never infers either.
+    private val pinned: Option[org.apache.spark.sql.types.StructType] =
+      SnapshotStore.manifestMeta(root, v).get("schema")
+        .map(org.apache.spark.sql.types.StructType.fromDDL)
     private[sources] def mk(fs: Seq[String]): ParquetTable =
       ParquetTable(tableName, SparkSession.active,
         new CaseInsensitiveStringMap(Collections.emptyMap()),
-        fs.toIndexedSeq, None, classOf[ParquetFileFormat])
+        fs.toIndexedSeq, pinned, classOf[ParquetFileFormat])
     override def name(): String = tableName
     override def schema(): org.apache.spark.sql.types.StructType =
-      mk(files).schema
+      pinned.getOrElse {
+        footerInferences.incrementAndGet()
+        mk(files).schema
+      }
     override def capabilities(): java.util.Set[TableCapability] =
       java.util.Collections.singleton(TableCapability.BATCH_READ)
     override def newScanBuilder(options: CaseInsensitiveStringMap)
@@ -209,12 +228,27 @@ object GraftCatalog {
            org.apache.spark.sql.types.IntegerType |
            org.apache.spark.sql.types.ShortType =>
         Option(l.value).map(_.toString.toLong)
+      // a timestamp literal's Catalyst value IS epoch-micros — the
+      // same domain the `ts`-kind sidecar stores bounds in
+      case org.apache.spark.sql.types.TimestampType =>
+        Option(l.value).map(_.asInstanceOf[Long])
       case _ => None
     }
+
+    private def strOf(l: Literal): Option[UTF8String] =
+      l.dataType match {
+        case org.apache.spark.sql.types.StringType =>
+          Option(l.value).map(_.asInstanceOf[UTF8String])
+        case _ => None
+      }
 
     override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
       var lo = Map.empty[String, Long]
       var hi = Map.empty[String, Long]
+      // string bounds compare byte-wise unsigned (UTF8String) — the
+      // ordering Spark's min/max used when the sidecar was built
+      var sLo = Map.empty[String, UTF8String]
+      var sHi = Map.empty[String, UTF8String]
       // per column: the key SETS the predicate restricts it to (an
       // equality is a 1-element set, an IN-list its values) — a file
       // survives a set when it may contain ANY member
@@ -223,39 +257,68 @@ object GraftCatalog {
         lo += c -> math.max(x, lo.getOrElse(c, Long.MinValue))
       def tightenHi(c: String, x: Long): Unit =
         hi += c -> math.min(x, hi.getOrElse(c, Long.MaxValue))
+      // strict string bounds relax to inclusive — conservative: keeps
+      // at most the boundary file it could have skipped
+      def tightenSLo(c: String, x: UTF8String): Unit =
+        sLo += c -> sLo.get(c).filter(_.compareTo(x) >= 0).getOrElse(x)
+      def tightenSHi(c: String, x: UTF8String): Unit =
+        sHi += c -> sHi.get(c).filter(_.compareTo(x) <= 0).getOrElse(x)
       def keySet(c: String, ks: Seq[Long]): Unit = {
         keySets += c -> ks
         tightenLo(c, ks.min); tightenHi(c, ks.max)
       }
+      def bound(a: String, l: Literal, isLo: Boolean, strict: Boolean)
+          : Unit = {
+        longOf(l).foreach { k =>
+          val adj = if (strict) (if (isLo) k + 1 else k - 1) else k
+          if (isLo) tightenLo(a, adj) else tightenHi(a, adj)
+        }
+        strOf(l).foreach(x => if (isLo) tightenSLo(a, x) else tightenSHi(a, x))
+      }
       filters.foreach {
         case EqualTo(a: AttributeReference, l: Literal) =>
           longOf(l).foreach(k => keySet(a.name, Seq(k)))
+          strOf(l).foreach { x => tightenSLo(a.name, x); tightenSHi(a.name, x) }
         case EqualTo(l: Literal, a: AttributeReference) =>
           longOf(l).foreach(k => keySet(a.name, Seq(k)))
+          strOf(l).foreach { x => tightenSLo(a.name, x); tightenSHi(a.name, x) }
         case In(a: AttributeReference, vs)
             if vs.nonEmpty && vs.size <= 64 &&
               vs.forall(_.isInstanceOf[Literal]) =>
           val ks = vs.flatMap(x => longOf(x.asInstanceOf[Literal]))
           if (ks.size == vs.size) keySet(a.name, ks)
         case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
-          longOf(l).foreach(tightenLo(a.name, _))
+          bound(a.name, l, isLo = true, strict = false)
         case GreaterThan(a: AttributeReference, l: Literal) =>
-          longOf(l).foreach(k => tightenLo(a.name, k + 1))
+          bound(a.name, l, isLo = true, strict = true)
         case LessThanOrEqual(a: AttributeReference, l: Literal) =>
-          longOf(l).foreach(tightenHi(a.name, _))
+          bound(a.name, l, isLo = false, strict = false)
         case LessThan(a: AttributeReference, l: Literal) =>
-          longOf(l).foreach(k => tightenHi(a.name, k - 1))
+          bound(a.name, l, isLo = false, strict = true)
         case _ => // unsupported shape: prunes nothing
       }
-      val statCol = SnapshotStore.manifestMeta(root, v).get("statcol")
-      val afterStats = statCol match {
-        case Some(c) if lo.contains(c) || hi.contains(c) =>
-          val (l, h) = (lo.getOrElse(c, Long.MinValue),
-            hi.getOrElse(c, Long.MaxValue))
-          val stats = SnapshotStore.statsAt(root, v)
-          all.filter(f => stats.get(f).forall { case (mn, mx) =>
-            mx >= l && mn <= h })
-        case _ => all
+      // per-column typed pruning: every constrained column that the
+      // #statcol header names (name:kind) intersects the survivor set.
+      // Column identity is resolved through the header — bounds of one
+      // column NEVER prune by another's predicate.
+      val kinds = SnapshotStore.statCols(root, v)
+      val afterStats = kinds.foldLeft(all) { case (fs, (c, kind)) =>
+        kind match {
+          case "long" | "ts" if lo.contains(c) || hi.contains(c) =>
+            val (l, h) = (lo.getOrElse(c, Long.MinValue),
+              hi.getOrElse(c, Long.MaxValue))
+            val stats = SnapshotStore.boundsFor(root, v, c)
+            fs.filter(f => stats.get(f).forall { case (mn, mx) =>
+              mx >= l && mn <= h })
+          case "str" if sLo.contains(c) || sHi.contains(c) =>
+            val stats = SnapshotStore.strBoundsFor(root, v, c)
+            fs.filter(f => stats.get(f).forall { case (mn, mx) =>
+              sLo.get(c).forall(l =>
+                UTF8String.fromString(mx).compareTo(l) >= 0) &&
+              sHi.get(c).forall(h =>
+                UTF8String.fromString(mn).compareTo(h) <= 0) })
+          case _ => fs
+        }
       }
       // Bloom probes only the stats survivors; absent sidecars no-op.
       // A key SET keeps the union of per-key survivors (a file may

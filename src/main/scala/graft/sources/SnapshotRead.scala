@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit, timestamp_micros}
 
 /** ONE composable snapshot read planner — the entry point a 100 TB
   * user expects instead of four parallel ones (`read` / `readPruned`
@@ -43,14 +43,20 @@ object SnapshotRead {
   /** Plan a snapshot read. At most one of `version` / `asOfMillis` /
     * `tag` may be given (default: latest). `range` = (statCol, lo,
     * hi) enables stats pruning + the row filter `lo <= c <= hi`;
-    * `point` = (keyCol, key) enables Bloom skipping + the row filter
-    * `c = key`. Both together express `range AND point`. */
+    * `ranges` adds FURTHER range predicates (per-column typed stats
+    * sidecars prune on every indexed column at once — Iceberg-style
+    * per-column bounds); `point` = (keyCol, key) enables Bloom
+    * skipping + the row filter `c = key`. All together express their
+    * conjunction. A range on a `ts`-kind column takes epoch-MICROS
+    * bounds (the sidecar's storage domain) and filters rows through
+    * `timestamp_micros`. */
   def plan(spark: SparkSession, root: String,
       version: Option[Int] = None,
       asOfMillis: Option[Long] = None,
       tag: Option[String] = None,
       range: Option[(String, Long, Long)] = None,
-      point: Option[(String, Long)] = None): ScanPlan = {
+      point: Option[(String, Long)] = None,
+      ranges: Seq[(String, Long, Long)] = Nil): ScanPlan = {
     require(Seq(version, asOfMillis, tag).count(_.isDefined) <= 1,
       "give at most one of version / asOfMillis / tag")
     val v = version
@@ -59,19 +65,21 @@ object SnapshotRead {
         throw new graft.QueryError(s"unknown tag: $t"))))
       .getOrElse(SnapshotStore.latestVersion(root))
     val all = SnapshotStore.filesAt(root, v)
-    // stats pruning applies ONLY when the range's column IS the column
-    // the sidecar indexes (the manifest's #statcol header) — bounds of
+    val kinds = SnapshotStore.statCols(root, v)
+    val allRanges = range.toSeq ++ ranges
+    // stats pruning applies ONLY when a range's column IS one the
+    // sidecar indexes (the manifest's #statcol header) — bounds of
     // a different column would prune files that still hold matching
     // rows, silently dropping them. A range on any other column keeps
     // every file (the row filter below still applies), mirroring the
     // SQL catalog's conservative contract.
-    val afterStats = range match {
-      case Some((c, lo, hi))
-          if SnapshotStore.statCols(root, v).contains(c) =>
-        val stats = SnapshotStore.statsAt(root, v)
-        all.filter(f => stats.get(f).forall { case (mn, mx) =>
+    val afterStats = allRanges.foldLeft(all) {
+      case (fs, (c, lo, hi))
+          if kinds.get(c).exists(k => k == "long" || k == "ts") =>
+        val stats = SnapshotStore.boundsFor(root, v, c)
+        fs.filter(f => stats.get(f).forall { case (mn, mx) =>
           mx >= lo && mn <= hi })
-      case _ => all
+      case (fs, _) => fs
     }
     val afterBloom = point match {
       case Some((keyCol, key)) =>
@@ -85,10 +93,15 @@ object SnapshotRead {
         // schema-preserving empty frame when every file was skipped
         SnapshotStore.readFilesEvolved(spark, root, all).limit(0)
       else throw new graft.QueryError(s"version $v of $root lists no files")
-    val filtered = Seq(
-      range.map { case (c, lo, hi) => col(c) >= lo && col(c) <= hi },
+    def rangeFilter(c: String, lo: Long, hi: Long) =
+      if (kinds.get(c).contains("ts"))
+        col(c) >= timestamp_micros(lit(lo)) &&
+          col(c) <= timestamp_micros(lit(hi))
+      else col(c) >= lo && col(c) <= hi
+    val filtered = (
+      allRanges.map { case (c, lo, hi) => rangeFilter(c, lo, hi) } ++
       point.map { case (c, k) => col(c) === k })
-      .flatten.foldLeft(base)(_.filter(_))
+      .foldLeft(base)(_.filter(_))
     ScanPlan(v, all.size, afterStats.size, afterBloom.size, filtered)
   }
 
@@ -98,6 +111,7 @@ object SnapshotRead {
       asOfMillis: Option[Long] = None,
       tag: Option[String] = None,
       range: Option[(String, Long, Long)] = None,
-      point: Option[(String, Long)] = None): DataFrame =
-    plan(spark, root, version, asOfMillis, tag, range, point).df
+      point: Option[(String, Long)] = None,
+      ranges: Seq[(String, Long, Long)] = Nil): DataFrame =
+    plan(spark, root, version, asOfMillis, tag, range, point, ranges).df
 }

@@ -5,7 +5,7 @@ import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit, max, max_by, min, not, struct}
+import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit, max, max_by, min, not, struct, unix_micros}
 
 /** Manifest-based snapshot isolation over plain parquet — the
   * time-travel core of a lakehouse table format (Delta/Iceberg's
@@ -192,6 +192,36 @@ object SnapshotStore {
     if (prev == 0) Map.empty
     else manifestMeta(root, prev).filter { case (k, _) => k == "statcol" }
 
+  /** The `#schema` header for a commit that adds `df`'s rows on top of
+    * version `prev` — the table schema PINNED in manifest metadata so
+    * the SQL face's `loadTable` never has to infer it from data-file
+    * footers (plan-time IO proportional to the table at 100 TB file
+    * counts). The pinned schema is the MERGE of the previous pinned
+    * schema with the incoming frame's (schema evolution widens the
+    * union; a same-schema append is a no-op merge). A legacy store
+    * whose previous version carries no header stays header-less —
+    * only footer inference can know the union of its historic commits
+    * — and upgrades at its next replace-shaped commit. An
+    * un-mergeable evolution (a column changing to an incompatible
+    * type) also drops the header: readers fall back to footer
+    * inference, never to a wrong pinned schema. */
+  private def mergedSchemaMeta(df: DataFrame, root: String, prev: Int)
+      : Map[String, String] = {
+    import org.apache.spark.sql.types.StructType
+    val merged: Option[StructType] =
+      if (prev == 0) Some(df.schema)
+      else manifestMeta(root, prev).get("schema").flatMap { ddl =>
+        try Some(graft.util.SchemaMerge.merge(StructType.fromDDL(ddl), df.schema))
+        catch { case _: Exception => None }
+      }
+    merged.map(m => "schema" -> m.toDDL).toMap
+  }
+
+  /** `#schema` for a replace-shaped commit (full rewrite / MERGE):
+    * the table IS the incoming frame, so its schema pins directly. */
+  private def replaceSchemaMeta(df: DataFrame): Map[String, String] =
+    Map("schema" -> df.schema.toDDL)
+
   /** Which columns version `v`'s stats sidecar indexes, as
     * column → kind, parsed from the manifest's `#statcol` header.
     * Header grammar: a comma-separated list of `name:kind` entries;
@@ -201,16 +231,18 @@ object SnapshotStore {
     * of the sidecar must resolve the pruned column through this map —
     * pruning against bounds that index a DIFFERENT column silently
     * drops rows, the one failure mode a reader can never have. */
-  private[graft] def statCols(root: String, v: Int): Map[String, String] =
+  private[graft] def statCols(root: String, v: Int)
+      : scala.collection.immutable.ListMap[String, String] =
     manifestMeta(root, v).get("statcol") match {
-      case None => Map.empty
+      case None => scala.collection.immutable.ListMap.empty
       case Some(h) =>
-        h.split(",").toSeq.filter(_.nonEmpty).map { e =>
-          e.split(":", 2) match {
-            case Array(n, k) => n -> k
-            case Array(n) => n -> "long"
-          }
-        }.toMap
+        scala.collection.immutable.ListMap(
+          h.split(",").toSeq.filter(_.nonEmpty).map { e =>
+            e.split(":", 2) match {
+              case Array(n, k) => n -> k
+              case Array(n) => n -> "long"
+            }
+          }: _*)
     }
 
   /** Commit-unique suffix so two optimistic committers never collide
@@ -244,12 +276,13 @@ object SnapshotStore {
       val fresh = writeData(df, root, v)
       val base = if (prev == 0) Seq.empty else filesAt(root, prev)
       writeManifest(root, v, base ++ fresh,
-        carriedMeta(root, prev) ++ writerToken.map("writer" -> _).toMap)
+        carriedMeta(root, prev) ++ mergedSchemaMeta(df, root, prev) ++
+          writerToken.map("writer" -> _).toMap)
       // stats travel with their surviving files; the fresh files simply
       // have no lines (never skipped). A replace-commit drops all stats
       // with the files they described.
-      val prior = statsAt(root, prev)
-      if (prior.nonEmpty) writeStats(root, v, prior)
+      val prior = statsLinesAt(root, prev)
+      if (prior.nonEmpty) writeStatsLines(root, v, prior)
       v
     }
 
@@ -262,7 +295,7 @@ object SnapshotStore {
     writerToken.flatMap(committedVersionFor(root, _)).getOrElse {
       val v = latestVersion(root) + 1
       writeManifest(root, v, writeData(df, root, v),
-        writerToken.map("writer" -> _).toMap)
+        replaceSchemaMeta(df) ++ writerToken.map("writer" -> _).toMap)
       v
     }
 
@@ -353,8 +386,8 @@ object SnapshotStore {
       val base = if (prev == 0) Seq.empty else filesAt(root, prev)
       writeManifest(root, v, base ++ fresh,
         carriedMeta(root, prev) ++ writerToken.map("writer" -> _).toMap)
-      val prior = statsAt(root, prev)
-      if (prior.nonEmpty) writeStats(root, v, prior)
+      val prior = statsLinesAt(root, prev)
+      if (prior.nonEmpty) writeStatsLines(root, v, prior)
       v
     }
 
@@ -444,10 +477,13 @@ object SnapshotStore {
       val v = prev + 1
       val merged = writeData(
         spark.read.parquet(small: _*).coalesce(targetFiles), root, v)
-      writeManifest(root, v, big ++ merged, carriedMeta(root, prev))
+      // a compaction rewrites bytes, not the table: carry the pinned
+      // schema with the statcol header
+      writeManifest(root, v, big ++ merged, carriedMeta(root, prev) ++
+        manifestMeta(root, prev).filter(_._1 == "schema"))
       val bigSet = big.toSet
-      val carried = statsAt(root, prev).filter { case (p, _) => bigSet(p) }
-      if (carried.nonEmpty) writeStats(root, v, carried)
+      val carried = statsLinesAt(root, prev).filter(l => bigSet(l.path))
+      if (carried.nonEmpty) writeStatsLines(root, v, carried)
       (v, small.size, big.size)
     }
   }
@@ -500,10 +536,11 @@ object SnapshotStore {
         spark.read.parquet(hit.toSeq.sorted: _*)
           .filter(not(coalesce(predicate, lit(false)))),
         root, v)
-      writeManifest(root, v, keep ++ fresh, carriedMeta(root, prev))
+      writeManifest(root, v, keep ++ fresh, carriedMeta(root, prev) ++
+        manifestMeta(root, prev).filter(_._1 == "schema"))
       val keepSet = keep.toSet
-      val carried = statsAt(root, prev).filter { case (p, _) => keepSet(p) }
-      if (carried.nonEmpty) writeStats(root, v, carried)
+      val carried = statsLinesAt(root, prev).filter(l => keepSet(l.path))
+      if (carried.nonEmpty) writeStatsLines(root, v, carried)
       (v, hit.size, keep.size)
     }
   }
@@ -544,7 +581,7 @@ object SnapshotStore {
         .select(col(keyCol), col("val"), col("last_us").as("us"))
       val v = prev + 1
       writeManifest(root, v, writeData(merged, root, v),
-        writerToken.map("writer" -> _).toMap)
+        replaceSchemaMeta(merged) ++ writerToken.map("writer" -> _).toMap)
       v
     }
 
@@ -591,7 +628,7 @@ object SnapshotStore {
         .select(cols.map(col): _*)
       val v = prev + 1
       writeManifest(root, v, writeData(merged, root, v),
-        writerToken.map("writer" -> _).toMap)
+        replaceSchemaMeta(merged) ++ writerToken.map("writer" -> _).toMap)
       v
     }
 
@@ -761,69 +798,175 @@ object SnapshotStore {
   private def statsFile(root: String, v: Int) =
     new File(manifestDir(root), s"v$v.stats")
 
-  /** Per-file [min, max] of the stat column at version `v` — lines
-    * `path<TAB>min<TAB>max`. Files committed without stats simply
-    * have no line (and are never skipped). */
-  private[sources] def statsAt(root: String, v: Int)
-      : Map[String, (Long, Long)] = {
+  /** One typed stats line: per (file, column) min/max. `kind` is the
+    * value domain — `long` (integral, decimal render), `ts`
+    * (timestamp, epoch-MICROS render — the engine-neutral instant),
+    * `str` (string, base64 of the UTF-8 bytes so tabs/newlines in
+    * data can never corrupt the sidecar). `mn`/`mx` hold the ENCODED
+    * form. */
+  private[sources] final case class ColStats(path: String, col: String,
+      kind: String, mn: String, mx: String)
+
+  /** All stats lines at version `v`, both formats: legacy 3-field
+    * lines (`path min max` — the single Long column the manifest's
+    * bare `#statcol` names) normalize to typed lines, 5-field lines
+    * (`path col kind min max`) parse directly. Files committed
+    * without stats simply have no line (and are never skipped). */
+  private[graft] def statsLinesAt(root: String, v: Int): Seq[ColStats] = {
     val f = statsFile(root, v)
-    if (!f.isFile) Map.empty
-    else new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
-      .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
-      .map { line =>
-        val Array(p, mn, mx) = line.split("\t")
-        p -> (mn.toLong, mx.toLong)
-      }.toMap
+    if (!f.isFile) Seq.empty
+    else {
+      lazy val legacyCol =
+        statCols(root, v).headOption.map(_._1).getOrElse("")
+      new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+        .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+        .flatMap { line =>
+          line.split("\t") match {
+            case Array(p, mn, mx) =>
+              Some(ColStats(p, legacyCol, "long", mn, mx))
+            case Array(p, c, k, mn, mx) => Some(ColStats(p, c, k, mn, mx))
+            case _ => None
+          }
+        }
+    }
   }
 
-  private def writeStats(root: String, v: Int,
-      stats: Map[String, (Long, Long)]): Unit = {
+  private def writeStatsLines(root: String, v: Int,
+      lines: Seq[ColStats]): Unit = {
     val tmp = Paths.get(manifestDir(root).getPath, s".v$v.stats.tmp")
     Files.write(tmp,
-      stats.toSeq.sortBy(_._1)
-        .map { case (p, (mn, mx)) => s"$p\t$mn\t$mx" }
+      lines.sortBy(l => (l.path, l.col))
+        .map(l => s"${l.path}\t${l.col}\t${l.kind}\t${l.mn}\t${l.mx}")
         .mkString("\n").getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, statsFile(root, v).toPath,
       StandardCopyOption.ATOMIC_MOVE)
   }
 
+  /** Long-domain [min, max] per file for column `c` (kinds `long` and
+    * `ts` — a ts bound IS its epoch-micros long). The caller must
+    * have resolved `c` against [[statCols]]; lines for other columns
+    * are ignored, so bounds can never be mistaken across columns. */
+  private[graft] def boundsFor(root: String, v: Int, c: String)
+      : Map[String, (Long, Long)] =
+    statsLinesAt(root, v)
+      .filter(l => l.col == c && (l.kind == "long" || l.kind == "ts"))
+      .map(l => l.path -> (l.mn.toLong, l.mx.toLong)).toMap
+
+  /** String-domain [min, max] per file for column `c` (kind `str`),
+    * decoded from base64. Ordering at the USE site must be byte-wise
+    * unsigned (UTF8String.compareTo) — Spark's string order. */
+  private[graft] def strBoundsFor(root: String, v: Int, c: String)
+      : Map[String, (String, String)] = {
+    val dec = java.util.Base64.getDecoder
+    def s(b: String) = new String(dec.decode(b), StandardCharsets.UTF_8)
+    statsLinesAt(root, v)
+      .filter(l => l.col == c && l.kind == "str")
+      .map(l => l.path -> (s(l.mn), s(l.mx))).toMap
+  }
+
+  /** Legacy single-column view: the bounds of the FIRST `#statcol`
+    * entry — what [[pruneFiles]]/[[readPruned]] (single-column APIs)
+    * consult. */
+  private[sources] def statsAt(root: String, v: Int)
+      : Map[String, (Long, Long)] =
+    statCols(root, v).headOption match {
+      case Some((c, k)) if k == "long" || k == "ts" => boundsFor(root, v, c)
+      case _ => Map.empty
+    }
+
   /** Append commit that also records per-file min/max of `statCol`
     * (an integral column) in a `v<N>.stats` sidecar — the
     * manifest-level data-skipping index every real table format
-    * carries. The incoming frame is range-partitioned on the stat
-    * column before the write so files hold tight, mostly-disjoint
-    * ranges (the x7 z-order lesson at file granularity: stats only
-    * skip when the layout clusters). Stats for the fresh files come
-    * from ONE distributed pass over them (a production impl reads the
-    * parquet footers instead — same information, zero extra IO);
-    * previous versions' stats lines carry forward untouched, so every
-    * surviving file keeps its index. */
+    * carries. Single-column spelling of [[commitAppendWithStatsMulti]],
+    * kept as the common case's API. */
   def commitAppendWithStats(df: DataFrame, root: String,
       statCol: String, nFiles: Int = 8,
       writerToken: Option[String] = None): Int =
+    commitAppendWithStatsMulti(df, root, Seq(statCol), nFiles, writerToken)
+
+  /** The stats-sidecar kind for a DataFrame column, from its Spark
+    * type: integral → `long`, timestamp → `ts` (bounds as
+    * epoch-micros — the engine-neutral instant), string → `str`
+    * (bounds base64-coded). Anything else can't be min/max-indexed
+    * here — fail loudly rather than write bounds that would prune
+    * wrongly. */
+  private def statKindOf(df: DataFrame, c: String): String = {
+    import org.apache.spark.sql.types._
+    df.schema(c).dataType match {
+      case LongType | IntegerType | ShortType | ByteType => "long"
+      case TimestampType => "ts"
+      case StringType => "str"
+      case other => throw new graft.QueryError(
+        s"stats column $c has unsupported type $other " +
+          "(supported: integral, timestamp, string)")
+    }
+  }
+
+  /** Append commit recording per-file typed min/max for EVERY column
+    * in `statColumns` — per-column file skipping like Iceberg's
+    * per-column bounds, so ONE read can prune by a time range AND a
+    * second dimension at once (the reference's headline time-range
+    * pruning, applied to the snapshot path, without giving up the
+    * second index). The frame is range-partitioned on the stat
+    * columns in order (first = primary clustering) so files hold
+    * tight, mostly-disjoint ranges — stats only skip when the layout
+    * clusters. Bounds for the fresh files come from ONE distributed
+    * pass (a production impl reads parquet footers — same
+    * information, zero extra IO); prior versions' lines carry
+    * forward, and the `#statcol` header merges prior entries with
+    * this commit's `name:kind` list so every consumer resolves
+    * column identity before pruning. All-null columns in a file get
+    * no line (conservatively never skipped). */
+  def commitAppendWithStatsMulti(df: DataFrame, root: String,
+      statColumns: Seq[String], nFiles: Int = 8,
+      writerToken: Option[String] = None): Int =
     writerToken.flatMap(committedVersionFor(root, _)).getOrElse {
+      require(statColumns.nonEmpty, "need at least one stats column")
       val prev = latestVersion(root)
       val v = prev + 1
       val spark = df.sparkSession
-      val fresh =
-        writeData(df.repartitionByRange(nFiles, col(statCol)), root, v)
+      val kinds = statColumns.map(c => c -> statKindOf(df, c))
+      val fresh = writeData(
+        df.repartitionByRange(nFiles, statColumns.map(col): _*), root, v)
+      val aggs = kinds.flatMap { case (c, k) =>
+        def b(agg: Column): Column = k match {
+          case "long" => agg.cast("long")
+          case "ts" => unix_micros(agg)
+          case _ => agg
+        }
+        Seq(b(min(col(c))).as(s"mn_$c"), b(max(col(c))).as(s"mx_$c"))
+      }
+      val enc = java.util.Base64.getEncoder
+      def render(r: org.apache.spark.sql.Row, k: String, f: String): String =
+        if (k == "str") enc.encodeToString(
+          r.getAs[String](f).getBytes(StandardCharsets.UTF_8))
+        else r.getAs[Long](f).toString
+      // bounded collect: one row per fresh file
       val freshStats = spark.read.parquet(fresh: _*)
         .groupBy(input_file_name().as("f"))
-        .agg(min(col(statCol)).cast("long").as("mn"),
-          max(col(statCol)).cast("long").as("mx"))
+        .agg(aggs.head, aggs.tail: _*)
         .collect()
-        .map { r =>
+        .toSeq.flatMap { r =>
           // input_file_name is a file:// URI; manifests hold plain paths
           val p = new java.net.URI(r.getAs[String]("f")).getPath
-          (p, (r.getAs[Long]("mn"), r.getAs[Long]("mx")))
+          kinds.flatMap { case (c, k) =>
+            if (r.isNullAt(r.fieldIndex(s"mn_$c"))) None // all-null file
+            else Some(ColStats(p, c, k,
+              render(r, k, s"mn_$c"), render(r, k, s"mx_$c")))
+          }
         }
-        .toMap
       val base = if (prev == 0) Seq.empty else filesAt(root, prev)
-      // record WHICH column the stats sidecar indexes — the SQL face's
-      // pushdown pruning needs the identity, not just the numbers
+      // record WHICH columns the stats sidecar indexes (name:kind list)
+      // — the pruning faces need the identity, not just the numbers
+      val prevCols =
+        if (prev == 0) scala.collection.immutable.ListMap.empty[String, String]
+        else statCols(root, prev)
+      val hdr = (prevCols ++ kinds)
+        .map { case (c, k) => s"$c:$k" }.mkString(",")
       writeManifest(root, v, base ++ fresh,
-        Map("statcol" -> statCol) ++ writerToken.map("writer" -> _).toMap)
-      writeStats(root, v, statsAt(root, prev) ++ freshStats)
+        Map("statcol" -> hdr) ++ mergedSchemaMeta(df, root, prev) ++
+          writerToken.map("writer" -> _).toMap)
+      writeStatsLines(root, v, statsLinesAt(root, prev) ++ freshStats)
       v
     }
 
