@@ -2516,7 +2516,102 @@ object SystemQueries {
        |SELECT 'sql', count(*), ${duckDsum("amount")}, true
        |FROM f""".stripMargin
 
+  /** S39: a PARTITION-EVOLVED table read in PURE SQL — the gap the
+    * round-16 catalog punted on (it refused these tables). The store
+    * is s35's shape: v1 = even tids, flat tid-ranged files with a tid
+    * stats sidecar; v2 = odd tids under a month partition spec; Bloom
+    * on tid at the head. The catalog plans it as a per-layout union
+    * ([[graft.sources.EvolvedTable]]): each commit's files resolve
+    * under ITS spec (month surfaces as a string exactly like
+    * `readEvolved`), sidecar pruning runs once over the union, and
+    * each group receives only the predicates it can evaluate — a
+    * month filter prunes the v2 group's directories while the flat
+    * group's rows drop via the residual NULL test; a tid range prunes
+    * v1's stats files while v2's stats-less files are kept. Three SQL
+    * probes (full union / month slice / tid range + point), each
+    * answer re-derived by the oracle from the raw rows; the entry
+    * also pins rows == the Scala `readEvolved` and that the pruned
+    * probes planned fewer files than the manifest lists. Round17cSpec
+    * pins the per-shape ledgers and the cross-layout schema rules. */
+  def s39SqlEvolvedRead(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{BloomIndex, SnapshotStore}
+    val root = s"$catalogWarehouse/trades_ev"
+    // the partition column is a synthetic 4-way shard ((tid % 4) as a
+    // string) so the spec always has several directories to prune —
+    // the driver corpora can span a single calendar month
+    val t = SyntheticTrades.trades(s, dir)
+      .select(col("trade_id").cast("long").as("tid"), col("amount"),
+        (col("trade_id").cast("long") % 4).cast("string").as("shard"))
+    // bounded-collect(one row: probe bounds + store sizing)
+    val b = t.agg(max(col("tid")).as("mx"),
+      count(lit(1)).as("n")).collect().head
+    val maxTid = b.getLong(0)
+    if (SnapshotStore.latestVersion(root) == 0) {
+      val nFiles = math.max(8, (b.getLong(1) / 6000L).toInt + 1)
+      SnapshotStore.commitAppendWithStats(
+        t.filter(col("tid") % 2 === 0).select(col("tid"), col("amount")),
+        root, "tid", nFiles)
+      SnapshotStore.commitAppendPartitioned(
+        t.filter(col("tid") % 2 === 1).repartition(4, col("shard")),
+        root, Seq("shard"))
+      BloomIndex.build(s, root, "tid")
+    }
+    s.conf.set("spark.sql.catalog.graft_snap",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_snap.warehouse", catalogWarehouse)
+    val hi = maxTid / 4
+    val total = SnapshotStore.filesAt(
+      root, SnapshotStore.latestVersion(root)).size
+    def planned(df: DataFrame): Int =
+      df.queryExecution.sparkPlan.collect {
+        case bs: org.apache.spark.sql.execution.datasources.v2
+            .BatchScanExec => bs.scan
+      }.map[Int] {
+        case e: graft.sources.EvolvedTable.EvolvedScan => e.plannedFiles
+        case _ => Int.MaxValue
+      }.sum
+    val dsumSql = "CAST(sum(CAST(amount AS DECIMAL(28,6))) AS DOUBLE)"
+    val allDf = s.sql(
+      s"""SELECT count(*) AS n_rows, $dsumSql AS amount_sum
+         |FROM graft_snap.trades_ev""".stripMargin)
+    val shardDf = s.sql(
+      s"""SELECT count(*) AS n_rows, $dsumSql AS amount_sum
+         |FROM graft_snap.trades_ev WHERE shard = '1'""".stripMargin)
+    val rangeDf = s.sql(
+      s"""SELECT count(*) AS n_rows, $dsumSql AS amount_sum
+         |FROM graft_snap.trades_ev WHERE tid >= 0 AND tid <= $hi"""
+        .stripMargin)
+    // the SQL union must return exactly the Scala evolved read's rows
+    val sqlN = s.sql("SELECT count(*) AS n FROM graft_snap.trades_ev")
+      .head.getLong(0)
+    val scalaN = SnapshotStore.readEvolved(s, root).count()
+    def shape(phase: String, df: DataFrame, skipped: Boolean): DataFrame =
+      df.select(lit(phase).as("phase"), col("n_rows"), col("amount_sum"),
+        lit(skipped).as("files_skipped"),
+        lit(sqlN == scalaN).as("matches_scala"))
+    shape("all", allDf, skipped = false)
+      .unionAll(shape("shard", shardDf, planned(shardDf) < total))
+      .unionAll(shape("range", rangeDf, planned(rangeDf) < total))
+  }
+
+  val s39Oracle: String =
+    s"""WITH ${SyntheticTrades.tradesCte},
+       |t AS (
+       |  SELECT CAST(trade_id AS BIGINT) AS tid, amount FROM trades),
+       |h AS (SELECT max(tid) // 4 AS hi FROM t)
+       |SELECT 'all' AS phase, count(*) AS n_rows,
+       |  ${duckDsum("amount")} AS amount_sum, false AS files_skipped,
+       |  true AS matches_scala
+       |FROM t
+       |UNION ALL
+       |SELECT 'shard', count(*), ${duckDsum("amount")}, true, true
+       |FROM t WHERE tid % 2 = 1 AND tid % 4 = 1
+       |UNION ALL
+       |SELECT 'range', count(*), ${duckDsum("amount")}, true, true
+       |FROM t, h WHERE tid >= 0 AND tid <= hi""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "s39_sql_evolved_read" -> QueryDef(s39SqlEvolvedRead _, s39Oracle),
     "s38_typed_stats" -> QueryDef(s38TypedStats _, s38Oracle),
     "st20_stream_restart" -> QueryDef(st20StreamRestart _, st20Oracle),
     "s37_sql_pruned_read" -> QueryDef(s37SqlPrunedRead _, s37Oracle),

@@ -65,8 +65,10 @@ class GraftCatalog extends TableCatalog {
     val files = SnapshotStore.filesAt(root, v)
     // partition-evolved commits store values in DIRECTORY names under
     // a per-commit spec; a flat parquet scan over the leaf files would
-    // silently DROP those columns. Fail loudly instead of returning a
-    // narrower table than the Scala read path sees.
+    // silently DROP those columns. Such tables plan as a per-layout
+    // union ([[EvolvedTable]]) that resolves every file against the
+    // spec its commit was written with — the Iceberg read contract,
+    // in pure SQL.
     val evolved = files.exists { p =>
       var d = new File(p).getParentFile
       var hit = false
@@ -76,14 +78,12 @@ class GraftCatalog extends TableCatalog {
       }
       hit
     }
+    val tableName = s"$catalogName.${ident.toString}@v$v"
     if (evolved)
-      throw new UnsupportedOperationException(
-        s"table ${ident.toString} has partition-evolved commits whose " +
-          "columns live in directory layouts; the SQL face cannot " +
-          "flatten them — read it via SnapshotStore.readEvolved / " +
-          "SnapshotRead.plan")
-    new GraftCatalog.SnapshotTable(
-      s"$catalogName.${ident.toString}@v$v", root, v, files)
+      new EvolvedTable.EvolvedSnapshotTable(tableName, root, v,
+        EvolvedTable.groupsOf(root, files))
+    else
+      new GraftCatalog.SnapshotTable(tableName, root, v, files)
   }
 
   private def checkExists(ident: Identifier): String = {
@@ -223,116 +223,8 @@ object GraftCatalog {
 
     private var inner = mk(all).newScanBuilder(options)
 
-    private def longOf(l: Literal): Option[Long] = l.dataType match {
-      case org.apache.spark.sql.types.LongType |
-           org.apache.spark.sql.types.IntegerType |
-           org.apache.spark.sql.types.ShortType =>
-        Option(l.value).map(_.toString.toLong)
-      // a timestamp literal's Catalyst value IS epoch-micros — the
-      // same domain the `ts`-kind sidecar stores bounds in
-      case org.apache.spark.sql.types.TimestampType =>
-        Option(l.value).map(_.asInstanceOf[Long])
-      case _ => None
-    }
-
-    private def strOf(l: Literal): Option[UTF8String] =
-      l.dataType match {
-        case org.apache.spark.sql.types.StringType =>
-          Option(l.value).map(_.asInstanceOf[UTF8String])
-        case _ => None
-      }
-
     override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
-      var lo = Map.empty[String, Long]
-      var hi = Map.empty[String, Long]
-      // string bounds compare byte-wise unsigned (UTF8String) — the
-      // ordering Spark's min/max used when the sidecar was built
-      var sLo = Map.empty[String, UTF8String]
-      var sHi = Map.empty[String, UTF8String]
-      // per column: the key SETS the predicate restricts it to (an
-      // equality is a 1-element set, an IN-list its values) — a file
-      // survives a set when it may contain ANY member
-      var keySets = Map.empty[String, Seq[Long]]
-      def tightenLo(c: String, x: Long): Unit =
-        lo += c -> math.max(x, lo.getOrElse(c, Long.MinValue))
-      def tightenHi(c: String, x: Long): Unit =
-        hi += c -> math.min(x, hi.getOrElse(c, Long.MaxValue))
-      // strict string bounds relax to inclusive — conservative: keeps
-      // at most the boundary file it could have skipped
-      def tightenSLo(c: String, x: UTF8String): Unit =
-        sLo += c -> sLo.get(c).filter(_.compareTo(x) >= 0).getOrElse(x)
-      def tightenSHi(c: String, x: UTF8String): Unit =
-        sHi += c -> sHi.get(c).filter(_.compareTo(x) <= 0).getOrElse(x)
-      def keySet(c: String, ks: Seq[Long]): Unit = {
-        keySets += c -> ks
-        tightenLo(c, ks.min); tightenHi(c, ks.max)
-      }
-      def bound(a: String, l: Literal, isLo: Boolean, strict: Boolean)
-          : Unit = {
-        longOf(l).foreach { k =>
-          val adj = if (strict) (if (isLo) k + 1 else k - 1) else k
-          if (isLo) tightenLo(a, adj) else tightenHi(a, adj)
-        }
-        strOf(l).foreach(x => if (isLo) tightenSLo(a, x) else tightenSHi(a, x))
-      }
-      filters.foreach {
-        case EqualTo(a: AttributeReference, l: Literal) =>
-          longOf(l).foreach(k => keySet(a.name, Seq(k)))
-          strOf(l).foreach { x => tightenSLo(a.name, x); tightenSHi(a.name, x) }
-        case EqualTo(l: Literal, a: AttributeReference) =>
-          longOf(l).foreach(k => keySet(a.name, Seq(k)))
-          strOf(l).foreach { x => tightenSLo(a.name, x); tightenSHi(a.name, x) }
-        case In(a: AttributeReference, vs)
-            if vs.nonEmpty && vs.size <= 64 &&
-              vs.forall(_.isInstanceOf[Literal]) =>
-          val ks = vs.flatMap(x => longOf(x.asInstanceOf[Literal]))
-          if (ks.size == vs.size) keySet(a.name, ks)
-        case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
-          bound(a.name, l, isLo = true, strict = false)
-        case GreaterThan(a: AttributeReference, l: Literal) =>
-          bound(a.name, l, isLo = true, strict = true)
-        case LessThanOrEqual(a: AttributeReference, l: Literal) =>
-          bound(a.name, l, isLo = false, strict = false)
-        case LessThan(a: AttributeReference, l: Literal) =>
-          bound(a.name, l, isLo = false, strict = true)
-        case _ => // unsupported shape: prunes nothing
-      }
-      // per-column typed pruning: every constrained column that the
-      // #statcol header names (name:kind) intersects the survivor set.
-      // Column identity is resolved through the header — bounds of one
-      // column NEVER prune by another's predicate.
-      val kinds = SnapshotStore.statCols(root, v)
-      val afterStats = kinds.foldLeft(all) { case (fs, (c, kind)) =>
-        kind match {
-          case "long" | "ts" if lo.contains(c) || hi.contains(c) =>
-            val (l, h) = (lo.getOrElse(c, Long.MinValue),
-              hi.getOrElse(c, Long.MaxValue))
-            val stats = SnapshotStore.boundsFor(root, v, c)
-            fs.filter(f => stats.get(f).forall { case (mn, mx) =>
-              mx >= l && mn <= h })
-          case "str" if sLo.contains(c) || sHi.contains(c) =>
-            val stats = SnapshotStore.strBoundsFor(root, v, c)
-            fs.filter(f => stats.get(f).forall { case (mn, mx) =>
-              sLo.get(c).forall(l =>
-                UTF8String.fromString(mx).compareTo(l) >= 0) &&
-              sHi.get(c).forall(h =>
-                UTF8String.fromString(mn).compareTo(h) <= 0) })
-          case _ => fs
-        }
-      }
-      // Bloom probes only the stats survivors; absent sidecars no-op.
-      // A key SET keeps the union of per-key survivors (a file may
-      // serve any member). The sidecar is read ONCE per column and
-      // probe positions are driver-side arithmetic (BloomIndex
-      // .covers) — an N-key IN list costs one read + N·K bit tests
-      // inside pushFilters, never a Spark job at plan time.
-      val pruned = keySets.foldLeft(afterStats) { case (fs, (c, ks)) =>
-        BloomIndex.loadSidecar(root, v, c) match {
-          case None => fs
-          case Some(blooms) => fs.filter(p =>
-            blooms.get(p).forall(bits => ks.exists(BloomIndex.covers(bits, _))))
-        }
-      }
+      val pruned = SidecarPrune.survivors(root, v, filters, all)
       if (pruned.size != all.size)
         inner = mk(if (pruned.nonEmpty) pruned else all.take(1))
           .newScanBuilder(options)

@@ -255,6 +255,10 @@ object SnapshotStore {
       : Seq[String] = {
     val dir = new File(new File(root, "data"), s"c$v-${commitToken()}")
     df.write.parquet(dir.getPath)
+    // per-commit schema marker (DDL): lets the SQL face resolve a
+    // layout group's schema without opening any data-file footer
+    Files.write(new File(dir, "_schema.ddl").toPath,
+      df.schema.toDDL.getBytes(StandardCharsets.UTF_8))
     dir.listFiles().filter(_.getName.endsWith(".parquet"))
       .map(_.getPath).toSeq.sorted
   }
@@ -382,6 +386,10 @@ object SnapshotStore {
       df.write.partitionBy(spec: _*).parquet(dir.getPath)
       Files.write(new File(dir, "_spec.list").toPath,
         spec.mkString("\n").getBytes(StandardCharsets.UTF_8))
+      // full frame schema (partition columns included) — the SQL
+      // face's zero-IO schema source for this layout group
+      Files.write(new File(dir, "_schema.ddl").toPath,
+        df.schema.toDDL.getBytes(StandardCharsets.UTF_8))
       val fresh = leafParquet(dir)
       val base = if (prev == 0) Seq.empty else filesAt(root, prev)
       writeManifest(root, v, base ++ fresh,

@@ -138,7 +138,10 @@ class Round16bSpec extends AnyFunSuite {
     assert(SnapshotStore.versions(root).nonEmpty)
   }
 
-  test("the SQL face refuses a partition-evolved table loudly") {
+  test("the SQL face reads a partition-evolved table (round 17)") {
+    // round 16 refused these tables; round 17 plans them as the
+    // per-layout union — a flat scan would silently DROP the month
+    // column, the union surfaces it as a string like readEvolved
     val wh = graft.util.TempDirs.scoped("r16b-evo")
     val root = s"$wh/evo"
     SnapshotStore.commitAppendPartitioned(
@@ -147,13 +150,10 @@ class Round16bSpec extends AnyFunSuite {
     spark.conf.set("spark.sql.catalog.g16evo", classOf[
       graft.sources.GraftCatalog].getName)
     spark.conf.set("spark.sql.catalog.g16evo.warehouse", wh)
-    val e = intercept[Exception] {
-      spark.sql("SELECT * FROM g16evo.evo").collect()
-    }
-    // a flat scan would silently DROP the month column — the catalog
-    // must refuse and point at the evolved read path
-    assert(e.getMessage.contains("readEvolved") ||
-      Option(e.getCause).exists(_.getMessage.contains("readEvolved")))
+    val rows = spark.sql(
+      "SELECT k, v, month FROM g16evo.evo ORDER BY k").collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSeq == Seq((1L, "a", "202601"), (2L, "b", "202602")))
     assert(graft.sources.SnapshotRead.plan(spark, root).df
       .columns.contains("month"))
   }
