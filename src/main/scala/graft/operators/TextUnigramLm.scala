@@ -210,6 +210,160 @@ object TextUnigramLm {
     singles.filterNot(fitted.contains).map(_ -> MinLpMicro).toMap ++ fitted
   }
 
+  // ---- soft-EM: forward-backward expected counts (Kudo 2018 §3.1's
+  // full E-step, vs the hard-EM Viterbi approximation above) ----
+
+  /** Pairwise log-add-exp. All inputs are finite (the floor is a very
+    * negative FINITE price, and every word has a finite all-singles
+    * path), so no -inf guard is needed: exp(-|a-b|) underflows to 0
+    * and the max wins — exactly the right limit. */
+  private def lse2(a: Column, b: Column): Column =
+    greatest(a, b) + log1p(exp(-abs(a - b)))
+
+  private def lpNat(m: Column, piece: Column): Column =
+    coalesce(try_element_at(m, piece), lit(MinLpMicro))
+      .cast("double") / lit(1e6)
+
+  /** Forward pass: array of n+1 log-marginals, element i+1 =
+    * ln Σ_paths P(word[1..i]) in nats. Same fold shape as
+    * [[viterbiBest]] with `array_min` replaced by log-sum-exp. */
+  def forwardLog(word: Column, model: Map[String, Long]): Column = {
+    val m = typedLit(model)
+    aggregate(
+      sequence(lit(1), length(word)),
+      array(lit(0.0)),
+      (acc: Column, i: Column) => {
+        val cands = (1 to MaxPieceLen).map { k =>
+          when(lit(k) <= i,
+            element_at(acc, i - lit(k) + 1) +
+              lpNat(m, word.substr(i - lit(k) + 1, lit(k))))
+        }
+        val valid = filter(array(cands: _*), c => c.isNotNull)
+        val sum = aggregate(valid, lit(Double.NegativeInfinity),
+          (s: Column, x: Column) =>
+            when(s === lit(Double.NegativeInfinity), x)
+              .otherwise(lse2(s, x)))
+        concat(acc, array(sum))
+      })
+  }
+
+  /** Backward pass, as a fold from the RIGHT end: element j+1 =
+    * β(n−j) = ln Σ_paths P(word[n−j+1..n]). β(i) of the forward
+    * indexing is `element_at(result, n − i + 1)`. */
+  def backwardLog(word: Column, model: Map[String, Long]): Column = {
+    val m = typedLit(model)
+    val n = length(word)
+    aggregate(
+      sequence(lit(1), length(word)),
+      array(lit(0.0)),
+      (acc: Column, j: Column) => {
+        val cands = (1 to MaxPieceLen).map { k =>
+          // edge leaving position i = n - j, consuming word[i+1..i+k]
+          when(lit(k) <= j,
+            element_at(acc, j - lit(k) + 1) +
+              lpNat(m, word.substr(n - j + 1, lit(k))))
+        }
+        val valid = filter(array(cands: _*), c => c.isNotNull)
+        val sum = aggregate(valid, lit(Double.NegativeInfinity),
+          (s: Column, x: Column) =>
+            when(s === lit(Double.NegativeInfinity), x)
+              .otherwise(lse2(s, x)))
+        concat(acc, array(sum))
+      })
+  }
+
+  /** Soft E-step: per word, every lattice edge with its posterior
+    * P(edge | word) = exp(α(i−k) + lp + β(i) − α(n)), QUANTIZED
+    * per edge to integer micro-counts (`floor(p·1e6 + 0.5)`) BEFORE
+    * any aggregation — the downstream sums are then pure BIGINT
+    * arithmetic, associative and deterministic under any partitioning
+    * (a double sum over a shuffle is order-dependent; an integer sum
+    * is not). Edges through floored pieces underflow to posterior 0
+    * and drop here. Emits (word, freq, piece, w_micro). */
+  def softEdges(words: DataFrame, model: Map[String, Long]): DataFrame = {
+    val m = typedLit(model)
+    val word = col("word")
+    val n = length(word)
+    val al = forwardLog(word, model)
+    val bk = backwardLog(word, model)
+    val edges = flatten(transform(sequence(lit(1), n), i =>
+      filter(
+        transform(sequence(lit(1), lit(MaxPieceLen)), k =>
+          when(k <= i, {
+            val piece = word.substr(i - k + 1, k)
+            val logPost = element_at(col("__al"), i - k + 1) +
+              lpNat(m, piece) +
+              element_at(col("__bk"), n - i + 1) -
+              element_at(col("__al"), n + 1)
+            struct(piece.as("piece"),
+              floor(exp(logPost) * lit(1e6) + lit(0.5)).cast("long")
+                .as("w_micro"))
+          })),
+        c => c.isNotNull && c.getField("w_micro") > 0)))
+    words
+      .withColumn("__al", al).withColumn("__bk", bk)
+      .select(col("word"), col("freq"), explode(edges).as("e"))
+      .select(col("word"), col("freq"),
+        col("e.piece").as("piece"), col("e.w_micro").as("w_micro"))
+  }
+
+  /** Frequency-weighted EXPECTED piece counts in micro-units — one
+    * hash aggregate, vocab-sized output (the soft twin of
+    * [[pieceCounts]]; micro-units cancel in the M-step's count/total
+    * ratio). */
+  def softCounts(words: DataFrame, model: Map[String, Long]): DataFrame =
+    softEdges(words, model)
+      .groupBy(col("piece"))
+      .agg(sum(col("freq") * col("w_micro")).as("cnt"))
+
+  /** Soft-EM training: the E-step accumulates forward-backward
+    * EXPECTED counts over the whole lattice instead of hard Viterbi
+    * counts — Kudo 2018's actual E-step, of which hard-EM is the
+    * max-approximation. The M-step, the floor semantics, the vocab
+    * budget, and the final artifact (the Viterbi-segmented word table
+    * under the final model, integer micro-nats) are IDENTICAL to
+    * [[train]], so the oracle machinery re-derives the result
+    * unchanged; only the expectation pass itself is floating-point
+    * (log-sum-exp has no exact integer form), and its per-edge
+    * quantization keeps the aggregation deterministic. Per-iteration
+    * stats are the VITERBI corpus log-lik under that iteration's
+    * model — the integer metric both trainers share, so the entries
+    * can compare them cross-engine. */
+  def trainSoft(docs: DataFrame, textCol: String = "text",
+      targetMultis: Int = TargetMultis)
+      : (Map[String, Long], Seq[IterStat], DataFrame) = {
+    val words = graft.util.Caches.snapshot(wordFreq(docs, textCol))
+    val seed = graft.util.Caches.snapshot(
+      words.select(col("freq"), explode(allSubstrings(col("word")))
+        .as("piece"))
+        .groupBy(col("piece")).agg(sum(col("freq")).as("cnt")))
+    // bounded-collect(alphabet): distinct single characters
+    val singleRows = seed.filter(length(col("piece")) === 1)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // bounded-collect(SeedMultis): top-k via TakeOrderedAndProject
+    val multiRows = seed.filter(length(col("piece")) > 1)
+      .orderBy(col("cnt").desc, col("piece")).limit(SeedMultis)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val singles = singleRows.map(_._1).toSet
+    var model = mstep(singleRows ++ multiRows, singles, SeedMultis)
+    val stats = scala.collection.mutable.ArrayBuffer.empty[IterStat]
+    var segmented: DataFrame = null
+    for (t <- 1 to Iterations) {
+      segmented = graft.util.Caches.snapshot(segment(words, model))
+      val ll = segmented
+        .agg(sum(col("freq") * col("score_micro")).cast("long"))
+        .head().getLong(0)
+      stats += IterStat(t, ll)
+      if (t < Iterations) {
+        // bounded-collect(vocab): expected counts are model-sized
+        val cnts = softCounts(words, model).collect()
+          .map(r => (r.getString(0), r.getLong(1))).toSeq
+        model = mstep(cnts, singles, targetMultis)
+      }
+    }
+    (model, stats.toSeq, segmented)
+  }
+
   /** Train the unigram LM. Returns (final model, per-iteration
     * log-lik stats, the FINAL segmented word table under that model —
     * the artifact both entries and the oracle verify against).

@@ -1552,6 +1552,91 @@ object LlmQueries {
 
   private val UnigramTopWords = 200
 
+  /** Train-once cache for the soft-EM model at the binding budget. */
+  private val unigramSoftCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String, String),
+      (Map[String, Long], Seq[TextUnigramLm.IterStat])]
+
+  private def trainedUnigramSoft(s: SparkSession, dir: String)
+      : (Map[String, Long], Seq[TextUnigramLm.IterStat]) =
+    unigramSoftCache.getOrElseUpdate(
+      (s.sparkContext.applicationId, dir,
+        graft.util.FrameMemo.dirFingerprint(dir)), {
+      val (m, st, _) = TextUnigramLm.trainSoft(docs(s, dir),
+        targetMultis = LossCompareMultis)
+      (m, st)
+    })
+
+  /** Soft-EM vs hard-EM unigram training (r16 item 5 — the upper half
+    * of the r15 ask that likelihood-loss pruning closed the minimum
+    * of): the E-step accumulates forward-backward EXPECTED counts
+    * over the whole lattice ([[TextUnigramLm.trainSoft]] — Kudo
+    * 2018's actual E-step) instead of hard Viterbi counts, at the
+    * SAME vocab budget where the inventory cut binds
+    * ([[LossCompareMultis]]; at the default 200 the comparison is
+    * vacuous — r16's lesson). Gated echo+verify on BOTH final models:
+    * the oracle re-derives, from the pinned models alone, the soft
+    * model's full Viterbi E-step (segmentation, piece counts) and
+    * BOTH corpus log-liks under the shared INTEGER metric (best-path
+    * micro-nats — the expectation pass itself is the one necessarily
+    * floating step, quantized per edge so its aggregation is
+    * deterministic; Round17eSpec pins its posterior algebra);
+    * `soft_model_wins` is computed in SQL from the RE-DERIVED
+    * log-liks. Measured at sf0.01: soft -2.26e11 vs hard -9.64e14
+    * micro-nats — the soft expectations keep enough mass on the
+    * pieces whose removal would strand words on floored paths, the
+    * exact failure hard counts can't see coming. */
+  def unigramSoftEm(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ((hard, hardStats), _) = trainedUnigramPair(s, dir)
+    val (soft, softStats) = trainedUnigramSoft(s, dir)
+    val seg = graft.util.Caches.snapshot(TextUnigramLm.segment(
+      TextUnigramLm.wordFreq(docs(s, dir)), soft))
+    // bounded-collect(vocab): final-model piece counts
+    val cnts = TextUnigramLm.pieceCounts(seg).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val llSoft = softStats.last.loglik_micro
+    val llHard = hardStats.last.loglik_micro
+    val rows = soft.toSeq.filter(_._1.length > 1).sortBy(_._1)
+      .map { case (p, lp) => (p, lp, cnts.getOrElse(p, 0L)) }
+    DynamicOracles.put("llm_unigram_softem", unigramSoftOracle(soft, hard))
+    rows.toDF("piece", "lp_micro", "cnt")
+      .withColumn("ll_soft_micro", lit(llSoft))
+      .withColumn("ll_hard_micro", lit(llHard))
+      .withColumn("soft_model_wins", lit(llSoft >= llHard))
+  }
+
+  private def unigramSoftOracle(softModel: Map[String, Long],
+      hardModel: Map[String, Long]): String =
+    s"""WITH $wrdsCte,
+       |$unigramWfCte,
+       |${unigramModelCtesNamed(softModel, "pinned", "mdl")},
+       |${unigramModelCtesNamed(hardModel, "pinnedc", "mdlc")},
+       |$unigramVitCtes,
+       |lls AS (SELECT CAST(sum(c * f.sc) AS BIGINT) AS ll FROM fin),
+       |pc AS (
+       |  SELECT c, unnest(string_split(f.sg, ' ')) AS piece FROM fin
+       |),
+       |cnts AS (
+       |  SELECT piece, CAST(sum(c) AS BIGINT) AS cnt FROM pc GROUP BY 1
+       |),
+       |vitc AS (
+       |  SELECT word, c, ${duckViterbi("word")} AS dp
+       |  FROM wf, mdlc
+       |),
+       |llc AS (
+       |  SELECT CAST(sum(c * dp[len(word) + 1].sc) AS BIGINT) AS ll
+       |  FROM vitc
+       |)
+       |SELECT p.piece, p.lp AS lp_micro,
+       |  coalesce(c.cnt, 0::BIGINT) AS cnt,
+       |  lls.ll AS ll_soft_micro,
+       |  llc.ll AS ll_hard_micro,
+       |  (lls.ll >= llc.ll) AS soft_model_wins
+       |FROM pinned p
+       |LEFT JOIN cnts c ON c.piece = p.piece, lls, llc
+       |WHERE len(p.piece) > 1""".stripMargin
+
   /** The trained unigram tokenizer applied to the vocabulary, gated
     * on the top-[[UnigramTopWords]] words by (freq DESC, word): the
     * oracle re-runs the WHOLE Viterbi fold in SQL given only the
@@ -3638,6 +3723,7 @@ object LlmQueries {
     "llm_unigram_train" -> QueryDef(unigramTrain _, None),
     "llm_unigram_encode" -> QueryDef(unigramEncode _, None),
     "llm_unigram_lossprune" -> QueryDef(unigramLossPrune _, None),
+    "llm_unigram_softem" -> QueryDef(unigramSoftEm _, None),
     "llm_tok_compare" -> QueryDef(tokCompare _, None),
     "llm_repetition" -> QueryDef(repetition _, repetitionOracle),
     "llm_source_stats" -> QueryDef(sourceStats _, sourceStatsOracle),

@@ -2610,7 +2610,74 @@ object SystemQueries {
        |SELECT 'range', count(*), ${duckDsum("amount")}, true, true
        |FROM t, h WHERE tid >= 0 AND tid <= hi""".stripMargin
 
+  /** S40: the full MAINTENANCE lifecycle in PURE SQL — Spark 4 DSv2
+    * stored procedures (`CALL <cat>.system.<proc>`) closing the gap
+    * where tagging/compaction/vacuum/MERGE were Scala-only (r16
+    * "what's missing" #4). The sequence: append 5 small files → CALL
+    * set_tag → append 5 more → CALL compact (merges all 10) → CALL
+    * expire (the untagged middle version dies; the TAGGED v1 and the
+    * head survive) → CALL merge_rows (a changelog view deleting every
+    * tid % 5 == 0 row). The probes re-read through the same SQL face:
+    * the tag still returns the PRE-compaction rows byte-identically
+    * (tags pin manifests through compaction AND vacuum — s22/s23
+    * semantics, now proven through SQL text), and the head reflects
+    * the merge. Booleans pin that compaction shrank the file count
+    * and the vacuum removed exactly the untagged version. Every
+    * procedure routes through the same CAS commit primitives as the
+    * Scala API. Round17dSpec covers each procedure in isolation. */
+  def s40SqlMaintenance(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.SnapshotStore
+    val root = s"$catalogWarehouse/trades_mx"
+    s.conf.set("spark.sql.catalog.graft_snap",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_snap.warehouse", catalogWarehouse)
+    val t = SyntheticTrades.trades(s, dir)
+      .filter(col("trade_id").cast("long") % 13 === 0)
+      .select(col("trade_id").cast("long").as("tid"), col("amount"))
+    if (SnapshotStore.latestVersion(root) == 0) {
+      SnapshotStore.commitAppend(
+        t.filter(col("tid") % 2 === 0).repartition(5), root)
+      s.sql("CALL graft_snap.system.set_tag('trades_mx', 'v1tag')")
+      SnapshotStore.commitAppend(
+        t.filter(col("tid") % 2 === 1).repartition(5), root)
+      s.sql("CALL graft_snap.system.compact('trades_mx', " +
+        s"${Long.MaxValue}L, 4)")
+      s.sql("CALL graft_snap.system.expire('trades_mx', 1, 0L)")
+      t.filter(col("tid") % 5 === 0)
+        .select(col("tid"), col("amount"), lit("D").as("op"),
+          lit(1L).as("seq"), col("tid").as("id"))
+        .createOrReplaceTempView("s40_changes")
+      s.sql("CALL graft_snap.system.merge_rows('trades_mx', " +
+        "'s40_changes', 'tid', 'op', 'seq', 'id')")
+    }
+    val compacted = SnapshotStore.filesAt(root, 3).size <= 4
+    val vacuumed = !SnapshotStore.versions(root).contains(2)
+    val dsumSql = "CAST(sum(CAST(amount AS DECIMAL(28,6))) AS DOUBLE)"
+    s.sql(
+      s"""SELECT 'tagged' AS phase, count(*) AS n_rows,
+         |  $dsumSql AS amount_sum,
+         |  $compacted AS compacted, $vacuumed AS vacuumed
+         |FROM graft_snap.trades_mx VERSION AS OF 'v1tag'
+         |UNION ALL
+         |SELECT 'head', count(*), $dsumSql, $compacted, $vacuumed
+         |FROM graft_snap.trades_mx""".stripMargin)
+  }
+
+  val s40Oracle: String =
+    s"""WITH ${SyntheticTrades.tradesCte},
+       |t AS (
+       |  SELECT CAST(trade_id AS BIGINT) AS tid, amount FROM trades
+       |  WHERE CAST(trade_id AS BIGINT) % 13 = 0)
+       |SELECT 'tagged' AS phase, count(*) AS n_rows,
+       |  ${duckDsum("amount")} AS amount_sum,
+       |  true AS compacted, true AS vacuumed
+       |FROM t WHERE tid % 2 = 0
+       |UNION ALL
+       |SELECT 'head', count(*), ${duckDsum("amount")}, true, true
+       |FROM t WHERE tid % 5 <> 0""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "s40_sql_maintenance" -> QueryDef(s40SqlMaintenance _, s40Oracle),
     "s39_sql_evolved_read" -> QueryDef(s39SqlEvolvedRead _, s39Oracle),
     "s38_typed_stats" -> QueryDef(s38TypedStats _, s38Oracle),
     "st20_stream_restart" -> QueryDef(st20StreamRestart _, st20Oracle),

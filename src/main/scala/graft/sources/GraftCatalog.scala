@@ -41,7 +41,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * store's single serialization point — letting SQL INSERT bypass it
   * would reintroduce the lost-update race the manifests exist to
   * prevent. All write-shaped methods throw. */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -149,6 +150,25 @@ class GraftCatalog extends TableCatalog {
 
   override def renameTable(oldIdent: Identifier,
       newIdent: Identifier): Unit = readOnly("RENAME TABLE")
+
+  // ---- SQL maintenance procedures (CALL <cat>.system.<name>(...)) ----
+  // the write-shaped operations the read-only table face deliberately
+  // refuses: they go through the commit API's CAS primitives, exposed
+  // to SQL users as Spark 4 DSv2 stored procedures
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    if (!(ident.namespace().isEmpty ||
+        ident.namespace().sameElements(Array("system"))))
+      throw new graft.QueryError(
+        s"procedures live in the 'system' namespace, got " +
+          ident.namespace().mkString("."))
+    GraftProcedures.load(warehouse, ident.name())
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    GraftProcedures.names.sorted
+      .map(n => Identifier.of(Array("system"), n)).toArray
 }
 
 object GraftCatalog {
