@@ -2676,7 +2676,68 @@ object SystemQueries {
        |SELECT 'head', count(*), ${duckDsum("amount")}, true, true
        |FROM t WHERE tid % 5 <> 0""".stripMargin
 
+  /** S41: the DML lifecycle in PURE SQL — CREATE TABLE, two INSERT
+    * INTOs, and a DELETE FROM, every statement routed THROUGH the CAS
+    * commit primitives (CREATE publishes an empty pinned-schema
+    * manifest; each INSERT is one append commit via the V1Write seam;
+    * DELETE is the copy-on-write rewrite — see
+    * [[graft.sources.SnapshotDml]]). The probes read back through the
+    * same face: `VERSION AS OF 2` returns exactly the FIRST insert's
+    * rows (DML never disturbs published versions), the head reflects
+    * the delete, and `four_versions` pins that the four statements
+    * published versions 1..4 and nothing else. Round17fSpec covers
+    * each statement shape in isolation (incl. OVERWRITE, IN/IS NULL
+    * deletes, CTAS, and byte-identical committed files across an
+    * INSERT). */
+  def s41SqlDml(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.SnapshotStore
+    val root = s"$catalogWarehouse/trades_dml"
+    s.conf.set("spark.sql.catalog.graft_snap",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_snap.warehouse", catalogWarehouse)
+    val t = SyntheticTrades.trades(s, dir)
+      .filter(col("trade_id").cast("long") % 17 === 0)
+      .select(col("trade_id").cast("long").as("tid"), col("amount"))
+    // bounded-collect(one row: the delete threshold)
+    val hi = t.agg(max(col("tid"))).collect().head.getLong(0) / 2
+    if (SnapshotStore.latestVersion(root) == 0) {
+      t.createOrReplaceTempView("s41_src")
+      s.sql(
+        "CREATE TABLE graft_snap.trades_dml (tid BIGINT, amount DOUBLE)")
+      s.sql("""INSERT INTO graft_snap.trades_dml
+              |SELECT tid, amount FROM s41_src WHERE tid % 2 = 0"""
+        .stripMargin)
+      s.sql("""INSERT INTO graft_snap.trades_dml
+              |SELECT tid, amount FROM s41_src WHERE tid % 2 = 1"""
+        .stripMargin)
+      s.sql(s"DELETE FROM graft_snap.trades_dml WHERE tid > $hi")
+    }
+    val fourVersions = SnapshotStore.versions(root) == Seq(1, 2, 3, 4)
+    val dsumSql = "CAST(sum(CAST(amount AS DECIMAL(28,6))) AS DOUBLE)"
+    s.sql(
+      s"""SELECT 'v2' AS phase, count(*) AS n_rows,
+         |  $dsumSql AS amount_sum, $fourVersions AS four_versions
+         |FROM graft_snap.trades_dml VERSION AS OF 2
+         |UNION ALL
+         |SELECT 'head', count(*), $dsumSql, $fourVersions
+         |FROM graft_snap.trades_dml""".stripMargin)
+  }
+
+  val s41Oracle: String =
+    s"""WITH ${SyntheticTrades.tradesCte},
+       |t AS (
+       |  SELECT CAST(trade_id AS BIGINT) AS tid, amount FROM trades
+       |  WHERE CAST(trade_id AS BIGINT) % 17 = 0),
+       |h AS (SELECT max(tid) // 2 AS hi FROM t)
+       |SELECT 'v2' AS phase, count(*) AS n_rows,
+       |  ${duckDsum("amount")} AS amount_sum, true AS four_versions
+       |FROM t WHERE tid % 2 = 0
+       |UNION ALL
+       |SELECT 'head', count(*), ${duckDsum("amount")}, true
+       |FROM t, h WHERE tid <= hi""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "s41_sql_dml" -> QueryDef(s41SqlDml _, s41Oracle),
     "s40_sql_maintenance" -> QueryDef(s40SqlMaintenance _, s40Oracle),
     "s39_sql_evolved_read" -> QueryDef(s39SqlEvolvedRead _, s39Oracle),
     "s38_typed_stats" -> QueryDef(s38TypedStats _, s38Oracle),

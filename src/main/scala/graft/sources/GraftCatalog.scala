@@ -36,11 +36,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * `VERSION AS OF` string resolves as a TAG name — the natural SQL
   * spelling for pinned snapshots.
   *
-  * Read-only by design: writes go through the commit API
-  * ([[SnapshotStore.commitAppend]] etc.), whose CAS publish is the
-  * store's single serialization point — letting SQL INSERT bypass it
-  * would reintroduce the lost-update race the manifests exist to
-  * prevent. All write-shaped methods throw. */
+  * DML routes THROUGH the commit API, never around it: INSERT INTO
+  * is a [[SnapshotStore.commitAppend]], INSERT OVERWRITE a
+  * [[SnapshotStore.commitReplace]], DELETE FROM the copy-on-write
+  * [[SnapshotStore.deleteRows]], CREATE TABLE an empty pinned-schema
+  * manifest ([[SnapshotDml]]) — the CAS publish stays the single
+  * serialization point, committed files stay immutable, and every
+  * prior version keeps reading its exact files. Maintenance is the
+  * `CALL system.*` procedures; DROP/RENAME/ALTER still refuse
+  * (destroying or re-rooting a versioned store is a deliberate
+  * out-of-band act, not a statement to run by accident). */
 class GraftCatalog extends TableCatalog
     with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
@@ -136,11 +141,27 @@ class GraftCatalog extends TableCatalog
       s"$catalogName is the read face of the snapshot store; $op goes " +
         "through the commit API (SnapshotStore.commit*)")
 
+  /** `CREATE TABLE` (and the create half of CTAS): publish an empty
+    * version-1 manifest pinning the schema; the first INSERT is an
+    * ordinary append commit. Partitioned creation is the Scala API's
+    * job (`commitAppendPartitioned` — partition specs are per-commit
+    * here, not table-level). */
   override def createTable(ident: Identifier,
       schema: org.apache.spark.sql.types.StructType,
       partitions: Array[org.apache.spark.sql.connector.expressions.Transform],
-      properties: java.util.Map[String, String]): Table =
-    readOnly("CREATE TABLE")
+      properties: java.util.Map[String, String]): Table = {
+    if (partitions.nonEmpty)
+      throw new UnsupportedOperationException(
+        "partition specs are per-commit in the snapshot store — create " +
+          "unpartitioned and write layouts via commitAppendPartitioned")
+    val root = rootOf(ident)
+    if (SnapshotStore.versions(root).nonEmpty)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(
+          (ident.namespace() :+ ident.name()).toSeq)
+    SnapshotStore.createEmpty(root, schema)
+    tableAt(ident, 1)
+  }
 
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = readOnly("ALTER TABLE")
@@ -172,16 +193,15 @@ class GraftCatalog extends TableCatalog
 }
 
 object GraftCatalog {
-  /** Read-only view over Spark's own ParquetTable: exposes ONLY
-    * `SupportsRead` — `ParquetTable` also implements `SupportsWrite`,
-    * and letting a SQL `INSERT INTO` stream parquet into
+  /** The catalog's table over Spark's own ParquetTable. Reads go
+    * through [[SnapshotScanBuilder]], which re-resolves the file list
+    * against the sidecar indexes at filter-pushdown time. Writes do
+    * NOT delegate to ParquetTable's writer (streaming parquet into
     * manifest-listed paths would mutate committed files behind every
-    * version's back (the exact corruption the immutable-data-file
-    * contract forbids). Narrowing the interface makes the analyzer
-    * reject writes at plan time ("table does not support append"),
-    * not at runtime. Scans go through [[SnapshotScanBuilder]], which
-    * re-resolves the file list against the sidecar indexes at filter-
-    * pushdown time. */
+    * version's back — the corruption the immutable-data-file contract
+    * forbids); they ride [[SnapshotDml.SnapshotWriteBuilder]], whose
+    * insert IS a CAS commit, and DELETE FROM is the copy-on-write
+    * [[SnapshotStore.deleteRows]]. */
   /** Test seam: how many times a table's schema had to be INFERRED
     * from data-file footers because the manifest pins no `#schema`
     * header. Stores written by current commits always pin one, so
@@ -192,7 +212,9 @@ object GraftCatalog {
 
   private final class SnapshotTable(tableName: String, root: String,
       v: Int, files: Seq[String])
-      extends Table with SupportsRead {
+      extends Table with SupportsRead
+      with org.apache.spark.sql.connector.catalog.SupportsWrite
+      with org.apache.spark.sql.connector.catalog.SupportsDeleteV2 {
     // the pinned schema travels in manifest METADATA (#schema header,
     // written at commit) — resolving it is a string parse, not IO over
     // a 100 TB table's footers. Passed as the user-specified schema so
@@ -211,9 +233,22 @@ object GraftCatalog {
         mk(files).schema
       }
     override def capabilities(): java.util.Set[TableCapability] =
-      java.util.Collections.singleton(TableCapability.BATCH_READ)
+      java.util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+        TableCapability.OVERWRITE_BY_FILTER)
     override def newScanBuilder(options: CaseInsensitiveStringMap)
         : ScanBuilder = new SnapshotScanBuilder(root, v, files, mk, options)
+    override def newWriteBuilder(
+        info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+        : org.apache.spark.sql.connector.write.WriteBuilder =
+      new SnapshotDml.SnapshotWriteBuilder(root, info)
+    override def canDeleteWhere(predicates: Array[
+        org.apache.spark.sql.connector.expressions.filter.Predicate])
+        : Boolean = SnapshotDml.canDelete(predicates)
+    override def deleteWhere(predicates: Array[
+        org.apache.spark.sql.connector.expressions.filter.Predicate])
+        : Unit =
+      SnapshotDml.deleteWhere(SparkSession.active, root, predicates)
   }
 
   /** The piece that makes the SQL face plan like the Scala planner:

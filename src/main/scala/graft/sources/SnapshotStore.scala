@@ -303,6 +303,18 @@ object SnapshotStore {
       v
     }
 
+  /** Create an EMPTY versioned table: version 1 lists no files and
+    * pins the schema in the `#schema` header — the commit CREATE
+    * TABLE (SQL or Scala) publishes before any data arrives, so
+    * readers and the catalog resolve the table immediately and the
+    * first INSERT is an ordinary append commit. */
+  def createEmpty(root: String,
+      schema: org.apache.spark.sql.types.StructType): Int = {
+    require(versions(root).isEmpty, s"table already exists under $root")
+    writeManifest(root, 1, Seq.empty, Map("schema" -> schema.toDDL))
+    1
+  }
+
   /** Snapshot read at a version (defaults to latest). */
   def read(spark: SparkSession, root: String,
       version: Option[Int] = None): DataFrame = {

@@ -120,7 +120,10 @@ class Round16bSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM g16.tt").head.getLong(0) == 3L)
   }
 
-  test("the SQL face rejects writes at plan time") {
+  test("SQL writes go THROUGH the CAS commit, never around it (r17)") {
+    // round 16 rejected all writes; round 17 routes INSERT through
+    // commitAppend — the invariant was never "no SQL writes", it was
+    // "no write may bypass the manifest CAS or mutate committed files"
     val wh = graft.util.TempDirs.scoped("r16b-ro")
     val root = s"$wh/t"
     SnapshotStore.commitAppend(
@@ -128,12 +131,17 @@ class Round16bSpec extends AnyFunSuite {
     spark.conf.set("spark.sql.catalog.g16ro", classOf[
       graft.sources.GraftCatalog].getName)
     spark.conf.set("spark.sql.catalog.g16ro.warehouse", wh)
-    val before = SnapshotStore.read(spark, root).count()
-    intercept[Exception] {
-      spark.sql("INSERT INTO g16ro.t VALUES (9, 9.0)")
-    }
-    assert(SnapshotStore.read(spark, root).count() == before,
-      "a rejected INSERT must not have touched committed files")
+    val v1Files = SnapshotStore.filesAt(root, 1)
+    val v1Bytes = v1Files.map(f =>
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f)).toSeq)
+    spark.sql("INSERT INTO g16ro.t VALUES (9, 9.0)")
+    assert(SnapshotStore.latestVersion(root) == 2,
+      "the INSERT published one append commit")
+    assert(SnapshotStore.read(spark, root, Some(1)).count() == 1,
+      "version 1 still reads exactly its own rows")
+    assert(v1Files.map(f => java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(f)).toSeq) == v1Bytes,
+      "committed data files are byte-identical after the INSERT")
     intercept[Exception] { spark.sql("DROP TABLE g16ro.t") }
     assert(SnapshotStore.versions(root).nonEmpty)
   }
