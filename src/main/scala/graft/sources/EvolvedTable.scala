@@ -226,23 +226,57 @@ private[graft] object EvolvedTable {
         val byName = s.readSchema().fieldNames.zipWithIndex.toMap
         required.fieldNames.map(n => byName.getOrElse(n, -1))
       }
+      val scanLens = groupScans.map(_.readSchema().length)
+      def identity(g: Int): Boolean =
+        scanLens(g) == projections(g).length &&
+          projections(g).zipWithIndex.forall { case (j, i) => j == i }
+      // Spark REQUIRES every partition of a scan to agree on
+      // columnar-ness (mixed partitions throw at planning) — decide
+      // ONCE for the whole union: vectorized iff every planned group
+      // is an identity projection and its reader is columnar-capable
+      val uniformColumnar = batches.indices.forall { g =>
+        identity(g) && batches(g).planInputPartitions()
+          .forall(factories(g).supportColumnarReads)
+      }
       new EvolvedReaderFactory(factories.toArray, projections.toArray,
-        required.fields.map(_.dataType))
+        scanLens.toArray, required.fields.map(_.dataType),
+        uniformColumnar)
     }
   }
 
-  /** Delegating factory: row-based (the per-row union projection
-    * cannot flow through a columnar batch), reading each partition
-    * with its OWN group's reader and padding to the unified schema. */
+  /** Delegating factory. A group whose scan output matches the
+    * required schema EXACTLY (an identity projection — the dominant
+    * case once pruning narrowed the plan to one layout, or when every
+    * commit shares a layout) passes the inner VECTORIZED reader
+    * straight through; only groups that actually need padding or
+    * reordering pay the per-row projection. Spark requires all
+    * partitions of a scan to agree on columnar-ness, so the fast path
+    * engages exactly when EVERY planned group is identity. */
   private final class EvolvedReaderFactory(
       factories: Array[PartitionReaderFactory],
       projections: Array[Array[Int]],
-      outTypes: Array[DataType]) extends PartitionReaderFactory {
-    override def supportColumnarReads(p: InputPartition): Boolean = false
+      scanLens: Array[Int],
+      outTypes: Array[DataType],
+      uniformColumnar: Boolean) extends PartitionReaderFactory {
+    private def identity(g: Int): Boolean = {
+      val proj = projections(g)
+      if (scanLens(g) != proj.length) return false
+      var i = 0
+      while (i < proj.length) { if (proj(i) != i) return false; i += 1 }
+      true
+    }
+    override def supportColumnarReads(p: InputPartition): Boolean =
+      uniformColumnar
+    override def createColumnarReader(p: InputPartition)
+        : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+      val ep = p.asInstanceOf[EvolvedInputPartition]
+      factories(ep.group).createColumnarReader(ep.inner)
+    }
     override def createReader(p: InputPartition)
         : PartitionReader[InternalRow] = {
       val ep = p.asInstanceOf[EvolvedInputPartition]
       val inner = factories(ep.group).createReader(ep.inner)
+      if (identity(ep.group)) return inner
       val proj = projections(ep.group)
       val n = proj.length
       new PartitionReader[InternalRow] {

@@ -33,7 +33,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * can never bypass an invariant the store enforces. */
 private[sources] object GraftProcedures {
 
-  val names: Seq[String] = Seq("set_tag", "compact", "expire", "merge_rows")
+  val names: Seq[String] = Seq("set_tag", "compact", "expire",
+    "merge_rows", "index", "build_bloom")
 
   def load(warehouse: String, name: String): UnboundProcedure =
     name match {
@@ -41,6 +42,8 @@ private[sources] object GraftProcedures {
       case "compact" => Compact(warehouse)
       case "expire" => Expire(warehouse)
       case "merge_rows" => MergeRows(warehouse)
+      case "index" => Index(warehouse)
+      case "build_bloom" => BuildBloom(warehouse)
       case other => throw new graft.QueryError(
         s"unknown procedure 'system.$other': known procedures " +
           names.sorted.mkString("[", ", ", "]"))
@@ -132,6 +135,48 @@ private[sources] object GraftProcedures {
       val r = SnapshotStore.expireVersions(root, a.getInt(1), a.getLong(2))
       Array(r.expired.size, r.survivors.size, r.deletedFiles,
         r.deletedBytes)
+    }
+  }
+
+  /** `index(table, stat_cols, n_files?)` — re-cluster the table by
+    * the given columns and publish ONE replace commit whose typed
+    * stats sidecar indexes all of them (Iceberg's rewrite_data_files
+    * + per-column bounds, for SQL users): after it, pushed range
+    * predicates on any indexed column prune files. `stat_cols` is a
+    * comma-separated column list; kinds derive from the schema
+    * (integral → long, timestamp → ts, string → str). */
+  private final case class Index(warehouse: String)
+      extends DriverProcedure("index",
+        Array(in("table", StringType), in("stat_cols", StringType),
+          inDefault("n_files", IntegerType, "8")),
+        StructType.fromDDL("version INT, indexed_columns STRING")) {
+    override def description(): String =
+      "re-cluster and stats-index the table on the given columns"
+    override def run(a: InternalRow): Array[Any] = {
+      val spark = SparkSession.active
+      val root = rootOf(warehouse, a.getUTF8String(0).toString)
+      val cols = a.getUTF8String(1).toString.split(",").toSeq
+        .map(_.trim).filter(_.nonEmpty)
+      val v = SnapshotStore.commitReplaceWithStatsMulti(
+        SnapshotStore.read(spark, root), root, cols, a.getInt(2))
+      Array(v, UTF8String.fromString(
+        SnapshotStore.statCols(root, v)
+          .map { case (c, k) => s"$c:$k" }.mkString(",")))
+    }
+  }
+
+  /** `build_bloom(table, key_col)` — build the per-file Bloom sidecar
+    * for point lookups on `key_col` at the current head version. */
+  private final case class BuildBloom(warehouse: String)
+      extends DriverProcedure("build_bloom",
+        Array(in("table", StringType), in("key_col", StringType)),
+        StructType.fromDDL("version INT")) {
+    override def description(): String =
+      "build the per-file Bloom sidecar for a point-lookup column"
+    override def run(a: InternalRow): Array[Any] = {
+      val root = rootOf(warehouse, a.getUTF8String(0).toString)
+      Array(BloomIndex.build(SparkSession.active, root,
+        a.getUTF8String(1).toString))
     }
   }
 

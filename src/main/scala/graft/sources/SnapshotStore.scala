@@ -941,40 +941,10 @@ object SnapshotStore {
       statColumns: Seq[String], nFiles: Int = 8,
       writerToken: Option[String] = None): Int =
     writerToken.flatMap(committedVersionFor(root, _)).getOrElse {
-      require(statColumns.nonEmpty, "need at least one stats column")
       val prev = latestVersion(root)
       val v = prev + 1
-      val spark = df.sparkSession
-      val kinds = statColumns.map(c => c -> statKindOf(df, c))
-      val fresh = writeData(
-        df.repartitionByRange(nFiles, statColumns.map(col): _*), root, v)
-      val aggs = kinds.flatMap { case (c, k) =>
-        def b(agg: Column): Column = k match {
-          case "long" => agg.cast("long")
-          case "ts" => unix_micros(agg)
-          case _ => agg
-        }
-        Seq(b(min(col(c))).as(s"mn_$c"), b(max(col(c))).as(s"mx_$c"))
-      }
-      val enc = java.util.Base64.getEncoder
-      def render(r: org.apache.spark.sql.Row, k: String, f: String): String =
-        if (k == "str") enc.encodeToString(
-          r.getAs[String](f).getBytes(StandardCharsets.UTF_8))
-        else r.getAs[Long](f).toString
-      // bounded collect: one row per fresh file
-      val freshStats = spark.read.parquet(fresh: _*)
-        .groupBy(input_file_name().as("f"))
-        .agg(aggs.head, aggs.tail: _*)
-        .collect()
-        .toSeq.flatMap { r =>
-          // input_file_name is a file:// URI; manifests hold plain paths
-          val p = new java.net.URI(r.getAs[String]("f")).getPath
-          kinds.flatMap { case (c, k) =>
-            if (r.isNullAt(r.fieldIndex(s"mn_$c"))) None // all-null file
-            else Some(ColStats(p, c, k,
-              render(r, k, s"mn_$c"), render(r, k, s"mx_$c")))
-          }
-        }
+      val (fresh, freshStats, kinds) =
+        writeDataWithStats(df, root, v, statColumns, nFiles)
       val base = if (prev == 0) Seq.empty else filesAt(root, prev)
       // record WHICH columns the stats sidecar indexes (name:kind list)
       // — the pruning faces need the identity, not just the numbers
@@ -989,6 +959,69 @@ object SnapshotStore {
       writeStatsLines(root, v, statsLinesAt(root, prev) ++ freshStats)
       v
     }
+
+  /** REPLACE commit with typed stats on every requested column — the
+    * re-indexing rewrite behind `CALL system.index(...)`: the whole
+    * table re-clusters by the stat columns and the new version's
+    * sidecar indexes ONLY the fresh files (replace semantics — old
+    * stats die with the files they described; old VERSIONS keep
+    * reading their original files as always). */
+  def commitReplaceWithStatsMulti(df: DataFrame, root: String,
+      statColumns: Seq[String], nFiles: Int = 8,
+      writerToken: Option[String] = None): Int =
+    writerToken.flatMap(committedVersionFor(root, _)).getOrElse {
+      val v = latestVersion(root) + 1
+      val (fresh, freshStats, kinds) =
+        writeDataWithStats(df, root, v, statColumns, nFiles)
+      val hdr = kinds.map { case (c, k) => s"$c:$k" }.mkString(",")
+      writeManifest(root, v, fresh,
+        Map("statcol" -> hdr) ++ replaceSchemaMeta(df) ++
+          writerToken.map("writer" -> _).toMap)
+      writeStatsLines(root, v, freshStats)
+      v
+    }
+
+  /** Shared stats-commit core: range-partition `df` on the stat
+    * columns, write version `v`'s data files, and compute per-file
+    * typed bounds in ONE distributed pass (bounded collect — one row
+    * per fresh file). Returns (files, stats lines, name→kind list). */
+  private def writeDataWithStats(df: DataFrame, root: String, v: Int,
+      statColumns: Seq[String], nFiles: Int)
+      : (Seq[String], Seq[ColStats], Seq[(String, String)]) = {
+    require(statColumns.nonEmpty, "need at least one stats column")
+    val spark = df.sparkSession
+    val kinds = statColumns.map(c => c -> statKindOf(df, c))
+    val fresh = writeData(
+      df.repartitionByRange(nFiles, statColumns.map(col): _*), root, v)
+    val aggs = kinds.flatMap { case (c, k) =>
+      def b(agg: Column): Column = k match {
+        case "long" => agg.cast("long")
+        case "ts" => unix_micros(agg)
+        case _ => agg
+      }
+      Seq(b(min(col(c))).as(s"mn_$c"), b(max(col(c))).as(s"mx_$c"))
+    }
+    val enc = java.util.Base64.getEncoder
+    def render(r: org.apache.spark.sql.Row, k: String, f: String): String =
+      if (k == "str") enc.encodeToString(
+        r.getAs[String](f).getBytes(StandardCharsets.UTF_8))
+      else r.getAs[Long](f).toString
+    // bounded collect: one row per fresh file
+    val freshStats = spark.read.parquet(fresh: _*)
+      .groupBy(input_file_name().as("f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .toSeq.flatMap { r =>
+        // input_file_name is a file:// URI; manifests hold plain paths
+        val p = new java.net.URI(r.getAs[String]("f")).getPath
+        kinds.flatMap { case (c, k) =>
+          if (r.isNullAt(r.fieldIndex(s"mn_$c"))) None // all-null file
+          else Some(ColStats(p, c, k,
+            render(r, k, s"mn_$c"), render(r, k, s"mx_$c")))
+        }
+      }
+    (fresh, freshStats, kinds)
+  }
 
   /** The manifest's file list at `v` split by the skipping decision
     * for `[lo, hi]` on the stat column: (kept, skipped). A file is

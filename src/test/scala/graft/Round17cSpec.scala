@@ -139,6 +139,36 @@ class Round17cSpec extends AnyFunSuite {
     assert(SnapshotStore.readEvolved(spark, root).count() == before)
   }
 
+  test("same-layout groups keep the VECTORIZED reader (identity path)") {
+    val root = s"$wh/evo_uniform"
+    // two commits under the SAME spec: both groups project identically
+    // onto the unified schema, so the union scan stays columnar
+    SnapshotStore.commitAppendPartitioned(
+      Seq((1L, "202601"), (2L, "202602")).toDF("k", "month"),
+      root, Seq("month"))
+    SnapshotStore.commitAppendPartitioned(
+      Seq((3L, "202601")).toDF("k", "month"), root, Seq("month"))
+    registerCatalog()
+    val df = spark.sql("SELECT k, month FROM r17c_snap.evo_uniform")
+    assert(df.queryExecution.executedPlan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.ColumnarToRowExec]),
+      "identity projections pass the columnar batches through")
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+    // a projection every group shares stays columnar EVEN on the
+    // heterogeneous store (both groups read [tid] identically)...
+    evolvedStore("evo")
+    val shared = spark.sql("SELECT tid FROM r17c_snap.evo")
+    assert(shared.queryExecution.executedPlan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.ColumnarToRowExec]))
+    assert(shared.count() == 80)
+    // ...while one that needs padding (month is absent from the flat
+    // group) drops to the row-based projection
+    val padded = spark.sql("SELECT tid, month FROM r17c_snap.evo")
+    assert(!padded.queryExecution.executedPlan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.ColumnarToRowExec]))
+    assert(padded.count() == 80)
+  }
+
   test("count(*) and column pruning survive the union projection") {
     val root = evolvedStore("evo")
     registerCatalog()

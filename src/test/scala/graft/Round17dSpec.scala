@@ -107,6 +107,45 @@ class Round17dSpec extends AnyFunSuite {
       .head().getLong(0) == 3)
   }
 
+  test("CALL index re-clusters and makes pushed ranges prune files") {
+    val root = s"$wh/indexme"
+    SnapshotStore.commitAppend(
+      spark.range(400).select(col("id").as("tid"),
+        timestamp_micros(lit(1767225600000000L) + col("id") * 1000000L)
+          .as("ts"),
+        (col("id") * 2).cast("double").as("amount")).repartition(4), root)
+    registerCatalog()
+    val res = spark.sql(
+      "CALL r17d_snap.system.index('indexme', 'ts,tid', 4)").collect()
+    assert(res.head.getInt(0) == 2)
+    assert(res.head.getString(1) == "ts:ts,tid:long")
+    def planned(sql: String): Int =
+      spark.sql(sql).queryExecution.sparkPlan.collect {
+        case bs: org.apache.spark.sql.execution.datasources.v2
+            .BatchScanExec => bs.scan
+      }.map[Int] {
+        case q: org.apache.spark.sql.execution.datasources.v2.parquet
+            .ParquetScan => q.fileIndex.inputFiles.length
+        case _ => 0
+      }.sum
+    val total = SnapshotStore.filesAt(root, 2).size
+    assert(planned(
+      "SELECT tid FROM r17d_snap.indexme WHERE tid < 50") < total)
+    assert(planned(
+      """SELECT tid FROM r17d_snap.indexme
+        |WHERE ts < timestamp_micros(1767225650000000)""".stripMargin)
+      < total)
+    assert(spark.sql("SELECT count(*) AS n FROM r17d_snap.indexme")
+      .head().getLong(0) == 400, "re-indexing changes no rows")
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM r17d_snap.indexme VERSION AS OF 1")
+      .head().getLong(0) == 400)
+    // build_bloom on top: a point query prunes to ~1 file
+    spark.sql("CALL r17d_snap.system.build_bloom('indexme', 'tid')")
+    assert(planned(
+      "SELECT amount FROM r17d_snap.indexme WHERE tid = 7") <= 2)
+  }
+
   test("unknown procedure names itself and the known set") {
     registerCatalog()
     val e = intercept[Exception] {
