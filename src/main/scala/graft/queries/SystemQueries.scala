@@ -2736,7 +2736,68 @@ object SystemQueries {
        |SELECT 'head', count(*), ${duckDsum("amount")}, true
        |FROM t, h WHERE tid <= hi""".stripMargin
 
+  /** S42: METADATA tables in pure SQL (`<cat>.<t>.history` /
+    * `.files` / `.tags` — Iceberg's introspection face): the entry
+    * JOINS the history relation against per-version `AS OF`
+    * aggregates, so every surfaced metadata fact is cross-checked
+    * against DATA the oracle re-derives — the version list and
+    * publication instants are deterministic (stamped), the per-commit
+    * file counts are pinned by explicit repartitions, and n_rows /
+    * amount_sum per version come from the raw trades. All three
+    * relations are driver-side manifest reads (KBs at any table
+    * size) served through a LocalScan, recomputed at scan time.
+    * Round17dSpec pins files/tags content and that a REAL table named
+    * like a metadata kind wins resolution. */
+  def s42SqlMetadata(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.SnapshotStore
+    val root = s"$catalogWarehouse/trades_md"
+    val t0 = 1700000000000L
+    val t = SyntheticTrades.trades(s, dir)
+      .filter(col("trade_id").cast("long") % 19 === 0)
+      .select(col("trade_id").cast("long").as("tid"), col("amount"))
+    if (SnapshotStore.latestVersion(root) == 0) {
+      SnapshotStore.commitAppend(
+        t.filter(col("tid") % 2 === 0).repartition(3), root)
+      SnapshotStore.stampManifest(root, 1, t0)
+      SnapshotStore.commitAppend(
+        t.filter(col("tid") % 2 === 1).repartition(2), root)
+      SnapshotStore.stampManifest(root, 2, t0 + 10000L)
+      SnapshotStore.tag(root, "evens", Some(1))
+    }
+    s.conf.set("spark.sql.catalog.graft_snap",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_snap.warehouse", catalogWarehouse)
+    val dsumSql = "CAST(sum(CAST(amount AS DECIMAL(28,6))) AS DOUBLE)"
+    s.sql(
+      s"""SELECT h.version, h.ts_millis, h.n_files, g.tag,
+         |  p.n_rows, p.amount_sum
+         |FROM graft_snap.trades_md.history h
+         |JOIN (
+         |  SELECT 1 AS v, count(*) AS n_rows, $dsumSql AS amount_sum
+         |  FROM graft_snap.trades_md VERSION AS OF 1
+         |  UNION ALL
+         |  SELECT 2, count(*), $dsumSql
+         |  FROM graft_snap.trades_md VERSION AS OF 2
+         |) p ON p.v = h.version
+         |LEFT JOIN graft_snap.trades_md.tags g ON g.version = h.version
+         |ORDER BY h.version""".stripMargin)
+  }
+
+  val s42Oracle: String =
+    s"""WITH ${SyntheticTrades.tradesCte},
+       |t AS (
+       |  SELECT CAST(trade_id AS BIGINT) AS tid, amount FROM trades
+       |  WHERE CAST(trade_id AS BIGINT) % 19 = 0)
+       |SELECT 1 AS version, 1700000000000 AS ts_millis, 3 AS n_files,
+       |  'evens' AS tag, count(*) AS n_rows,
+       |  ${duckDsum("amount")} AS amount_sum
+       |FROM t WHERE tid % 2 = 0
+       |UNION ALL
+       |SELECT 2, 1700000010000, 5, NULL, count(*), ${duckDsum("amount")}
+       |FROM t""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "s42_sql_metadata" -> QueryDef(s42SqlMetadata _, s42Oracle),
     "s41_sql_dml" -> QueryDef(s41SqlDml _, s41Oracle),
     "s40_sql_maintenance" -> QueryDef(s40SqlMaintenance _, s40Oracle),
     "s39_sql_evolved_read" -> QueryDef(s39SqlEvolvedRead _, s39Oracle),

@@ -99,8 +99,28 @@ class GraftCatalog extends TableCatalog
     root
   }
 
-  override def loadTable(ident: Identifier): Table =
-    tableAt(ident, SnapshotStore.latestVersion(checkExists(ident)))
+  /** `<cat>.<table>.<history|files|tags>` — the metadata relations
+    * ([[MetadataTables]]), served when no REAL table answers to the
+    * full path but the prefix is a store (a genuine table named
+    * `history` under a namespace still wins). */
+  private def metadataTable(ident: Identifier): Option[Table] =
+    if (ident.namespace().isEmpty ||
+        !MetadataTables.kinds(ident.name())) None
+    else {
+      val ns = ident.namespace()
+      val base = Identifier.of(ns.dropRight(1), ns.last)
+      val baseRoot = rootOf(base)
+      if (SnapshotStore.versions(baseRoot).isEmpty) None
+      else Some(new MetadataTables.MetadataTable(
+        s"$catalogName.${ident.toString}", baseRoot, ident.name()))
+    }
+
+  override def loadTable(ident: Identifier): Table = {
+    val root = rootOf(ident)
+    if (SnapshotStore.versions(root).isEmpty)
+      metadataTable(ident).getOrElse(throw new NoSuchTableException(ident))
+    else tableAt(ident, SnapshotStore.latestVersion(root))
+  }
 
   /** `VERSION AS OF <v>` — an integer version or a tag name. An
     * unknown tag is a VERSION error, not a missing table: the table

@@ -146,6 +146,48 @@ class Round17dSpec extends AnyFunSuite {
       "SELECT amount FROM r17d_snap.indexme WHERE tid = 7") <= 2)
   }
 
+  test("metadata tables: history, files, tags") {
+    val root = s"$wh/meta"
+    SnapshotStore.commitAppend(
+      spark.range(6).select(col("id").as("tid")).repartition(2), root,
+      Some("q:b1"))
+    SnapshotStore.stampManifest(root, 1, 1700000000000L)
+    SnapshotStore.commitAppend(
+      spark.range(3).select(col("id").as("tid")).repartition(1), root)
+    SnapshotStore.stampManifest(root, 2, 1700000005000L)
+    SnapshotStore.tag(root, "first", Some(1))
+    registerCatalog()
+    val hist = spark.sql(
+      "SELECT * FROM r17d_snap.meta.history ORDER BY version").collect()
+    assert(hist.map(_.getInt(0)).toSeq == Seq(1, 2))
+    assert(hist.map(_.getLong(1)).toSeq ==
+      Seq(1700000000000L, 1700000005000L))
+    assert(hist.head.getInt(2) == 2 && hist(1).getInt(2) == 3)
+    assert(hist.head.getString(3) == "q:b1" && hist(1).isNullAt(3))
+    val files = spark.sql("SELECT path, size_bytes FROM r17d_snap.meta.files")
+      .collect()
+    assert(files.map(_.getString(0)).toSet ==
+      SnapshotStore.filesAt(root, 2).toSet)
+    assert(files.forall(_.getLong(1) > 0))
+    val tags = spark.sql("SELECT * FROM r17d_snap.meta.tags").collect()
+    assert(tags.map(r => (r.getString(0), r.getInt(1))).toSeq ==
+      Seq(("first", 1)))
+    // metadata reflects CURRENT state on re-query
+    SnapshotStore.commitAppend(
+      spark.range(2).select(col("id").as("tid")), root)
+    assert(spark.sql("SELECT count(*) AS n FROM r17d_snap.meta.history")
+      .head().getLong(0) == 3)
+  }
+
+  test("a real table named like a metadata kind wins resolution") {
+    val root = s"$wh/sub/history"
+    SnapshotStore.commitAppend(
+      spark.range(4).select(col("id").as("tid")), root)
+    registerCatalog()
+    assert(spark.sql("SELECT count(*) AS n FROM r17d_snap.sub.history")
+      .head().getLong(0) == 4, "the genuine table, not sub's history")
+  }
+
   test("unknown procedure names itself and the known set") {
     registerCatalog()
     val e = intercept[Exception] {
