@@ -495,8 +495,13 @@ object SnapshotStore {
     if (small.isEmpty) (prev, 0, big.size)
     else {
       val v = prev + 1
+      // spec-aware read: a small file under an evolved layout carries
+      // column VALUES in its directory names — a flat parquet read
+      // would silently drop them from the merged rewrite. The merged
+      // files then store those columns as ordinary (string) data,
+      // which the evolved union surfaces identically.
       val merged = writeData(
-        spark.read.parquet(small: _*).coalesce(targetFiles), root, v)
+        readFilesEvolved(spark, root, small).coalesce(targetFiles), root, v)
       // a compaction rewrites bytes, not the table: carry the pinned
       // schema with the statcol header
       writeManifest(root, v, big ++ merged, carriedMeta(root, prev) ++
@@ -541,9 +546,14 @@ object SnapshotStore {
       case Some((lo, hi)) => pruneFiles(root, lo, hi, Some(prev))._1
       case None => all
     }
+    // spec-aware reads throughout: files under an evolved layout keep
+    // their directory-encoded column values through both the probe and
+    // the rewrite (a flat read would drop them from the rewritten
+    // rows — silent data loss), and a predicate over a partition
+    // column resolves instead of failing
     val hit: Set[String] =
       if (candidates.isEmpty) Set.empty
-      else spark.read.parquet(candidates: _*)
+      else readFilesEvolved(spark, root, candidates)
         .filter(predicate)
         .select(input_file_name().as("f")).distinct()
         .collect()
@@ -553,7 +563,7 @@ object SnapshotStore {
       val v = prev + 1
       val keep = all.filterNot(hit)
       val fresh = writeData(
-        spark.read.parquet(hit.toSeq.sorted: _*)
+        readFilesEvolved(spark, root, hit.toSeq.sorted)
           .filter(not(coalesce(predicate, lit(false)))),
         root, v)
       writeManifest(root, v, keep ++ fresh, carriedMeta(root, prev) ++
@@ -593,7 +603,7 @@ object SnapshotStore {
     writerToken.flatMap(committedVersionFor(root, _)).getOrElse {
       val prev = latestVersion(root)
       require(prev >= 1, s"no snapshot to merge into under $root")
-      val base = read(spark, root, Some(prev))
+      val base = readEvolved(spark, root, Some(prev))
         .select(col(keyCol), col("val"), col("us"))
       val latest = graft.operators.CdcMerge.latestState(
         changes, keyCol, opCol, valCol, usCol, idCol)
@@ -631,7 +641,9 @@ object SnapshotStore {
     writerToken.flatMap(committedVersionFor(root, _)).getOrElse {
       val prev = latestVersion(root)
       require(prev >= 1, s"no snapshot to merge into under $root")
-      val base = read(spark, root, Some(prev))
+      // evolved-safe: directory-encoded columns surface (as strings)
+      // and ride into the merged replace-commit as data columns
+      val base = readEvolved(spark, root, Some(prev))
       val cols = base.columns.toSeq
       require(cols.contains(keyCol), s"key column $keyCol not in table")
       val payload = cols.filterNot(_ == keyCol) :+ opCol

@@ -188,6 +188,30 @@ class Round17dSpec extends AnyFunSuite {
       .head().getLong(0) == 4, "the genuine table, not sub's history")
   }
 
+  test("TRUNCATE TABLE routes through the copy-on-write delete") {
+    val root = s"$wh/truncme"
+    SnapshotStore.commitAppend(
+      spark.range(5).select(col("id").as("tid")), root)
+    registerCatalog()
+    spark.sql("TRUNCATE TABLE r17d_snap.truncme")
+    assert(spark.sql("SELECT count(*) AS n FROM r17d_snap.truncme")
+      .head().getLong(0) == 0)
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM r17d_snap.truncme VERSION AS OF 1")
+      .head().getLong(0) == 5, "pre-truncate snapshot intact")
+  }
+
+  test("SHOW PROCEDURES and DESCRIBE PROCEDURE list the surface") {
+    registerCatalog()
+    val names = spark.sql("SHOW PROCEDURES IN r17d_snap.system")
+      .select("procedure_name").collect().map(_.getString(0)).toSet
+    assert(names == Set("set_tag", "compact", "expire", "merge_rows",
+      "index", "build_bloom"))
+    val desc = spark.sql("DESCRIBE PROCEDURE r17d_snap.system.set_tag")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(desc.contains("set_tag") && desc.contains("pin a tag"))
+  }
+
   test("unknown procedure names itself and the known set") {
     registerCatalog()
     val e = intercept[Exception] {
