@@ -1088,7 +1088,7 @@ object SystemQueries {
     val pred = col("event_id") >= lo && col("event_id") <= hi &&
       col("event_type") === "click"
     val (v3, _, _) = SnapshotStore.deleteRows(s, root, pred,
-      pruneRange = Some((lo, hi)))
+      pruneRange = Some(("event_id", lo, hi)))
     Seq("pre_delete" -> 2, "post_delete" -> v3).map { case (phase, v) =>
       SnapshotStore.read(s, root, Some(v))
         .agg(count(lit(1)).as("n_rows"),
@@ -2796,7 +2796,312 @@ object SystemQueries {
        |SELECT 2, 1700000010000, 5, NULL, count(*), ${duckDsum("amount")}
        |FROM t""".stripMargin
 
+  /** S43: STRING bounds through BOTH pruning faces — the `str`-kind
+    * stats sidecar (base64-coded per-file min/max, byte-wise unsigned
+    * UTF8String order) pruning a string range on the Scala planner
+    * (`SnapshotRead.plan(strRanges = ...)`, new this round — the two
+    * faces were asymmetric: str bounds pruned only through SQL) AND
+    * through pure SQL text (pushed `tkey >= '...'` predicates resolve
+    * in [[graft.sources.SidecarPrune]]). The key is a zero-padded
+    * decimal render of the trade id, so lexicographic order equals
+    * numeric order and the range-partitioned layout gives tight
+    * per-file string bounds — both probes must actually skip files
+    * (ledger / planned-file count pinned), and the oracle re-derives
+    * both answers with DuckDB's binary string collation. Round18Spec
+    * pins exact ledgers and the wrong-column guard on a controlled
+    * store. */
+  def s43StrPrune(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{SnapshotRead, SnapshotStore}
+    val root = s"$catalogWarehouse/trades_str"
+    val t = SyntheticTrades.trades(s, dir)
+      .select(lpad(col("trade_id"), 12, "0").as("tkey"), col("amount"))
+    // bounded-collect(one row: probe bounds + store sizing)
+    val b = t.agg(max(col("tkey").cast("long")).as("mx"),
+      count(lit(1)).as("n")).collect().head
+    if (SnapshotStore.latestVersion(root) == 0) {
+      val nFiles = math.max(8, (b.getLong(1) / 6000L).toInt + 1)
+      SnapshotStore.commitAppendWithStatsMulti(t, root, Seq("tkey"), nFiles)
+    }
+    def pad(x: Long): String = f"$x%012d"
+    val (lo, hi) = (pad(0L), pad(b.getLong(0) / 4))
+    val p = SnapshotRead.plan(s, root, strRanges = Seq(("tkey", lo, hi)))
+    s.conf.set("spark.sql.catalog.graft_snap",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_snap.warehouse", catalogWarehouse)
+    val dsumSql = "CAST(sum(CAST(amount AS DECIMAL(28,6))) AS DOUBLE)"
+    val sqlDf = s.sql(
+      s"""SELECT count(*) AS n_rows, $dsumSql AS amount_sum
+         |FROM graft_snap.trades_str
+         |WHERE tkey >= '$lo' AND tkey <= '$hi'""".stripMargin)
+    def planned(df: DataFrame): Int =
+      df.queryExecution.sparkPlan.collect {
+        case bs: org.apache.spark.sql.execution.datasources.v2
+            .BatchScanExec => bs.scan
+      }.collect {
+        case q: org.apache.spark.sql.execution.datasources.v2.parquet
+            .ParquetScan => q.fileIndex.inputFiles.length
+      }.sum
+    val scalaDf = p.df
+      .agg(count(lit(1)).as("n_rows"), dsum(col("amount")).as("amount_sum"))
+      .select(lit("scala").as("phase"), col("n_rows"), col("amount_sum"),
+        lit(p.statsSkipped > 0).as("files_skipped"))
+    val sqlShaped = sqlDf
+      .select(lit("sql").as("phase"), col("n_rows"), col("amount_sum"),
+        lit(planned(sqlDf) < p.filesTotal).as("files_skipped"))
+    scalaDf.unionAll(sqlShaped)
+  }
+
+  val s43Oracle: String =
+    s"""WITH ${SyntheticTrades.tradesCte},
+       |t AS (
+       |  SELECT lpad(trade_id, 12, '0') AS tkey, amount FROM trades),
+       |b AS (SELECT max(CAST(tkey AS BIGINT)) // 4 AS h FROM t),
+       |f AS (
+       |  SELECT t.* FROM t, b
+       |  WHERE tkey >= lpad('0', 12, '0')
+       |    AND tkey <= lpad(CAST(h AS VARCHAR), 12, '0'))
+       |SELECT 'scala' AS phase, count(*) AS n_rows,
+       |  ${duckDsum("amount")} AS amount_sum, true AS files_skipped
+       |FROM f
+       |UNION ALL
+       |SELECT 'sql', count(*), ${duckDsum("amount")}, true
+       |FROM f""".stripMargin
+
+  /** S44: DML on a PARTITION-EVOLVED table in PURE SQL — the write
+    * half round 17 left read-only. The store is s39's shape (v1 =
+    * flat tid-ranged evens MINUS the tid%10 slice, with a tid stats
+    * sidecar; v2 = odds under a shard partition spec); then pure SQL
+    * text INSERTs the held-out slice (one FLAT append commit —
+    * correct by the union-read contract, which surfaces mixed layouts
+    * by construction) and DELETEs the top half by tid (the
+    * evolution-safe copy-on-write rewrite: directory-encoded shard
+    * values survive into the rewritten files as data columns). The
+    * probes read back through the same face: `VERSION AS OF 3` is
+    * exactly ALL rows (insert landed, delete not yet), the head is
+    * the tid <= hi half, `matches_scala` pins SQL rows == the Scala
+    * `readEvolved`, and `four_versions` pins the statement-to-commit
+    * mapping. Round18Spec pins the byte-identical-committed-files
+    * invariant across the evolved INSERT. */
+  def s44SqlEvolvedDml(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.SnapshotStore
+    val root = s"$catalogWarehouse/trades_evw"
+    val t = SyntheticTrades.trades(s, dir)
+      .filter(col("trade_id").cast("long") % 3 === 0)
+      .select(col("trade_id").cast("long").as("tid"), col("amount"),
+        (col("trade_id").cast("long") % 4).cast("string").as("shard"))
+    // bounded-collect(one row: probe bounds + store sizing)
+    val b = t.agg(max(col("tid")).as("mx"),
+      count(lit(1)).as("n")).collect().head
+    val hi = b.getLong(0) / 2
+    if (SnapshotStore.latestVersion(root) == 0) {
+      val nFiles = math.max(8, (b.getLong(1) / 6000L).toInt + 1)
+      SnapshotStore.commitAppendWithStats(
+        t.filter(col("tid") % 2 === 0 && col("tid") % 10 =!= 0)
+          .select(col("tid"), col("amount")), root, "tid", nFiles)
+      SnapshotStore.commitAppendPartitioned(
+        t.filter(col("tid") % 2 === 1).repartition(4, col("shard")),
+        root, Seq("shard"))
+      s.conf.set("spark.sql.catalog.graft_snap",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_snap.warehouse", catalogWarehouse)
+      t.createOrReplaceTempView("s44_src")
+      s.sql("""INSERT INTO graft_snap.trades_evw
+              |SELECT tid, amount, shard FROM s44_src
+              |WHERE tid % 2 = 0 AND tid % 10 = 0""".stripMargin)
+      s.sql(s"DELETE FROM graft_snap.trades_evw WHERE tid > $hi")
+    }
+    s.conf.set("spark.sql.catalog.graft_snap",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_snap.warehouse", catalogWarehouse)
+    val fourVersions = SnapshotStore.versions(root) == Seq(1, 2, 3, 4)
+    val sqlN = s.sql("SELECT count(*) AS n FROM graft_snap.trades_evw")
+      .head.getLong(0)
+    val scalaN = SnapshotStore.readEvolved(s, root).count()
+    val dsumSql = "CAST(sum(CAST(amount AS DECIMAL(28,6))) AS DOUBLE)"
+    s.sql(
+      s"""SELECT 'pre_delete' AS phase, count(*) AS n_rows,
+         |  $dsumSql AS amount_sum, $fourVersions AS four_versions,
+         |  ${sqlN == scalaN} AS matches_scala
+         |FROM graft_snap.trades_evw VERSION AS OF 3
+         |UNION ALL
+         |SELECT 'head', count(*), $dsumSql, $fourVersions,
+         |  ${sqlN == scalaN}
+         |FROM graft_snap.trades_evw""".stripMargin)
+  }
+
+  val s44Oracle: String =
+    s"""WITH ${SyntheticTrades.tradesCte},
+       |t AS (
+       |  SELECT CAST(trade_id AS BIGINT) AS tid, amount FROM trades
+       |  WHERE CAST(trade_id AS BIGINT) % 3 = 0),
+       |h AS (SELECT max(tid) // 2 AS hi FROM t)
+       |SELECT 'pre_delete' AS phase, count(*) AS n_rows,
+       |  ${duckDsum("amount")} AS amount_sum, true AS four_versions,
+       |  true AS matches_scala
+       |FROM t
+       |UNION ALL
+       |SELECT 'head', count(*), ${duckDsum("amount")}, true, true
+       |FROM t, h WHERE tid <= hi""".stripMargin
+
+  /** S45: `ALTER TABLE ADD COLUMN` as a METADATA-ONLY commit — the
+    * additive DDL SQL users expect (r17 "what's missing" #2): the
+    * pinned `#schema` header widens through the same
+    * [[graft.util.SchemaMerge]] appends use, the new version lists
+    * the SAME files (zero data IO at any table size), old files read
+    * the column as NULL, and the next INSERT populates it. The
+    * lifecycle: CREATE → INSERT evens → ADD COLUMN side → INSERT odds
+    * carrying their direction. Probes: `VERSION AS OF 3` (post-ALTER,
+    * pre-second-insert) surfaces the column as all-NULL over the old
+    * files; the head counts the populated side values and the buys
+    * among them; `four_versions` pins statement-to-commit (ALTER
+    * itself published exactly one metadata version). Round18Spec pins
+    * the refusal shapes (NOT NULL, duplicate, positioned, nested). */
+  def s45SqlAddColumn(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.SnapshotStore
+    val root = s"$catalogWarehouse/trades_ac"
+    s.conf.set("spark.sql.catalog.graft_snap",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_snap.warehouse", catalogWarehouse)
+    val t = SyntheticTrades.trades(s, dir)
+      .filter(col("trade_id").cast("long") % 29 === 0)
+      .select(col("trade_id").cast("long").as("tid"), col("amount"),
+        col("direction"))
+    if (SnapshotStore.latestVersion(root) == 0) {
+      t.createOrReplaceTempView("s45_src")
+      s.sql("CREATE TABLE graft_snap.trades_ac (tid BIGINT, amount DOUBLE)")
+      s.sql("""INSERT INTO graft_snap.trades_ac
+              |SELECT tid, amount FROM s45_src WHERE tid % 2 = 0"""
+        .stripMargin)
+      s.sql("ALTER TABLE graft_snap.trades_ac ADD COLUMN side STRING")
+      s.sql("""INSERT INTO graft_snap.trades_ac
+              |SELECT tid, amount, direction FROM s45_src WHERE tid % 2 = 1"""
+        .stripMargin)
+    }
+    val fourVersions = SnapshotStore.versions(root) == Seq(1, 2, 3, 4)
+    val dsumSql = "CAST(sum(CAST(amount AS DECIMAL(28,6))) AS DOUBLE)"
+    s.sql(
+      s"""SELECT 'post_alter' AS phase, count(*) AS n_rows,
+         |  $dsumSql AS amount_sum, count(side) AS n_side,
+         |  count(CASE WHEN side = 'buy' THEN 1 END) AS n_buy,
+         |  $fourVersions AS four_versions
+         |FROM graft_snap.trades_ac VERSION AS OF 3
+         |UNION ALL
+         |SELECT 'head', count(*), $dsumSql, count(side),
+         |  count(CASE WHEN side = 'buy' THEN 1 END), $fourVersions
+         |FROM graft_snap.trades_ac""".stripMargin)
+  }
+
+  val s45Oracle: String =
+    s"""WITH ${SyntheticTrades.tradesCte},
+       |t AS (
+       |  SELECT CAST(trade_id AS BIGINT) AS tid, amount, direction
+       |  FROM trades WHERE CAST(trade_id AS BIGINT) % 29 = 0)
+       |SELECT 'post_alter' AS phase, count(*) AS n_rows,
+       |  ${duckDsum("amount")} AS amount_sum,
+       |  CAST(0 AS BIGINT) AS n_side, CAST(0 AS BIGINT) AS n_buy,
+       |  true AS four_versions
+       |FROM t WHERE tid % 2 = 0
+       |UNION ALL
+       |SELECT 'head', count(*), ${duckDsum("amount")},
+       |  count(CASE WHEN tid % 2 = 1 THEN 1 END),
+       |  count(CASE WHEN tid % 2 = 1 AND direction = 'buy' THEN 1 END),
+       |  true
+       |FROM t""".stripMargin
+
+  /** ST21: exactly-once through crash-replay when the sink is PURE
+    * SQL `INSERT INTO` — st20's operational proof, re-run for the DML
+    * face (r17 "what's missing" #3: the V1Write seam passed no writer
+    * token, so a foreachBatch body writing SQL text double-committed
+    * on replay). The body sets the [[graft.sources.SnapshotDml
+    * .TokenConf]] session conf to `"st21:<batchId>"` around each
+    * INSERT; the commit records the token in the manifest header AND
+    * the durable token log. The entry then reproduces the crash
+    * window (sink committed, checkpoint commit marker lost) and
+    * restarts: Spark re-executes the last batch with the SAME batchId
+    * and the replayed INSERT must find its token and NO-OP. All
+    * audited facts are durable store state (version list, token log),
+    * so a warm re-invocation recomputes them identically. */
+  def st21SqlTokenReplay(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{SnapshotDml, SnapshotStore}
+    val root = s"$catalogWarehouse/trades_sqlsink"
+    val t = SyntheticTrades.trades(s, dir)
+      .filter(col("trade_id").cast("long") % 71 === 0)
+      .select(col("trade_id").cast("long").as("tid"), col("amount"))
+    if (SnapshotStore.latestVersion(root) == 0) {
+      val src = graft.util.TempDirs.scoped("st21-src")
+      val ckpt = graft.util.TempDirs.scoped("st21-ckpt")
+      t.repartition(3).write.parquet(s"$src/pages")
+      SnapshotStore.createEmpty(root, t.schema)
+      val ss = streamSession(s)
+      ss.conf.set("spark.sql.catalog.graft_snap",
+        classOf[graft.sources.GraftCatalog].getName)
+      ss.conf.set("spark.sql.catalog.graft_snap.warehouse", catalogWarehouse)
+      def runOnce(): Unit = {
+        val raw = ss.readStream.schema(t.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$src/pages")
+        val q = raw.writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+              org.apache.spark.sql.Row], batchId: Long) =>
+            if (!batch.isEmpty) {
+              val bs = batch.sparkSession
+              bs.conf.set("spark.sql.catalog.graft_snap",
+                classOf[graft.sources.GraftCatalog].getName)
+              bs.conf.set("spark.sql.catalog.graft_snap.warehouse",
+                catalogWarehouse)
+              batch.createOrReplaceTempView("st21_batch")
+              bs.conf.set(SnapshotDml.TokenConf, s"st21:$batchId")
+              try bs.sql(
+                """INSERT INTO graft_snap.trades_sqlsink
+                  |SELECT tid, amount FROM st21_batch""".stripMargin)
+              finally bs.conf.unset(SnapshotDml.TokenConf)
+              ()
+            }
+          }
+          .option("checkpointLocation", ckpt)
+          .start()
+        try q.processAllAvailable() finally { q.stop(); q.awaitTermination() }
+      }
+      runOnce()
+      // crash window: sink committed, the LAST batch's checkpoint
+      // commit marker (and its ChecksumFileSystem .crc shadow — a
+      // real crash writes neither) never landed
+      val commitDir = new java.io.File(ckpt, "commits")
+      val markers = commitDir.listFiles()
+        .filter(_.getName.matches("\\d+")).sortBy(_.getName.toInt)
+      require(markers.nonEmpty, "stream produced no committed batches")
+      require(markers.last.delete(), "could not remove the commit marker")
+      new java.io.File(commitDir, s".${markers.last.getName}.crc").delete()
+      runOnce() // re-executes the last batch with the SAME batchId
+    }
+    s.conf.set("spark.sql.catalog.graft_snap",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_snap.warehouse", catalogWarehouse)
+    // durable audits: v1 createEmpty + exactly one commit per batch
+    // (replay published nothing), and the token log knows every batch
+    val replayNoop = SnapshotStore.versions(root) == Seq(1, 2, 3, 4)
+    val tokenLogged = (0 to 2).forall(b =>
+      SnapshotStore.committedVersionFor(root, s"st21:$b").isDefined)
+    s.sql(
+      s"""SELECT count(*) AS n_rows, count(DISTINCT tid) AS unique_ids,
+         |  CAST(sum(CAST(amount AS DECIMAL(28,6))) AS DOUBLE)
+         |    AS amount_sum,
+         |  $replayNoop AS replay_was_noop, $tokenLogged AS token_logged
+         |FROM graft_snap.trades_sqlsink""".stripMargin)
+  }
+
+  val st21Oracle: String =
+    s"""WITH ${SyntheticTrades.tradesCte}
+       |SELECT count(*) AS n_rows,
+       |  count(DISTINCT CAST(trade_id AS BIGINT)) AS unique_ids,
+       |  ${duckDsum("amount")} AS amount_sum,
+       |  true AS replay_was_noop, true AS token_logged
+       |FROM trades WHERE CAST(trade_id AS BIGINT) % 71 = 0""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "s43_str_prune" -> QueryDef(s43StrPrune _, s43Oracle),
+    "s44_sql_evolved_dml" -> QueryDef(s44SqlEvolvedDml _, s44Oracle),
+    "s45_sql_add_column" -> QueryDef(s45SqlAddColumn _, s45Oracle),
+    "st21_sql_token_replay" -> QueryDef(st21SqlTokenReplay _, st21Oracle),
     "s42_sql_metadata" -> QueryDef(s42SqlMetadata _, s42Oracle),
     "s41_sql_dml" -> QueryDef(s41SqlDml _, s41Oracle),
     "s40_sql_maintenance" -> QueryDef(s40SqlMaintenance _, s40Oracle),

@@ -88,12 +88,32 @@ object BloomIndex {
   }
 
   /** Build the sidecar for the CURRENT version's manifest. One
-    * distributed pass; driver state is files × MBits/8 bytes. */
+    * distributed pass; driver state is files × MBits/8 bytes.
+    *
+    * Hash-parity contract: probes ([[positions]]) hash a LONG literal
+    * through `XxHash64`, so the build MUST hash the key column through
+    * the same long codepath — `xxhash64` over an INT column takes the
+    * int-hash path and yields DIFFERENT positions than the probe
+    * (false negatives: files wrongly skipped, rows silently dropped).
+    * Integral sub-long columns are therefore widened to LONG before
+    * hashing (value-preserving); LONG hashes as-is; TIMESTAMP hashes
+    * its epoch-micros long internally, matching the micros the probe
+    * literal carries. Any other type refuses loudly — a sidecar that
+    * can never be probed correctly must not exist. */
   def build(spark: SparkSession, root: String, keyCol: String): Int = {
+    import org.apache.spark.sql.types._
     val v = SnapshotStore.latestVersion(root)
     val files = SnapshotStore.filesAt(root, v)
-    val perFile = spark.read.parquet(files: _*)
-      .select(input_file_name().as("f"), col(keyCol).as("k"))
+    val base = spark.read.parquet(files: _*)
+    val key = base.schema(keyCol).dataType match {
+      case LongType | TimestampType => col(keyCol)
+      case IntegerType | ShortType | ByteType => col(keyCol).cast("long")
+      case other => throw new graft.QueryError(
+        s"bloom key column $keyCol has unsupported type $other " +
+          "(supported: integral, timestamp — probes hash long values)")
+    }
+    val perFile = base
+      .select(input_file_name().as("f"), key.as("k"))
       .select(col("f"), explode(array(posCols(col("k")): _*)).as("pos"))
       .groupBy(col("f"))
       .agg(collect_set(col("pos")).as("ps"))

@@ -47,6 +47,17 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * [[GraftCatalog]] path. */
 private[graft] object EvolvedTable {
 
+  /** Test seam: how many per-group listing/split passes evolved scans
+    * have run (one increment per layout group per scan). The stock
+    * `FileScan.partitions` re-lists and re-splits on EVERY
+    * `planInputPartitions()` call, and an evolved scan consults the
+    * result from three sites (the planned array, the uniform-columnar
+    * check, the audit ledger) — memoization keeps it at ONE pass per
+    * group, which Round18Spec pins. At 100 TB file counts, listing IS
+    * the plan-time cost. */
+  private[graft] val planningPasses =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
   /** One commit directory's worth of files: the unit a partition spec
     * (and a schema marker) applies to. */
   final case class LayoutGroup(baseDir: String, files: Seq[String],
@@ -105,9 +116,23 @@ private[graft] object EvolvedTable {
     * at load when layouts disagree on a shared column's type (one
     * commit's data-Long vs another's directory-string cannot be
     * flattened losslessly — the Scala `readEvolved` path remains for
-    * that rare shape). */
+    * that rare shape).
+    *
+    * Writes are first-class (Iceberg writes under partition evolution
+    * as a matter of course): `INSERT INTO` is a FLAT append commit —
+    * correct by the union-read contract, which surfaces mixed layouts
+    * by construction (the inserted rows carry every unified column,
+    * partition-directory columns included, as data columns); `INSERT
+    * OVERWRITE` is one atomic replace commit; `DELETE FROM` routes to
+    * the evolution-safe copy-on-write [[SnapshotStore.deleteRows]]
+    * (rewrites read spec-aware, so directory-encoded values survive
+    * into the rewritten files — Round17gSpec). All through the same
+    * CAS commit primitives and the same [[SnapshotDml]] seam as the
+    * flat table. */
   final class EvolvedSnapshotTable(tableName: String, root: String,
-      v: Int, groups: Seq[LayoutGroup]) extends Table with SupportsRead {
+      v: Int, groups: Seq[LayoutGroup]) extends Table with SupportsRead
+      with org.apache.spark.sql.connector.catalog.SupportsWrite
+      with org.apache.spark.sql.connector.catalog.SupportsDeleteV2 {
     private[sources] val unified: StructType =
       try groups.map(_.groupSchema).reduceLeft(graft.util.SchemaMerge.merge)
       catch {
@@ -119,10 +144,22 @@ private[graft] object EvolvedTable {
     override def name(): String = tableName
     override def schema(): StructType = unified
     override def capabilities(): java.util.Set[TableCapability] =
-      java.util.Collections.singleton(TableCapability.BATCH_READ)
+      java.util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
     override def newScanBuilder(options: CaseInsensitiveStringMap)
         : ScanBuilder =
       new EvolvedScanBuilder(tableName, root, v, groups, unified, options)
+    override def newWriteBuilder(
+        info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+        : org.apache.spark.sql.connector.write.WriteBuilder =
+      new SnapshotDml.SnapshotWriteBuilder(root, info)
+    override def canDeleteWhere(predicates: Array[
+        org.apache.spark.sql.connector.expressions.filter.Predicate])
+        : Boolean = SnapshotDml.canDelete(predicates)
+    override def deleteWhere(predicates: Array[
+        org.apache.spark.sql.connector.expressions.filter.Predicate])
+        : Unit =
+      SnapshotDml.deleteWhere(SparkSession.active, root, predicates)
   }
 
   private final class EvolvedScanBuilder(tableName: String, root: String,
@@ -204,18 +241,27 @@ private[graft] object EvolvedTable {
       * audit reads. Counted from the planned FilePartitions (not the
       * file index) so partition-DIRECTORY pruning, which the stock
       * scan applies at listFiles time, is visible too. */
-    private[graft] def plannedFiles: Int = batches.map {
-      _.planInputPartitions().map {
+    private[graft] def plannedFiles: Int = planned.map {
+      _.map {
         case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
           fp.files.length
         case _ => 0
       }.sum
     }.sum
     private lazy val batches = groupScans.map(_.toBatch)
+    /** Each group's input partitions, planned ONCE and reused by all
+      * three consumers (the returned array, the uniform-columnar
+      * check, the audit ledger): `FileScan.partitions` re-lists and
+      * re-splits on every call, so without the memo plan-time listing
+      * work triples per query — the dominant plan cost at 100 TB file
+      * counts. */
+    private lazy val planned: Seq[Array[InputPartition]] = batches.map { b =>
+      EvolvedTable.planningPasses.incrementAndGet()
+      b.planInputPartitions()
+    }
     override def planInputPartitions(): Array[InputPartition] =
-      batches.zipWithIndex.flatMap { case (b, gi) =>
-        b.planInputPartitions().map(p =>
-          EvolvedInputPartition(gi, p): InputPartition)
+      planned.zipWithIndex.flatMap { case (ps, gi) =>
+        ps.map(p => EvolvedInputPartition(gi, p): InputPartition)
       }.toArray
     override def createReaderFactory(): PartitionReaderFactory = {
       val factories = batches.map(_.createReaderFactory())
@@ -235,8 +281,7 @@ private[graft] object EvolvedTable {
       // ONCE for the whole union: vectorized iff every planned group
       // is an identity projection and its reader is columnar-capable
       val uniformColumnar = batches.indices.forall { g =>
-        identity(g) && batches(g).planInputPartitions()
-          .forall(factories(g).supportColumnarReads)
+        identity(g) && planned(g).forall(factories(g).supportColumnarReads)
       }
       new EvolvedReaderFactory(factories.toArray, projections.toArray,
         scanLens.toArray, required.fields.map(_.dataType),

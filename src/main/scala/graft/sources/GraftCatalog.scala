@@ -43,9 +43,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * manifest ([[SnapshotDml]]) — the CAS publish stays the single
   * serialization point, committed files stay immutable, and every
   * prior version keeps reading its exact files. Maintenance is the
-  * `CALL system.*` procedures; DROP/RENAME/ALTER still refuse
-  * (destroying or re-rooting a versioned store is a deliberate
-  * out-of-band act, not a statement to run by accident). */
+  * `CALL system.*` procedures; ALTER TABLE ADD COLUMN is a
+  * metadata-only schema-widening commit; DROP/RENAME and every
+  * non-additive ALTER still refuse (destroying or re-rooting a
+  * versioned store is a deliberate out-of-band act, not a statement
+  * to run by accident). */
 class GraftCatalog extends TableCatalog
     with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
@@ -75,15 +77,30 @@ class GraftCatalog extends TableCatalog
     // union ([[EvolvedTable]]) that resolves every file against the
     // spec its commit was written with — the Iceberg read contract,
     // in pure SQL.
-    val evolved = files.exists { p =>
-      var d = new File(p).getParentFile
-      var hit = false
-      while (d != null && !hit && d.getName != "data") {
-        hit = new File(d, "_spec.list").isFile
-        d = d.getParentFile
-      }
-      hit
+    val dataDir = new File(root, "data").getCanonicalFile
+    def commitDirOf(p: String): File = {
+      var f = new File(p).getCanonicalFile
+      while (f.getParentFile != null && f.getParentFile != dataDir)
+        f = f.getParentFile
+      f
     }
+    val commitDirs = files.map(commitDirOf).distinct
+    val anySpec = commitDirs.exists(d => new File(d, "_spec.list").isFile)
+    // heterogeneous FLAT commits without a pinned #schema also plan as
+    // the union: a single-footer inference would silently drop the
+    // wider commits' columns (the shape a copy-on-write rewrite leaves
+    // behind when it flattens the last spec'd files of an evolved
+    // store). Detection reads only the per-commit `_schema.ddl`
+    // markers — driver-side, commit-count-sized, zero data IO; a
+    // legacy store without markers keeps the old flat path.
+    lazy val ddlsDiffer = commitDirs.flatMap { d =>
+      val f = new File(d, "_schema.ddl")
+      if (!f.isFile) None
+      else Some(new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8))
+    }.distinct.size > 1
+    val evolved = anySpec ||
+      (!SnapshotStore.manifestMeta(root, v).contains("schema") && ddlsDiffer)
     val tableName = s"$catalogName.${ident.toString}@v$v"
     if (evolved)
       new EvolvedTable.EvolvedSnapshotTable(tableName, root, v,
@@ -183,8 +200,44 @@ class GraftCatalog extends TableCatalog
     tableAt(ident, 1)
   }
 
+  /** `ALTER TABLE ADD COLUMN(S)` — the one additive DDL a versioned
+    * store can honor as a METADATA-ONLY commit: the pinned `#schema`
+    * header widens through the same [[graft.util.SchemaMerge]] appends
+    * use ([[SnapshotStore.addColumns]]), the new version lists the
+    * SAME data files, and old files read the column as NULL. Zero data
+    * IO at any table size. Everything non-additive (drops, renames,
+    * type changes, NOT NULL, positioned inserts) still refuses loudly:
+    * honoring those would either rewrite 100 TB or pin a schema some
+    * committed file can't satisfy. */
   override def alterTable(ident: Identifier,
-      changes: TableChange*): Table = readOnly("ALTER TABLE")
+      changes: TableChange*): Table = {
+    val root = checkExists(ident)
+    val adds = changes.map {
+      case a: TableChange.AddColumn
+          if a.fieldNames().length == 1 && a.isNullable &&
+            a.position() == null =>
+        org.apache.spark.sql.types.StructField(
+          a.fieldNames()(0), a.dataType(), nullable = true)
+      case a: TableChange.AddColumn if !a.isNullable =>
+        throw new UnsupportedOperationException(
+          s"ADD COLUMN ${a.fieldNames().mkString(".")} NOT NULL: " +
+            "existing files read added columns as NULL — add it " +
+            "nullable or rewrite the table")
+      case a: TableChange.AddColumn if a.position() != null =>
+        throw new UnsupportedOperationException(
+          "ADD COLUMN FIRST/AFTER: the pinned-schema merge appends " +
+            "columns at the end (stable across appends) — omit the " +
+            "position clause")
+      case a: TableChange.AddColumn =>
+        throw new UnsupportedOperationException(
+          s"ADD COLUMN ${a.fieldNames().mkString(".")}: only top-level " +
+            "columns can be added (nested struct fields live inside " +
+            "committed file footers)")
+      case other => readOnly(s"ALTER TABLE (${other.getClass.getSimpleName})")
+    }
+    SnapshotStore.addColumns(root, adds)
+    tableAt(ident, SnapshotStore.latestVersion(root))
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     readOnly("DROP TABLE")

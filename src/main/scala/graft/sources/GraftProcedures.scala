@@ -49,8 +49,15 @@ private[sources] object GraftProcedures {
           names.sorted.mkString("[", ", ", "]"))
     }
 
+  /** Resolve a procedure's `table` argument exactly like the catalog
+    * resolves identifiers: a dotted `ns.t` is the nested namespace
+    * `<warehouse>/ns/t` (the same path `GraftCatalog.rootOf` maps
+    * `Identifier(ns, t)` to), so every table SELECT can reach is also
+    * addressable from `CALL`. A filesystem-flavored `ns/t` keeps
+    * working (File composition treats the separator natively). */
   private def rootOf(warehouse: String, table: String): String = {
-    val root = new File(warehouse, table).getPath
+    val root = table.split("\\.").filter(_.nonEmpty)
+      .foldLeft(new File(warehouse))(new File(_, _)).getPath
     if (SnapshotStore.versions(root).isEmpty)
       throw new graft.QueryError(s"no snapshot table '$table' under $warehouse")
     root

@@ -24,13 +24,31 @@ import org.apache.spark.sql.sources.InsertableRelation
   * DataFrame and the commit call IS the write — no custom
   * per-partition writer protocol to get wrong, and the store's
   * parquet layout stays identical to the Scala path's. */
-private[sources] object SnapshotDml {
+private[graft] object SnapshotDml {
+
+  /** The session conf a pure-SQL writer sets to make its next DML
+    * statements idempotent under streaming crash-replay — INSERT text
+    * has no options clause, so the conf is the only channel a
+    * foreachBatch body writing via `spark.sql("INSERT INTO ...")` has
+    * for the `"<queryName>:<batchId>"` token the Scala commit API
+    * takes as a parameter. */
+  val TokenConf = "spark.graft.writer.token"
 
   /** WriteBuilder for a snapshot table: append by default,
     * replace-commit under `INSERT OVERWRITE` (Spark signals it via
     * [[SupportsTruncate]] — a full-table overwrite truncates then
     * appends, which the store expresses atomically as ONE replace
-    * commit). */
+    * commit).
+    *
+    * Exactly-once: the commit carries a writer token when the caller
+    * provides one — as the `writer_token` write option
+    * (`df.writeTo(t).option("writer_token", ...)`) or, for pure SQL
+    * INSERT text, the [[TokenConf]] session conf, read at INSERT
+    * execution on the writing frame's own session. A replayed
+    * micro-batch whose token is already in the store's token log
+    * no-ops, exactly like the Scala `commitAppend(df, root, token)`
+    * path — without this, a foreachBatch body writing via
+    * `INSERT INTO` double-commits on crash-replay. */
   final class SnapshotWriteBuilder(root: String, info: LogicalWriteInfo)
       extends WriteBuilder with SupportsTruncate {
     private var overwrite = false
@@ -39,8 +57,11 @@ private[sources] object SnapshotDml {
       override def toInsertableRelation: InsertableRelation =
         new InsertableRelation {
           override def insert(data: Dataset[Row], ov: Boolean): Unit = {
-            if (overwrite || ov) SnapshotStore.commitReplace(data, root)
-            else SnapshotStore.commitAppend(data, root)
+            val token = Option(info.options.get("writer_token"))
+              .orElse(data.sparkSession.conf.getOption(TokenConf))
+              .filter(_.nonEmpty)
+            if (overwrite || ov) SnapshotStore.commitReplace(data, root, token)
+            else SnapshotStore.commitAppend(data, root, token)
             ()
           }
         }

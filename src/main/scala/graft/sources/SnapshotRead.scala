@@ -45,18 +45,22 @@ object SnapshotRead {
     * hi) enables stats pruning + the row filter `lo <= c <= hi`;
     * `ranges` adds FURTHER range predicates (per-column typed stats
     * sidecars prune on every indexed column at once — Iceberg-style
-    * per-column bounds); `point` = (keyCol, key) enables Bloom
-    * skipping + the row filter `c = key`. All together express their
-    * conjunction. A range on a `ts`-kind column takes epoch-MICROS
-    * bounds (the sidecar's storage domain) and filters rows through
-    * `timestamp_micros`. */
+    * per-column bounds); `strRanges` = (col, lo, hi) STRING bounds,
+    * pruned against `str`-kind sidecar lines with the same byte-wise
+    * unsigned UTF8String ordering the SQL face uses (Spark's string
+    * order — what min/max computed when the sidecar was built);
+    * `point` = (keyCol, key) enables Bloom skipping + the row filter
+    * `c = key`. All together express their conjunction. A range on a
+    * `ts`-kind column takes epoch-MICROS bounds (the sidecar's
+    * storage domain) and filters rows through `timestamp_micros`. */
   def plan(spark: SparkSession, root: String,
       version: Option[Int] = None,
       asOfMillis: Option[Long] = None,
       tag: Option[String] = None,
       range: Option[(String, Long, Long)] = None,
       point: Option[(String, Long)] = None,
-      ranges: Seq[(String, Long, Long)] = Nil): ScanPlan = {
+      ranges: Seq[(String, Long, Long)] = Nil,
+      strRanges: Seq[(String, String, String)] = Nil): ScanPlan = {
     require(Seq(version, asOfMillis, tag).count(_.isDefined) <= 1,
       "give at most one of version / asOfMillis / tag")
     val v = version
@@ -73,12 +77,25 @@ object SnapshotRead {
     // rows, silently dropping them. A range on any other column keeps
     // every file (the row filter below still applies), mirroring the
     // SQL catalog's conservative contract.
-    val afterStats = allRanges.foldLeft(all) {
+    val afterLong = allRanges.foldLeft(all) {
       case (fs, (c, lo, hi))
           if kinds.get(c).exists(k => k == "long" || k == "ts") =>
         val stats = SnapshotStore.boundsFor(root, v, c)
         fs.filter(f => stats.get(f).forall { case (mn, mx) =>
           mx >= lo && mn <= hi })
+      case (fs, _) => fs
+    }
+    // str-kind bounds prune with byte-wise unsigned UTF8String order —
+    // same identity guard: only a column the header names as `str`
+    // prunes, anything else keeps every file
+    val afterStats = strRanges.foldLeft(afterLong) {
+      case (fs, (c, lo, hi)) if kinds.get(c).contains("str") =>
+        import org.apache.spark.unsafe.types.UTF8String
+        val stats = SnapshotStore.strBoundsFor(root, v, c)
+        val (loU, hiU) = (UTF8String.fromString(lo), UTF8String.fromString(hi))
+        fs.filter(f => stats.get(f).forall { case (mn, mx) =>
+          UTF8String.fromString(mx).compareTo(loU) >= 0 &&
+            UTF8String.fromString(mn).compareTo(hiU) <= 0 })
       case (fs, _) => fs
     }
     val afterBloom = point match {
@@ -100,6 +117,7 @@ object SnapshotRead {
       else col(c) >= lo && col(c) <= hi
     val filtered = (
       allRanges.map { case (c, lo, hi) => rangeFilter(c, lo, hi) } ++
+      strRanges.map { case (c, lo, hi) => col(c) >= lo && col(c) <= hi } ++
       point.map { case (c, k) => col(c) === k })
       .foldLeft(base)(_.filter(_))
     ScanPlan(v, all.size, afterStats.size, afterBloom.size, filtered)
@@ -112,6 +130,8 @@ object SnapshotRead {
       tag: Option[String] = None,
       range: Option[(String, Long, Long)] = None,
       point: Option[(String, Long)] = None,
-      ranges: Seq[(String, Long, Long)] = Nil): DataFrame =
-    plan(spark, root, version, asOfMillis, tag, range, point, ranges).df
+      ranges: Seq[(String, Long, Long)] = Nil,
+      strRanges: Seq[(String, String, String)] = Nil): DataFrame =
+    plan(spark, root, version, asOfMillis, tag, range, point, ranges,
+      strRanges).df
 }

@@ -315,6 +315,42 @@ object SnapshotStore {
     1
   }
 
+  /** `ALTER TABLE ADD COLUMN` — a METADATA-ONLY commit: the new
+    * version lists the SAME files as its predecessor and widens the
+    * pinned `#schema` header through the same [[graft.util.SchemaMerge]]
+    * appends use, so existing files read the added column as NULL (the
+    * merge marks it nullable) and the next INSERT may populate it.
+    * Zero data IO at any table size — additive DDL on a 100 TB table
+    * is a manifest write. Refuses loudly when the column already
+    * exists, and on a legacy store that pins no `#schema` (the union
+    * of its historic commits is unknowable without footer IO — publish
+    * one replace-shaped commit first). Stats sidecar lines carry: the
+    * files are unchanged, so their bounds still hold. Same CAS
+    * publish as every commit. Returns the new version. */
+  def addColumns(root: String,
+      cols: Seq[org.apache.spark.sql.types.StructField]): Int = {
+    import org.apache.spark.sql.types.StructType
+    require(cols.nonEmpty, "ADD COLUMN needs at least one column")
+    val prev = latestVersion(root)
+    if (prev == 0)
+      throw new graft.QueryError(s"no snapshot table under $root")
+    val pinned = manifestMeta(root, prev).get("schema")
+      .map(StructType.fromDDL).getOrElse(throw new graft.QueryError(
+        s"cannot ADD COLUMN under $root: version $prev pins no #schema " +
+          "header (legacy store) — publish one replace-shaped commit first"))
+    cols.find(c => pinned.fieldNames.contains(c.name)).foreach(c =>
+      throw new graft.QueryError(
+        s"cannot ADD COLUMN ${c.name}: it already exists in $root"))
+    val widened = graft.util.SchemaMerge.merge(pinned,
+      StructType(cols.map(_.copy(nullable = true))))
+    val v = prev + 1
+    writeManifest(root, v, filesAt(root, prev),
+      carriedMeta(root, prev) + ("schema" -> widened.toDDL))
+    val prior = statsLinesAt(root, prev)
+    if (prior.nonEmpty) writeStatsLines(root, v, prior)
+    v
+  }
+
   /** Snapshot read at a version (defaults to latest). */
   def read(spark: SparkSession, root: String,
       version: Option[Int] = None): DataFrame = {
@@ -524,9 +560,14 @@ object SnapshotStore {
     * separate maintenance step that expires old manifests and
     * orphaned files.
     *
-    * Candidate pruning is two-layered: `pruneRange` (when given)
-    * resolves against the v<N>.stats sidecar first — driver-side,
-    * file-count-sized, no IO — then ONE distributed probe pass finds
+    * Candidate pruning is two-layered: `pruneRange` — a
+    * (column, lo, hi) triple the caller's predicate must IMPLY —
+    * resolves against the v<N>.stats sidecar first (through the
+    * `#statcol` column-identity map: a range on a non-indexed column
+    * prunes nothing rather than prune by another column's bounds,
+    * which would leave matching rows ALIVE in wrongly-skipped files —
+    * a silent retention/GDPR failure) — driver-side, file-count-sized,
+    * no IO — then ONE distributed probe pass finds
     * which surviving candidates really hold matching rows
     * (`input_file_name` distinct — output bounded by file count, not
     * row count). Rewritten survivors = `NOT coalesce(pred, false)`:
@@ -539,11 +580,11 @@ object SnapshotStore {
     * Returns (newVersion, nRewritten, nCarried); no-op (current
     * version, 0, fileCount) when nothing matches. */
   def deleteRows(spark: SparkSession, root: String, predicate: Column,
-      pruneRange: Option[(Long, Long)] = None): (Int, Int, Int) = {
+      pruneRange: Option[(String, Long, Long)] = None): (Int, Int, Int) = {
     val prev = latestVersion(root)
     val all = filesAt(root, prev)
     val candidates = pruneRange match {
-      case Some((lo, hi)) => pruneFiles(root, lo, hi, Some(prev))._1
+      case Some((c, lo, hi)) => pruneFiles(root, c, lo, hi, Some(prev))._1
       case None => all
     }
     // spec-aware reads throughout: files under an evolved layout keep
@@ -695,7 +736,8 @@ object SnapshotStore {
     *  - keeps the `keepLast` most recent versions (≥ 1 — the head is
     *    never expirable) plus every TAGGED version, matching the tag
     *    contract: tags pin manifests regardless of age;
-    *  - expired versions lose their manifest and stats sidecar, so a
+    *  - expired versions lose their manifest and their stats/Bloom
+    *    sidecars, so a
     *    later `read(root, Some(v))` fails loudly ("no manifest for
     *    version v") instead of returning silently-wrong data;
     *  - data files referenced by NO surviving manifest are physically
@@ -745,6 +787,13 @@ object SnapshotStore {
     expired.foreach { v =>
       Files.deleteIfExists(manifestFile(root, v).toPath)
       Files.deleteIfExists(statsFile(root, v).toPath)
+      // every per-column bloom sidecar of the dead version — without
+      // this, v<N>.bloom.<col> files accumulate in _manifests forever
+      // on long-running tables (they are version-keyed metadata, dead
+      // the instant their manifest is)
+      Option(manifestDir(root).listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith(s"v$v.bloom."))
+        .foreach(f => Files.deleteIfExists(f.toPath))
     }
     beforeSweep()
     // physical purge: every data file no LIVE manifest lists, old
@@ -896,16 +945,6 @@ object SnapshotStore {
       .map(l => l.path -> (s(l.mn), s(l.mx))).toMap
   }
 
-  /** Legacy single-column view: the bounds of the FIRST `#statcol`
-    * entry — what [[pruneFiles]]/[[readPruned]] (single-column APIs)
-    * consult. */
-  private[sources] def statsAt(root: String, v: Int)
-      : Map[String, (Long, Long)] =
-    statCols(root, v).headOption match {
-      case Some((c, k)) if k == "long" || k == "ts" => boundsFor(root, v, c)
-      case _ => Map.empty
-    }
-
   /** Append commit that also records per-file min/max of `statCol`
     * (an integral column) in a `v<N>.stats` sidecar — the
     * manifest-level data-skipping index every real table format
@@ -1036,28 +1075,42 @@ object SnapshotStore {
   }
 
   /** The manifest's file list at `v` split by the skipping decision
-    * for `[lo, hi]` on the stat column: (kept, skipped). A file is
+    * for `[lo, hi]` on `statCol`: (kept, skipped). The column is
+    * resolved through the manifest's `#statcol` identity map FIRST —
+    * on a multi-column-indexed store, pruning `statCol`'s range
+    * against a DIFFERENT column's bounds would silently drop files
+    * that still hold matching rows (the one failure mode a reader can
+    * never have; found on `SnapshotRead.plan` in round 16 and on this
+    * legacy face in round 17). When `statCol` is not an indexed
+    * long/ts column, NOTHING prunes — the caller's row filter still
+    * applies, so correctness never depends on the sidecar. A file is
     * skipped ONLY when its recorded [min, max] provably misses the
-    * range; files without stats are conservatively kept. Driver-side
-    * metadata — file-count-sized, no data IO. */
-  def pruneFiles(root: String, lo: Long, hi: Long,
+    * range; files without stats lines are conservatively kept.
+    * Driver-side metadata — file-count-sized, no data IO. */
+  def pruneFiles(root: String, statCol: String, lo: Long, hi: Long,
       version: Option[Int] = None): (Seq[String], Seq[String]) = {
     val v = version.getOrElse(latestVersion(root))
-    val stats = statsAt(root, v)
-    filesAt(root, v).partition { f =>
-      stats.get(f).forall { case (mn, mx) => mx >= lo && mn <= hi }
+    val all = filesAt(root, v)
+    if (!statCols(root, v).get(statCol).exists(k => k == "long" || k == "ts"))
+      (all, Seq.empty)
+    else {
+      val stats = boundsFor(root, v, statCol)
+      all.partition { f =>
+        stats.get(f).forall { case (mn, mx) => mx >= lo && mn <= hi }
+      }
     }
   }
 
   /** Range read with manifest-level file skipping: only files whose
-    * [min, max] overlaps `[lo, hi]` reach the parquet scan (the
-    * row-level predicate still applies on top — stats bound files,
-    * they don't filter rows). Semantically identical to
-    * `read(...).filter(lo <= statCol <= hi)` whenever commits wrote
-    * truthful stats. */
+    * [min, max] of `statCol` overlaps `[lo, hi]` reach the parquet
+    * scan (the row-level predicate still applies on top — stats
+    * bound files, they don't filter rows). Semantically identical to
+    * `read(...).filter(lo <= statCol <= hi)` ALWAYS: the column
+    * resolves through the `#statcol` identity map inside
+    * [[pruneFiles]], and a non-indexed column simply prunes nothing. */
   def readPruned(spark: SparkSession, root: String, statCol: String,
       lo: Long, hi: Long, version: Option[Int] = None): DataFrame = {
-    val (kept, _) = pruneFiles(root, lo, hi, version)
+    val (kept, _) = pruneFiles(root, statCol, lo, hi, version)
     spark.read.parquet(kept: _*)
       .filter(col(statCol) >= lo && col(statCol) <= hi)
   }

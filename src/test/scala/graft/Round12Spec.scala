@@ -771,7 +771,7 @@ class Round12Spec extends AnyFunSuite {
     val root = graft.util.TempDirs.scoped("r12-prune")
     val df = (1L to 4000L).map(i => (i, i * 2.0)).toDF("k", "v")
     SnapshotStore.commitAppendWithStats(df, root, "k", nFiles = 8)
-    val (kept, skipped) = SnapshotStore.pruneFiles(root, 1000L, 1500L)
+    val (kept, skipped) = SnapshotStore.pruneFiles(root, "k", 1000L, 1500L)
     assert(skipped.nonEmpty, "range-partitioned commit must skip files")
     assert(kept.nonEmpty)
     val pruned = SnapshotStore
@@ -782,7 +782,7 @@ class Round12Spec extends AnyFunSuite {
     // a commit WITHOUT stats is conservatively kept even out of range
     SnapshotStore.commitAppend(
       Seq((9999L, 1.0)).toDF("k", "v").coalesce(1), root)
-    val (k2, s2) = SnapshotStore.pruneFiles(root, 1000L, 1500L)
+    val (k2, s2) = SnapshotStore.pruneFiles(root, "k", 1000L, 1500L)
     assert(k2.size == kept.size + 1 && s2.size == skipped.size)
     assert(SnapshotStore
       .readPruned(spark, root, "k", 1000L, 1500L).count() == 501L)

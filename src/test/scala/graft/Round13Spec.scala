@@ -123,7 +123,7 @@ class Round13Spec extends AnyFunSuite {
     // delete k in [10, 20] — contained in the first file's range
     val (v5, nRewritten, nCarried) = SnapshotStore.deleteRows(
       spark, root, col("k") >= 10 && col("k") <= 20,
-      pruneRange = Some((10L, 20L)))
+      pruneRange = Some(("k", 10L, 20L)))
     assert(v5 == 5)
     assert(nRewritten == 1, s"only the hit file is rewritten: $nRewritten")
     assert(nCarried == 3)
@@ -139,7 +139,7 @@ class Round13Spec extends AnyFunSuite {
     assert(headKeys == ((0L to 9L) ++ (21L to 99L)))
     // carried files keep their stats lines: a pruned read outside the
     // deleted range still skips correctly
-    val (kept, skipped) = SnapshotStore.pruneFiles(root, 80L, 99L, Some(5))
+    val (kept, skipped) = SnapshotStore.pruneFiles(root, "k", 80L, 99L, Some(5))
     assert(skipped.nonEmpty, "stats survived for carried files")
     assert(kept.forall(after.contains))
   }
