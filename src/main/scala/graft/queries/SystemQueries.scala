@@ -3097,7 +3097,179 @@ object SystemQueries {
        |  true AS replay_was_noop, true AS token_logged
        |FROM trades WHERE CAST(trade_id AS BIGINT) % 71 = 0""".stripMargin
 
+  /** S46: append-time INDEX MAINTENANCE — on a `#statcol`-indexed
+    * store, every append (each SQL INSERT, each streaming
+    * micro-batch, each rewrite's fresh files) records the fresh
+    * files' typed bounds IN the same commit; without it the skipping
+    * index dilutes with unindexed files and range queries degrade
+    * linearly with ingest age (Iceberg writes per-file bounds on
+    * every commit for exactly this reason — from footers; here one
+    * bounded aggregate per commit). The probe range sits entirely
+    * inside the SQL-INSERTED half, so `fresh_indexed` (every original
+    * file stats-skipped) can only hold if the INSERT's files carry
+    * bounds — pinned through BOTH faces (Scala ledger + SQL
+    * planned-file count). Round18bSpec pins exact per-commit sidecar
+    * line counts and the conservative legacy (`freshStats = false`)
+    * path. */
+  def s46AppendStats(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{SnapshotRead, SnapshotStore}
+    val root = s"$catalogWarehouse/trades_as"
+    val t = SyntheticTrades.trades(s, dir)
+      .select(col("trade_id").cast("long").as("tid"), col("amount"))
+    // bounded-collect(one row: probe bounds + store sizing)
+    val b = t.agg(max(col("tid")).as("mx"),
+      count(lit(1)).as("n")).collect().head
+    val (mx, n) = (b.getLong(0), b.getLong(1))
+    val mid = mx / 2
+    s.conf.set("spark.sql.catalog.graft_snap",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_snap.warehouse", catalogWarehouse)
+    if (SnapshotStore.latestVersion(root) == 0) {
+      val nFiles = math.max(8, (n / 6000L).toInt + 1)
+      SnapshotStore.commitAppendWithStats(
+        t.filter(col("tid") < mid), root, "tid", nFiles)
+      t.createOrReplaceTempView("s46_src")
+      s.sql(s"""INSERT INTO graft_snap.trades_as
+               |SELECT tid, amount FROM s46_src WHERE tid >= $mid"""
+        .stripMargin)
+    }
+    val v1Files = SnapshotStore.filesAt(root, 1).size
+    val lo = mid + (mx - mid) / 2
+    val p = SnapshotRead.plan(s, root, range = Some(("tid", lo, mx)))
+    // every v1 file holds tids < mid < lo — all must be skipped, which
+    // is only possible if the INSERT's fresh files carry their own
+    // bounds (otherwise nothing distinguishes them from v1's)
+    val freshIndexed = p.statsSkipped >= v1Files
+    val dsumSql = "CAST(sum(CAST(amount AS DECIMAL(28,6))) AS DOUBLE)"
+    val sqlDf = s.sql(
+      s"""SELECT count(*) AS n_rows, $dsumSql AS amount_sum
+         |FROM graft_snap.trades_as WHERE tid >= $lo AND tid <= $mx"""
+        .stripMargin)
+    def planned(df: DataFrame): Int =
+      df.queryExecution.sparkPlan.collect {
+        case bs: org.apache.spark.sql.execution.datasources.v2
+            .BatchScanExec => bs.scan
+      }.collect {
+        case q: org.apache.spark.sql.execution.datasources.v2.parquet
+            .ParquetScan => q.fileIndex.inputFiles.length
+      }.sum
+    val scalaDf = p.df
+      .agg(count(lit(1)).as("n_rows"), dsum(col("amount")).as("amount_sum"))
+      .select(lit("scala").as("phase"), col("n_rows"), col("amount_sum"),
+        lit(freshIndexed).as("fresh_indexed"))
+    val sqlShaped = sqlDf
+      .select(lit("sql").as("phase"), col("n_rows"), col("amount_sum"),
+        lit(planned(sqlDf) <= p.filesTotal - v1Files).as("fresh_indexed"))
+    scalaDf.unionAll(sqlShaped)
+  }
+
+  val s46Oracle: String =
+    s"""WITH ${SyntheticTrades.tradesCte},
+       |t AS (
+       |  SELECT CAST(trade_id AS BIGINT) AS tid, amount FROM trades),
+       |m AS (SELECT max(tid) AS mx, max(tid) // 2 AS mid FROM t),
+       |f AS (
+       |  SELECT t.* FROM t, m
+       |  WHERE tid >= mid + (mx - mid) // 2 AND tid <= mx)
+       |SELECT 'scala' AS phase, count(*) AS n_rows,
+       |  ${duckDsum("amount")} AS amount_sum, true AS fresh_indexed
+       |FROM f
+       |UNION ALL
+       |SELECT 'sql', count(*), ${duckDsum("amount")}, true
+       |FROM f""".stripMargin
+
+  /** S47: partition-spec EVOLUTION driven entirely from SQL — the
+    * last piece that needed the Scala API: `CREATE TABLE ...
+    * PARTITIONED BY (shard)` records a DEFAULT spec in the `#spec`
+    * manifest header (identity transforms only; carried across
+    * commits), the first INSERT lands Hive-style `shard=` directories
+    * under it, `CALL system.set_spec(t, '')` evolves the default in a
+    * metadata-only commit (committed layouts never rewrite —
+    * Iceberg's spec evolution), and the second INSERT lands flat. The
+    * union read resolves each commit against ITS recorded spec: a
+    * shard slice prunes the partitioned commit's directories
+    * (planned-file ledger), `layout_evolved` pins the physical fact
+    * (v2 files under `shard=` directories, v4 files not), and rows ==
+    * the Scala `readEvolved`. Round18bSpec pins INSERT OVERWRITE
+    * under a spec and the schema guard on CREATE. */
+  def s47SqlPartitionedCreate(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.SnapshotStore
+    val root = s"$catalogWarehouse/trades_pc"
+    s.conf.set("spark.sql.catalog.graft_snap",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_snap.warehouse", catalogWarehouse)
+    val t = SyntheticTrades.trades(s, dir)
+      .filter(col("trade_id").cast("long") % 3 === 0)
+      .select(col("trade_id").cast("long").as("tid"), col("amount"),
+        (col("trade_id").cast("long") % 4).cast("string").as("shard"))
+    if (SnapshotStore.latestVersion(root) == 0) {
+      t.createOrReplaceTempView("s47_src")
+      s.sql("""CREATE TABLE graft_snap.trades_pc
+              |(tid BIGINT, amount DOUBLE, shard STRING)
+              |PARTITIONED BY (shard)""".stripMargin)
+      s.sql("""INSERT INTO graft_snap.trades_pc
+              |SELECT tid, amount, shard FROM s47_src WHERE tid % 2 = 0"""
+        .stripMargin)
+      s.sql("CALL graft_snap.system.set_spec('trades_pc', '')")
+      s.sql("""INSERT INTO graft_snap.trades_pc
+              |SELECT tid, amount, shard FROM s47_src WHERE tid % 2 = 1"""
+        .stripMargin)
+    }
+    val fourVersions = SnapshotStore.versions(root) == Seq(1, 2, 3, 4)
+    val v2Files = SnapshotStore.filesAt(root, 2)
+    val v4Fresh = SnapshotStore.filesAt(root, 4).toSet --
+      SnapshotStore.filesAt(root, 3).toSet
+    val layoutEvolved = v2Files.nonEmpty && v4Fresh.nonEmpty &&
+      v2Files.forall(_.contains("/shard=")) &&
+      v4Fresh.forall(!_.contains("/shard="))
+    val sqlN = s.sql("SELECT count(*) AS n FROM graft_snap.trades_pc")
+      .head.getLong(0)
+    val scalaN = SnapshotStore.readEvolved(s, root).count()
+    val total = SnapshotStore.filesAt(root, 4).size
+    def planned(df: DataFrame): Int =
+      df.queryExecution.sparkPlan.collect {
+        case bs: org.apache.spark.sql.execution.datasources.v2
+            .BatchScanExec => bs.scan
+      }.map[Int] {
+        case e: graft.sources.EvolvedTable.EvolvedScan => e.plannedFiles
+        case _ => Int.MaxValue
+      }.sum
+    val dsumSql = "CAST(sum(CAST(amount AS DECIMAL(28,6))) AS DOUBLE)"
+    val shardDf = s.sql(
+      s"""SELECT count(*) AS n_rows, $dsumSql AS amount_sum
+         |FROM graft_snap.trades_pc WHERE shard = '2'""".stripMargin)
+    val allDf = s.sql(
+      s"""SELECT count(*) AS n_rows, $dsumSql AS amount_sum
+         |FROM graft_snap.trades_pc""".stripMargin)
+    def shape(phase: String, df: DataFrame, skipped: Boolean): DataFrame =
+      df.select(lit(phase).as("phase"), col("n_rows"), col("amount_sum"),
+        lit(skipped).as("files_skipped"),
+        lit(fourVersions).as("four_versions"),
+        lit(layoutEvolved).as("layout_evolved"),
+        lit(sqlN == scalaN).as("matches_scala"))
+    shape("shard2", shardDf, planned(shardDf) < total)
+      .unionAll(shape("all", allDf, skipped = false))
+  }
+
+  val s47Oracle: String =
+    s"""WITH ${SyntheticTrades.tradesCte},
+       |t AS (
+       |  SELECT CAST(trade_id AS BIGINT) AS tid, amount FROM trades
+       |  WHERE CAST(trade_id AS BIGINT) % 3 = 0)
+       |SELECT 'shard2' AS phase, count(*) AS n_rows,
+       |  ${duckDsum("amount")} AS amount_sum, true AS files_skipped,
+       |  true AS four_versions, true AS layout_evolved,
+       |  true AS matches_scala
+       |FROM t WHERE tid % 4 = 2
+       |UNION ALL
+       |SELECT 'all', count(*), ${duckDsum("amount")}, false, true, true,
+       |  true
+       |FROM t""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "s46_append_stats" -> QueryDef(s46AppendStats _, s46Oracle),
+    "s47_sql_partitioned_create" ->
+      QueryDef(s47SqlPartitionedCreate _, s47Oracle),
     "s43_str_prune" -> QueryDef(s43StrPrune _, s43Oracle),
     "s44_sql_evolved_dml" -> QueryDef(s44SqlEvolvedDml _, s44Oracle),
     "s45_sql_add_column" -> QueryDef(s45SqlAddColumn _, s45Oracle),

@@ -180,23 +180,31 @@ class GraftCatalog extends TableCatalog
 
   /** `CREATE TABLE` (and the create half of CTAS): publish an empty
     * version-1 manifest pinning the schema; the first INSERT is an
-    * ordinary append commit. Partitioned creation is the Scala API's
-    * job (`commitAppendPartitioned` — partition specs are per-commit
-    * here, not table-level). */
+    * ordinary append commit. `PARTITIONED BY (col, ...)` (identity
+    * transforms only) records the DEFAULT spec for future writes in
+    * the `#spec` header: INSERTs land Hive-style partition
+    * directories under it, and `CALL system.set_spec` evolves it
+    * later WITHOUT rewriting committed layouts — specs stay
+    * per-commit underneath (Iceberg's spec evolution, driveable
+    * entirely from SQL). Bucket/temporal transforms refuse loudly. */
   override def createTable(ident: Identifier,
       schema: org.apache.spark.sql.types.StructType,
       partitions: Array[org.apache.spark.sql.connector.expressions.Transform],
       properties: java.util.Map[String, String]): Table = {
-    if (partitions.nonEmpty)
-      throw new UnsupportedOperationException(
-        "partition specs are per-commit in the snapshot store — create " +
-          "unpartitioned and write layouts via commitAppendPartitioned")
+    val spec = partitions.toSeq.map {
+      case t if t.name() == "identity" && t.references().length == 1 &&
+          t.references()(0).fieldNames().length == 1 =>
+        t.references()(0).fieldNames()(0)
+      case other => throw new UnsupportedOperationException(
+        s"only identity partition columns are supported, got $other — " +
+          "derive the column in the INSERT query instead")
+    }
     val root = rootOf(ident)
     if (SnapshotStore.versions(root).nonEmpty)
       throw new org.apache.spark.sql.catalyst.analysis
         .TableAlreadyExistsException(
           (ident.namespace() :+ ident.name()).toSeq)
-    SnapshotStore.createEmpty(root, schema)
+    SnapshotStore.createEmpty(root, schema, spec)
     tableAt(ident, 1)
   }
 

@@ -34,7 +34,7 @@ import org.apache.spark.unsafe.types.UTF8String
 private[sources] object GraftProcedures {
 
   val names: Seq[String] = Seq("set_tag", "compact", "expire",
-    "merge_rows", "index", "build_bloom")
+    "merge_rows", "index", "build_bloom", "set_spec")
 
   def load(warehouse: String, name: String): UnboundProcedure =
     name match {
@@ -44,6 +44,7 @@ private[sources] object GraftProcedures {
       case "merge_rows" => MergeRows(warehouse)
       case "index" => Index(warehouse)
       case "build_bloom" => BuildBloom(warehouse)
+      case "set_spec" => SetSpec(warehouse)
       case other => throw new graft.QueryError(
         s"unknown procedure 'system.$other': known procedures " +
           names.sorted.mkString("[", ", ", "]"))
@@ -171,6 +172,27 @@ private[sources] object GraftProcedures {
       Array(v, UTF8String.fromString(
         SnapshotStore.statCols(root, v)
           .map { case (c, k) => s"$c:$k" }.mkString(",")))
+    }
+  }
+
+  /** `set_spec(table, 'col1,col2')` — evolve the table's DEFAULT
+    * partition spec for FUTURE writes (empty string = unpartitioned):
+    * a metadata-only commit; committed layouts never rewrite, and the
+    * union read resolves every file against the spec its own commit
+    * recorded — Iceberg's partition-spec evolution, driven from SQL. */
+  private final case class SetSpec(warehouse: String)
+      extends DriverProcedure("set_spec",
+        Array(in("table", StringType), in("spec", StringType)),
+        StructType.fromDDL("version INT, spec STRING")) {
+    override def description(): String =
+      "evolve the default partition spec for future writes"
+    override def run(a: InternalRow): Array[Any] = {
+      val root = rootOf(warehouse, a.getUTF8String(0).toString)
+      val cols = a.getUTF8String(1).toString.split(",").toSeq
+        .map(_.trim).filter(_.nonEmpty)
+      val v = SnapshotStore.setSpec(root, cols)
+      Array(v, UTF8String.fromString(
+        SnapshotStore.currentSpec(root).mkString(",")))
     }
   }
 

@@ -60,8 +60,20 @@ private[graft] object SnapshotDml {
             val token = Option(info.options.get("writer_token"))
               .orElse(data.sparkSession.conf.getOption(TokenConf))
               .filter(_.nonEmpty)
-            if (overwrite || ov) SnapshotStore.commitReplace(data, root, token)
-            else SnapshotStore.commitAppend(data, root, token)
+            // the table's DEFAULT spec (CREATE ... PARTITIONED BY /
+            // CALL system.set_spec) applies to THIS write only —
+            // committed layouts never rewrite (Iceberg spec evolution)
+            val spec = SnapshotStore.currentSpec(root)
+            (overwrite || ov, spec.isEmpty) match {
+              case (true, true) =>
+                SnapshotStore.commitReplace(data, root, token)
+              case (true, false) =>
+                SnapshotStore.commitReplacePartitioned(data, root, spec, token)
+              case (false, true) =>
+                SnapshotStore.commitAppend(data, root, token)
+              case (false, false) =>
+                SnapshotStore.commitAppendPartitioned(data, root, spec, token)
+            }
             ()
           }
         }

@@ -185,12 +185,50 @@ object SnapshotStore {
       .orElse(tokenLog(root).get(token))
 
   /** Header keys that travel from a version to its successor the same
-    * way stats sidecar lines do — today just `statcol` (which column
-    * the stats sidecar indexes), so the SQL face's pushdown pruning
-    * keeps working after later appends carry the stats forward. */
+    * way stats sidecar lines do: `statcol` (which columns the stats
+    * sidecar indexes — the SQL face's pushdown pruning keeps working
+    * after later appends carry the stats forward) and `spec` (the
+    * table's DEFAULT partition spec for future writes — the knob
+    * `CREATE TABLE ... PARTITIONED BY` sets and `CALL
+    * system.set_spec` evolves; committed layouts are untouched by
+    * either, exactly Iceberg's spec evolution). */
   private def carriedMeta(root: String, prev: Int): Map[String, String] =
     if (prev == 0) Map.empty
-    else manifestMeta(root, prev).filter { case (k, _) => k == "statcol" }
+    else manifestMeta(root, prev).filter { case (k, _) =>
+      k == "statcol" || k == "spec" }
+
+  /** The table's default partition spec for NEW writes — the `#spec`
+    * header of the latest manifest (empty = unpartitioned appends).
+    * Purely a forward-looking default: readers resolve every file
+    * against the spec its own commit recorded. */
+  def currentSpec(root: String): Seq[String] = {
+    val v = latestVersion(root)
+    if (v == 0) Seq.empty
+    else manifestMeta(root, v).get("spec").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Evolve the table's DEFAULT partition spec — a METADATA-ONLY
+    * commit: the new version lists the same files, every committed
+    * layout stays exactly as written (spec-per-commit is the whole
+    * point — nothing rewrites), and only writes AFTER this commit
+    * land under the new spec. Empty `spec` = future writes are
+    * unpartitioned. Same CAS publish as every commit. */
+  def setSpec(root: String, spec: Seq[String]): Int = {
+    val prev = latestVersion(root)
+    if (prev == 0)
+      throw new graft.QueryError(s"no snapshot table under $root")
+    val meta = carriedMeta(root, prev) - "spec"
+    val withSpec =
+      if (spec.isEmpty) meta
+      else meta + ("spec" -> spec.mkString(","))
+    val v = prev + 1
+    writeManifest(root, v, filesAt(root, prev),
+      withSpec ++ manifestMeta(root, prev).filter(_._1 == "schema"))
+    val prior = statsLinesAt(root, prev)
+    if (prior.nonEmpty) writeStatsLines(root, v, prior)
+    v
+  }
 
   /** The `#schema` header for a commit that adds `df`'s rows on top of
     * version `prev` — the table schema PINNED in manifest metadata so
@@ -271,9 +309,24 @@ object SnapshotStore {
     * manifest already carries it, the frame was committed by a
     * previous delivery of the same micro-batch and this call returns
     * that version WITHOUT writing — exactly-once into the store under
-    * Structured Streaming's at-least-once foreachBatch re-delivery. */
+    * Structured Streaming's at-least-once foreachBatch re-delivery.
+    *
+    * Index maintenance: when the store carries a `#statcol` index and
+    * `freshStats` is on (the default), the fresh files' typed bounds
+    * are recorded in the same commit — without this, every append
+    * (each SQL INSERT, each streaming micro-batch) dilutes the
+    * skipping index with unindexed files until a full re-cluster, and
+    * range queries degrade linearly with ingest age. Iceberg records
+    * per-file bounds on EVERY write for exactly this reason (from
+    * parquet footers — same numbers; here it is one bounded-output
+    * aggregate pass over the fresh files). Indexed columns the frame
+    * lacks (or whose type no longer matches the recorded kind) simply
+    * get no lines — conservative, never wrong. `freshStats = false`
+    * preserves the legacy stats-less append (tests of the
+    * conservative keep path use it). */
   def commitAppend(df: DataFrame, root: String,
-      writerToken: Option[String] = None): Int =
+      writerToken: Option[String] = None,
+      freshStats: Boolean = true): Int =
     writerToken.flatMap(committedVersionFor(root, _)).getOrElse {
       val prev = latestVersion(root)
       val v = prev + 1
@@ -282,12 +335,28 @@ object SnapshotStore {
       writeManifest(root, v, base ++ fresh,
         carriedMeta(root, prev) ++ mergedSchemaMeta(df, root, prev) ++
           writerToken.map("writer" -> _).toMap)
-      // stats travel with their surviving files; the fresh files simply
-      // have no lines (never skipped). A replace-commit drops all stats
-      // with the files they described.
+      // stats travel with their surviving files; fresh files are
+      // indexed in place when the store carries an index (above)
       val prior = statsLinesAt(root, prev)
-      if (prior.nonEmpty) writeStatsLines(root, v, prior)
+      val freshLines =
+        if (!freshStats || prev == 0) Seq.empty
+        else statsForFiles(df.sparkSession, fresh,
+          usableKinds(df, statCols(root, prev)))
+      if (prior.nonEmpty || freshLines.nonEmpty)
+        writeStatsLines(root, v, prior ++ freshLines)
       v
+    }
+
+  /** The `#statcol` entries a frame can honestly produce bounds for:
+    * the column must exist in the frame AND derive the SAME kind the
+    * header records — bounds in a different domain would prune
+    * wrongly, the one failure mode a reader can never have. */
+  private def usableKinds(df: DataFrame,
+      kinds: scala.collection.immutable.ListMap[String, String])
+      : Seq[(String, String)] =
+    kinds.toSeq.filter { case (c, k) =>
+      df.schema.fieldNames.contains(c) &&
+        (try statKindOf(df, c) == k catch { case _: graft.QueryError => false })
     }
 
   /** Replace commit (full rewrite / compaction): the new version sees
@@ -307,11 +376,19 @@ object SnapshotStore {
     * pins the schema in the `#schema` header — the commit CREATE
     * TABLE (SQL or Scala) publishes before any data arrives, so
     * readers and the catalog resolve the table immediately and the
-    * first INSERT is an ordinary append commit. */
+    * first INSERT is an ordinary append commit. A non-empty `spec`
+    * records the DEFAULT partition spec for future writes (`CREATE
+    * TABLE ... PARTITIONED BY`); it must name schema columns. */
   def createEmpty(root: String,
-      schema: org.apache.spark.sql.types.StructType): Int = {
+      schema: org.apache.spark.sql.types.StructType,
+      spec: Seq[String] = Seq.empty): Int = {
     require(versions(root).isEmpty, s"table already exists under $root")
-    writeManifest(root, 1, Seq.empty, Map("schema" -> schema.toDDL))
+    spec.find(c => !schema.fieldNames.contains(c)).foreach(c =>
+      throw new graft.QueryError(
+        s"partition column $c is not in the table schema"))
+    writeManifest(root, 1, Seq.empty, Map("schema" -> schema.toDDL) ++
+      (if (spec.isEmpty) Map.empty[String, String]
+       else Map("spec" -> spec.mkString(","))))
     1
   }
 
@@ -447,6 +524,27 @@ object SnapshotStore {
       v
     }
 
+  /** REPLACE commit under a partition spec — `INSERT OVERWRITE` on a
+    * spec'd table: the new version lists ONLY the fresh partitioned
+    * files; older versions keep reading theirs. Spec/statcol headers
+    * carry (the overwrite re-tunes data, not table metadata). */
+  def commitReplacePartitioned(df: DataFrame, root: String,
+      spec: Seq[String], writerToken: Option[String] = None): Int =
+    writerToken.flatMap(committedVersionFor(root, _)).getOrElse {
+      require(spec.nonEmpty, "partition spec must name at least one column")
+      val prev = latestVersion(root)
+      val v = prev + 1
+      val dir = new File(new File(root, "data"), s"c$v-${commitToken()}")
+      df.write.partitionBy(spec: _*).parquet(dir.getPath)
+      Files.write(new File(dir, "_spec.list").toPath,
+        spec.mkString("\n").getBytes(StandardCharsets.UTF_8))
+      Files.write(new File(dir, "_schema.ddl").toPath,
+        df.schema.toDDL.getBytes(StandardCharsets.UTF_8))
+      writeManifest(root, v, leafParquet(dir),
+        carriedMeta(root, prev) ++ writerToken.map("writer" -> _).toMap)
+      v
+    }
+
   private def leafParquet(dir: File): Seq[String] = {
     val buf = scala.collection.mutable.ArrayBuffer.empty[String]
     def rec(f: File): Unit =
@@ -517,9 +615,10 @@ object SnapshotStore {
     * at 100 TB, re-copying the healthy gigabyte files is exactly the
     * cost incremental compaction exists to avoid). Nothing is
     * deleted, so every older version (and every tag) keeps reading
-    * its original files. Stats lines survive for carried-over files;
-    * the merged files start stats-less (conservatively never
-    * skipped) until a stats commit re-indexes them. No-op (returns
+    * its original files. Stats lines survive for carried-over files,
+    * and on an indexed store the MERGED files are re-indexed in the
+    * same commit (one bounded aggregate — OPTIMIZE must not dilute
+    * the skipping index). No-op (returns
     * the current version) when nothing is small enough.
     * Returns (version, nSmallMerged, nCarried). */
   def compactSmall(spark: SparkSession, root: String, minBytes: Long,
@@ -536,15 +635,21 @@ object SnapshotStore {
       // would silently drop them from the merged rewrite. The merged
       // files then store those columns as ordinary (string) data,
       // which the evolved union surfaces identically.
-      val merged = writeData(
-        readFilesEvolved(spark, root, small).coalesce(targetFiles), root, v)
+      val mergedDf = readFilesEvolved(spark, root, small)
+        .coalesce(targetFiles)
+      val merged = writeData(mergedDf, root, v)
       // a compaction rewrites bytes, not the table: carry the pinned
       // schema with the statcol header
       writeManifest(root, v, big ++ merged, carriedMeta(root, prev) ++
         manifestMeta(root, prev).filter(_._1 == "schema"))
       val bigSet = big.toSet
       val carried = statsLinesAt(root, prev).filter(l => bigSet(l.path))
-      if (carried.nonEmpty) writeStatsLines(root, v, carried)
+      // merged files stay indexed: OPTIMIZE must not dilute the
+      // skipping index (same maintenance contract as commitAppend)
+      val freshLines = statsForFiles(spark, merged,
+        usableKinds(mergedDf, statCols(root, prev)))
+      if (carried.nonEmpty || freshLines.nonEmpty)
+        writeStatsLines(root, v, carried ++ freshLines)
       (v, small.size, big.size)
     }
   }
@@ -574,8 +679,8 @@ object SnapshotStore {
     * SQL DELETE semantics remove only rows where the predicate is
     * TRUE — null-predicate rows are kept, which a bare `!pred` filter
     * would silently drop. Stats lines are carried for untouched
-    * files; rewritten files restart stats-less (conservatively never
-    * skipped) until a stats commit re-indexes them.
+    * files; on an indexed store the rewritten files are re-indexed in
+    * the same commit.
     *
     * Returns (newVersion, nRewritten, nCarried); no-op (current
     * version, 0, fileCount) when nothing matches. */
@@ -603,15 +708,19 @@ object SnapshotStore {
     else {
       val v = prev + 1
       val keep = all.filterNot(hit)
-      val fresh = writeData(
-        readFilesEvolved(spark, root, hit.toSeq.sorted)
-          .filter(not(coalesce(predicate, lit(false)))),
-        root, v)
+      val rewriteDf = readFilesEvolved(spark, root, hit.toSeq.sorted)
+        .filter(not(coalesce(predicate, lit(false))))
+      val fresh = writeData(rewriteDf, root, v)
       writeManifest(root, v, keep ++ fresh, carriedMeta(root, prev) ++
         manifestMeta(root, prev).filter(_._1 == "schema"))
       val keepSet = keep.toSet
       val carried = statsLinesAt(root, prev).filter(l => keepSet(l.path))
-      if (carried.nonEmpty) writeStatsLines(root, v, carried)
+      // rewritten survivors stay indexed: a takedown delete must not
+      // dilute the skipping index (same maintenance as commitAppend)
+      val freshLines = statsForFiles(spark, fresh,
+        usableKinds(rewriteDf, statCols(root, prev)))
+      if (carried.nonEmpty || freshLines.nonEmpty)
+        writeStatsLines(root, v, carried ++ freshLines)
       (v, hit.size, keep.size)
     }
   }
@@ -1040,10 +1149,22 @@ object SnapshotStore {
       statColumns: Seq[String], nFiles: Int)
       : (Seq[String], Seq[ColStats], Seq[(String, String)]) = {
     require(statColumns.nonEmpty, "need at least one stats column")
-    val spark = df.sparkSession
     val kinds = statColumns.map(c => c -> statKindOf(df, c))
     val fresh = writeData(
       df.repartitionByRange(nFiles, statColumns.map(col): _*), root, v)
+    (fresh, statsForFiles(df.sparkSession, fresh, kinds), kinds)
+  }
+
+  /** Typed per-file [min, max] bounds of already-written `files` on
+    * `kinds` — the core the stats commits AND append-time index
+    * maintenance share: ONE distributed aggregate whose output is
+    * bounded by the file count, not the row count (a production
+    * implementation reads parquet footers — the same numbers with
+    * zero extra IO). All-null columns in a file get no line
+    * (conservatively never skipped). */
+  private def statsForFiles(spark: SparkSession, files: Seq[String],
+      kinds: Seq[(String, String)]): Seq[ColStats] = {
+    if (files.isEmpty || kinds.isEmpty) return Seq.empty
     val aggs = kinds.flatMap { case (c, k) =>
       def b(agg: Column): Column = k match {
         case "long" => agg.cast("long")
@@ -1057,8 +1178,8 @@ object SnapshotStore {
       if (k == "str") enc.encodeToString(
         r.getAs[String](f).getBytes(StandardCharsets.UTF_8))
       else r.getAs[Long](f).toString
-    // bounded collect: one row per fresh file
-    val freshStats = spark.read.parquet(fresh: _*)
+    // bounded collect: one row per file
+    spark.read.parquet(files: _*)
       .groupBy(input_file_name().as("f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
@@ -1071,7 +1192,6 @@ object SnapshotStore {
             render(r, k, s"mn_$c"), render(r, k, s"mx_$c")))
         }
       }
-    (fresh, freshStats, kinds)
   }
 
   /** The manifest's file list at `v` split by the skipping decision

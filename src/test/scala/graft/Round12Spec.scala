@@ -779,13 +779,22 @@ class Round12Spec extends AnyFunSuite {
     assert(pruned.length == 501)
     assert(pruned.map(_.getAs[Double]("v")).sum
       == (1000L to 1500L).map(_ * 2.0).sum)
-    // a commit WITHOUT stats is conservatively kept even out of range
+    // a commit WITHOUT stats lines (freshStats off — the legacy
+    // append shape) is conservatively kept even out of range
     SnapshotStore.commitAppend(
-      Seq((9999L, 1.0)).toDF("k", "v").coalesce(1), root)
+      Seq((9999L, 1.0)).toDF("k", "v").coalesce(1), root,
+      freshStats = false)
     val (k2, s2) = SnapshotStore.pruneFiles(root, "k", 1000L, 1500L)
     assert(k2.size == kept.size + 1 && s2.size == skipped.size)
     assert(SnapshotStore
       .readPruned(spark, root, "k", 1000L, 1500L).count() == 501L)
+    // the DEFAULT append keeps the index fresh: the new file carries
+    // bounds and an out-of-range read now skips it
+    SnapshotStore.commitAppend(
+      Seq((8888L, 1.0)).toDF("k", "v").coalesce(1), root)
+    val (k3, s3) = SnapshotStore.pruneFiles(root, "k", 1000L, 1500L)
+    assert(k3.size == k2.size && s3.size == s2.size + 1,
+      "an indexed append's fresh file must be stats-skippable")
   }
 
   // ---- llm_containment: asymmetric n-gram containment ----
