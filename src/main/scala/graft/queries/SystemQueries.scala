@@ -2410,7 +2410,7 @@ object SystemQueries {
       df.queryExecution.sparkPlan.collect {
         case bs: org.apache.spark.sql.execution.datasources.v2
             .BatchScanExec => bs.scan
-      }.collect {
+      }.map(graft.sources.SnapshotSource.unwrap).collect {
         case p: org.apache.spark.sql.execution.datasources.v2.parquet
             .ParquetScan => p.fileIndex.inputFiles.length
       }.sum
@@ -2485,7 +2485,7 @@ object SystemQueries {
       df.queryExecution.sparkPlan.collect {
         case bs: org.apache.spark.sql.execution.datasources.v2
             .BatchScanExec => bs.scan
-      }.collect {
+      }.map(graft.sources.SnapshotSource.unwrap).collect {
         case q: org.apache.spark.sql.execution.datasources.v2.parquet
             .ParquetScan => q.fileIndex.inputFiles.length
       }.sum
@@ -2837,7 +2837,7 @@ object SystemQueries {
       df.queryExecution.sparkPlan.collect {
         case bs: org.apache.spark.sql.execution.datasources.v2
             .BatchScanExec => bs.scan
-      }.collect {
+      }.map(graft.sources.SnapshotSource.unwrap).collect {
         case q: org.apache.spark.sql.execution.datasources.v2.parquet
             .ParquetScan => q.fileIndex.inputFiles.length
       }.sum
@@ -3149,7 +3149,7 @@ object SystemQueries {
       df.queryExecution.sparkPlan.collect {
         case bs: org.apache.spark.sql.execution.datasources.v2
             .BatchScanExec => bs.scan
-      }.collect {
+      }.map(graft.sources.SnapshotSource.unwrap).collect {
         case q: org.apache.spark.sql.execution.datasources.v2.parquet
             .ParquetScan => q.fileIndex.inputFiles.length
       }.sum
@@ -3266,7 +3266,144 @@ object SystemQueries {
        |  true
        |FROM t""".stripMargin
 
+  /** ST22: the NATIVE streaming sink — `writeStream.toTable` into the
+    * snapshot catalog (DSv2 STREAMING_WRITE,
+    * [[graft.sources.SnapshotStreaming]]): tasks stream rows straight
+    * into task-attempt-unique staged parquet files (no driver
+    * buffering, bytes identical to a batch write's), and the driver
+    * publishes ONE CAS manifest commit per epoch stamped with the
+    * `toTable:<queryId>:<epochId>` token. Exactly-once is proven the
+    * st20/st21 way — the crash window is reproduced (sink committed,
+    * checkpoint commit marker lost) and the restarted stream
+    * re-executes the last epoch with the same queryId (persisted in
+    * checkpoint metadata) and epochId: the replayed commit finds its
+    * token and publishes NOTHING. All audited facts are durable store
+    * state. Round18cSpec additionally pins complete-mode (per-epoch
+    * REPLACE commits) and same-checkpoint restart idempotence. */
+  def st22StreamToTable(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.SnapshotStore
+    val root = s"$catalogWarehouse/trades_tsink"
+    val t = SyntheticTrades.trades(s, dir)
+      .filter(col("trade_id").cast("long") % 73 === 0)
+      .select(col("trade_id").cast("long").as("tid"), col("amount"))
+    if (SnapshotStore.latestVersion(root) == 0) {
+      val src = graft.util.TempDirs.scoped("st22-src")
+      val ckpt = graft.util.TempDirs.scoped("st22-ckpt")
+      t.repartition(3).write.parquet(s"$src/pages")
+      SnapshotStore.createEmpty(root, t.schema)
+      val ss = streamSession(s)
+      // BOTH sessions: toTable resolves the catalog via the
+      // THREAD-ACTIVE session's conf (see SnapshotStreaming scaladoc)
+      Seq(s, ss).foreach { x =>
+        x.conf.set("spark.sql.catalog.graft_snap",
+          classOf[graft.sources.GraftCatalog].getName)
+        x.conf.set("spark.sql.catalog.graft_snap.warehouse",
+          catalogWarehouse)
+      }
+      def runOnce(): Unit = {
+        val q = ss.readStream.schema(t.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$src/pages")
+          .writeStream.option("checkpointLocation", ckpt)
+          .toTable("graft_snap.trades_tsink")
+        try q.processAllAvailable() finally { q.stop(); q.awaitTermination() }
+      }
+      runOnce()
+      // crash window: sink committed, the LAST epoch's checkpoint
+      // commit marker (and its .crc shadow) never landed
+      val commitDir = new java.io.File(ckpt, "commits")
+      val markers = commitDir.listFiles()
+        .filter(_.getName.matches("\\d+")).sortBy(_.getName.toInt)
+      require(markers.nonEmpty, "stream produced no committed epochs")
+      require(markers.last.delete(), "could not remove the commit marker")
+      new java.io.File(commitDir, s".${markers.last.getName}.crc").delete()
+      runOnce() // re-executes the last epoch: token must no-op it
+    }
+    s.conf.set("spark.sql.catalog.graft_snap",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_snap.warehouse", catalogWarehouse)
+    // durable audits: v1 createEmpty + exactly one commit per epoch
+    // (the replay published nothing), every commit epoch-tokened
+    val replayNoop = SnapshotStore.versions(root) == Seq(1, 2, 3, 4)
+    val tokened = (2 to 4).forall(v =>
+      SnapshotStore.manifestMeta(root, v).get("writer")
+        .exists(_.startsWith("toTable:")))
+    s.sql(
+      s"""SELECT count(*) AS n_rows, count(DISTINCT tid) AS unique_ids,
+         |  CAST(sum(CAST(amount AS DECIMAL(28,6))) AS DOUBLE)
+         |    AS amount_sum,
+         |  $replayNoop AS replay_was_noop, $tokened AS epoch_tokened
+         |FROM graft_snap.trades_tsink""".stripMargin)
+  }
+
+  val st22Oracle: String =
+    s"""WITH ${SyntheticTrades.tradesCte}
+       |SELECT count(*) AS n_rows,
+       |  count(DISTINCT CAST(trade_id AS BIGINT)) AS unique_ids,
+       |  ${duckDsum("amount")} AS amount_sum,
+       |  true AS replay_was_noop, true AS epoch_tokened
+       |FROM trades WHERE CAST(trade_id AS BIGINT) % 73 = 0""".stripMargin
+
+  /** ST23: the snapshot store as a STREAMING SOURCE —
+    * `readStream.table("graft_snap.t")` (DSv2 MICRO_BATCH_READ,
+    * [[graft.sources.SnapshotSource]]), Delta's streaming-source /
+    * Iceberg's incremental-read face: offsets ARE version numbers and
+    * a micro-batch (v1, v2] reads exactly the files v2's manifest
+    * lists that v1's does not — the batch plan is driver-side
+    * manifest arithmetic, the data path is a stock pruned ParquetScan
+    * over the added files. The entry streams an existing table (batch
+    * 0 = the initial snapshot), commits MORE rows mid-stream, drains
+    * again (batch 1 = only the fresh files), and pins: memory-sink
+    * rows == the table's rows exactly (no duplicate, no loss across
+    * incremental batches) with the oracle re-deriving the aggregate.
+    * Round18dSpec pins per-batch file/row exactness, the non-append
+    * refusal (a delete mid-stream fails loudly; ignoreChanges=true
+    * streams added files only), checkpoint restart resumption, and
+    * startingVersion. */
+  def st23TableSource(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.SnapshotStore
+    val root = s"$catalogWarehouse/trades_feed"
+    val t = SyntheticTrades.trades(s, dir)
+      .filter(col("trade_id").cast("long") % 79 === 0)
+      .select(col("trade_id").cast("long").as("tid"), col("amount"))
+    val ss = streamSession(s)
+    Seq(s, ss).foreach { x =>
+      x.conf.set("spark.sql.catalog.graft_snap",
+        classOf[graft.sources.GraftCatalog].getName)
+      x.conf.set("spark.sql.catalog.graft_snap.warehouse", catalogWarehouse)
+    }
+    if (SnapshotStore.latestVersion(root) == 0) {
+      val ckpt = graft.util.TempDirs.scoped("st23-ckpt")
+      SnapshotStore.commitAppend(t.filter(col("tid") % 2 === 0), root)
+      val q = ss.readStream.table("graft_snap.trades_feed")
+        .writeStream.format("memory").queryName("st23_mem")
+        .option("checkpointLocation", ckpt).start()
+      try {
+        q.processAllAvailable() // batch 0: the initial snapshot (v1)
+        SnapshotStore.commitAppend(t.filter(col("tid") % 2 === 1), root)
+        q.processAllAvailable() // batch 1: only v2's fresh files
+      } finally { q.stop(); q.awaitTermination() }
+    }
+    val memN = ss.table("st23_mem").count()
+    val tableN = SnapshotStore.read(s, root).count()
+    org.apache.spark.sql.GraftBridge.bindTo(
+      ss.table("st23_mem")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("tid")).as("unique_ids"),
+          dsum(col("amount")).as("amount_sum"))
+        .select(col("n_rows"), col("unique_ids"), col("amount_sum"),
+          lit(memN == tableN).as("matches_table")), s)
+  }
+
+  val st23Oracle: String =
+    s"""WITH ${SyntheticTrades.tradesCte}
+       |SELECT count(*) AS n_rows,
+       |  count(DISTINCT CAST(trade_id AS BIGINT)) AS unique_ids,
+       |  ${duckDsum("amount")} AS amount_sum, true AS matches_table
+       |FROM trades WHERE CAST(trade_id AS BIGINT) % 79 = 0""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "st23_table_source" -> QueryDef(st23TableSource _, st23Oracle),
+    "st22_stream_totable" -> QueryDef(st22StreamToTable _, st22Oracle),
     "s46_append_stats" -> QueryDef(s46AppendStats _, s46Oracle),
     "s47_sql_partitioned_create" ->
       QueryDef(s47SqlPartitionedCreate _, s47Oracle),

@@ -145,7 +145,8 @@ private[graft] object EvolvedTable {
     override def schema(): StructType = unified
     override def capabilities(): java.util.Set[TableCapability] =
       java.util.EnumSet.of(TableCapability.BATCH_READ,
-        TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+        TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+        TableCapability.STREAMING_WRITE)
     override def newScanBuilder(options: CaseInsensitiveStringMap)
         : ScanBuilder =
       new EvolvedScanBuilder(tableName, root, v, groups, unified, options)

@@ -316,7 +316,9 @@ object GraftCatalog {
     override def capabilities(): java.util.Set[TableCapability] =
       java.util.EnumSet.of(TableCapability.BATCH_READ,
         TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
-        TableCapability.OVERWRITE_BY_FILTER)
+        TableCapability.OVERWRITE_BY_FILTER,
+        TableCapability.STREAMING_WRITE,
+        TableCapability.MICRO_BATCH_READ)
     override def newScanBuilder(options: CaseInsensitiveStringMap)
         : ScanBuilder = new SnapshotScanBuilder(root, v, files, mk, options)
     override def newWriteBuilder(
@@ -358,6 +360,8 @@ object GraftCatalog {
     import org.apache.spark.sql.catalyst.expressions._
 
     private var inner = mk(all).newScanBuilder(options)
+    private var required: Option[org.apache.spark.sql.types.StructType] =
+      None
 
     override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
       val pruned = SidecarPrune.survivors(root, v, filters, all)
@@ -372,10 +376,15 @@ object GraftCatalog {
       inner.pushedFilters
 
     override def pruneColumns(
-        requiredSchema: org.apache.spark.sql.types.StructType): Unit =
+        requiredSchema: org.apache.spark.sql.types.StructType): Unit = {
+      required = Some(requiredSchema)
       inner.pruneColumns(requiredSchema)
+    }
 
     override def build(): org.apache.spark.sql.connector.read.Scan =
-      inner.build()
+      // batch reads delegate straight through; the wrapper adds the
+      // streaming face (readStream.table — version-diff micro-batches)
+      new SnapshotSource.WrappedScan(inner.build(), root, required, mk,
+        options)
   }
 }

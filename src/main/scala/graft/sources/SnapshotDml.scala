@@ -54,6 +54,12 @@ private[graft] object SnapshotDml {
     private var overwrite = false
     override def truncate(): WriteBuilder = { overwrite = true; this }
     override def build(): Write = new V1Write {
+      // the streaming half: writeStream.toTable — per-epoch staged
+      // parquet + ONE token-deduped CAS commit (complete mode =
+      // replace commits); see [[SnapshotStreaming]]
+      override def toStreaming
+          : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+        new SnapshotStreaming.Sink(root, info, overwrite)
       override def toInsertableRelation: InsertableRelation =
         new InsertableRelation {
           override def insert(data: Dataset[Row], ov: Boolean): Unit = {

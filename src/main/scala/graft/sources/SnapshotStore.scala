@@ -244,12 +244,17 @@ object SnapshotStore {
     * type) also drops the header: readers fall back to footer
     * inference, never to a wrong pinned schema. */
   private def mergedSchemaMeta(df: DataFrame, root: String, prev: Int)
-      : Map[String, String] = {
+      : Map[String, String] =
+    mergedSchemaMetaOf(df.schema, root, prev)
+
+  private def mergedSchemaMetaOf(
+      schema: org.apache.spark.sql.types.StructType, root: String,
+      prev: Int): Map[String, String] = {
     import org.apache.spark.sql.types.StructType
     val merged: Option[StructType] =
-      if (prev == 0) Some(df.schema)
+      if (prev == 0) Some(schema)
       else manifestMeta(root, prev).get("schema").flatMap { ddl =>
-        try Some(graft.util.SchemaMerge.merge(StructType.fromDDL(ddl), df.schema))
+        try Some(graft.util.SchemaMerge.merge(StructType.fromDDL(ddl), schema))
         catch { case _: Exception => None }
       }
     merged.map(m => "schema" -> m.toDDL).toMap
@@ -353,10 +358,15 @@ object SnapshotStore {
     * wrongly, the one failure mode a reader can never have. */
   private def usableKinds(df: DataFrame,
       kinds: scala.collection.immutable.ListMap[String, String])
+      : Seq[(String, String)] = usableKindsOf(df.schema, kinds)
+
+  private def usableKindsOf(schema: org.apache.spark.sql.types.StructType,
+      kinds: scala.collection.immutable.ListMap[String, String])
       : Seq[(String, String)] =
     kinds.toSeq.filter { case (c, k) =>
-      df.schema.fieldNames.contains(c) &&
-        (try statKindOf(df, c) == k catch { case _: graft.QueryError => false })
+      schema.fieldNames.contains(c) &&
+        (try kindOfType(schema(c).dataType) == k
+         catch { case _: graft.QueryError => false })
     }
 
   /** Replace commit (full rewrite / compaction): the new version sees
@@ -391,6 +401,51 @@ object SnapshotStore {
        else Map("spec" -> spec.mkString(","))))
     1
   }
+
+  /** Append commit over files a DISTRIBUTED WRITER already staged
+    * under `<root>/data` — the driver half of the streaming sink
+    * ([[SnapshotStreaming]]): tasks write their parquet files first
+    * (never colliding — task-attempt-unique names), this publishes
+    * the manifest listing them, under the same CAS and the same
+    * writer-token replay check as every commit. A replayed epoch
+    * whose token is already live no-ops and its re-staged files
+    * become ordinary orphans (swept by maintenance, like CAS losers).
+    * On an indexed store the staged files' bounds are recorded in the
+    * same commit (append-time index maintenance). */
+  private[sources] def commitStagedAppend(spark: SparkSession,
+      root: String, staged: Seq[String],
+      schema: org.apache.spark.sql.types.StructType,
+      writerToken: Option[String]): Int =
+    writerToken.flatMap(committedVersionFor(root, _)).getOrElse {
+      val prev = latestVersion(root)
+      val v = prev + 1
+      val base = if (prev == 0) Seq.empty else filesAt(root, prev)
+      writeManifest(root, v, base ++ staged,
+        carriedMeta(root, prev) ++ mergedSchemaMetaOf(schema, root, prev) ++
+          writerToken.map("writer" -> _).toMap)
+      val prior = statsLinesAt(root, prev)
+      val freshLines =
+        if (prev == 0) Seq.empty
+        else statsForFiles(spark, staged,
+          usableKindsOf(schema, statCols(root, prev)))
+      if (prior.nonEmpty || freshLines.nonEmpty)
+        writeStatsLines(root, v, prior ++ freshLines)
+      v
+    }
+
+  /** Replace commit over staged files — the streaming sink's
+    * COMPLETE-mode epoch: each epoch's result replaces the table (the
+    * incremental-MV refresh shape), atomically, token-deduped. */
+  private[sources] def commitStagedReplace(root: String,
+      staged: Seq[String], schema: org.apache.spark.sql.types.StructType,
+      writerToken: Option[String]): Int =
+    writerToken.flatMap(committedVersionFor(root, _)).getOrElse {
+      val v = latestVersion(root) + 1
+      writeManifest(root, v, staged,
+        Map("schema" -> schema.toDDL) ++
+          writerToken.map("writer" -> _).toMap)
+      v
+    }
 
   /** `ALTER TABLE ADD COLUMN` — a METADATA-ONLY commit: the new
     * version lists the SAME files as its predecessor and widens the
@@ -1070,15 +1125,22 @@ object SnapshotStore {
     * (bounds base64-coded). Anything else can't be min/max-indexed
     * here — fail loudly rather than write bounds that would prune
     * wrongly. */
-  private def statKindOf(df: DataFrame, c: String): String = {
+  private def statKindOf(df: DataFrame, c: String): String =
+    try kindOfType(df.schema(c).dataType)
+    catch {
+      case _: graft.QueryError => throw new graft.QueryError(
+        s"stats column $c has unsupported type ${df.schema(c).dataType} " +
+          "(supported: integral, timestamp, string)")
+    }
+
+  private def kindOfType(dt: org.apache.spark.sql.types.DataType): String = {
     import org.apache.spark.sql.types._
-    df.schema(c).dataType match {
+    dt match {
       case LongType | IntegerType | ShortType | ByteType => "long"
       case TimestampType => "ts"
       case StringType => "str"
       case other => throw new graft.QueryError(
-        s"stats column $c has unsupported type $other " +
-          "(supported: integral, timestamp, string)")
+        s"unsupported stats type $other")
     }
   }
 

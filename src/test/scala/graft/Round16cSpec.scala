@@ -16,7 +16,7 @@ class Round16cSpec extends AnyFunSuite {
     df.queryExecution.sparkPlan.collect {
       case bs: org.apache.spark.sql.execution.datasources.v2
           .BatchScanExec => bs.scan
-    }.collect {
+    }.map(graft.sources.SnapshotSource.unwrap).collect {
       case p: org.apache.spark.sql.execution.datasources.v2.parquet
           .ParquetScan => p.fileIndex.inputFiles.toSeq
     }.flatten

@@ -75,7 +75,7 @@ class Round17bSpec extends AnyFunSuite {
       df.queryExecution.sparkPlan.collect {
         case bs: org.apache.spark.sql.execution.datasources.v2
             .BatchScanExec => bs.scan
-      }.collect {
+      }.map(graft.sources.SnapshotSource.unwrap).collect {
         case q: org.apache.spark.sql.execution.datasources.v2.parquet
             .ParquetScan => q.fileIndex.inputFiles.length
       }.sum

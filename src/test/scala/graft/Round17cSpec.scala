@@ -42,7 +42,7 @@ class Round17cSpec extends AnyFunSuite {
     df.queryExecution.sparkPlan.collect {
       case bs: org.apache.spark.sql.execution.datasources.v2
           .BatchScanExec => bs.scan
-    }.map[Int] {
+    }.map(graft.sources.SnapshotSource.unwrap).map[Int] {
       case e: graft.sources.EvolvedTable.EvolvedScan => e.plannedFiles
       case q: org.apache.spark.sql.execution.datasources.v2.parquet
           .ParquetScan => q.fileIndex.inputFiles.length
@@ -129,14 +129,15 @@ class Round17cSpec extends AnyFunSuite {
       c.getMessage.contains("readEvolved")), s"got: $e")
   }
 
-  test("the evolved SQL table rejects writes at plan time") {
-    val root = evolvedStore("evo")
+  test("the evolved SQL table accepts writes (round 18) — own store") {
+    // round 18 made evolved tables writable; use a PRIVATE store so
+    // the shared `evo` fixture keeps its pinned 80 rows for the
+    // read-path tests
+    val root = evolvedStore("evo_w")
     registerCatalog()
     val before = SnapshotStore.readEvolved(spark, root).count()
-    intercept[Exception] {
-      spark.sql("INSERT INTO r17c_snap.evo VALUES (9, 9.0, '202601')")
-    }
-    assert(SnapshotStore.readEvolved(spark, root).count() == before)
+    spark.sql("INSERT INTO r17c_snap.evo_w VALUES (999, 9.0, '202601')")
+    assert(SnapshotStore.readEvolved(spark, root).count() == before + 1)
   }
 
   test("same-layout groups keep the VECTORIZED reader (identity path)") {

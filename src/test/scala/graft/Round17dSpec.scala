@@ -123,7 +123,7 @@ class Round17dSpec extends AnyFunSuite {
       spark.sql(sql).queryExecution.sparkPlan.collect {
         case bs: org.apache.spark.sql.execution.datasources.v2
             .BatchScanExec => bs.scan
-      }.map[Int] {
+      }.map(graft.sources.SnapshotSource.unwrap).map[Int] {
         case q: org.apache.spark.sql.execution.datasources.v2.parquet
             .ParquetScan => q.fileIndex.inputFiles.length
         case _ => 0
@@ -206,7 +206,7 @@ class Round17dSpec extends AnyFunSuite {
     val names = spark.sql("SHOW PROCEDURES IN r17d_snap.system")
       .select("procedure_name").collect().map(_.getString(0)).toSet
     assert(names == Set("set_tag", "compact", "expire", "merge_rows",
-      "index", "build_bloom"))
+      "index", "build_bloom", "set_spec"))
     val desc = spark.sql("DESCRIBE PROCEDURE r17d_snap.system.set_tag")
       .collect().map(_.getString(0)).mkString("\n")
     assert(desc.contains("set_tag") && desc.contains("pin a tag"))

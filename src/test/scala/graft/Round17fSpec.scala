@@ -105,16 +105,20 @@ class Round17fSpec extends AnyFunSuite {
     assert(SnapshotStore.versions(s"$wh/ctas").nonEmpty)
   }
 
-  test("DROP and RENAME still refuse; evolved tables stay read-only") {
+  test("DROP and RENAME still refuse; evolved tables accept SQL writes") {
     val root = s"$wh/ro"
     SnapshotStore.commitAppendPartitioned(
       Seq((1L, "202601")).toDF("tid", "month"), root, Seq("month"))
     registerCatalog()
     intercept[Exception] { spark.sql("DROP TABLE r17f_snap.ro") }
     intercept[Exception] {
-      spark.sql("INSERT INTO r17f_snap.ro VALUES (2, '202602')")
+      spark.sql("ALTER TABLE r17f_snap.ro RENAME TO r17f_snap.ro2")
     }
-    assert(SnapshotStore.readEvolved(spark, root).count() == 1)
+    // round 18: INSERT INTO an evolved store is a flat append commit
+    // (correct by the union-read contract — Round18Spec pins the
+    // byte-identity invariant and the DELETE path)
+    spark.sql("INSERT INTO r17f_snap.ro VALUES (2, '202602')")
+    assert(SnapshotStore.readEvolved(spark, root).count() == 2)
   }
 
   test("a delete on the whole table truncates via copy-on-write") {
