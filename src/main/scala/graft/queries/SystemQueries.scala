@@ -3401,7 +3401,85 @@ object SystemQueries {
        |  ${duckDsum("amount")} AS amount_sum, true AS matches_table
        |FROM trades WHERE CAST(trade_id AS BIGINT) % 79 = 0""".stripMargin
 
+  /** S48: ROW-LEVEL SQL DML — `UPDATE` and full `MERGE INTO` (three
+    * WHEN branches) through Spark's DSv2 SupportsRowLevelOperations in
+    * COPY_ON_WRITE group mode ([[graft.sources.SnapshotRowLevel]]):
+    * the statement rewrites into a ReplaceData plan, replacement rows
+    * stream into staged parquet (distributed, no driver buffering),
+    * and the commit is ONE replace-shaped CAS manifest — v1
+    * granularity is the whole table (the grammar at full-rewrite
+    * cost; `CALL system.merge_rows` remains the delta-efficient
+    * MERGE, and translatable DELETEs keep the targeted copy-on-write
+    * path — Round18eSpec pins that routing). The lifecycle: append →
+    * UPDATE (conditional amount bump) → MERGE (update-or-delete a
+    * changes slice + insert genuinely new keys); the oracle
+    * re-derives the final state from the raw trades with the same
+    * integer-modulus derivations, and `three_versions` pins the
+    * statement-to-commit mapping (each statement exactly one
+    * commit). */
+  def s48SqlMergeUpdate(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.SnapshotStore
+    val root = s"$catalogWarehouse/trades_rl"
+    s.conf.set("spark.sql.catalog.graft_snap",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_snap.warehouse", catalogWarehouse)
+    val t = SyntheticTrades.trades(s, dir)
+      .filter(col("trade_id").cast("long") % 5 === 0)
+      .select(col("trade_id").cast("long").as("tid"), col("amount"))
+    // bounded-collect(one row: the insert keys' base)
+    val mx = t.agg(max(col("tid"))).collect().head.getLong(0)
+    if (SnapshotStore.latestVersion(root) == 0) {
+      SnapshotStore.commitAppend(t, root)
+      s.sql("""UPDATE graft_snap.trades_rl SET amount = amount + 1000
+              |WHERE tid % 10 = 0""".stripMargin)
+      t.filter(col("tid") % 15 === 0)
+        .select(col("tid"), (col("amount") * 2).as("amount"),
+          when(col("tid") % 30 === 0, "D").otherwise("U").as("op"))
+        .unionByName(s.range(1, 3).select(
+          (lit(mx) + col("id") * 10).as("tid"),
+          (col("id") * 11.0).as("amount"), lit("U").as("op")))
+        .createOrReplaceTempView("s48_changes")
+      s.sql(
+        """MERGE INTO graft_snap.trades_rl t USING s48_changes c
+          |ON t.tid = c.tid
+          |WHEN MATCHED AND c.op = 'D' THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET amount = c.amount
+          |WHEN NOT MATCHED THEN INSERT (tid, amount)
+          |  VALUES (c.tid, c.amount)""".stripMargin)
+    }
+    val threeVersions = SnapshotStore.versions(root) == Seq(1, 2, 3)
+    val dsumSql = "CAST(sum(CAST(amount AS DECIMAL(28,6))) AS DOUBLE)"
+    s.sql(
+      s"""SELECT count(*) AS n_rows, count(DISTINCT tid) AS unique_ids,
+         |  $dsumSql AS amount_sum, $threeVersions AS three_versions
+         |FROM graft_snap.trades_rl""".stripMargin)
+  }
+
+  val s48Oracle: String =
+    s"""WITH ${SyntheticTrades.tradesCte},
+       |t AS (
+       |  SELECT CAST(trade_id AS BIGINT) AS tid, amount FROM trades
+       |  WHERE CAST(trade_id AS BIGINT) % 5 = 0),
+       |m AS (SELECT max(tid) AS mx FROM t),
+       |upd AS (
+       |  SELECT tid, CASE WHEN tid % 10 = 0 THEN amount + 1000
+       |    ELSE amount END AS amount FROM t),
+       |merged AS (
+       |  SELECT u.tid,
+       |    CASE WHEN u.tid % 15 = 0 THEN 2 * t.amount ELSE u.amount END
+       |      AS amount
+       |  FROM upd u JOIN t USING (tid)
+       |  WHERE u.tid % 30 <> 0
+       |  UNION ALL
+       |  SELECT mx + 10, 11.0 FROM m
+       |  UNION ALL
+       |  SELECT mx + 20, 22.0 FROM m)
+       |SELECT count(*) AS n_rows, count(DISTINCT tid) AS unique_ids,
+       |  ${duckDsum("amount")} AS amount_sum, true AS three_versions
+       |FROM merged""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "s48_sql_merge_update" -> QueryDef(s48SqlMergeUpdate _, s48Oracle),
     "st23_table_source" -> QueryDef(st23TableSource _, st23Oracle),
     "st22_stream_totable" -> QueryDef(st22StreamToTable _, st22Oracle),
     "s46_append_stats" -> QueryDef(s46AppendStats _, s46Oracle),

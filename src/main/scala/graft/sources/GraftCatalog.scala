@@ -295,7 +295,9 @@ object GraftCatalog {
       v: Int, files: Seq[String])
       extends Table with SupportsRead
       with org.apache.spark.sql.connector.catalog.SupportsWrite
-      with org.apache.spark.sql.connector.catalog.SupportsDeleteV2 {
+      with org.apache.spark.sql.connector.catalog.SupportsDeleteV2
+      with org.apache.spark.sql.connector.catalog
+        .SupportsRowLevelOperations {
     // the pinned schema travels in manifest METADATA (#schema header,
     // written at commit) — resolving it is a string parse, not IO over
     // a 100 TB table's footers. Passed as the user-specified schema so
@@ -332,6 +334,13 @@ object GraftCatalog {
         org.apache.spark.sql.connector.expressions.filter.Predicate])
         : Unit =
       SnapshotDml.deleteWhere(SparkSession.active, root, predicates)
+    // UPDATE / MERGE INTO / subquery DELETEs — copy-on-write
+    // ReplaceData through the staged-parquet seam; translatable
+    // DELETEs still take the targeted deleteWhere path above
+    override def newRowLevelOperationBuilder(
+        info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+        : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+      new SnapshotRowLevel.OpBuilder(root, info)
   }
 
   /** The piece that makes the SQL face plan like the Scala planner:
