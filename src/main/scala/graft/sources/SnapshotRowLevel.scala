@@ -107,6 +107,9 @@ private[graft] object SnapshotRowLevel {
 
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
       val staged = ParquetStage.stagedOf(messages)
+      // mkdirs: an EMPTY replacement (e.g. UPDATE on an empty table)
+      // ran no task, so no writer ever created the staging dir
+      stageDir.mkdirs()
       Files.write(new File(stageDir, "_schema.ddl").toPath,
         schema.toDDL.getBytes(StandardCharsets.UTF_8))
       SnapshotStore.commitStagedReplace(root, staged, schema, None)

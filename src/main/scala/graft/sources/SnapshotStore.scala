@@ -218,6 +218,16 @@ object SnapshotStore {
     val prev = latestVersion(root)
     if (prev == 0)
       throw new graft.QueryError(s"no snapshot table under $root")
+    // validate against the pinned schema when one exists — a typo'd
+    // column should refuse HERE, not at the next insert's partitionBy
+    // (an evolved store without a pin defers to that loud failure)
+    manifestMeta(root, prev).get("schema")
+      .map(org.apache.spark.sql.types.StructType.fromDDL)
+      .foreach { pinned =>
+        spec.find(c => !pinned.fieldNames.contains(c)).foreach(c =>
+          throw new graft.QueryError(
+            s"partition column $c is not in the table schema"))
+      }
     val meta = carriedMeta(root, prev) - "spec"
     val withSpec =
       if (spec.isEmpty) meta

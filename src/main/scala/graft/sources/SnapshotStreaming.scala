@@ -64,7 +64,9 @@ private[graft] object SnapshotStreaming {
       val staged = ParquetStage.stagedOf(messages)
       val token = Some(s"toTable:$qid:$epochId")
       if (overwrite) {
-        // complete mode: this epoch's result IS the table
+        // complete mode: this epoch's result IS the table. mkdirs: an
+        // EMPTY epoch ran no task, so no writer created the stage dir
+        stageDir(epochId).mkdirs()
         Files.write(new File(stageDir(epochId), "_schema.ddl").toPath,
           schema.toDDL.getBytes(StandardCharsets.UTF_8))
         SnapshotStore.commitStagedReplace(root, staged, schema, token)

@@ -157,6 +157,13 @@ class Round18bSpec extends AnyFunSuite {
     assert(res.head.getInt(0) == 2 && res.head.getString(1) == "p")
     assert(SnapshotStore.filesAt(root, 2) == v1Files,
       "set_spec rewrites nothing")
+    // a typo'd column refuses at set_spec time while the pinned
+    // schema exists (best-effort: pin-less evolved stores defer to
+    // the next insert's loud partitionBy failure)
+    intercept[Exception] {
+      spark.sql("CALL r18b_snap.system.set_spec('specmeta', 'nope')")
+    }
+    assert(SnapshotStore.latestVersion(root) == 2, "refusal commits nothing")
     // the next SQL insert lands under the new spec
     spark.range(6, 9).select(col("id").as("tid"),
       (col("id") % 2).cast("string").as("p"))

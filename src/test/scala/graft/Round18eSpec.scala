@@ -78,6 +78,26 @@ class Round18eSpec extends AnyFunSuite {
     assert(SnapshotStore.versions(root) == Seq(1, 2))
   }
 
+  test("UPDATE and MERGE on an EMPTY table commit an empty replacement") {
+    registerCatalog()
+    spark.sql("CREATE TABLE r18e_snap.empt (tid BIGINT, amount DOUBLE)")
+    val root = s"$wh/empt"
+    spark.sql("UPDATE r18e_snap.empt SET amount = 0 WHERE tid = 1")
+    assert(SnapshotStore.versions(root) == Seq(1, 2))
+    assert(spark.sql("SELECT count(*) FROM r18e_snap.empt")
+      .head().getLong(0) == 0L)
+    // MERGE into the empty table: only the INSERT branch fires
+    spark.range(2).select(col("id").as("tid"), lit(1.0).as("amount"))
+      .createOrReplaceTempView("r18e_seed")
+    spark.sql(
+      """MERGE INTO r18e_snap.empt t USING r18e_seed c ON t.tid = c.tid
+        |WHEN MATCHED THEN UPDATE SET amount = c.amount
+        |WHEN NOT MATCHED THEN INSERT (tid, amount) VALUES (c.tid, c.amount)
+        |""".stripMargin)
+    assert(spark.sql("SELECT count(*) FROM r18e_snap.empt")
+      .head().getLong(0) == 2L)
+  }
+
   test("a translatable DELETE still takes the targeted metadata path") {
     val root = freshTable("fastdel", 100)
     // 4 tid-ranged files with stats: a targeted delete rewrites ONE
