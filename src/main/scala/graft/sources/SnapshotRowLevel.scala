@@ -45,22 +45,29 @@ private[graft] object SnapshotRowLevel {
 
   private final class Op(root: String,
       cmd: RowLevelOperation.Command) extends RowLevelOperation {
+    // the operation's BASE version, pinned ONCE: the scan reads it and
+    // the commit demands the head still equals it — a commit that
+    // landed during the rewrite makes the publish throw the retryable
+    // CommitConflictException instead of silently erasing its rows
+    private val baseV = SnapshotStore.latestVersion(root)
+
     override def command(): RowLevelOperation.Command = cmd
     override def description(): String =
-      s"graft snapshot $cmd (copy-on-write, whole-table group)"
+      s"graft snapshot $cmd (copy-on-write, whole-table group, base v$baseV)"
 
-    /** The group scan: every live file, full rows, NO pushdown mixins
-      * — see the class doc for why filters must not reach it. Column
-      * pruning is also omitted: ReplaceData needs the full row to
-      * copy unmatched rows through. */
+    /** The group scan: every live file of the pinned base version,
+      * full rows. The wrapper exposes NO pushdown mixins, so filters
+      * in the ReplaceData query (a DELETE's keep-predicate) stay
+      * plan-level residuals above the scan — conservative: they would
+      * be semantics-preserving to push (they DEFINE the replacement
+      * rows), but the full-group read keeps the contract obvious. */
     override def newScanBuilder(options: CaseInsensitiveStringMap)
         : ScanBuilder = new ScanBuilder {
       override def build(): Scan = {
-        val v = SnapshotStore.latestVersion(root)
-        val files = SnapshotStore.filesAt(root, v)
-        val pinned = SnapshotStore.manifestMeta(root, v).get("schema")
+        val files = SnapshotStore.filesAt(root, baseV)
+        val pinned = SnapshotStore.manifestMeta(root, baseV).get("schema")
           .map(StructType.fromDDL)
-        ParquetTable(s"graft-rowlevel $root@v$v",
+        ParquetTable(s"graft-rowlevel $root@v$baseV",
           org.apache.spark.sql.SparkSession.active,
           CaseInsensitiveStringMap.empty(), files.toIndexedSeq, pinned,
           classOf[org.apache.spark.sql.execution.datasources.parquet
@@ -73,7 +80,7 @@ private[graft] object SnapshotRowLevel {
       new WriteBuilder {
         override def build(): Write = new Write {
           override def toBatch: BatchWrite =
-            new ReplaceWrite(root, info.schema())
+            new ReplaceWrite(root, info.schema(), baseV)
         }
       }
   }
@@ -94,8 +101,8 @@ private[graft] object SnapshotRowLevel {
     * declared write schema skip field 0 (verified-by-plan shape for
     * UPDATE, MERGE, and subquery DELETE); exact-width rows pass
     * through; anything else refuses loudly. */
-  private final class ReplaceWrite(root: String, schema: StructType)
-      extends BatchWrite {
+  private final class ReplaceWrite(root: String, schema: StructType,
+      baseV: Int) extends BatchWrite {
     private val stageDir = new File(new File(root, "data"),
       s"rw-${java.util.UUID.randomUUID().toString.take(8)}")
 
@@ -112,7 +119,8 @@ private[graft] object SnapshotRowLevel {
       stageDir.mkdirs()
       Files.write(new File(stageDir, "_schema.ddl").toPath,
         schema.toDDL.getBytes(StandardCharsets.UTF_8))
-      SnapshotStore.commitStagedReplace(root, staged, schema, None)
+      SnapshotStore.commitStagedReplace(root, staged, schema, None,
+        expectedPrev = Some(baseV))
       ()
     }
 

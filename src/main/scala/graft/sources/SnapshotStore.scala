@@ -444,15 +444,29 @@ object SnapshotStore {
     }
 
   /** Replace commit over staged files — the streaming sink's
-    * COMPLETE-mode epoch: each epoch's result replaces the table (the
-    * incremental-MV refresh shape), atomically, token-deduped. */
-  private[sources] def commitStagedReplace(root: String,
+    * COMPLETE-mode epoch and the row-level rewrites' publish. Carried
+    * headers (`statcol`, `spec`) survive: an UPDATE/MERGE replaces
+    * DATA, not table metadata — without the carry a row-level
+    * statement would silently un-partition future writes.
+    *
+    * `expectedPrev` is the optimistic-concurrency guard for callers
+    * whose replacement was COMPUTED against a pinned base (the
+    * row-level scan): when another commit landed in between, this
+    * replace would erase its rows — refuse with the retryable
+    * [[CommitConflictException]] instead of silently winning. The
+    * streaming complete-mode caller passes None (its epochs replace
+    * serially from one writer — the MV pattern). */
+  private[graft] def commitStagedReplace(root: String,
       staged: Seq[String], schema: org.apache.spark.sql.types.StructType,
-      writerToken: Option[String]): Int =
+      writerToken: Option[String],
+      expectedPrev: Option[Int] = None): Int =
     writerToken.flatMap(committedVersionFor(root, _)).getOrElse {
-      val v = latestVersion(root) + 1
+      val prev = latestVersion(root)
+      if (expectedPrev.exists(_ != prev))
+        throw new CommitConflictException(root, prev + 1)
+      val v = prev + 1
       writeManifest(root, v, staged,
-        Map("schema" -> schema.toDDL) ++
+        carriedMeta(root, prev) ++ Map("schema" -> schema.toDDL) ++
           writerToken.map("writer" -> _).toMap)
       v
     }

@@ -98,6 +98,58 @@ class Round18eSpec extends AnyFunSuite {
       .head().getLong(0) == 2L)
   }
 
+  test("UPDATE preserves the table's default spec and statcol headers") {
+    registerCatalog()
+    val root = s"$wh/specupd"
+    // a FLAT stats-indexed table with a default spec set for FUTURE
+    // writes (set_spec is metadata-only, so the layout stays flat and
+    // row-level ops remain available — evolved layouts refuse them)
+    SnapshotStore.commitAppendWithStats(
+      spark.range(8).select(col("id").as("tid"),
+        (col("id") * 1.0).as("amount"),
+        (col("id") % 2).cast("string").as("shard")), root, "tid", 2)
+    spark.sql("CALL r18e_snap.system.set_spec('specupd', 'shard')")
+    spark.sql("UPDATE r18e_snap.specupd SET amount = 0 WHERE tid = 3")
+    // an UPDATE replaces DATA, not table metadata: the spec AND the
+    // statcol header survive, and the NEXT insert lands partitioned
+    assert(SnapshotStore.currentSpec(root) == Seq("shard"))
+    assert(SnapshotStore.statCols(root,
+      SnapshotStore.latestVersion(root)) == Map("tid" -> "long"))
+    spark.range(8, 10).select(col("id").as("tid"),
+      (col("id") * 1.0).as("amount"), (col("id") % 2).cast("string")
+        .as("shard")).createOrReplaceTempView("r18e_su2")
+    spark.sql(
+      "INSERT INTO r18e_snap.specupd SELECT tid, amount, shard FROM r18e_su2")
+    val v4 = SnapshotStore.latestVersion(root)
+    val fresh = SnapshotStore.filesAt(root, v4).toSet --
+      SnapshotStore.filesAt(root, v4 - 1).toSet
+    assert(fresh.nonEmpty && fresh.forall(_.contains("/shard=")))
+    assert(spark.sql("SELECT count(*) FROM r18e_snap.specupd")
+      .head().getLong(0) == 10L)
+    assert(spark.sql(
+      "SELECT CAST(sum(amount) AS DOUBLE) FROM r18e_snap.specupd " +
+        "WHERE tid = 3").head().getDouble(0) == 0.0)
+  }
+
+  test("a staged replace against a stale base refuses with the CAS conflict") {
+    val root = s"$wh/stale"
+    SnapshotStore.commitAppend(
+      spark.range(3).select(col("id").as("tid")), root)
+    import org.apache.spark.sql.types.StructType
+    val schema = StructType.fromDDL("tid BIGINT")
+    // base pinned at v1, head still v1: commits fine
+    SnapshotStore.commitStagedReplace(root, Seq.empty, schema, None,
+      expectedPrev = Some(1))
+    assert(SnapshotStore.latestVersion(root) == 2)
+    // base pinned at v1, but the head moved: a silent replace would
+    // erase v2 — must throw the retryable conflict instead
+    intercept[SnapshotStore.CommitConflictException] {
+      SnapshotStore.commitStagedReplace(root, Seq.empty, schema, None,
+        expectedPrev = Some(1))
+    }
+    assert(SnapshotStore.latestVersion(root) == 2, "nothing published")
+  }
+
   test("a translatable DELETE still takes the targeted metadata path") {
     val root = freshTable("fastdel", 100)
     // 4 tid-ranged files with stats: a targeted delete rewrites ONE
