@@ -927,8 +927,11 @@ object LlmQueries {
   def sourceOverlap(s: SparkSession, dir: String): DataFrame =
     TextDedup.sourceOverlap(docs(s, dir))
 
-  /** Distinct (5-gram-shingle-hash, source) pairs, pair join keyed by
-    * hash, per-source distinct totals and Jaccard — all in SQL. */
+  /** Distinct (5-gram-shingle, source) pairs, pair join keyed by the
+    * shingle, per-source distinct totals and Jaccard — all in SQL.
+    * Counts distinct raw shingles (the earlier sha256-keyed spelling
+    * counted the same thing through an injective hash — see
+    * [[TextDedup.sourceOverlap]]). */
   val sourceOverlapOracle: String =
     """WITH wr AS (
       |  SELECT source,
@@ -942,7 +945,7 @@ object LlmQueries {
       |                          for i in range(1, len(w) - 3)])) AS sg
       |  FROM wr WHERE len(w) >= 5
       |),
-      |hs AS (SELECT DISTINCT sha256(sg) AS h, source FROM sh0),
+      |hs AS (SELECT DISTINCT sg AS h, source FROM sh0),
       |tot AS (SELECT source, count(*) AS n FROM hs GROUP BY 1),
       |pairs AS (
       |  SELECT a.source AS source_a, b.source AS source_b,
