@@ -84,17 +84,38 @@ object QualityClassifier {
       val std = Array.tabulate(d) { j =>
         val s = safe(stats.get(2 + 2 * j)); if (s > 0.0) s else 1.0
       }
-      var m = Model(FeatureCols, mean, std, Array.fill(d)(0.0), 0.0,
+      // Project the STANDARDIZED features once over the cache: every
+      // GD iteration's margin/gradient references the z attributes
+      // instead of re-inlining the six ((f - mean)/std) subtrees per
+      // occurrence (the margin tree is duplicated ~9x inside the
+      // gradient/loss aggregate, so inlined z-subtrees made each
+      // per-iteration plan hundreds of nodes — measured ~200 ms per
+      // iteration of pure driver planning+codegen at ANY data size,
+      // guide §1.2 step 2 / §7.3). Each z_j is the identical double
+      // expression over the same cached rows — evaluated per pass as
+      // a trivial columnar projection — so every gradient/loss sum is
+      // bit-identical to the inlined form.
+      val statsM = Model(FeatureCols, mean, std, Array.fill(d)(0.0), 0.0,
         Array.empty)
+      val zFrame = cached.select(
+        col("_y") +: zCols(statsM).zipWithIndex.map {
+          case (z, j) => z.as(s"_z$j")
+        }: _*)
+      var m = statsM
       val losses = Array.newBuilder[Double]
+      // margin over the projected z attributes, same left-to-right
+      // fold (and therefore the same doubles) as [[marginCol]]
+      def marginZ(mm: Model): Column =
+        (0 until d).foldLeft(lit(mm.bias)) {
+          case (acc, j) => acc + col(s"_z$j") * lit(mm.weights(j))
+        }
       for (_ <- 0 until iters) {
-        val z = zCols(m)
-        val p = lit(1.0) / (lit(1.0) + exp(-marginCol(m)))
+        val p = lit(1.0) / (lit(1.0) + exp(-marginZ(m)))
         val pc = least(greatest(p, lit(1e-12)), lit(1.0 - 1e-12))
         val err = p - col("_y")
-        val gradRow: Row = cached.agg(
+        val gradRow: Row = zFrame.agg(
           sum(err).as("g_b"),
-          z.map(zc => sum(err * zc)) :+
+          (0 until d).map(j => sum(err * col(s"_z$j"))) :+
             sum(-(col("_y") * log(pc) +
               (lit(1.0) - col("_y")) * log(lit(1.0) - pc))).as("loss"): _*
         ).head()

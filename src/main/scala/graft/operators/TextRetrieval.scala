@@ -171,18 +171,37 @@ object TextRetrieval {
   def tfidfCosinePairs(docs: DataFrame, n: Int = 3, maxDf: Int = 10,
       minCosine: Double = 0.3, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    val tf = graft.util.Caches.materialize(
-      docs.select(col(idCol), TextDedup.words(col(textCol)).as("_w"))
+    // Parallelize the shingle explode + map-side partial aggregate
+    // (guide §2.5 input skew): a narrow input (the harness corpus is
+    // ONE parquet file = ONE scan task) would otherwise explode and
+    // partially aggregate the ENTIRE corpus in a single task — the
+    // measured wall of this operator. Gated on the actual scan width,
+    // so an already-parallel 100 TB input pays no extra exchange.
+    val base = {
+      val words = docs
+        .select(col(idCol), TextDedup.words(col(textCol)).as("_w"))
         .filter(size(col("_w")) >= n)
+      val spark = docs.sparkSession
+      if (words.rdd.getNumPartitions * 2 <
+          spark.sparkContext.defaultParallelism)
+        words.repartition(col(idCol))
+      else words
+    }
+    val tf = graft.util.Caches.materialize(
+      base
         .select(col(idCol),
           explode(TextDedup.rawWordShingles(col("_w"), n)).as("shingle"))
         .groupBy(col(idCol), col("shingle"))
         .agg(count(lit(1)).as("tf")))
     val nDocs = tf.agg(countDistinct(col(idCol)).as("_n"))
+    // df filter BEFORE the postings join (guide §2.3 "project/filter
+    // before the exchange"): only 2 <= df <= maxDf shingles ever join
+    // back, so the join's build side is the pruned vocabulary, not
+    // the full one.
     val dfreq = tf.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, maxDf))
     val pruned = graft.util.Caches.materialize(
       tf.join(dfreq, "shingle")
-        .filter(col("df").between(2, maxDf))
         .crossJoin(broadcast(nDocs))
         .select(col(idCol), col("shingle"),
           (col("tf") * graft.util.Parity.roundTo(
