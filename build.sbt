@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The ScalaCheck Properties suites default to 100 cases per property;
+// most properties execute real Spark jobs per case, and at 100 cases
+// the property layer alone runs ~10 minutes — past the round driver's
+// test budget (round 19's `sbt test` was killed mid-run). 25 cases
+// keeps every property exercised while fitting the budget.
+Test / testOptions += Tests.Argument(TestFrameworks.ScalaCheck,
+  "-minSuccessfulTests", "25")
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

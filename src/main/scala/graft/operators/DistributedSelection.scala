@@ -46,6 +46,14 @@ object DistributedSelection {
   def cumulativeFreq(df: DataFrame, keyCol: String, valCol: String)
       : DataFrame = {
     val spark = df.sparkSession
+    // NOTE (r20, measured): the range partitioner's boundary-sampling
+    // pass re-executes this aggregate (the corpus pass runs twice —
+    // once to sample, once for real). Caching `freq` first was tried
+    // and REVERTED: the extra persist+count job cost more than the
+    // saved re-aggregation at bench scale (a21/a24/a32 each ~0.5-1 s
+    // slower, matched A/B). At much larger inputs the cache wins —
+    // a deployment can flip it — but the harness keeps the
+    // two-pass shape the measurements favor.
     val freq = df
       .groupBy(col(keyCol), col(valCol))
       .agg(count(lit(1)).as("_cnt"))
@@ -186,6 +194,10 @@ object DistributedSelection {
       orderCols: Seq[Column]): DataFrame = {
     val spark = df.sparkSession
     val parts = spark.sessionState.conf.numShufflePartitions
+    // no extra cache of `df` here (contrast cumulativeFreq): every
+    // caller already hands this a cheap projection of a materialized
+    // frame, so the range partitioner's sampling pass re-reads a
+    // cache, not a corpus aggregate
     val ranged = graft.util.Caches.materialize(
       df.repartitionByRange(parts, orderCols: _*)
         .withColumn("_gpid", spark_partition_id()))

@@ -370,6 +370,12 @@ object TextDedup {
       maxDf: Int = 20,
       threshold: Double = 0.3,
       tokensCol: String = "shingles"): DataFrame = {
+    // NOTE (r20, measured): Caches.widen before this materialize was
+    // tried and REVERTED — the corpus here carries PRE-HASHED int
+    // arrays (cheap single-task explode), so the widening exchange
+    // cost more than it saved (idle A/B: ngram 2.8 vs 3.1 s,
+    // containment 3.2 vs 3.8 s). Contrast TextRetrieval's
+    // string-shingle explode, where widen is a 2x win.
     val cachedCorpus = materialize(corpus)
     val posting = cachedCorpus
       .select(col(idCol), explode(col(tokensCol)).as("shingle"))
@@ -497,6 +503,12 @@ object TextDedup {
       maxDf: Int = 20,
       threshold: Double = 0.9,
       tokensCol: String = "shingles"): DataFrame = {
+    // NOTE (r20, measured): Caches.widen before this materialize was
+    // tried and REVERTED — the corpus here carries PRE-HASHED int
+    // arrays (cheap single-task explode), so the widening exchange
+    // cost more than it saved (idle A/B: ngram 2.8 vs 3.1 s,
+    // containment 3.2 vs 3.8 s). Contrast TextRetrieval's
+    // string-shingle explode, where widen is a 2x win.
     val cachedCorpus = materialize(corpus)
     val posting = cachedCorpus
       .select(col(idCol), explode(col(tokensCol)).as("shingle"))

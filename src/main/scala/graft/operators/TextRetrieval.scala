@@ -175,18 +175,13 @@ object TextRetrieval {
     // (guide §2.5 input skew): a narrow input (the harness corpus is
     // ONE parquet file = ONE scan task) would otherwise explode and
     // partially aggregate the ENTIRE corpus in a single task — the
-    // measured wall of this operator. Gated on the actual scan width,
-    // so an already-parallel 100 TB input pays no extra exchange.
-    val base = {
-      val words = docs
-        .select(col(idCol), TextDedup.words(col(textCol)).as("_w"))
-        .filter(size(col("_w")) >= n)
-      val spark = docs.sparkSession
-      if (words.rdd.getNumPartitions * 2 <
-          spark.sparkContext.defaultParallelism)
-        words.repartition(col(idCol))
-      else words
-    }
+    // measured wall of this operator. Gated on the actual scan width
+    // ([[graft.util.Caches.widen]]), so an already-parallel 100 TB
+    // input pays no extra exchange.
+    val base = graft.util.Caches.widen(
+      docs.select(col(idCol), TextDedup.words(col(textCol)).as("_w"))
+        .filter(size(col("_w")) >= n),
+      col(idCol))
     val tf = graft.util.Caches.materialize(
       base
         .select(col(idCol),

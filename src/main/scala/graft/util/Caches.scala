@@ -21,6 +21,21 @@ object Caches {
     cached
   }
 
+  /** Scale-adaptive repartition ahead of a per-row-heavy stage
+    * (explode, shingle hashing): when the frame plans NARROWER than
+    * half the session's parallelism — the harness corpus is ONE
+    * parquet file, i.e. one scan task — spread it by `key` so the
+    * explode and its map-side partial aggregation run wide instead of
+    * single-task (guide §2.5 input skew). An already-parallel input
+    * (any real multi-file table, and 100 TB in particular) passes
+    * through untouched, paying no exchange. */
+  def widen(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
+    val spark = df.sparkSession
+    if (df.rdd.getNumPartitions * 2 < spark.sparkContext.defaultParallelism)
+      df.repartition(key)
+    else df
+  }
+
   /** Eager checkpoint-or-localCheckpoint: truncates lineage either way,
     * and a configured checkpoint dir upgrades the truncation to a
     * fault-tolerant one — localCheckpoint blocks are unreplicated, so

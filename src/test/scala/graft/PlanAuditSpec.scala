@@ -31,10 +31,21 @@ class PlanAuditSpec extends AnyFunSuite {
     Seq(p) ++ (p.children ++ p.subqueries).flatMap(nodes) ++ aqe
   }
 
-  private def planOf(name: String): Seq[SparkPlan] = {
-    val df = SparkEntry.queries(name)(spark, dir)
-    nodes(df.queryExecution.executedPlan)
-  }
+  /** Memoized: several registry-wide audits below iterate EVERY
+    * query, and building a query is not free — many builders run
+    * eager work (materialize counts, model training, store builds)
+    * at construction time. One build per query for the whole suite
+    * keeps the suite inside the driver's test budget; the audits are
+    * plan-shape assertions, so sharing one built plan across tests
+    * checks exactly what three rebuilds checked. */
+  private val planCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[SparkPlan]]
+
+  private def planOf(name: String): Seq[SparkPlan] =
+    planCache.getOrElseUpdate(name, {
+      val df = SparkEntry.queries(name)(spark, dir)
+      nodes(df.queryExecution.executedPlan)
+    })
 
   /** Queries whose plan is driver-side work over a tiny materialized
     * result (system roundtrips) — no distributed plan to audit. */
